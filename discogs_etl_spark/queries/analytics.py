@@ -1,0 +1,916 @@
+"""Plane B analytics surface (SURVEY.md §2.3-2.9).
+
+The reference delegates analytics to DuckDB SQL over its Parquet lake
+(reference README.md:81-115); this module owns that query surface natively
+in Spark.  Each builder is a declarative DataFrame plan — Catalyst handles
+predicate pushdown, column pruning, join strategy selection, and AQE
+handles runtime re-planning — and each is registered with a DuckDB oracle
+twin whose result must hash-match exactly.
+
+Scale notes are attached per-query: which joins broadcast, where shuffles
+land, and why the plan survives a 1000-executor / 100 TB deployment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from discogs_etl_spark.queries._util import davg, dec, dsum, sql_davg, sql_dsum
+from discogs_etl_spark.registry import register
+from discogs_etl_spark.tables import load
+
+
+# ---------------------------------------------------------------------------
+# Scans / filters / projections / limits  (§2.3, §2.7)
+# ---------------------------------------------------------------------------
+
+@register(
+    "flagship_scan_filter_limit",
+    oracle="""
+        SELECT doc_id, lang, source, n_chars
+        FROM documents
+        WHERE list_contains(string_split(text, ' '), 'spark')
+          AND len(string_split(text, ' ')) > 50
+        ORDER BY doc_id
+        LIMIT 20
+    """,
+    tags=("scan", "filter", "limit", "array"),
+    bench=True,
+)
+def flagship_scan_filter_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The README flagship query shape (reference README.md:84-87):
+    array-contains predicate + array-length predicate + LIMIT, re-aimed at
+    the fixtures' documents table.
+
+    Scale: filter + limit is map-only; Spark plans TakeOrderedAndProject,
+    so only 20 rows per partition ever reach the driver."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return (
+        docs.where(F.array_contains(toks, "spark") & (F.size(toks) > 50))
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+        .limit(20)
+    )
+
+
+@register(
+    "scan_project_filter",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders
+        WHERE o_totalprice > 400000.0 AND o_orderstatus = 'O'
+    """,
+    tags=("scan", "filter", "projection"),
+)
+def scan_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + predicate scan (§2.3 P8/P9).  Both predicates and the
+    3-column projection push into the Parquet scan (PushedFilters /
+    ReadSchema) — at 100 TB this reads a fraction of the bytes."""
+    return (
+        load(spark, sf_dir, "orders")
+        .where((F.col("o_totalprice") > 400000.0) & (F.col("o_orderstatus") == "O"))
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+
+
+@register(
+    "sort_topk_orders",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 20
+    """,
+    tags=("sort", "topk"),
+    bench=True,
+)
+def sort_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k by measure (§2.7).  Spark plans TakeOrderedAndProject: each
+    task keeps a k-row heap, no global sort shuffle."""
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations  (§2.5)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+        SELECT
+            l_returnflag,
+            l_linestatus,
+            {sql_dsum('l_quantity')} AS sum_qty,
+            {sql_dsum('l_extendedprice')} AS sum_base_price,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                     * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                     * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                     * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+            {sql_davg('l_quantity')} AS avg_qty,
+            {sql_davg('l_extendedprice')} AS avg_price,
+            {sql_davg('l_discount', 6)} AS avg_disc,
+            COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "groupby"),
+    bench=True,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: the canonical wide aggregation.
+
+    Scale: partial (map-side) aggregation reduces each partition to ≤6
+    group rows before the shuffle — the shuffle moves O(groups), not
+    O(rows), at any data size."""
+    li = load(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp")
+    )
+    disc_price = dec("l_extendedprice", 2, 12) * (F.lit(1) - dec("l_discount", 2, 4))
+    charge = disc_price * (F.lit(1) + dec("l_tax", 2, 4))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount", 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "agg_rollup_lineitem",
+    oracle=f"""
+        SELECT
+            l_returnflag,
+            l_linestatus,
+            COUNT(*) AS n_items,
+            {sql_dsum('l_quantity')} AS sum_qty
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "rollup"),
+)
+def agg_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (§2.5 engine contract)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_items"), dsum("l_quantity").alias("sum_qty"))
+    )
+
+
+@register(
+    "agg_cube_orders",
+    oracle=f"""
+        SELECT
+            o_orderstatus,
+            o_orderpriority,
+            COUNT(*) AS n_orders,
+            {sql_dsum('o_totalprice')} AS sum_price
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg", "cube"),
+)
+def agg_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dims (§2.5 engine contract)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("sum_price"))
+    )
+
+
+@register(
+    "agg_distinct_parts_per_flag",
+    oracle="""
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_partkey) AS n_parts,
+               COUNT(DISTINCT l_suppkey) AS n_supps
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    tags=("agg", "distinct"),
+)
+def agg_distinct_parts_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi distinct-aggregation (§2.5): Catalyst plans the expand +
+    two-phase aggregate; exact distinct (the approx variant is a separate
+    rows-only query since HLL sketches are engine-specific)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+        )
+    )
+
+
+@register(
+    "agg_approx_distinct",
+    oracle=None,  # HLL sketch values are engine-specific → rows-only check
+    tags=("agg", "approx"),
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — the 100 TB-scale substitute
+    for exact COUNT(DISTINCT): no expand, fixed-size sketch per group."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"))
+    )
+
+
+@register(
+    "agg_variance_price",
+    oracle=f"""
+        SELECT
+            o_orderstatus,
+            COUNT(*) AS n,
+            {sql_dsum('o_totalprice')} AS s1,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS s2,
+            round((CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                   - CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                     * CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
+                  / (COUNT(*) - 1), 4) AS var_price
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    tags=("agg", "stats"),
+)
+def agg_variance_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance via exact sufficient statistics (decimal Σx, Σx²) so the
+    result is accumulation-order independent — the deterministic twin of
+    var_samp."""
+    s1 = dsum("o_totalprice")
+    s2 = F.sum(dec("o_totalprice", 2, 12) * dec("o_totalprice", 2, 12)).cast("double")
+    n = F.count(F.lit(1))
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            n.alias("n"),
+            s1.alias("s1"),
+            s2.alias("s2"),
+            F.round((s2 - s1 * s1 / n) / (n - F.lit(1)), 4).alias("var_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins  (§2.4)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q3_shipping_priority",
+    oracle=f"""
+        SELECT
+            l_orderkey,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                     * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+            o_orderdate,
+            o_orderpriority
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-03-15'
+          AND l_shipdate > TIMESTAMP '1998-03-15'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderdate, l_orderkey
+        LIMIT 10
+    """,
+    tags=("join", "agg", "topk"),
+    bench=True,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + aggregate + top-k.
+
+    Scale: customer (filtered on segment) broadcasts; orders⋈lineitem is
+    the one real shuffle, on the join key both sides already share.  The
+    date filters push into both Parquet scans before the join."""
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    cust = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
+    revenue = dec("l_extendedprice", 2, 12) * (F.lit(1) - dec("l_discount", 2, 4))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_regional_revenue",
+    oracle=f"""
+        SELECT
+            n_name,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                     * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+    """,
+    tags=("join", "agg", "star"),
+    bench=True,
+)
+def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table star join with a cross-dimension predicate
+    (customer and supplier in the same nation).
+
+    Scale: region/nation/supplier/customer are dimensions → all broadcast;
+    the only shuffle is orders⋈lineitem.  Catalyst pushes r_name='ASIA'
+    through the nation⋈region broadcast before any fact rows move."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    revenue = dec("l_extendedprice", 2, 12) * (F.lit(1) - dec("l_discount", 2, 4))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+@register(
+    "join_broadcast_part_agg",
+    oracle=f"""
+        SELECT p_brand,
+               COUNT(*) AS n_items,
+               {sql_dsum('l_quantity')} AS sum_qty
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+    """,
+    tags=("join", "broadcast", "agg"),
+    bench=True,
+)
+def join_broadcast_part_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈dimension with an explicit broadcast hint (§2.4): no shuffle of
+    the fact table at all — the classic 100 TB pattern."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_items"), dsum("l_quantity").alias("sum_qty"))
+    )
+
+
+@register(
+    "join_left_order_counts",
+    oracle="""
+        SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders
+        FROM customer
+        LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey, c_name
+    """,
+    tags=("join", "left"),
+)
+def join_left_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with zero orders (§2.4)."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@register(
+    "join_semi_customers_with_orders",
+    oracle="""
+        SELECT c_custkey, c_mktsegment
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)
+    """,
+    tags=("join", "semi"),
+)
+def join_semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS) — emits each matching left row once (§2.4)."""
+    cust = load(spark, sf_dir, "customer")
+    big = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 450000.0)
+    return cust.join(big, cust.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@register(
+    "join_anti_customers_without_orders",
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    tags=("join", "anti"),
+)
+def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS) (§2.4)."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_full_outer_nation_presence",
+    oracle="""
+        WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust
+                   FROM customer GROUP BY c_nationkey),
+             s AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp
+                   FROM supplier GROUP BY s_nationkey)
+        SELECT COALESCE(c.nk, s.nk) AS nationkey,
+               COALESCE(n_cust, 0) AS n_cust,
+               COALESCE(n_supp, 0) AS n_supp
+        FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """,
+    tags=("join", "full_outer"),
+)
+def join_full_outer_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two aggregates (§2.4): nations having customers,
+    suppliers, or both."""
+    c = (
+        load(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return s.join(c, c.nk == s.nk, "full_outer").select(
+        F.coalesce(c.nk, s.nk).alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions  (§2.6)
+# ---------------------------------------------------------------------------
+
+@register(
+    "window_topk_orders_per_customer",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_totalprice, rn
+        FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+            FROM orders
+        )
+        WHERE rn <= 3
+    """,
+    tags=("window", "rank"),
+)
+def window_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via ROW_NUMBER (§2.6) — the same window shape the
+    reference's latest-dump-per-month selection needs (reference
+    s3.py:384-386).  Spark 3.5+ pushes the rn<=3 limit into the window
+    sort (WindowGroupLimit)."""
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        load(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "window_rank_dense_rank",
+    oracle="""
+        SELECT p_type, p_partkey, p_retailprice,
+               RANK() OVER (PARTITION BY p_type ORDER BY p_size) AS rk,
+               DENSE_RANK() OVER (PARTITION BY p_type ORDER BY p_size) AS drk
+        FROM part
+    """,
+    tags=("window", "rank"),
+)
+def window_rank_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANK / DENSE_RANK with ties (§2.6)."""
+    w = Window.partitionBy("p_type").orderBy("p_size")
+    return load(spark, sf_dir, "part").select(
+        "p_type",
+        "p_partkey",
+        "p_retailprice",
+        F.rank().over(w).alias("rk"),
+        F.dense_rank().over(w).alias("drk"),
+    )
+
+
+@register(
+    "window_running_total_events",
+    oracle="""
+        SELECT event_id, user_id,
+               CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) AS running_value
+        FROM events
+    """,
+    tags=("window", "frame"),
+)
+def window_running_total_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregate over an explicit ROWS frame (§2.6); decimal
+    accumulation keeps the prefix sums order-exact on both engines."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.sum(dec("value", 6)).over(w).cast("double").alias("running_value"),
+    )
+
+
+@register(
+    "window_lag_lead_gap",
+    oracle="""
+        SELECT event_id, user_id,
+               LAG(event_id) OVER w AS prev_event_id,
+               LEAD(event_id) OVER w AS next_event_id,
+               round(epoch(ts) - epoch(LAG(ts) OVER w), 6) AS gap_sec
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("window", "lag"),
+)
+def window_lag_lead_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG/LEAD analytics (§2.6): previous/next event and inter-event gap
+    in (fractional) seconds.  timestamp→double epoch is the same
+    micros/1e6 double on both engines."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ep = F.col("ts").cast("double")
+    return load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.lag("event_id").over(w).alias("prev_event_id"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+        F.round(ep - F.lag(ep).over(w), 6).alias("gap_sec"),
+    )
+
+
+@register(
+    "sessionization_events",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                             OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800.0
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+            SELECT user_id, ts, event_id, value,
+                   SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+            FROM flagged
+        )
+        SELECT user_id,
+               CAST(session_id AS BIGINT) AS session_id,
+               COUNT(*) AS n_events,
+               MIN(ts) AS session_start,
+               MAX(ts) AS session_end,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
+        FROM sess
+        GROUP BY user_id, session_id
+    """,
+    tags=("window", "sessionization"),
+)
+def sessionization_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity boundary): the batch
+    twin of a session_window stream (§2.6, §2.10).  Two stacked windows +
+    one aggregate; all three shuffles share the user_id hash partitioning
+    so Spark reuses a single exchange."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ep = F.col("ts").cast("double")
+    flagged = load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(
+            F.lag("ts").over(w).isNull() | ((ep - F.lag(ep).over(w)) > 1800.0), 1
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    sess = flagged.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.sum("is_new").over(wsum).cast("long").alias("session_id"),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        dsum("value", 6).alias("session_value"),
+    )
+
+
+@register(
+    "manifest_latest_per_month",
+    oracle="""
+        SELECT ym, o_orderpriority AS file_type, o_orderkey AS chosen_key, o_orderdate AS chosen_date
+        FROM (
+            SELECT strftime(o_orderdate, '%Y-%m') AS ym, o_orderpriority, o_orderkey, o_orderdate,
+                   ROW_NUMBER() OVER (PARTITION BY strftime(o_orderdate, '%Y-%m'), o_orderpriority
+                                      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+            FROM orders
+        )
+        WHERE rn = 1
+    """,
+    tags=("window", "argmax", "manifest"),
+)
+def manifest_latest_per_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's dump-catalog op re-expressed relationally: keep the
+    latest file per (year-month, type) (reference s3.py:329-424, argmax at
+    384-386).  Pairwise-compare loop becomes one window + filter."""
+    df = load(spark, sf_dir, "orders").withColumn(
+        "ym", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    w = Window.partitionBy("ym", "o_orderpriority").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "ym",
+            F.col("o_orderpriority").alias("file_type"),
+            F.col("o_orderkey").alias("chosen_key"),
+            F.col("o_orderdate").alias("chosen_date"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations  (§2.8)
+# ---------------------------------------------------------------------------
+
+@register(
+    "set_union_all_lineitem",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity < 5.0
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_extendedprice > 90000.0
+    """,
+    tags=("setop", "union"),
+)
+def set_union_all_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (bag semantics) of two scans (§2.8)."""
+    li = load(spark, sf_dir, "lineitem")
+    cols = ["l_orderkey", "l_linenumber", "l_quantity"]
+    return li.where(F.col("l_quantity") < 5.0).select(*cols).unionByName(
+        li.where(F.col("l_extendedprice") > 90000.0).select(*cols)
+    )
+
+
+@register(
+    "set_intersect_partkeys",
+    oracle="""
+        SELECT l_partkey FROM lineitem WHERE l_quantity < 10.0
+        INTERSECT
+        SELECT l_partkey FROM lineitem WHERE l_extendedprice > 50000.0
+    """,
+    tags=("setop", "intersect"),
+)
+def set_intersect_partkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (set semantics) (§2.8)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_quantity") < 10.0)
+        .select("l_partkey")
+        .intersect(li.where(F.col("l_extendedprice") > 50000.0).select("l_partkey"))
+    )
+
+
+@register(
+    "set_except_partkeys",
+    oracle="""
+        SELECT p_partkey FROM part
+        EXCEPT
+        SELECT l_partkey FROM lineitem
+    """,
+    tags=("setop", "except"),
+)
+def set_except_partkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: parts never ordered (§2.8)."""
+    part = load(spark, sf_dir, "part").select("p_partkey")
+    li = load(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("p_partkey"))
+    return part.subtract(li)
+
+
+# ---------------------------------------------------------------------------
+# Scalar function surface  (§2.9)
+# ---------------------------------------------------------------------------
+
+@register(
+    "scalar_string_part",
+    oracle="""
+        SELECT p_partkey,
+               upper(p_brand) AS brand_upper,
+               lower(p_type) AS type_lower,
+               substr(p_name, 1, 8) AS name_prefix,
+               CAST(length(p_name) AS BIGINT) AS name_len,
+               concat(p_brand, ':', p_type) AS brand_type,
+               regexp_extract(p_name, '([0-9]+)', 1) AS first_num,
+               replace(p_type, 'A', '@') AS type_repl,
+               trim('  pad  ') AS trimmed
+        FROM part
+    """,
+    tags=("scalar", "string"),
+)
+def scalar_string_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar surface (§2.9: trim/lower/substr/regex of reference
+    utils.py:21-24, s3.py:345-346)."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.lower("p_type").alias("type_lower"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_extract("p_name", r"([0-9]+)", 1).alias("first_num"),
+        F.translate("p_type", "A", "@").alias("type_repl"),
+        F.trim(F.lit("  pad  ")).alias("trimmed"),
+    )
+
+
+@register(
+    "scalar_date_orders",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(year(o_orderdate) AS BIGINT) AS order_year,
+               CAST(month(o_orderdate) AS BIGINT) AS order_month,
+               CAST(day(o_orderdate) AS BIGINT) AS order_day,
+               CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+               strftime(o_orderdate, '%Y-%m-%d') AS order_date_str,
+               CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_epoch0
+        FROM orders
+    """,
+    tags=("scalar", "date"),
+)
+def scalar_date_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar surface (§2.9: yyyyMMdd parse/format of reference
+    s3.py:416)."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("long").alias("order_day"),
+        F.to_date(F.date_trunc("month", "o_orderdate")).alias("month_start"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date_str"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since_epoch0"),
+    )
+
+
+@register(
+    "scalar_json_events",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events
+    """,
+    tags=("scalar", "json"),
+)
+def scalar_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from a string column (§2.9; fixtures' events.props)."""
+    return load(spark, sf_dir, "events").select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+
+
+@register(
+    "scalar_hash_customer",
+    oracle="""
+        SELECT c_custkey,
+               md5(c_name) AS name_md5,
+               sha256(c_name) AS name_sha256
+        FROM customer
+    """,
+    tags=("scalar", "hash"),
+)
+def scalar_hash_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic hash surface (§2.9: reference checksum verification,
+    process.py:117-127, io.py:181-192)."""
+    return load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.md5("c_name").alias("name_md5"),
+        F.sha2("c_name", 256).alias("name_sha256"),
+    )
+
+
+@register(
+    "scalar_array_embeddings",
+    oracle="""
+        SELECT vec_id,
+               CAST(len(embedding) AS BIGINT) AS dim,
+               round(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+               round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[]))), 6) AS l2_norm
+        FROM embeddings
+    """,
+    tags=("scalar", "array", "vector"),
+)
+def scalar_array_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array scalar surface over vectors (§2.9 + Plane C S15): length,
+    element access, L2 norm via in-order fold (same double accumulation
+    order as DuckDB's list_dot_product)."""
+    emb = F.col("embedding").cast("array<double>")
+    dot = F.aggregate(
+        F.zip_with(emb, emb, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    return load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(F.element_at(emb, 1), 6).alias("first_val"),
+        F.round(F.sqrt(dot), 6).alias("l2_norm"),
+    )
+
+
+@register(
+    "events_hourly_agg",
+    oracle=f"""
+        SELECT date_trunc('hour', ts) AS hour_start,
+               event_type,
+               COUNT(*) AS n_events,
+               {sql_dsum('value', 6)} AS sum_value
+        FROM events
+        GROUP BY date_trunc('hour', ts), event_type
+    """,
+    tags=("agg", "time", "window"),
+    bench=True,
+)
+def events_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time aggregation — the batch expression of the
+    Structured Streaming windowed agg (§2.10); group key is
+    date_trunc('hour') so the same query runs under readStream +
+    watermark unchanged (see streaming module)."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("hour_start"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", 6).alias("sum_value"))
+    )

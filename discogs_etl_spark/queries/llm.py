@@ -1,0 +1,734 @@
+"""Plane C — LLM-data-pipeline operators (SURVEY.md §2.12).
+
+Dedup (exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine),
+similarity search (brute-force top-k, sign-LSH bucketed ANN), and text
+analysis (stats, quality scoring, token counting, fingerprinting,
+corpus-learned language ID), all over the ``documents`` / ``embeddings``
+fixture tables.
+
+Design constraints:
+
+- Every operator is a declarative DataFrame plan (joins + aggregates +
+  windows + higher-order array functions) — no Python on the hot path, so
+  the same plan scales to a 1000-executor cluster.
+- Hashing uses md5 hex strings (identical across engines) and min() over
+  them, so even the MinHash/LSH pipelines have exact DuckDB oracle twins —
+  the LSH bucketing is deterministic, not merely "approximately checked".
+- Cosine similarities are computed as in-order double folds (Spark
+  ``aggregate`` ≡ DuckDB ``list_dot_product`` on DOUBLE[]), making the
+  doubles bit-identical on both engines; displayed values are rounded.
+
+Scale notes per operator describe the 100 TB shape (what shuffles on what
+key, where candidate-pair explosion is capped).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from discogs_etl_spark.registry import register
+from discogs_etl_spark.tables import load
+
+# ---------------------------------------------------------------------------
+# shared column builders
+# ---------------------------------------------------------------------------
+
+
+def _words(col: str = "text") -> Column:
+    return F.split(F.col(col), " ")
+
+
+def _trigram_shingles(col: str = "text") -> Column:
+    """Distinct word-3-gram shingles ('w1 w2 w3') of a text column.
+
+    Oracle twin: list_distinct(list_transform(range(1, len(w)-1),
+    i -> array_to_string(w[i:i+2], ' ')))."""
+    w = _words(col)
+    seq = F.sequence(F.lit(1), F.size(w) - 2)
+    shingles = F.transform(seq, lambda i: F.array_join(F.slice(w, i, 3), " "))
+    return F.array_distinct(
+        F.when(F.size(w) >= 3, shingles).otherwise(F.array().cast("array<string>"))
+    )
+
+
+_SQL_WORDS = "string_split(text, ' ')"
+_SQL_TRIGRAMS = (
+    "list_distinct(list_transform("
+    f"range(1, greatest(len({_SQL_WORDS}) - 1, 1)), "
+    f"i -> array_to_string(({_SQL_WORDS})[i:i+2], ' ')))"
+)
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """In-order double dot product — same accumulation order as DuckDB's
+    list_dot_product, so results are bit-identical."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+_SQL_COS = (
+    "list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+    " / (sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])))"
+    " * sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[]))))"
+)
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    oracle="""
+        SELECT MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+        FROM documents
+        GROUP BY text
+    """,
+    tags=("dedup", "exact"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group on full content, keep the smallest doc_id.
+
+    Scale: shuffling full document text as the group key is wasteful at
+    100 TB — use dedup_exact_hash (64-byte key) instead; this variant is
+    the semantic baseline."""
+    return (
+        load(spark, sf_dir, "documents")
+        .groupBy("text")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("keep_doc_id", "n_copies")
+    )
+
+
+@register(
+    "dedup_exact_hash",
+    oracle="""
+        SELECT sha256(text) AS content_sha256,
+               MIN(doc_id) AS keep_doc_id,
+               COUNT(*) AS n_copies
+        FROM documents
+        GROUP BY sha256(text)
+    """,
+    tags=("dedup", "exact", "hash"),
+    bench=True,
+)
+def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash exact dedup — the 100 TB shape: map-side sha256 turns
+    arbitrarily long documents into fixed 64-char shuffle keys; partial
+    aggregation dedupes within partitions before the exchange."""
+    return (
+        load(spark, sf_dir, "documents")
+        .groupBy(F.sha2("text", 256).alias("content_sha256"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+_NGRAM_ORACLE = f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({_SQL_TRIGRAMS}) AS sh FROM documents
+    ),
+    m AS (SELECT doc_id, COUNT(*) AS m FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(n_common AS DOUBLE) / (ma.m + mb.m - n_common), 6) AS jaccard
+    FROM inter
+    JOIN m ma ON doc_a = ma.doc_id
+    JOIN m mb ON doc_b = mb.doc_id
+    WHERE CAST(n_common AS DOUBLE) / (ma.m + mb.m - n_common) >= 0.3
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=_NGRAM_ORACLE,
+    tags=("dedup", "ngram", "jaccard"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact word-3-gram Jaccard ≥ 0.3.
+
+    Candidate pairs come from an inverted-index self-join on shingles (only
+    docs sharing a shingle are compared — never a cross join).  Scale: the
+    shingle join explodes on very common shingles; the MinHash variant
+    below is the 100 TB path, this one is the exact verifier."""
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", F.explode(_trigram_shingles()).alias("sh"))
+    m = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("m"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ma = m.select(F.col("doc_id").alias("doc_a"), F.col("m").alias("m_a"))
+    mb = m.select(F.col("doc_id").alias("doc_b"), F.col("m").alias("m_b"))
+    jacc = F.col("n_common").cast("double") / (
+        F.col("m_a") + F.col("m_b") - F.col("n_common")
+    )
+    return (
+        inter.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .where(jacc >= 0.3)
+        .select("doc_a", "doc_b", F.round(jacc, 6).alias("jaccard"))
+    )
+
+
+_MINHASH_SEEDS = 16
+_MINHASH_BAND_ROWS = 4
+_MINHASH_VERIFY = 0.35
+
+_MINHASH_ORACLE = f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({_SQL_TRIGRAMS}) AS sh FROM documents
+    ),
+    m AS (SELECT doc_id, COUNT(*) AS m FROM sh GROUP BY doc_id),
+    sig AS (
+        SELECT doc_id, s.seed, MIN(md5(s.seed || '|' || sh)) AS mh
+        FROM sh, (SELECT unnest(range({_MINHASH_SEEDS})) AS seed) s
+        GROUP BY doc_id, s.seed
+    ),
+    bands AS (
+        SELECT doc_id, seed // {_MINHASH_BAND_ROWS} AS band,
+               string_agg(mh, '|' ORDER BY seed) AS band_sig
+        FROM sig GROUP BY doc_id, seed // {_MINHASH_BAND_ROWS}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+                     AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           round(CAST(n_common AS DOUBLE) / (ma.m + mb.m - n_common), 6) AS jaccard
+    FROM cand c
+    JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+    JOIN m ma ON c.doc_a = ma.doc_id
+    JOIN m mb ON c.doc_b = mb.doc_id
+    WHERE CAST(n_common AS DOUBLE) / (ma.m + mb.m - n_common) >= {_MINHASH_VERIFY}
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_MINHASH_ORACLE,
+    tags=("dedup", "minhash", "lsh"),
+    bench=True,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH near-dedup (shingle → minhash → band → bucket
+    join → exact-Jaccard verify), with 16 hash functions in 4 bands of 4.
+
+    The "hash family" is md5 over a seed-prefixed shingle; the per-seed
+    signature is the lexicographic MIN of the hex digests — deterministic
+    and engine-independent, hence fully oracle-checkable (the classic
+    random-permutation construction is equivalent up to hash choice).
+
+    Scale: this is the 100 TB near-dedup path — candidate generation cost
+    is O(docs x bands) shuffle keyed on (band, band_sig); only bucket
+    collisions are verified.  Band width/row count trade recall vs
+    candidate volume (4x4 targets Jaccard ≳ 0.5)."""
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", F.explode(_trigram_shingles()).alias("sh"))
+    m = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("m"))
+    sig = (
+        sh.withColumn("seed", F.explode(F.sequence(F.lit(0), F.lit(_MINHASH_SEEDS - 1))))
+        .groupBy("doc_id", "seed")
+        .agg(F.min(F.md5(F.concat_ws("|", F.col("seed").cast("string"), F.col("sh")))).alias("mh"))
+    )
+    bands = (
+        sig.withColumn("band", F.floor(F.col("seed") / _MINHASH_BAND_ROWS).cast("long"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seed", "mh"))),
+                    lambda x: x["mh"],
+                ),
+                "|",
+            ).alias("band_sig")
+        )
+    )
+    ba, bb = bands.alias("ba"), bands.alias("bb")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("ba.band") == F.col("bb.band"))
+            & (F.col("ba.band_sig") == F.col("bb.band_sig"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ma = m.select(F.col("doc_id").alias("doc_a"), F.col("m").alias("m_a"))
+    mb = m.select(F.col("doc_id").alias("doc_b"), F.col("m").alias("m_b"))
+    jacc = F.col("n_common").cast("double") / (
+        F.col("m_a") + F.col("m_b") - F.col("n_common")
+    )
+    return (
+        cand.join(inter, ["doc_a", "doc_b"])
+        .join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .where(jacc >= _MINHASH_VERIFY)
+        .select("doc_a", "doc_b", F.round(jacc, 6).alias("jaccard"))
+    )
+
+
+@register(
+    "dedup_simhash",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        ),
+        bits AS (
+            SELECT doc_id, b.i,
+                   SUM(CASE WHEN (('0x' || substr(md5(w), 1, 4))::BIGINT >> b.i) & 1 = 1
+                            THEN 1 ELSE -1 END) AS balance
+            FROM w, (SELECT unnest(range(16)) AS i) b
+            GROUP BY doc_id, b.i
+        )
+        SELECT doc_id,
+               SUM(CASE WHEN balance > 0 THEN (1::BIGINT << i) ELSE 0 END) AS simhash16
+        FROM bits
+        GROUP BY doc_id
+    """,
+    tags=("dedup", "simhash"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprint per document (frequency-weighted bit
+    balance over md5-derived word hashes).  Near-dup candidates are docs
+    whose fingerprints differ in ≤k bits; here we emit the fingerprint
+    itself (the pairing is a trivial self-join on bit-neighborhoods).
+
+    Scale: map-side explode + two bounded aggregations keyed by doc_id —
+    no pairwise work at all."""
+    docs = load(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.explode(_words()).alias("w"))
+    bits = (
+        w.withColumn("hv", F.conv(F.substring(F.md5("w"), 1, 4), 16, 10).cast("long"))
+        .withColumn("i", F.explode(F.sequence(F.lit(0), F.lit(15))))
+        .groupBy("doc_id", "i")
+        .agg(
+            F.sum(
+                F.when(F.expr("(shiftright(hv, cast(i AS INT)) & 1) = 1"), 1).otherwise(-1)
+            ).alias("balance")
+        )
+    )
+    return bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("balance") > 0,
+                F.expr("shiftleft(cast(1 AS BIGINT), cast(i AS INT))"),
+            ).otherwise(0)
+        ).alias("simhash16")
+    )
+
+
+_EMB_DEDUP_ORACLE = f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({_SQL_COS.format(a='a.embedding', b='b.embedding')}, 6) AS cos
+    FROM embeddings a
+    JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_SQL_COS.format(a='a.embedding', b='b.embedding')} >= 0.42
+"""
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=_EMB_DEDUP_ORACLE,
+    tags=("dedup", "embedding", "cosine"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: cosine ≥ threshold over all pairs.
+
+    Scale: all-pairs is O(n²) — correct but only viable per-bucket; the
+    production path routes through similarity_ann_signlsh-style bucketing
+    first.  Kept as the exact semantics definition."""
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").cast("array<double>").alias("ea")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").cast("array<double>").alias("eb")
+    )
+    cos = _cosine(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .where(cos >= 0.42)
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cos"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_TOPK_ORACLE = f"""
+    SELECT q_vec_id, vec_id, rank, cos
+    FROM (
+        SELECT q.vec_id AS q_vec_id, v.vec_id AS vec_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {_SQL_COS.format(a='q.embedding', b='v.embedding')} DESC,
+                            v.vec_id
+               ) AS rank,
+               round({_SQL_COS.format(a='q.embedding', b='v.embedding')}, 6) AS cos
+        FROM (SELECT * FROM embeddings WHERE vec_id < 5) q
+        JOIN embeddings v ON v.vec_id <> q.vec_id
+    )
+    WHERE rank <= 5
+"""
+
+
+@register(
+    "similarity_topk_bruteforce",
+    oracle=_TOPK_ORACLE,
+    tags=("similarity", "topk", "knn"),
+    bench=True,
+)
+def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: each query vector scores every corpus
+    vector, keeps the 5 best.  The exactness baseline for ANN.
+
+    Scale: queries broadcast (small side), corpus streams — one pass over
+    the corpus per batch of queries, then a per-query top-k (window with
+    group-limit pushdown).  JVM-side higher-order functions, no Python."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = (
+        emb.where(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("q_vec_id"),
+            F.col("embedding").cast("array<double>").alias("q_emb"),
+        )
+    )
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v_emb"))
+    cos = _cosine(F.col("q_emb"), F.col("v_emb"))
+    w = Window.partitionBy("q_vec_id").orderBy(F.desc("raw_cos"), F.asc("vec_id"))
+    return (
+        v.join(F.broadcast(q), F.col("vec_id") != F.col("q_vec_id"))
+        .select("q_vec_id", "vec_id", cos.alias("raw_cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("q_vec_id", "vec_id", "rank", F.round("raw_cos", 6).alias("cos"))
+    )
+
+
+def _sql_sign_bucket(col: str) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN ({col})[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)" for i in range(8)
+    )
+    return f"({terms})"
+
+
+_ANN_ORACLE = f"""
+    WITH bucketed AS (
+        SELECT vec_id, embedding, {_sql_sign_bucket('embedding')} AS bucket
+        FROM embeddings
+    )
+    SELECT q_vec_id, vec_id, rank, cos
+    FROM (
+        SELECT q.vec_id AS q_vec_id, v.vec_id AS vec_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {_SQL_COS.format(a='q.embedding', b='v.embedding')} DESC,
+                            v.vec_id
+               ) AS rank,
+               round({_SQL_COS.format(a='q.embedding', b='v.embedding')}, 6) AS cos
+        FROM (SELECT * FROM bucketed WHERE vec_id < 20) q
+        JOIN bucketed v ON v.bucket = q.bucket AND v.vec_id <> q.vec_id
+    )
+    WHERE rank <= 3
+"""
+
+
+def _sign_bucket(emb: Column) -> Column:
+    """8-bit sign-LSH bucket: bit i = sign of dimension i (axis-aligned
+    random-hyperplane LSH with fixed hyperplanes)."""
+    b = F.lit(0)
+    for i in range(8):
+        b = b + F.when(F.element_at(emb, i + 1) > 0, F.lit(1 << i)).otherwise(0)
+    return b
+
+
+@register(
+    "similarity_ann_signlsh",
+    oracle=_ANN_ORACLE,
+    tags=("similarity", "ann", "lsh"),
+)
+def similarity_ann_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed ANN: 8-bit sign-LSH partitions the corpus into 256 buckets;
+    each query searches only its own bucket (approximate top-3).
+
+    Scale: candidate set shrinks ~256x vs brute force; the join is an
+    equi-join on bucket — shuffle-partitionable by bucket, no broadcast of
+    the corpus needed.  Recall is tuned by bucket bits / multiprobe."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("emb"),
+        _sign_bucket(F.col("embedding")).alias("bucket"),
+    )
+    q = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    cos = _cosine(F.col("q_emb"), F.col("emb"))
+    w = Window.partitionBy("q_vec_id").orderBy(F.desc("raw_cos"), F.asc("vec_id"))
+    return (
+        emb.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("q_vec_id")),
+        )
+        .select("q_vec_id", "vec_id", cos.alias("raw_cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("q_vec_id", "vec_id", "rank", F.round("raw_cos", 6).alias("cos"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_stats_by_lang",
+    oracle="""
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               (CAST(SUM(n_chars) AS DOUBLE) / COUNT(*)) AS avg_chars,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+        FROM documents
+        GROUP BY lang
+    """,
+    tags=("text", "stats"),
+    bench=True,
+)
+def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus statistics (doc counts, char/token totals)."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        F.sum(F.size(_words()).cast("long")).cast("long").alias("total_tokens"),
+    )
+
+
+_STOPWORDS = ("the", "a", "data", "value", "key", "row")
+_SQL_STOPLIST = "(" + ", ".join(f"'{w}'" for w in _STOPWORDS) + ")"
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   string_split(text, ' ') AS w
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(w) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq_tokens,
+               round(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6) AS type_token_ratio,
+               round(CAST(len(list_filter(w, x -> x IN {_SQL_STOPLIST})) AS DOUBLE)
+                     / len(w), 6) AS stopword_ratio,
+               round(CAST(len(array_to_string(w, '')) AS DOUBLE) / len(w), 6) AS avg_token_len,
+               (len(w) >= 30 AND len(w) <= 2000
+                AND CAST(len(list_filter(w, x -> x IN {_SQL_STOPLIST})) AS DOUBLE)
+                    / len(w) <= 0.5) AS is_quality
+        FROM t
+    """,
+    tags=("text", "quality"),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality scoring: token counts, type-token ratio,
+    stopword ratio, mean token length, and a pass/fail gate — the standard
+    pre-training corpus filter shape, entirely in JVM array functions."""
+    w = _words()
+    n = F.size(w)
+    n_uniq = F.size(F.array_distinct(w))
+    n_stop = F.size(F.filter(w, lambda x: x.isin(*_STOPWORDS)))
+    total_len = F.length(F.array_join(w, ""))
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        n_uniq.cast("long").alias("n_uniq_tokens"),
+        F.round(n_uniq.cast("double") / n, 6).alias("type_token_ratio"),
+        F.round(n_stop.cast("double") / n, 6).alias("stopword_ratio"),
+        F.round(total_len.cast("double") / n, 6).alias("avg_token_len"),
+        (
+            (n >= 30) & (n <= 2000) & ((n_stop.cast("double") / n) <= 0.5)
+        ).alias("is_quality"),
+    )
+
+
+@register(
+    "text_token_count",
+    oracle="""
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+               CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS re_tokens
+        FROM documents
+    """,
+    tags=("text", "tokens"),
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish regex
+    scan — both JVM-side (regexp_extract_all), no Python."""
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(_words()).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z0-9]+"), 0)).cast("long").alias("re_tokens"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+        WITH f AS (
+            SELECT doc_id,
+                   md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+                       AS fingerprint
+            FROM documents
+        )
+        SELECT doc_id, fingerprint,
+               COUNT(*) OVER (PARTITION BY fingerprint) AS n_same_fingerprint
+        FROM f
+    """,
+    tags=("text", "fingerprint", "dedup"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-words collision fingerprint (md5 of the sorted distinct word
+    set): catches word-reorder duplicates that exact dedup misses; the
+    window count exposes collision-group sizes."""
+    fp = F.md5(F.array_join(F.array_sort(F.array_distinct(_words())), " "))
+    d = load(spark, sf_dir, "documents").select("doc_id", fp.alias("fingerprint"))
+    w = Window.partitionBy("fingerprint")
+    return d.select(
+        "doc_id", "fingerprint", F.count(F.lit(1)).over(w).alias("n_same_fingerprint")
+    )
+
+
+@register(
+    "lang_id_corpus",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents
+        ),
+        cnt AS (SELECT lang, w, COUNT(*) AS c FROM w GROUP BY lang, w),
+        top AS (
+            SELECT lang, w FROM (
+                SELECT lang, w,
+                       ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, w) AS rn
+                FROM cnt
+            ) WHERE rn <= 10
+        ),
+        score AS (
+            SELECT d.doc_id, t.lang AS cand_lang, COUNT(*) AS s
+            FROM w d JOIN top t ON d.w = t.w
+            GROUP BY d.doc_id, t.lang
+        ),
+        pred AS (
+            SELECT doc_id, cand_lang AS pred_lang FROM (
+                SELECT doc_id, cand_lang, s,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s DESC, cand_lang) AS rn
+                FROM score
+            ) WHERE rn = 1
+        )
+        SELECT d.doc_id, d.lang AS true_lang,
+               COALESCE(p.pred_lang, 'unknown') AS pred_lang,
+               (d.lang = COALESCE(p.pred_lang, 'unknown')) AS correct
+        FROM documents d LEFT JOIN pred p ON d.doc_id = p.doc_id
+    """,
+    tags=("text", "langid"),
+)
+def lang_id_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-learned language ID: build a top-10 word profile per language
+    from the labeled corpus, score each doc by profile hits, predict the
+    argmax (integer scores + deterministic tie-breaks — no float argmax).
+
+    Scale: profiles are tiny → broadcast join against the exploded corpus;
+    one shuffle keyed by (doc, lang) for scoring."""
+    docs = load(spark, sf_dir, "documents")
+    w = docs.select("doc_id", "lang", F.explode(_words()).alias("w"))
+    cnt = w.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("c"))
+    wtop = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("w"))
+    top = (
+        cnt.withColumn("rn", F.row_number().over(wtop))
+        .where(F.col("rn") <= 10)
+        .select(F.col("lang").alias("cand_lang"), "w")
+    )
+    score = (
+        w.join(F.broadcast(top), "w")
+        .groupBy("doc_id", "cand_lang")
+        .agg(F.count(F.lit(1)).alias("s"))
+    )
+    wpred = Window.partitionBy("doc_id").orderBy(F.desc("s"), F.asc("cand_lang"))
+    pred = (
+        score.withColumn("rn", F.row_number().over(wpred))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("cand_lang").alias("pred_lang"))
+    )
+    return (
+        docs.join(pred, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("lang").alias("true_lang"),
+            F.coalesce("pred_lang", F.lit("unknown")).alias("pred_lang"),
+            (F.col("lang") == F.coalesce("pred_lang", F.lit("unknown"))).alias("correct"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns
+# ---------------------------------------------------------------------------
+
+@register(
+    "multimodal_binary_meta",
+    oracle="""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+               md5(text) AS content_md5,
+               lower(substr(hex(encode(text)), 1, 16)) AS head_hex
+        FROM documents
+    """,
+    tags=("multimodal", "binary"),
+)
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary column plumbing (Plane C spec): materialize a
+    BinaryType payload column and compute typed metadata over it (byte
+    length, content hash, leading bytes).  The decode/feature-extraction
+    stage for real media runs over mapInPandas — see
+    discogs_etl_spark.llm.multimodal."""
+    payload = F.encode("text", "UTF-8")
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.octet_length(payload).cast("long").alias("byte_len"),
+        F.md5("text").alias("content_md5"),
+        F.lower(F.substring(F.hex(payload), 1, 16)).alias("head_hex"),
+    )

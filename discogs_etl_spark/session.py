@@ -1,0 +1,75 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference runs one Python thread per dump inside a 2 vCPU AWS Batch
+container (reference scripts/aws_batch_job_register.sh:6-7, SURVEY.md §3.2).
+Here the unit of parallelism is the Spark task; these defaults are chosen so
+the same code runs on ``local[N]`` for tests and on a 1000-executor cluster
+unchanged:
+
+- AQE on (runtime coalescing, skew-join splitting, dynamic join strategy).
+- ``spark.sql.shuffle.partitions`` sized from the available cores locally;
+  on a real cluster AQE coalesces the (higher) initial number down.
+- 128 MiB file-split target (``maxPartitionBytes``) — the classic
+  scan-parallelism sweet spot for Parquet.
+- Arrow-backed Python interop (Pandas UDFs are the only Python on the hot
+  path anywhere in this engine).
+- UTC session timezone so timestamp semantics are environment-independent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+__all__ = ["get_spark", "tune_for_correctness"]
+
+
+def _cpus() -> int:
+    try:
+        return int(os.environ.get("SPARK_GRAFT_CPUS", "") or os.cpu_count() or 4)
+    except ValueError:
+        return os.cpu_count() or 4
+
+
+def get_spark(
+    app_name: str = "discogs-etl-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's tuned defaults."""
+    cpus = _cpus()
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # Local mode: one shuffle partition per core is right at test SFs.
+        # Cluster deployments should pass an explicit value (2-3x total
+        # cores) and let AQE coalesce.
+        shuffle_partitions = max(cpus, 8)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")
+        .config("spark.executor.extraJavaOptions", "-Duser.timezone=UTC")
+    )
+    return builder.getOrCreate()
+
+
+def tune_for_correctness(spark: SparkSession) -> SparkSession:
+    """Runtime-settable knobs applied when we receive a session we did not
+    build (the verification driver constructs its own).  Only touches
+    runtime-mutable confs; timestamp determinism is the critical one."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    return spark
