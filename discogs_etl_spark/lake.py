@@ -1,0 +1,99 @@
+"""Hive-partitioned Parquet lake (SURVEY.md §2.2 K1/K5, §1.1).
+
+The reference lays out its lake as
+``{type}/year=YYYY/month=MM/{type}_YYYYMM01.parquet``, deriving the
+partition values from the dump FILENAME, not the data (reference
+s3.py:21-38 parse_input_url, s3.py:40-52 get_s3_output_path; layout doc
+README.md:9-47).  Downstream readers see ``year``/``month`` as columns via
+Hive partition inference (README.md:85-90).
+
+Spark-first: the hand-rolled ParquetWriter + multipart-upload machinery
+(reference etl.py:316-534, 32-313) collapses into
+``df.write.partitionBy('year','month')`` — the committer owns atomicity
+and multipart; ``partitionOverwriteMode=dynamic`` (set by our session
+factory) makes per-month re-runs idempotent, matching the reference's
+overwrite-by-key behavior.  At 100 TB the same call scales: one file per
+task per partition; partition pruning on year/month is free at read time.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# discogs_YYYYMMDD_{type}s.xml.gz — reference s3.py:21-38.
+_DUMP_NAME_RE = re.compile(r"discogs_(\d{4})(\d{2})(\d{2})_(artists|labels|masters|releases)")
+
+_PLURAL_TO_TYPE = {
+    "artists": "artist",
+    "labels": "label",
+    "masters": "master",
+    "releases": "release",
+}
+
+
+def parse_dump_url(url: str) -> dict:
+    """Filename → (data_type, year, month, day) (reference s3.py:21-38)."""
+    m = _DUMP_NAME_RE.search(url)
+    if not m:
+        raise ValueError(f"unrecognized dump filename in {url!r}")
+    year, month, day, plural = m.groups()
+    return {
+        "data_type": _PLURAL_TO_TYPE[plural],
+        "year": int(year),
+        "month": month,  # keep zero-padded string, like the lake layout
+        "day": day,
+    }
+
+
+def lake_path(root: str, data_type: str) -> str:
+    # lake prefixes are plural, e.g. s3://bucket/releases/ (README.md:9-47)
+    plural = {v: k for k, v in _PLURAL_TO_TYPE.items()}[data_type]
+    return os.path.join(root, plural)
+
+
+def write_lake(
+    df: DataFrame, root: str, data_type: str, year: int, month: str, mode: str = "overwrite"
+) -> str:
+    """Write one monthly snapshot into the partitioned lake.  Partition
+    values come from the dump identity (filename-derived), not the data —
+    preserving the reference's convention (s3.py:40-52)."""
+    path = lake_path(root, data_type)
+    (
+        df.withColumn("year", F.lit(int(year)))
+        .withColumn("month", F.lit(str(month)))
+        .write.partitionBy("year", "month")
+        .mode(mode)
+        .parquet(path)
+    )
+    return path
+
+
+def ingest_dump_to_lake(spark: SparkSession, dump_path: str, root: str) -> str:
+    """The reference's core pipeline, Spark-shaped: dump file → parse →
+    partitioned lake write (reference etl.py:316-534 end-to-end)."""
+    from discogs_etl_spark.sources.xml_ingest import ingest_xml
+
+    info = parse_dump_url(dump_path)
+    df = ingest_xml(spark, dump_path, info["data_type"])
+    return write_lake(df, root, info["data_type"], info["year"], info["month"])
+
+
+def read_lake(spark: SparkSession, root: str, data_type: str) -> DataFrame:
+    """Partition-discovering scan; ``year``/``month`` appear as columns and
+    prune on filter (README.md:85-90 behavior).
+
+    Partition column types match the reference's downstream contract —
+    ``year`` int, ``month`` zero-padded string (README.md:89-90 shows
+    ``month varchar, year int64``): type inference would turn month=03
+    into the integer 3, so it's disabled for this read and year is cast
+    back explicitly."""
+    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    try:
+        df = spark.read.parquet(lake_path(root, data_type))
+    finally:
+        spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "true")
+    return df.withColumn("year", F.col("year").cast("int"))

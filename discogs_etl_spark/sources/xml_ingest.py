@@ -1,0 +1,292 @@
+"""Discogs XML → DataFrame ingest kernel (SURVEY.md §2.1 S1-S6, §2.3 P1-P7).
+
+Spark-first shape: files are distributed to executors (one task per file —
+gzip is unsplittable, the same single-stream constraint the reference has
+at io.py:95-144; parallelism comes from processing many dump files at
+once), and each task runs the pure-Python parse kernel below, emitting
+typed records straight into the static schemas of
+:mod:`discogs_etl_spark.schemas`.
+
+The kernel re-implements the reference's record semantics from scratch
+(element→record coercions of reference parser.py:30-169; streaming repair
+of process.py:22-45 and 221-238; cleaning of utils.py:7-58) on top of
+stdlib ``xml.etree`` (lxml is used if importable).  Pinned behaviors, each
+covered by tests/test_xml_ingest.py:
+
+- numeric defaults: missing → 0 for artist/label/release ids, master
+  ``main_release``/``year``, image dims, video duration (parser.py:32,
+  44-45, 57, 61, 83-84, 92, 102, 118-119); master ``id`` comes from the
+  ``id`` ATTRIBUTE and is required (parser.py:56) while release ``id`` is
+  an attribute defaulting to 0 (parser.py:102).
+- text defaults: missing → null; list elements keep null texts
+  (parser.py:50-51, 126, 153-157 take ``.text`` unfiltered).
+- empty collections stay ``[]``, never null (parser.py:37-39, 108-113).
+- ``formats.qty``: string, default "1" (parser.py:137); ``descriptions``
+  from descendant ``<description>`` elements (parser.py:138).
+- ``videos.embed``: only the literal string 'true' is True (parser.py:93).
+- label images are (width, height, …); the other entities are
+  (height, width, …) (parser.py:43-47 vs 82-88).
+- dirty-XML repair: XML-invalid chars → space (utils.py:49-58), stray
+  ``<document>``/``<documents>`` wrappers removed (process.py:22-45,
+  221-238), missing root wrapped (process.py:221-238); the streaming path
+  (release/master/artist) additionally collapses whitespace runs like the
+  reference's ``clean_xml_bytes`` (utils.py:7-37, applied at
+  process.py:323), while the label path keeps newlines (process.py:262-266)
+  — the reference's split personality, preserved deliberately
+  (SURVEY.md §4.3).
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import re
+import zlib
+from collections.abc import Iterator
+
+try:  # pragma: no cover - lxml is optional; stdlib ET is the default here
+    from lxml import etree as ET
+
+    _HAVE_LXML = True
+except ImportError:  # pragma: no cover
+    import xml.etree.ElementTree as ET
+
+    _HAVE_LXML = False
+
+from pyspark.sql import DataFrame, SparkSession
+
+from discogs_etl_spark.schemas import SCHEMAS, XML_TAGS
+from discogs_etl_spark.transforms.cleaning import (
+    clean_xml_bytes,
+    clean_xml_content,
+    fix_xml_structure_text,
+)
+
+GZIP_MAGIC = b"\x1f\x8b"
+
+
+def detect_data_type(url: str) -> str:
+    """Entity type from URL/path substring (reference utils.py:64-68)."""
+    for data_type in ("artist", "release", "master", "label"):
+        if data_type in url:
+            return data_type
+    raise ValueError(f"cannot detect data type from {url!r}")
+
+
+def lenient_gzip_decompress(data: bytes) -> bytes:
+    """Decompress gzip, tolerating truncated streams / CRC errors the way
+    the reference does (process.py:47-64): return what decompressed."""
+    try:
+        return gzip.decompress(data)
+    except (OSError, EOFError, zlib.error):
+        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        try:
+            return d.decompress(data)
+        except zlib.error:
+            return b""
+
+
+_XML_DECL_RE = re.compile(r"<\?xml[^>]*\?>")
+
+
+def repair_document(text: str, data_type: str) -> str:
+    """Normalize a (possibly dirty) dump into one parseable document:
+    scrub invalid chars, drop stray wrappers, ensure a single root
+    (reference process.py:221-238; utils.py:49-58)."""
+    root_tag, _ = XML_TAGS[data_type]
+    text = clean_xml_content(text)
+    text = fix_xml_structure_text(text)
+    text = _XML_DECL_RE.sub("", text)
+    stripped = text.lstrip()
+    if not stripped.startswith(f"<{root_tag}"):
+        text = f"<{root_tag}>{text}</{root_tag}>"
+    return text
+
+
+# ---------------------------------------------------------------------------
+# element → record (per entity)
+# ---------------------------------------------------------------------------
+
+def _int0(v) -> int:
+    return int(v or 0)
+
+
+def _images(elem) -> list[dict]:
+    # Per-entity field ORDER (label: width first; others: height first,
+    # parser.py:43-47 vs 82-88) is encoded in the schema structs; records
+    # here are name-keyed dicts, so one builder serves all four entities.
+    return [
+        {
+            "width": _int0(image.get("width")),
+            "height": _int0(image.get("height")),
+            "type": image.get("type"),
+            "uri": image.get("uri"),
+            "uri150": image.get("uri150"),
+        }
+        for image in elem.findall(".//images/image")
+    ]
+
+
+def parse_artist(elem) -> dict:
+    """reference parser.py:146-169."""
+    return {
+        "id": _int0(elem.findtext("id")),
+        "name": elem.findtext("name"),
+        "realname": elem.findtext("realname"),
+        "profile": elem.findtext("profile"),
+        "data_quality": elem.findtext("data_quality"),
+        "urls": [u.text for u in elem.findall(".//urls/url")],
+        "namevariations": [n.text for n in elem.findall(".//namevariations/name")],
+        "aliases": [n.text for n in elem.findall(".//aliases/name")],
+        "groups": [n.text for n in elem.findall(".//groups/name")],
+        "members": [n.text for n in elem.findall(".//members/name")],
+        "images": _images(elem),
+    }
+
+
+def parse_label(elem) -> dict:
+    """reference parser.py:30-52."""
+    return {
+        "id": _int0(elem.findtext("id")),
+        "name": elem.findtext("name"),
+        "contactinfo": elem.findtext("contactinfo"),
+        "profile": elem.findtext("profile"),
+        "data_quality": elem.findtext("data_quality"),
+        "images": _images(elem),
+        "urls": [u.text for u in elem.findall(".//urls/url")],
+        "sublabels": [s.text for s in elem.findall(".//sublabels/label")],
+    }
+
+
+def parse_master(elem) -> dict:
+    """reference parser.py:54-98.  Master id is the REQUIRED 'id'
+    attribute — a master without it is a hard error (parser.py:56)."""
+    return {
+        "id": int(elem.get("id")),
+        "main_release": _int0(elem.findtext("main_release")),
+        "artists": [
+            {
+                "id": _int0(a.findtext("id")),
+                "name": a.findtext("name"),
+                "anv": a.findtext("anv"),
+                "join": a.findtext("join"),
+                "role": a.findtext("role"),
+                "tracks": a.findtext("tracks"),
+            }
+            for a in elem.findall(".//artists/artist")
+        ],
+        "genres": [g.text for g in elem.findall(".//genres/genre")],
+        "styles": [s.text for s in elem.findall(".//styles/style")],
+        "year": _int0(elem.findtext("year")),
+        "title": elem.findtext("title"),
+        "data_quality": elem.findtext("data_quality"),
+        "images": _images(elem),
+        "videos": [
+            {
+                "duration": _int0(v.get("duration")),
+                "embed": v.get("embed") == "true",
+                "src": v.get("src"),
+                "title": v.findtext("title"),
+                "description": v.findtext("description"),
+            }
+            for v in elem.findall(".//videos/video")
+        ],
+    }
+
+
+def parse_release(elem) -> dict:
+    """reference parser.py:100-144.  Release id/status come from
+    attributes; qty is a string defaulting to '1'."""
+    return {
+        "id": _int0(elem.get("id")),
+        "status": elem.get("status"),
+        "title": elem.findtext("title"),
+        "country": elem.findtext("country"),
+        "released": elem.findtext("released"),
+        "notes": elem.findtext("notes"),
+        "images": _images(elem),
+        "artists": [a.findtext("name") for a in elem.findall(".//artists/artist")],
+        "labels": [
+            {"name": lb.get("name"), "catno": lb.get("catno")}
+            for lb in elem.findall(".//labels/label")
+        ],
+        "formats": [
+            {
+                "name": f.get("name"),
+                "qty": str(f.get("qty") or 1),
+                "descriptions": [d.text for d in f.findall(".//description")],
+            }
+            for f in elem.findall(".//formats/format")
+        ],
+        "genres": [g.text for g in elem.findall(".//genres/genre")],
+        "styles": [s.text for s in elem.findall(".//styles/style")],
+    }
+
+
+PARSERS = {
+    "artist": parse_artist,
+    "label": parse_label,
+    "master": parse_master,
+    "release": parse_release,
+}
+
+
+# ---------------------------------------------------------------------------
+# document bytes → record iterator (runs inside executor tasks)
+# ---------------------------------------------------------------------------
+
+def iter_records(data: bytes, data_type: str) -> Iterator[dict]:
+    """Parse one dump document (optionally gzipped, possibly dirty) into
+    typed records.  This is the per-task kernel: bounded memory per record
+    via iterparse + elem.clear()."""
+    if data[:2] == GZIP_MAGIC:
+        data = lenient_gzip_decompress(data)
+    text = data.decode("utf-8", errors="replace")
+    if data_type == "label":
+        # label path keeps newlines (reference process.py:262-266)
+        text = repair_document(text, data_type)
+    else:
+        # streaming path collapses whitespace (reference process.py:323)
+        text = repair_document(clean_xml_bytes(text), data_type)
+    _, item_tag = XML_TAGS[data_type]
+    parse = PARSERS[data_type]
+    # Only emit item elements that sit directly under the root: the
+    # reference guards with lxml's elem.getparent() (process.py:272, 327);
+    # stdlib ET has no parent pointers, so track depth with start events —
+    # this is what keeps <sublabels><label> from masquerading as a label
+    # record.
+    depth = 0
+    for event, elem in ET.iterparse(
+        io.BytesIO(text.encode("utf-8")), events=("start", "end")
+    ):
+        if event == "start":
+            depth += 1
+            continue
+        depth -= 1
+        if depth == 1 and elem.tag == item_tag:
+            yield parse(elem)
+            elem.clear()
+
+
+def ingest_xml(spark: SparkSession, paths: list[str] | str, data_type: str | None = None) -> DataFrame:
+    """Distributed ingest: one Spark task per dump file, each running
+    :func:`iter_records`, returning a DataFrame in the entity's static
+    schema.  The reference processes dumps strictly sequentially
+    (run.py:28-41); here the file list is the unit of parallelism."""
+    if isinstance(paths, str):
+        paths = [paths]
+    data_type = data_type or detect_data_type(paths[0])
+    schema = SCHEMAS[data_type]
+    from discogs_etl_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark.sparkContext)
+    files = spark.sparkContext.binaryFiles(",".join(paths))
+    records = files.flatMap(lambda kv: iter_records(bytes(kv[1]), data_type))
+    return spark.createDataFrame(records, schema=schema)
+
+
+def ingest_xml_bytes(spark: SparkSession, data: bytes, data_type: str) -> DataFrame:
+    """Single-document variant (tests / small inputs): parse driver-side
+    list, distribute as a DataFrame."""
+    rows = list(iter_records(data, data_type))
+    return spark.createDataFrame(rows, schema=SCHEMAS[data_type])
