@@ -40,16 +40,29 @@ def _words(col: str = "text") -> Column:
     return F.split(F.col(col), " ")
 
 
-def _trigram_shingles(col: str = "text") -> Column:
-    """Distinct word-3-gram shingles ('w1 w2 w3') of a text column.
+def _shingles_of(w: Column) -> Column:
+    """Distinct word-3-gram shingles ('w1 w2 w3') over a WORD-ARRAY column.
+
+    ``w`` must be a bare column reference (not the split expression):
+    lambda bodies re-evaluate their inputs per element, so handing
+    ``split(text)`` directly to ``transform`` re-splits the text once per
+    shingle — a measured 3x slowdown.  Callers stage the split behind a
+    projection (see :func:`_with_shingles`).
 
     Oracle twin: list_distinct(list_transform(range(1, len(w)-1),
     i -> array_to_string(w[i:i+2], ' ')))."""
-    w = _words(col)
     seq = F.sequence(F.lit(1), F.size(w) - 2)
     shingles = F.transform(seq, lambda i: F.array_join(F.slice(w, i, 3), " "))
     return F.array_distinct(
         F.when(F.size(w) >= 3, shingles).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def _with_shingles(df: DataFrame, *keep: str) -> DataFrame:
+    """Project ``keep`` columns plus a ``shingles`` array column, with the
+    word split materialized in its own projection stage."""
+    return df.select(*keep, _words().alias("__w")).select(
+        *keep, _shingles_of(F.col("__w")).alias("shingles")
     )
 
 
@@ -161,8 +174,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs sharing a shingle are compared — never a cross join).  Scale: the
     shingle join explodes on very common shingles; the MinHash variant
     below is the 100 TB path, this one is the exact verifier."""
-    docs = load(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", F.explode(_trigram_shingles()).alias("sh"))
+    docs = _with_shingles(load(spark, sf_dir, "documents"), "doc_id")
+    sh = docs.select("doc_id", F.explode("shingles").alias("sh"))
     m = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("m"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -189,40 +202,60 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MINHASH_SEEDS = 16
 _MINHASH_BAND_ROWS = 4
 _MINHASH_VERIFY = 0.35
+_MINHASH_P = 1_000_000_007
+# Universal-hash family mh_i(s) = (A_i * h(s) + B_i) mod P over a 48-bit
+# md5-prefix base hash; fixed constants so Spark and the DuckDB oracle
+# evaluate the identical function.
+_MINHASH_A = [((2 * i + 1) * 2654435761) % _MINHASH_P for i in range(_MINHASH_SEEDS)]
+_MINHASH_B = [(i * 40503 + 12345) % _MINHASH_P for i in range(_MINHASH_SEEDS)]
+
+_SQL_MINS = ",\n               ".join(
+    f"list_min(list_transform(hs, h -> ({_MINHASH_A[i]} * h + {_MINHASH_B[i]}) % {_MINHASH_P}))"
+    f" AS mh{i}"
+    for i in range(_MINHASH_SEEDS)
+)
+_SQL_BANDS = "\n        UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, concat_ws('|', "
+    + ", ".join(f"mh{b * _MINHASH_BAND_ROWS + i}" for i in range(_MINHASH_BAND_ROWS))
+    + ") AS band_sig FROM sig"
+    for b in range(_MINHASH_SEEDS // _MINHASH_BAND_ROWS)
+)
 
 _MINHASH_ORACLE = f"""
-    WITH sh AS (
-        SELECT doc_id, unnest({_SQL_TRIGRAMS}) AS sh FROM documents
+    WITH shl AS (
+        SELECT doc_id, {_SQL_TRIGRAMS} AS shingles FROM documents
     ),
-    m AS (SELECT doc_id, COUNT(*) AS m FROM sh GROUP BY doc_id),
+    hs AS (
+        SELECT doc_id,
+               list_transform(shingles,
+                              s -> ('0x' || substr(md5(s), 1, 12))::BIGINT % {_MINHASH_P}) AS hs
+        FROM shl WHERE len(shingles) > 0
+    ),
     sig AS (
-        SELECT doc_id, s.seed, MIN(md5(s.seed || '|' || sh)) AS mh
-        FROM sh, (SELECT unnest(range({_MINHASH_SEEDS})) AS seed) s
-        GROUP BY doc_id, s.seed
+        SELECT doc_id,
+               {_SQL_MINS}
+        FROM hs
     ),
     bands AS (
-        SELECT doc_id, seed // {_MINHASH_BAND_ROWS} AS band,
-               string_agg(mh, '|' ORDER BY seed) AS band_sig
-        FROM sig GROUP BY doc_id, seed // {_MINHASH_BAND_ROWS}
+        {_SQL_BANDS}
     ),
     cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a
         JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
                      AND a.doc_id < b.doc_id
-    ),
-    inter AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        GROUP BY a.doc_id, b.doc_id
     )
-    SELECT c.doc_a, c.doc_b,
-           round(CAST(n_common AS DOUBLE) / (ma.m + mb.m - n_common), 6) AS jaccard
-    FROM cand c
-    JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
-    JOIN m ma ON c.doc_a = ma.doc_id
-    JOIN m mb ON c.doc_b = mb.doc_id
-    WHERE CAST(n_common AS DOUBLE) / (ma.m + mb.m - n_common) >= {_MINHASH_VERIFY}
+    SELECT doc_a, doc_b, jaccard
+    FROM (
+        SELECT c.doc_a, c.doc_b,
+               round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                     / (len(sa.shingles) + len(sb.shingles)
+                        - len(list_intersect(sa.shingles, sb.shingles))), 6) AS jaccard
+        FROM cand c
+        JOIN shl sa ON c.doc_a = sa.doc_id
+        JOIN shl sb ON c.doc_b = sb.doc_id
+    )
+    WHERE jaccard >= {_MINHASH_VERIFY}
 """
 
 
@@ -245,55 +278,99 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     is O(docs x bands) shuffle keyed on (band, band_sig); only bucket
     collisions are verified.  Band width/row count trade recall vs
     candidate volume (4x4 targets Jaccard ≳ 0.5)."""
-    docs = load(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", F.explode(_trigram_shingles()).alias("sh"))
-    m = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("m"))
-    sig = (
-        sh.withColumn("seed", F.explode(F.sequence(F.lit(0), F.lit(_MINHASH_SEEDS - 1))))
-        .groupBy("doc_id", "seed")
-        .agg(F.min(F.md5(F.concat_ws("|", F.col("seed").cast("string"), F.col("sh")))).alias("mh"))
+    docs = _with_shingles(load(spark, sf_dir, "documents"), "doc_id")
+    # Signatures are 100% row-local: one md5 per shingle (staged so the
+    # lambda sees a bare column), then 16 universal hashes derived by
+    # integer arithmetic and reduced with array_min — zero shuffles until
+    # the (tiny) band self-join below.  This is the 100 TB shape: the
+    # signature pass is map-only and embarrassingly parallel.
+    hs = docs.select(
+        "doc_id",
+        F.transform(
+            "shingles",
+            lambda s: F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long")
+            % _MINHASH_P,
+        ).alias("hs"),
     )
+    def _mh(i: int) -> Column:
+        # NB: the lambda must be unary — pyspark treats a binary lambda as
+        # (element, index), so the seed must be captured via closure.
+        a, b = _MINHASH_A[i], _MINHASH_B[i]
+        return F.array_min(
+            F.transform(F.col("hs"), lambda h: (F.lit(a) * h + F.lit(b)) % _MINHASH_P)
+        ).alias(f"mh{i}")
+
+    mins = hs.select("doc_id", *[_mh(i) for i in range(_MINHASH_SEEDS)])
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("long").alias("band"),
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"mh{b * _MINHASH_BAND_ROWS + i}")
+                        for i in range(_MINHASH_BAND_ROWS)
+                    ],
+                ).alias("band_sig"),
+            )
+            for b in range(_MINHASH_SEEDS // _MINHASH_BAND_ROWS)
+        ]
+    )
+    # Empty-shingle docs yield all-null minhashes → concat_ws('') sigs;
+    # dropping them HERE (a cheap string compare on the generated column,
+    # never pushed below the Generate) matches the oracle's
+    # WHERE len(shingles) > 0 without re-evaluating the shingle expression.
     bands = (
-        sig.withColumn("band", F.floor(F.col("seed") / _MINHASH_BAND_ROWS).cast("long"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("seed", "mh"))),
-                    lambda x: x["mh"],
-                ),
-                "|",
-            ).alias("band_sig")
-        )
+        mins.select("doc_id", F.explode(band_structs).alias("bs"))
+        .select("doc_id", "bs.band", "bs.band_sig")
+        .where(F.col("band_sig") != "")
     )
-    ba, bb = bands.alias("ba"), bands.alias("bb")
+    # Candidate pairs via ONE hash aggregation instead of a self-join (a
+    # self-join would run the whole signature pipeline twice): group each
+    # LSH bucket, then emit its doc-id pairs row-locally.  At 100 TB the
+    # per-bucket pair blowup is the usual LSH skew risk — band width is
+    # the knob (wider sigs → smaller buckets).
     cand = (
-        ba.join(
-            bb,
-            (F.col("ba.band") == F.col("bb.band"))
-            & (F.col("ba.band_sig") == F.col("bb.band_sig"))
-            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        bands.groupBy("band", "band_sig")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, greatest(size(ids) - i - 1, 0)), "
+                    "y -> struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("p")
         )
-        .select(F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    # Exact verify only on bucket collisions: join the (tiny) candidate set
+    # to the raw text FIRST, then compute shingle arrays above the join —
+    # shingling runs only for colliding docs, and the intersection is an
+    # in-memory array op (no inverted-index self-join over the corpus).
+    raw = load(spark, sf_dir, "documents")
+    ta = raw.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("__ta"))
+    tb = raw.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("__tb"))
+    pairs = (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select("doc_a", "doc_b", F.split("__ta", " ").alias("wa"), F.split("__tb", " ").alias("wb"))
+        .select(
+            "doc_a",
+            "doc_b",
+            _shingles_of(F.col("wa")).alias("sha"),
+            _shingles_of(F.col("wb")).alias("shb"),
+        )
     )
-    ma = m.select(F.col("doc_id").alias("doc_a"), F.col("m").alias("m_a"))
-    mb = m.select(F.col("doc_id").alias("doc_b"), F.col("m").alias("m_b"))
-    jacc = F.col("n_common").cast("double") / (
-        F.col("m_a") + F.col("m_b") - F.col("n_common")
+    n_common = F.size(F.array_intersect("sha", "shb"))
+    jacc = F.round(
+        n_common.cast("double") / (F.size("sha") + F.size("shb") - n_common), 6
     )
     return (
-        cand.join(inter, ["doc_a", "doc_b"])
-        .join(ma, "doc_a")
-        .join(mb, "doc_b")
-        .where(jacc >= _MINHASH_VERIFY)
-        .select("doc_a", "doc_b", F.round(jacc, 6).alias("jaccard"))
+        pairs.select("doc_a", "doc_b", jacc.alias("jaccard"))
+        .where(F.col("jaccard") >= _MINHASH_VERIFY)
     )
 
 
