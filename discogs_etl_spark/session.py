@@ -85,4 +85,8 @@ def tune_for_correctness(spark: SparkSession) -> SparkSession:
         "spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
     )
+    # The driver's plain session keeps the 200-partition default; at the
+    # correctness SFs that is pure scheduling overhead (notably for
+    # stateful streaming, where state partitioning follows this number).
+    spark.conf.set("spark.sql.shuffle.partitions", str(max(_cpus(), 8)))
     return spark

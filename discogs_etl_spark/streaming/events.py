@@ -1,0 +1,271 @@
+"""Structured Streaming veneer (SURVEY.md §2.10, §7.2 phase 7).
+
+The reference has no unbounded processing — its "streaming" is bounded byte
+pipelines (reference io.py:23-144, process.py:22-45), and its monthly-dump
+loop (reference run.py:28-41) is batch orchestration.  This module is the
+additive capability the engine contract asks for: the same event analytics
+the batch plane runs (events_hourly_agg, sessionization_events), expressed
+as Structured Streaming jobs over a file source, processed with
+``Trigger.AvailableNow`` — exactly how incremental monthly dump arrivals
+would be consumed at scale (new files land, the trigger drains them, state
+is checkpointed, the job exits).
+
+Design choices:
+
+- **File source + AvailableNow**: unbounded source framework, bounded run.
+  On a cluster the same code tails a landing prefix; checkpointing makes
+  re-runs incremental.
+- **Complete output mode** for the windowed/session aggregations: with a
+  single AvailableNow batch a watermark never advances far enough for
+  append mode to emit final windows — the classic one-batch pitfall.
+  Watermarks are still declared so the identical query runs unbounded with
+  bounded state (append mode + late-data drop) in production; complete
+  mode here only changes WHEN results surface, not their values.
+- **Memory sink** for the driver contract: streams cannot be returned as
+  plain DataFrames, so each registered query runs the stream to
+  completion and returns the sink table — batch/oracle comparable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from discogs_etl_spark.queries._util import dec
+from discogs_etl_spark.registry import register
+
+# The on-disk parquet stores TIMESTAMP(NANOS); streaming scans need an
+# explicit schema, so declare ts as LONG (with the nanosAsLong legacy conf)
+# and convert to a microsecond timestamp in the first projection — same
+# ns→us truncation DuckDB applies (see discogs_etl_spark.tables.load).
+_EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _landing_dir(sf_dir: str) -> str:
+    """The file stream source tails a DIRECTORY (a landing prefix, in
+    production).  The fixtures are single read-only files, so stage a
+    symlink into a temp landing dir — zero-copy, and new symlinked files
+    would be discovered incrementally just like real arrivals."""
+    import os
+    import tempfile
+
+    d = os.path.join(
+        tempfile.gettempdir(),
+        "discogs_etl_spark_landing",
+        sf_dir.strip("/").replace("/", "_"),
+    )
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    return d
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbounded read of the events table: file-source stream over a
+    landing directory, one file = one input split (new files are picked
+    up incrementally on a real landing prefix)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .load(_landing_dir(sf_dir))
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_stream_to_table(df: DataFrame, name: str, output_mode: str) -> DataFrame:
+    """Drain a streaming DataFrame with Trigger.AvailableNow into a memory
+    sink and return the sink's contents as a batch DataFrame."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+@register(
+    "stream_events_hourly",
+    oracle="""
+        SELECT date_trunc('hour', ts) AS hour_start,
+               event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY date_trunc('hour', ts), event_type
+    """,
+    tags=("streaming", "window", "event_time"),
+)
+def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window aggregation as a STREAM — the
+    Structured Streaming twin of events_hourly_agg, with a declared
+    watermark for bounded state.  Drained via AvailableNow; the result is
+    identical to the batch GROUP BY date_trunc('hour') (windows are
+    [h, h+1) aligned), which is exactly what the oracle checks.
+
+    Scale: state is one row per (hour, event_type) window; the watermark
+    expires windows older than 2 hours, so state size is O(active windows),
+    independent of stream length."""
+    events = read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value", 6)).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_stream_to_table(agg, "stream_events_hourly_sink", "complete")
+
+
+@register(
+    "stream_session_window",
+    oracle="""
+        WITH flagged AS (
+            -- Spark merges an event into the open session iff it lands
+            -- STRICTLY before last_event + gap, so a gap of exactly 30:00
+            -- starts a new session: is_new uses >=, not >.
+            SELECT user_id, ts, value,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                             OR epoch(ts) - epoch(LAG(ts) OVER w) >= 1800.0
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+            SELECT user_id, ts, value,
+                   SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+            FROM flagged
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
+        FROM sess
+        GROUP BY user_id, session_id
+    """,
+    tags=("streaming", "session_window"),
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` (30-minute gap) streaming aggregation —
+    the stateful-streaming expression of gap-based sessionization.  The
+    oracle is the batch lag/prefix-sum sessionization: Spark's session
+    windows (merge-on-overlap with gap timeout) and the SQL formulation
+    define the same partition of each user's timeline.
+
+    Scale: session state merges in-place per key and the watermark closes
+    sessions 2 hours behind the max event time — state is O(open
+    sessions)."""
+    events = read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.sum(dec("value", 6)).cast("double").alias("session_value"),
+        )
+        .select("user_id", "session_start", "n_events", "session_value")
+    )
+    return run_stream_to_table(agg, "stream_session_window_sink", "complete")
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+_USER_STATS_SCHEMA = (
+    "user_id LONG, n_events LONG, max_value DOUBLE, last_event_type STRING"
+)
+_USER_STATE_SCHEMA = "n LONG, mx DOUBLE, last_ts LONG, last_eid LONG, last_type STRING"
+
+
+def _user_stats_fn(key, pdf_iter, state):
+    """Per-user running stats kept in GroupState: count, running max(value),
+    and the event_type of the LATEST event seen (by (ts, event_id) order —
+    the tie-break must live in state because Arrow chunks arrive in no
+    guaranteed order).  Pure-Python state machine — the shape every custom
+    stateful operator (CDC dedupe, ordered replay, per-entity FSM) takes on
+    this engine."""
+    import pandas as pd
+
+    (user_id,) = key
+    if state.exists:
+        n, mx, last_ts, last_eid, last_type = state.get
+    else:
+        n, mx, last_ts, last_eid, last_type = 0, float("-inf"), -1, -1, None
+    for pdf in pdf_iter:
+        if not len(pdf):
+            continue
+        n += len(pdf)
+        mx = max(mx, float(pdf["value"].max()))
+        idx = pdf.sort_values(["ts", "event_id"]).index[-1]
+        row_ts = int(pd.Timestamp(pdf.loc[idx, "ts"]).value)
+        row_eid = int(pdf.loc[idx, "event_id"])
+        if (row_ts, row_eid) > (last_ts, last_eid):
+            last_ts, last_eid = row_ts, row_eid
+            last_type = str(pdf.loc[idx, "event_type"])
+    state.update((n, mx, last_ts, last_eid, last_type))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [n],
+            "max_value": [mx],
+            "last_event_type": [last_type],
+        }
+    )
+
+
+@register(
+    "stream_stateful_user_stats",
+    oracle="""
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               MAX(value) AS max_value,
+               last(event_type ORDER BY ts, event_id) AS last_event_type
+        FROM events
+        GROUP BY user_id
+    """,
+    tags=("streaming", "stateful", "applyInPandasWithState"),
+)
+def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user running event count / max value / latest event type held in
+    explicit GroupState.  This is the engine's extension point for
+    semantics no built-in aggregation covers (FSMs, CDC upsert, ordered
+    dedupe) — Arrow-batched per group, state checkpointable.
+
+    Scale: one state row per user key, shuffled once on user_id; Arrow
+    transfer batches whole groups, never row-at-a-time Python."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    events = read_events_stream(spark, sf_dir)
+    out = events.groupBy("user_id").applyInPandasWithState(
+        _user_stats_fn,
+        outputStructType=_USER_STATS_SCHEMA,
+        stateStructType=_USER_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_stream_to_table(out, "stream_stateful_user_stats_sink", "update")

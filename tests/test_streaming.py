@@ -1,0 +1,57 @@
+"""Structured Streaming veneer tests (SURVEY.md §2.10).
+
+The oracle harness (tests/test_oracle.py) already checks the three
+streaming queries value-for-value against DuckDB; these tests pin the
+STREAMING-specific behavior: the plans really are streaming (not batch in
+disguise) and AvailableNow drains to completion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from discogs_etl_spark.streaming.events import read_events_stream
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_events_stream_is_streaming(spark):
+    df = read_events_stream(spark, SF_DIR)
+    assert df.isStreaming
+    assert dict(df.dtypes)["ts"] == "timestamp"
+
+
+def test_stream_hourly_matches_batch(spark):
+    from discogs_etl_spark.registry import queries
+    from discogs_etl_spark.tables import load
+
+    got = queries()["stream_events_hourly"](spark, SF_DIR)
+    assert not got.isStreaming
+    batch = (
+        load(spark, SF_DIR, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour_start"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    got_counts = {
+        (r["hour_start"], r["event_type"]): r["n_events"] for r in got.collect()
+    }
+    batch_counts = {
+        (r["hour_start"], r["event_type"]): r["n_events"] for r in batch.collect()
+    }
+    assert got_counts == batch_counts
+
+
+def test_stream_stateful_counts(spark):
+    from discogs_etl_spark.registry import queries
+    from discogs_etl_spark.tables import load
+
+    got = queries()["stream_stateful_user_stats"](spark, SF_DIR)
+    per_user = {r["user_id"]: r["n_events"] for r in got.collect()}
+    expected = {
+        r["user_id"]: r["n"]
+        for r in load(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert per_user == expected
