@@ -914,3 +914,324 @@ def events_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", 6).alias("sum_value"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Extended Plane B surface: grouping sets, pivot/unpivot, join variants,
+# ordered-arg aggregates, percentiles, lateral explode, URL/map/conditional
+# scalar functions  (§2.4-2.9 engine contract)
+# ---------------------------------------------------------------------------
+
+@register(
+    "agg_grouping_sets_events",
+    oracle=f"""
+        SELECT event_type, user_id % 10 AS user_bucket,
+               COUNT(*) AS n, {sql_dsum('value', 6)} AS sum_value
+        FROM events
+        GROUP BY GROUPING SETS ((event_type, user_id % 10), (event_type), ())
+    """,
+    tags=("agg", "grouping_sets", "sql"),
+)
+def agg_grouping_sets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via the engine's SQL text surface (§2.5): the lake is
+    queryable with spark.sql directly, not only through builders."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events_gs")
+    return spark.sql(
+        """
+        SELECT event_type, user_id % 10 AS user_bucket,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM events_gs
+        GROUP BY GROUPING SETS ((event_type, user_id % 10), (event_type), ())
+        """
+    )
+
+
+@register(
+    "pivot_orders_status",
+    oracle="""
+        SELECT o_orderpriority,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS P
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    tags=("agg", "pivot"),
+)
+def pivot_orders_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts per priority, one column per status (§2.5).
+    Status values are declared explicitly — at scale an undeclared pivot
+    forces an extra distinct-values job."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .na.fill(0, ["F", "O", "P"])
+    )
+
+
+@register(
+    "unpivot_part_measures",
+    oracle="""
+        SELECT p_partkey, 'p_size' AS measure, CAST(p_size AS DOUBLE) AS val FROM part
+        UNION ALL
+        SELECT p_partkey, 'p_retailprice' AS measure, CAST(p_retailprice AS DOUBLE) FROM part
+    """,
+    tags=("unpivot", "melt"),
+)
+def unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt wide measures into (measure, val) rows (§2.5)."""
+    return (
+        load(spark, sf_dir, "part")
+        .select(
+            "p_partkey",
+            F.col("p_size").cast("double").alias("p_size"),
+            F.col("p_retailprice").cast("double").alias("p_retailprice"),
+        )
+        .unpivot("p_partkey", ["p_size", "p_retailprice"], "measure", "val")
+    )
+
+
+@register(
+    "join_right_orders_customer",
+    oracle="""
+        SELECT o_orderkey, c_custkey, c_mktsegment
+        FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+    """,
+    tags=("join", "right"),
+)
+def join_right_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join (§2.4) — customers kept even with no orders."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    return orders.join(cust, orders.o_custkey == cust.c_custkey, "right").select(
+        "o_orderkey", "c_custkey", "c_mktsegment"
+    )
+
+
+@register(
+    "join_cross_nation_region",
+    oracle="""
+        SELECT n_name, r_name FROM nation CROSS JOIN region
+    """,
+    tags=("join", "cross"),
+)
+def join_cross_nation_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cross join of two dimensions (§2.4) — legitimate only for
+    tiny sides; kept here to pin the operator, with broadcast so no
+    shuffle happens."""
+    nation = load(spark, sf_dir, "nation").select("n_name")
+    region = load(spark, sf_dir, "region").select("r_name")
+    return nation.crossJoin(F.broadcast(region))
+
+
+@register(
+    "agg_argmax_order_per_customer",
+    oracle="""
+        SELECT o_custkey,
+               arg_max(o_orderpriority, o_orderkey) AS last_priority,
+               arg_min(o_orderpriority, o_orderkey) AS first_priority,
+               MAX(o_orderkey) AS max_orderkey
+        FROM orders
+        GROUP BY o_custkey
+    """,
+    tags=("agg", "argmax"),
+)
+def agg_argmax_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by ordered-argument aggregates (§2.5): the groupBy-native
+    form of the reference's latest-per-key selection (reference
+    s3.py:384-386) — no window, single aggregation pass.  Ordering key is
+    the unique o_orderkey so the result is deterministic."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.max_by("o_orderpriority", "o_orderkey").alias("last_priority"),
+            F.min_by("o_orderpriority", "o_orderkey").alias("first_priority"),
+            F.max("o_orderkey").alias("max_orderkey"),
+        )
+    )
+
+
+@register(
+    "agg_percentiles_price",
+    oracle="""
+        SELECT o_orderstatus,
+               round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+               round(quantile_cont(o_totalprice, 0.95), 4) AS p95,
+               round(quantile_disc(o_totalprice, 0.5), 4) AS p50_disc
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    tags=("agg", "percentile"),
+)
+def agg_percentiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (§2.5): continuous (interpolated) and discrete.
+    Both engines define these identically (NIST linear interpolation /
+    lower-nearest-rank), so even doubles hash-match after rounding.
+    Scale note: exact percentile sorts per group — at 100 TB swap in
+    approx_percentile (t-digest) and accept the rows-only check."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.95)"), 4).alias("p95"),
+            F.round(
+                F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)"), 4
+            ).alias("p50_disc"),
+        )
+    )
+
+
+@register(
+    "explode_tokens_positional",
+    oracle="""
+        SELECT doc_id, gs.i AS pos, w[gs.i + 1] AS token
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t,
+             LATERAL (SELECT unnest(range(least(len(w), 8))) AS i) gs
+    """,
+    tags=("explode", "lateral", "posexplode"),
+)
+def explode_tokens_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode with ordinality (§2.3): first 8 tokens of each document
+    with their positions — the lateral-unnest shape used everywhere in
+    nested-data ETL (reference release.formats.descriptions is the
+    nested-array analogue, reference schema.py:71-75)."""
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.slice(F.split("text", " "), 1, 8).alias("w"))
+        .select("doc_id", F.posexplode("w").alias("pos", "token"))
+    )
+
+
+@register(
+    "scalar_url_documents",
+    oracle="""
+        SELECT doc_id,
+               'https://cdn.example.com/' || source || '/' || doc_id
+                   || '?lang=' || lang AS url,
+               'cdn.example.com' AS host,
+               '/' || source || '/' || doc_id AS path,
+               'lang=' || lang AS query
+        FROM documents
+    """,
+    tags=("scalar", "url"),
+)
+def scalar_url_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parse surface (§2.9: reference utils.py:71-85 URL detection,
+    s3.py:21-38 URL dissection): build a canonical asset URL, then take it
+    apart with parse_url — host/path/query come from Spark's parser, the
+    oracle rebuilds them from parts."""
+    url = F.concat(
+        F.lit("https://cdn.example.com/"),
+        F.col("source"),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+    )
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        url.alias("url"),
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+    )
+
+
+@register(
+    "scalar_map_events_props",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+               len(json_keys(props)) AS n_keys
+        FROM events
+    """,
+    tags=("scalar", "map", "json"),
+)
+def scalar_map_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface (§2.9): parse the JSON props into map<string,string>,
+    then element_at / map_keys — the schemaless-attributes pattern."""
+    m = F.from_json("props", "map<string,string>")
+    return load(spark, sf_dir, "events").select(
+        "event_id",
+        F.element_at(m, "k").cast("long").alias("k_val"),
+        F.size(F.map_keys(m)).cast("long").alias("n_keys"),
+    )
+
+
+@register(
+    "scalar_conditional_lineitem",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               CASE WHEN l_quantity < 10 THEN 'small'
+                    WHEN l_quantity < 30 THEN 'medium'
+                    ELSE 'large' END AS size_class,
+               COALESCE(NULLIF(l_returnflag, 'N'), 'none') AS return_state,
+               GREATEST(l_discount, l_tax) AS max_rate,
+               LEAST(l_discount, l_tax) AS min_rate,
+               (l_discount > 0.05 AND l_tax > 0.05) AS both_high
+        FROM lineitem
+    """,
+    tags=("scalar", "conditional"),
+)
+def scalar_conditional_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional scalar surface (§2.9): CASE/COALESCE/NULLIF/GREATEST/
+    LEAST/boolean algebra — the null-default coercion family of reference
+    parser.py:32,137 generalized."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_quantity") < 10, "small")
+        .when(F.col("l_quantity") < 30, "medium")
+        .otherwise("large")
+        .alias("size_class"),
+        F.coalesce(F.nullif("l_returnflag", F.lit("N")), F.lit("none")).alias(
+            "return_state"
+        ),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+        F.least("l_discount", "l_tax").alias("min_rate"),
+        ((F.col("l_discount") > 0.05) & (F.col("l_tax") > 0.05)).alias("both_high"),
+    )
+
+
+@register(
+    "set_union_distinct_keys",
+    oracle="""
+        SELECT o_custkey AS custkey FROM orders
+        UNION
+        SELECT c_custkey FROM customer
+    """,
+    tags=("setop", "union_distinct"),
+)
+def set_union_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (set semantics — dedup across inputs) (§2.8)."""
+    o = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    c = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    return o.unionByName(c).distinct()
+
+
+@register(
+    "agg_collect_sorted_genres",
+    oracle="""
+        SELECT lang,
+               list_sort(list_distinct(list(source))) AS sources
+        FROM documents
+        GROUP BY lang
+    """,
+    tags=("agg", "collect"),
+)
+def agg_collect_sorted_genres(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set with deterministic ordering (§2.5): array-valued
+    aggregation is only oracle-comparable after an explicit sort —
+    collection order is engine/partition dependent, sorted content is
+    not."""
+    return (
+        load(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.array_sort(F.collect_set("source")).alias("sources"))
+    )
