@@ -809,3 +809,157 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("content_md5"),
         F.lower(F.substring(F.hex(payload), 1, 16)).alias("head_hex"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pipeline utilities: reproducible sampling/splits, normalization, vectors
+# ---------------------------------------------------------------------------
+
+@register(
+    "sample_deterministic_split",
+    oracle="""
+        SELECT doc_id,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+                   AS bucket,
+               CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80
+                    THEN 'train'
+                    WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90
+                    THEN 'val' ELSE 'test' END AS split
+        FROM documents
+    """,
+    tags=("sampling", "split", "deterministic"),
+)
+def sample_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible train/val/test assignment by content-key hash — the
+    standard corpus-split op: engine-independent, stable across re-runs and
+    partitionings (unlike rand()-based sampling), and joins consistently
+    from any table keyed on the same id.
+
+    Scale: pure map-side expression; the split column also works as a
+    partition or Z-order key downstream."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
+    )
+
+
+@register(
+    "text_normalize",
+    oracle="""
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                   ' +', ' ', 'g')) AS norm_text
+        FROM documents
+    """,
+    tags=("text", "normalize"),
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization (lowercase → strip non-alphanumerics →
+    collapse whitespace → trim): the first stage of every dedup/quality
+    pipeline, all JVM-side regex."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    return load(spark, sf_dir, "documents").select("doc_id", norm.alias("norm_text"))
+
+
+@register(
+    "sample_stratified_per_lang",
+    oracle="""
+        SELECT doc_id, lang FROM (
+            SELECT doc_id, lang,
+                   ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+            FROM documents
+        ) WHERE rn <= 20
+    """,
+    tags=("sampling", "stratified"),
+)
+def sample_stratified_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified per-language sample (first 20 doc_ids per lang):
+    deterministic quota sampling for balanced eval sets.  Spark's
+    WindowGroupLimit pushes the rn<=k into the sort, so only k rows per
+    group survive the shuffle."""
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 20)
+        .select("doc_id", "lang")
+    )
+
+
+@register(
+    "embedding_centroid_by_label",
+    oracle="""
+        SELECT label, pos,
+               round(CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6)
+                   AS centroid_val
+        FROM (
+            SELECT label, gs.i AS pos, CAST(embedding[gs.i + 1] AS DOUBLE) AS v
+            FROM embeddings,
+                 LATERAL (SELECT unnest(range(len(embedding))) AS i) gs
+        )
+        GROUP BY label, pos
+    """,
+    tags=("embedding", "centroid", "vector"),
+)
+def embedding_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid, one row per (label, dimension): the building
+    block of IVF coarse quantization and k-means.  Decimal accumulation
+    makes the mean independent of partition order.
+
+    Scale: explode is dim-bounded (x64); the aggregation shuffles
+    (label, pos) pairs with map-side partial sums — O(labels x dims)
+    output regardless of corpus size."""
+    emb = load(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
+    )
+    return exploded.groupBy("label", "pos").agg(
+        F.round(
+            F.sum(F.col("v").cast("decimal(28,12)")).cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("centroid_val")
+    )
+
+
+@register(
+    "embedding_l2_normalize",
+    oracle="""
+        SELECT vec_id,
+               list_transform(
+                   CAST(embedding AS DOUBLE[]),
+                   x -> round(x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                        CAST(embedding AS DOUBLE[]))), 6)
+               ) AS unit_vec
+        FROM embeddings
+    """,
+    tags=("embedding", "normalize", "vector"),
+)
+def embedding_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-normalize vectors (map-only, JVM higher-order functions) — makes
+    downstream cosine = dot, halving similarity compute.  The norm is
+    staged behind a projection so the transform lambda doesn't re-fold it
+    per element."""
+    emb = F.col("emb")
+    dot = F.aggregate(
+        F.zip_with(emb, emb, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    return (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+        .select("vec_id", "emb", F.sqrt(dot).alias("nrm"))
+        .select(
+            "vec_id",
+            F.transform("emb", lambda x: F.round(x / F.col("nrm"), 6)).alias("unit_vec"),
+        )
+    )

@@ -1,0 +1,57 @@
+"""Backfill orchestration end-to-end (SURVEY.md §3.1): multiple dumps →
+latest-per-month selection → concurrent ingest → partitioned lake +
+checksum audit."""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+
+from discogs_etl_spark.pipeline import audit_table, backfill
+from discogs_etl_spark.lake import read_lake
+from discogs_etl_spark.sources.manifest import parse_checksum_manifest
+from tests.test_xml_ingest import ARTIST_XML, RELEASE_XML
+
+
+def test_backfill_multi_dump(spark, tmp_path):
+    # two months of releases (the older 03-01 file must lose to 03-15 within
+    # its month), plus an artists dump — mixed types in one backfill
+    d1 = tmp_path / "discogs_20190301_releases.xml.gz"
+    d2 = tmp_path / "discogs_20190315_releases.xml.gz"
+    d3 = tmp_path / "discogs_20190401_releases.xml.gz"
+    d4 = tmp_path / "discogs_20190301_artists.xml.gz"
+    for p in (d1, d2, d3):
+        p.write_bytes(gzip.compress(RELEASE_XML))
+    d4.write_bytes(gzip.compress(ARTIST_XML))
+
+    sha = hashlib.sha256(gzip.compress(RELEASE_XML)).hexdigest()
+    manifest = "\n".join(
+        [
+            f"{sha} *{d2.name}",
+            f"{'0' * 64} *{d3.name}",  # deliberately wrong
+        ]
+    )
+    checksums = parse_checksum_manifest(spark, manifest)
+
+    root = str(tmp_path / "lake")
+    results = backfill(
+        spark, [str(p) for p in (d1, d2, d3, d4)], root, checksums=checksums
+    )
+
+    # latest-per-(month, type): 03-01 releases dropped in favor of 03-15
+    names = {r.filename for r in results}
+    assert names == {d2.name, d3.name, d4.name}
+
+    audit = {r["filename"]: r for r in audit_table(spark, results).collect()}
+    assert audit[d2.name]["checksum_ok"] is True
+    assert audit[d3.name]["checksum_ok"] is False
+    assert audit[d4.name]["checksum_ok"] is None  # not in the manifest
+
+    releases = read_lake(spark, root, "release")
+    assert releases.count() == 4  # 2 records x 2 months
+    assert {r["month"] for r in releases.select("month").distinct().collect()} == {
+        "03",
+        "04",
+    }
+    artists = read_lake(spark, root, "artist")
+    assert artists.count() > 0
