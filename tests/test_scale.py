@@ -1,0 +1,61 @@
+"""Scale-technique proofs (SURVEY.md §7.2 phase 6): bucketed co-located
+joins really skip the exchange; salted ops are result-invisible."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from discogs_etl_spark.scale import salted_join, write_bucketed
+from discogs_etl_spark.tables import load
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try:
+        orders = load(spark, SF, "orders")
+        li = load(spark, SF, "lineitem")
+        write_bucketed(orders, "orders_b", ["o_orderkey"], 8, ["o_orderkey"])
+        write_bucketed(
+            li.withColumnRenamed("l_orderkey", "o_orderkey"),
+            "lineitem_b",
+            ["o_orderkey"],
+            8,
+            ["o_orderkey"],
+        )
+        joined = spark.table("orders_b").join(spark.table("lineitem_b"), "o_orderkey")
+        plan = _plan(joined)
+        # co-located buckets: a sort-merge join with ZERO shuffles
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        # result sanity vs the unbucketed join
+        expected = orders.join(
+            li.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey"
+        ).count()
+        assert joined.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_salted_join_matches_plain_join(spark):
+    cust = load(spark, SF, "customer").select("c_custkey", "c_mktsegment")
+    orders = load(spark, SF, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_orderkey"
+    )
+    plain = orders.join(cust, "c_custkey")
+    salted = salted_join(orders, cust, "c_custkey", n_salts=4)
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
