@@ -963,3 +963,123 @@ def embedding_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("emb", lambda x: F.round(x / F.col("nrm"), 6)).alias("unit_vec"),
         )
     )
+
+
+_CC_ORACLE = f"""
+    WITH RECURSIVE
+    pairs AS ({_MINHASH_ORACLE}),
+    edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    nodes AS (SELECT DISTINCT u AS node FROM edges),
+    reach(node, lbl) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.node
+    )
+    SELECT node AS doc_id, MIN(lbl) AS component_id FROM reach GROUP BY node
+"""
+
+
+@register(
+    "dedup_connected_components",
+    oracle=_CC_ORACLE,
+    tags=("dedup", "graph", "iterative"),
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUPS: connected components over the MinHash pair graph,
+    labeling every involved doc with min(doc_id) of its component — the
+    canonical keep-one-per-group id that completes the dedup pipeline
+    (pairs alone can't dedupe transitive chains A~B~C).
+
+    Implementation: iterative min-label propagation to fixpoint — the
+    engine's pattern for iterative graph algorithms.  Each round is one
+    shuffle keyed by node; ``localCheckpoint`` cuts lineage so round N
+    doesn't replay rounds 1..N-1; rounds are bounded by component
+    diameter (near-dup clusters are shallow).  The oracle is a DuckDB
+    recursive-CTE transitive closure over the identical pair set.
+
+    Scale: at 100 TB swap min-propagation for the large-star/small-star
+    contraction (O(log n) rounds) — same loop skeleton, same oracle."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .toDF("u", "v")
+        .localCheckpoint()  # materialize once; iterations must not replay minhash
+    )
+    labels = (
+        edges.select(F.col("u").alias("node")).distinct().withColumn("lbl", F.col("node"))
+    )
+    while True:
+        nbr_min = (
+            edges.join(labels, edges.u == labels.node)
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("lbl").alias("component_id")
+    )
+
+
+@register(
+    "similarity_ivf_topk",
+    oracle=None,  # k-means assignments aren't SQL-expressible → rows-only
+    tags=("similarity", "ann", "ivf", "kmeans"),
+)
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: a k-means coarse quantizer (nlist=16,
+    seed=42) partitions the corpus into inverted lists; each query scores
+    only its own list (nprobe=1).  The pyspark.ml path of the similarity
+    family — sign-LSH (similarity_ann_signlsh) is the hash-based
+    alternative, brute force the exactness baseline.
+
+    Scale: fit() sees a sample-sized problem (centroids are k x dim);
+    transform is a broadcast of k centroids + map-side argmin.  The
+    candidate join shuffles on list_id — at nlist=sqrt(N) the expected
+    candidate set per query is sqrt(N), the classic IVF operating point.
+    Floating k-means is run-deterministic only per partitioning, hence no
+    value oracle (rows-only check)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("emb"),
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("vec"),
+    )
+    model = KMeans(k=16, seed=42, featuresCol="vec", predictionCol="list_id").fit(emb)
+    assigned = model.transform(emb).select("vec_id", "emb", "list_id")
+    q = assigned.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("list_id").alias("q_list_id"),
+    )
+    cos = _cosine(F.col("q_emb"), F.col("emb"))
+    w = Window.partitionBy("q_vec_id").orderBy(F.desc("raw_cos"), F.asc("vec_id"))
+    return (
+        assigned.join(
+            F.broadcast(q),
+            (F.col("list_id") == F.col("q_list_id"))
+            & (F.col("vec_id") != F.col("q_vec_id")),
+        )
+        .select("q_vec_id", "vec_id", cos.alias("raw_cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("q_vec_id", "vec_id", "rank", F.round("raw_cos", 6).alias("cos"))
+    )
