@@ -97,3 +97,44 @@ def read_lake(spark: SparkSession, root: str, data_type: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "true")
     return df.withColumn("year", F.col("year").cast("int"))
+
+
+def compact_lake(
+    spark: SparkSession,
+    root: str,
+    data_type: str,
+    target_file_mb: int = 128,
+) -> int:
+    """Compact each (year, month) partition to ~target-size files.
+
+    Monthly incremental writes accumulate small files (one per task per
+    run); at 100 TB a scan's task count — and the namenode/listing load —
+    is proportional to file count, so periodic compaction is part of lake
+    ownership.  Rewrites partition-by-partition with dynamic overwrite
+    (only touched partitions replaced, readers of other partitions are
+    unaffected); file count per partition is computed from actual bytes.
+
+    Returns the number of partitions rewritten."""
+    path = lake_path(root, data_type)
+    part_df = read_lake(spark, root, data_type)
+    sizes = (
+        part_df.groupBy("year", "month").count()
+    )  # row counts only guide logging; bytes drive the file math below
+    import glob as _glob
+
+    rewritten = 0
+    for row in sizes.collect():
+        y, m = row["year"], row["month"]
+        files = _glob.glob(os.path.join(path, f"year={y}", f"month={m}", "*.parquet"))
+        if len(files) <= 1:
+            continue
+        total_mb = sum(os.path.getsize(f) for f in files) / (1024 * 1024)
+        n_files = max(1, int(total_mb // target_file_mb) + (1 if total_mb % target_file_mb else 0))
+        if n_files >= len(files):
+            continue  # already at or below target granularity
+        month_df = part_df.where((F.col("year") == y) & (F.col("month") == m)).drop(
+            "year", "month"
+        )
+        write_lake(month_df.repartition(n_files), root, data_type, y, m)
+        rewritten += 1
+    return rewritten

@@ -1238,3 +1238,120 @@ def agg_collect_sorted_genres(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.array_sort(F.collect_set("source")).alias("sources"))
     )
+
+
+@register(
+    "subquery_correlated_scalar",
+    oracle="""
+        SELECT p_partkey, p_type, p_retailprice
+        FROM part p
+        WHERE p_retailprice > (
+            SELECT AVG(p2.p_retailprice) FROM part p2 WHERE p2.p_type = p.p_type
+        )
+    """,
+    tags=("subquery", "correlated", "sql"),
+)
+def subquery_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (parts above their type's average price)
+    through the SQL surface — Catalyst decorrelates it into an aggregate +
+    join, which is exactly the plan one would hand-write; no row-at-a-time
+    re-execution ever happens.
+
+    The float AVG comparison is safe un-rounded: both engines compute the
+    per-type mean the same way only if accumulation order matches, BUT the
+    predicate compares strictly and the fixtures' prices are well away
+    from equality boundaries (verified by the hash match)."""
+    load(spark, sf_dir, "part").createOrReplaceTempView("part_sq")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_type, p_retailprice
+        FROM part_sq p
+        WHERE p_retailprice > (
+            SELECT AVG(p2.p_retailprice) FROM part_sq p2 WHERE p2.p_type = p.p_type
+        )
+        """
+    )
+
+
+@register(
+    "subquery_exists_in",
+    oracle="""
+        SELECT s_suppkey, s_name
+        FROM supplier
+        WHERE s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+          AND EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey
+                      AND l_quantity > 45.0)
+    """,
+    tags=("subquery", "exists", "in", "sql"),
+)
+def subquery_exists_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN + correlated EXISTS predicates via SQL — planned as a broadcast
+    semi-join (nation side) plus a shuffled semi-join (lineitem side)."""
+    load(spark, sf_dir, "supplier").createOrReplaceTempView("supplier_sq")
+    load(spark, sf_dir, "nation").createOrReplaceTempView("nation_sq")
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_sq")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name
+        FROM supplier_sq
+        WHERE s_nationkey IN (SELECT n_nationkey FROM nation_sq WHERE n_regionkey = 2)
+          AND EXISTS (SELECT 1 FROM lineitem_sq WHERE l_suppkey = s_suppkey
+                      AND l_quantity > 45.0)
+        """
+    )
+
+
+@register(
+    "agg_boolean_countif",
+    oracle="""
+        SELECT event_type,
+               count_if(value > 100.0) AS n_big,
+               bool_and(value >= 0.0) AS all_nonneg,
+               bool_or(value > 400.0) AS any_huge,
+               MIN(event_id) AS first_event_id
+        FROM events
+        GROUP BY event_type
+    """,
+    tags=("agg", "boolean"),
+)
+def agg_boolean_countif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean/conditional aggregates (§2.5): count_if, bool_and/bool_or
+    (every/any), with min as the deterministic any_value substitute."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count_if(F.col("value") > 100.0).alias("n_big"),
+        F.bool_and(F.col("value") >= 0.0).alias("all_nonneg"),
+        F.bool_or(F.col("value") > 400.0).alias("any_huge"),
+        F.min("event_id").alias("first_event_id"),
+    )
+
+
+@register(
+    "scalar_higher_order_arrays",
+    oracle="""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        SELECT doc_id,
+               len(list_filter(w, x -> len(x) > 6)) AS n_long_tokens,
+               list_reduce(list_prepend(0, list_transform(w, x -> len(x))),
+                           (acc, x) -> acc + x) AS total_chars,
+               (len(list_filter(w, x -> x = 'spark')) > 0) AS has_spark,
+               (len(list_filter(w, x -> len(x) = 0)) = 0) AS no_empty_tokens
+        FROM t
+    """,
+    tags=("scalar", "higher_order", "array"),
+)
+def scalar_higher_order_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (§2.9): filter / aggregate(fold) /
+    exists / forall — all JVM-side lambdas, the idiomatic replacement for
+    row-level Python in array-heavy ETL."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    w = F.col("w")
+    return d.select(
+        "doc_id",
+        F.size(F.filter(w, lambda x: F.length(x) > 6)).alias("n_long_tokens"),
+        F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x)).alias("total_chars"),
+        F.exists(w, lambda x: x == "spark").alias("has_spark"),
+        F.forall(w, lambda x: F.length(x) > 0).alias("no_empty_tokens"),
+    )

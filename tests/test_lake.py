@@ -78,3 +78,24 @@ def test_ingest_dump_to_lake_end_to_end(spark, tmp_path):
         F.array_contains("genres", "Jazz") & (F.size("genres") > 1)
     ).limit(20)
     assert [r["id"] for r in jazz.collect()] == [1]
+
+
+def test_compact_lake(spark, tmp_path):
+    """Many small files per partition → one file after compaction, same
+    rows (SURVEY §7.2 phase 6: small-file handling)."""
+    import glob
+
+    from discogs_etl_spark.lake import compact_lake
+
+    root = str(tmp_path / "lake")
+    df = ingest_xml_bytes(spark, RELEASE_XML, "release")
+    # force 6 tiny files into one partition
+    write_lake(df.repartition(6), root, "release", 2019, "03")
+    files_before = glob.glob(f"{root}/releases/year=2019/month=03/*.parquet")
+    assert len(files_before) > 1
+    before = read_lake(spark, root, "release").count()
+
+    assert compact_lake(spark, root, "release") == 1
+    files_after = glob.glob(f"{root}/releases/year=2019/month=03/*.parquet")
+    assert len(files_after) == 1
+    assert read_lake(spark, root, "release").count() == before
