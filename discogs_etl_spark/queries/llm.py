@@ -40,17 +40,27 @@ def _words(col: str = "text") -> Column:
     return F.split(F.col(col), " ")
 
 
+# Distinct word-3-gram shingles over a WORD-ARRAY column {w}.  Two rules,
+# both measured:
+# - {w} must be a bare column reference (not the split expression): lambda
+#   bodies re-evaluate their inputs per element, so handing split(text)
+#   directly to transform re-splits the text once per shingle (3x slower).
+#   Callers stage the split behind a projection (_with_shingles).
+# - Expressions are SQL strings (selectExpr/F.expr), not F.* lambda
+#   builders: each Python lambda costs a py4j function-wrapper round-trip
+#   at plan-build time — SQL parses JVM-side in one call.
+# Oracle twin: list_distinct(list_transform(range(1, len(w)-1),
+# i -> array_to_string(w[i:i+2], ' '))).
+_SHINGLES_SQL = (
+    "array_distinct(CASE WHEN size({w}) >= 3 "
+    "THEN transform(sequence(1, size({w}) - 2), i -> array_join(slice({w}, i, 3), ' ')) "
+    "ELSE array() END)"
+)
+
+
 def _shingles_of(w: Column) -> Column:
-    """Distinct word-3-gram shingles ('w1 w2 w3') over a WORD-ARRAY column.
-
-    ``w`` must be a bare column reference (not the split expression):
-    lambda bodies re-evaluate their inputs per element, so handing
-    ``split(text)`` directly to ``transform`` re-splits the text once per
-    shingle — a measured 3x slowdown.  Callers stage the split behind a
-    projection (see :func:`_with_shingles`).
-
-    Oracle twin: list_distinct(list_transform(range(1, len(w)-1),
-    i -> array_to_string(w[i:i+2], ' ')))."""
+    """Column-API shim over :data:`_SHINGLES_SQL` (kept for callers that
+    already hold a Column)."""
     seq = F.sequence(F.lit(1), F.size(w) - 2)
     shingles = F.transform(seq, lambda i: F.array_join(F.slice(w, i, 3), " "))
     return F.array_distinct(
@@ -61,8 +71,8 @@ def _shingles_of(w: Column) -> Column:
 def _with_shingles(df: DataFrame, *keep: str) -> DataFrame:
     """Project ``keep`` columns plus a ``shingles`` array column, with the
     word split materialized in its own projection stage."""
-    return df.select(*keep, _words().alias("__w")).select(
-        *keep, _shingles_of(F.col("__w")).alias("shingles")
+    return df.selectExpr(*keep, "split(text, ' ') AS __w").selectExpr(
+        *keep, _SHINGLES_SQL.format(w="__w") + " AS shingles"
     )
 
 
@@ -284,37 +294,39 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # integer arithmetic and reduced with array_min — zero shuffles until
     # the (tiny) band self-join below.  This is the 100 TB shape: the
     # signature pass is map-only and embarrassingly parallel.
-    hs = docs.select(
+    hs = docs.selectExpr(
         "doc_id",
-        F.transform(
-            "shingles",
-            lambda s: F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long")
-            % _MINHASH_P,
-        ).alias("hs"),
+        "transform(shingles, s -> CAST(conv(substring(md5(s), 1, 12), 16, 10) AS BIGINT)"
+        f" % {_MINHASH_P}L) AS hs",
     )
-    def _mh(i: int) -> Column:
-        # NB: the lambda must be unary — pyspark treats a binary lambda as
-        # (element, index), so the seed must be captured via closure.
-        a, b = _MINHASH_A[i], _MINHASH_B[i]
-        return F.array_min(
-            F.transform(F.col("hs"), lambda h: (F.lit(a) * h + F.lit(b)) % _MINHASH_P)
-        ).alias(f"mh{i}")
-
-    mins = hs.select("doc_id", *[_mh(i) for i in range(_MINHASH_SEEDS)])
-    band_structs = F.array(
+    # 16 separate minhash columns, but built as ONE selectExpr (a single
+    # py4j round-trip; SQL-parsed JVM-side) — the lambda-per-column F.*
+    # construction cost the driver a measured 2.3s of cold latency.
+    # Keeping `hs` multiply-referenced (16 columns) also blocks
+    # CollapseProject from inlining the md5 stage into each seed's
+    # transform (a single-reference nested form got re-inlined and ran
+    # the hash stage 16x — measured 3x slower end to end).
+    mins = hs.selectExpr(
+        "doc_id",
         *[
-            F.struct(
-                F.lit(b).cast("long").alias("band"),
-                F.concat_ws(
-                    "|",
-                    *[
-                        F.col(f"mh{b * _MINHASH_BAND_ROWS + i}")
-                        for i in range(_MINHASH_BAND_ROWS)
-                    ],
-                ).alias("band_sig"),
+            f"array_min(transform(hs, h -> ({_MINHASH_A[i]}L * h + {_MINHASH_B[i]}L)"
+            f" % {_MINHASH_P}L)) AS mh{i}"
+            for i in range(_MINHASH_SEEDS)
+        ],
+    )
+    _n_bands = _MINHASH_SEEDS // _MINHASH_BAND_ROWS
+    band_structs = F.expr(
+        "array("
+        + ", ".join(
+            "struct(CAST({b} AS BIGINT) AS band, concat_ws('|', {cols}) AS band_sig)".format(
+                b=b,
+                cols=", ".join(
+                    f"mh{b * _MINHASH_BAND_ROWS + i}" for i in range(_MINHASH_BAND_ROWS)
+                ),
             )
-            for b in range(_MINHASH_SEEDS // _MINHASH_BAND_ROWS)
-        ]
+            for b in range(_n_bands)
+        )
+        + ")"
     )
     # Empty-shingle docs yield all-null minhashes → concat_ws('') sigs;
     # dropping them HERE (a cheap string compare on the generated column,
@@ -356,12 +368,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         cand.join(ta, "doc_a")
         .join(tb, "doc_b")
-        .select("doc_a", "doc_b", F.split("__ta", " ").alias("wa"), F.split("__tb", " ").alias("wb"))
-        .select(
+        .selectExpr(
+            "doc_a", "doc_b", "split(__ta, ' ') AS wa", "split(__tb, ' ') AS wb"
+        )
+        .selectExpr(
             "doc_a",
             "doc_b",
-            _shingles_of(F.col("wa")).alias("sha"),
-            _shingles_of(F.col("wb")).alias("shb"),
+            _SHINGLES_SQL.format(w="wa") + " AS sha",
+            _SHINGLES_SQL.format(w="wb") + " AS shb",
         )
     )
     n_common = F.size(F.array_intersect("sha", "shb"))
