@@ -1355,3 +1355,155 @@ def scalar_higher_order_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.exists(w, lambda x: x == "spark").alias("has_spark"),
         F.forall(w, lambda x: F.length(x) > 0).alias("no_empty_tokens"),
     )
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND l_discount BETWEEN 0.03 AND 0.07
+          AND l_quantity < 24.0
+    """,
+    tags=("agg", "filter", "tpch"),
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + global aggregate — the best-case
+    pushdown query (every predicate reaches the Parquet scan; zero
+    shuffle beyond the final 1-row combine)."""
+    li = load(spark, sf_dir, "lineitem")
+    rev_fp = fixed("l_extendedprice", 2) * fixed("l_discount", 2)
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24.0)
+        )
+        .agg((F.sum(rev_fp).cast("double") / 1e4).alias("revenue"))
+    )
+
+
+@register(
+    "window_distribution_funcs",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus,
+               ntile(4) OVER w AS quartile,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cume,
+               first_value(o_orderkey) OVER w AS cheapest_key,
+               last_value(o_orderkey)
+                   OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                   AS priciest_key
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+    tags=("window", "distribution"),
+)
+def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (§2.6): ntile, percent_rank,
+    cume_dist, first/last_value (with the full-partition frame last_value
+    needs to be meaningful)."""
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first("o_orderkey").over(w).alias("cheapest_key"),
+        F.last("o_orderkey").over(wfull).alias("priciest_key"),
+    )
+
+
+@register(
+    "window_sliding_range_events",
+    oracle="""
+        SELECT event_id, user_id,
+               COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch(ts)
+                              RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+                   AS n_last_hour
+        FROM events
+    """,
+    tags=("window", "range", "sliding"),
+)
+def window_sliding_range_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time window via RANGE frame (§2.6): per event, how
+    many of the same user's events fall in the trailing hour — the batch
+    twin of a sliding stream window, expressed as a range frame over
+    epoch seconds (no self-join)."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("double"))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return load(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.count(F.lit(1)).over(w).alias("n_last_hour")
+    )
+
+
+@register(
+    "scalar_levenshtein_fuzzy",
+    oracle="""
+        SELECT n_name, r_name,
+               levenshtein(n_name, r_name) AS dist,
+               (levenshtein(n_name, r_name) <= 6) AS is_close
+        FROM nation CROSS JOIN region
+    """,
+    tags=("scalar", "fuzzy", "levenshtein"),
+)
+def scalar_levenshtein_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching (§2.9): levenshtein across a (tiny,
+    broadcast) candidate grid — the building block for catalog
+    reconciliation (reference's label-name ↔ release-label joins are the
+    Discogs analogue).  At scale, candidates come from blocking (LSH or
+    prefix buckets), never a raw cross join."""
+    nation = load(spark, sf_dir, "nation").select("n_name")
+    region = load(spark, sf_dir, "region").select("r_name")
+    d = F.levenshtein("n_name", "r_name")
+    return nation.crossJoin(F.broadcast(region)).select(
+        "n_name", "r_name", d.alias("dist"), (d <= 6).alias("is_close")
+    )
+
+
+@register(
+    "scalar_datetime_extended",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(quarter(o_orderdate) AS BIGINT) AS q,
+               CAST(weekofyear(o_orderdate) AS BIGINT) AS wk,
+               CAST(dayofweek(o_orderdate) AS BIGINT) + 1 AS dow,
+               CAST(epoch(o_orderdate) AS BIGINT) AS epoch_sec,
+               CAST(o_orderdate + INTERVAL 90 DAY AS TIMESTAMP) AS due_date,
+               round(CAST(datesub('day', CAST(o_orderdate AS DATE), DATE '1998-01-01')
+                     AS DOUBLE) / 30.0, 4) AS months_to_ref
+        FROM orders
+    """,
+    tags=("scalar", "date", "interval"),
+)
+def scalar_datetime_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended date/time surface (§2.9): quarter/week/day-of-week,
+    epoch seconds, interval arithmetic, day-difference math.  DuckDB's
+    dayofweek is 0-based Sunday; Spark's is 1-based Sunday — the oracle
+    aligns them explicitly (+1), documenting the semantic."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.quarter("o_orderdate").cast("long").alias("q"),
+        F.weekofyear("o_orderdate").cast("long").alias("wk"),
+        F.dayofweek("o_orderdate").cast("long").alias("dow"),
+        F.unix_timestamp("o_orderdate").alias("epoch_sec"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("due_date"),
+        F.round(
+            F.datediff(F.lit("1998-01-01").cast("date"), F.to_date("o_orderdate"))
+            .cast("double")
+            / 30.0,
+            4,
+        ).alias("months_to_ref"),
+    )
