@@ -84,18 +84,44 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
-def run_stream_to_table(df: DataFrame, name: str, output_mode: str) -> DataFrame:
+def run_stream_to_table(
+    df: DataFrame, name: str, output_mode: str, checkpoint: str | None = None
+) -> DataFrame:
     """Drain a streaming DataFrame with Trigger.AvailableNow into a memory
-    sink and return the sink's contents as a batch DataFrame."""
-    q = (
+    sink and return the sink's contents as a batch DataFrame.
+
+    With ``checkpoint`` set, source progress (processed files, state
+    stores) persists across invocations — re-running after new files land
+    processes ONLY the new arrivals, which is the incremental
+    monthly-dump consumption model (SURVEY.md §1.1)."""
+    w = (
         df.writeStream.format("memory")
         .queryName(name)
         .outputMode(output_mode)
         .trigger(availableNow=True)
+    )
+    if checkpoint is not None:
+        w = w.option("checkpointLocation", checkpoint)
+    q = w.start()
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+def run_stream_to_parquet(df: DataFrame, path: str, checkpoint: str) -> None:
+    """Durable sink: drain to parquet with a checkpoint.  The memory sink
+    cannot recover from checkpoints (Spark restriction), so incremental
+    across-run consumption — process only files that landed since the
+    last run, the monthly-dump model of SURVEY.md §1.1 — goes through a
+    file sink; exactly-once is the sink's manifest + source offsets."""
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return df.sparkSession.table(name)
 
 
 @register(

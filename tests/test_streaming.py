@@ -55,3 +55,40 @@ def test_stream_stateful_counts(spark):
         .collect()
     }
     assert per_user == expected
+
+
+def test_checkpointed_incremental_arrival(spark, tmp_path):
+    """The incremental monthly-arrival model (SURVEY §1.1, §2.10): with a
+    checkpoint, a re-run after new files land processes ONLY the new
+    arrivals — file-source progress is durable."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from discogs_etl_spark.streaming.events import (
+        _EVENTS_RAW_SCHEMA,
+        run_stream_to_parquet,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    os.symlink("/root/testdata/sf0.001/events.parquet", landing / "month1.parquet")
+
+    def passthrough():
+        raw = (
+            spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+            .format("parquet")
+            .load(str(landing))
+        )
+        return raw.select("event_id")
+
+    run_stream_to_parquet(passthrough(), out, ckpt)
+    assert spark.read.parquet(out).count() == 1000  # sf0.001 events rows
+
+    # second dump lands; same checkpoint → only the new file is processed
+    os.symlink("/root/testdata/sf0.01/events.parquet", landing / "month2.parquet")
+    run_stream_to_parquet(passthrough(), out, ckpt)
+    # 1000 + 10000, NOT 1000 + 11000: month1 was not reprocessed
+    assert spark.read.parquet(out).count() == 11000
