@@ -1097,3 +1097,116 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 3)
         .select("q_vec_id", "vec_id", "rank", F.round("raw_cos", 6).alias("cos"))
     )
+
+
+@register(
+    "dedup_keep_best",
+    oracle="""
+        WITH scored AS (
+            SELECT doc_id, md5(text) AS grp,
+                   len(list_distinct(string_split(text, ' '))) AS n_uniq
+            FROM documents
+        )
+        SELECT doc_id, grp, n_uniq FROM (
+            SELECT doc_id, grp, n_uniq,
+                   ROW_NUMBER() OVER (PARTITION BY grp
+                                      ORDER BY n_uniq DESC, doc_id) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    """,
+    tags=("dedup", "quality", "keep_best"),
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup + quality selection fused: within each exact-content group,
+    keep the highest-quality row (here: most unique tokens, doc_id
+    tie-break) — the keep-policy layer every production dedup needs on
+    top of group detection.  One window over the content-hash shuffle."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5("text").alias("grp"),
+        F.size(F.array_distinct(_words())).alias("n_uniq"),
+    )
+    w = Window.partitionBy("grp").orderBy(F.desc("n_uniq"), F.asc("doc_id"))
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "grp", "n_uniq")
+    )
+
+
+@register(
+    "ngram_bigram_counts",
+    oracle="""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        bg AS (
+            SELECT unnest(list_transform(range(1, len(w)),
+                          i -> w[i] || ' ' || w[i + 1])) AS bigram
+            FROM w WHERE len(w) >= 2
+        )
+        SELECT bigram, COUNT(*) AS n
+        FROM bg GROUP BY bigram HAVING COUNT(*) >= 5
+    """,
+    tags=("text", "ngram", "lm"),
+)
+def ngram_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram counts (n-gram LM / tokenizer-training prep), with a
+    min-count floor.  Map-side: per-doc bigram arrays built row-locally
+    (staged split, no per-element re-split); one shuffle on the bigram
+    key with partial aggregation."""
+    d = load(spark, sf_dir, "documents").selectExpr("split(text, ' ') AS w")
+    bg = d.where(F.size("w") >= 2).selectExpr(
+        "explode(transform(sequence(1, size(w) - 1),"
+        " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))) AS bigram"
+    )
+    return (
+        bg.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 5)
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        ),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+        df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+        n AS (SELECT COUNT(*) AS n FROM documents)
+        SELECT doc_id, term, round(tf * ln(CAST(n AS DOUBLE) / df), 6) AS tfidf
+        FROM (
+            SELECT t.doc_id, t.term,
+                   t.tf, d.df, n.n,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY t.doc_id
+                       ORDER BY t.tf * ln(CAST(n.n AS DOUBLE) / d.df) DESC, t.term
+                   ) AS rn
+            FROM tf t JOIN df d USING (term) CROSS JOIN n
+        ) WHERE rn <= 5
+    """,
+    tags=("text", "tfidf", "ranking"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document — the classic relevance/keyword
+    operator, all relational: tf and df are two aggregations over one
+    tokenize pass, idf joins back by term (broadcast — vocabulary is
+    small relative to the corpus), top-k via window group-limit.
+
+    Determinism: tf/df/N are integers; ln and the product are evaluated
+    in the same double precision on both engines; ties broken by term."""
+    tok = load(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(_words()).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = load(spark, sf_dir, "documents").count()  # one tiny driver-side agg
+    score = F.col("tf") * F.log(F.lit(float(n)) / F.col("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        tf.join(F.broadcast(df), "term")
+        .withColumn("score", score)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("doc_id", "term", F.round("score", 6).alias("tfidf"))
+    )
