@@ -138,3 +138,26 @@ def compact_lake(
         write_lake(month_df.repartition(n_files), root, data_type, y, m)
         rewritten += 1
     return rewritten
+
+
+def write_lake_by_event_time(
+    df: DataFrame, root: str, name: str, ts_col: str, mode: str = "overwrite"
+) -> str:
+    """Partition a FACT table by its own event time (year=/month= derived
+    from ``ts_col``), complementing :func:`write_lake`'s filename-derived
+    convention for dump snapshots (reference s3.py:40-52 only knows the
+    latter).  Same layout contract — year int, month zero-padded string —
+    so `read_lake`-style partition pruning applies unchanged.
+
+    Scale: the writer shuffles by partition value only if asked;
+    with dynamic overwrite, late-arriving months rewrite just their own
+    partition."""
+    path = os.path.join(root, name)
+    (
+        df.withColumn("year", F.year(ts_col))
+        .withColumn("month", F.date_format(ts_col, "MM"))
+        .write.partitionBy("year", "month")
+        .mode(mode)
+        .parquet(path)
+    )
+    return path

@@ -1210,3 +1210,85 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 5)
         .select("doc_id", "term", F.round("score", 6).alias("tfidf"))
     )
+
+
+_RECALL_ORACLE = f"""
+    WITH exact AS (
+        SELECT q_vec_id, vec_id FROM (
+            SELECT q.vec_id AS q_vec_id, v.vec_id AS vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_SQL_COS.format(a='q.embedding', b='v.embedding')} DESC,
+                                v.vec_id
+                   ) AS rank
+            FROM (SELECT * FROM embeddings WHERE vec_id < 20) q
+            JOIN embeddings v ON v.vec_id <> q.vec_id
+        ) WHERE rank <= 3
+    ),
+    bucketed AS (
+        SELECT vec_id, embedding, {_sql_sign_bucket('embedding')} AS bucket
+        FROM embeddings
+    ),
+    approx AS (
+        SELECT q_vec_id, vec_id FROM (
+            SELECT q.vec_id AS q_vec_id, v.vec_id AS vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_SQL_COS.format(a='q.embedding', b='v.embedding')} DESC,
+                                v.vec_id
+                   ) AS rank
+            FROM (SELECT * FROM bucketed WHERE vec_id < 20) q
+            JOIN bucketed v ON v.bucket = q.bucket AND v.vec_id <> q.vec_id
+        ) WHERE rank <= 3
+    )
+    SELECT e.q_vec_id,
+           COUNT(a.vec_id) AS n_hit,
+           COUNT(*) AS k,
+           round(CAST(COUNT(a.vec_id) AS DOUBLE) / COUNT(*), 6) AS recall_at_k
+    FROM exact e
+    LEFT JOIN approx a ON e.q_vec_id = a.q_vec_id AND e.vec_id = a.vec_id
+    GROUP BY e.q_vec_id
+"""
+
+
+@register(
+    "similarity_ann_recall",
+    oracle=_RECALL_ORACLE,
+    tags=("similarity", "ann", "recall", "evaluation"),
+)
+def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@3 of sign-LSH ANN against the exact brute-force
+    neighbors — the evaluation harness that turns 'approximate' into a
+    measured number.  Both pipelines are deterministic, so even the
+    EVALUATION is oracle-checked.
+
+    Scale: the same measurement runs on a sampled query set at any size;
+    recall-vs-bucket-bits is the tuning curve for the LSH scheme."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    q = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("emb").alias("q_emb")
+    )
+    cos = _cosine(F.col("q_emb"), F.col("emb"))
+    w = Window.partitionBy("q_vec_id").orderBy(F.desc("raw_cos"), F.asc("vec_id"))
+    exact = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("q_vec_id"))
+        .select("q_vec_id", "vec_id", cos.alias("raw_cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("q_vec_id", "vec_id")
+    )
+    approx = similarity_ann_signlsh(spark, sf_dir).select("q_vec_id", "vec_id")
+    hit = approx.withColumn("hit", F.lit(1))
+    return (
+        exact.join(hit, ["q_vec_id", "vec_id"], "left")
+        .groupBy("q_vec_id")
+        .agg(
+            F.count("hit").alias("n_hit"),
+            F.count(F.lit(1)).alias("k"),
+            F.round(F.count("hit").cast("double") / F.count(F.lit(1)), 6).alias(
+                "recall_at_k"
+            ),
+        )
+    )

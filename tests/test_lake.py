@@ -99,3 +99,24 @@ def test_compact_lake(spark, tmp_path):
     files_after = glob.glob(f"{root}/releases/year=2019/month=03/*.parquet")
     assert len(files_after) == 1
     assert read_lake(spark, root, "release").count() == before
+
+
+def test_event_time_partitioned_lake(spark, tmp_path):
+    """Fact-table lake: partitions derived from event time; pruning on
+    month fires in the plan."""
+    from discogs_etl_spark.lake import write_lake_by_event_time
+    from discogs_etl_spark.tables import load
+
+    events = load(spark, "/root/testdata/sf0.001", "events")
+    root = str(tmp_path / "lake")
+    write_lake_by_event_time(events, root, "events", "ts")
+
+    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    try:
+        back = spark.read.parquet(f"{root}/events")
+    finally:
+        spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "true")
+    assert back.count() == events.count()
+    jan = back.where(F.col("month") == "01")
+    assert jan.count() == events.where(F.month("ts") == 1).count()
+    assert "(month" in _partition_filters(jan)
