@@ -1292,3 +1292,72 @@ def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "corpus_curate_pipeline",
+    oracle="""
+        WITH normed AS (
+            SELECT doc_id, lang,
+                   trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                       ' +', ' ', 'g')) AS norm_text
+            FROM documents
+        ),
+        gated AS (
+            SELECT doc_id, lang, norm_text,
+                   len(string_split(norm_text, ' ')) AS n_tokens
+            FROM normed
+            WHERE len(string_split(norm_text, ' ')) BETWEEN 30 AND 2000
+        ),
+        deduped AS (
+            SELECT doc_id, lang, n_tokens FROM (
+                SELECT doc_id, lang, n_tokens,
+                       ROW_NUMBER() OVER (PARTITION BY md5(norm_text)
+                                          ORDER BY doc_id) AS rn
+                FROM gated
+            ) WHERE rn = 1
+        )
+        SELECT doc_id, lang, n_tokens,
+               CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80
+                    THEN 'train'
+                    WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90
+                    THEN 'val' ELSE 'test' END AS split
+        FROM deduped
+    """,
+    tags=("pipeline", "composition", "dedup", "quality", "split"),
+)
+def corpus_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation pipeline as ONE declarative plan: normalize →
+    length-gate → exact dedup on normalized content (keep lowest doc_id)
+    → deterministic train/val/test assignment.  Composition is the point:
+    every stage is one of this engine's registered operators, and fusing
+    them costs one window shuffle plus map work — Catalyst pipelines the
+    rest.  This is the query a reference user runs nightly at 100 TB."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    normed = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", norm.alias("norm_text")
+    )
+    gated = normed.withColumn("n_tokens", F.size(F.split("norm_text", " "))).where(
+        F.col("n_tokens").between(30, 2000)
+    )
+    w = Window.partitionBy(F.md5("norm_text")).orderBy("doc_id")
+    deduped = (
+        gated.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "lang", "n_tokens")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return deduped.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
+    )
