@@ -14,10 +14,12 @@ Two ingest paths exist by design:
   defaults the reference's parser applies (qty→'1', dims→0, missing
   collections→[]).
 
-Only `release` — the largest and most deeply nested entity (3 levels,
-reference schema.py:52-78) — is wired here; it's the path-proving case.
-The fidelity kernel remains the canonical implementation for all four
-entities (tests assert the two paths agree on clean input).
+All four entities are wired (``NATIVE_INGESTORS``); tests assert each
+path agrees with the kernel value-for-value on clean input, including
+the subtle null semantics: list items read via ``elem.text`` are None
+for empty elements while struct fields read via ``findtext`` are '' —
+the reference's own asymmetry (parser.py:50 vs parser.py:63).  The
+fidelity kernel remains the canonical implementation for dirty dumps.
 """
 
 from __future__ import annotations
@@ -142,9 +144,13 @@ def _project_release(raw: DataFrame) -> DataFrame:
             lambda f: F.struct(
                 f["_name"].alias("name"),
                 F.coalesce(F.nullif(f["_qty"], F.lit("")), F.lit("1")).alias("qty"),
-                F.coalesce(f["descriptions"]["description"], _empty()).alias(
-                    "descriptions"
-                ),
+                F.coalesce(
+                    F.transform(
+                        f["descriptions"]["description"],
+                        lambda d: F.nullif(d, F.lit("")),
+                    ),
+                    _empty(),
+                ).alias("descriptions"),
             ),
         ),
         _empty("struct<name:string,qty:string,descriptions:array<string>>"),
@@ -165,12 +171,13 @@ def _project_release(raw: DataFrame) -> DataFrame:
         "notes",
         images.alias("images"),
         F.coalesce(
-            F.transform(F.col("artists.artist"), lambda a: a["name"]), _empty()
+            F.transform(F.col("artists.artist"), lambda a: F.nullif(a["name"], F.lit(""))),
+            _empty(),
         ).alias("artists"),
         labels.alias("labels"),
         formats.alias("formats"),
-        F.coalesce(F.col("genres.genre"), _empty()).alias("genres"),
-        F.coalesce(F.col("styles.style"), _empty()).alias("styles"),
+        _text_list("genres.genre").alias("genres"),
+        _text_list("styles.style").alias("styles"),
     )
 
 
@@ -195,3 +202,261 @@ def ingest_release_native(spark: SparkSession, paths: list[str] | str) -> DataFr
     # (coalesce(..., lit) marks columns non-nullable; the contract says
     # everything is nullable like the kernel path).
     return _project_release(raw).to(SCHEMAS["release"])
+
+
+# ---------------------------------------------------------------------------
+# artist / label / master raw schemas + projections (same pattern as release)
+# ---------------------------------------------------------------------------
+
+_IMAGES_RAW = T.StructType(
+    [
+        T.StructField(
+            "image",
+            _arr(
+                T.StructField("_height", T.IntegerType()),
+                T.StructField("_width", T.IntegerType()),
+                T.StructField("_type", _S),
+                T.StructField("_uri", _S),
+                T.StructField("_uri150", _S),
+            ),
+        )
+    ]
+)
+
+
+def _name_list(container: str) -> T.StructField:
+    return T.StructField(
+        container, T.StructType([T.StructField("name", T.ArrayType(_S))])
+    )
+
+
+ARTIST_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("name", _S),
+        T.StructField("realname", _S),
+        T.StructField("profile", _S),
+        T.StructField("data_quality", _S),
+        T.StructField("urls", T.StructType([T.StructField("url", T.ArrayType(_S))])),
+        _name_list("namevariations"),
+        _name_list("aliases"),
+        _name_list("groups"),
+        _name_list("members"),
+        T.StructField("images", _IMAGES_RAW),
+    ]
+)
+
+LABEL_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("name", _S),
+        T.StructField("contactinfo", _S),
+        T.StructField("profile", _S),
+        T.StructField("data_quality", _S),
+        T.StructField("images", _IMAGES_RAW),
+        T.StructField("urls", T.StructType([T.StructField("url", T.ArrayType(_S))])),
+        T.StructField(
+            "sublabels", T.StructType([T.StructField("label", T.ArrayType(_S))])
+        ),
+    ]
+)
+
+MASTER_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("_id", T.LongType()),
+        T.StructField("main_release", T.LongType()),
+        T.StructField(
+            "artists",
+            T.StructType(
+                [
+                    T.StructField(
+                        "artist",
+                        _arr(
+                            T.StructField("id", T.LongType()),
+                            T.StructField("name", _S),
+                            T.StructField("anv", _S),
+                            T.StructField("join", _S),
+                            T.StructField("role", _S),
+                            T.StructField("tracks", _S),
+                        ),
+                    )
+                ]
+            ),
+        ),
+        T.StructField(
+            "genres", T.StructType([T.StructField("genre", T.ArrayType(_S))])
+        ),
+        T.StructField(
+            "styles", T.StructType([T.StructField("style", T.ArrayType(_S))])
+        ),
+        T.StructField("year", T.IntegerType()),
+        T.StructField("title", _S),
+        T.StructField("data_quality", _S),
+        T.StructField("images", _IMAGES_RAW),
+        T.StructField(
+            "videos",
+            T.StructType(
+                [
+                    T.StructField(
+                        "video",
+                        _arr(
+                            T.StructField("_duration", T.IntegerType()),
+                            T.StructField("_embed", _S),
+                            T.StructField("_src", _S),
+                            T.StructField("title", _S),
+                            T.StructField("description", _S),
+                        ),
+                    )
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def _images_proj(height_first: bool) -> Column:
+    """Entity-specific image struct: label declares (width, height, ...),
+    the others (height, width, ...) (reference parser.py:43-47 vs 82-88)."""
+    dims = [
+        F.coalesce(F.col("i._height"), F.lit(0)).alias("height"),
+        F.coalesce(F.col("i._width"), F.lit(0)).alias("width"),
+    ]
+    if not height_first:
+        dims = dims[::-1]
+
+    def build(i):
+        d = [
+            F.coalesce(i["_height"], F.lit(0)).alias("height"),
+            F.coalesce(i["_width"], F.lit(0)).alias("width"),
+        ]
+        if not height_first:
+            d = d[::-1]
+        return F.struct(
+            *d, i["_type"].alias("type"), i["_uri"].alias("uri"), i["_uri150"].alias("uri150")
+        )
+
+    order = "height:int,width:int" if height_first else "width:int,height:int"
+    return F.coalesce(
+        F.transform(F.col("images.image"), build),
+        _empty(f"struct<{order},type:string,uri:string,uri150:string>"),
+    )
+
+
+def _text_list(path: str) -> Column:
+    """Text-element lists: the kernel reads list items via ``elem.text``
+    which is None for an empty <url/>, while the XML source yields '' —
+    nullif aligns them.  (STRUCT text fields go through findtext, which
+    returns '' for empty elements, so they need no such fix-up.)"""
+    return F.coalesce(
+        F.transform(F.col(path), lambda x: F.nullif(x, F.lit(""))), _empty()
+    )
+
+
+def ingest_artist_native(spark: SparkSession, paths: list[str] | str) -> DataFrame:
+    """reference parser.py:146-169 semantics on the JVM fast path."""
+    from discogs_etl_spark.schemas import SCHEMAS
+
+    raw = _load_raw(spark, paths, "artist", ARTIST_RAW_SCHEMA)
+    return raw.select(
+        F.coalesce(F.col("id"), F.lit(0)).alias("id"),
+        "name",
+        "realname",
+        "profile",
+        "data_quality",
+        _text_list("urls.url").alias("urls"),
+        _text_list("namevariations.name").alias("namevariations"),
+        _text_list("aliases.name").alias("aliases"),
+        _text_list("groups.name").alias("groups"),
+        _text_list("members.name").alias("members"),
+        _images_proj(height_first=True).alias("images"),
+    ).to(SCHEMAS["artist"])
+
+
+def ingest_label_native(spark: SparkSession, paths: list[str] | str) -> DataFrame:
+    """reference parser.py:30-52 semantics on the JVM fast path."""
+    from discogs_etl_spark.schemas import SCHEMAS
+
+    raw = _load_raw(spark, paths, "label", LABEL_RAW_SCHEMA)
+    return raw.select(
+        F.coalesce(F.col("id"), F.lit(0)).alias("id"),
+        "name",
+        "contactinfo",
+        "profile",
+        "data_quality",
+        _images_proj(height_first=False).alias("images"),
+        _text_list("urls.url").alias("urls"),
+        _text_list("sublabels.label").alias("sublabels"),
+    ).to(SCHEMAS["label"])
+
+
+def ingest_master_native(spark: SparkSession, paths: list[str] | str) -> DataFrame:
+    """reference parser.py:54-98 semantics on the JVM fast path (master id
+    is the required 'id' attribute; embed is true only for the literal
+    string 'true')."""
+    from discogs_etl_spark.schemas import SCHEMAS
+
+    raw = _load_raw(spark, paths, "master", MASTER_RAW_SCHEMA)
+    artists = F.coalesce(
+        F.transform(
+            F.col("artists.artist"),
+            lambda a: F.struct(
+                F.coalesce(a["id"], F.lit(0)).alias("id"),
+                a["name"].alias("name"),
+                a["anv"].alias("anv"),
+                a["join"].alias("join"),
+                a["role"].alias("role"),
+                a["tracks"].alias("tracks"),
+            ),
+        ),
+        _empty(
+            "struct<id:bigint,name:string,anv:string,join:string,role:string,tracks:string>"
+        ),
+    )
+    videos = F.coalesce(
+        F.transform(
+            F.col("videos.video"),
+            lambda v: F.struct(
+                F.coalesce(v["_duration"], F.lit(0)).alias("duration"),
+                # missing attr must be False, not null (parser.py:93)
+                F.coalesce(v["_embed"] == "true", F.lit(False)).alias("embed"),
+                v["_src"].alias("src"),
+                v["title"].alias("title"),
+                v["description"].alias("description"),
+            ),
+        ),
+        _empty(
+            "struct<duration:int,embed:boolean,src:string,title:string,description:string>"
+        ),
+    )
+    return raw.select(
+        F.col("_id").alias("id"),
+        F.coalesce(F.col("main_release"), F.lit(0)).alias("main_release"),
+        artists.alias("artists"),
+        _text_list("genres.genre").alias("genres"),
+        _text_list("styles.style").alias("styles"),
+        F.coalesce(F.col("year"), F.lit(0)).alias("year"),
+        "title",
+        "data_quality",
+        _images_proj(height_first=True).alias("images"),
+        videos.alias("videos"),
+    ).to(SCHEMAS["master"])
+
+
+def _load_raw(
+    spark: SparkSession, paths: list[str] | str, data_type: str, schema: T.StructType
+) -> DataFrame:
+    _, item_tag = XML_TAGS[data_type]
+    return (
+        spark.read.format("xml")
+        .option("rowTag", item_tag)
+        .schema(schema)
+        .load(paths if isinstance(paths, str) else ",".join(paths))
+    )
+
+
+NATIVE_INGESTORS = {
+    "artist": ingest_artist_native,
+    "label": ingest_label_native,
+    "master": ingest_master_native,
+    "release": ingest_release_native,
+}
