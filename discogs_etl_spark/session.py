@@ -67,6 +67,9 @@ def get_spark(
             "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
         )
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # zstd over the default snappy: ~30% smaller lake files for ~equal
+        # read CPU — at 100 TB stored that's the cheaper default.
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")
