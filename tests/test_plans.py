@@ -1,0 +1,79 @@
+"""Physical-plan regression tests: the scale properties the engine claims
+(pushdown, broadcast dimensions, top-k without global sort, map-only
+signature phases) are asserted on the plans themselves, so a refactor
+that silently loses one fails here — not on a 100 TB cluster."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from discogs_etl_spark.registry import queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def q():
+    return queries()
+
+
+def test_scan_pushdown_and_pruning(spark, q):
+    plan = _plan(q["scan_project_filter"](spark, SF))
+    assert "GreaterThan(o_totalprice,400000.0)" in plan  # predicate reached the scan
+    assert "EqualTo(o_orderstatus,O)" in plan
+    # column pruning: only the 3 selected columns are read
+    assert "ReadSchema: struct<o_orderkey:bigint,o_orderstatus:string,o_totalprice:double>" in plan
+
+
+def test_topk_plans_take_ordered(spark, q):
+    assert "TakeOrderedAndProject" in _plan(q["sort_topk_orders"](spark, SF))
+    assert "TakeOrderedAndProject" in _plan(q["flagship_scan_filter_limit"](spark, SF))
+
+
+def test_star_join_broadcasts_dimensions(spark, q):
+    plan = _plan(q["q5_regional_revenue"](spark, SF))
+    # every dimension joins as a broadcast; no cartesian anywhere
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_broadcast_hint_respected(spark, q):
+    plan = _plan(q["join_broadcast_part_agg"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # the fact table must not shuffle
+
+
+def test_minhash_signatures_map_only(spark, q):
+    """The signature phase must stay shuffle-free: the first Exchange in
+    the minhash plan may come only AFTER band explosion (the bucket
+    groupBy).  If signature computation itself ever introduces an
+    exchange (e.g. someone reverts to a groupBy formulation), the plan
+    gains exchanges before any Generate."""
+    plan = _plan(q["dedup_minhash_lsh"](spark, SF))
+    # cheap structural proxy: scan->signature->Generate(bands) appears
+    # before any Exchange in the formatted tree ordering
+    tree = plan.split("\n\n")[0]
+    first_generate = tree.find("Generate")
+    first_exchange = tree.find("Exchange")
+    assert first_generate != -1 and first_exchange != -1
+    # formatted trees list operators top-down (sink first); the LAST
+    # Generate (deepest = band explosion) must sit below (after) every
+    # Exchange textually, i.e. exchanges happen downstream of it
+    last_generate = tree.rfind("Generate")
+    assert last_generate > first_exchange
+
+
+def test_window_topk_group_limit(spark, q):
+    plan = _plan(q["window_topk_orders_per_customer"](spark, SF))
+    assert "WindowGroupLimit" in plan  # rn<=k pushed into the window sort
