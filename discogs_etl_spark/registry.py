@@ -62,7 +62,7 @@ def register(
 def _load_all() -> None:
     # Import for side effect: modules register their queries on import.
     from discogs_etl_spark import multimodal, scale  # noqa: F401
-    from discogs_etl_spark.queries import analytics, llm  # noqa: F401
+    from discogs_etl_spark.queries import analytics, llm, python_api  # noqa: F401
     from discogs_etl_spark.streaming import events  # noqa: F401
 
 
