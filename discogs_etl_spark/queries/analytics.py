@@ -1507,3 +1507,164 @@ def scalar_datetime_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("months_to_ref"),
     )
+
+
+@register(
+    "scalar_string_extended",
+    oracle="""
+        SELECT p_partkey,
+               array_to_string(list_transform(string_split(lower(p_type), ' '),
+                   w -> upper(substr(w, 1, 1)) || substr(w, 2)), ' ') AS type_title,
+               lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+               rpad(p_brand, 12, '.') AS brand_padded,
+               repeat('-', p_size % 5) AS dashes,
+               reverse(p_brand) AS brand_rev,
+               ascii(p_name) AS first_cp,
+               chr(65 + CAST(p_partkey % 26 AS INT)) AS letter,
+               format('{:.2f}', round(p_retailprice, 2)) AS price_str,
+               starts_with(p_type, 'STANDARD') AS is_standard,
+               CAST(strpos(p_name, 'a') AS BIGINT) AS first_a
+        FROM part
+    """,
+    tags=("scalar", "string", "extended"),
+)
+def scalar_string_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended string surface (§2.9 long tail): initcap, padding, repeat,
+    reverse, codepoints, printf-style formatting, prefix tests, substring
+    position — one row per builtin the analytics contract exposes."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.initcap("p_type").alias("type_title"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.rpad("p_brand", 12, ".").alias("brand_padded"),
+        F.repeat(F.lit("-"), (F.col("p_size") % 5).cast("int")).alias("dashes"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.ascii("p_name").alias("first_cp"),
+        F.char(F.lit(65) + (F.col("p_partkey") % 26).cast("int")).alias("letter"),
+        F.format_string("%.2f", F.round("p_retailprice", 2)).alias("price_str"),
+        F.startswith("p_type", F.lit("STANDARD")).alias("is_standard"),
+        F.instr("p_name", "a").cast("long").alias("first_a"),
+    )
+
+
+@register(
+    "scalar_math_extended",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               round(abs(l_discount - l_tax), 6) AS rate_gap,
+               CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+               CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+               round(sqrt(l_quantity), 6) AS qty_sqrt,
+               round(ln(l_extendedprice), 6) AS price_ln,
+               round(log10(l_extendedprice), 6) AS price_log10,
+               round(pow(1.0 + l_tax, 2), 6) AS tax_sq,
+               CAST(sign(l_discount - 0.05) AS BIGINT) AS disc_sign,
+               l_orderkey % 7 AS key_mod,
+               round(pi(), 6) AS pi_val
+        FROM lineitem
+    """,
+    tags=("scalar", "math"),
+)
+def scalar_math_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar surface (§2.9): abs/ceil/floor/sqrt/ln/log10/pow/sign/
+    mod — IEEE doubles evaluate identically on both engines; results
+    rounded only where irrational."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_discount") - F.col("l_tax")), 6).alias("rate_gap"),
+        F.ceil("l_quantity").cast("long").alias("qty_ceil"),
+        F.floor("l_quantity").cast("long").alias("qty_floor"),
+        F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        F.round(F.log10("l_extendedprice"), 6).alias("price_log10"),
+        F.round(F.pow(F.lit(1.0) + F.col("l_tax"), 2), 6).alias("tax_sq"),
+        F.signum(F.col("l_discount") - 0.05).cast("long").alias("disc_sign"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+        F.round(F.lit(3.14159265358979), 6).alias("pi_val"),
+    )
+
+
+@register(
+    "agg_corr_exact",
+    oracle="""
+        SELECT o_orderstatus,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(len(o_orderpriority) AS BIGINT) + o_custkey % 100) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))
+                        * (CAST(len(o_orderpriority) AS BIGINT) + o_custkey % 100)) AS DOUBLE) AS sxy
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    tags=("agg", "stats", "corr"),
+)
+def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation sufficient statistics via exact accumulation (the
+    engine-independent way to compute corr/covar: Σx, Σy, Σxy as
+    decimals/ints, assemble the coefficient downstream).  Spark's builtin
+    corr() is float-accumulation-order dependent — fine in production,
+    unsuitable for a bit-exact oracle; this is the deterministic twin."""
+    o = load(spark, sf_dir, "orders")
+    y = F.length("o_orderpriority").cast("long") + F.col("o_custkey") % 100
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("o_totalprice", 2, 18)).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(dec("o_totalprice", 2, 18) * y).cast("double").alias("sxy"),
+    )
+
+
+@register(
+    "scalar_null_semantics",
+    oracle="""
+        SELECT c_custkey,
+               nullif(c_mktsegment, 'BUILDING') AS seg_or_null,
+               (nullif(c_mktsegment, 'BUILDING') IS NOT DISTINCT FROM NULL) AS is_building,
+               (c_mktsegment IS NOT DISTINCT FROM nullif(c_mktsegment, 'BUILDING'))
+                   AS null_safe_eq,
+               COALESCE(nullif(c_mktsegment, 'BUILDING'), 'suppressed') AS seg_coalesced
+        FROM customer
+    """,
+    tags=("scalar", "null", "semantics"),
+)
+def scalar_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling semantics (§2.9): NULLIF, null-safe equality (Spark
+    <=> ≡ SQL IS NOT DISTINCT FROM), IS NULL through the null-safe
+    operator, COALESCE fallback — the three-valued-logic corners every
+    SQL surface must pin."""
+    c = load(spark, sf_dir, "customer")
+    seg_or_null = F.nullif("c_mktsegment", F.lit("BUILDING"))
+    return c.select(
+        "c_custkey",
+        seg_or_null.alias("seg_or_null"),
+        seg_or_null.eqNullSafe(F.lit(None).cast("string")).alias("is_building"),
+        F.col("c_mktsegment").eqNullSafe(seg_or_null).alias("null_safe_eq"),
+        F.coalesce(seg_or_null, F.lit("suppressed")).alias("seg_coalesced"),
+    )
+
+
+@register(
+    "sort_nulls_ordering",
+    oracle="""
+        SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg
+        FROM customer
+        ORDER BY nullif(c_mktsegment, 'BUILDING') ASC NULLS LAST, c_custkey
+        LIMIT 50
+    """,
+    tags=("sort", "nulls"),
+)
+def sort_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULLS LAST ordering (§2.7): engines default differently
+    (Spark ASC = nulls first, DuckDB ASC = nulls last), so portable sorts
+    must state null placement — this query pins the operator AND the
+    portability rule."""
+    c = load(spark, sf_dir, "customer")
+    seg = F.nullif("c_mktsegment", F.lit("BUILDING"))
+    return (
+        c.select("c_custkey", seg.alias("seg"))
+        .orderBy(F.col("seg").asc_nulls_last(), F.col("c_custkey").asc())
+        .limit(50)
+    )
