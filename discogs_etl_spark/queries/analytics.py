@@ -1668,3 +1668,186 @@ def sort_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("seg").asc_nulls_last(), F.col("c_custkey").asc())
         .limit(50)
     )
+
+
+@register(
+    "q4_late_order_priority",
+    oracle="""
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey
+              AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        )
+        GROUP BY o_orderpriority
+    """,
+    tags=("join", "semi", "agg", "tpch"),
+)
+def q4_late_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: per-priority count of orders having at least one
+    late line (correlated EXISTS with a cross-table date condition —
+    fixtures lack commit/receipt dates, so lateness is shipdate more than
+    60 days after the order date).  Plans as a left-semi join; the EXISTS
+    never duplicates orders."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@register(
+    "q7_nation_trade_flows",
+    oracle="""
+        SELECT supp_nation, cust_nation, l_year,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        FROM (
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   year(l_shipdate) AS l_year, l_extendedprice, l_discount
+            FROM supplier
+            JOIN lineitem ON s_suppkey = l_suppkey
+            JOIN orders   ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE n1.n_name < n2.n_name
+        )
+        GROUP BY supp_nation, cust_nation, l_year
+    """,
+    tags=("join", "agg", "tpch", "self_join_dim"),
+)
+def q7_nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between nation pairs by
+    year — the nation dimension joins TWICE (supplier side and customer
+    side), the canonical aliased-dimension pattern.
+
+    Scale: both nation copies broadcast; the fact-side chain shares the
+    orderkey shuffle; the pair predicate prunes half the pairs before
+    aggregation."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    rev_fp = fixed("l_extendedprice", 2) * (F.lit(100) - fixed("l_discount", 2))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("s_nk"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("c_nk"))
+        .where(F.col("supp_nation") < F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg((F.sum(rev_fp).cast("double") / 1e4).alias("revenue"))
+    )
+
+
+@register(
+    "q12_priority_by_flag",
+    oracle="""
+        SELECT l_returnflag,
+               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS low_line_count
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate > o_orderdate
+        GROUP BY l_returnflag
+    """,
+    tags=("join", "agg", "conditional", "tpch"),
+)
+def q12_priority_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional CASE aggregation splitting counts by
+    priority class over a join (shipmode column absent from fixtures —
+    returnflag plays its grouping role)."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .where(F.col("l_shipdate") > F.col("o_orderdate"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q14_promo_revenue_share",
+    oracle="""
+        SELECT round(
+                 100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                              THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                                   * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                              ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                            * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE),
+                 6) AS promo_revenue_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    """,
+    tags=("join", "agg", "conditional", "tpch"),
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share — conditional numerator over a
+    broadcast part join, single global ratio."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    rev_fp = fixed("l_extendedprice", 2) * (F.lit(100) - fixed("l_discount", 2))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev_fp).otherwise(0)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * (F.sum(promo).cast("double") / 1e4)
+                / (F.sum(rev_fp).cast("double") / 1e4),
+                6,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@register(
+    "q19_disjunctive_predicates",
+    oracle="""
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+               AND l_quantity >= 1 AND l_quantity <= 20)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+               AND l_quantity >= 5 AND l_quantity <= 30)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+               AND l_quantity >= 10 AND l_quantity <= 40)
+    """,
+    tags=("join", "filter", "disjunction", "tpch"),
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunctive brand/size/quantity
+    ranges across the join — the classic test that OR-of-ANDs predicates
+    still prune (Catalyst pushes the common p/l sub-predicates below the
+    join)."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & q.between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25) & q.between(5, 30))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35) & q.between(10, 40))
+    )
+    rev_fp = fixed("l_extendedprice", 2) * (F.lit(100) - fixed("l_discount", 2))
+    return j.where(cond).agg((F.sum(rev_fp).cast("double") / 1e4).alias("revenue"))
