@@ -1,0 +1,92 @@
+"""Command-line entry points (reference run.py:20-96 parity).
+
+The reference ships a CLI that backfills dumps into the lake and leaves
+querying to DuckDB; here both halves are first-class:
+
+    python -m discogs_etl_spark backfill DUMP.xml.gz [...] --lake ROOT
+        [--checksums CHECKSUM.txt]
+    python -m discogs_etl_spark query "SELECT ... FROM releases ..."
+        --lake ROOT [--limit N]
+    python -m discogs_etl_spark compact --lake ROOT --type release
+
+`query` registers every entity prefix present under the lake root as a
+temp view (plural names — releases/artists/labels/masters, matching the
+reference's lake layout README.md:9-47) and prints one JSON line per
+result row.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+from discogs_etl_spark.lake import _PLURAL_TO_TYPE, compact_lake, read_lake
+from discogs_etl_spark.session import get_spark
+
+
+def _cmd_backfill(args) -> int:
+    from discogs_etl_spark.pipeline import audit_table, backfill
+    from discogs_etl_spark.sources.manifest import parse_checksum_manifest
+
+    spark = get_spark(app_name="discogs-etl-backfill")
+    checksums = None
+    if args.checksums:
+        with open(args.checksums) as f:
+            checksums = parse_checksum_manifest(spark, f.read())
+    results = backfill(spark, args.dumps, args.lake, checksums=checksums)
+    for row in audit_table(spark, results).toJSON().collect():
+        print(row)
+    bad = [r for r in results if r.checksum_ok is False]
+    return 1 if bad else 0
+
+
+def _cmd_query(args) -> int:
+    spark = get_spark(app_name="discogs-etl-query")
+    for plural, data_type in _PLURAL_TO_TYPE.items():
+        if os.path.isdir(os.path.join(args.lake, plural)):
+            read_lake(spark, args.lake, data_type).createOrReplaceTempView(plural)
+    df = spark.sql(args.sql)
+    if args.limit:
+        df = df.limit(args.limit)
+    for row in df.toJSON().collect():
+        print(row)
+    return 0
+
+
+def _cmd_compact(args) -> int:
+    spark = get_spark(app_name="discogs-etl-compact")
+    n = compact_lake(spark, args.lake, args.type, target_file_mb=args.target_mb)
+    print(json.dumps({"rewritten_partitions": n}))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="discogs_etl_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("backfill", help="dump files → partitioned lake")
+    b.add_argument("dumps", nargs="+", help="local/landed dump files (.xml.gz)")
+    b.add_argument("--lake", required=True, help="lake root directory")
+    b.add_argument("--checksums", help="CHECKSUM.txt manifest file")
+    b.set_defaults(fn=_cmd_backfill)
+
+    q = sub.add_parser("query", help="SQL over the lake (views: releases, ...)")
+    q.add_argument("sql")
+    q.add_argument("--lake", required=True)
+    q.add_argument("--limit", type=int, default=0)
+    q.set_defaults(fn=_cmd_query)
+
+    c = sub.add_parser("compact", help="rewrite small files per partition")
+    c.add_argument("--lake", required=True)
+    c.add_argument("--type", required=True, choices=sorted(_PLURAL_TO_TYPE.values()))
+    c.add_argument("--target-mb", type=int, default=128)
+    c.set_defaults(fn=_cmd_compact)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
