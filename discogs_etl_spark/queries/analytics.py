@@ -1851,3 +1851,114 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev_fp = fixed("l_extendedprice", 2) * (F.lit(100) - fixed("l_discount", 2))
     return j.where(cond).agg((F.sum(rev_fp).cast("double") / 1e4).alias("revenue"))
+
+
+@register(
+    "range_join_bucketed",
+    oracle="""
+        SELECT a.event_id AS probe_id, b.event_id AS match_id,
+               round(epoch(a.ts) - epoch(b.ts), 6) AS dt_sec
+        FROM events a
+        JOIN events b
+          ON a.user_id = b.user_id
+         AND b.event_type = 'click' AND a.event_type = 'purchase'
+         AND b.ts >= a.ts - INTERVAL 5 MINUTE AND b.ts < a.ts
+    """,
+    tags=("join", "range", "bucketed"),
+)
+def range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded time-range join (clicks within 5 minutes before each
+    purchase) executed as an EQUI-join: each probe row joins its own and
+    the previous 5-minute bucket (explode of 2 bucket keys), then the
+    exact range predicate filters.  A naive range join plans a
+    BroadcastNestedLoop/cartesian — O(n*m) compares; bucketing bounds
+    candidates to +/-1 bucket per key, the standard interval-join trick
+    at 100 TB.  (Same idea as Spark's own range-join hints on Databricks;
+    OSS Spark needs it hand-rolled.)"""
+    ev = load(spark, sf_dir, "events")
+    bucket = (F.col("ts").cast("double") / 300.0).cast("long")
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("probe_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        # probe joins its bucket AND the previous one (a 5-min window can
+        # only span two 5-min buckets)
+        .withColumn(
+            "bkt",
+            F.explode(
+                F.array(
+                    (F.col("p_ts").cast("double") / 300.0).cast("long"),
+                    (F.col("p_ts").cast("double") / 300.0).cast("long") - 1,
+                )
+            ),
+        )
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("match_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        bucket.alias("bkt"),
+    )
+    dt = F.col("p_ts").cast("double") - F.col("c_ts").cast("double")
+    return (
+        purchases.join(clicks, ["bkt"])
+        .where(
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 5 MINUTES"))
+            & (F.col("c_ts") < F.col("p_ts"))
+        )
+        .select("probe_id", "match_id", F.round(dt, 6).alias("dt_sec"))
+    )
+
+
+@register(
+    "asof_join_events",
+    oracle="""
+        WITH tagged AS (
+            SELECT user_id, ts, event_id, event_type FROM events
+            WHERE event_type IN ('click', 'purchase')
+        ),
+        lastc AS (
+            SELECT user_id, ts, event_id, event_type,
+                   last_value(CASE WHEN event_type = 'click' THEN event_id END
+                              IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS last_click_id
+            FROM tagged
+        )
+        SELECT event_id AS purchase_id, user_id, last_click_id
+        FROM lastc WHERE event_type = 'purchase'
+    """,
+    tags=("join", "asof", "window"),
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (each purchase matched to the user's most recent PRIOR
+    click) — the point-in-time feature-join every training pipeline
+    needs, expressed as a union + last-ignoring-nulls window instead of a
+    per-row subquery: one shuffle on user_id, no range join at all.
+
+    Scale: this is THE scalable as-of formulation — state is one running
+    value per partition stream; a sort-merge-join-based as-of would
+    shuffle both sides and still need per-row backward scans."""
+    ev = load(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_click = F.last(
+        F.when(F.col("event_type") == "click", F.col("event_id")), ignorenulls=True
+    ).over(w)
+    return (
+        ev.withColumn("last_click_id", last_click)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"), "user_id", "last_click_id"
+        )
+    )
