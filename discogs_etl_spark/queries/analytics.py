@@ -1962,3 +1962,49 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_id").alias("purchase_id"), "user_id", "last_click_id"
         )
     )
+
+
+@register(
+    "nested_struct_roundtrip",
+    oracle="""
+        SELECT l_orderkey AS o_orderkey,
+               COUNT(*) AS n_items,
+               CAST(first(CAST(round(l_quantity * 100) AS BIGINT)
+                          ORDER BY l_linenumber, CAST(round(l_quantity * 100) AS BIGINT))
+                    AS DOUBLE) / 100 AS first_qty,
+               CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100
+                   AS total_qty
+        FROM lineitem
+        GROUP BY l_orderkey
+    """,
+    tags=("nested", "struct", "collect", "array"),
+)
+def nested_struct_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Discogs data-model shape (§1.2 list<struct>, e.g.
+    release.formats) built and consumed in one plan: lineitems nest into
+    a per-order sorted array<struct>, then scalars are derived FROM the
+    nested value (size, head element field, in-array fold).  The oracle
+    computes the same scalars relationally — proving the nest/unnest is
+    lossless.
+
+    Scale: collect_list bounds memory per key by group size (order line
+    counts are small); for unbounded groups use windows instead."""
+    li = load(spark, sf_dir, "lineitem")
+    item = F.struct(
+        F.col("l_linenumber").alias("ln"),
+        F.round(F.col("l_quantity") * 100).cast("long").alias("qc"),
+    )
+    total = F.aggregate(
+        F.col("items"), F.lit(0).cast("long"), lambda acc, x: acc + x["qc"]
+    )
+    return (
+        li.select(F.col("l_orderkey").alias("o_orderkey"), item.alias("it"))
+        .groupBy("o_orderkey")
+        .agg(F.array_sort(F.collect_list("it")).alias("items"))
+        .select(
+            "o_orderkey",
+            F.size("items").cast("long").alias("n_items"),
+            (F.element_at("items", 1)["qc"].cast("double") / 100).alias("first_qty"),
+            (total.cast("double") / 100).alias("total_qty"),
+        )
+    )
