@@ -161,3 +161,42 @@ def write_lake_by_event_time(
         .parquet(path)
     )
     return path
+
+
+def upsert_lake(
+    spark: SparkSession,
+    new_df: DataFrame,
+    root: str,
+    data_type: str,
+    year: int,
+    month: str,
+    key: str = "id",
+) -> None:
+    """Record-level upsert into one monthly partition WITHOUT a table
+    format: read the affected partition, anti-join out rows whose key is
+    being replaced, union the new rows, dynamic-overwrite just that
+    partition.  This is the parquet-lake equivalent of MERGE for the
+    reference's correction runs (a re-issued dump replacing some
+    records); at 100 TB the same pattern works because only the touched
+    partition is rewritten.
+
+    Atomicity caveat (deliberate): between read and overwrite the
+    partition must not receive concurrent writes — the reference's
+    monthly-batch cadence guarantees that; a multi-writer deployment
+    should move to a transactional table format instead."""
+    path = lake_path(root, data_type)
+    part_dir = os.path.join(path, f"year={int(year)}", f"month={month}")
+    if os.path.isdir(part_dir):
+        existing = (
+            read_lake(spark, root, data_type)
+            .where((F.col("year") == int(year)) & (F.col("month") == str(month)))
+            .drop("year", "month")
+        )
+        kept = existing.join(new_df.select(key), on=key, how="left_anti")
+        merged = kept.unionByName(new_df)
+    else:
+        merged = new_df
+    # localCheckpoint: the merged plan READS the files the overwrite is
+    # about to delete — materialize before writing
+    merged = merged.localCheckpoint()
+    write_lake(merged, root, data_type, year, month)

@@ -28,6 +28,8 @@ Design choices:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -295,3 +297,30 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return run_stream_to_table(out, "stream_stateful_user_stats_sink", "update")
+
+
+def stream_events_to_lake(
+    spark: SparkSession, sf_dir: str, lake_root: str, checkpoint: str
+) -> str:
+    """Streaming ingestion INTO the partitioned lake: the events stream
+    lands as year=/month= partitioned parquet (partitions derived from
+    event time, matching lake.write_lake_by_event_time's layout), with a
+    checkpoint so repeated runs consume only new arrivals.  This is the
+    full monthly-arrival story end to end: landing prefix → AvailableNow
+    drain → partitioned, pruned, incrementally-growing lake."""
+    events = read_events_stream(spark, sf_dir)
+    out = os.path.join(lake_root, "events")
+    q = (
+        events.withColumn("year", F.year("ts"))
+        .withColumn("month", F.date_format("ts", "MM"))
+        .writeStream.format("parquet")
+        .partitionBy("year", "month")
+        .option("path", out)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return out
+

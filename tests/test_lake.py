@@ -120,3 +120,29 @@ def test_event_time_partitioned_lake(spark, tmp_path):
     jan = back.where(F.col("month") == "01")
     assert jan.count() == events.where(F.month("ts") == 1).count()
     assert "(month" in _partition_filters(jan)
+
+
+def test_upsert_lake_replaces_by_key(spark, tmp_path):
+    """MERGE-equivalent on the plain parquet lake: re-issued records
+    replace same-id rows in their month, others untouched."""
+    from pyspark.sql import functions as F2
+
+    from discogs_etl_spark.lake import upsert_lake
+
+    root = str(tmp_path / "lake")
+    base = ingest_xml_bytes(spark, RELEASE_XML, "release")  # ids 1 and 0
+    write_lake(base, root, "release", 2019, "03")
+    write_lake(base, root, "release", 2019, "04")  # other month, untouched
+
+    corrected = base.where(F2.col("id") == 1).withColumn(
+        "title", F2.lit("Corrected Title")
+    )
+    upsert_lake(spark, corrected, root, "release", 2019, "03")
+
+    back = read_lake(spark, root, "release")
+    march = {r["id"]: r["title"] for r in back.where("month = '03'").collect()}
+    assert march[1] == "Corrected Title"
+    assert 0 in march and march[0] != "Corrected Title"  # untouched same-month row
+    april = {r["id"]: r["title"] for r in back.where("month = '04'").collect()}
+    assert april[1] != "Corrected Title"  # other partition untouched
+    assert back.count() == 4

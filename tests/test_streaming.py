@@ -92,3 +92,29 @@ def test_checkpointed_incremental_arrival(spark, tmp_path):
     run_stream_to_parquet(passthrough(), out, ckpt)
     # 1000 + 10000, NOT 1000 + 11000: month1 was not reprocessed
     assert spark.read.parquet(out).count() == 11000
+
+
+def test_stream_events_to_partitioned_lake(spark, tmp_path):
+    """Streaming → partitioned lake: event-time partitions materialize,
+    pruning works, rerun with same checkpoint adds nothing new."""
+    from pyspark.sql import functions as F
+
+    from discogs_etl_spark.streaming.events import stream_events_to_lake
+
+    lake = str(tmp_path / "lake")
+    ckpt = str(tmp_path / "ckpt")
+    out = stream_events_to_lake(spark, SF_DIR, lake, ckpt)
+
+    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    try:
+        back = spark.read.parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "true")
+    assert back.count() == 1000
+    assert {"year", "month"}.issubset(set(back.columns))
+    jan = back.where(F.col("month") == "01").count()
+    assert jan > 0
+
+    # no new files landed → second drain is a no-op
+    stream_events_to_lake(spark, SF_DIR, lake, ckpt)
+    assert spark.read.parquet(out).count() == 1000

@@ -123,3 +123,104 @@ def test_artist_roundtrip_survives_dirty_wrappers(records):
     dirty = ("<documents><artists>\x07" + body + "</artists></documents>").encode()
     clean = ("<artists>" + body + "</artists>").encode()
     assert list(iter_records(dirty, "artist")) == list(iter_records(clean, "artist"))
+
+
+# ---------------------------------------------------------------------------
+# release: the deepest entity (3 nesting levels, attribute-vs-element mix)
+# ---------------------------------------------------------------------------
+
+_release = st.fixed_dictionaries(
+    {
+        "id": st.integers(min_value=0, max_value=2**40),
+        "status": _opt_text,
+        "title": _opt_text,
+        "country": _opt_text,
+        "released": st.one_of(st.none(), st.just("1999-00-00"), _clean_text),
+        "notes": _opt_text,
+        "artists": st.lists(_clean_text, max_size=3),
+        "genres": st.lists(_clean_text, max_size=3),
+        "styles": st.lists(_clean_text, max_size=2),
+        "labels": st.lists(
+            st.fixed_dictionaries(
+                {"name": _opt_text, "catno": _opt_text}
+            ),
+            max_size=2,
+        ),
+        "formats": st.lists(
+            st.fixed_dictionaries(
+                {
+                    "name": _opt_text,
+                    # None → attr omitted → must coerce to "1"
+                    "qty": st.one_of(st.none(), st.integers(1, 9)),
+                    "descriptions": st.lists(_word, max_size=3),
+                }
+            ),
+            max_size=2,
+        ),
+    }
+)
+
+
+def _attr(k: str, v) -> str:
+    if v is None:
+        return ""
+    return f' {k}="{escape(str(v), {chr(34): "&quot;"})}"'
+
+
+def _ser_release(r: dict) -> str:
+    def tag(name: str, value) -> str:
+        return f"<{name}>{escape(value)}</{name}>" if value is not None else ""
+
+    def tag_list(outer: str, inner: str, values) -> str:
+        return f"<{outer}>" + "".join(tag(inner, v) for v in values) + f"</{outer}>"
+
+    labels = "".join(
+        f"<label{_attr('name', lb['name'])}{_attr('catno', lb['catno'])}/>"
+        for lb in r["labels"]
+    )
+    formats = "".join(
+        f"<format{_attr('name', f['name'])}{_attr('qty', f['qty'])}>"
+        + tag_list("descriptions", "description", f["descriptions"])
+        + "</format>"
+        for f in r["formats"]
+    )
+    artists = "".join(f"<artist>{tag('name', a)}</artist>" for a in r["artists"])
+    return (
+        f"<release{_attr('id', r['id'])}{_attr('status', r['status'])}>"
+        + tag("title", r["title"])
+        + tag("country", r["country"])
+        + tag("released", r["released"])
+        + tag("notes", r["notes"])
+        + f"<artists>{artists}</artists>"
+        + f"<labels>{labels}</labels>"
+        + f"<formats>{formats}</formats>"
+        + tag_list("genres", "genre", r["genres"])
+        + tag_list("styles", "style", r["styles"])
+        + "</release>"
+    )
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.lists(_release, min_size=1, max_size=4))
+def test_release_roundtrip(records):
+    doc = (
+        "<releases>" + "".join(_ser_release(r) for r in records) + "</releases>"
+    ).encode()
+    parsed = list(iter_records(doc, "release"))
+    assert len(parsed) == len(records)
+    for got, want in zip(parsed, records):
+        assert got["id"] == want["id"]
+        for f in ("status", "title", "country", "released", "notes"):
+            assert got[f] == want[f], f
+        assert got["artists"] == want["artists"]
+        assert got["genres"] == want["genres"]
+        assert got["styles"] == want["styles"]
+        assert [(lb["name"], lb["catno"]) for lb in got["labels"]] == [
+            (lb["name"], lb["catno"]) for lb in want["labels"]
+        ]
+        for gf, wf in zip(got["formats"], want["formats"]):
+            assert gf["name"] == wf["name"]
+            # missing qty attr coerces to the STRING "1" (parser.py:137)
+            assert gf["qty"] == (str(wf["qty"]) if wf["qty"] is not None else "1")
+            assert gf["descriptions"] == wf["descriptions"]
+        assert got["images"] == []  # no images serialized → [] not null
