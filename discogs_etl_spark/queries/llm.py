@@ -1361,3 +1361,92 @@ def corpus_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
     )
+
+
+_CHUNK_SIZE = 32
+_CHUNK_STRIDE = 24  # 8-token overlap
+
+
+@register(
+    "text_chunk_sliding",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        SELECT doc_id,
+               CAST((s.start - 1) / {_CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+               array_to_string(w[s.start : s.start + {_CHUNK_SIZE} - 1], ' ')
+                   AS chunk_text,
+               CAST(least({_CHUNK_SIZE}, len(w) - s.start + 1) AS BIGINT)
+                   AS chunk_tokens
+        FROM t, LATERAL (
+            SELECT unnest(range(1, len(w) + 1, {_CHUNK_STRIDE})) AS start
+        ) s
+    """,
+    tags=("text", "chunking", "training"),
+)
+def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (32-token chunks, 24-token stride
+    → 8-token overlap): the op that turns a corpus into training
+    sequences.  Chunk starts come from a stepped sequence; each chunk is
+    a row-local array slice — map-only, no shuffle, no Python.
+
+    Scale: output rows ≈ tokens/stride; chunk boundaries are
+    deterministic so re-runs and incremental processing align."""
+    d = load(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "split(text, ' ') AS w"
+    )
+    return d.selectExpr(
+        "doc_id",
+        f"explode(sequence(1, size(w), {_CHUNK_STRIDE})) AS start",
+        "w",
+    ).selectExpr(
+        "doc_id",
+        f"CAST((start - 1) DIV {_CHUNK_STRIDE} AS BIGINT) AS chunk_idx",
+        f"array_join(slice(w, start, {_CHUNK_SIZE}), ' ') AS chunk_text",
+        f"CAST(least({_CHUNK_SIZE}, size(w) - start + 1) AS BIGINT) AS chunk_tokens",
+    )
+
+
+_PACK_BIN_TOKENS = 512
+
+
+@register(
+    "pack_sequences_by_budget",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   SUM(len(string_split(text, ' ')))
+                       OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS tokens_before
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(COALESCE(tokens_before, 0) // {_PACK_BIN_TOKENS} AS BIGINT)
+                   AS bin_id
+        FROM t
+    """,
+    tags=("text", "packing", "training"),
+)
+def pack_sequences_by_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing: assign documents (in stable doc_id order)
+    to ~512-token bins by cumulative token count — the standard
+    sequence-packing pass before writing training shards.  One prefix-sum
+    window; bin assignment is a pure function of the running total, so
+    packing is reproducible across runs/partitionings.
+
+    Scale: a single global ordering is the textbook bottleneck — shard
+    first (e.g. by split/lang), pack within shards; the window here runs
+    per-partition after such a repartition."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(_words()).alias("n_tokens")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    return d.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        (F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / _PACK_BIN_TOKENS)
+        .cast("long")
+        .alias("bin_id"),
+    )
