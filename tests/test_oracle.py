@@ -17,10 +17,23 @@ from discogs_etl_spark.registry import all_specs
 from tests.conftest import SF_ORACLE
 
 
+class DriverHasherHazard(AssertionError):
+    """A cell type the DRIVER's value-hasher mishandles reached a result.
+
+    The driver is stricter than a value-normalizing comparison: Decimal
+    (DuckDB HUGEINT → decimal128) hashes differently from int64 even for
+    equal values, raw booleans round-trip differently across engines, and
+    list cells crash its pandas canonicalizer outright (unhashable).  The
+    local harness therefore FAILS on these types instead of normalizing,
+    so local green predicts driver green.  Queries must emit BIGINT/INT
+    casts and scalar (joined-string or exploded) cells instead.
+    """
+
+
 def canon_cell(v):
     """Canonical string for one cell, identical for equal logical values
-    regardless of engine-native type (int widths, Decimal vs float,
-    numpy scalars, date/datetime, lists)."""
+    across engine-native widths (int32/int64, numpy scalars, date/datetime).
+    Raises DriverHasherHazard on Decimal / bool / list cells — see above."""
     import datetime
     import decimal
 
@@ -29,12 +42,16 @@ def canon_cell(v):
     if v is None:
         return "∅"
     if isinstance(v, (bool, np.bool_)):
-        return "t" if v else "f"
+        raise DriverHasherHazard(
+            "boolean result cell — cast to INT on both sides (driver-hash unsafe)"
+        )
     if isinstance(v, (int, np.integer)):
         return str(int(v))
     if isinstance(v, decimal.Decimal):
-        f = float(v)
-        return canon_cell(f)
+        raise DriverHasherHazard(
+            "Decimal result cell (DuckDB HUGEINT/DECIMAL?) — CAST to BIGINT/DOUBLE "
+            "in the oracle (driver hashes decimal128 differently from int64)"
+        )
     if isinstance(v, (float, np.floating)):
         f = float(v)
         if math.isnan(f):
@@ -45,7 +62,10 @@ def canon_cell(v):
     if isinstance(v, datetime.date):
         return v.isoformat()
     if isinstance(v, (list, tuple, np.ndarray)):
-        return "[" + ",".join(canon_cell(x) for x in v) + "]"
+        raise DriverHasherHazard(
+            "array result cell — unhashable in the driver's canonicalizer; "
+            "emit array_join(...) or posexplode instead"
+        )
     if isinstance(v, bytes):
         return v.hex()
     return str(v)
