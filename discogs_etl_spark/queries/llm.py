@@ -600,6 +600,61 @@ def similarity_ann_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EMB_DEDUP_BUCKETED_ORACLE = f"""
+    WITH bucketed AS (
+        SELECT vec_id, embedding, {_sql_sign_bucket('embedding')} AS bucket
+        FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({_SQL_COS.format(a='a.embedding', b='b.embedding')}, 6) AS cos
+    FROM bucketed a
+    JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {_SQL_COS.format(a='a.embedding', b='b.embedding')} >= 0.42
+"""
+
+
+@register(
+    "dedup_embedding_bucketed",
+    oracle=_EMB_DEDUP_BUCKETED_ORACLE,
+    tags=("dedup", "embedding", "cosine", "lsh", "scale"),
+)
+def dedup_embedding_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs, production form: sign-LSH buckets first,
+    exact cosine only WITHIN each bucket — the scale path for
+    ``dedup_embedding_cosine`` (whose all-pairs non-equi join plans a
+    nested loop).  This is an equi-join on bucket: shuffle-partitionable,
+    per-bucket pair counts are bounded by bucket occupancy, no broadcast
+    of the corpus.
+
+    Approximation: cross-bucket near-dups are missed (sign-LSH collision
+    probability 1 - θ/π per bit); at 100 TB run b independent bucket
+    families (multiprobe / band-OR like MinHash-LSH) to drive miss rate
+    down — same plan shape, b map-side bucket columns.
+
+    Scale: one exchange on bucket; within-bucket self-join is
+    O(Σ bucket²) ≪ O(n²) for any non-degenerate hash; skewed buckets are
+    handled by AQE skew-join splitting."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("emb"),
+        _sign_bucket(F.col("embedding")).alias("bucket"),
+    )
+    a = emb.select(
+        F.col("bucket"), F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea")
+    )
+    b = emb.select(
+        F.col("bucket").alias("bucket_b"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("emb").alias("eb"),
+    )
+    cos = _cosine(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .where(cos >= 0.42)
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cos"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -1508,6 +1563,58 @@ def pack_sequences_by_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
     return d.select(
         "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        (F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / _PACK_BIN_TOKENS)
+        .cast("long")
+        .alias("bin_id"),
+    )
+
+
+@register(
+    "pack_sequences_sharded",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, lang, source,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   SUM(len(string_split(text, ' ')))
+                       OVER (PARTITION BY lang, source ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS tokens_before
+            FROM documents
+        )
+        SELECT doc_id, lang, source,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(COALESCE(tokens_before, 0) // {_PACK_BIN_TOKENS} AS BIGINT)
+                   AS bin_id
+        FROM t
+    """,
+    tags=("text", "packing", "training", "scale"),
+)
+def pack_sequences_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing, production form: pack WITHIN (lang, source) shards
+    instead of one global doc_id order — the prefix-sum window gets a
+    partition key, so the sort is per-shard and every shard packs in
+    parallel.  ``pack_sequences_by_budget`` (global order, single-task
+    sort) is kept as the semantic baseline; this is the one to run at
+    100 TB.  Bins are per-shard, so a training shard is identified by
+    (lang, source, bin_id) — exactly how packed shards are laid out on
+    disk anyway.
+
+    Scale: shuffle keys are (lang, source) — add a deterministic sub-shard
+    (e.g. crc32(doc_id) % k) to the partition key if one shard outgrows a
+    task; semantics per sub-shard are unchanged."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", F.size(_words()).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang", "source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
         F.col("n_tokens").cast("long").alias("n_tokens"),
         (F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / _PACK_BIN_TOKENS)
         .cast("long")
