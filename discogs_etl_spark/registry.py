@@ -66,9 +66,89 @@ def _load_all() -> None:
     from discogs_etl_spark.streaming import events  # noqa: F401
 
 
+# Evidence-rotation window.  The verification driver checks the FIRST 50
+# registered queries per round, so ``all_specs`` surfaces queries with NO
+# driver-side correctness evidence (or changed since their last green row)
+# ahead of queries whose green rows already stand from a prior round.
+# Round 2: the three round-1 reds (fixed this round), the six analytics
+# queries whose output representation changed (bool→INT / HUGEINT casts),
+# the entire Plane C LLM-pipeline surface (queries/llm.py — the north-star
+# set, zero driver evidence in round 1), streaming, the Python extension
+# points, and the highest-value analytics tail.  Names not listed keep
+# registration order after these; unknown names are rejected by a test.
+_WINDOW_PRIORITY: tuple[str, ...] = (
+    # round-1 reds, fixed
+    "agg_approx_distinct",
+    "agg_collect_sorted_genres",
+    "agg_boolean_countif",
+    # representation changed this round → need fresh evidence
+    "scalar_conditional_lineitem",
+    "q12_priority_by_flag",
+    "scalar_higher_order_arrays",
+    "scalar_levenshtein_fuzzy",
+    "scalar_string_extended",
+    "scalar_null_semantics",
+    # Plane C (queries/llm.py): dedup family
+    "dedup_exact",
+    "dedup_exact_hash",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "dedup_embedding_bucketed",
+    "dedup_connected_components",
+    "dedup_keep_best",
+    # Plane C: similarity family
+    "similarity_topk_bruteforce",
+    "similarity_ann_signlsh",
+    "similarity_ivf_topk",
+    "similarity_ann_recall",
+    # Plane C: text analysis / curation
+    "text_stats_by_lang",
+    "text_quality_score",
+    "text_token_count",
+    "text_fingerprint",
+    "text_normalize",
+    "lang_id_corpus",
+    "ngram_bigram_counts",
+    "tfidf_top_terms",
+    "corpus_curate_pipeline",
+    "text_chunk_sliding",
+    "pack_sequences_by_budget",
+    "pack_sequences_sharded",
+    # Plane C: sampling / embeddings / multimodal metadata
+    "sample_deterministic_split",
+    "sample_stratified_per_lang",
+    "embedding_centroid_by_label",
+    "embedding_l2_normalize",
+    "multimodal_binary_meta",
+    # streaming veneer
+    "stream_events_hourly",
+    "stream_session_window",
+    "stream_stateful_user_stats",
+    # Python extension points
+    "pandas_udf_vector_norm",
+    "applyinpandas_lang_stats",
+    # analytics tail: TPC-H shapes + range/as-of joins
+    "q4_late_order_priority",
+    "q7_nation_trade_flows",
+    "q14_promo_revenue_share",
+    "q19_disjunctive_predicates",
+    "range_join_bucketed",
+    "asof_join_events",
+)
+
+
 def all_specs() -> dict[str, QuerySpec]:
     _load_all()
-    return dict(_REGISTRY)
+    ordered: dict[str, QuerySpec] = {}
+    for name in _WINDOW_PRIORITY:
+        if name in _REGISTRY:
+            ordered[name] = _REGISTRY[name]
+    for name, spec in _REGISTRY.items():
+        if name not in ordered:
+            ordered[name] = spec
+    return ordered
 
 
 def queries() -> dict[str, QueryFn]:
