@@ -1058,6 +1058,7 @@ _CC_ORACLE = f"""
     "dedup_connected_components",
     oracle=_CC_ORACLE,
     tags=("dedup", "graph", "iterative"),
+    bench=True,
 )
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup GROUPS: connected components over the MinHash pair graph,
@@ -1443,6 +1444,7 @@ def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM deduped
     """,
     tags=("pipeline", "composition", "dedup", "quality", "split"),
+    bench=True,
 )
 def corpus_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole curation pipeline as ONE declarative plan: normalize →
@@ -1500,6 +1502,7 @@ _CHUNK_STRIDE = 24  # 8-token overlap
         ) s
     """,
     tags=("text", "chunking", "training"),
+    bench=True,
 )
 def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window document chunking (32-token chunks, 24-token stride

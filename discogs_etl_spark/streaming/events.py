@@ -68,8 +68,12 @@ def _landing_dir(sf_dir: str) -> str:
     )
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    # lexists (not exists): a dangling leftover symlink from a previous
+    # session would otherwise pass the not-exists check and make symlink()
+    # raise FileExistsError.  Recreating unconditionally is idempotent.
+    if os.path.lexists(link):
+        os.unlink(link)
+    os.symlink(os.path.join(sf_dir, "events.parquet"), link)
     return d
 
 
@@ -173,15 +177,18 @@ def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             -- Spark merges an event into the open session iff it lands
             -- STRICTLY before last_event + gap, so a gap of exactly 30:00
             -- starts a new session: is_new uses >=, not >.
-            SELECT user_id, ts, value,
+            SELECT user_id, ts, event_id, value,
                    CASE WHEN LAG(ts) OVER w IS NULL
                              OR epoch(ts) - epoch(LAG(ts) OVER w) >= 1800.0
                         THEN 1 ELSE 0 END AS is_new
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ), sess AS (
+            -- same (ts, event_id) tie-break as the flagged CTE: with
+            -- duplicate (user_id, ts) pairs a ts-only prefix sum could
+            -- order tied rows differently from the is_new derivation.
             SELECT user_id, ts, value,
-                   SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                   SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                    AS session_id
             FROM flagged
