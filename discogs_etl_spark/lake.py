@@ -55,6 +55,46 @@ def lake_path(root: str, data_type: str) -> str:
     return os.path.join(root, plural)
 
 
+# -- Hadoop FileSystem helpers ----------------------------------------------
+# The reference's lake lives on S3 (reference s3.py:40-52); python's os.path /
+# glob silently see nothing on s3a:// or hdfs:// roots, which would turn an
+# upsert into a partition-truncating overwrite.  All existence/listing/size
+# checks therefore go through the Hadoop FileSystem API, which resolves the
+# right FS implementation from the path's scheme (file:, s3a:, hdfs:, ...).
+
+
+def _hadoop_fs(spark: SparkSession, path_str: str):
+    """(FileSystem, Path) for a path string, scheme-resolved."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def fs_exists(spark: SparkSession, path_str: str) -> bool:
+    """Scheme-aware existence check (os.path.isdir only works on file:)."""
+    fs, jpath = _hadoop_fs(spark, path_str)
+    return bool(fs.exists(jpath))
+
+
+def fs_list_files(
+    spark: SparkSession, dir_str: str, suffix: str = ""
+) -> list[tuple[str, int]]:
+    """Non-recursive (path, size-bytes) listing of a directory, any scheme.
+    Returns [] for a missing directory instead of raising."""
+    fs, jpath = _hadoop_fs(spark, dir_str)
+    if not fs.exists(jpath):
+        return []
+    out: list[tuple[str, int]] = []
+    for st in fs.listStatus(jpath):
+        if not st.isFile():
+            continue
+        name = st.getPath().getName()
+        if suffix and not name.endswith(suffix):
+            continue
+        out.append((st.getPath().toString(), int(st.getLen())))
+    return out
+
+
 def write_lake(
     df: DataFrame, root: str, data_type: str, year: int, month: str, mode: str = "overwrite"
 ) -> str:
@@ -120,15 +160,16 @@ def compact_lake(
     sizes = (
         part_df.groupBy("year", "month").count()
     )  # row counts only guide logging; bytes drive the file math below
-    import glob as _glob
 
     rewritten = 0
     for row in sizes.collect():
         y, m = row["year"], row["month"]
-        files = _glob.glob(os.path.join(path, f"year={y}", f"month={m}", "*.parquet"))
+        files = fs_list_files(
+            spark, os.path.join(path, f"year={y}", f"month={m}"), suffix=".parquet"
+        )
         if len(files) <= 1:
             continue
-        total_mb = sum(os.path.getsize(f) for f in files) / (1024 * 1024)
+        total_mb = sum(sz for _, sz in files) / (1024 * 1024)
         n_files = max(1, int(total_mb // target_file_mb) + (1 if total_mb % target_file_mb else 0))
         if n_files >= len(files):
             continue  # already at or below target granularity
@@ -186,7 +227,9 @@ def upsert_lake(
     should move to a transactional table format instead."""
     path = lake_path(root, data_type)
     part_dir = os.path.join(path, f"year={int(year)}", f"month={month}")
-    if os.path.isdir(part_dir):
+    # Hadoop FS, not os.path.isdir: on s3a://hdfs:// the latter is always
+    # False, which would silently drop every existing same-month record.
+    if fs_exists(spark, part_dir):
         existing = (
             read_lake(spark, root, data_type)
             .where((F.col("year") == int(year)) & (F.col("month") == str(month)))

@@ -122,6 +122,47 @@ def test_event_time_partitioned_lake(spark, tmp_path):
     assert "(month" in _partition_filters(jan)
 
 
+def test_lake_maintenance_on_non_file_scheme(spark, tmp_path):
+    """upsert/compact must work when the lake root is NOT a local path.
+
+    os.path/glob silently see nothing on s3a:// — with the old code an
+    upsert would truncate the partition to just the new rows.  Mount a
+    viewfs:// namespace (a real non-file scheme, resolved through Hadoop's
+    FileSystem registry) over a local directory so the whole
+    write→list→merge→overwrite path runs through scheme-resolved Hadoop
+    FileSystem calls, exactly as it would on an object store."""
+    from pyspark.sql import functions as F2
+
+    from discogs_etl_spark.lake import compact_lake, fs_exists, fs_list_files, upsert_lake
+
+    spark._jsc.hadoopConfiguration().set(
+        "fs.viewfs.mounttable.cluster.link./lake", f"file://{tmp_path}/lake"
+    )
+    (tmp_path / "lake").mkdir()
+    root = "viewfs://cluster/lake"
+    base = ingest_xml_bytes(spark, RELEASE_XML, "release")  # ids 1 and 0
+    write_lake(base.repartition(5), root, "release", 2019, "03")
+
+    part = f"{root}/releases/year=2019/month=03"
+    assert fs_exists(spark, part)
+    assert not fs_exists(spark, f"{root}/releases/year=2019/month=07")
+    assert len(fs_list_files(spark, part, suffix=".parquet")) > 1
+
+    # upsert merges (not truncates) on the non-file scheme
+    corrected = base.where(F2.col("id") == 1).withColumn(
+        "title", F2.lit("Corrected Title")
+    )
+    upsert_lake(spark, corrected, root, "release", 2019, "03")
+    back = read_lake(spark, root, "release")
+    rows = {r["id"]: r["title"] for r in back.collect()}
+    assert back.count() == 2 and rows[1] == "Corrected Title" and 0 in rows
+
+    # compaction lists/sizes through Hadoop FS and rewrites to one file
+    write_lake(base.repartition(6), root, "release", 2019, "03")
+    assert compact_lake(spark, root, "release") == 1
+    assert len(fs_list_files(spark, part, suffix=".parquet")) == 1
+
+
 def test_upsert_lake_replaces_by_key(spark, tmp_path):
     """MERGE-equivalent on the plain parquet lake: re-issued records
     replace same-id rows in their month, others untouched."""
