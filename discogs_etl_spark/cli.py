@@ -27,7 +27,7 @@ from discogs_etl_spark.session import get_spark
 
 
 def _cmd_backfill(args) -> int:
-    from discogs_etl_spark.pipeline import audit_table, backfill
+    from discogs_etl_spark.pipeline import audit_table, backfill, land_dumps
     from discogs_etl_spark.sources.manifest import parse_checksum_manifest
 
     spark = get_spark(app_name="discogs-etl-backfill")
@@ -35,7 +35,15 @@ def _cmd_backfill(args) -> int:
     if args.checksums:
         with open(args.checksums) as f:
             checksums = parse_checksum_manifest(spark, f.read())
-    results = backfill(spark, args.dumps, args.lake, checksums=checksums)
+    dumps = args.dumps
+    urls = [d for d in dumps if "://" in d]
+    if urls:
+        if not args.landing_dir:
+            print("error: URL dumps require --landing-dir", file=sys.stderr)
+            return 2
+        landed = {u: d.path for u, d in zip(urls, (land_dumps(urls, args.landing_dir)))}
+        dumps = [landed.get(d, d) for d in dumps]
+    results = backfill(spark, dumps, args.lake, checksums=checksums)
     for row in audit_table(spark, results).toJSON().collect():
         print(row)
     bad = [r for r in results if r.checksum_ok is False]
@@ -43,9 +51,12 @@ def _cmd_backfill(args) -> int:
 
 
 def _cmd_query(args) -> int:
+    from discogs_etl_spark.lake import fs_exists
+
     spark = get_spark(app_name="discogs-etl-query")
     for plural, data_type in _PLURAL_TO_TYPE.items():
-        if os.path.isdir(os.path.join(args.lake, plural)):
+        # Hadoop FS, not os.path: the lake root may be s3a://
+        if fs_exists(spark, os.path.join(args.lake, plural)):
             read_lake(spark, args.lake, data_type).createOrReplaceTempView(plural)
     df = spark.sql(args.sql)
     if args.limit:
@@ -66,10 +77,15 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="discogs_etl_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
-    b = sub.add_parser("backfill", help="dump files → partitioned lake")
-    b.add_argument("dumps", nargs="+", help="local/landed dump files (.xml.gz)")
+    b = sub.add_parser("backfill", help="dump files/URLs → partitioned lake")
+    b.add_argument(
+        "dumps", nargs="+", help="local dump files or http(s):// URLs (.xml.gz)"
+    )
     b.add_argument("--lake", required=True, help="lake root directory")
     b.add_argument("--checksums", help="CHECKSUM.txt manifest file")
+    b.add_argument(
+        "--landing-dir", help="directory URL dumps are landed into before parsing"
+    )
     b.set_defaults(fn=_cmd_backfill)
 
     q = sub.add_parser("query", help="SQL over the lake (views: releases, ...)")

@@ -45,6 +45,73 @@ def _sha256_file(path: str) -> str:
     return h.hexdigest()
 
 
+@dataclass(frozen=True)
+class LandedDump:
+    url: str
+    path: str
+    sha256: str
+    n_bytes: int
+
+
+def land_dumps(
+    urls: list[str], landing_dir: str, skip_existing: bool = True
+) -> list[LandedDump]:
+    """Land dump URLs into a local directory: sequential streamed GET with
+    an inline sha256, atomic rename on completion (reference run.py:20-41
+    goes URL→lake in one command; its downloader is io.py:153-382 — the
+    ranged-parallel machinery there is deliberately NOT rebuilt, since
+    landing is driver-side and gzip dumps are consumed whole anyway).
+
+    ``skip_existing`` makes re-runs incremental: an already-landed file is
+    re-hashed (cheap, local) but not re-fetched.  Partial downloads never
+    become visible — data streams to ``<name>.part`` and is renamed only
+    after the stream ends cleanly."""
+    from urllib.parse import urlparse
+    from urllib.request import urlopen
+
+    os.makedirs(landing_dir, exist_ok=True)
+    out: list[LandedDump] = []
+    for url in urls:
+        name = os.path.basename(urlparse(url).path)
+        if not name:
+            raise ValueError(f"cannot derive a filename from {url!r}")
+        dest = os.path.join(landing_dir, name)
+        if skip_existing and os.path.exists(dest):
+            out.append(LandedDump(url, dest, _sha256_file(dest), os.path.getsize(dest)))
+            continue
+        h = hashlib.sha256()
+        tmp = dest + ".part"
+        with urlopen(url) as r, open(tmp, "wb") as f:  # noqa: S310 (caller-supplied URL)
+            while chunk := r.read(1 << 20):
+                f.write(chunk)
+                h.update(chunk)
+        os.replace(tmp, dest)
+        out.append(LandedDump(url, dest, h.hexdigest(), os.path.getsize(dest)))
+    return out
+
+
+def backfill_from_urls(
+    spark: SparkSession,
+    urls: list[str],
+    landing_dir: str,
+    lake_root: str,
+    checksums: DataFrame | None = None,
+    max_concurrent_dumps: int = 4,
+    verify_checksums: bool = True,
+) -> list[DumpResult]:
+    """The reference's one-command story (run.py:20-41): URLs → landing
+    dir → parse → partitioned lake, checksum audit included."""
+    landed = land_dumps(urls, landing_dir)
+    return backfill(
+        spark,
+        [d.path for d in landed],
+        lake_root,
+        checksums=checksums,
+        max_concurrent_dumps=max_concurrent_dumps,
+        verify_checksums=verify_checksums,
+    )
+
+
 def backfill(
     spark: SparkSession,
     dump_paths: list[str],

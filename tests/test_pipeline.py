@@ -7,7 +7,12 @@ from __future__ import annotations
 import gzip
 import hashlib
 
-from discogs_etl_spark.pipeline import audit_table, backfill
+from discogs_etl_spark.pipeline import (
+    audit_table,
+    backfill,
+    backfill_from_urls,
+    land_dumps,
+)
 from discogs_etl_spark.lake import read_lake
 from discogs_etl_spark.sources.manifest import parse_checksum_manifest
 from tests.test_xml_ingest import ARTIST_XML, RELEASE_XML
@@ -55,3 +60,33 @@ def test_backfill_multi_dump(spark, tmp_path):
     }
     artists = read_lake(spark, root, "artist")
     assert artists.count() > 0
+
+
+def test_backfill_from_urls_end_to_end(spark, tmp_path):
+    """The reference's one-command story (run.py:20-41): URL → landing dir
+    (streamed GET + sha256, atomic rename) → parse → lake + audit row.
+    file:// stands in for https:// — same urllib streaming path."""
+    src = tmp_path / "remote"
+    src.mkdir()
+    dump = src / "discogs_20190301_releases.xml.gz"
+    payload = gzip.compress(RELEASE_XML)
+    dump.write_bytes(payload)
+    url = dump.as_uri()
+
+    landing = str(tmp_path / "landing")
+    root = str(tmp_path / "lake")
+
+    sha = hashlib.sha256(payload).hexdigest()
+    checksums = parse_checksum_manifest(spark, f"{sha} *{dump.name}")
+
+    results = backfill_from_urls(spark, [url], landing, root, checksums=checksums)
+    assert len(results) == 1
+    audit = audit_table(spark, results).collect()[0]
+    assert audit["checksum_ok"] is True and audit["sha256"] == sha
+    assert read_lake(spark, root, "release").count() == 2
+
+    # landing is incremental: second run re-hashes but does not re-fetch
+    landed = land_dumps([url], landing)
+    assert landed[0].sha256 == sha and landed[0].n_bytes == len(payload)
+    # no partial files left behind
+    assert not list((tmp_path / "landing").glob("*.part"))
