@@ -59,10 +59,18 @@ from discogs_etl_spark.schemas import SCHEMAS, XML_TAGS
 from discogs_etl_spark.transforms.cleaning import (
     clean_xml_bytes,
     clean_xml_content,
+    collapse_whitespace,
     fix_xml_structure_text,
 )
 
 GZIP_MAGIC = b"\x1f\x8b"
+
+# backend-specific incomplete-document errors (stdlib vs lxml)
+_PARSE_ERRORS = tuple(
+    e
+    for e in (getattr(ET, "ParseError", None), getattr(ET, "XMLSyntaxError", None))
+    if e is not None
+)
 
 
 def detect_data_type(url: str) -> str:
@@ -232,47 +240,239 @@ PARSERS = {
 
 
 # ---------------------------------------------------------------------------
-# document bytes → record iterator (runs inside executor tasks)
+# document stream → record iterator (runs inside executor tasks)
 # ---------------------------------------------------------------------------
 
-def iter_records(data: bytes, data_type: str) -> Iterator[dict]:
-    """Parse one dump document (optionally gzipped, possibly dirty) into
-    typed records.  This is the per-task kernel: bounded memory per record
-    via iterparse + elem.clear()."""
-    if data[:2] == GZIP_MAGIC:
-        data = lenient_gzip_decompress(data)
-    text = data.decode("utf-8", errors="replace")
-    if data_type == "label":
-        # label path keeps newlines (reference process.py:262-266)
-        text = repair_document(text, data_type)
-    else:
-        # streaming path collapses whitespace (reference process.py:323)
-        text = repair_document(clean_xml_bytes(text), data_type)
+_CHUNK_BYTES = 1 << 20  # decompressed-side granularity; memory bound per task
+
+
+def _iter_decompressed(stream, chunk_bytes: int) -> Iterator[bytes]:
+    """Chunked lenient gzip decompression of a binary stream: tolerate
+    truncation / CRC errors by yielding what decompressed (reference
+    process.py:47-64), support concatenated members, pass non-gzip data
+    through.  Never materializes the whole (de)compressed payload."""
+    head = stream.read(2)
+    if head != GZIP_MAGIC:
+        data = head + (stream.read(chunk_bytes) or b"")
+        while data:
+            yield data
+            data = stream.read(chunk_bytes)
+        return
+    d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+    pending = head  # compressed bytes not yet consumed by the inflater
+    while True:
+        if not pending:
+            pending = stream.read(chunk_bytes)
+            if not pending:
+                break
+        try:
+            # max_length bounds the DECOMPRESSED side: one compressed chunk
+            # can inflate 50-100x, which would otherwise hand the XML
+            # parser (and its tree) tens of MB per feed.
+            out = d.decompress(pending, chunk_bytes)
+        except zlib.error:
+            return  # lenient: emit what decompressed so far
+        pending = d.unconsumed_tail
+        if out:
+            yield out
+        if d.eof:
+            rest = d.unused_data
+            if rest[:2] == GZIP_MAGIC:  # concatenated gzip members
+                d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+                pending = rest
+            else:
+                return
+    try:
+        tail = d.flush()
+    except zlib.error:
+        return
+    if tail:
+        yield tail
+
+
+# Longest cross-chunk pattern the repairers must see whole is the wrapper
+# tag "</documents>" (12 chars); 16 gives slack.  Trailing whitespace runs
+# are carried in full so the collapse never splits a run at a chunk edge.
+_REPAIR_CARRY = 16
+
+# Absolute cap on header buffering while waiting for the root-presence
+# check to become decidable (a declaration + root tag fits in far less).
+_HEADER_CAP = 64 << 10
+
+
+def _iter_repaired_text(
+    stream, data_type: str, chunk_bytes: int = _CHUNK_BYTES
+) -> Iterator[str]:
+    """Streaming twin of :func:`repair_document` (reference applies repair
+    on the byte stream too — process.py XMLFixerStreamReader): incremental
+    UTF-8 decode, whitespace collapse (streaming path only), invalid-char
+    scrub, wrapper-tag removal, XML-decl removal, root wrapping.  Identical
+    output to the whole-document form for any chunking (pinned by tests)."""
+    import codecs
+
+    root_tag, _ = XML_TAGS[data_type]
+    collapse_ws = data_type != "label"  # label path keeps newlines
+    decoder = codecs.getincrementaldecoder("utf-8")("replace")
+
+    def _clean(text: str) -> str:
+        if collapse_ws:
+            text = collapse_whitespace(text)
+        text = clean_xml_content(text)
+        return fix_xml_structure_text(text)
+
+    header_buf = ""
+    header_done = False
+    wrapped = False
+    carry = ""
+
+    def _start_body(text: str) -> tuple[str, bool]:
+        """Declaration removal + root-presence check on the document head;
+        returns (body text, needs_wrapping)."""
+        body = _XML_DECL_RE.sub("", _clean(text))
+        if collapse_ws:
+            body = body.lstrip()
+        return body, not body.lstrip().startswith(f"<{root_tag}")
+
+    for raw in _iter_decompressed(stream, chunk_bytes):
+        text = decoder.decode(raw)
+        if not text:
+            continue
+        if not header_done:
+            header_buf += text
+            # Hold until the root-presence check is DECIDABLE: the decl (if
+            # any) is complete and removed, and enough non-space content has
+            # arrived to compare against "<root_tag".  Tiny chunks must not
+            # force a premature (wrong) wrapping decision.
+            probe = _XML_DECL_RE.sub("", _clean(header_buf)).lstrip()
+            undecidable = (
+                probe.startswith("<?")  # declaration not yet complete
+                # first tag not yet complete: it might still become a
+                # stray <documents> wrapper the cleaner would remove
+                or (probe.startswith("<") and ">" not in probe)
+                or len(probe) < len(root_tag) + 1
+            )
+            if undecidable and len(header_buf) < _HEADER_CAP:
+                continue
+            header_done = True
+            carry, wrapped = _start_body(header_buf)
+            header_buf = ""
+            if wrapped:
+                yield f"<{root_tag}>"
+            continue
+        # Re-cleaning the carry is idempotent for all three substitutions;
+        # the carry exists so ws-runs / wrapper tags split across chunks
+        # get collapsed/removed with full context.
+        combined = _clean(carry + text)
+        keep = len(combined) - _REPAIR_CARRY
+        ws_tail = len(combined) - len(combined.rstrip())
+        keep = min(keep, len(combined) - ws_tail)
+        if keep > 0:
+            yield combined[:keep]
+            carry = combined[keep:]
+        else:
+            carry = combined
+    tail = decoder.decode(b"", True)
+    if not header_done:
+        # tiny / header-only document: repair whole
+        final, wrapped = _start_body(header_buf + tail)
+        if collapse_ws:
+            final = final.strip()
+        if wrapped and final:
+            yield f"<{root_tag}>{final}</{root_tag}>"
+        elif final:
+            yield final
+        return
+    final = _clean(carry + tail)
+    if collapse_ws:
+        final = final.rstrip()
+    if final:
+        yield final
+    if wrapped:
+        yield f"</{root_tag}>"
+
+
+def iter_records_stream(
+    stream, data_type: str, chunk_bytes: int = _CHUNK_BYTES
+) -> Iterator[dict]:
+    """Parse one dump STREAM (optionally gzipped, possibly dirty) into
+    typed records with bounded memory: chunked decompression feeds an
+    incremental XML pull parser; each yielded item is cleared AND detached
+    from the root, so neither the document text nor Element husks
+    accumulate (the reference's GzipStreamReader/XMLFixerStreamReader
+    bounded-memory contract, process.py:22-64)."""
     _, item_tag = XML_TAGS[data_type]
     parse = PARSERS[data_type]
+    parser = ET.XMLPullParser(events=("start", "end"))
     # Only emit item elements that sit directly under the root: the
     # reference guards with lxml's elem.getparent() (process.py:272, 327);
-    # stdlib ET has no parent pointers, so track depth with start events —
+    # depth tracking via start events works for stdlib ET and lxml alike —
     # this is what keeps <sublabels><label> from masquerading as a label
     # record.
     depth = 0
-    for event, elem in ET.iterparse(
-        io.BytesIO(text.encode("utf-8")), events=("start", "end")
-    ):
-        if event == "start":
-            depth += 1
-            continue
-        depth -= 1
-        if depth == 1 and elem.tag == item_tag:
-            yield parse(elem)
-            elem.clear()
+    root = None
+
+    def _drain() -> Iterator[dict]:
+        nonlocal depth, root
+        for event, elem in parser.read_events():
+            if event == "start":
+                if root is None:
+                    root = elem
+                depth += 1
+                continue
+            depth -= 1
+            if depth == 1 and elem.tag == item_tag:
+                yield parse(elem)
+                elem.clear()
+                # drop the husk from the root so the tree doesn't grow by
+                # one cleared Element per record over an 80 GB dump
+                if root is not None and len(root):
+                    try:
+                        root.remove(elem)
+                    except ValueError:  # pragma: no cover - already detached
+                        pass
+
+    for text in _iter_repaired_text(stream, data_type, chunk_bytes):
+        parser.feed(text)
+        yield from _drain()
+    try:
+        parser.close()
+    except _PARSE_ERRORS:
+        # Truncated input (e.g. a cut-short gzip stream, reference
+        # process.py:47-64 leniency): EOF before the document closed.
+        # Records that completed before the cut were already yielded.
+        pass
+    yield from _drain()
+
+
+def iter_records(data: bytes, data_type: str) -> Iterator[dict]:
+    """Parse one in-memory dump document — the byte-oriented veneer over
+    :func:`iter_records_stream` (kept for small inputs and tests)."""
+    yield from iter_records_stream(io.BytesIO(data), data_type)
+
+
+def _iter_records_from_path(path: str, data_type: str) -> Iterator[dict]:
+    """Executor-side: open one landed dump file and stream-parse it."""
+    from urllib.parse import urlparse
+
+    u = urlparse(path)
+    local = u.path if u.scheme == "file" else path
+    with open(local, "rb") as f:
+        yield from iter_records_stream(f, data_type)
 
 
 def ingest_xml(spark: SparkSession, paths: list[str] | str, data_type: str | None = None) -> DataFrame:
     """Distributed ingest: one Spark task per dump file, each running
-    :func:`iter_records`, returning a DataFrame in the entity's static
-    schema.  The reference processes dumps strictly sequentially
-    (run.py:28-41); here the file list is the unit of parallelism."""
+    :func:`iter_records_stream`, returning a DataFrame in the entity's
+    static schema.  The reference processes dumps strictly sequentially
+    (run.py:28-41); here the file list is the unit of parallelism.
+
+    Memory per task is bounded (chunked decompress → incremental parse →
+    husk removal), never the decompressed dump size: local/landed paths
+    are opened lazily on the executor.  Paths on other schemes fall back
+    to ``binaryFiles`` (whole-file bytes — bounded by the compressed file
+    size) until a scheme-aware streaming open is warranted."""
+    from urllib.parse import urlparse
+
     if isinstance(paths, str):
         paths = [paths]
     data_type = data_type or detect_data_type(paths[0])
@@ -280,8 +480,15 @@ def ingest_xml(spark: SparkSession, paths: list[str] | str, data_type: str | Non
     from discogs_etl_spark.shipping import ensure_shipped
 
     ensure_shipped(spark.sparkContext)
-    files = spark.sparkContext.binaryFiles(",".join(paths))
-    records = files.flatMap(lambda kv: iter_records(bytes(kv[1]), data_type))
+    sc = spark.sparkContext
+    if all(urlparse(p).scheme in ("", "file") for p in paths):
+        records = sc.parallelize(paths, len(paths)).flatMap(
+            lambda p: _iter_records_from_path(p, data_type)
+        )
+    else:  # pragma: no cover - exercised only on object-store deployments
+        records = sc.binaryFiles(",".join(paths)).flatMap(
+            lambda kv: iter_records(bytes(kv[1]), data_type)
+        )
     return spark.createDataFrame(records, schema=schema)
 
 

@@ -47,6 +47,13 @@ def clean_xml_bytes(text: str) -> str:
     return _WS_RUN_RE.sub(" ", text).strip()
 
 
+def collapse_whitespace(text: str) -> str:
+    """:func:`clean_xml_bytes` without the document-edge strip — the
+    chunk-wise form for streaming repair (edges are stripped by the
+    stream's header/flush handling instead)."""
+    return _WS_RUN_RE.sub(" ", text)
+
+
 def fix_xml_structure(data: bytes) -> bytes:
     """Remove stray <document>/<documents> wrapper tags
     (process.py:221-238)."""

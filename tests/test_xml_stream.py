@@ -1,0 +1,148 @@
+"""Bounded-memory streaming XML kernel (SURVEY.md §2.1 S1-S5).
+
+The streaming reader must produce byte-identical records to the
+whole-document repair for ANY chunking — whitespace runs, wrapper tags,
+XML declarations, and multi-byte UTF-8 sequences all straddle chunk
+boundaries when chunks are tiny.  These tests pin that equivalence and
+the memory contract (no Element husks accumulating under the root).
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+
+import pytest
+
+from discogs_etl_spark.sources.xml_ingest import (
+    iter_records,
+    iter_records_stream,
+    repair_document,
+)
+from discogs_etl_spark.transforms.cleaning import clean_xml_bytes
+from tests.test_xml_ingest import ARTIST_XML, LABEL_XML, MASTER_XML, RELEASE_XML
+
+FIXTURES = {
+    "release": RELEASE_XML,
+    "master": MASTER_XML,
+    "label": LABEL_XML,
+    "artist": ARTIST_XML,
+}
+
+
+def _whole_doc_records(data: bytes, data_type: str) -> list[dict]:
+    """The pre-streaming semantics: repair the whole document, iterparse."""
+    import xml.etree.ElementTree as ET
+
+    from discogs_etl_spark.sources.xml_ingest import PARSERS, XML_TAGS
+
+    text = data.decode("utf-8", errors="replace")
+    if data_type == "label":
+        text = repair_document(text, data_type)
+    else:
+        text = repair_document(clean_xml_bytes(text), data_type)
+    _, item_tag = XML_TAGS[data_type]
+    out, depth = [], 0
+    for event, elem in ET.iterparse(
+        io.BytesIO(text.encode("utf-8")), events=("start", "end")
+    ):
+        if event == "start":
+            depth += 1
+            continue
+        depth -= 1
+        if depth == 1 and elem.tag == item_tag:
+            out.append(PARSERS[data_type](elem))
+    return out
+
+
+@pytest.mark.parametrize("data_type", sorted(FIXTURES))
+@pytest.mark.parametrize("chunk_bytes", [3, 7, 64, 1 << 20])
+def test_stream_equals_whole_document(data_type, chunk_bytes):
+    data = FIXTURES[data_type]
+    expected = _whole_doc_records(data, data_type)
+    got = list(iter_records_stream(io.BytesIO(data), data_type, chunk_bytes))
+    assert got == expected and len(got) > 0
+
+
+@pytest.mark.parametrize("data_type", sorted(FIXTURES))
+@pytest.mark.parametrize("chunk_bytes", [5, 1 << 20])
+def test_stream_gzip_equals_plain(data_type, chunk_bytes):
+    data = FIXTURES[data_type]
+    plain = list(iter_records_stream(io.BytesIO(data), data_type, chunk_bytes))
+    gz = list(
+        iter_records_stream(io.BytesIO(gzip.compress(data)), data_type, chunk_bytes)
+    )
+    assert gz == plain
+
+
+def test_stream_boundary_hazards_tiny_chunks():
+    """Wrapper tags, a declaration, multi-byte UTF-8, and whitespace runs
+    all split across 4-byte chunks — records must still match the
+    whole-document parse."""
+    doc = (
+        b'<?xml version="1.0" encoding="UTF-8"?>\n'
+        b"<documents><artists>\n"
+        b"  <artist><id>7</id><name>J\xc3\xbcrgen   M\xc3\xbcller</name></artist>\n"
+        b"  <artist><id>8</id><name>A  B\tC</name></artist>\n"
+        b"</artists></documents>"
+    )
+    expected = _whole_doc_records(doc, "artist")
+    got = list(iter_records_stream(io.BytesIO(doc), "artist", chunk_bytes=4))
+    assert got == expected
+    assert [r["id"] for r in got] == [7, 8]
+    assert got[0]["name"] == "Jürgen Müller"
+
+
+def test_stream_missing_root_wrapped():
+    doc = b"<artist><id>1</id><name>Solo</name></artist>"
+    got = list(iter_records_stream(io.BytesIO(doc), "artist", chunk_bytes=6))
+    assert [r["id"] for r in got] == [1]
+
+
+def test_truncated_gzip_yields_complete_prefix_records():
+    """Lenient decompression (reference process.py:47-64): a truncated
+    stream still yields the records whose XML closed before the cut."""
+    many = b"<artists>" + b"".join(
+        f"<artist><id>{i}</id><name>n{i}</name></artist>".encode() for i in range(50)
+    ) + b"</artists>"
+    gz = gzip.compress(many)
+    cut = gz[: len(gz) - 8]
+    got = list(iter_records_stream(io.BytesIO(cut), "artist", chunk_bytes=256))
+    # ParseError from the unclosed tail is acceptable upstream behavior?
+    # No: the stream ends mid-document, so the parser sees EOF without the
+    # closing root tag — iter_records_stream surfaces whatever records
+    # completed; the count just has to be a strict, non-empty prefix.
+    assert 0 < len(got) <= 50
+    assert [r["id"] for r in got] == list(range(len(got)))
+
+
+def test_no_husks_accumulate_under_root():
+    """elem.clear() alone leaves one cleared Element attached to the root
+    per record; the streaming kernel must detach them (ADVICE round 1)."""
+    import xml.etree.ElementTree as ET_std
+
+    from discogs_etl_spark.sources import xml_ingest as xi
+
+    n = 500
+    doc = b"<artists>" + b"".join(
+        f"<artist><id>{i}</id></artist>".encode() for i in range(n)
+    ) + b"</artists>"
+
+    seen_roots = []
+    orig_pull = ET_std.XMLPullParser
+
+    class SpyParser(orig_pull):
+        def read_events(self):
+            for event, elem in super().read_events():
+                if event == "start" and not seen_roots:
+                    seen_roots.append(elem)
+                yield event, elem
+
+    real = xi.ET.XMLPullParser
+    xi.ET.XMLPullParser = SpyParser  # stdlib path; lxml exposes same API
+    try:
+        got = list(iter_records_stream(io.BytesIO(doc), "artist", chunk_bytes=512))
+    finally:
+        xi.ET.XMLPullParser = real
+    assert len(got) == n
+    assert seen_roots and len(seen_roots[0]) <= 2  # husks detached, not n
