@@ -77,3 +77,31 @@ def test_minhash_signatures_map_only(spark, q):
 def test_window_topk_group_limit(spark, q):
     plan = _plan(q["window_topk_orders_per_customer"](spark, SF))
     assert "WindowGroupLimit" in plan  # rn<=k pushed into the window sort
+
+
+def test_sharded_packing_window_is_partitioned(spark, q):
+    """The production packing form must never plan a partition-less window
+    (single-task global sort — the round-1 scale flag)."""
+    plan = _plan(q["pack_sequences_sharded"](spark, SF))
+    assert "windowspecdefinition(lang" in plan  # window keyed by shard
+    assert "hashpartitioning(lang" in plan  # exchange on the shard key
+    assert "SinglePartition" not in plan  # never a global single-task sort
+
+
+def test_bucketed_embedding_dedup_is_hash_join(spark, q):
+    """Bucketed dedup must plan a HASH equi-join on the LSH bucket, never
+    the nested-loop all-pairs join of the exactness baseline."""
+    plan = _plan(q["dedup_embedding_bucketed"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan  # broadcast at tiny SF, shuffled-hash at scale
+
+
+def test_curate_pipeline_single_normalization(spark, q):
+    """The regex normalization must be computed once per row: filter
+    pushdown / CollapseProject re-inlining shows up as extra
+    regexp_replace nodes (8 when unstaged — measured round 2)."""
+    df = q["corpus_curate_pipeline"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("regexp_replace") <= 2
+    assert plan.count("split(") <= 1
