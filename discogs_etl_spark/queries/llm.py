@@ -1638,3 +1638,164 @@ def pack_sequences_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("bin_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus hygiene: repetition, cross-doc duplication, decontamination
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_repetition_score",
+    oracle="""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        g AS (
+            SELECT doc_id,
+                   CASE WHEN len(w) >= 2
+                        THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+                        ELSE [] END AS bg,
+                   CASE WHEN len(w) >= 3
+                        THEN list_transform(range(1, len(w) - 1),
+                                            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                        ELSE [] END AS tg
+            FROM t
+        )
+        SELECT doc_id,
+               CAST(len(bg) AS BIGINT) AS n_bigrams,
+               round(CASE WHEN len(bg) > 0
+                          THEN 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)
+                          ELSE 0.0 END, 6) AS dup_bigram_frac,
+               round(CASE WHEN len(tg) > 0
+                          THEN 1.0 - CAST(len(list_distinct(tg)) AS DOUBLE) / len(tg)
+                          ELSE 0.0 END, 6) AS dup_trigram_frac
+        FROM g
+    """,
+    tags=("text", "quality", "repetition", "gopher"),
+)
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition signals (the Gopher-rules family):
+    duplicate-bigram and duplicate-trigram fractions.  Boilerplate- and
+    loop-generated text scores high and gets gated before training.
+
+    Map-only: n-grams are row-local array transforms (JVM lambdas); the
+    word split and the n-gram arrays are staged behind projections so
+    lambda inputs aren't re-evaluated per element.  No shuffle at all —
+    at 100 TB this runs at scan speed."""
+    d = load(spark, sf_dir, "documents").selectExpr("doc_id", "split(text, ' ') AS w")
+    g = d.selectExpr(
+        "doc_id",
+        "CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1), "
+        "i -> concat(element_at(w, i), ' ', element_at(w, i + 1))) "
+        "ELSE array() END AS bg",
+        "CASE WHEN size(w) >= 3 THEN transform(sequence(1, size(w) - 2), "
+        "i -> concat(element_at(w, i), ' ', element_at(w, i + 1), ' ', element_at(w, i + 2))) "
+        "ELSE array() END AS tg",
+    )
+    return g.selectExpr(
+        "doc_id",
+        "CAST(size(bg) AS BIGINT) AS n_bigrams",
+        "round(CASE WHEN size(bg) > 0 "
+        "THEN 1.0D - CAST(size(array_distinct(bg)) AS DOUBLE) / size(bg) "
+        "ELSE 0.0D END, 6) AS dup_bigram_frac",
+        "round(CASE WHEN size(tg) > 0 "
+        "THEN 1.0D - CAST(size(array_distinct(tg)) AS DOUBLE) / size(tg) "
+        "ELSE 0.0D END, 6) AS dup_trigram_frac",
+    )
+
+
+_CROSSDOC_ORACLE = f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({_SQL_TRIGRAMS}) AS s FROM documents
+    ),
+    freq AS (
+        SELECT s, COUNT(*) AS df FROM sh GROUP BY s
+    )
+    SELECT sh.doc_id,
+           COUNT(*) AS n_shingles,
+           round(CAST(COUNT(*) FILTER (WHERE freq.df > 1) AS DOUBLE) / COUNT(*), 6)
+               AS crossdoc_dup_frac
+    FROM sh JOIN freq ON sh.s = freq.s
+    GROUP BY sh.doc_id
+"""
+
+
+@register(
+    "dedup_ngram_crossdoc",
+    oracle=_CROSSDOC_ORACLE,
+    tags=("dedup", "ngram", "crossdoc", "contamination"),
+)
+def dedup_ngram_crossdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document fraction of 3-gram shingles shared with ANY other
+    document — the corpus-level duplication profile that decides between
+    exact dedup, near dedup, and span-level scrubbing for a crawl.
+
+    Plan: one map-only shingle explode, one shuffle to count shingle
+    document-frequency, one equi-join back on shingle, one per-doc agg.
+    The inverted index (shingle → df) is the same artifact the
+    dedup_ngram_jaccard verifier builds; here it only carries counts, so
+    there is no pair blowup — output is one row per document regardless
+    of duplication structure.  At 100 TB the join shuffles on the shingle
+    key and AQE splits hot (boilerplate) shingles."""
+    docs = load(spark, sf_dir, "documents")
+    sh = _with_shingles(docs, "doc_id").select(
+        "doc_id", F.explode("shingles").alias("s")
+    )
+    freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(freq, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.round(
+                F.sum(F.when(F.col("df") > 1, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("crossdoc_dup_frac"),
+        )
+    )
+
+
+_DECON_ORACLE = f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({_SQL_TRIGRAMS}) AS s FROM documents
+    ),
+    eval_sh AS (
+        SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0
+    )
+    SELECT sh.doc_id,
+           COUNT(*) AS n_overlap_shingles
+    FROM sh JOIN eval_sh ON sh.s = eval_sh.s
+    WHERE sh.doc_id % 97 <> 0
+    GROUP BY sh.doc_id
+"""
+
+
+@register(
+    "decontaminate_eval_overlap",
+    oracle=_DECON_ORACLE,
+    tags=("dedup", "decontamination", "eval"),
+)
+def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination report: for every training document,
+    the number of 3-gram shingles it shares with the held-out eval set
+    (stand-in: doc_id % 97 == 0) — the docs to drop or scrub before
+    training.  Anti-joining this report against the corpus IS the
+    decontamination pass.
+
+    Plan: the eval shingle set is tiny relative to the corpus (eval
+    benchmarks vs a crawl), so it BROADCASTS; the corpus side stays a
+    map-only explode + broadcast-hash join + per-doc agg — zero
+    corpus-sized shuffles, which is what makes decontamination cheap
+    enough to run on every training refresh at 100 TB."""
+    docs = load(spark, sf_dir, "documents")
+    sh = _with_shingles(docs, "doc_id").select(
+        "doc_id", F.explode("shingles").alias("s")
+    )
+    eval_sh = (
+        sh.where(F.col("doc_id") % 97 == 0).select("s").distinct()
+    )
+    return (
+        sh.where(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(eval_sh), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap_shingles"))
+    )
