@@ -68,6 +68,79 @@ def minhash_signatures(docs):
     )
 
 
+def enlarged_embeddings(spark, n: int):
+    base = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    if n == 1:
+        return base
+    reps = spark.range(n).repartition(min(n, 32))
+    # perturb a middle dimension per copy: vectors stay distinct but most
+    # copies keep their sign-LSH bucket — the worst case for bucketed
+    # dedup (occupancy grows n-fold in the same 256 buckets)
+    return reps.join(F.broadcast(base)).select(
+        (F.col("vec_id") + F.col("id") * 1_000_000).alias("vec_id"),
+        F.expr(
+            "transform(CAST(embedding AS ARRAY<DOUBLE>), "
+            "(x, i) -> CASE WHEN i = 32 THEN x + CAST(id AS DOUBLE) * 1e-6 ELSE x END)"
+        ).alias("embedding"),
+        "label",
+    )
+
+
+def pack_sharded(docs):
+    """The round-2 production packing window (per-(lang,source) shards).
+    Enlarged fixtures keep the shard KEYS constant, so shard size grows
+    n-fold — the within-shard sort is what's being stressed."""
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("lang", "source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d = docs.selectExpr("doc_id", "lang", "source", "size(split(text, ' ')) AS n_tokens")
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        (F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / 512).cast("long").alias("bin_id"),
+    )
+
+
+def crossdoc_dup(docs):
+    """Round-2 cross-doc duplicate-shingle profile: explode + counted
+    inverted index + join back (two shuffles on the shingle key)."""
+    from discogs_etl_spark.queries.llm import _SHINGLES_SQL
+
+    sh = docs.selectExpr("doc_id", "split(text, ' ') AS __w").selectExpr(
+        "doc_id", f"explode({_SHINGLES_SQL.format(w='__w')}) AS s"
+    )
+    freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(freq, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("df") > 1, 1).otherwise(0)).alias("n_dup"),
+        )
+    )
+
+
+def emb_bucket_pairs(embs):
+    """Round-2 bucketed embedding dedup candidate join (pair counts grow
+    with bucket occupancy squared — the knob is bucket bits)."""
+    b = F.lit(0)
+    for i in range(8):
+        b = b + F.when(F.element_at(F.col("emb"), i + 1) > 0, F.lit(1 << i)).otherwise(0)
+    e = embs.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    ).select("vec_id", "emb", b.alias("bucket"))
+    a = e.select(F.col("bucket"), F.col("vec_id").alias("va"))
+    c = e.select(F.col("bucket").alias("bucket_b"), F.col("vec_id").alias("vb"))
+    return a.join(
+        c, (F.col("bucket") == F.col("bucket_b")) & (F.col("va") < F.col("vb"))
+    ).groupBy("bucket").agg(F.count(F.lit(1)).alias("pairs"))
+
+
 def main() -> None:
     scales = [int(a) for a in sys.argv[1:]] or [1, 5, 20]
     spark = get_spark(app_name="stress")
@@ -76,20 +149,23 @@ def main() -> None:
 
     for n in scales:
         docs = enlarged_documents(spark, n)
+        embs = enlarged_embeddings(spark, n)
         rows = docs.count()
-        t0 = time.perf_counter()
-        (
-            docs.groupBy(F.sha2("text", 256).alias("h"))
-            .agg(F.min("doc_id").alias("keep"), F.count(F.lit(1)).alias("c"))
-            .write.format("noop").mode("overwrite").save()
-        )
-        t_dedup = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        minhash_signatures(docs).write.format("noop").mode("overwrite").save()
-        t_sig = time.perf_counter() - t0
+        timings = {}
+        for name, df in (
+            ("dedup_exact_hash", docs.groupBy(F.sha2("text", 256).alias("h")).agg(
+                F.min("doc_id").alias("keep"), F.count(F.lit(1)).alias("c"))),
+            ("minhash_signatures", minhash_signatures(docs)),
+            ("pack_sharded", pack_sharded(docs)),
+            ("crossdoc_dup", crossdoc_dup(docs)),
+            ("emb_bucket_pairs", emb_bucket_pairs(embs)),
+        ):
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = time.perf_counter() - t0
         print(
-            f"scale={n:>3} rows={rows:>8} dedup_exact_hash={t_dedup:6.2f}s "
-            f"minhash_signatures={t_sig:6.2f}s"
+            f"scale={n:>3} rows={rows:>8} "
+            + " ".join(f"{k}={v:6.2f}s" for k, v in timings.items())
         )
     spark.stop()
 
