@@ -2037,3 +2037,426 @@ def nested_struct_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             (total.cast("double") / 100).alias("total_qty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H shapes, round 2 (fixtures lack partsupp; Q2/9/11/16/20 are the
+# only classic shapes that genuinely need it)
+# ---------------------------------------------------------------------------
+
+_REV_SQL = (
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))"
+    " * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)"
+)
+
+
+@register(
+    "q8_market_share",
+    oracle=f"""
+        WITH flat AS (
+            SELECT year(o_orderdate) AS o_year,
+                   CAST(l_extendedprice AS DECIMAL(12,2))
+                       * (1 - CAST(l_discount AS DECIMAL(4,2))) AS volume,
+                   sn.n_name AS supp_nation
+            FROM lineitem
+            JOIN orders   ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation cn ON cn.n_nationkey = c_nationkey
+            JOIN region   ON r_regionkey = cn.n_regionkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation sn ON sn.n_nationkey = s_nationkey
+            JOIN part     ON p_partkey = l_partkey
+            WHERE r_name = 'AMERICA'
+              AND p_type LIKE 'STANDARD%'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+        )
+        SELECT o_year,
+               round(CAST(SUM(CASE WHEN supp_nation = 'NATION_3'
+                                   THEN volume ELSE 0 END) AS DOUBLE)
+                     / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+        FROM flat
+        GROUP BY o_year
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): an 8-table star flattened
+    once, then a conditional-ratio aggregate per year.
+
+    Scale: every dimension (nation x2, region, customer, supplier, part)
+    broadcasts; orders⋈lineitem is the only real shuffle.  The ratio is
+    exact-decimal on both engines, divided as doubles in the same order."""
+    cutoff_lo = F.lit("1996-01-01").cast("timestamp")
+    cutoff_hi = F.lit("1998-01-01").cast("timestamp")
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= cutoff_lo) & (F.col("o_orderdate") < cutoff_hi)
+    )
+    cust = load(spark, sf_dir, "customer")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    supp = load(spark, sf_dir, "supplier")
+    part = load(spark, sf_dir, "part").where(F.startswith("p_type", F.lit("STANDARD")))
+    cn = nat.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    sn = nat.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol_fp = fixed("l_extendedprice", 2) * (F.lit(100) - fixed("l_discount", 2))
+    flat = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(reg), F.col("cn_region") == reg.r_regionkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    )
+    num = F.sum(F.when(F.col("supp_nation") == "NATION_3", vol_fp).otherwise(F.lit(0)))
+    den = F.sum(vol_fp)
+    return (
+        flat.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                (num.cast("double") / 1e4) / (den.cast("double") / 1e4), 6
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "q10_returned_items",
+    oracle=f"""
+        SELECT c_custkey, c_name, {_REV_SQL} AS revenue, c_acctbal, n_name
+        FROM customer
+        JOIN orders   ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation   ON n_nationkey = c_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+    tags=("join", "agg", "topk", "tpch"),
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): quarter of orders,
+    returned lineitems only, revenue per customer, top 20.
+
+    Scale: nation broadcasts, customer broadcasts after the orders filter
+    prunes; the orders⋈lineitem shuffle carries only the quarter.  Top-k
+    plans TakeOrderedAndProject — no global sort."""
+    q_lo = F.lit("1996-10-01").cast("timestamp")
+    q_hi = F.lit("1997-01-01").cast("timestamp")
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= q_lo) & (F.col("o_orderdate") < q_hi)
+    )
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    nat = load(spark, sf_dir, "nation")
+    rev_fp = fixed("l_extendedprice", 2) * (F.lit(100) - fixed("l_discount", 2))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg((F.sum(rev_fp).cast("double") / 1e4).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (
+            SELECT c_custkey, COUNT(o_orderkey) AS c_count
+            FROM customer
+            LEFT JOIN orders ON o_custkey = c_custkey
+                            AND o_orderpriority <> '1-URGENT'
+            GROUP BY c_custkey
+        )
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
+    tags=("join", "agg", "histogram", "tpch"),
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): left join with
+    a join-side-only predicate, per-customer count (nulls uncounted),
+    then a histogram of the counts — aggregation over an aggregation.
+
+    Scale: the outer histogram's key space is tiny (distinct counts), so
+    the second exchange is negligible; the left join shuffles on custkey
+    once."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no, {_REV_SQL} AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1997-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        ORDER BY s_suppkey
+    """,
+    tags=("join", "agg", "subquery", "tpch"),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): a revenue "view" reused twice —
+    once joined to supplier, once aggregated to its max — the classic
+    shared-subplan query.
+
+    Determinism note: the max-equality compares doubles, but both sides
+    derive them from the same exact decimal sums, so the comparison is
+    bit-exact.  Scale: revenue is one lineitem shuffle on suppkey; the
+    max is a 1-row broadcast back."""
+    q_lo = F.lit("1997-01-01").cast("timestamp")
+    q_hi = F.lit("1997-04-01").cast("timestamp")
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= q_lo) & (F.col("l_shipdate") < q_hi)
+    )
+    rev_fp = fixed("l_extendedprice", 2) * (F.lit(100) - fixed("l_discount", 2))
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        (F.sum(rev_fp).cast("double") / 1e4).alias("total_revenue")
+    )
+    best = revenue.agg(F.max("total_revenue").alias("best_rev"))
+    supp = load(spark, sf_dir, "supplier")
+    return (
+        supp.join(revenue, supp.s_suppkey == revenue.supplier_no)
+        .join(F.broadcast(best), F.col("total_revenue") == F.col("best_rev"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+               AS avg_yearly
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#23' AND p_size <= 5
+          AND l_quantity < (
+              SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                            / COUNT(*))
+              FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+          )
+    """,
+    tags=("join", "subquery", "correlated", "tpch", "sql"),
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): correlated scalar
+    aggregate per part (20% of its average quantity) gating the fact
+    rows, via the SQL surface — Catalyst decorrelates to an aggregate +
+    join, never a per-row re-execution.
+
+    Determinism: the per-part average is an exact decimal sum divided as
+    doubles in the same order on both engines."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_q17")
+    load(spark, sf_dir, "part").createOrReplaceTempView("part_q17")
+    return spark.sql(
+        """
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+               AS avg_yearly
+        FROM lineitem_q17 JOIN part_q17 ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#23' AND p_size <= 5
+          AND l_quantity < (
+              SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                            / COUNT(*))
+              FROM lineitem_q17 l2 WHERE l2.l_partkey = p_partkey
+          )
+        """
+    )
+
+
+@register(
+    "q18_large_volume_customer",
+    oracle="""
+        WITH big AS (
+            SELECT l_orderkey,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+            FROM lineitem
+            GROUP BY l_orderkey
+            HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) > 250.0
+        )
+        SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+        FROM big
+        JOIN orders   ON o_orderkey = big.l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 20
+    """,
+    tags=("join", "agg", "having", "topk", "tpch"),
+)
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): a HAVING-gated
+    aggregation over the fact table drives the join back to its
+    dimensions, top 20 by order value.
+
+    Scale: the big-order set after HAVING is tiny, so both joins
+    broadcast IT rather than shuffling orders/customer; top-k is
+    TakeOrderedAndProject."""
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg((F.sum(fixed("l_quantity", 2)).cast("double") / 1e2).alias("sum_qty"))
+        .where(F.col("sum_qty") > 250.0)
+    )
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    return (
+        F.broadcast(big)
+        .join(orders, orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q21_waiting_supplier",
+    oracle="""
+        WITH flat AS (
+            SELECT l_orderkey, l_suppkey,
+                   CASE WHEN l_shipdate > o_orderdate THEN 1 ELSE 0 END AS late
+            FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+            WHERE o_orderstatus = 'F'
+        ),
+        per_order AS (
+            SELECT l_orderkey,
+                   COUNT(DISTINCT l_suppkey) AS n_supps,
+                   COUNT(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS n_late
+            FROM flat
+            GROUP BY l_orderkey
+        )
+        SELECT s_name, COUNT(*) AS numwait
+        FROM flat
+        JOIN per_order USING (l_orderkey)
+        JOIN supplier ON s_suppkey = l_suppkey
+        WHERE flat.late = 1 AND per_order.n_supps > 1 AND per_order.n_late = 1
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 10
+    """,
+    tags=("join", "agg", "exists", "tpch"),
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting), reformulated
+    from EXISTS / NOT-EXISTS self-joins into one per-order aggregate:
+    the sole late supplier on a multi-supplier finished order ("late" =
+    shipped after order date; fixtures carry no commit/receipt dates).
+
+    Scale: the aggregate formulation reads lineitem ONCE where the
+    classic form self-joins it twice — the per-order supplier counts are
+    a partial-agg-friendly shuffle on orderkey, then a broadcast-back."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    flat = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            F.when(F.col("l_shipdate") > F.col("o_orderdate"), 1).otherwise(0).alias("late"),
+        )
+        .localCheckpoint()  # reused twice below; one lineitem scan, not two
+    )
+    per_order = flat.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias("n_late"),
+    )
+    supp = load(spark, sf_dir, "supplier")
+    return (
+        flat.join(per_order, "l_orderkey")
+        .where((F.col("late") == 1) & (F.col("n_supps") > 1) & (F.col("n_late") == 1))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(10)
+    )
+
+
+@register(
+    "q22_global_sales_opportunity",
+    oracle="""
+        WITH avg_bal AS (
+            SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) / COUNT(*)
+                   AS threshold
+            FROM customer WHERE c_acctbal > 0.0
+        )
+        SELECT c_mktsegment,
+               COUNT(*) AS numcust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS totacctbal
+        FROM customer, avg_bal
+        WHERE c_acctbal > avg_bal.threshold
+          AND NOT EXISTS (
+              SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 400000.0
+          )
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
+    tags=("join", "anti", "subquery", "agg", "tpch"),
+)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (sales opportunity): customers above the positive
+    average balance with no high-value orders — an uncorrelated scalar
+    aggregate gate plus an anti-join, grouped by segment (fixtures carry
+    no phone country codes; mktsegment plays that role).
+
+    Scale: the average-balance gate broadcasts as one row; the NOT
+    EXISTS is a shuffle-free broadcast anti-join against the filtered
+    high-value orders."""
+    cust = load(spark, sf_dir, "customer")
+    thr = (
+        cust.where(F.col("c_acctbal") > 0.0)
+        .agg(
+            (F.sum(dec("c_acctbal", 2, 14)).cast("double") / F.count(F.lit(1))).alias(
+                "threshold"
+            )
+        )
+    )
+    big_orders = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000.0)
+    return (
+        cust.join(F.broadcast(thr))
+        .where(F.col("c_acctbal") > F.col("threshold"))
+        .join(
+            F.broadcast(big_orders.select("o_custkey").distinct()),
+            cust.c_custkey == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(dec("c_acctbal", 2, 14)).cast("double").alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
