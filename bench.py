@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from discogs_etl_spark.registry import bench_specs
 from discogs_etl_spark.session import get_spark
+from discogs_etl_spark.tables import load
 
 
 def _sf_from_dir(sf_dir: str) -> float:
@@ -36,9 +37,38 @@ def main() -> None:
     spark = get_spark(app_name="discogs-etl-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warmup: JVM + parquet reader + codegen paths.
+    # Warmup: JVM + parquet reader + codegen paths, for every table the
+    # bench set scans (otherwise the alphabetically-first queries absorb
+    # the cold-scan cost and timings measure warmup order, not plans).
     spark.range(1_000_000).selectExpr("sum(id)").collect()
-    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    for table in (
+        "lineitem",
+        "orders",
+        "customer",
+        "supplier",
+        "part",
+        "nation",
+        "region",
+        "events",
+        "documents",
+        "embeddings",
+    ):
+        load(spark, sf_dir, table).count()
+    # Expression-codegen warmup: the first regex/hash/array-lambda-heavy
+    # task pays JVM JIT + whole-stage-codegen compile (~2-8s measured);
+    # run each expression family once on synthetic rows so query timings
+    # measure plans, not first-compile latency.
+    spark.range(20_000).selectExpr(
+        "cast(id as string) AS s",
+        "md5(cast(id as string)) AS h",
+        "regexp_replace(lower(cast(id as string)), '[^a-z0-9 ]', ' ') AS r",
+        "split(cast(id as string), '0') AS w",
+    ).selectExpr(
+        "size(w) AS n",
+        "array_min(transform(w, x -> length(x))) AS m",
+        "conv(substring(h, 1, 12), 16, 10) AS c",
+        "row_number() OVER (PARTITION BY size(w) ORDER BY s) AS rn",
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name, spec in sorted(bench_specs().items()):

@@ -1086,11 +1086,20 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
     )
     edges = pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a"))).toDF("u", "v")
+    # Round 1 fused into initialization: min(node, direct neighbors) is one
+    # grouped min over edges ∪ self-loops — same shuffle the old
+    # distinct-then-propagate init paid for labels alone, one fewer
+    # join+agg round on the wire (measured ~1s/round of fixed latency at
+    # small scale; at 100 TB a full map-reduce pass saved per run).
     labels = (
-        edges.select(F.col("u").alias("node")).distinct().withColumn("lbl", F.col("node"))
+        edges.union(edges.select(F.col("u"), F.col("u")))
+        .groupBy("u")
+        .agg(F.min("v").alias("lbl"))
+        .withColumnRenamed("u", "node")
+        .cache()
     )
-    prev_sum = None
-    prev_labels = None
+    prev_sum = labels.agg(F.sum(F.col("lbl").cast("decimal(38,0)"))).first()[0]
+    prev_labels = labels
     while True:
         msgs = edges.join(labels, edges.u == labels.node).select(
             F.col("v").alias("node"), "lbl"
