@@ -2460,3 +2460,347 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H partsupp-family shapes (Q2/Q9/Q11/Q16/Q20) over a DERIVED partsupp
+# ---------------------------------------------------------------------------
+#
+# The fixtures carry no partsupp table, so the supplier-part economics these
+# five queries need are derived deterministically from observed lineitems:
+#   ps_supplycost_c  = MIN unit price (extendedprice/quantity) in exact cents
+#   ps_availqty_f2   = total shipped quantity in exact hundredths
+# Both are int64, so every downstream product/sum stays in exact fixed-point
+# arithmetic and the DuckDB twin (same BIGINT mirror) matches bit-for-bit.
+# Scale: the derivation is ONE partial-agg-friendly shuffle of lineitem on
+# (partkey, suppkey); its output has dimension-table cardinality
+# (|part|x|avg suppliers per part|), far below the fact table, and is the
+# natural thing to materialize once per lake snapshot at 100 TB.
+
+_PS_SQL = """
+        SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               MIN(CAST(ROUND(l_extendedprice / l_quantity * 100) AS BIGINT))
+                   AS ps_supplycost_c,
+               SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS ps_availqty_f2
+        FROM lineitem
+        GROUP BY l_partkey, l_suppkey
+"""
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived partsupp (see section comment above)."""
+    li = load(spark, sf_dir, "lineitem")
+    unit_cents = F.round(F.col("l_extendedprice") / F.col("l_quantity") * 100).cast("long")
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
+    ).agg(
+        F.min(unit_cents).alias("ps_supplycost_c"),
+        F.sum(fixed("l_quantity", 2)).alias("ps_availqty_f2"),
+    )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle=f"""
+        WITH ps AS ({_PS_SQL}),
+        eligible AS (
+            SELECT ps_partkey, ps_supplycost_c, s_acctbal, s_name, n_name
+            FROM ps
+            JOIN supplier ON s_suppkey = ps_suppkey
+            JOIN nation   ON n_nationkey = s_nationkey
+            JOIN region   ON r_regionkey = n_regionkey
+            WHERE r_name = 'EUROPE'
+        )
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+               CAST(ps_supplycost_c AS DOUBLE) / 100 AS supplycost
+        FROM eligible
+        JOIN part ON p_partkey = ps_partkey
+        WHERE p_size = 15 AND p_type = 'ECONOMY'
+          AND ps_supplycost_c = (
+              SELECT MIN(e2.ps_supplycost_c) FROM eligible e2
+              WHERE e2.ps_partkey = p_partkey
+          )
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100
+    """,
+    tags=("join", "subquery", "correlated", "tpch", "partsupp"),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): for each qualifying part,
+    the European supplier(s) offering it at the region-wide minimum cost —
+    a correlated MIN subquery expressed as a per-part window minimum.
+
+    Scale: supplier x nation x region broadcast into the derived partsupp;
+    the min-per-part is a window over the partkey shuffle (no second scan,
+    no self-join), and cost equality compares exact cents, never doubles."""
+    ps = _partsupp(spark, sf_dir)
+    supp = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    eligible = (
+        ps.join(F.broadcast(supp), ps.ps_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("ps_partkey", "ps_supplycost_c", "s_acctbal", "s_name", "n_name")
+    )
+    part = load(spark, sf_dir, "part").where(
+        (F.col("p_size") == 15) & (F.col("p_type") == "ECONOMY")
+    )
+    w = Window.partitionBy("ps_partkey")
+    return (
+        eligible.join(F.broadcast(part), eligible.ps_partkey == part.p_partkey)
+        .withColumn("min_cost_c", F.min("ps_supplycost_c").over(w))
+        .where(F.col("ps_supplycost_c") == F.col("min_cost_c"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            (F.col("ps_supplycost_c").cast("double") / 100).alias("supplycost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q9_product_type_profit",
+    oracle=f"""
+        WITH ps AS ({_PS_SQL})
+        SELECT n_name AS nation, EXTRACT(YEAR FROM o_orderdate) AS o_year,
+               CAST(SUM(
+                   CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                   - ps_supplycost_c * CAST(ROUND(l_quantity * 100) AS BIGINT)
+               ) AS DOUBLE) / 10000.0 AS sum_profit
+        FROM lineitem
+        JOIN part     ON p_partkey = l_partkey
+        JOIN ps       ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation   ON n_nationkey = s_nationkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        WHERE p_name LIKE '%bolt%'
+        GROUP BY n_name, EXTRACT(YEAR FROM o_orderdate)
+        ORDER BY nation, o_year DESC
+    """,
+    tags=("join", "agg", "tpch", "partsupp"),
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): per nation-year profit =
+    revenue minus supply cost for one product family, across a five-way
+    join of the fact table to the derived partsupp and its dimensions.
+
+    Scale: part/supplier/nation broadcast; lineitem joins partsupp on its
+    (partkey, suppkey) shuffle and orders on the orderkey shuffle — the
+    two unavoidable fact-side exchanges.  Profit accumulates in exact
+    fixed-point (scale 10^-4) int64, one value per row, so partial
+    aggregation is a primitive-long hash-agg."""
+    ps = _partsupp(spark, sf_dir)
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").where(F.col("p_name").like("%bolt%"))
+    supp = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    orders = load(spark, sf_dir, "orders")
+    profit_fp = fixed("l_extendedprice", 2) * (F.lit(100) - fixed("l_discount", 2)) - F.col(
+        "ps_supplycost_c"
+    ) * fixed("l_quantity", 2)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(ps, (li.l_partkey == ps.ps_partkey) & (li.l_suppkey == ps.ps_suppkey))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg((F.sum(profit_fp).cast("double") / 1e4).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@register(
+    "q11_important_stock",
+    oracle=f"""
+        WITH ps AS ({_PS_SQL}),
+        natps AS (
+            SELECT ps_partkey, ps_supplycost_c * ps_availqty_f2 AS value_f4
+            FROM ps
+            JOIN supplier ON s_suppkey = ps_suppkey
+            JOIN nation   ON n_nationkey = s_nationkey
+            WHERE n_name = 'NATION_3'
+        )
+        SELECT ps_partkey, CAST(SUM(value_f4) AS DOUBLE) / 10000.0 AS value
+        FROM natps
+        GROUP BY ps_partkey
+        HAVING CAST(SUM(value_f4) AS DOUBLE) / 10000.0 > (
+            SELECT CAST(SUM(value_f4) AS DOUBLE) / 10000.0 * 0.001 FROM natps
+        )
+        ORDER BY value DESC, ps_partkey
+    """,
+    tags=("join", "agg", "having", "subquery", "tpch", "partsupp"),
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock identification): per-part inventory
+    value for one nation's suppliers, kept only where it exceeds a fixed
+    fraction of that nation's total — an uncorrelated scalar-aggregate gate.
+
+    Scale: nation-filtered supplier broadcasts into partsupp; the per-part
+    value is one shuffle on partkey, and the global total re-aggregates the
+    per-part sums (tiny) rather than rescanning — the one-row threshold then
+    broadcasts back.  Value products stay exact int64 (cents x hundredths)."""
+    ps = _partsupp(spark, sf_dir)
+    supp = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
+    natps = (
+        ps.join(F.broadcast(supp), ps.ps_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .select(
+            "ps_partkey",
+            (F.col("ps_supplycost_c") * F.col("ps_availqty_f2")).alias("value_f4"),
+        )
+    )
+    per_part = natps.groupBy("ps_partkey").agg(F.sum("value_f4").alias("sum_f4"))
+    total = per_part.agg(
+        (F.sum("sum_f4").cast("double") / 1e4 * 0.001).alias("threshold")
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .withColumn("value", F.col("sum_f4").cast("double") / 1e4)
+        .where(F.col("value") > F.col("threshold"))
+        .select("ps_partkey", "value")
+        .orderBy(F.desc("value"), "ps_partkey")
+    )
+
+
+@register(
+    "q16_parts_supplier_count",
+    oracle=f"""
+        WITH ps AS ({_PS_SQL})
+        SELECT p_brand, p_type, p_size,
+               COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+        FROM ps
+        JOIN part ON p_partkey = ps_partkey
+        WHERE p_brand <> 'Brand#5'
+          AND p_type NOT LIKE 'ECONOMY%'
+          AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+          AND ps_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0
+          )
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    tags=("join", "anti", "agg", "distinct", "tpch", "partsupp"),
+)
+def q16_parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): distinct supplier
+    counts per (brand, type, size) bucket, excluding one brand, one type
+    family, and black-listed suppliers via NOT IN (negative account
+    balance stands in for the complaints predicate — fixtures carry no
+    supplier comments).
+
+    Scale: the supplier blacklist and the filtered part dimension both
+    broadcast (anti-join + inner join); the count-distinct shuffles the
+    already-dimension-sized partsupp once on the grouping key."""
+    ps = _partsupp(spark, sf_dir)
+    bad_supp = load(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0.0)
+    part = load(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#5")
+        & (~F.col("p_type").like("ECONOMY%"))
+        & (F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
+    )
+    return (
+        ps.join(
+            F.broadcast(bad_supp.select("s_suppkey")),
+            ps.ps_suppkey == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(part), ps.ps_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "q20_potential_promotion",
+    oracle=f"""
+        WITH ps AS ({_PS_SQL}),
+        shipped97 AS (
+            SELECT l_partkey, l_suppkey,
+                   SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS qty97_f2
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY l_partkey, l_suppkey
+        )
+        SELECT s_name, s_acctbal
+        FROM supplier
+        JOIN nation ON n_nationkey = s_nationkey
+        JOIN region ON r_regionkey = n_regionkey
+        WHERE r_name = 'EUROPE'
+          AND s_suppkey IN (
+              SELECT ps_suppkey
+              FROM ps
+              JOIN shipped97 ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+              WHERE ps_partkey IN (
+                  SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+              )
+                AND qty97_f2 > ps_availqty_f2 * 0.15
+          )
+        ORDER BY s_name
+    """,
+    tags=("join", "semi", "subquery", "tpch", "partsupp"),
+)
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): European suppliers whose
+    1997 shipments of a 'small' part exceeded 15% of their all-time volume
+    for it (above the uniform 1/7 share of the fixtures' seven shipping
+    years) — nested IN subqueries with a correlated quantity threshold.
+
+    Scale: both IN subqueries become broadcast semi-joins (the part-name
+    filter on the dimension, then the qualifying supplier set — at most
+    |supplier| rows); partsupp joins the 1997 per-pair aggregate on the
+    same (partkey, suppkey) shuffle key it was built on, so AQE coalesces
+    rather than re-exchanges.  The 15% comparison multiplies exact int64
+    hundredths by a double on both engines — bit-identical inputs, one
+    IEEE op, identical verdicts."""
+    ps = _partsupp(spark, sf_dir)
+    li = load(spark, sf_dir, "lineitem")
+    shipped97 = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(fixed("l_quantity", 2)).alias("qty97_f2"))
+    )
+    small_parts = load(spark, sf_dir, "part").where(F.col("p_name").like("small%"))
+    qualifying = (
+        ps.join(
+            F.broadcast(small_parts.select("p_partkey")),
+            ps.ps_partkey == F.col("p_partkey"),
+            "left_semi",
+        )
+        .join(
+            shipped97,
+            (ps.ps_partkey == shipped97.l_partkey) & (ps.ps_suppkey == shipped97.l_suppkey),
+        )
+        .where(F.col("qty97_f2") > F.col("ps_availqty_f2") * 0.15)
+        .select("ps_suppkey")
+    )
+    supp = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    return (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .join(
+            F.broadcast(qualifying),
+            supp.s_suppkey == F.col("ps_suppkey"),
+            "left_semi",
+        )
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
