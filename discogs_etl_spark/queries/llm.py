@@ -1831,3 +1831,210 @@ def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_overlap_shingles"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus production ops: redaction, mixture sampling, shuffle-sharding,
+# boilerplate detection
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_redact_pii",
+    oracle=r"""
+        WITH pat AS (
+            SELECT doc_id,
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(text,
+                               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}',
+                               '<EMAIL>', 'g'),
+                           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                       '\bspark\b', '<TERM>', 'g') AS redacted,
+                   CAST(regexp_extract_all(text,
+                        '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}') AS VARCHAR[])
+                       AS _em,
+                   CAST(regexp_extract_all(text,
+                        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b') AS VARCHAR[]) AS _ip,
+                   CAST(regexp_extract_all(text, '\bspark\b') AS VARCHAR[]) AS _tm
+            FROM documents
+        )
+        SELECT doc_id, redacted,
+               CAST(len(_em) + len(_ip) + len(_tm) AS BIGINT) AS n_redactions
+        FROM pat
+        WHERE len(_em) + len(_ip) + len(_tm) > 0
+        ORDER BY doc_id
+    """,
+    tags=("text", "pii", "redaction"),
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII / blocklist redaction: replace email addresses, IPv4 addresses,
+    and blocklisted terms with typed placeholder tokens, reporting the
+    per-document redaction count — the standard scrub pass before any
+    corpus leaves the curation pipeline.  (The synthetic fixtures carry no
+    real PII, so a present term exercises the replacement path; the
+    email/IP patterns are live for real corpora.)
+
+    Scale: pure map-side regexp chain, whole-stage codegen, no shuffle;
+    the count filter prunes clean documents before they reach the sink."""
+    email = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+    ipv4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+    term = r"\bspark\b"
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), email, "<EMAIL>"), ipv4, "<IP>"
+        ),
+        term,
+        "<TERM>",
+    )
+    n_red = (
+        F.regexp_count(F.col("text"), F.lit(email))
+        + F.regexp_count(F.col("text"), F.lit(ipv4))
+        + F.regexp_count(F.col("text"), F.lit(term))
+    ).cast("long")
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", redacted.alias("redacted"), n_red.alias("n_redactions"))
+        .where(F.col("n_redactions") > 0)
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "corpus_mix_sources",
+    oracle="""
+        WITH rated AS (
+            SELECT doc_id, source,
+                   CASE (('0x' || substr(md5(source), 1, 8))::BIGINT % 4)
+                        WHEN 0 THEN 1.00 WHEN 1 THEN 0.50
+                        WHEN 2 THEN 0.25 ELSE 0.10 END AS rate,
+                   (('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                        % 10000) / 10000.0 AS u
+            FROM documents
+        )
+        SELECT source,
+               CAST(ROUND(ANY_VALUE(rate) * 100) AS BIGINT) AS rate_pct,
+               COUNT(*) AS n_docs,
+               COUNT(*) FILTER (WHERE u < rate) AS n_kept
+        FROM rated
+        GROUP BY source
+        ORDER BY source
+    """,
+    tags=("sampling", "mixture", "deterministic"),
+)
+def corpus_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sampling: each source gets a target sampling rate
+    (here derived deterministically from the source name; in production a
+    supplied weights table) and documents are kept by comparing a
+    content-keyed uniform hash against it — the op that turns raw crawl
+    proportions into the training mixture.  Reported per source: rate,
+    population, and kept count.
+
+    Scale: rate lookup and keep-decision are map-side (the weights table
+    broadcasts when real); the only shuffle is the per-source count agg.
+    Hash-based keeps are reproducible across runs, partitionings, and
+    engines — rand() sampling is none of these."""
+    docs = load(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.conv(F.substring(F.md5("source"), 1, 8), 16, 10).cast("long") % 4 == 0, 1.00)
+        .when(F.conv(F.substring(F.md5("source"), 1, 8), 16, 10).cast("long") % 4 == 1, 0.50)
+        .when(F.conv(F.substring(F.md5("source"), 1, 8), 16, 10).cast("long") % 4 == 2, 0.25)
+        .otherwise(0.10)
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 10000
+    ) / 10000.0
+    return (
+        docs.select("doc_id", "source", rate.alias("rate"), u.alias("u"))
+        .groupBy("source")
+        .agg(
+            F.round(F.any_value("rate") * 100).cast("long").alias("rate_pct"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("u") < F.col("rate"), 1)).alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "corpus_shuffle_shards",
+    oracle="""
+        SELECT doc_id,
+               ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8
+                   AS shard,
+               ROW_NUMBER() OVER (
+                   PARTITION BY ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8
+                   ORDER BY md5('pos:' || CAST(doc_id AS VARCHAR)), doc_id
+               ) AS pos
+        FROM documents
+    """,
+    tags=("sampling", "shuffle", "shard", "deterministic"),
+)
+def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + sharding for training: every document
+    gets a shard (keyed hash — shards are balanced in expectation) and a
+    reproducible pseudo-random position within it (ordering by a second,
+    independent hash).  This is the "shuffle the corpus before training"
+    op, with none of rand()'s run-to-run drift.
+
+    Scale: ONE shuffle on the shard key, then a per-shard sort — each
+    shard sorts independently (no global order), so the sort parallelism
+    equals the shard count; writers consume shards as files directly."""
+    shard = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 8
+    )
+    pos_key = F.md5(F.concat(F.lit("pos:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("shard").orderBy("pos_key", "doc_id")
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", shard.alias("shard"), pos_key.alias("pos_key"))
+        .select("doc_id", "shard", F.row_number().over(w).alias("pos"))
+    )
+
+
+@register(
+    "boilerplate_prefix_groups",
+    oracle="""
+        WITH pref AS (
+            SELECT doc_id,
+                   array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ')
+                       AS prefix
+            FROM documents
+        )
+        SELECT md5(prefix) AS prefix_hash,
+               COUNT(*) AS n_docs,
+               MIN(doc_id) AS first_doc_id
+        FROM pref
+        GROUP BY md5(prefix)
+        HAVING COUNT(*) > 1
+        ORDER BY n_docs DESC, prefix_hash
+    """,
+    tags=("text", "boilerplate", "dedup"),
+)
+def boilerplate_prefix_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate / template detection: documents sharing an identical
+    8-word prefix (hashed) are grouped — repeated prefixes across unrelated
+    documents are the signature of scraped headers, cookie banners, and
+    license stubs that dedup-by-whole-content misses.
+
+    Scale: map-side prefix hash, one partial-agg-friendly shuffle on the
+    16-byte hash, HAVING prunes singletons before the sink — the same
+    shape (and cost) as exact-hash dedup."""
+    prefix = F.array_join(F.slice(F.split(F.col("text"), " "), 1, 8), " ")
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.md5(prefix).alias("prefix_hash"))
+        .groupBy("prefix_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc_id"))
+        .where(F.col("n_docs") > 1)
+        .orderBy(F.desc("n_docs"), "prefix_hash")
+    )
