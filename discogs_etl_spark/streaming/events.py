@@ -331,3 +331,95 @@ def stream_events_to_lake(
     q.awaitTermination()
     return out
 
+
+@register(
+    "stream_dedup_watermark",
+    oracle="""
+        SELECT event_id, ts, user_id, event_type, value
+        FROM events
+    """,
+    tags=("streaming", "dedup", "watermark"),
+)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication with bounded state:
+    ``dropDuplicatesWithinWatermark`` on the event key.  The fixture
+    stream is doubled first (map-side explode — duplicate delivery is
+    exactly what at-least-once sources produce), and the operator
+    restores one row per event_id; the oracle is simply the original
+    table.
+
+    Scale: dedup state holds one key per event inside the watermark
+    horizon and is dropped as event time passes — unbounded streams run
+    with bounded memory, which plain dropDuplicates cannot promise."""
+    events = read_events_stream(spark, sf_dir)
+    doubled = events.select(
+        "event_id", "ts", "user_id", "event_type", "value",
+        F.explode(F.array(F.lit(1), F.lit(2))).alias("delivery"),
+    ).drop("delivery")
+    deduped = doubled.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    return run_stream_to_table(deduped, "stream_dedup_watermark_sink", "append")
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+        SELECT a.user_id,
+               a.event_id AS view_event_id,
+               b.event_id AS click_event_id,
+               a.ts AS view_ts,
+               b.ts AS click_ts
+        FROM events a
+        JOIN events b
+          ON a.user_id = b.user_id
+         AND a.event_type = 'view' AND b.event_type = 'click'
+         AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    """,
+    tags=("streaming", "join", "interval"),
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream INNER join with an event-time interval condition:
+    each view event pairs with the same user's click events landing
+    within the following 30 minutes — the attribution-join shape
+    (impression ⋈ conversion).  Both sides carry watermarks; the time
+    bound lets Spark expire buffered rows instead of holding both
+    streams forever.
+
+    Scale: state per side is bounded by (watermark + interval) of
+    buffered rows per user key; the join shuffles both streams once on
+    user_id.  Without the interval condition this would be an
+    ever-growing-state anti-pattern — the bound IS the design."""
+    views = (
+        read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user_id"),
+            F.col("event_id").alias("view_event_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "2 hours")
+    )
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("event_id").alias("click_event_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    joined = views.join(
+        clicks,
+        (F.col("v_user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select(
+        F.col("v_user_id").alias("user_id"),
+        "view_event_id",
+        "click_event_id",
+        "view_ts",
+        "click_ts",
+    )
+    return run_stream_to_table(joined, "stream_stream_join_sink", "append")
