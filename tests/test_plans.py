@@ -105,3 +105,53 @@ def test_curate_pipeline_single_normalization(spark, q):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("regexp_replace") <= 2
     assert plan.count("split(") <= 1
+
+
+def test_partsupp_family_no_cartesian(spark, q):
+    """The derived-partsupp TPC-H shapes must stay hash/broadcast joins —
+    a lost equi-condition (e.g. on the two-column partsupp key) would
+    surface as a nested-loop join."""
+    for name in ("q2_min_cost_supplier", "q9_product_type_profit",
+                 "q11_important_stock", "q16_parts_supplier_count",
+                 "q20_potential_promotion"):
+        plan = _plan(q[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
+        # q11's one-row threshold joins as a broadcast nested loop by
+        # design (no join key); everything else must be hash-joined.
+        if name != "q11_important_stock":
+            assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_q2_min_via_window_not_self_join(spark, q):
+    """Q2's correlated MIN must be a per-part window over one partsupp
+    pass, not a second partsupp derivation + self-join (one lineitem
+    aggregation in the plan, not two)."""
+    plan = _plan(q["q2_min_cost_supplier"](spark, SF))
+    assert "Window" in plan
+    assert plan.count("partial_min") <= 1
+
+
+def test_boilerplate_groups_partial_agg(spark, q):
+    """Exact-hash-dedup shape: map-side partial aggregation must precede
+    the single exchange on the prefix hash."""
+    plan = _plan(q["boilerplate_prefix_groups"](spark, SF))
+    # one hash exchange for the agg (the second is the output ordering's
+    # range partitioner, not a data-motion cost of the dedup itself)
+    assert plan.count("hashpartitioning") == 1
+    assert "partial_count" in plan
+
+
+def test_shuffle_shards_partitioned_sort(spark, q):
+    """The shard window must partition by shard — a partition-less window
+    here would be a single-task global sort of the corpus."""
+    plan = _plan(q["corpus_shuffle_shards"](spark, SF))
+    assert "windowspecdefinition(shard" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_redact_pii_map_side(spark, q):
+    """Redaction itself is map-only: no exchange may appear below the
+    final ordering of the filtered output."""
+    plan = _plan(q["text_redact_pii"](spark, SF))
+    # one Sort for the deterministic output order; no aggregation exchanges
+    assert "HashAggregate" not in plan
