@@ -141,6 +141,50 @@ def emb_bucket_pairs(embs):
     ).groupBy("bucket").agg(F.count(F.lit(1)).alias("pairs"))
 
 
+def enlarged_lineitem(spark, n: int):
+    base = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    if n == 1:
+        return base
+    reps = spark.range(n).repartition(min(n, 32))
+    # keys shifted per copy: the (partkey, suppkey) grouping cardinality
+    # grows n-fold with the rows — partsupp derivation sees MORE groups,
+    # not hotter ones (the honest scale axis for a dimension derivation)
+    return reps.join(F.broadcast(base)).select(
+        (F.col("l_partkey") + F.col("id") * 1_000_000).alias("l_partkey"),
+        (F.col("l_suppkey") + F.col("id") * 1_000_000).alias("l_suppkey"),
+        "l_quantity",
+        "l_extendedprice",
+    )
+
+
+def partsupp_derive(li):
+    """Round-2 derived partsupp (feeds TPC-H Q2/Q9/Q11/Q16/Q20): one
+    partial-agg shuffle of lineitem on (partkey, suppkey)."""
+    unit_cents = F.round(F.col("l_extendedprice") / F.col("l_quantity") * 100).cast("long")
+    return li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(unit_cents).alias("cost_c"),
+        F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("qty_f2"),
+    )
+
+
+def shuffle_shards(docs):
+    """Round-2 deterministic corpus shuffle: one shuffle on the shard key,
+    then per-shard independent sorts (parallelism = shard count)."""
+    from pyspark.sql.window import Window
+
+    shard = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long")
+        % 64
+    )
+    pos_key = F.md5(F.concat(F.lit("pos:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("shard").orderBy("pos_key", "doc_id")
+    return (
+        docs.select("doc_id", shard.alias("shard"), pos_key.alias("pos_key"))
+        .select("doc_id", "shard", F.row_number().over(w).alias("pos"))
+    )
+
+
 def main() -> None:
     scales = [int(a) for a in sys.argv[1:]] or [1, 5, 20]
     spark = get_spark(app_name="stress")
@@ -159,6 +203,8 @@ def main() -> None:
             ("pack_sharded", pack_sharded(docs)),
             ("crossdoc_dup", crossdoc_dup(docs)),
             ("emb_bucket_pairs", emb_bucket_pairs(embs)),
+            ("partsupp_derive", partsupp_derive(enlarged_lineitem(spark, n))),
+            ("shuffle_shards", shuffle_shards(docs)),
         ):
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
