@@ -2804,3 +2804,62 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", "s_acctbal")
         .orderBy("s_name")
     )
+
+
+@register(
+    "funnel_view_click_purchase",
+    oracle="""
+        WITH v AS (
+            SELECT user_id, MIN(ts) AS t_view
+            FROM events WHERE event_type = 'view' GROUP BY user_id
+        ), c AS (
+            SELECT e.user_id, MIN(e.ts) AS t_click
+            FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t_view
+            WHERE e.event_type = 'click' GROUP BY e.user_id
+        ), p AS (
+            SELECT e.user_id, MIN(e.ts) AS t_purchase
+            FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t_click
+            WHERE e.event_type = 'purchase' GROUP BY e.user_id
+        )
+        SELECT (SELECT COUNT(*) FROM v) AS n_viewed,
+               (SELECT COUNT(*) FROM c) AS n_clicked_after,
+               (SELECT COUNT(*) FROM p) AS n_purchased_after
+    """,
+    tags=("events", "funnel", "sequential"),
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel over the event stream: users whose first
+    view precedes a click precedes a purchase — the sequential-pattern
+    query every product-analytics engine ships (the ordering constraint
+    is what a plain per-type count can't express).
+
+    Scale: each stage is a per-user MIN aggregate, so row volume drops
+    from events to users immediately; stage N's user set broadcasts into
+    the next stage's filtered event scan.  Three passes over events, but
+    each is a map-side type filter pushed to the parquet scan — no
+    events-sized shuffle is ever joined to another events-sized side."""
+    ev = load(spark, sf_dir, "events")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(F.broadcast(v), "user_id")
+        .where(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .where(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_viewed"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_clicked_after")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchased_after")))
+    )

@@ -10,6 +10,10 @@ Each extension point gets one oracle-checked exemplar here:
   for per-entity algorithms (per-group robust stats, resampling,
   model-per-key).
 
+- ``mapInArrow`` (columnar batch map): RecordBatches straight through
+  pyarrow.compute — the zero-pandas-overhead shape for Arrow-native
+  libraries (tokenizers, model servers).
+
 (``mapInPandas`` is exercised by the multimodal pipeline and
 ``applyInPandasWithState`` by the streaming stateful operator.)
 """
@@ -112,4 +116,49 @@ def applyinpandas_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy("lang").applyInPandas(
         _lang_stats_fn,
         schema="lang string, n_docs long, median_chars double, min_chars long, max_chars long",
+    )
+
+
+def _arrow_token_stats(batches):
+    """Arrow-native batch transform: token/byte stats computed with
+    pyarrow.compute kernels directly on RecordBatches — no pandas
+    materialization at all.  The shape for high-throughput columnar
+    Python (tokenizers with Arrow bindings, Arrow-native model servers)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for batch in batches:
+        toks = pc.split_pattern(batch.column("text"), " ")
+        yield pa.RecordBatch.from_arrays(
+            [
+                batch.column("doc_id"),
+                pc.cast(pc.list_value_length(toks), pa.int64()),
+                pc.cast(pc.binary_length(batch.column("text")), pa.int64()),
+            ],
+            names=["doc_id", "n_tokens", "n_bytes"],
+        )
+
+
+@register(
+    "mapinarrow_token_stats",
+    oracle="""
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               strlen(text) AS n_bytes
+        FROM documents
+    """,
+    tags=("python", "mapInArrow", "arrow"),
+)
+def mapinarrow_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` exemplar (§2.11) — the fourth extension point,
+    below even pandas on the overhead ladder: RecordBatches in,
+    RecordBatches out, pyarrow.compute kernels, zero pandas conversion.
+    For THESE stats the JVM split/size path is preferred; the point is
+    the integration shape for Arrow-native libraries.
+
+    Scale: map-only (no shuffle), Arrow batch size bounds memory
+    (spark.sql.execution.arrow.maxRecordsPerBatch)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInArrow(
+        _arrow_token_stats, schema="doc_id long, n_tokens long, n_bytes long"
     )
