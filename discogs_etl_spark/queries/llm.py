@@ -2038,3 +2038,140 @@ def boilerplate_prefix_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_docs") > 1)
         .orderBy(F.desc("n_docs"), "prefix_hash")
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end fuzzy dedup (pairs → components → keep-one) and quantile
+# quality gating
+# ---------------------------------------------------------------------------
+
+_FUZZY_KEEP_ORACLE = f"""
+    WITH RECURSIVE
+    pairs AS ({_MINHASH_ORACLE}),
+    edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    nodes AS (SELECT DISTINCT u AS node FROM edges),
+    reach(node, lbl) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.node
+    ),
+    comp AS (SELECT node AS doc_id, MIN(lbl) AS component_id
+             FROM reach GROUP BY node),
+    scored AS (
+        SELECT doc_id,
+               len(list_distinct(string_split(text, ' '))) AS n_uniq
+        FROM documents
+    ),
+    lab AS (
+        SELECT s.doc_id,
+               COALESCE(c.component_id, s.doc_id) AS component_id,
+               s.n_uniq
+        FROM scored s LEFT JOIN comp c ON s.doc_id = c.doc_id
+    )
+    SELECT component_id, doc_id AS keep_doc_id, n_members
+    FROM (
+        SELECT component_id, doc_id, n_uniq,
+               COUNT(*) OVER (PARTITION BY component_id) AS n_members,
+               ROW_NUMBER() OVER (PARTITION BY component_id
+                                  ORDER BY n_uniq DESC, doc_id) AS rn
+        FROM lab
+    ) WHERE rn = 1
+"""
+
+
+@register(
+    "dedup_fuzzy_keep_one",
+    oracle=_FUZZY_KEEP_ORACLE,
+    tags=("dedup", "pipeline", "keep_best", "graph"),
+)
+def dedup_fuzzy_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE near-dedup product: MinHash-LSH pairs → connected
+    components → highest-quality survivor per component (most unique
+    tokens, doc_id tie-break), with untouched documents kept as their own
+    singleton components.  The output IS the deduplicated corpus roster —
+    what pairs (dedup_minhash_lsh) and groups (dedup_connected_components)
+    each only contribute a stage of.
+
+    Plan: reuses the CC labels (already materialized + cached by the
+    fixpoint loop — the near-dup graph is orders of magnitude smaller
+    than the corpus), BROADCASTS them into a corpus-side left join, then
+    one window shuffle on component_id picks survivors and counts
+    members in the same exchange.
+
+    Scale: the only corpus-sized cost after the MinHash stage is that
+    single component_id window; labels stay broadcast-sized because only
+    docs with a near-dup pair ever enter the graph."""
+    labels = dedup_connected_components(spark, sf_dir)
+    scored = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.array_distinct(_words())).cast("long").alias("n_uniq")
+    )
+    lab = (
+        scored.join(F.broadcast(labels), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component_id", "doc_id").alias("component_id"),
+            "n_uniq",
+        )
+    )
+    wc = Window.partitionBy("component_id")
+    wr = Window.partitionBy("component_id").orderBy(F.desc("n_uniq"), F.asc("doc_id"))
+    return (
+        lab.withColumn("n_members", F.count(F.lit(1)).over(wc))
+        .withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") == 1)
+        .select("component_id", F.col("doc_id").alias("keep_doc_id"), "n_members")
+    )
+
+
+@register(
+    "quality_gate_quantile",
+    oracle="""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                         / len(string_split(text, ' ')), 6) AS score
+            FROM documents
+        ),
+        thr AS (
+            SELECT lang, quantile_disc(score, 0.75) AS thr
+            FROM scored GROUP BY lang
+        )
+        SELECT s.doc_id, s.lang, s.score, t.thr
+        FROM scored s JOIN thr t USING (lang)
+        WHERE s.score >= t.thr
+    """,
+    tags=("text", "quality", "quantile", "gate"),
+)
+def quality_gate_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative quality gating: keep each language's top quartile by
+    type-token ratio — the data-driven alternative to fixed thresholds
+    (text_quality_score) that survives distribution shift between
+    languages and crawl snapshots.
+
+    Plan: two-pass broadcast-threshold shape — pass 1 reduces the corpus
+    to one exact-percentile row per language (percentile_disc SELECTS a
+    member value, so both engines pick the identical rounded double —
+    no interpolation arithmetic to diverge); pass 2 re-scans with the
+    tiny threshold table broadcast into a map-side join + filter.
+
+    Scale: the corpus is never shuffled — pass 1's exchange carries only
+    (lang, score) pairs into ~|langs| groups, pass 2 is map-only.  At
+    100 TB swap percentile_disc for approx_percentile in pass 1 (same
+    broadcast shape) when exactness isn't required."""
+    w = _words()
+    scored = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.round(
+            F.size(F.array_distinct(w)).cast("double") / F.size(w), 6
+        ).alias("score"),
+    )
+    thr = scored.groupBy("lang").agg(
+        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY score)").alias("thr")
+    )
+    return (
+        scored.join(F.broadcast(thr), "lang")
+        .where(F.col("score") >= F.col("thr"))
+        .select("doc_id", "lang", "score", "thr")
+    )

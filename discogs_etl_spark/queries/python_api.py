@@ -13,6 +13,12 @@ Each extension point gets one oracle-checked exemplar here:
 - ``mapInArrow`` (columnar batch map): RecordBatches straight through
   pyarrow.compute — the zero-pandas-overhead shape for Arrow-native
   libraries (tokenizers, model servers).
+- Python UDTF (lateral table function): one row in → N rows out with
+  imperative per-row logic — the shape for sequential scanners
+  (tokenizers emitting spans, parsers emitting sub-records).
+- grouped-agg ``pandas_udf`` (vectorized UDAF): whole group → one
+  scalar inside ``groupBy().agg()`` — the shape for NumPy statistics
+  Spark lacks as built-ins.
 
 (``mapInPandas`` is exercised by the multimodal pipeline and
 ``applyInPandasWithState`` by the streaming stateful operator.)
@@ -162,3 +168,121 @@ def mapinarrow_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInArrow(
         _arrow_token_stats, schema="doc_id long, n_tokens long, n_bytes long"
     )
+
+
+def _token_runs_udtf():
+    """Python UDTF emitting runs of consecutive repeated tokens.
+
+    Built lazily (like the pandas_udf above): the @udtf decorator parses
+    its DDL schema through the active SparkSession."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="tok string, run_start bigint, run_len bigint")
+    class TokenRuns:
+        def eval(self, text: str):
+            toks = text.split(" ")
+            i, n = 0, len(toks)
+            while i < n:
+                j = i
+                while j + 1 < n and toks[j + 1] == toks[i]:
+                    j += 1
+                if j > i:
+                    # 1-based start to match SQL subscripts
+                    yield toks[i], i + 1, j - i + 1
+                i = j + 1
+
+    return TokenRuns
+
+
+@register(
+    "udtf_token_runs",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id,
+                   unnest(string_split(text, ' ')) AS tok,
+                   generate_subscripts(string_split(text, ' '), 1) AS pos
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id, tok, pos,
+                   pos - ROW_NUMBER() OVER (PARTITION BY doc_id, tok
+                                            ORDER BY pos) AS grp
+            FROM w
+        )
+        SELECT doc_id, tok,
+               MIN(pos) AS run_start,
+               COUNT(*) AS run_len
+        FROM g GROUP BY doc_id, tok, grp
+        HAVING COUNT(*) >= 2
+    """,
+    tags=("python", "udtf", "lateral"),
+)
+def udtf_token_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF exemplar (§2.11): a lateral table function scanning
+    each document once and emitting its runs of consecutive repeated
+    tokens (run-length encoding — stutter detection / compression prep).
+    The sequential two-pointer scan is natural imperative Python; the
+    relational equivalent (the oracle) needs a gaps-and-islands double
+    window.  Registered via ``spark.udtf.register`` and invoked through
+    the SQL ``LATERAL`` correlate — the UDTF surface Spark 4 adds on top
+    of the pandas extension points.
+
+    Scale: map-only (the lateral correlate never shuffles); one Python
+    worker pass per partition, rows stream through the UDTF without
+    buffering the document set."""
+    spark.udtf.register("token_runs", _token_runs_udtf())
+    load(spark, sf_dir, "documents").select("doc_id", "text").createOrReplaceTempView(
+        "__udtf_docs"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, r.tok, r.run_start, r.run_len
+        FROM __udtf_docs d, LATERAL token_runs(d.text) r
+        """
+    )
+
+
+def _iqr_udaf():
+    """Grouped-agg pandas_udf: interquartile range via NumPy linear
+    interpolation — bit-identical to DuckDB's quantile_cont on integer
+    inputs (both compute x_lo + (x_hi - x_lo) * g with g an exact
+    multiple of 0.25 for p in {.25, .75})."""
+
+    @pandas_udf("double")
+    def _iqr(s: pd.Series) -> float:
+        import numpy as np
+
+        v = s.to_numpy(dtype="float64")
+        q75, q25 = np.percentile(v, [75.0, 25.0])
+        return float(q75 - q25)
+
+    return _iqr
+
+
+@register(
+    "pandas_udaf_lang_iqr",
+    oracle="""
+        SELECT lang,
+               round(quantile_cont(n_chars, 0.75)
+                     - quantile_cont(n_chars, 0.25), 6) AS iqr_chars
+        FROM documents
+        GROUP BY lang
+    """,
+    tags=("python", "pandas_udf_agg", "udaf"),
+)
+def pandas_udaf_lang_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas_udf (vectorized UDAF) exemplar (§2.11): per-
+    language interquartile range of document length, computed by NumPy
+    inside ``groupBy().agg()`` — the extension point for group
+    statistics Spark lacks (trimmed means, robust scale estimators)
+    without leaving the agg operator.  (Spark disallows mixing a group
+    aggregate pandas UDF with JVM aggregates in one agg — combine via a
+    join on the group key when both are needed.)
+
+    Scale: one shuffle on the group key; unlike applyInPandas the
+    group's OTHER columns never cross to Python — only the aggregated
+    series transfers (Arrow), so memory is bounded by the grouped
+    column, not the row width."""
+    docs = load(spark, sf_dir, "documents").select("lang", "n_chars")
+    iqr = _iqr_udaf()
+    return docs.groupBy("lang").agg(F.round(iqr("n_chars"), 6).alias("iqr_chars"))
