@@ -155,3 +155,28 @@ def test_redact_pii_map_side(spark, q):
     plan = _plan(q["text_redact_pii"](spark, SF))
     # one Sort for the deterministic output order; no aggregation exchanges
     assert "HashAggregate" not in plan
+
+
+def test_quality_gate_broadcasts_thresholds(spark, q):
+    """Pass 2 of the quantile gate must join the per-lang thresholds as a
+    broadcast — if the threshold table ever shuffles the corpus side the
+    two-pass shape is lost."""
+    plan = _plan(q["quality_gate_quantile"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_udtf_token_runs_map_only(spark, q):
+    """The UDTF lateral correlate is a per-row fan-out: no Exchange may
+    appear anywhere in its plan."""
+    plan = _plan(q["udtf_token_runs"](spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert "Exchange" not in tree
+
+
+def test_funnel_stages_broadcast_user_sets(spark, q):
+    """Each funnel stage joins the previous stage's per-user MIN set as a
+    broadcast; the events fact side must never shuffle into a merge join."""
+    plan = _plan(q["funnel_view_click_purchase"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
