@@ -2175,3 +2175,124 @@ def quality_gate_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("score") >= F.col("thr"))
         .select("doc_id", "lang", "score", "thr")
     )
+
+
+def connected_components_star(spark: SparkSession, pairs: DataFrame) -> DataFrame:
+    """Connected components of an undirected pair graph by LARGE-STAR /
+    SMALL-STAR contraction (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14): O(log n) rounds vs the component
+    diameter that bounds min-label propagation.  ``pairs`` must have two
+    numeric columns (an edge per row, either orientation); returns
+    (doc_id, component_id = min id of the component) for every node that
+    appears in an edge.
+
+    Per round, two grouped contractions over the CURRENT edge set:
+
+    - large-star: per node u (full symmetric adjacency), hook every
+      strictly-larger neighbor to m = min(N(u) ∪ u) — breaks long chains
+      logarithmically;
+    - small-star: edges oriented max→min, per node u hook all its
+      smaller neighbors (and u itself) to their minimum.
+
+    Both are one shuffle each on the grouping node; a hub contracts its
+    whole neighborhood inside one group, which is what makes the star
+    formulation degree-skew-safe at 100 TB.  Convergence = edge set
+    unchanged across a round: a cheap exact-decimal signature
+    (count + Σ(u·K+v)) filters candidate fixpoints, then an exceptAll
+    set comparison CONFIRMS equality (the radix sum alone can collide —
+    {(10,1),(20,5)} and {(10,5),(20,1)} share count and sum), so
+    convergence is exact, never probabilistic.  A fixpoint of the
+    combined map is a star forest (the paper's potential argument), and
+    each edge then points node→component-min.  localCheckpoint cuts
+    lineage per round."""
+    a, b = pairs.columns[0], pairs.columns[1]
+    n_pairs = pairs.count()
+    prev_conf = spark.conf.get("spark.sql.shuffle.partitions")
+    loop_parts = max(1, min(int(prev_conf), n_pairs // 500_000 + 1))
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+
+    def _signature(e):
+        return e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (F.col("u").cast("decimal(38,0)") * F.lit(4294967311).cast("decimal(38,0)"))
+                + F.col("v").cast("decimal(38,0)")
+            ).alias("s"),
+        ).first()
+
+    try:
+        # canonical u > v; self-loops contribute nothing and are dropped
+        edges = (
+            pairs.select(F.greatest(a, b).alias("u"), F.least(a, b).alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        sig = _signature(edges)
+        while True:
+            # ---- large-star: group the full symmetric adjacency by u;
+            # hook neighbors > u to the group min (≤ u, so emitted pairs
+            # stay canonical big→small)
+            adj = edges.union(edges.select(F.col("v"), F.col("u"))).toDF("u", "v")
+            ls = (
+                adj.groupBy("u")
+                .agg(F.collect_list("v").alias("nbrs"))
+                .select(
+                    "u",
+                    F.least(F.array_min("nbrs"), F.col("u")).alias("m"),
+                    F.explode("nbrs").alias("w"),
+                )
+                .where(F.col("w") > F.col("u"))
+                .select(F.col("w").alias("u"), F.col("m").alias("v"))
+                .distinct()
+            )
+            # ---- small-star: ls edges are oriented max→min already; per
+            # u hook all (smaller) neighbors and u itself to the minimum
+            ss = (
+                ls.groupBy("u")
+                .agg(F.collect_list("v").alias("nbrs"))
+                .select(
+                    "u",
+                    F.array_min("nbrs").alias("m"),
+                    F.explode(F.array_union("nbrs", F.array(F.col("u")))).alias("w"),
+                )
+                .where(F.col("w") != F.col("m"))
+                .select(F.col("w").alias("u"), F.col("m").alias("v"))
+                .distinct()
+                .localCheckpoint()
+            )
+            new_sig = _signature(ss)
+            prev_edges, edges = edges, ss
+            if (new_sig["n"], new_sig["s"]) == (sig["n"], sig["s"]):
+                # candidate fixpoint — confirm set equality exactly
+                # (counts already equal, so one-sided difference suffices)
+                if ss.exceptAll(prev_edges).isEmpty():
+                    break
+            sig = new_sig
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_conf)
+    # star forest: every edge points node→root(min); roots label themselves
+    return (
+        edges.select(F.col("u").alias("doc_id"), F.col("v").alias("component_id"))
+        .union(edges.select(F.col("v"), F.col("v")))
+        .distinct()
+    )
+
+
+@register(
+    "dedup_cc_starcontraction",
+    oracle=_CC_ORACLE,
+    tags=("dedup", "graph", "iterative", "starcontraction"),
+)
+def dedup_cc_starcontraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the MinHash near-dup graph by large-star /
+    small-star contraction (see ``connected_components_star``) — the
+    O(log n)-round 100 TB path that min-label propagation
+    (dedup_connected_components) documents as its scale swap; this makes
+    the swap real.  Identical output contract (every pair-graph node →
+    min doc_id of its component) and the identical recursive-CTE
+    oracle."""
+    pairs = (
+        dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
+    )
+    return connected_components_star(spark, pairs)

@@ -59,3 +59,25 @@ def test_salted_join_matches_plain_join(spark):
     plain = orders.join(cust, "c_custkey")
     salted = salted_join(orders, cust, "c_custkey", n_salts=4)
     assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_star_contraction_components_adversarial(spark):
+    """connected_components_star on graphs the sf fixtures don't produce:
+    a long chain (forces multiple contraction rounds — diameter 39), a
+    separate 2-node component, a hub star, and id ordering that puts the
+    component min at the chain's far end."""
+    from discogs_etl_spark.queries.llm import connected_components_star
+    chain = [(i, i + 1) for i in range(100, 139)]          # min = 100
+    rev_chain = [(i + 1, i) for i in range(500, 520)]      # reversed orientation
+    pair = [(7, 3)]
+    star = [(205, x) for x in range(200, 211) if x != 205]
+    edges = spark.createDataFrame(chain + rev_chain + pair + star, "a long, b long")
+    got = {
+        (r.doc_id, r.component_id)
+        for r in connected_components_star(spark, edges).collect()
+    }
+    want = {(i, 100) for i in range(100, 140)}
+    want |= {(i, 500) for i in range(500, 521)}
+    want |= {(3, 3), (7, 3)}
+    want |= {(x, 200) for x in range(200, 211)}
+    assert got == want
