@@ -21,7 +21,7 @@ a test proving the plan/result property it claims:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from discogs_etl_spark.registry import register
@@ -143,3 +143,54 @@ def agg_salted_skew_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "key", "n", F.col("sum_qty_dec").cast("double").alias("sum_qty"), "max_price"
     )
+
+
+def incremental_dedup_ingest(
+    spark: SparkSession,
+    batch: DataFrame,
+    index_path: str,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup a NEW batch against everything ever ingested, using a
+    persistent content-hash index — the incremental flow the reference's
+    monthly-dump cadence implies (each month arrives as a new dump;
+    re-deduping the full corpus per month is a 100 TB no-op generator).
+
+    Steps: (1) sha256 each batch row; (2) within-batch keep-first per
+    hash (min id); (3) LEFT ANTI join against the stored index — only
+    never-seen content survives; (4) append the survivors' hashes to the
+    index; (5) return the novel rows.
+
+    The returned DataFrame is eagerly localCheckpoint-ed BEFORE the index
+    append: the anti-join plan must not re-execute against the index it
+    just extended (lazy evaluation would otherwise make every returned
+    row vanish on second reference).
+
+    Scale: the batch side is a month (small); the index side is the
+    corpus's hash set — join shuffles on the 32-byte hash with the batch
+    side tiny, so AQE plans a broadcast of the BATCH hashes when it fits.
+    Store the index bucketed on content_sha256 (write_bucketed) to skip
+    the index-side exchange entirely at 100 TB; the index carries only
+    (hash, first id) — bytes per corpus row, not the corpus."""
+    from discogs_etl_spark.lake import fs_exists
+
+    w_first = Window.partitionBy("content_sha256").orderBy(F.asc(id_col))
+    hashed = (
+        batch.withColumn("content_sha256", F.sha2(F.col(content_col), 256))
+        .withColumn("__rn", F.row_number().over(w_first))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    if fs_exists(spark, index_path):
+        index = spark.read.parquet(index_path).select("content_sha256")
+        novel = hashed.join(index, "content_sha256", "left_anti")
+    else:
+        novel = hashed
+    novel = novel.localCheckpoint(eager=True)
+    (
+        novel.select("content_sha256", F.col(id_col).alias("first_id"))
+        .write.mode("append")
+        .parquet(index_path)
+    )
+    return novel

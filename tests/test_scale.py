@@ -81,3 +81,28 @@ def test_star_contraction_components_adversarial(spark):
     want |= {(3, 3), (7, 3)}
     want |= {(x, 200) for x in range(200, 211)}
     assert got == want
+
+
+def test_incremental_dedup_ingest(spark, tmp_path):
+    """Month-over-month dedup against the persistent hash index: within-
+    batch dups collapse, cross-batch dups vanish, the index grows only by
+    novel content, and a re-run of the same batch is a no-op."""
+    from discogs_etl_spark.scale import incremental_dedup_ingest
+
+    idx = str(tmp_path / "hash_index")
+    b1 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha"), (4, "gamma")],
+        "doc_id long, text string",
+    )
+    n1 = incremental_dedup_ingest(spark, b1, idx)
+    assert sorted(r.doc_id for r in n1.collect()) == [1, 2, 4]  # 3 is in-batch dup
+
+    b2 = spark.createDataFrame(
+        [(10, "beta"), (11, "delta")], "doc_id long, text string"
+    )
+    n2 = incremental_dedup_ingest(spark, b2, idx)
+    assert [r.doc_id for r in n2.collect()] == [11]  # beta already indexed
+
+    n3 = incremental_dedup_ingest(spark, b2, idx)
+    assert n3.count() == 0  # idempotent re-run
+    assert spark.read.parquet(idx).count() == 4  # alpha beta gamma delta
