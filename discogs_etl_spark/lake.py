@@ -50,8 +50,10 @@ def parse_dump_url(url: str) -> dict:
 
 
 def lake_path(root: str, data_type: str) -> str:
-    # lake prefixes are plural, e.g. s3://bucket/releases/ (README.md:9-47)
-    plural = {v: k for k, v in _PLURAL_TO_TYPE.items()}[data_type]
+    # lake prefixes are plural, e.g. s3://bucket/releases/ (README.md:9-47);
+    # entity types beyond the reference's four (e.g. streaming "event")
+    # follow the same convention with naive pluralization
+    plural = {v: k for k, v in _PLURAL_TO_TYPE.items()}.get(data_type, data_type + "s")
     return os.path.join(root, plural)
 
 

@@ -423,3 +423,54 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_ts",
     )
     return run_stream_to_table(joined, "stream_stream_join_sink", "append")
+
+
+def stream_upsert_to_lake(
+    spark: SparkSession,
+    sf_dir: str,
+    lake_root: str,
+    checkpoint: str,
+    data_type: str = "event",
+    key: str = "event_id",
+) -> str:
+    """Streaming MERGE into the lake via ``foreachBatch``: each micro-batch
+    upserts into its event-time monthly partition with ``lake.upsert_lake``
+    (anti-join out replaced keys, union, dynamic-overwrite that partition)
+    instead of blind-appending — the pattern for correction feeds, where a
+    re-delivered record must REPLACE its prior version, not duplicate it.
+
+    foreachBatch is the streaming↔batch bridge: inside the callback the
+    micro-batch is a plain DataFrame, so the exact batch MERGE machinery
+    (and its Hadoop-FS scheme awareness) is reused unchanged.  Spark
+    retries a failed batch with the same batch_id against the checkpoint,
+    and upsert-by-key is idempotent, so re-delivery cannot double-write —
+    the exactly-once story without a transactional table format.
+
+    Scale: state is only the file-source checkpoint; each batch touches
+    only the (year, month) partitions it contains rows for."""
+    events = read_events_stream(spark, sf_dir)
+    from discogs_etl_spark.lake import lake_path, upsert_lake
+
+    def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        months = [
+            (r["y"], r["m"])
+            for r in batch_df.select(
+                F.year("ts").alias("y"), F.date_format("ts", "MM").alias("m")
+            )
+            .distinct()
+            .collect()  # bounded: one row per (year, month) in the batch
+        ]
+        for y, m in months:
+            part = batch_df.where(
+                (F.year("ts") == y) & (F.date_format("ts", "MM") == m)
+            )
+            upsert_lake(spark, part, lake_root, data_type, y, m, key=key)
+
+    q = (
+        events.writeStream.foreachBatch(_merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return lake_path(lake_root, data_type)

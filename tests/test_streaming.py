@@ -118,3 +118,41 @@ def test_stream_events_to_partitioned_lake(spark, tmp_path):
     # no new files landed → second drain is a no-op
     stream_events_to_lake(spark, SF_DIR, lake, ckpt)
     assert spark.read.parquet(out).count() == 1000
+
+
+def test_stream_upsert_to_lake_replaces_by_key(spark, tmp_path):
+    """foreachBatch MERGE: the stream's rows land keyed by event_id; a
+    pre-seeded stale version of an event is REPLACED (not duplicated) in
+    its monthly partition, and untouched partitions/rows survive."""
+    from pyspark.sql import functions as F
+
+    from discogs_etl_spark.lake import read_lake, write_lake
+    from discogs_etl_spark.streaming.events import stream_upsert_to_lake
+    from discogs_etl_spark.tables import load
+
+    lake = str(tmp_path / "lake")
+    ckpt = str(tmp_path / "ckpt")
+
+    # Seed the lake with a STALE copy of one January event (value bumped)
+    # plus one synthetic event absent from the stream (must survive).
+    ev = load(spark, SF_DIR, "events")
+    jan = ev.where(F.date_format("ts", "MM") == "01")
+    y = jan.select(F.year("ts").alias("y")).first()["y"]
+    stale = jan.limit(1).withColumn("value", F.lit(-999.0))
+    keeper = jan.limit(1).select(
+        (F.col("event_id") + 10_000_000).alias("event_id"),
+        "ts", "user_id", "event_type", F.lit(123.0).alias("value"), "props",
+    )
+    write_lake(stale.unionByName(keeper), lake, "event", y, "01")
+
+    out = stream_upsert_to_lake(spark, SF_DIR, lake, ckpt)
+    back = read_lake(spark, lake, "event")
+
+    # every streamed event present exactly once
+    assert back.where(F.col("event_id") < 10_000_000).count() == ev.count()
+    # the stale value was replaced by the stream's version
+    stale_id = stale.first()["event_id"]
+    vals = [r["value"] for r in back.where(F.col("event_id") == stale_id).collect()]
+    assert len(vals) == 1 and vals[0] != -999.0
+    # the out-of-stream row survived the merge
+    assert back.where(F.col("event_id") == 10_000_000 + stale_id).count() == 1
