@@ -21,7 +21,7 @@ from __future__ import annotations
 import os
 import re
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 # discogs_YYYYMMDD_{type}s.xml.gz — reference s3.py:21-38.
@@ -245,3 +245,78 @@ def upsert_lake(
     # about to delete — materialize before writing
     merged = merged.localCheckpoint()
     write_lake(merged, root, data_type, year, month)
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 16,
+    n_buckets: int = 256,
+) -> None:
+    """Z-order (Morton-curve) clustered write: multi-dimensional data
+    skipping for the lake, the parquet-native equivalent of a table
+    format's OPTIMIZE ZORDER.  Rows are ordered by interleaving the bits
+    of each column's quantile-bucket rank, so files (and their row
+    groups) are min/max-tight on EVERY z-ordered column at once — a
+    plain sort is tight only on its leading column.
+
+    Mechanics, all scale-safe:
+
+    - per-column bucket boundaries via ``approxQuantile`` — a
+      distributed sketch, driver receives n_buckets doubles per column
+      (never data);
+    - bucket assignment as a JVM higher-order filter over the broadcast
+      boundary array literal (no UDF, no shuffle);
+    - 8-bit bucket ranks bit-spread with the classic mask cascade
+      (shift/AND only) and OR-interleaved into the z value;
+    - ``repartitionByRange`` on z (one range shuffle, AQE-free file
+      sizing via n_files) + ``sortWithinPartitions`` so row groups
+      inside each file are z-local too.
+
+    n_buckets is capped at 256 (8 bits/dim): with 2-4 dims the z value
+    stays within a long, and 256 ranks per dim already bound each file's
+    span to ~1/256 of the domain per dimension at n_files ≲ 2^16."""
+    if not 2 <= len(cols) <= 4:
+        raise ValueError("zorder_write wants 2-4 columns")
+    if n_buckets > 256:
+        raise ValueError("n_buckets > 256 would overflow the interleaved long")
+    work = df
+    bucket_cols = []
+    for c in cols:
+        qs = [i / n_buckets for i in range(1, n_buckets)]
+        bounds = sorted(set(df.stat.approxQuantile(c, qs, 0.001)))
+        arr = ", ".join(f"CAST({b!r} AS DOUBLE)" for b in bounds)
+        bc = f"__zb_{c}"
+        # rank = number of boundaries <= value (0..n_buckets-1), computed
+        # row-locally against the literal boundary array
+        work = work.withColumn(
+            bc,
+            F.expr(
+                f"size(filter(array({arr}), b -> b <= CAST({c} AS DOUBLE)))"
+            ).cast("long"),
+        )
+        bucket_cols.append(bc)
+
+    def _spread(col: Column, stride: int) -> Column:
+        # spread an 8-bit value so consecutive bits land `stride` apart:
+        # bit i of the rank moves to bit i*stride of the output
+        out = F.lit(0).cast("long")
+        for i in range(8):
+            out = out.bitwiseOR(
+                F.shiftleft(F.shiftright(col, i).bitwiseAND(F.lit(1)), i * stride)
+            )
+        return out
+
+    stride = len(cols)
+    z = F.lit(0).cast("long")
+    for j, bc in enumerate(bucket_cols):
+        z = z.bitwiseOR(F.shiftleft(_spread(F.col(bc), stride), j))
+    (
+        work.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z", *bucket_cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -187,3 +187,76 @@ def test_upsert_lake_replaces_by_key(spark, tmp_path):
     april = {r["id"]: r["title"] for r in back.where("month = '04'").collect()}
     assert april[1] != "Corrected Title"  # other partition untouched
     assert back.count() == 4
+
+
+def test_zorder_write_skips_on_both_dimensions(spark, tmp_path):
+    """Z-order clustering must make parquet file-level min/max stats
+    selective on BOTH z columns; a plain single-column sort layout is
+    selective only on its leading column.  Pruning is measured directly
+    from the footers: the fraction of files whose [min,max] intersects a
+    narrow predicate range, per dimension."""
+    import pyarrow.parquet as pq
+
+    from discogs_etl_spark.lake import zorder_write
+    from discogs_etl_spark.tables import load
+    from tests.conftest import SF_SMOKE
+
+    orders = load(spark, SF_SMOKE, "orders").select("o_custkey", "o_totalprice")
+
+    zpath = str(tmp_path / "zorder")
+    spath = str(tmp_path / "sorted")
+    zorder_write(orders, zpath, ["o_custkey", "o_totalprice"], n_files=64)
+    (
+        orders.repartitionByRange(64, "o_custkey")
+        .sortWithinPartitions("o_custkey")
+        .write.mode("overwrite")
+        .parquet(spath)
+    )
+
+    def matching_files(path, col, lo, hi):
+        import glob as g
+
+        total, hit = 0, 0
+        for f in sorted(g.glob(path + "/*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            fmin = min(
+                md.row_group(i).column(
+                    [md.schema.column(j).name for j in range(md.num_columns)].index(col)
+                ).statistics.min
+                for i in range(md.num_row_groups)
+            )
+            fmax = max(
+                md.row_group(i).column(
+                    [md.schema.column(j).name for j in range(md.num_columns)].index(col)
+                ).statistics.max
+                for i in range(md.num_row_groups)
+            )
+            total += 1
+            if not (fmax < lo or fmin > hi):
+                hit += 1
+        return hit, total
+
+    # narrow ranges ~ a few % of each domain
+    ck = orders.agg({"o_custkey": "max"}).first()[0]
+    tp = orders.agg({"o_totalprice": "max"}).first()[0]
+    ck_rng = (ck // 2, ck // 2 + max(1, ck // 50))
+    tp_rng = (tp / 2, tp / 2 + tp / 50)
+
+    z_ck_hit, z_n = matching_files(zpath, "o_custkey", *ck_rng)
+    z_tp_hit, _ = matching_files(zpath, "o_totalprice", *tp_rng)
+    s_ck_hit, s_n = matching_files(spath, "o_custkey", *ck_rng)
+    s_tp_hit, _ = matching_files(spath, "o_totalprice", *tp_rng)
+
+    # the sorted layout is perfect on its leading column...
+    assert s_ck_hit <= max(2, s_n // 4)
+    # ...and useless on the second (every file spans the price domain)
+    assert s_tp_hit == s_n
+    # z-order prunes meaningfully on BOTH dimensions (64 files = 3
+    # z-bits/dim, so a ~2% range should touch ~1/8 of files + boundary
+    # slop; half is a conservative ceiling)
+    assert z_ck_hit <= z_n // 2
+    assert z_tp_hit <= z_n // 2
+    assert z_tp_hit < s_tp_hit
+
+    # and the data survives intact
+    assert spark.read.parquet(zpath).count() == orders.count()
