@@ -40,6 +40,10 @@ def main() -> None:
     # Warmup: JVM + parquet reader + codegen paths, for every table the
     # bench set scans (otherwise the alphabetically-first queries absorb
     # the cold-scan cost and timings measure warmup order, not plans).
+    # A FULL noop scan, not count(): parquet count() answers from footer
+    # row counts without touching data pages, so a count()-only warmup
+    # leaves page decode + OS cache cold and the first query per column
+    # family absorbs it — the round-2 q1/q3/q5/sort_topk wobble.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     for table in (
         "lineitem",
@@ -53,7 +57,7 @@ def main() -> None:
         "documents",
         "embeddings",
     ):
-        load(spark, sf_dir, table).count()
+        load(spark, sf_dir, table).write.format("noop").mode("overwrite").save()
     # Expression-codegen warmup: the first regex/hash/array-lambda-heavy
     # task pays JVM JIT + whole-stage-codegen compile (~2-8s measured);
     # run each expression family once on synthetic rows so query timings
@@ -70,15 +74,17 @@ def main() -> None:
         "row_number() OVER (PARTITION BY size(w) ORDER BY s) AS rn",
     ).write.format("noop").mode("overwrite").save()
 
-    # Best-of-2 per query: the first execution of a query family still pays
+    # Best-of-3 per query: the first execution of a query family still pays
     # residual JIT/codegen the generic warmup can't reach (e.g. the MinHash
     # signature chain), and which query pays it depends on run order, not
-    # plan quality.  The min of two runs is the steady-state number — the
-    # one that scales with data volume and is comparable round-over-round.
+    # plan quality.  The min of three runs is the steady-state number — the
+    # one that scales with data volume and is comparable round-over-round
+    # (round 2's best-of-2 still let one noisy run through; three runs pin
+    # sub-second queries to ~±10%).
     timings: dict[str, float] = {}
     for name, spec in sorted(bench_specs().items()):
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             df = spec.fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()

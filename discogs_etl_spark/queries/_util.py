@@ -57,6 +57,18 @@ def davg(col: Column | str, scale: int = 2, prec: int = 18) -> Column:
     return dsum(col, scale, prec) / F.count(F.lit(1))
 
 
+def epoch(col: Column | str) -> Column:
+    """Epoch seconds as DOUBLE, safe for every timestamp family Spark can
+    hand us.  The fixtures store ``ts`` as TIMESTAMP(MICROS) with
+    isAdjustedToUTC=false, which Spark reads as TIMESTAMP_NTZ — and Spark
+    refuses a direct NTZ→DOUBLE cast.  Casting through TIMESTAMP first
+    interprets the wall-clock in the session zone (pinned to UTC in
+    session.py), so the result is exactly DuckDB's ``epoch(ts)`` micros/1e6
+    double.  A plain TIMESTAMP (or a DOUBLE already) passes through the
+    same two casts unchanged."""
+    return _c(col).cast("timestamp").cast("double")
+
+
 # SQL-side twins (DuckDB dialect) used when composing oracle strings.
 def sql_dsum(expr: str, scale: int = 2, prec: int = 18) -> str:
     return f"CAST(SUM(CAST({expr} AS DECIMAL({prec},{scale}))) AS DOUBLE)"

@@ -17,7 +17,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from discogs_etl_spark.queries._util import davg, dec, dsum, fixed, sql_davg, sql_dsum
+from discogs_etl_spark.queries._util import (
+    davg,
+    dec,
+    dsum,
+    epoch,
+    fixed,
+    sql_davg,
+    sql_dsum,
+)
 from discogs_etl_spark.registry import register
 from discogs_etl_spark.tables import load
 
@@ -614,7 +622,7 @@ def window_lag_lead_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     in (fractional) seconds.  timestamp→double epoch is the same
     micros/1e6 double on both engines."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ep = F.col("ts").cast("double")
+    ep = epoch("ts")
     return load(spark, sf_dir, "events").select(
         "event_id",
         "user_id",
@@ -659,7 +667,7 @@ def sessionization_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     so Spark reuses a single exchange."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ep = F.col("ts").cast("double")
+    ep = epoch("ts")
     flagged = load(spark, sf_dir, "events").select(
         "user_id",
         "ts",
@@ -1469,7 +1477,7 @@ def window_sliding_range_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     epoch seconds (no self-join)."""
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").cast("double"))
+        .orderBy(epoch("ts"))
         .rangeBetween(-3600, Window.currentRow)
     )
     return load(spark, sf_dir, "events").select(
@@ -1897,20 +1905,26 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded time-range join (clicks within 5 minutes before each
-    purchase) executed as an EQUI-join: each probe row joins its own and
-    the previous 5-minute bucket (explode of 2 bucket keys), then the
-    exact range predicate filters.  A naive range join plans a
-    BroadcastNestedLoop/cartesian — O(n*m) compares; bucketing bounds
-    candidates to +/-1 bucket per key, the standard interval-join trick
-    at 100 TB.  (Same idea as Spark's own range-join hints on Databricks;
-    OSS Spark needs it hand-rolled.)"""
+    purchase) executed as an EQUI-join on (bucket, user): each probe row
+    joins its own and the previous 5-minute bucket (explode of 2 bucket
+    keys), then the exact range predicate filters.  A naive range join
+    plans a BroadcastNestedLoop/cartesian — O(n*m) compares; bucketing
+    bounds candidates to +/-1 bucket per key, the standard interval-join
+    trick at 100 TB.  (Same idea as Spark's own range-join hints on
+    Databricks; OSS Spark needs it hand-rolled.)
+
+    The user key MUST be inside the equi-join, not a post-filter:
+    joining on bucket alone cross-multiplies every user active in the
+    same 5-minute bucket — a per-bucket cartesian at scale.  With
+    (bkt, user_id) as the hash key, candidates per probe are only that
+    user's own clicks in two buckets."""
     ev = load(spark, sf_dir, "events")
-    bucket = (F.col("ts").cast("double") / 300.0).cast("long")
+    bucket = (epoch("ts") / 300.0).cast("long")
     purchases = (
         ev.where(F.col("event_type") == "purchase")
         .select(
             F.col("event_id").alias("probe_id"),
-            F.col("user_id").alias("p_user"),
+            "user_id",
             F.col("ts").alias("p_ts"),
         )
         # probe joins its bucket AND the previous one (a 5-min window can
@@ -1919,24 +1933,23 @@ def range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bkt",
             F.explode(
                 F.array(
-                    (F.col("p_ts").cast("double") / 300.0).cast("long"),
-                    (F.col("p_ts").cast("double") / 300.0).cast("long") - 1,
+                    (epoch("p_ts") / 300.0).cast("long"),
+                    (epoch("p_ts") / 300.0).cast("long") - 1,
                 )
             ),
         )
     )
     clicks = ev.where(F.col("event_type") == "click").select(
         F.col("event_id").alias("match_id"),
-        F.col("user_id").alias("c_user"),
+        "user_id",
         F.col("ts").alias("c_ts"),
         bucket.alias("bkt"),
     )
-    dt = F.col("p_ts").cast("double") - F.col("c_ts").cast("double")
+    dt = epoch("p_ts") - epoch("c_ts")
     return (
-        purchases.join(clicks, ["bkt"])
+        purchases.join(clicks, ["bkt", "user_id"])
         .where(
-            (F.col("p_user") == F.col("c_user"))
-            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 5 MINUTES"))
+            (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 5 MINUTES"))
             & (F.col("c_ts") < F.col("p_ts"))
         )
         .select("probe_id", "match_id", F.round(dt, 6).alias("dt_sec"))

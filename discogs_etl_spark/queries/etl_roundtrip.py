@@ -1,0 +1,158 @@
+"""ETL-plane end-to-end roundtrip as an oracle-checked query.
+
+Every other registered query exercises the ANALYTICS plane; this one
+drives the reference's core pipeline (reference etl.py:316-534: dump →
+parse → partitioned lake) through the Spark engine and lets the DuckDB
+oracle read the PRODUCED parquet back — so the XML kernel (S1-S6), the
+typed coercions (P1-P5, reference parser.py:30-169), and the lake layout
+(K1/K5, reference s3.py:40-52) earn a driver CORRECTNESS row instead of
+living on local tests alone.
+
+Shape: a golden Discogs-release dump (every §1.2 coercion: missing id→0,
+qty→"1" string, image dims→0, empty lists ≠ null, control-char scrub,
+whitespace collapse, stray attrs) is gzipped to a deterministic temp
+path, ingested with ``ingest_dump_to_lake`` (year/month derived from the
+FILENAME, not the data), and the lake is read back with partition
+discovery.  The oracle is DuckDB ``read_parquet(...hive_partitioning...)``
+over the same written files — two independent readers agreeing on the
+bytes the engine wrote.
+
+Result cells are scalars only (array_join / element_at flattening): the
+driver's value-hasher rejects list cells (see tests/test_oracle.py).
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from discogs_etl_spark.registry import register
+
+# Deterministic location shared by the Spark writer and the DuckDB oracle
+# (the oracle is a static SQL string, so the path cannot vary per run).
+ROUNDTRIP_ROOT = os.path.join(tempfile.gettempdir(), "discogs_etl_spark_roundtrip")
+_DUMP_NAME = "discogs_20240101_releases.xml.gz"
+
+# Golden release dump — exercises the full §1.2 coercion surface:
+# record 1: nested images/labels/formats/descriptions, control char in
+#   title (scrub → space → ws-collapse), newline in notes (streaming-path
+#   whitespace collapse), partial date kept as string, qty string;
+# record 2: attribute-less husk — id defaults to 0, lists to [], text to
+#   NULL (reference parser.py:100-144 semantics).
+_GOLDEN_RELEASES_XML = b"""<?xml version="1.0" encoding="UTF-8"?>
+<releases>
+  <release id="7001" status="Accepted">
+    <title>Round\x07Trip</title>
+    <country>US</country>
+    <released>1999-00-00</released>
+    <notes>first line
+second line</notes>
+    <images>
+      <image height="600" width="600" type="primary" uri="u1" uri150="u2"/>
+      <image type="secondary"/>
+    </images>
+    <artists><artist><name>Alpha</name></artist><artist><name>Beta</name></artist></artists>
+    <labels><label name="LabelX" catno="LX-1"/><label name="LabelY"/></labels>
+    <formats>
+      <format name="Vinyl" qty="2"><descriptions><description>12\"</description><description>LP</description></descriptions></format>
+      <format name="CD"/>
+    </formats>
+    <genres><genre>Electronic</genre><genre>Jazz</genre></genres>
+    <styles><style>House</style></styles>
+  </release>
+  <release id="7002" status="Draft">
+    <title>Plain</title>
+    <genres><genre>Jazz</genre></genres>
+  </release>
+  <release>
+    <title>No Attrs</title>
+  </release>
+</releases>
+"""
+
+
+def _lake_root() -> str:
+    return os.path.join(ROUNDTRIP_ROOT, "lake")
+
+
+def _stage_dump() -> str:
+    """Write the gzipped golden dump to its deterministic path (idempotent:
+    rewrite every time so a stale fixture from an older code version can
+    never leak into this run's lake)."""
+    dump_dir = os.path.join(ROUNDTRIP_ROOT, "dumps")
+    os.makedirs(dump_dir, exist_ok=True)
+    path = os.path.join(dump_dir, _DUMP_NAME)
+    with gzip.open(path, "wb") as f:
+        f.write(_GOLDEN_RELEASES_XML)
+    return path
+
+
+_ROUNDTRIP_ORACLE = f"""
+    SELECT id, status, title, country, released, notes,
+           -- the kernel writes empty lists, never NULL lists (reference
+           -- parser.py:108-113); DuckDB's array_to_string([]) yields NULL
+           -- where Spark's array_join([]) yields '' — coalesce to match
+           COALESCE(array_to_string(genres, '|'), '') AS genres_joined,
+           COALESCE(array_to_string(styles, '|'), '') AS styles_joined,
+           COALESCE(array_to_string(artists, '|'), '') AS artists_joined,
+           CAST(len(images) AS BIGINT) AS n_images,
+           images[1].height AS img0_height,
+           images[2].width AS img1_width,
+           labels[1].name AS label0_name,
+           labels[2].catno AS label1_catno,
+           formats[1].qty AS fmt0_qty,
+           array_to_string(formats[1].descriptions, '|') AS fmt0_desc,
+           formats[2].qty AS fmt1_qty,
+           CAST(year AS INT) AS year,
+           month
+    FROM read_parquet(
+        '{_lake_root()}/releases/*/*/*.parquet', hive_partitioning = true)
+"""
+
+
+@register(
+    "xml_ingest_roundtrip",
+    oracle=_ROUNDTRIP_ORACLE,
+    tags=("etl", "xml", "lake", "roundtrip"),
+)
+def xml_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dump → XML kernel → partitioned lake → partition-discovering read,
+    flattened to driver-hashable scalars.  ``sf_dir`` is unused: the input
+    is the golden dump (the ETL plane has no sf-scaled fixture), kept as a
+    parameter for the registry's uniform signature."""
+    from discogs_etl_spark.lake import ingest_dump_to_lake, read_lake
+
+    dump = _stage_dump()
+    ingest_dump_to_lake(spark, dump, _lake_root())
+    back = read_lake(spark, _lake_root(), "release")
+    img0 = F.try_element_at("images", F.lit(1))
+    img1 = F.try_element_at("images", F.lit(2))
+    lbl0 = F.try_element_at("labels", F.lit(1))
+    lbl1 = F.try_element_at("labels", F.lit(2))
+    fmt0 = F.try_element_at("formats", F.lit(1))
+    fmt1 = F.try_element_at("formats", F.lit(2))
+    return back.select(
+        "id",
+        "status",
+        "title",
+        "country",
+        "released",
+        "notes",
+        F.array_join("genres", "|").alias("genres_joined"),
+        F.array_join("styles", "|").alias("styles_joined"),
+        F.array_join("artists", "|").alias("artists_joined"),
+        F.size("images").cast("long").alias("n_images"),
+        img0.getField("height").alias("img0_height"),
+        img1.getField("width").alias("img1_width"),
+        lbl0.getField("name").alias("label0_name"),
+        lbl1.getField("catno").alias("label1_catno"),
+        fmt0.getField("qty").alias("fmt0_qty"),
+        F.array_join(fmt0.getField("descriptions"), "|").alias("fmt0_desc"),
+        fmt1.getField("qty").alias("fmt1_qty"),
+        "year",
+        "month",
+    )

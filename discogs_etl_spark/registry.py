@@ -62,7 +62,12 @@ def register(
 def _load_all() -> None:
     # Import for side effect: modules register their queries on import.
     from discogs_etl_spark import multimodal, scale  # noqa: F401
-    from discogs_etl_spark.queries import analytics, llm, python_api  # noqa: F401
+    from discogs_etl_spark.queries import (  # noqa: F401
+        analytics,
+        etl_roundtrip,
+        llm,
+        python_api,
+    )
     from discogs_etl_spark.streaming import events  # noqa: F401
 
 
@@ -70,72 +75,67 @@ def _load_all() -> None:
 # registered queries per round, so ``all_specs`` surfaces queries with NO
 # driver-side correctness evidence (or changed since their last green row)
 # ahead of queries whose green rows already stand from a prior round.
-# Round 2: the three round-1 reds (fixed this round), the six analytics
-# queries whose output representation changed (bool→INT / HUGEINT casts),
-# the entire Plane C LLM-pipeline surface (queries/llm.py — the north-star
-# set, zero driver evidence in round 1), streaming, the Python extension
-# points, and the highest-value analytics tail.  Names not listed keep
-# registration order after these; unknown names are rejected by a test.
+# Round 3: the 3 round-2 reds (TIMESTAMP_NTZ family, fixed this round),
+# the 2 round-1 greens that regressed against the regenerated fixtures
+# (same fix), then every query that has NEVER been in a driver window —
+# the TPC-H tail, the curation ops, star-contraction CC, the Python
+# extension points, and 2 streaming ops.  42 names; the ~8 remaining
+# slots go to queries newly added this round (appended at the end of this
+# tuple as they land).  Names not listed keep registration order after
+# these; unknown names are rejected by a test.
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    # round-1 reds, fixed
-    "agg_approx_distinct",
-    "agg_collect_sorted_genres",
-    "agg_boolean_countif",
-    # representation changed this round → need fresh evidence
-    "scalar_conditional_lineitem",
-    "q12_priority_by_flag",
-    "scalar_higher_order_arrays",
-    "scalar_levenshtein_fuzzy",
-    "scalar_string_extended",
-    "scalar_null_semantics",
-    # Plane C (queries/llm.py): dedup family
-    "dedup_exact",
-    "dedup_exact_hash",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "dedup_embedding_bucketed",
-    "dedup_connected_components",
-    "dedup_keep_best",
-    # Plane C: similarity family
-    "similarity_topk_bruteforce",
-    "similarity_ann_signlsh",
-    "similarity_ivf_topk",
-    "similarity_ann_recall",
-    # Plane C: text analysis / curation
-    "text_stats_by_lang",
-    "text_quality_score",
-    "text_token_count",
-    "text_fingerprint",
-    "text_normalize",
-    "lang_id_corpus",
-    "ngram_bigram_counts",
-    "tfidf_top_terms",
-    "corpus_curate_pipeline",
-    "text_chunk_sliding",
-    "pack_sequences_by_budget",
-    "pack_sequences_sharded",
-    # Plane C: sampling / embeddings / multimodal metadata
-    "sample_deterministic_split",
-    "sample_stratified_per_lang",
-    "embedding_centroid_by_label",
-    "embedding_l2_normalize",
-    "multimodal_binary_meta",
-    # streaming veneer
+    # round-2 reds, fixed (NTZ/micros root cause + join-key fix)
+    "range_join_bucketed",
     "stream_events_hourly",
     "stream_session_window",
-    "stream_stateful_user_stats",
-    # Python extension points
-    "pandas_udf_vector_norm",
-    "applyinpandas_lang_stats",
-    # analytics tail: TPC-H shapes + range/as-of joins
-    "q4_late_order_priority",
-    "q7_nation_trade_flows",
-    "q14_promo_revenue_share",
-    "q19_disjunctive_predicates",
-    "range_join_bucketed",
-    "asof_join_events",
+    # round-1 greens that regressed vs regenerated fixtures, re-fixed
+    "sessionization_events",
+    "window_lag_lead_gap",
+    # never driver-checked: events/window family (also NTZ-fixed)
+    "window_sliding_range_events",
+    "stream_dedup_watermark",
+    "stream_stream_join",
+    "funnel_view_click_purchase",
+    "window_distribution_funcs",
+    # never driver-checked: TPC-H tail
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_parts_supplier_count",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customer",
+    "q20_potential_promotion",
+    "q21_waiting_supplier",
+    "q22_global_sales_opportunity",
+    # never driver-checked: scalar/agg/sort/nested tail
+    "scalar_datetime_extended",
+    "scalar_math_extended",
+    "agg_corr_exact",
+    "sort_nulls_ordering",
+    "nested_struct_roundtrip",
+    # never driver-checked: curation ops
+    "text_repetition_score",
+    "text_redact_pii",
+    "decontaminate_eval_overlap",
+    "corpus_mix_sources",
+    "corpus_shuffle_shards",
+    "boilerplate_prefix_groups",
+    "quality_gate_quantile",
+    # never driver-checked: dedup variants
+    "dedup_ngram_crossdoc",
+    "dedup_fuzzy_keep_one",
+    "dedup_cc_starcontraction",
+    # never driver-checked: Python extension points
+    "mapinarrow_token_stats",
+    "udtf_token_runs",
+    "pandas_udaf_lang_iqr",
+    # new this round (appended as they land)
+    "xml_ingest_roundtrip",
 )
 
 

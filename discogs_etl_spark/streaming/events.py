@@ -37,14 +37,15 @@ from pyspark.sql import types as T
 from discogs_etl_spark.queries._util import dec
 from discogs_etl_spark.registry import register
 
-# The on-disk parquet stores TIMESTAMP(NANOS); streaming scans need an
-# explicit schema, so declare ts as LONG (with the nanosAsLong legacy conf)
-# and convert to a microsecond timestamp in the first projection — same
-# ns→us truncation DuckDB applies (see discogs_etl_spark.tables.load).
+# The on-disk parquet stores TIMESTAMP(MICROS) with isAdjustedToUTC=false
+# (verified via the parquet footer at every sf), which Spark reads as
+# TIMESTAMP_NTZ.  Streaming scans need an explicit schema, so declare ts
+# exactly as the batch reader sees it — no legacy confs, no unit
+# conversion (see discogs_etl_spark.tables.load, which sniffs the footer).
 _EVENTS_RAW_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -81,13 +82,16 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unbounded read of the events table: file-source stream over a
     landing directory, one file = one input split (new files are picked
     up incrementally on a real landing prefix)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
         spark.readStream.schema(_EVENTS_RAW_SCHEMA)
         .format("parquet")
         .load(_landing_dir(sf_dir))
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Watermarks/event-time windows require TIMESTAMP (Spark rejects NTZ
+    # event-time columns).  Under the UTC-pinned session the cast is a
+    # pure reinterpretation — wall-clock values are unchanged, and the
+    # batch loader applies the same cast so both planes agree.
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def run_stream_to_table(

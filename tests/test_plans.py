@@ -174,6 +174,26 @@ def test_udtf_token_runs_map_only(spark, q):
     assert "Exchange" not in tree
 
 
+def test_range_join_user_key_in_join_condition(spark, q):
+    """The bucketed range join must equi-join on (bkt, user_id) — with
+    bucket alone as the key, every user active in the same 5-minute
+    bucket cross-multiplies before the user filter (a per-bucket
+    cartesian at scale, the round-2 flag).  Assert the user key appears
+    INSIDE the hash-join condition, and the range predicate is the only
+    residual."""
+    plan = _plan(q["range_join_bucketed"](spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # details section: the HashJoin's "Left keys"/"Right keys" list both
+    # bkt and user_id
+    import re
+
+    keys = re.findall(r"(?:Left|Right) keys \[\d+\]: \[([^\]]*)\]", plan)
+    assert keys, "no hash-join key details in plan"
+    assert all("user_id" in k and "bkt" in k for k in keys), keys
+
+
 def test_funnel_stages_broadcast_user_sets(spark, q):
     """Each funnel stage joins the previous stage's per-user MIN set as a
     broadcast; the events fact side must never shuffle into a merge join."""

@@ -18,6 +18,9 @@ SF_DIR = "/root/testdata/sf0.001"
 def test_events_stream_is_streaming(spark):
     df = read_events_stream(spark, SF_DIR)
     assert df.isStreaming
+    # fixtures store TIMESTAMP(MICROS) isAdjustedToUTC=false → read as
+    # NTZ, then normalized to TIMESTAMP (watermark-compatible; identity
+    # under the UTC session) to match the batch loader's view
     assert dict(df.dtypes)["ts"] == "timestamp"
 
 
