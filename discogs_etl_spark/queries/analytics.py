@@ -2876,3 +2876,225 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(c.agg(F.count(F.lit(1)).alias("n_clicked_after")))
         .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchased_after")))
     )
+
+
+@register(
+    "join_skew_salted",
+    oracle="""
+        WITH dim AS (
+            SELECT user_id,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS user_total,
+                   COUNT(*) AS user_events
+            FROM events GROUP BY user_id
+        )
+        SELECT e.event_id, e.user_id, e.event_type, d.user_total, d.user_events
+        FROM events e JOIN dim d ON e.user_id = d.user_id
+    """,
+    tags=("join", "skew", "salt"),
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe equi-join via SALTING — the manual remedy when one join
+    key dominates (a hot user, a null-heavy foreign key) and the dim side
+    is too large to broadcast.  The fact side gets a deterministic salt
+    (event_id % S); the dim side is exploded into S replicas, one per
+    salt value; the join key becomes (user_id, salt), so the hot key's
+    rows spread across S reducers instead of one straggler task.
+
+    The result is EXACTLY the unsalted join (the oracle is the plain
+    join): every fact row still meets its dim row — in the replica that
+    matches its salt.  Cost model: dim shuffle volume inflates S-fold,
+    fact volume is unchanged; pick S ≈ (hot-key rows / target rows per
+    task).  At 100 TB this composes with AQE skew-join splitting — AQE
+    splits oversized SHUFFLE partitions, salting additionally splits a
+    single oversized KEY GROUP, which AQE alone cannot (one key's rows
+    must land in one partition to co-group, unless the key itself is
+    salted).  Deterministic salt keeps the query oracle-checkable; a
+    production pipeline would use pmod(hash(...), S) the same way."""
+    n_salt = 8
+    ev = load(spark, sf_dir, "events")
+    dim = ev.groupBy("user_id").agg(
+        dsum("value", 6).alias("user_total"),
+        F.count(F.lit(1)).alias("user_events"),
+    )
+    fact = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        (F.col("event_id") % n_salt).cast("int").alias("salt"),
+    )
+    dim_salted = dim.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
+    return fact.join(dim_salted, ["user_id", "salt"]).select(
+        "event_id", "user_id", "event_type", "user_total", "user_events"
+    )
+
+
+@register(
+    "asof_join_tolerance",
+    oracle="""
+        WITH tagged AS (
+            SELECT user_id, ts, event_id, event_type FROM events
+            WHERE event_type IN ('click', 'purchase')
+        ),
+        lastc AS (
+            SELECT user_id, ts, event_id, event_type,
+                   last_value(CASE WHEN event_type = 'click' THEN event_id END
+                              IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS last_click_id,
+                   last_value(CASE WHEN event_type = 'click' THEN ts END
+                              IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS last_click_ts
+            FROM tagged
+        )
+        SELECT event_id AS purchase_id, user_id,
+               CASE WHEN epoch(ts) - epoch(last_click_ts) <= 600.0
+                    THEN last_click_id END AS click_id_within_10m,
+               CASE WHEN epoch(ts) - epoch(last_click_ts) <= 600.0
+                    THEN round(epoch(ts) - epoch(last_click_ts), 6)
+                    END AS staleness_sec
+        FROM lastc WHERE event_type = 'purchase'
+    """,
+    tags=("join", "asof", "tolerance", "window"),
+)
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a STALENESS BOUND (tolerance): each purchase takes
+    the user's most recent prior click only if it happened within the
+    last 10 minutes — the point-in-time feature join with a feature-TTL,
+    which is how real feature stores define validity (a quote/feature
+    older than the tolerance must resolve to NULL, not to a stale value).
+
+    Same single-shuffle union + last-ignoring-nulls window as
+    asof_join_events; the tolerance is a post-window NULL-out, costing
+    nothing extra.  Contrast with pandas merge_asof(tolerance=...) —
+    identical semantics, but distributed and one pass."""
+    ev = load(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_click_id = F.last(
+        F.when(F.col("event_type") == "click", F.col("event_id")), ignorenulls=True
+    ).over(w)
+    last_click_ts = F.last(
+        F.when(F.col("event_type") == "click", F.col("ts")), ignorenulls=True
+    ).over(w)
+    return (
+        ev.withColumn("last_click_id", last_click_id)
+        .withColumn("gap_sec", epoch("ts") - epoch(last_click_ts))
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.when(F.col("gap_sec") <= 600.0, F.col("last_click_id")).alias(
+                "click_id_within_10m"
+            ),
+            F.when(F.col("gap_sec") <= 600.0, F.round("gap_sec", 6)).alias(
+                "staleness_sec"
+            ),
+        )
+    )
+
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+        WITH firstseen AS (
+            -- date_trunc('week') is DATE in DuckDB but TIMESTAMP in Spark:
+            -- both sides cast to DATE explicitly (Monday-start in both)
+            SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+            FROM events GROUP BY user_id
+        ),
+        activity AS (
+            SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS active_week
+            FROM events
+        )
+        SELECT f.cohort_week, a.active_week,
+               CAST(date_diff('day', f.cohort_week, a.active_week) / 7 AS BIGINT)
+                   AS weeks_since,
+               COUNT(*) AS n_users
+        FROM activity a JOIN firstseen f ON a.user_id = f.user_id
+        GROUP BY f.cohort_week, a.active_week
+    """,
+    tags=("agg", "cohort", "retention"),
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen week, counted
+    in every week they were active — the standard growth-analytics
+    triangle, and a stress of the two-level aggregate + self-join shape.
+
+    Scale: both inputs reduce BEFORE the join — per-user first-seen is
+    one grouped MIN over events, per-(user, week) activity is a
+    DISTINCT (both user-keyed shuffles Spark lines up on the same
+    exchange) — so the join moves user-sized, not event-sized, data; the
+    final groupBy is over (weeks x cohorts), tiny."""
+    ev = load(spark, sf_dir, "events")
+    firstseen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("active_week")
+    ).distinct()
+    weeks_since = (F.datediff("active_week", "cohort_week") / 7).cast("long")
+    return (
+        activity.join(firstseen, "user_id")
+        .groupBy("cohort_week", "active_week")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(
+            "cohort_week",
+            "active_week",
+            weeks_since.alias("weeks_since"),
+            "n_users",
+        )
+    )
+
+
+@register(
+    "window_running_distinct_users",
+    oracle="""
+        WITH firstday AS (
+            SELECT user_id, CAST(MIN(ts) AS DATE) AS first_day
+            FROM events GROUP BY user_id
+        ),
+        daily AS (
+            SELECT first_day AS day, COUNT(*) AS new_users
+            FROM firstday GROUP BY first_day
+        )
+        SELECT day, new_users,
+               SUM(new_users) OVER (ORDER BY day
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_distinct_users
+        FROM daily
+    """,
+    tags=("window", "distinct", "running"),
+)
+def window_running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT user count by day — the classic trap query: a
+    naive COUNT(DISTINCT) OVER (ORDER BY day) is unsupported/O(n²);
+    the scalable identity is first-seen decomposition — a user
+    contributes to the running distinct count exactly once, on their
+    first day — so the answer is a prefix-sum over daily NEW-user
+    counts.  One grouped MIN (user-keyed), one small daily aggregate,
+    one window over ~days rows.
+
+    The single-partition window is SAFE here (and only here) because its
+    input is one row per calendar day — bounded and tiny — never the
+    event stream itself."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("user_id")
+        .agg(F.min("ts").cast("date").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("new_users"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        "day", "new_users", F.sum("new_users").over(w).alias("cum_distinct_users")
+    )

@@ -2318,3 +2318,118 @@ def dedup_cc_starcontraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle.  Benched head-to-head with the min-label variant (both share
     the cached pair graph, so the numbers isolate the loop itself)."""
     return connected_components_star(spark, minhash_pair_graph(spark, sf_dir))
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+        WITH base AS (
+            SELECT vec_id, label,
+                   CAST(embedding AS DOUBLE[]) AS emb,
+                   list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                           x -> abs(x))) AS amax
+            FROM embeddings
+        ),
+        q AS (
+            SELECT vec_id, label, emb, amax / 127.0 AS scale,
+                   CASE WHEN amax = 0 THEN list_transform(emb, x -> 0)
+                        ELSE list_transform(emb,
+                             x -> CAST(floor(x / (amax / 127.0) + 0.5) AS INT))
+                   END AS qvec
+            FROM base
+        )
+        SELECT vec_id, label,
+               round(scale, 9) AS scale_r,
+               CAST(len(qvec) AS INT) AS n_dims,
+               CAST(list_max(list_transform(qvec, x -> abs(x))) AS INT) AS q_absmax,
+               CAST(list_sum(list_transform(qvec, x -> CAST(x AS BIGINT))) AS BIGINT)
+                   AS q_checksum,
+               round(list_max(list_transform(list_zip(emb, qvec),
+                     p -> abs(p[1] - p[2] * scale))), 9) AS max_abs_err
+        FROM q
+    """,
+    tags=("embedding", "quantization", "compression"),
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector INT8 quantization of the embedding column —
+    the storage/bandwidth workhorse of vector search at scale (4x smaller
+    than float32, SIMD-friendly dot products).  scale = max|x| / 127;
+    q_i = round-half-up(x_i / scale); reported per vector: the scale, the
+    quantized checksum/absmax (pins the integer lattice exactly), and the
+    max reconstruction error |x - q*scale| (bounded by scale/2).
+
+    Everything is JVM higher-order functions over the array column — no
+    UDF, map-only, zero shuffles; at 100 TB this pipelines inside one
+    codegen stage with the parquet scan.  Half-up rounding is spelled
+    floor(x/s + 0.5) so both engines evaluate the identical IEEE
+    expression (DuckDB round() is away-from-zero, Spark's is HALF_UP —
+    they disagree at negative .5 boundaries)."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    amax = F.array_max(F.expr("transform(emb, x -> abs(x))"))
+    base = emb.withColumn("amax", amax).withColumn(
+        "scale", F.col("amax") / F.lit(127.0)
+    )
+    q = base.withColumn(
+        "qvec",
+        F.when(
+            F.col("amax") == 0, F.expr("transform(emb, x -> 0)")
+        ).otherwise(
+            F.expr("transform(emb, x -> CAST(floor(x / (amax / 127.0) + 0.5) AS INT))")
+        ),
+    )
+    return q.select(
+        "vec_id",
+        "label",
+        F.round("scale", 9).alias("scale_r"),
+        F.size("qvec").cast("int").alias("n_dims"),
+        F.array_max(F.expr("transform(qvec, x -> abs(x))")).cast("int").alias("q_absmax"),
+        F.expr("aggregate(qvec, CAST(0 AS BIGINT), (acc, x) -> acc + x)").alias(
+            "q_checksum"
+        ),
+        F.round(
+            F.array_max(
+                F.expr("zip_with(emb, qvec, (x, qi) -> abs(x - qi * scale))")
+            ),
+            9,
+        ).alias("max_abs_err"),
+    )
+
+
+@register(
+    "dedup_cluster_stats",
+    oracle=f"""
+        WITH comp AS ({_CC_ORACLE}),
+        sizes AS (
+            SELECT component_id, COUNT(*) AS cluster_size
+            FROM comp GROUP BY component_id
+        )
+        SELECT cluster_size,
+               COUNT(*) AS n_clusters,
+               SUM(cluster_size) AS n_docs,
+               SUM(cluster_size - 1) AS n_removable
+        FROM sizes GROUP BY cluster_size
+    """,
+    tags=("dedup", "graph", "stats"),
+)
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster size DISTRIBUTION — the dedup pipeline's report
+    card: how many clusters of each size, how many docs they cover, and
+    how many rows keep-one-per-cluster would remove.  This is the number
+    a data-curation run actually publishes (dedup rate), computed from
+    the same connected-components labeling the keep-one path uses.
+
+    Scale: input is the component labeling (graph-node-sized, not
+    corpus-sized); two cheap grouped counts.  Shares the per-session
+    MinHash pair graph, so in a curation session this costs only the two
+    aggregations."""
+    comp = dedup_connected_components(spark, sf_dir)
+    sizes = comp.groupBy("component_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("cluster_size").alias("n_docs"),
+        F.sum(F.col("cluster_size") - 1).alias("n_removable"),
+    )

@@ -136,6 +136,12 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "pandas_udaf_lang_iqr",
     # new this round (appended as they land)
     "xml_ingest_roundtrip",
+    "join_skew_salted",
+    "asof_join_tolerance",
+    "events_retention_cohorts",
+    "window_running_distinct_users",
+    "embedding_quantize_int8",
+    "dedup_cluster_stats",
 )
 
 

@@ -194,6 +194,42 @@ def test_range_join_user_key_in_join_condition(spark, q):
     assert all("user_id" in k and "bkt" in k for k in keys), keys
 
 
+def test_salted_join_salt_in_key(spark, q):
+    """The salted skew join must carry the salt INSIDE the equi-join key
+    (that is the whole point — spreading one hot key over S reducers);
+    and never degrade to a nested loop."""
+    import re
+
+    plan = _plan(q["join_skew_salted"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    keys = re.findall(r"(?:Left|Right) keys \[\d+\]: \[([^\]]*)\]", plan)
+    assert keys, "no hash-join key details in plan"
+    assert all("user_id" in k and "salt" in k for k in keys), keys
+
+
+def test_embedding_quantize_map_only(spark, q):
+    """INT8 quantization is pure per-row array math — its plan must have
+    no Exchange at all (one codegen stage with the scan)."""
+    plan = _plan(q["embedding_quantize_int8"](spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert "Exchange" not in tree
+
+
+def test_running_distinct_tiny_window_input(spark, q):
+    """The running-distinct query's single-partition window is legal only
+    because its input is day-grained: the plan must aggregate BEFORE the
+    window (two HashAggregates below the Window), never window the raw
+    events."""
+    plan = _plan(q["window_running_distinct_users"](spark, SF))
+    tree = plan.split("\n\n")[0]
+    w = tree.find("Window")
+    assert w != -1
+    # formatted trees list operators top-down; both aggregates must be
+    # textually after (i.e. upstream of) the Window node
+    assert tree.count("HashAggregate", w) >= 2
+
+
 def test_funnel_stages_broadcast_user_sets(spark, q):
     """Each funnel stage joins the previous stage's per-user MIN set as a
     broadcast; the events fact side must never shuffle into a merge join."""
