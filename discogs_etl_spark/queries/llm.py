@@ -850,6 +850,60 @@ def lang_id_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "lang_id_confusion",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents
+        ),
+        cnt AS (SELECT lang, w, COUNT(*) AS c FROM w GROUP BY lang, w),
+        top AS (
+            SELECT lang, w FROM (
+                SELECT lang, w,
+                       ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, w) AS rn
+                FROM cnt
+            ) WHERE rn <= 10
+        ),
+        score AS (
+            SELECT d.doc_id, t.lang AS cand_lang, COUNT(*) AS s
+            FROM w d JOIN top t ON d.w = t.w
+            GROUP BY d.doc_id, t.lang
+        ),
+        pred AS (
+            SELECT doc_id, cand_lang AS pred_lang FROM (
+                SELECT doc_id, cand_lang, s,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s DESC, cand_lang) AS rn
+                FROM score
+            ) WHERE rn = 1
+        )
+        SELECT d.lang AS true_lang,
+               COALESCE(p.pred_lang, 'unknown') AS pred_lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(CAST(d.lang = COALESCE(p.pred_lang, 'unknown') AS INT))
+                    AS BIGINT) AS n_correct
+        FROM documents d LEFT JOIN pred p ON d.doc_id = p.doc_id
+        GROUP BY d.lang, COALESCE(p.pred_lang, 'unknown')
+    """,
+    tags=("text", "langid", "eval", "confusion"),
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier EVALUATION as a query: the (true_lang, pred_lang)
+    confusion matrix of the corpus-learned language-ID against the
+    labeled column — per-cell doc counts and correct counts, from which
+    precision/recall per language read off directly.  Model-quality
+    reporting belongs in the same declarative plan as the model's
+    application (one pass, no exported predictions).
+
+    Scale: identical dataflow to lang_id_corpus (tiny broadcast
+    profiles, one (doc, lang)-keyed shuffle) plus one languages²-sized
+    aggregate — the evaluation itself adds no corpus-sized motion."""
+    preds = lang_id_corpus(spark, sf_dir)
+    return preds.groupBy("true_lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("correct").cast("long").alias("n_correct"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal columns
 # ---------------------------------------------------------------------------

@@ -142,6 +142,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "window_running_distinct_users",
     "embedding_quantize_int8",
     "dedup_cluster_stats",
+    "lang_id_confusion",
 )
 
 
