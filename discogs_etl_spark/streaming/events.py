@@ -367,6 +367,51 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_static_enrich",
+    oracle="""
+        WITH dim AS (
+            SELECT user_id, COUNT(*) AS user_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS user_total
+            FROM events GROUP BY user_id
+        )
+        SELECT e.event_id, e.user_id, e.event_type, d.user_events, d.user_total
+        FROM events e JOIN dim d ON e.user_id = d.user_id
+    """,
+    tags=("streaming", "join", "static"),
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC join: the unbounded event stream enriched against a
+    bounded dimension DataFrame (per-user lifetime stats, computed batch-
+    side) — the lookup-enrichment shape every streaming pipeline needs
+    (user profile, device registry, feature snapshot).  Unlike a
+    stream-stream join this keeps NO join state and needs NO watermark:
+    the static side is just re-read/broadcast per micro-batch, so append
+    mode emits immediately.
+
+    Scale: the static side broadcasts when small (profile tables) or
+    shuffles the batch side once per micro-batch when not; the stream
+    side is never buffered for the join at all — state cost zero, which
+    is exactly why enrichment dims should stay static/slowly-refreshed
+    rather than be modeled as a second stream."""
+    from discogs_etl_spark.queries._util import dsum
+    from discogs_etl_spark.tables import load as _load
+
+    events = read_events_stream(spark, sf_dir)
+    dim = (
+        _load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("user_events"),
+            dsum("value", 6).alias("user_total"),
+        )
+    )
+    joined = events.join(dim, "user_id").select(
+        "event_id", "user_id", "event_type", "user_events", "user_total"
+    )
+    return run_stream_to_table(joined, "stream_static_enrich_sink", "append")
+
+
+@register(
     "stream_stream_join",
     oracle="""
         SELECT a.user_id,
