@@ -156,3 +156,52 @@ def xml_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "year",
         "month",
     )
+
+
+_DATASOURCE_ORACLE = """
+    SELECT * FROM (VALUES
+        (CAST(7001 AS BIGINT), 'Round Trip', 'Accepted', 'Electronic|Jazz',
+         CAST(2 AS INT), '2', '1', CAST(2024 AS INT), '01'),
+        (CAST(7002 AS BIGINT), 'Plain', 'Draft', 'Jazz',
+         CAST(0 AS INT), NULL, NULL, CAST(2024 AS INT), '01'),
+        (CAST(0 AS BIGINT), 'No Attrs', NULL, '',
+         CAST(0 AS INT), NULL, NULL, CAST(2024 AS INT), '01')
+    ) AS t(id, title, status, genres_joined, n_images, fmt0_qty, fmt1_qty,
+           year, month)
+"""
+
+
+@register(
+    "xml_datasource_scan",
+    oracle=_DATASOURCE_ORACLE,
+    tags=("etl", "xml", "datasource"),
+)
+def xml_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The XML kernel through the FRAMEWORK surface:
+    ``spark.read.format("discogs_xml")`` (Python DataSource API, one
+    partition per dump file — see sources/datasource.py) over the golden
+    dump, flattened to scalars.  The oracle is the expected parse pinned
+    as SQL VALUES — the reference's §1.2 coercion table frozen as
+    literals (missing id→0, qty→"1" string, control-char scrub +
+    whitespace collapse in titles, empty lists join to '').
+
+    Partition values (year/month) come from the dump FILENAME — computed
+    here with the same parse_dump_url the lake writer uses."""
+    from discogs_etl_spark.lake import parse_dump_url
+    from discogs_etl_spark.sources.datasource import register as _register_ds
+
+    _register_ds(spark)
+    dump = _stage_dump()
+    info = parse_dump_url(dump)
+    df = spark.read.format("discogs_xml").option("path", dump).load()
+    return df.select(
+        "id",
+        "title",
+        "status",
+        F.array_join("genres", "|").alias("genres_joined"),
+        F.size("images").cast("int").alias("n_images"),
+        F.try_element_at("formats", F.lit(1)).getField("qty").alias("fmt0_qty"),
+        F.try_element_at("formats", F.lit(2)).getField("qty").alias("fmt1_qty"),
+        F.lit(info["year"]).cast("int").alias("year"),
+        F.lit(info["month"]).alias("month"),
+    )
