@@ -11,9 +11,11 @@ librosa.  Those libraries are not in this container, so ``decode_batch``
 routes through a DETERMINISTIC FAKE decoder (feature values derived from
 the payload's md5 — stable across engines, so the whole pipeline is
 oracle-checkable); the real-decoder hook is a clearly-marked
-``NotImplementedError`` branch.  Everything around the stub — schemas,
-batch iteration, fan-out row generation, partitioning — is real engine
-code.
+``NotImplementedError`` branch.  Everything else is real engine code:
+schemas, batch iteration, fan-out row generation, partitioning — and the
+RESIZE stage is a genuine pixel operation (pure-numpy nearest-neighbor
+gather over synthesized-but-deterministic H x W x 3 buffers, verified
+byte-for-byte by a SQL oracle that recomputes the same index map).
 
 Fake-decode contract (mirrored exactly by the DuckDB oracles):
 
@@ -149,13 +151,84 @@ def sample_frames(decoded: DataFrame) -> DataFrame:
     return decoded.mapInPandas(frame_batches, schema=FRAME_SCHEMA)
 
 
-def resize_images(decoded: DataFrame, max_side: int = 256) -> DataFrame:
-    """STUB — real resize needs PIL; the Spark-side contract (input/output
-    schema, map-only batch shape) is what this function pins."""
-    raise NotImplementedError(
-        "image resize requires PIL; wire a mapInPandas stage shaped like "
-        "decode_features with payload→payload output when the library lands"
-    )
+PIXEL_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("pixels", T.BinaryType()),
+    ]
+)
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("in_h", T.LongType()),
+        T.StructField("in_w", T.LongType()),
+        T.StructField("out_h", T.LongType()),
+        T.StructField("out_w", T.LongType()),
+        T.StructField("resized", T.BinaryType()),
+    ]
+)
+
+
+def decode_pixels(df: DataFrame) -> DataFrame:
+    """Payload → raw pixel buffer (H x W x 3 uint8, row-major binary).
+    A real deployment decodes with PIL here; this container synthesizes a
+    DETERMINISTIC image from the payload hash — pixel(r, c, ch) =
+    (seed + 31r + 17c + 7ch) mod 256 with (H, W, seed) derived from the
+    md5 — so every downstream pixel operation is exactly reproducible in
+    the DuckDB oracle.  Dims are kept small (8..16) purely so oracles
+    stay cheap; the numpy path is dimension-agnostic."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                h_hex = hashlib.md5(bytes(payload)).hexdigest()
+                hh = 8 + int(h_hex[0:2], 16) % 9
+                ww = 8 + int(h_hex[2:4], 16) % 9
+                seed = int(h_hex[4:6], 16)
+                r = np.arange(hh).reshape(-1, 1, 1)
+                c = np.arange(ww).reshape(1, -1, 1)
+                ch = np.arange(3).reshape(1, 1, -1)
+                img = ((seed + 31 * r + 17 * c + 7 * ch) % 256).astype(np.uint8)
+                rows.append((int(doc_id), hh, ww, img.tobytes()))
+            yield pd.DataFrame(rows, columns=["doc_id", "height", "width", "pixels"])
+
+    return df.mapInPandas(synth, schema=PIXEL_SCHEMA)
+
+
+def resize_images(pixeled: DataFrame, out_h: int = 4, out_w: int = 4) -> DataFrame:
+    """REAL nearest-neighbor resize in pure numpy (no PIL needed): output
+    pixel (i, j) samples input pixel (floor(i*H/out_h), floor(j*W/out_w))
+    — the standard NN index map, vectorized with two gather indices per
+    image.  Map-only mapInPandas: inherits the scan's partitioning,
+    shuffles nothing; at 100 TB the stage is CPU-bound and scales by
+    cores, exactly like decode.  (With PIL deployed, swap the gather for
+    ``Image.resize`` — schema and batch shape stay identical.)"""
+
+    def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, hh, ww, buf in zip(
+                pdf["doc_id"], pdf["height"], pdf["width"], pdf["pixels"]
+            ):
+                hh, ww = int(hh), int(ww)
+                img = np.frombuffer(bytes(buf), dtype=np.uint8).reshape(hh, ww, 3)
+                ri = (np.arange(out_h) * hh) // out_h
+                ci = (np.arange(out_w) * ww) // out_w
+                resized = img[ri][:, ci]
+                rows.append((int(doc_id), hh, ww, out_h, out_w, resized.tobytes()))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "in_h", "in_w", "out_h", "out_w", "resized"]
+            )
+
+    return pixeled.mapInPandas(do_resize, schema=RESIZED_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -189,6 +262,82 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload → typed media features via Arrow-batched mapInPandas
     (deterministic stub decoder; see module docstring for the contract)."""
     return decode_features(with_payload(load(spark, sf_dir, "documents")))
+
+
+@register(
+    "multimodal_resize_nn",
+    oracle=f"""
+        WITH img AS (
+            SELECT doc_id,
+                   8 + ('0x' || substr({_SQL_H}, 1, 2))::BIGINT % 9 AS h,
+                   8 + ('0x' || substr({_SQL_H}, 3, 2))::BIGINT % 9 AS w,
+                   ('0x' || substr({_SQL_H}, 5, 2))::BIGINT AS seed
+            FROM documents WHERE doc_id % 3 = 0
+        ),
+        grid AS (
+            SELECT i.i, j.j, ch.ch
+            FROM (SELECT unnest(range(4)) AS i) i,
+                 (SELECT unnest(range(4)) AS j) j,
+                 (SELECT unnest(range(3)) AS ch) ch
+        ),
+        px AS (
+            SELECT doc_id, h, w,
+                   i, j, ch,
+                   (seed + 31 * ((i * h) // 4) + 17 * ((j * w) // 4) + 7 * ch) % 256
+                       AS v
+            FROM img, grid
+        )
+        SELECT doc_id,
+               MAX(h) AS in_h, MAX(w) AS in_w,
+               CAST(4 AS BIGINT) AS out_h, CAST(4 AS BIGINT) AS out_w,
+               SUM(v) AS pixel_sum,
+               CAST(SUM(CASE WHEN i = 0 AND j = 0 AND ch = 0 THEN v END) AS BIGINT)
+                   AS p_first,
+               CAST(SUM(CASE WHEN i = 3 AND j = 3 AND ch = 2 THEN v END) AS BIGINT)
+                   AS p_last
+        FROM px GROUP BY doc_id
+    """,
+    tags=("multimodal", "mapInPandas", "resize", "numpy"),
+)
+def multimodal_resize_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize as a REAL pixel operation: synth-decode to raw
+    H x W x 3 buffers, nearest-neighbor resample to 4 x 4 in numpy, then
+    summarize the resized pixels (sum + two corners) into driver-hashable
+    scalars.  The oracle recomputes the identical NN index map
+    ((i*H)//4, (j*W)//4) over the identical deterministic pixel function
+    in SQL — every byte of the resample is independently verified."""
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, in_h, in_w, out_h, out_w, buf in zip(
+                pdf["doc_id"], pdf["in_h"], pdf["in_w"],
+                pdf["out_h"], pdf["out_w"], pdf["resized"],
+            ):
+                a = np.frombuffer(bytes(buf), dtype=np.uint8).astype(np.int64)
+                rows.append(
+                    (int(doc_id), int(in_h), int(in_w), int(out_h), int(out_w),
+                     int(a.sum()), int(a[0]), int(a[-1]))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "in_h", "in_w", "out_h", "out_w",
+                         "pixel_sum", "p_first", "p_last"],
+            )
+
+    images = with_payload(load(spark, sf_dir, "documents")).where(
+        F.col("media_type") == "image"
+    )
+    resized = resize_images(decode_pixels(images), out_h=4, out_w=4)
+    return resized.mapInPandas(
+        summarize,
+        schema=(
+            "doc_id long, in_h long, in_w long, out_h long, out_w long, "
+            "pixel_sum long, p_first long, p_last long"
+        ),
+    )
 
 
 @register(
