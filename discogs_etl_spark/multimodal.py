@@ -341,6 +341,72 @@ def multimodal_resize_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_audio_frames",
+    oracle=f"""
+        WITH aud AS (
+            SELECT doc_id,
+                   ('0x' || substr({_SQL_H}, 1, 2))::BIGINT AS seed,
+                   64 + ('0x' || substr({_SQL_H}, 3, 2))::BIGINT % 65 AS n_samples
+            FROM documents WHERE doc_id % 3 = 1
+        ),
+        s AS (
+            SELECT doc_id, seed, n_samples, t.t,
+                   ((seed * 131 + t.t * 37) % 2048) - 1024 AS amp
+            FROM aud, LATERAL (SELECT unnest(range(n_samples)) AS t) t
+        )
+        SELECT doc_id,
+               CAST(t // 32 AS BIGINT) AS frame_idx,
+               COUNT(*) AS n_in_frame,
+               SUM(amp * amp) AS energy,
+               CAST(MAX(abs(amp)) AS BIGINT) AS peak
+        FROM s GROUP BY doc_id, t // 32
+    """,
+    tags=("multimodal", "audio", "mapInPandas", "fanout"),
+)
+def multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio FRAMING with real signal math: synthesize a deterministic
+    PCM buffer per audio asset (amp[t] = (seed*131 + 37t) mod 2048 −
+    1024 — int16-range samples; librosa/ffmpeg plugs into the same
+    slot), cut it into 32-sample frames, and compute per-frame energy
+    (Σ amp²) and peak in vectorized numpy — the front half of every
+    audio featurization (VAD, loudness normalization, spectrogram
+    windowing).  1→N fan-out mapInPandas like video frame sampling;
+    map-only, scales by cores.  The oracle regenerates the identical
+    samples with range() and aggregates the same frames in SQL."""
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                h = hashlib.md5(bytes(payload)).hexdigest()
+                seed = int(h[0:2], 16)
+                n = 64 + int(h[2:4], 16) % 65
+                t = np.arange(n, dtype=np.int64)
+                amp = (seed * 131 + t * 37) % 2048 - 1024
+                fidx = t // 32
+                for f in np.unique(fidx):
+                    a = amp[fidx == f]
+                    rows.append(
+                        (int(doc_id), int(f), int(a.size),
+                         int((a * a).sum()), int(np.abs(a).max()))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "n_in_frame", "energy", "peak"],
+            )
+
+    audio = with_payload(load(spark, sf_dir, "documents")).where(
+        F.col("media_type") == "audio"
+    )
+    return audio.mapInPandas(
+        frames,
+        schema="doc_id long, frame_idx long, n_in_frame long, energy long, peak long",
+    )
+
+
+@register(
     "multimodal_frame_sample",
     oracle=f"""
         WITH d AS (
