@@ -2487,3 +2487,108 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cluster_size").alias("n_docs"),
         F.sum(F.col("cluster_size") - 1).alias("n_removable"),
     )
+
+
+@register(
+    "text_search_inverted_topk",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, w, COUNT(*) AS tf FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+            ) WHERE len(w) > 3
+            GROUP BY doc_id, w
+        ),
+        q AS (
+            SELECT doc_id AS q_id, w, tf AS tfq FROM tok WHERE doc_id % 100 = 0
+        ),
+        scored AS (
+            SELECT q.q_id, t.doc_id,
+                   SUM(CASE WHEN q.tfq < t.tf THEN q.tfq ELSE t.tf END) AS score
+            FROM q JOIN tok t ON q.w = t.w
+            WHERE t.doc_id <> q.q_id
+            GROUP BY q.q_id, t.doc_id
+        )
+        SELECT q_id, doc_id, score FROM (
+            SELECT q_id, doc_id, score,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY score DESC, doc_id) AS rn
+            FROM scored
+        ) WHERE rn <= 3
+    """,
+    tags=("text", "search", "inverted_index", "topk"),
+)
+def text_search_inverted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical retrieval via an INVERTED INDEX — the sparse counterpart to
+    the embedding ANN family: postings are (term, doc, tf); a query's
+    terms join the postings lists, candidates score by Σ min(tf_q, tf_d)
+    (histogram-intersection — integer-exact, hence oracle-hashable where
+    float BM25 would be 1-ulp fragile), and a per-query window takes the
+    top 3.  Query set: every 100th document's terms, self-match excluded.
+
+    Scale: the postings join shuffles on the TERM — classic hot-term skew
+    (stopwords); the len > 3 gate is the stopword gate, and at 100 TB the
+    posting lists of the head terms get the salting treatment
+    (join_skew_salted) or an impact-ordered cutoff.  Scoring then reduces
+    on (query, doc) and the top-k is a WindowGroupLimit, never a global
+    sort."""
+    docs = load(spark, sf_dir, "documents")
+    tok = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .where(F.length("w") > 3)
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    q = tok.where(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("q_id"), "w", F.col("tf").alias("tfq")
+    )
+    scored = (
+        q.join(tok, "w")
+        .where(F.col("doc_id") != F.col("q_id"))
+        .groupBy("q_id", "doc_id")
+        .agg(F.sum(F.least("tfq", "tf")).alias("score"))
+    )
+    wtop = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(wtop))
+        .where(F.col("rn") <= 3)
+        .select("q_id", "doc_id", "score")
+    )
+
+
+@register(
+    "embedding_random_projection",
+    oracle="""
+        SELECT vec_id, k.k,
+               round(list_reduce(
+                   list_transform(list_zip(emb, range(len(emb))),
+                       p -> CASE WHEN (31 * k.k + 17 * p[2]) % 2 = 0
+                                 THEN p[1] ELSE -p[1] END),
+                   (a, b) -> a + b), 6) AS v
+        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+             (SELECT unnest(range(8)) AS k) k
+    """,
+    tags=("embedding", "projection", "jl", "dimensionality"),
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss SIGN projection: reduce every embedding to
+    k=8 dims with a pseudo-random ±1 matrix derived from (31k + 17d)
+    parity — the cheap, data-independent dimension reduction that front-
+    ends ANN indexing (distances preserved within (1±ε) w.h.p.; signs
+    instead of Gaussians per Achlioptas'03).  The matrix is ARITHMETIC,
+    not stored — at 100 TB nothing ships to executors and the stage is
+    map-only, one codegen pass with the scan.
+
+    Float determinism: both engines fold the per-row array LEFT-TO-RIGHT
+    (Spark ``aggregate``, DuckDB ``list_reduce``) over identical terms,
+    so the doubles are bit-identical before the final round — no
+    order-dependent groupBy SUM anywhere."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    ks = emb.select("vec_id", "emb", F.explode(F.expr("sequence(0, 7)")).alias("k"))
+    v = F.expr(
+        "aggregate(zip_with(emb, sequence(0, size(emb) - 1), "
+        "(x, d) -> CASE WHEN (31 * k + 17 * d) % 2 = 0 THEN x ELSE -x END), "
+        "CAST(0 AS DOUBLE), (a, b) -> a + b)"
+    )
+    return ks.select("vec_id", "k", F.round(v, 6).alias("v"))
