@@ -230,6 +230,16 @@ def test_running_distinct_tiny_window_input(spark, q):
     assert tree.count("HashAggregate", w) >= 2
 
 
+def test_inverted_search_group_limit(spark, q):
+    """Per-query top-k in the inverted-index retrieval must plan as a
+    WindowGroupLimit (rank pushed into the window sort), and the postings
+    join must stay a hash join."""
+    plan = _plan(q["text_search_inverted_topk"](spark, SF))
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_funnel_stages_broadcast_user_sets(spark, q):
     """Each funnel stage joins the previous stage's per-user MIN set as a
     broadcast; the events fact side must never shuffle into a merge join."""
