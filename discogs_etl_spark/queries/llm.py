@@ -2592,3 +2592,147 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(0 AS DOUBLE), (a, b) -> a + b)"
     )
     return ks.select("vec_id", "k", F.round(v, 6).alias("v"))
+
+
+_MULTIPROBE_ORACLE = f"""
+    WITH bucketed AS (
+        SELECT vec_id, embedding, {_sql_sign_bucket('embedding')} AS bucket
+        FROM embeddings
+    ),
+    probes AS (
+        SELECT q.vec_id AS q_vec_id, q.embedding AS q_embedding,
+               CASE WHEN p.i = 8 THEN q.bucket
+                    ELSE xor(q.bucket, 1 << p.i) END AS pb
+        FROM (SELECT * FROM bucketed WHERE vec_id < 20) q,
+             (SELECT unnest(range(9)) AS i) p
+    )
+    SELECT q_vec_id, vec_id, rank, cos
+    FROM (
+        SELECT pr.q_vec_id, v.vec_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY pr.q_vec_id
+                   ORDER BY {_SQL_COS.format(a='pr.q_embedding', b='v.embedding')} DESC,
+                            v.vec_id
+               ) AS rank,
+               round({_SQL_COS.format(a='pr.q_embedding', b='v.embedding')}, 6) AS cos
+        FROM probes pr
+        JOIN bucketed v ON v.bucket = pr.pb AND v.vec_id <> pr.q_vec_id
+    )
+    WHERE rank <= 3
+"""
+
+
+@register(
+    "similarity_ann_multiprobe",
+    oracle=_MULTIPROBE_ORACLE,
+    tags=("similarity", "ann", "lsh", "multiprobe"),
+)
+def similarity_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTIPROBE sign-LSH ANN: each query searches its own bucket AND the
+    8 buckets at Hamming distance 1 (one sign bit flipped) — 9 probes.
+    Near-threshold vectors (a dimension close to 0) land one bit away;
+    probing those buckets recovers them without adding hash tables, the
+    classic recall/cost knob (Lv et al., multi-probe LSH, VLDB'07).
+
+    Scale: candidates grow 9/256 of the corpus instead of 1/256 — still
+    a ~28x cut vs brute force — and the probe fan-out is on the QUERY
+    side (explode of 9 bucket keys), so the corpus is still touched via
+    one bucket equi-join, shuffle-partitionable, no broadcast of the
+    corpus.  Recall vs probes is measured by
+    similarity_ann_multiprobe_recall."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("emb"),
+        _sign_bucket(F.col("embedding")).alias("bucket"),
+    )
+    q = (
+        emb.where(F.col("vec_id") < 20)
+        .select(
+            F.col("vec_id").alias("q_vec_id"),
+            F.col("emb").alias("q_emb"),
+            F.explode(
+                F.expr(
+                    "array(bucket, "
+                    + ", ".join(f"bucket ^ {1 << i}" for i in range(8))
+                    + ")"
+                )
+            ).alias("pb"),
+        )
+    )
+    cos = _cosine(F.col("q_emb"), F.col("emb"))
+    w = Window.partitionBy("q_vec_id").orderBy(F.desc("raw_cos"), F.asc("vec_id"))
+    return (
+        emb.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("pb")) & (F.col("vec_id") != F.col("q_vec_id")),
+        )
+        .select("q_vec_id", "vec_id", cos.alias("raw_cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("q_vec_id", "vec_id", "rank", F.round("raw_cos", 6).alias("cos"))
+    )
+
+
+_MULTIPROBE_RECALL_ORACLE = f"""
+    WITH exact AS (
+        SELECT q_vec_id, vec_id FROM (
+            SELECT q.vec_id AS q_vec_id, v.vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_SQL_COS.format(a='q.embedding', b='v.embedding')} DESC,
+                                v.vec_id) AS rank
+            FROM (SELECT * FROM embeddings WHERE vec_id < 20) q
+            JOIN embeddings v ON v.vec_id <> q.vec_id
+        ) WHERE rank <= 3
+    ),
+    approx AS (SELECT q_vec_id, vec_id FROM ({_MULTIPROBE_ORACLE}))
+    SELECT e.q_vec_id,
+           COUNT(a.vec_id) AS n_hit,
+           COUNT(*) AS k,
+           round(CAST(COUNT(a.vec_id) AS DOUBLE) / COUNT(*), 6) AS recall_at_k
+    FROM exact e
+    LEFT JOIN approx a ON e.q_vec_id = a.q_vec_id AND e.vec_id = a.vec_id
+    GROUP BY e.q_vec_id
+"""
+
+
+@register(
+    "similarity_ann_multiprobe_recall",
+    oracle=_MULTIPROBE_RECALL_ORACLE,
+    tags=("similarity", "ann", "multiprobe", "recall", "evaluation"),
+)
+def similarity_ann_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of MULTIPROBE sign-LSH vs exact brute force, per query —
+    the measured counterpart of the multiprobe claim: at Hamming-1
+    probing the recall must dominate single-probe
+    (similarity_ann_recall) on the same query set, for ~9x the candidate
+    cost.  Both pipelines deterministic; the evaluation itself is
+    oracle-checked."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    q = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("emb").alias("q_emb")
+    )
+    cos = _cosine(F.col("q_emb"), F.col("emb"))
+    w = Window.partitionBy("q_vec_id").orderBy(F.desc("raw_cos"), F.asc("vec_id"))
+    exact = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("q_vec_id"))
+        .select("q_vec_id", "vec_id", cos.alias("raw_cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("q_vec_id", "vec_id")
+    )
+    approx = similarity_ann_multiprobe(spark, sf_dir).select("q_vec_id", "vec_id")
+    hit = approx.withColumn("hit", F.lit(1))
+    return (
+        exact.join(hit, ["q_vec_id", "vec_id"], "left")
+        .groupBy("q_vec_id")
+        .agg(
+            F.count("hit").alias("n_hit"),
+            F.count(F.lit(1)).alias("k"),
+            F.round(F.count("hit").cast("double") / F.count(F.lit(1)), 6).alias(
+                "recall_at_k"
+            ),
+        )
+    )
