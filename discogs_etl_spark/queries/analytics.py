@@ -3098,3 +3098,51 @@ def window_running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
     return daily.select(
         "day", "new_users", F.sum("new_users").over(w).alias("cum_distinct_users")
     )
+
+
+@register(
+    "events_time_weighted_avg",
+    oracle="""
+        WITH seg AS (
+            SELECT user_id, value,
+                   epoch(LEAD(ts) OVER w) - epoch(ts) AS dt
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id,
+               CAST(SUM(CAST(round(value * dt, 6) AS DECIMAL(28,6))) AS DOUBLE)
+                   AS weighted_sum,
+               CAST(SUM(CAST(round(dt, 6) AS DECIMAL(28,6))) AS DOUBLE)
+                   AS total_sec,
+               round(CAST(SUM(CAST(round(value * dt, 6) AS DECIMAL(28,6))) AS DOUBLE)
+                     / CAST(SUM(CAST(round(dt, 6) AS DECIMAL(28,6))) AS DOUBLE), 6)
+                   AS twa_value
+        FROM seg WHERE dt IS NOT NULL
+        GROUP BY user_id
+    """,
+    tags=("window", "agg", "time_weighted"),
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-WEIGHTED average per user: each event's value holds until the
+    user's next event, so the mean weights by holding duration, not by
+    event count — the correct aggregate for sampled gauges (balance,
+    price, sensor level), where plain AVG over-weights busy periods.
+
+    One lead() window (user-keyed shuffle shared with the aggregate) and
+    exact accumulation: the per-segment product rounds to 6 decimals then
+    sums as DECIMAL on both engines, so parallel float addition order
+    can't smear the result."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dt = F.lead(epoch("ts")).over(w) - epoch("ts")
+    seg = load(spark, sf_dir, "events").select(
+        "user_id", "value", dt.alias("dt")
+    ).where(F.col("dt").isNotNull())
+    wsum = F.sum(F.round(F.col("value") * F.col("dt"), 6).cast("decimal(28,6)")).cast(
+        "double"
+    )
+    tsec = F.sum(F.round("dt", 6).cast("decimal(28,6)")).cast("double")
+    return seg.groupBy("user_id").agg(
+        wsum.alias("weighted_sum"),
+        tsec.alias("total_sec"),
+        F.round(wsum / tsec, 6).alias("twa_value"),
+    )

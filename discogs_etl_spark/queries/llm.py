@@ -2736,3 +2736,125 @@ def similarity_ann_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFr
             ),
         )
     )
+
+
+@register(
+    "vocab_oov_rate",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        ),
+        vocab AS (
+            SELECT w FROM (
+                SELECT w, COUNT(*) AS c,
+                       ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, w) AS rn
+                FROM tok GROUP BY w
+            ) WHERE rn <= 64
+        )
+        SELECT t.doc_id,
+               COUNT(*) AS n_tokens,
+               CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_oov,
+               round(CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                     / COUNT(*), 6) AS oov_rate
+        FROM tok t LEFT JOIN vocab v ON t.w = v.w
+        GROUP BY t.doc_id
+    """,
+    tags=("text", "vocab", "tokenizer", "coverage"),
+)
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary COVERAGE: build a top-64 corpus vocabulary,
+    then measure each document's out-of-vocabulary token rate — the
+    metric that decides whether a tokenizer/vocab fits a corpus before
+    training starts (high OOV → wasted UNK mass).
+
+    Scale: the vocab is two aggregations and then TINY (top-N rows), so
+    the coverage join is a broadcast against the exploded corpus — the
+    corpus is touched once, map-side, and re-aggregated per doc.  Counts
+    are integers; only the final rate divides."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    wtop = Window.orderBy(F.desc("c"), F.asc("w"))
+    vocab = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("rn", F.row_number().over(wtop))
+        .where(F.col("rn") <= 64)
+        .select("w", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+            F.round(
+                F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("oov_rate"),
+        )
+    )
+
+
+@register(
+    "ngram_next_word_top",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ),
+        big AS (
+            SELECT ws[g.i] AS w, ws[g.i + 1] AS nxt
+            FROM w, LATERAL (SELECT unnest(range(1, len(ws))) AS i) g
+        ),
+        cnt AS (SELECT w, nxt, COUNT(*) AS c FROM big GROUP BY w, nxt),
+        tot AS (SELECT w, SUM(c) AS n FROM cnt GROUP BY w)
+        SELECT c.w, c.nxt AS top_next, c.c AS pair_count, t.n AS word_count
+        FROM (
+            SELECT w, nxt, c,
+                   ROW_NUMBER() OVER (PARTITION BY w ORDER BY c DESC, nxt) AS rn
+            FROM cnt
+        ) c JOIN tot t ON c.w = t.w
+        WHERE c.rn = 1 AND t.n >= 50
+    """,
+    tags=("text", "ngram", "lm"),
+)
+def ngram_next_word_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LANGUAGE-MODEL table: for every frequent word (≥50
+    continuations in the corpus), its most likely next word with the
+    pair and unigram counts — the count side of a Kneser-Ney/perplexity
+    pipeline, kept in integers so the oracle is exact (probabilities
+    divide these counts downstream).
+
+    Scale: bigrams explode map-side from consecutive token pairs; two
+    grouped counts (pair-keyed, then word-keyed) and a per-word argmax
+    window — all shuffles on word-ish keys, head-word skew handled by
+    partial aggregation."""
+    docs = load(spark, sf_dir, "documents")
+    big = docs.select(
+        F.explode(
+            F.expr(
+                "transform(slice(split(text, ' '), 1, size(split(text, ' ')) - 1), "
+                "(x, i) -> struct(x AS w, element_at(split(text, ' '), i + 2) AS nxt))"
+            )
+        ).alias("p")
+    ).select("p.w", "p.nxt")
+    cnt = big.groupBy("w", "nxt").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("w").agg(F.sum("c").alias("n"))
+    wtop = Window.partitionBy("w").orderBy(F.desc("c"), F.asc("nxt"))
+    return (
+        cnt.withColumn("rn", F.row_number().over(wtop))
+        .where(F.col("rn") == 1)
+        .join(tot, "w")
+        .where(F.col("n") >= 50)
+        .select(
+            "w",
+            F.col("nxt").alias("top_next"),
+            F.col("c").alias("pair_count"),
+            F.col("n").alias("word_count"),
+        )
+    )
