@@ -3146,3 +3146,193 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         tsec.alias("total_sec"),
         F.round(wsum / tsec, 6).alias("twa_value"),
     )
+
+
+@register(
+    "graph_triangle_count",
+    oracle="""
+        WITH items AS (
+            SELECT l_orderkey, l_partkey FROM lineitem
+            GROUP BY l_orderkey, l_partkey
+        ),
+        small AS (
+            SELECT l_orderkey FROM items GROUP BY l_orderkey HAVING COUNT(*) <= 4
+        ),
+        edges AS (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM items a
+            JOIN items b ON a.l_orderkey = b.l_orderkey
+                        AND a.l_partkey < b.l_partkey
+            JOIN small s ON a.l_orderkey = s.l_orderkey
+        ),
+        tri AS (
+            SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            FROM edges e1
+            JOIN edges e2 ON e1.v = e2.u
+            JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+        )
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM (
+            SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        ) GROUP BY node
+    """,
+    tags=("graph", "triangle", "join"),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRIANGLE COUNTING on the parts-co-ordered graph (parts sharing an
+    order are connected; orders capped at 4 distinct parts so the edge
+    build is bounded) — the classic graph-analytics primitive behind
+    clustering coefficients and community density, expressed as the
+    standard two-join enumeration over CANONICALLY ORIENTED edges
+    (u < v < w), so each triangle is found exactly once.
+
+    Scale: orientation is the whole trick — joining ordered edges bounds
+    each wedge u<v<w to one direction, cutting the join fan-in 6x and
+    keeping the heaviest hub's wedges on the smaller side; the per-order
+    item cap is the real-world guard (a 1000-item order contributes
+    half a million edges unbounded).  All shuffles are edge-keyed
+    equi-joins."""
+    items = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    small = (
+        items.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") <= 4)
+        .select("l_orderkey")
+    )
+    a = items.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("u") < F.col("v"))
+        .join(small, "l_orderkey")
+        .select("u", "v")
+        .distinct()
+    )
+    e1 = edges
+    e2 = edges.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    e3 = edges.select(F.col("u").alias("u3"), F.col("v").alias("w3"))
+    tri = (
+        e1.join(e2, "v")
+        .join(e3, (F.col("u") == F.col("u3")) & (F.col("w") == F.col("w3")))
+        .select("u", "v", "w")
+    )
+    nodes = (
+        tri.select(F.col("u").alias("node"))
+        .unionAll(tri.select(F.col("v")))
+        .unionAll(tri.select(F.col("w")))
+    )
+    return nodes.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+@register(
+    "table_profile_orders",
+    oracle="""
+        SELECT 'o_orderkey' AS col, COUNT(*) AS n_rows,
+               CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+               COUNT(DISTINCT o_orderkey) AS n_distinct,
+               CAST(MIN(o_orderkey) AS VARCHAR) AS min_str,
+               CAST(MAX(o_orderkey) AS VARCHAR) AS max_str
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', COUNT(*),
+               CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               COUNT(DISTINCT o_orderstatus),
+               CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', COUNT(*),
+               CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               COUNT(DISTINCT o_orderpriority),
+               CAST(MIN(o_orderpriority) AS VARCHAR), CAST(MAX(o_orderpriority) AS VARCHAR)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderdate', COUNT(*),
+               CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               COUNT(DISTINCT o_orderdate),
+               CAST(MIN(o_orderdate) AS VARCHAR), CAST(MAX(o_orderdate) AS VARCHAR)
+        FROM orders
+    """,
+    tags=("profile", "quality", "agg"),
+)
+def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA PROFILING as a query: per-column row/null/distinct counts and
+    min/max (stringified for a uniform shape) — the validation report
+    every ingestion job should publish before downstream consumption
+    (schema drift, null explosions, and cardinality regressions all
+    surface here).
+
+    Scale: ONE pass over the table computes every column's profile —
+    Catalyst plans the multi-distinct via a single expand, not N scans;
+    the stringify makes the report schema column-count-independent."""
+    orders = load(spark, sf_dir, "orders")
+
+    def profile(col: str):
+        return orders.agg(
+            F.lit(col).alias("col"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col(col).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_nulls"),
+            F.countDistinct(col).alias("n_distinct"),
+            F.min(col).cast("string").alias("min_str"),
+            F.max(col).cast("string").alias("max_str"),
+        )
+
+    cols = ["o_orderkey", "o_orderstatus", "o_orderpriority", "o_orderdate"]
+    out = profile(cols[0])
+    for c in cols[1:]:
+        out = out.unionAll(profile(c))
+    return out
+
+
+@register(
+    "incremental_agg_merge",
+    oracle="""
+        SELECT o_orderstatus,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("agg", "incremental", "merge"),
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL aggregate maintenance, proven equal to recompute: the
+    table splits into an OLD batch (orders before 1996) and a DELTA
+    (the rest); each is reduced to partial state (count + exact
+    fixed-point sum), and the states MERGE by addition — the oracle is
+    the from-scratch aggregate over everything, so the query certifies
+    merge(old_state, delta_state) == full recompute.
+
+    This is the contract that makes 100 TB pipelines incremental: daily
+    partitions aggregate once, and the rollup is state merging (tiny)
+    instead of a full-history re-scan.  Works because count/sum are
+    commutative monoids over the fixed-point representation — the same
+    property streaming upsert sinks and AQE partial aggregation rely
+    on."""
+    orders = load(spark, sf_dir, "orders")
+    cutoff = F.lit("1996-01-01").cast("date")
+
+    def partial(df):
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(fixed("o_totalprice", 2)).alias("s"),
+        )
+
+    old_state = partial(orders.where(F.col("o_orderdate") < cutoff))
+    delta = partial(orders.where(F.col("o_orderdate") >= cutoff))
+    merged = (
+        old_state.unionByName(delta)
+        .groupBy("o_orderstatus")
+        .agg(F.sum("n").alias("n_orders"), F.sum("s").alias("s"))
+    )
+    return merged.select(
+        "o_orderstatus",
+        "n_orders",
+        (F.col("s").cast("double") / 100).alias("total_price"),
+    )
