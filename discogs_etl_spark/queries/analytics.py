@@ -3179,6 +3179,7 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) GROUP BY node
     """,
     tags=("graph", "triangle", "join"),
+    bench=True,
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRIANGLE COUNTING on the parts-co-ordered graph (parts sharing an

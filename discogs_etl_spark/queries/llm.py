@@ -2516,6 +2516,7 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) WHERE rn <= 3
     """,
     tags=("text", "search", "inverted_index", "topk"),
+    bench=True,
 )
 def text_search_inverted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexical retrieval via an INVERTED INDEX — the sparse counterpart to
