@@ -3208,12 +3208,19 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = items.select("l_orderkey", F.col("l_partkey").alias("u"))
     b = items.select("l_orderkey", F.col("l_partkey").alias("v"))
+    # Materialize the edge set ONCE: the triangle enumeration references
+    # it three times, and Spark does not share common subplans across
+    # DataFrame branches — without the checkpoint the whole
+    # items-distinct + cap + self-join subtree executes 3x (measured 73
+    # exchanges in the un-checkpointed plan).  Same pattern as the
+    # CC family's minhash_pair_graph.
     edges = (
         a.join(b, "l_orderkey")
         .where(F.col("u") < F.col("v"))
         .join(small, "l_orderkey")
         .select("u", "v")
         .distinct()
+        .localCheckpoint()
     )
     e1 = edges
     e2 = edges.select(F.col("u").alias("v"), F.col("v").alias("w"))
