@@ -523,3 +523,115 @@ def stream_upsert_to_lake(
     )
     q.awaitTermination()
     return lake_path(lake_root, data_type)
+
+
+try:  # Spark 4+ only; the module must import without the API
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor as _SP
+except ImportError:  # pragma: no cover - older Spark
+    _SP = object
+
+
+class TypeCountsProcessor(_SP):
+    """StatefulProcessor for transformWithStateInPandas: per-user MAP
+    state (event_type → count) plus a VALUE state for the running value
+    sum in exact fixed-point micros — the typed-state-primitive
+    (ValueState/MapState/ListState) successor to the single-tuple
+    GroupState of applyInPandasWithState.  Module-level class: the
+    processor is pickled by reference into the TWS driver worker."""
+
+    def init(self, handle) -> None:
+        self.counts = handle.getMapState("counts", "k string", "v long")
+        self.total = handle.getValueState("total_micros", "t long")
+
+    def handleInputRows(self, key, rows, timer_values):
+        import pandas as pd
+
+        (user_id,) = key
+        total = self.total.get()[0] if self.total.exists() else 0
+        for pdf in rows:
+            if not len(pdf):
+                continue
+            for et, n in pdf.groupby("event_type").size().items():
+                prev = (
+                    self.counts.getValue((et,))[0]
+                    if self.counts.containsKey((et,))
+                    else 0
+                )
+                self.counts.updateValue((et,), (prev + int(n),))
+            total += int(round(float(pdf["value"].sum()) * 1_000_000))
+        self.total.update((total,))
+        items = sorted(
+            ((k[0], v[0]) for k, v in self.counts.iterator()),
+            key=lambda kv: (-kv[1], kv[0]),
+        )
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_types": [len(items)],
+                "n_events": [sum(v for _, v in items)],
+                "top_type": [items[0][0]],
+                "total_value": [round(total / 1_000_000, 6)],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def transform_with_state_available() -> bool:
+    """transformWithStateInPandas launches a protobuf-speaking driver
+    worker; this container's google.protobuf is broken (ImportError:
+    cannot import name 'descriptor'), so the API is environment-gated
+    here the same way PIL gates real image decode.  The operator below is
+    complete and becomes a registered, oracle-checked query the moment
+    the dependency lands — applyInPandasWithState
+    (stream_stateful_user_stats) is the supported stateful surface in
+    this container."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MODERN stateful-streaming API (transformWithStateInPandas,
+    Spark 4): per-user typed state — a MapState of event-type counts and
+    a ValueState running value sum in exact fixed-point micros — emitting
+    each user's type diversity, modal event type, and total value.
+    Requires the RocksDB state store (typed-state primitives are
+    RocksDB-only); the conf is set per-call and restored.
+
+    Versus applyInPandasWithState (stream_stateful_user_stats): state is
+    structured and individually updatable (point-updates to one map key,
+    no whole-tuple rewrite), TTL is per-state, and timers are first-class
+    — the API the engine standardizes on for new stateful operators.
+
+    Scale: one RocksDB keyspace per (user, state) — point lookups, no
+    per-batch full-state scan; output is one row per user per batch."""
+    proc = TypeCountsProcessor()
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        events = read_events_stream(spark, sf_dir)
+        out = events.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=proc,
+            outputStructType=(
+                "user_id LONG, n_types LONG, n_events LONG, "
+                "top_type STRING, total_value DOUBLE"
+            ),
+            outputMode="Update",
+            timeMode="None",
+        )
+        return run_stream_to_table(
+            out, "stream_transform_with_state_sink", "update"
+        )
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")

@@ -159,3 +159,30 @@ def test_stream_upsert_to_lake_replaces_by_key(spark, tmp_path):
     assert len(vals) == 1 and vals[0] != -999.0
     # the out-of-stream row survived the merge
     assert back.where(F.col("event_id") == 10_000_000 + stale_id).count() == 1
+
+
+def test_transform_with_state_gated_or_works(spark):
+    """The modern typed-state API (transformWithStateInPandas) is
+    environment-gated on protobuf in this container; when the dependency
+    is present the operator must produce the same per-user aggregates as
+    batch."""
+    import pytest
+
+    from discogs_etl_spark.streaming.events import (
+        stream_transform_with_state,
+        transform_with_state_available,
+    )
+
+    if not transform_with_state_available():
+        pytest.skip("google.protobuf broken in container — TWS driver worker cannot start")
+    got = stream_transform_with_state(spark, SF_DIR)
+    from discogs_etl_spark.tables import load
+
+    expected = (
+        load(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    got_n = {r["user_id"]: r["n_events"] for r in got.collect()}
+    exp_n = {r["user_id"]: r["n"] for r in expected.collect()}
+    assert got_n == exp_n
