@@ -3344,3 +3344,137 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         (F.col("s").cast("double") / 100).alias("total_price"),
     )
+
+
+@register(
+    "histogram_fixed_bins",
+    oracle="""
+        -- DuckDB has no width_bucket: spell out Spark's semantics
+        -- (0 below min, 13 at/above max, else floor(x/width)+1)
+        SELECT CASE WHEN o_totalprice < 0 THEN 0
+                    WHEN o_totalprice >= 600000 THEN 13
+                    ELSE CAST(floor(o_totalprice / 50000) AS BIGINT) + 1 END AS bin,
+               COUNT(*) AS n,
+               CAST(MIN(round(o_totalprice * 100)) AS BIGINT) AS min_cents,
+               CAST(MAX(round(o_totalprice * 100)) AS BIGINT) AS max_cents
+        FROM orders GROUP BY 1
+    """,
+    tags=("agg", "histogram"),
+)
+def histogram_fixed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin HISTOGRAM via width_bucket — the one-pass distribution
+    profile (12 equal bins over [0, 600k] plus under/overflow buckets 0
+    and 13) that dashboards and data-quality monitors publish.  Bin
+    extremes reported in exact cents so the hash can't wobble.
+
+    Scale: a single hash aggregation on a 14-value key — partial
+    aggregation collapses everything map-side; this is the cheapest
+    possible full-table profile."""
+    orders = load(spark, sf_dir, "orders")
+    b = F.width_bucket("o_totalprice", F.lit(0), F.lit(600000), F.lit(12))
+    return orders.groupBy(b.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(fixed("o_totalprice", 2)).alias("min_cents"),
+        F.max(fixed("o_totalprice", 2)).alias("max_cents"),
+    )
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle="""
+        WITH stats AS (
+            SELECT user_id,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE)
+                       / 1000000 AS s1,
+                   CAST(SUM(CAST(round(value * 1000000) AS BIGINT)
+                            * CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE)
+                       / 1000000000000 AS s2
+            FROM events GROUP BY user_id
+        )
+        SELECT e.event_id, e.user_id,
+               round((e.value - s.s1 / s.n)
+                     / sqrt(s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n)), 4) AS z
+        FROM events e JOIN stats s ON e.user_id = s.user_id
+        WHERE s.n >= 30
+          AND abs((e.value - s.s1 / s.n)
+                  / sqrt(s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n))) > 2.5
+    """,
+    tags=("agg", "window", "anomaly", "zscore"),
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ANOMALY flags: events whose value is more than 2.5
+    standard deviations from the user's own mean — the self-join-free
+    outlier detector every event pipeline runs.  Sufficient statistics
+    (n, Σx, Σx² in exact fixed-point micros) aggregate once per user and
+    broadcast back onto the event stream; the z expression is then
+    bit-deterministic per row on both engines.
+
+    Scale: one user-keyed aggregation + one join of user-sized stats to
+    the event stream (broadcast when users fit, shuffle otherwise) —
+    never an event-to-event comparison."""
+    ev = load(spark, sf_dir, "events")
+    m = fixed("value", 6)
+    stats = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(m).cast("double") / 1e6).alias("s1"),
+        (F.sum(m * m).cast("double") / 1e12).alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    var = F.col("s2") / F.col("n") - mean * mean
+    z = (F.col("value") - mean) / F.sqrt(var)
+    return (
+        ev.join(stats, "user_id")
+        .where((F.col("n") >= 30) & (F.abs(z) > 2.5))
+        .select("event_id", "user_id", F.round(z, 4).alias("z"))
+    )
+
+
+@register(
+    "pareto_cum_revenue_share",
+    oracle="""
+        WITH per_part AS (
+            SELECT l_partkey,
+                   CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                       AS rev_cents
+            FROM lineitem GROUP BY l_partkey
+        ),
+        tot AS (SELECT SUM(rev_cents) AS t FROM per_part)
+        SELECT l_partkey, rev_cents,
+               round(CAST(SUM(rev_cents) OVER (ORDER BY rev_cents DESC, l_partkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                     / CAST(t AS DOUBLE), 6) AS cum_share
+        FROM per_part, tot
+        ORDER BY rev_cents DESC, l_partkey
+        LIMIT 100
+    """,
+    tags=("window", "pareto", "running"),
+)
+def pareto_cum_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARETO analysis: top-100 parts by revenue with each part's
+    cumulative share of total revenue — the 80/20 concentration curve
+    behind inventory and hot-key planning.  Revenue accumulates in exact
+    cents; the single-partition running window is legal because its
+    input is already reduced to one row per part and LIMITed.
+
+    Scale: per-part aggregation shuffles once on partkey; the global
+    total is a scalar broadcast; only the top slice flows into the
+    ordered window."""
+    li = load(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(fixed("l_extendedprice", 2)).alias("rev_cents")
+    )
+    tot = per_part.agg(F.sum("rev_cents").alias("t"))
+    w = Window.orderBy(F.desc("rev_cents"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        per_part.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "cum_share",
+            F.round(F.sum("rev_cents").over(w).cast("double") / F.col("t").cast("double"), 6),
+        )
+        .orderBy(F.desc("rev_cents"), F.asc("l_partkey"))
+        .limit(100)
+        .select("l_partkey", "rev_cents", "cum_share")
+    )
