@@ -3478,3 +3478,53 @@ def pareto_cum_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
         .select("l_partkey", "rev_cents", "cum_share")
     )
+
+
+@register(
+    "join_null_safe_equality",
+    oracle="""
+        WITH a AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                        ELSE o_orderkey % 5 END AS k
+            FROM orders WHERE o_orderkey <= 2000
+        ),
+        b AS (
+            SELECT CASE WHEN g.g = 5 THEN NULL ELSE g.g END AS k,
+                   CASE WHEN g.g = 5 THEN 'null-bucket'
+                        ELSE 'bucket-' || CAST(g.g AS VARCHAR) END AS label
+            FROM (SELECT unnest(range(6)) AS g) g
+        )
+        SELECT a.o_orderkey, b.label
+        FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+    tags=("join", "null_semantics", "null_safe"),
+)
+def join_null_safe_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-SAFE equi-join (Spark ``eqNullSafe`` / SQL ``<=>`` — DuckDB's
+    ``IS NOT DISTINCT FROM``): NULL keys MATCH each other instead of
+    silently dropping, the semantic every dimension join with optional
+    keys has to choose explicitly (plain ``=`` discards all NULL-keyed
+    facts; null-safe routes them to a designated bucket).
+
+    Scale: ``<=>`` still plans as a HASH equi-join (null-safe equality is
+    a valid hash key — NULL hashes to a fixed bucket), NOT a nested
+    loop; but all NULL keys co-locate in one task, so a null-heavy fact
+    column needs the salting treatment before this join."""
+    orders = load(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 2000)
+    a = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("o_orderkey") % 5)
+        .alias("k"),
+    )
+    b = spark.range(6).select(
+        F.when(F.col("id") == 5, F.lit(None)).otherwise(F.col("id")).alias("bk"),
+        F.when(F.col("id") == 5, F.lit("null-bucket"))
+        .otherwise(F.concat(F.lit("bucket-"), F.col("id").cast("string")))
+        .alias("label"),
+    )
+    return (
+        a.join(F.broadcast(b), a["k"].eqNullSafe(b["bk"]))
+        .select("o_orderkey", "label")
+    )
