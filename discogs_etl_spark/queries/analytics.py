@@ -3528,3 +3528,68 @@ def join_null_safe_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(F.broadcast(b), a["k"].eqNullSafe(b["bk"]))
         .select("o_orderkey", "label")
     )
+
+
+@register(
+    "scd2_dimension_intervals",
+    oracle="""
+        WITH versions AS (
+            SELECT o_custkey AS cust, o_orderdate AS eff_from,
+                   o_orderpriority AS attr, o_orderkey
+            FROM orders
+        ),
+        ranked AS (
+            SELECT cust, eff_from, attr,
+                   LEAD(eff_from) OVER (PARTITION BY cust
+                                        ORDER BY eff_from, o_orderkey)
+                       AS eff_to,
+                   ROW_NUMBER() OVER (PARTITION BY cust
+                                      ORDER BY eff_from, o_orderkey) AS version
+            FROM versions
+        )
+        SELECT cust, version, eff_from, eff_to, attr,
+               CAST(eff_to IS NULL AS INT) AS is_current
+        FROM ranked WHERE cust <= 500
+    """,
+    tags=("window", "scd2", "dimension", "warehouse"),
+)
+def scd2_dimension_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLOWLY-CHANGING-DIMENSION type 2 build: a change feed (here each
+    order is treated as an attribute-change event for its customer)
+    becomes versioned validity intervals — eff_from from the change,
+    eff_to from LEAD of the next change, open interval (NULL eff_to)
+    flagged current.  This is the warehouse pattern behind every
+    point-in-time dimension join: the as-of join
+    (asof_join_events/tolerance) CONSUMES intervals this operator
+    PRODUCES.
+
+    Scale: one window over the change feed, partitioned by the entity
+    key — a single shuffle; no self-join version matching.  Late-arriving
+    changes re-window only the affected keys' partitions when run
+    incrementally per partition."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("cust").orderBy("eff_from", "o_orderkey")
+    versions = orders.select(
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderdate").alias("eff_from"),
+        F.col("o_orderpriority").alias("attr"),
+        "o_orderkey",
+    )
+    return (
+        versions.select(
+            "cust",
+            F.row_number().over(w).alias("version"),
+            "eff_from",
+            F.lead("eff_from").over(w).alias("eff_to"),
+            "attr",
+        )
+        .where(F.col("cust") <= 500)
+        .select(
+            "cust",
+            "version",
+            "eff_from",
+            "eff_to",
+            "attr",
+            F.col("eff_to").isNull().cast("int").alias("is_current"),
+        )
+    )

@@ -2865,3 +2865,79 @@ def ngram_next_word_top(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("word_count"),
         )
     )
+
+
+@register(
+    "similarity_sparse_cosine_pairs",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, w, COUNT(*) AS tf FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                FROM documents WHERE doc_id < 100
+            ) WHERE len(w) > 3
+            GROUP BY doc_id, w
+        ),
+        norms AS (
+            SELECT doc_id, SUM(tf * tf) AS n2 FROM tok GROUP BY doc_id
+        ),
+        dots AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   SUM(a.tf * b.tf) AS dot
+            FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT d.doc_a, d.doc_b,
+               round(CAST(d.dot AS DOUBLE)
+                     / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))),
+                     6) AS cos
+        FROM dots d
+        JOIN norms na ON d.doc_a = na.doc_id
+        JOIN norms nb ON d.doc_b = nb.doc_id
+        WHERE CAST(d.dot AS DOUBLE)
+              / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.5
+    """,
+    tags=("similarity", "sparse", "cosine", "inverted_index"),
+)
+def similarity_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARSE cosine similarity without embeddings: documents as TF
+    vectors, pairwise dot products accumulated through the inverted
+    index (never a dense all-pairs pass), norms from one per-doc
+    aggregate, pairs kept at cosine ≥ 0.5.  All accumulations are
+    INTEGER (tf products / squared norms), so parallel reduction order
+    cannot perturb the hash — the float appears only in the final
+    per-pair expression.
+
+    Scale: the term join is the inverted-index pattern of
+    text_search_inverted_topk — candidate pairs exist only where terms
+    co-occur; hot-term postings are the skew lever (df cutoff or
+    salting).  This is THE dedup/similarity path when embeddings don't
+    exist yet — ingest-time near-dup at zero model cost.  (Query scoped
+    to doc_id < 100 to keep the oracle's pair space small; the Spark
+    plan is size-independent.)"""
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    tok = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .where(F.length("w") > 3)
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    norms = tok.groupBy("doc_id").agg(F.sum(F.col("tf") * F.col("tf")).alias("n2"))
+    a = tok.select(F.col("doc_id").alias("doc_a"), "w", F.col("tf").alias("tfa"))
+    b = tok.select(F.col("doc_id").alias("doc_b"), "w", F.col("tf").alias("tfb"))
+    dots = (
+        a.join(b, "w")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("tfa") * F.col("tfb")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb2"))
+    cos = F.col("dot").cast("double") / (
+        F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double"))
+    )
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .where(cos >= 0.5)
+        .select("doc_a", "doc_b", F.round(cos, 6).alias("cos"))
+    )
