@@ -3593,3 +3593,108 @@ def scd2_dimension_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("eff_to").isNull().cast("int").alias("is_current"),
         )
     )
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   LEAD(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS next_type
+            FROM events
+        )
+        SELECT event_type, next_type, COUNT(*) AS n,
+               round(CAST(COUNT(*) AS DOUBLE)
+                     / SUM(COUNT(*)) OVER (PARTITION BY event_type), 6) AS p
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY event_type, next_type
+    """,
+    tags=("window", "markov", "behavior"),
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order MARKOV transition matrix of user behavior: for each
+    (event_type → next event_type) pair, the count and the row-normalized
+    transition probability — the behavioral model behind next-action
+    prediction and funnel leak analysis.  Counts are integers; the
+    probability divides two exact counts inside one window, so the hash
+    is stable.
+
+    Scale: one user-keyed window for LEAD (shared with every other
+    per-user window), then a types²-sized aggregate — the matrix itself
+    is tiny regardless of corpus size."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = load(spark, sf_dir, "events").select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    wrow = Window.partitionBy("event_type")
+    return (
+        seq.where(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            "next_type",
+            "n",
+            F.round(F.col("n").cast("double") / F.sum("n").over(wrow), 6).alias("p"),
+        )
+    )
+
+
+@register(
+    "orders_backlog_curve",
+    oracle="""
+        WITH bounds AS (
+            SELECT o_orderkey, o_orderdate AS opened,
+                   (SELECT MAX(l_shipdate) FROM lineitem l
+                    WHERE l.l_orderkey = o.o_orderkey) AS closed
+            FROM orders o
+        ),
+        deltas AS (
+            SELECT opened AS day, 1 AS d FROM bounds
+            UNION ALL
+            SELECT closed, -1 FROM bounds WHERE closed IS NOT NULL
+        ),
+        daily AS (
+            SELECT day, SUM(d) AS delta FROM deltas GROUP BY day
+        )
+        SELECT day, delta,
+               SUM(delta) OVER (ORDER BY day
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS open_orders
+        FROM daily
+    """,
+    tags=("window", "interval", "backlog"),
+)
+def orders_backlog_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order BACKLOG over time by interval counting: each order
+    contributes +1 at open (order date) and -1 at close (last line-item
+    receipt); the running sum over boundary days IS the number of
+    concurrently open orders — computed WITHOUT joining every order to
+    every day it spans (the O(orders x days) trap).  The same shape
+    answers concurrent-session counts, inventory on hand, and active-
+    connection curves.
+
+    Scale: two boundary rows per order, one day-keyed aggregate, and a
+    running window over ~days rows (single-partition is legal at day
+    grain).  The per-order close date reduces lineitem once on
+    orderkey."""
+    orders = load(spark, sf_dir, "orders")
+    closes = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("closed"))
+    )
+    bounds = orders.select(
+        F.col("o_orderkey").alias("l_orderkey"), F.col("o_orderdate").alias("opened")
+    ).join(closes, "l_orderkey", "left")
+    deltas = bounds.select(F.col("opened").alias("day"), F.lit(1).alias("d")).unionAll(
+        bounds.where(F.col("closed").isNotNull()).select(
+            F.col("closed").alias("day"), F.lit(-1).alias("d")
+        )
+    )
+    daily = deltas.groupBy("day").agg(F.sum("d").alias("delta"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        "day", "delta", F.sum("delta").over(w).alias("open_orders")
+    )
