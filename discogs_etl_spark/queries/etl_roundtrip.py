@@ -205,3 +205,85 @@ def xml_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(info["year"]).cast("int").alias("year"),
         F.lit(info["month"]).alias("month"),
     )
+
+
+_GOLDEN_ARTISTS_XML = b"""<artists>
+  <artist>
+    <id>42</id>
+    <name>Zeta</name>
+    <realname>Z Real</realname>
+    <profile>profile
+text</profile>
+    <data_quality>Correct</data_quality>
+    <namevariations><name>Z1</name><name>Z2</name></namevariations>
+    <aliases><name>A1</name></aliases>
+    <groups/>
+    <members><name>M1</name><name>M2</name></members>
+    <urls><url>http://z</url><url/></urls>
+    <images><image height="10" width="20" type="primary" uri="u" uri150="v"/></images>
+  </artist>
+  <artist><name>NoId</name></artist>
+</artists>
+"""
+
+_ARTIST_DUMP_NAME = "discogs_20240301_artists.xml.gz"
+
+
+def _stage_artist_dump() -> str:
+    dump_dir = os.path.join(ROUNDTRIP_ROOT, "dumps")
+    os.makedirs(dump_dir, exist_ok=True)
+    path = os.path.join(dump_dir, _ARTIST_DUMP_NAME)
+    with gzip.open(path, "wb") as f:
+        f.write(_GOLDEN_ARTISTS_XML)
+    return path
+
+
+_ARTIST_ROUNDTRIP_ORACLE = f"""
+    SELECT id, name, realname, profile, data_quality,
+           COALESCE(array_to_string(namevariations, '|'), '') AS variations_joined,
+           COALESCE(array_to_string(aliases, '|'), '') AS aliases_joined,
+           COALESCE(array_to_string(groups, '|'), '') AS groups_joined,
+           COALESCE(array_to_string(members, '|'), '') AS members_joined,
+           CAST(len(urls) AS BIGINT) AS n_urls,
+           images[1].height AS img0_height,
+           CAST(year AS INT) AS year,
+           month
+    FROM read_parquet(
+        '{_lake_root()}/artists/*/*/*.parquet', hive_partitioning = true)
+"""
+
+
+@register(
+    "xml_ingest_roundtrip_artist",
+    oracle=_ARTIST_ROUNDTRIP_ORACLE,
+    tags=("etl", "xml", "lake", "roundtrip", "artist"),
+)
+def xml_ingest_roundtrip_artist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Artist-entity roundtrip — the SECOND schema family through the full
+    pipeline (release covers deep nesting; artist covers the flat-text +
+    many-list shape: namevariations/aliases/groups/members, reference
+    parser.py:146-169): golden dump → kernel → partitioned lake → DuckDB
+    reads the written parquet.  Pins missing id→0, empty <groups/> → []
+    not NULL, whitespace collapse in profile, and the March partition
+    deriving from the FILENAME."""
+    from discogs_etl_spark.lake import ingest_dump_to_lake, read_lake
+
+    dump = _stage_artist_dump()
+    ingest_dump_to_lake(spark, dump, _lake_root())
+    back = read_lake(spark, _lake_root(), "artist")
+    img0 = F.try_element_at("images", F.lit(1))
+    return back.select(
+        "id",
+        "name",
+        "realname",
+        "profile",
+        "data_quality",
+        F.array_join("namevariations", "|").alias("variations_joined"),
+        F.array_join("aliases", "|").alias("aliases_joined"),
+        F.array_join("groups", "|").alias("groups_joined"),
+        F.array_join("members", "|").alias("members_joined"),
+        F.size("urls").cast("long").alias("n_urls"),
+        img0.getField("height").alias("img0_height"),
+        "year",
+        "month",
+    )
