@@ -3698,3 +3698,93 @@ def orders_backlog_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         "day", "delta", F.sum("delta").over(w).alias("open_orders")
     )
+
+
+@register(
+    "funnel_time_to_convert",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id,
+                   MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+                   MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+            FROM events GROUP BY user_id
+        ),
+        conv AS (
+            SELECT round(epoch(t_purchase) - epoch(t_view), 6) AS latency_sec
+            FROM firsts
+            WHERE t_view IS NOT NULL AND t_purchase IS NOT NULL
+              AND t_purchase > t_view
+        )
+        SELECT COUNT(*) AS n_converted,
+               round(MIN(latency_sec), 6) AS min_sec,
+               round(quantile_cont(latency_sec, 0.5), 6) AS p50_sec,
+               round(quantile_cont(latency_sec, 0.9), 6) AS p90_sec,
+               round(MAX(latency_sec), 6) AS max_sec
+        FROM conv
+    """,
+    tags=("funnel", "latency", "percentile"),
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-LATENCY distribution: per user, first view → first
+    purchase delay; reported as exact percentiles (p50/p90 via
+    interpolated quantiles over second-precision latencies — both
+    engines interpolate the same sorted doubles).  The companion to the
+    funnel COUNT query: not just HOW MANY convert, but HOW FAST.
+
+    Scale: the conditional-MIN aggregation collapses events to one row
+    per user in a single pass (no per-stage joins needed for
+    first-touch semantics); the percentile runs over converted users
+    only."""
+    ev = load(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    conv = firsts.where(
+        F.col("t_view").isNotNull()
+        & F.col("t_purchase").isNotNull()
+        & (F.col("t_purchase") > F.col("t_view"))
+    ).select(F.round(epoch("t_purchase") - epoch("t_view"), 6).alias("latency_sec"))
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.min("latency_sec"), 6).alias("min_sec"),
+        F.round(F.expr("percentile(latency_sec, 0.5)"), 6).alias("p50_sec"),
+        F.round(F.expr("percentile(latency_sec, 0.9)"), 6).alias("p90_sec"),
+        F.round(F.max("latency_sec"), 6).alias("max_sec"),
+    )
+
+
+@register(
+    "explode_outer_semantics",
+    oracle="""
+        WITH docs AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 10 = 0 THEN []
+                        ELSE string_split(substr(text, 1, 20), ' ') END AS toks
+            FROM documents WHERE doc_id < 200
+        )
+        SELECT d.doc_id, t.tok
+        FROM docs d
+        LEFT JOIN LATERAL (SELECT unnest(toks) AS tok) t ON TRUE
+    """,
+    tags=("explode", "outer", "null_semantics"),
+)
+def explode_outer_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``explode_outer`` semantics pinned: rows with EMPTY arrays survive
+    the fan-out as a single NULL-valued row (plain explode silently
+    drops them — the classic row-loss bug in tokenization pipelines,
+    where empty documents vanish from counts).  DuckDB's LEFT JOIN
+    LATERAL unnest is the SQL spelling of the same contract."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 200)
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 10 == 0, F.array().cast("array<string>"))
+            .otherwise(F.split(F.substring("text", 1, 20), " "))
+            .alias("toks"),
+        )
+    )
+    return docs.select("doc_id", F.explode_outer("toks").alias("tok"))
