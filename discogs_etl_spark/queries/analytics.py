@@ -277,11 +277,12 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             o_orderstatus,
             COUNT(*) AS n,
             {sql_dsum('o_totalprice')} AS s1,
-            CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS s2,
+            round(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                  / COUNT(*), 2) AS mean_sq,
             round((CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
                    - CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
                      * CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
-                  / (COUNT(*) - 1), 4) AS var_price
+                  / (COUNT(*) - 1), 3) AS var_price
         FROM orders
         GROUP BY o_orderstatus
     """,
@@ -290,7 +291,15 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_variance_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Variance via exact sufficient statistics (decimal Σx, Σx²) so the
     result is accumulation-order independent — the deterministic twin of
-    var_samp."""
+    var_samp.
+
+    Output magnitudes are bounded deliberately: at sf0.1 the raw Σx²
+    (~4e15 with 4 decimal digits) exceeds what a double can carry
+    exactly, and DuckDB's big-decimal→double conversion lands ~1 ulp off
+    Spark's — emitting the raw sum hash-mismatched at 10x scale even
+    though every derived statistic agreed.  mean-of-squares (Σx²/n,
+    ~8e10) and the 3-decimal variance are representable with orders of
+    magnitude of margin over that conversion error, at ANY sf."""
     s1 = dsum("o_totalprice")
     s2 = F.sum(dec("o_totalprice", 2, 12) * dec("o_totalprice", 2, 12)).cast("double")
     n = F.count(F.lit(1))
@@ -300,8 +309,8 @@ def agg_variance_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             n.alias("n"),
             s1.alias("s1"),
-            s2.alias("s2"),
-            F.round((s2 - s1 * s1 / n) / (n - F.lit(1)), 4).alias("var_price"),
+            F.round(s2 / n, 2).alias("mean_sq"),
+            F.round((s2 - s1 * s1 / n) / (n - F.lit(1)), 3).alias("var_price"),
         )
     )
 

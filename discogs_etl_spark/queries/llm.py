@@ -2941,3 +2941,98 @@ def similarity_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFram
         .where(cos >= 0.5)
         .select("doc_a", "doc_b", F.round(cos, 6).alias("cos"))
     )
+
+
+@register(
+    "contrastive_pair_mining",
+    oracle=f"""
+        WITH anchors AS (
+            SELECT vec_id AS a_id, embedding AS a_emb, label AS a_label
+            FROM embeddings WHERE vec_id < 20
+        ),
+        scored AS (
+            SELECT a.a_id, a.a_label, v.vec_id, v.label,
+                   {_SQL_COS.format(a='a.a_emb', b='v.embedding')} AS cos
+            FROM anchors a JOIN embeddings v ON v.vec_id <> a.a_id
+        ),
+        hard_neg AS (
+            SELECT a_id, vec_id AS neg_id, round(cos, 6) AS neg_cos FROM (
+                SELECT a_id, vec_id, cos,
+                       ROW_NUMBER() OVER (PARTITION BY a_id
+                                          ORDER BY cos DESC, vec_id) AS rn
+                FROM scored WHERE label <> a_label
+            ) WHERE rn = 1
+        ),
+        pos AS (
+            SELECT a_id, vec_id AS pos_id, round(cos, 6) AS pos_cos FROM (
+                SELECT a_id, vec_id, cos,
+                       ROW_NUMBER() OVER (PARTITION BY a_id
+                                          ORDER BY cos DESC, vec_id) AS rn
+                FROM scored WHERE label = a_label
+            ) WHERE rn = 1
+        )
+        SELECT h.a_id AS anchor_id, p.pos_id, p.pos_cos, h.neg_id, h.neg_cos,
+               CAST(p.pos_cos > h.neg_cos AS INT) AS margin_ok
+        FROM hard_neg h JOIN pos p ON h.a_id = p.a_id
+    """,
+    tags=("embedding", "contrastive", "mining", "training"),
+)
+def contrastive_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTRASTIVE training-pair mining: per anchor, the most similar
+    SAME-label vector (positive) and the most similar OTHER-label vector
+    (the HARD negative — the one that actually moves a contrastive
+    loss), plus a margin flag (positive still closer than the hardest
+    negative).  This is the data-side half of metric learning /
+    embedding finetuning: mining runs in the warehouse, training
+    elsewhere.
+
+    Scale: anchors broadcast (mini-batch-sized), one corpus pass scores
+    both candidate sets, two per-anchor argmax windows — identical
+    dataflow to similarity_topk_bruteforce; at full scale the scored
+    join routes through the ANN bucketing (similarity_ann_multiprobe)
+    instead of brute force."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb"), "label"
+    )
+    anchors = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("a_id"),
+        F.col("emb").alias("a_emb"),
+        F.col("label").alias("a_label"),
+    )
+    cos = _cosine(F.col("a_emb"), F.col("emb"))
+    scored = (
+        emb.join(F.broadcast(anchors), F.col("vec_id") != F.col("a_id"))
+        .select("a_id", "a_label", "vec_id", "label", cos.alias("cos"))
+    )
+    w = Window.partitionBy("a_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    hard_neg = (
+        scored.where(F.col("label") != F.col("a_label"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "a_id",
+            F.col("vec_id").alias("neg_id"),
+            F.round("cos", 6).alias("neg_cos"),
+        )
+    )
+    pos = (
+        scored.where(F.col("label") == F.col("a_label"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "a_id",
+            F.col("vec_id").alias("pos_id"),
+            F.round("cos", 6).alias("pos_cos"),
+        )
+    )
+    return (
+        hard_neg.join(pos, "a_id")
+        .select(
+            F.col("a_id").alias("anchor_id"),
+            "pos_id",
+            "pos_cos",
+            "neg_id",
+            "neg_cos",
+            (F.col("pos_cos") > F.col("neg_cos")).cast("int").alias("margin_ok"),
+        )
+    )
