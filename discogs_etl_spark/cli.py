@@ -73,6 +73,32 @@ def _cmd_compact(args) -> int:
     return 0
 
 
+def _cmd_profile(args) -> int:
+    from discogs_etl_spark.curation import profile_table
+
+    spark = get_spark(app_name="discogs-etl-profile")
+    if args.type:
+        df = read_lake(spark, args.lake, args.type)
+    else:
+        df = spark.read.parquet(args.lake)
+    for row in profile_table(df).toJSON().collect():
+        print(row)
+    return 0
+
+
+def _cmd_dedup(args) -> int:
+    from discogs_etl_spark.curation import dedup_corpus
+
+    spark = get_spark(app_name="discogs-etl-dedup")
+    df = spark.read.parquet(args.input)
+    survivors, report = dedup_corpus(
+        spark, df, id_col=args.id, text_col=args.text, method=args.method
+    )
+    survivors.write.mode("overwrite").parquet(args.output)
+    print(report.toJSON().collect()[0])
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="discogs_etl_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -99,6 +125,19 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--type", required=True, choices=sorted(_PLURAL_TO_TYPE.values()))
     c.add_argument("--target-mb", type=int, default=128)
     c.set_defaults(fn=_cmd_compact)
+
+    p = sub.add_parser("profile", help="per-column profile of a lake table or parquet path")
+    p.add_argument("--lake", required=True, help="lake root (with --type) or a parquet path")
+    p.add_argument("--type", choices=sorted(_PLURAL_TO_TYPE.values()))
+    p.set_defaults(fn=_cmd_profile)
+
+    d = sub.add_parser("dedup", help="deduplicate a parquet corpus (exact or minhash)")
+    d.add_argument("--input", required=True, help="input parquet path")
+    d.add_argument("--output", required=True, help="output parquet path (survivors)")
+    d.add_argument("--id", default="doc_id", help="numeric unique id column")
+    d.add_argument("--text", default="text", help="content column")
+    d.add_argument("--method", default="minhash", choices=["exact", "minhash"])
+    d.set_defaults(fn=_cmd_dedup)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -288,7 +288,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     is O(docs x bands) shuffle keyed on (band, band_sig); only bucket
     collisions are verified.  Band width/row count trade recall vs
     candidate volume (4x4 targets Jaccard ≳ 0.5)."""
-    docs = _with_shingles(load(spark, sf_dir, "documents"), "doc_id")
+    return minhash_pairs_df(load(spark, sf_dir, "documents"))
+
+
+def minhash_pairs_df(raw: DataFrame) -> DataFrame:
+    """The MinHash pipeline over ANY (doc_id, text) DataFrame — the
+    registered query binds it to the fixture table; the curation API
+    (discogs_etl_spark.curation.dedup_corpus) binds it to user corpora.
+    Returns verified near-dup pairs (doc_a, doc_b, jaccard)."""
+    docs = _with_shingles(raw, "doc_id")
     # Signatures are 100% row-local: one md5 per shingle (staged so the
     # lambda sees a bare column), then 16 universal hashes derived by
     # integer arithmetic and reduced with array_min — zero shuffles until
@@ -362,7 +370,6 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # to the raw text FIRST, then compute shingle arrays above the join —
     # shingling runs only for colliding docs, and the intersection is an
     # in-memory array op (no inverted-index self-join over the corpus).
-    raw = load(spark, sf_dir, "documents")
     ta = raw.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("__ta"))
     tb = raw.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("__tb"))
     pairs = (

@@ -39,3 +39,41 @@ def test_cli_backfill_query_compact(spark, tmp_path, capsys):
     assert main(["compact", "--lake", lake, "--type", "release"]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "rewritten_partitions" in out
+
+
+def test_cli_dedup_and_profile(spark, tmp_path, capsys):
+    """User-facing curation verbs: dedup a corpus with duplicated texts
+    (exact + minhash agree on the survivor count here — duplicates are
+    exact copies), then profile the survivors."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from discogs_etl_spark.cli import main
+    from discogs_etl_spark.tables import load
+
+    src = str(tmp_path / "corpus.parquet")
+    out = str(tmp_path / "deduped.parquet")
+    base = load(spark, "/root/testdata/sf0.001", "documents").select("doc_id", "text")
+    # duplicate every document under a shifted id — half the corpus is removable
+    dup = base.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    base.unionByName(dup).write.mode("overwrite").parquet(src)
+
+    rc = main(["dedup", "--input", src, "--output", out, "--method", "exact"])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["n_removed"] == base.count()
+    assert spark.read.parquet(out).count() == base.count()
+
+    rc = main(["dedup", "--input", src, "--output", out, "--method", "minhash"])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # minhash removes at LEAST the exact copies (near-dups may add more)
+    assert report["n_removed"] >= base.count()
+
+    rc = main(["profile", "--lake", out])
+    assert rc == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    cols = {r["col"] for r in rows}
+    assert cols == {"doc_id", "text"}
+    assert all(r["n_nulls"] == 0 for r in rows)
