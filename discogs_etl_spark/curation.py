@@ -35,14 +35,20 @@ def dedup_corpus(
     survivors keep the input schema; the report is one row with counts.
 
     The id column must be numeric and unique (keep-first = min id); the
-    text column is the content key."""
-    norm = df.withColumn("__id", F.col(id_col)).withColumn("__text", F.col(text_col))
+    text column is the content key.  NULL-content rows are never treated
+    as duplicates of each other (a NULL is not equal to another NULL) —
+    they all survive."""
+    # temp names guaranteed absent from the input schema
+    tid, ttxt, trn = "__detl_id", "__detl_text", "__detl_rn"
+    while any(c in df.columns for c in (tid, ttxt, trn)):
+        tid, ttxt, trn = tid + "_", ttxt + "_", trn + "_"
+    norm = df.withColumn(tid, F.col(id_col)).withColumn(ttxt, F.col(text_col))
     if method == "exact":
-        w = Window.partitionBy(F.sha2("__text", 256)).orderBy("__id")
+        w = Window.partitionBy(F.sha2(ttxt, 256)).orderBy(tid)
         survivors = (
-            norm.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") == 1)
-            .drop("__rn", "__id", "__text")
+            norm.withColumn(trn, F.row_number().over(w))
+            .where(F.col(ttxt).isNull() | (F.col(trn) == 1))
+            .drop(trn, tid, ttxt)
         )
     elif method == "minhash":
         from discogs_etl_spark.queries.llm import (
@@ -52,8 +58,8 @@ def dedup_corpus(
 
         pairs = (
             minhash_pairs_df(
-                norm.select(
-                    F.col("__id").alias("doc_id"), F.col("__text").alias("text")
+                norm.where(F.col(ttxt).isNotNull()).select(
+                    F.col(tid).alias("doc_id"), F.col(ttxt).alias("text")
                 )
             )
             .select("doc_a", "doc_b")
@@ -64,11 +70,11 @@ def dedup_corpus(
         # any near-dup component survive untouched (anti-join is against
         # the LOSERS only — graph-sized, not corpus-sized)
         losers = comp.where(F.col("doc_id") != F.col("component_id")).select(
-            F.col("doc_id").alias("__loser")
+            F.col("doc_id").alias("__detl_loser")
         )
         survivors = norm.join(
-            losers, norm["__id"] == losers["__loser"], "left_anti"
-        ).drop("__id", "__text")
+            losers, norm[tid] == losers["__detl_loser"], "left_anti"
+        ).drop(tid, ttxt)
     else:
         raise ValueError(f"unknown dedup method {method!r}; use 'exact' or 'minhash'")
     n_in = df.count()
@@ -85,30 +91,39 @@ def _orderable(dt: T.DataType) -> bool:
 
 
 def profile_table(df: DataFrame) -> DataFrame:
-    """Per-column profile of ANY DataFrame: rows/nulls/distinct and
-    stringified min/max (nulled for nested/binary columns, whose
-    ordering is not meaningful as a string) — the generic form of the
-    oracle-checked table_profile_orders."""
-    out = None
+    """Per-column profile of ANY DataFrame in ONE scan: rows/nulls/
+    approx-distinct (HyperLogLog — sketches merge map-side, so wide
+    tables stay a single pass with no Expand blowup) and stringified
+    min/max (nulled for nested/binary columns, whose ordering is not
+    meaningful as a string).  The oracle-checked table_profile_orders is
+    the exact-count sibling for a fixed column set."""
+    aggs = [F.count(F.lit(1)).alias("__n_rows")]
     for field in df.schema.fields:
         c = field.name
-        if _orderable(field.dataType):
-            mn = F.min(c).cast("string").alias("min_str")
-            mx = F.max(c).cast("string").alias("max_str")
-        else:
-            mn = F.lit(None).cast("string").alias("min_str")
-            mx = F.lit(None).cast("string").alias("max_str")
-        p = df.agg(
-            F.lit(c).alias("col"),
-            F.count(F.lit(1)).alias("n_rows"),
+        aggs.append(
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
             .cast("long")
-            .alias("n_nulls"),
-            F.count_distinct(F.col(c)).alias("n_distinct")
-            if _orderable(field.dataType)
-            else F.count_distinct(F.to_json(F.struct(c))).alias("n_distinct"),
-            mn,
-            mx,
+            .alias(f"__nulls__{c}")
         )
-        out = p if out is None else out.unionAll(p)
-    return out
+        target = F.col(c) if _orderable(field.dataType) else F.to_json(F.struct(c))
+        aggs.append(F.approx_count_distinct(target).alias(f"__dist__{c}"))
+        if _orderable(field.dataType):
+            aggs.append(F.min(c).cast("string").alias(f"__min__{c}"))
+            aggs.append(F.max(c).cast("string").alias(f"__max__{c}"))
+        else:
+            aggs.append(F.lit(None).cast("string").alias(f"__min__{c}"))
+            aggs.append(F.lit(None).cast("string").alias(f"__max__{c}"))
+    wide = df.agg(*aggs)
+    stacked = wide.selectExpr(
+        "__n_rows AS n_rows",
+        "stack({n}, {args}) AS (col, n_nulls, n_distinct_approx, min_str, max_str)".format(
+            n=len(df.columns),
+            args=", ".join(
+                f"'{c}', `__nulls__{c}`, `__dist__{c}`, `__min__{c}`, `__max__{c}`"
+                for c in df.columns
+            ),
+        ),
+    )
+    return stacked.select(
+        "col", "n_rows", "n_nulls", "n_distinct_approx", "min_str", "max_str"
+    )

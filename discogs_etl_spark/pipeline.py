@@ -81,6 +81,8 @@ def _fetch_range(
 
     last_err: Exception | None = None
     for attempt in range(max_retries):
+        if attempt:  # back off BEFORE retries 2..N, never after the last
+            _time.sleep(min(2 ** (attempt - 1) * 0.1, 5.0))
         try:
             req = Request(url, headers={"Range": f"bytes={start}-{end}"})  # noqa: S310
             with urlopen(req, timeout=timeout) as r:  # noqa: S310
@@ -93,7 +95,6 @@ def _fetch_range(
             return data
         except OSError as e:  # includes HTTPError/URLError/timeouts
             last_err = e
-            _time.sleep(min(2**attempt * 0.1, 5.0))
     raise OSError(f"range {start}-{end} failed after {max_retries} tries") from last_err
 
 

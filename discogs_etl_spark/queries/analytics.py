@@ -3284,9 +3284,12 @@ def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     (schema drift, null explosions, and cardinality regressions all
     surface here).
 
-    Scale: ONE pass over the table computes every column's profile —
-    Catalyst plans the multi-distinct via a single expand, not N scans;
-    the stringify makes the report schema column-count-independent."""
+    Scale note: this oracle-checked form unions one exact aggregate per
+    column (4 scans) so every count stays exactly hashable; the generic
+    production profiler (curation.profile_table) does ONE scan for any
+    schema by switching distinct counts to mergeable HyperLogLog
+    sketches.  The stringify makes the report schema
+    column-count-independent."""
     orders = load(spark, sf_dir, "orders")
 
     def profile(col: str):
@@ -3424,10 +3427,14 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     never an event-to-event comparison."""
     ev = load(spark, sf_dir, "events")
     m = fixed("value", 6)
+    # Σ(micros²) in DECIMAL(38,0): a LongType sum wraps silently past
+    # 9.2e18 (measured 7.3e17 at sf0.1 — only ~12x headroom), while the
+    # oracle's SUM(BIGINT·BIGINT) promotes to HUGEINT; decimal matches
+    # that exactness at any sf
     stats = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n"),
         (F.sum(m).cast("double") / 1e6).alias("s1"),
-        (F.sum(m * m).cast("double") / 1e12).alias("s2"),
+        (F.sum(m.cast("decimal(38,0)") * m).cast("double") / 1e12).alias("s2"),
     )
     mean = F.col("s1") / F.col("n")
     var = F.col("s2") / F.col("n") - mean * mean

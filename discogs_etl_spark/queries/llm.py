@@ -1127,7 +1127,13 @@ _PAIR_GRAPH_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def minhash_pair_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
+    app = spark.sparkContext.applicationId
+    # evict entries from earlier (stopped) sessions: their checkpointed
+    # blocks are gone with the executors, and a long-lived process that
+    # cycles SparkSessions must not pin dead DataFrames forever
+    for k in [k for k in _PAIR_GRAPH_CACHE if k[0] != app]:
+        del _PAIR_GRAPH_CACHE[k]
+    key = (app, sf_dir)
     df = _PAIR_GRAPH_CACHE.get(key)
     if df is None:
         df = (

@@ -52,16 +52,29 @@ class _DumpFile(InputPartition):
         self.data_type = data_type
 
 
-def _expand(path_opt: str) -> list[str]:
+def _expand(path_opt: str, allow_empty: bool = False) -> list[str]:
     """Option → concrete file list: a file, a glob, or a directory of
-    ``*.xml.gz`` dumps, sorted for determinism."""
+    ``*.xml.gz`` dumps, sorted for determinism.  A non-matching glob or
+    missing file fails HERE, at planning time — never as a
+    FileNotFoundError deep inside an executor task (``allow_empty`` is
+    for the STREAM reader, where an empty landing dir just means no
+    arrivals yet)."""
     if os.path.isdir(path_opt):
         return sorted(glob.glob(os.path.join(path_opt, "*.xml.gz")))
+    if os.path.isfile(path_opt):
+        return [path_opt]
     hits = sorted(glob.glob(path_opt))
-    return hits or [path_opt]
+    if not hits and not allow_empty:
+        raise FileNotFoundError(
+            f"discogs_xml: no input files match {path_opt!r}"
+        )
+    return hits
 
 
 def _dtype_for(options, paths: Sequence[str]) -> str:
+    """Entity type from the explicit option, else from the FILENAMES —
+    checked across EVERY file: a landing dir mixing dump types would
+    otherwise silently parse releases with the artist kernel."""
     from discogs_etl_spark.sources.xml_ingest import detect_data_type
 
     t = options.get("type")
@@ -69,7 +82,13 @@ def _dtype_for(options, paths: Sequence[str]) -> str:
         return t
     if not paths:
         raise ValueError("discogs_xml: no files and no explicit 'type' option")
-    return detect_data_type(paths[0])
+    types = {detect_data_type(p) for p in paths}
+    if len(types) > 1:
+        raise ValueError(
+            f"discogs_xml: mixed entity types {sorted(types)} in one read — "
+            "pass an explicit 'type' option or split the paths"
+        )
+    return types.pop()
 
 
 _ARROW_BATCH_ROWS = 1000  # reference chunk size (etl.py:321) — same batching
@@ -124,7 +143,7 @@ class _StreamReader(DataSourceStreamReader):
         self._dtype = data_type
 
     def _list(self) -> list[str]:
-        return _expand(self._dir)
+        return _expand(self._dir, allow_empty=True)
 
     def initialOffset(self) -> dict:
         return {"seen": []}
@@ -170,7 +189,9 @@ class DiscogsXMLDataSource(DataSource):
         p = self.options.get("path")
         if not p:
             raise ValueError("discogs_xml requires a 'path' option")
-        return _StreamReader(schema, p, _dtype_for(self.options, _expand(p)))
+        return _StreamReader(
+            schema, p, _dtype_for(self.options, _expand(p, allow_empty=True))
+        )
 
 
 def register(spark) -> None:

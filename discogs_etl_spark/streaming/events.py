@@ -558,7 +558,11 @@ class TypeCountsProcessor(_SP):
                     else 0
                 )
                 self.counts.updateValue((et,), (prev + int(n),))
-            total += int(round(float(pdf["value"].sum()) * 1_000_000))
+            # per-ROW fixed-point micros, then integer sum: batch-sum-
+            # then-round would make state depend on micro-batch boundaries
+            total += int(
+                pdf["value"].mul(1_000_000).round().astype("int64").sum()
+            )
         self.total.update((total,))
         items = sorted(
             ((k[0], v[0]) for k, v in self.counts.iterator()),
