@@ -1,0 +1,90 @@
+"""Curation API edge cases (the review-fix contracts)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from discogs_etl_spark.curation import dedup_corpus, profile_table
+
+
+def test_exact_dedup_preserves_null_content_rows(spark):
+    """Distinct documents with NULL content are NOT duplicates of each
+    other — all survive exact dedup."""
+    df = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, None), (4, None), (5, "other")],
+        "doc_id long, text string",
+    )
+    survivors, report = dedup_corpus(spark, df, method="exact")
+    ids = {r["doc_id"] for r in survivors.collect()}
+    assert ids == {1, 3, 4, 5}  # one 'same' survivor, both NULLs, 'other'
+    assert report.first()["n_removed"] == 1
+
+
+def test_dedup_does_not_clobber_dunder_columns(spark):
+    """User columns named like our temp columns survive intact."""
+    df = spark.createDataFrame(
+        [(1, "a", "keep1"), (2, "a", "keep2")],
+        "doc_id long, text string, __detl_id string",
+    )
+    survivors, _ = dedup_corpus(spark, df, method="exact")
+    assert "__detl_id" in survivors.columns
+    assert survivors.first()["__detl_id"] == "keep1"
+
+
+def test_minhash_dedup_with_null_texts(spark):
+    """NULL texts neither crash shingling nor get removed."""
+    from discogs_etl_spark.tables import load
+
+    base = load(spark, "/root/testdata/sf0.001", "documents").select("doc_id", "text")
+    with_nulls = base.unionByName(
+        spark.createDataFrame([(9_000_001, None), (9_000_002, None)],
+                              "doc_id long, text string")
+    )
+    survivors, report = dedup_corpus(spark, with_nulls, method="minhash")
+    assert survivors.where(F.col("doc_id") >= 9_000_000).count() == 2
+    assert report.first()["n_input"] == base.count() + 2
+
+
+def test_profile_table_single_scan_any_schema(spark):
+    """One row per column, nested columns profiled by JSON identity."""
+    from discogs_etl_spark.tables import load
+
+    df = load(spark, "/root/testdata/sf0.001", "documents")
+    prof = {r["col"]: r for r in profile_table(df).collect()}
+    assert set(prof) == set(df.columns)
+    n = df.count()
+    assert all(r["n_rows"] == n for r in prof.values())
+    assert prof["doc_id"]["n_nulls"] == 0
+    # HLL estimate of a unique key is within a few % of exact
+    assert abs(prof["doc_id"]["n_distinct_approx"] - n) / n < 0.1
+
+
+def test_datasource_mixed_types_rejected(spark, tmp_path):
+    """A landing dir mixing entity types must fail at planning, not parse
+    releases with the artist kernel."""
+    import gzip
+
+    from discogs_etl_spark.sources.datasource import register
+    from tests.test_xml_ingest import ARTIST_XML, RELEASE_XML
+
+    register(spark)
+    d = tmp_path / "landing"
+    d.mkdir()
+    (d / "discogs_20240101_artists.xml.gz").write_bytes(gzip.compress(ARTIST_XML))
+    (d / "discogs_20240101_releases.xml.gz").write_bytes(gzip.compress(RELEASE_XML))
+    with pytest.raises(Exception, match="mixed entity types"):
+        spark.read.format("discogs_xml").option("path", str(d)).load().count()
+
+
+def test_datasource_no_match_fails_at_planning(spark, tmp_path):
+    from discogs_etl_spark.sources.datasource import register
+
+    register(spark)
+    with pytest.raises(Exception, match="no input files"):
+        (
+            spark.read.format("discogs_xml")
+            .option("path", str(tmp_path / "*.xml.gz"))
+            .load()
+            .count()
+        )
