@@ -88,3 +88,41 @@ def test_datasource_no_match_fails_at_planning(spark, tmp_path):
             .load()
             .count()
         )
+
+
+def test_exact_dedup_properties_hypothesis(spark):
+    """Property: for ANY corpus, exact dedup (a) keeps exactly one row
+    per distinct non-null text, (b) keeps every NULL-text row, (c) the
+    survivor of each text group is the minimum id."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    texts = st.lists(
+        st.one_of(st.none(), st.text(alphabet="abcd ", max_size=8)),
+        min_size=0,
+        max_size=25,
+    )
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(texts)
+    def check(ts):
+        rows = [(i, t) for i, t in enumerate(ts)]
+        if not rows:
+            return
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        survivors, report = dedup_corpus(spark, df, method="exact")
+        got = {(r["doc_id"], r["text"]) for r in survivors.collect()}
+        nulls = {(i, t) for i, t in rows if t is None}
+        keepers = {}
+        for i, t in rows:
+            if t is not None and (t not in keepers or i < keepers[t]):
+                keepers[t] = i
+        expected = nulls | {(i, t) for t, i in keepers.items()}
+        assert got == expected
+        assert report.first()["n_removed"] == len(rows) - len(expected)
+
+    check()
