@@ -97,17 +97,33 @@ def fs_list_files(
     return out
 
 
+def _list_subdirs(spark: SparkSession, dir_str: str) -> list[str]:
+    """Non-recursive subdirectory listing, any scheme; [] if missing."""
+    fs, jpath = _hadoop_fs(spark, dir_str)
+    if not fs.exists(jpath):
+        return []
+    return [
+        st.getPath().toString() for st in fs.listStatus(jpath) if st.isDirectory()
+    ]
+
+
 def write_lake(
     df: DataFrame, root: str, data_type: str, year: int, month: str, mode: str = "overwrite"
 ) -> str:
     """Write one monthly snapshot into the partitioned lake.  Partition
     values come from the dump identity (filename-derived), not the data —
-    preserving the reference's convention (s3.py:40-52)."""
+    preserving the reference's convention (s3.py:40-52).
+
+    Dynamic partition overwrite is set PER WRITE (DataFrameWriter
+    option), not assumed from the session: on a session without the
+    engine's factory conf, static overwrite would truncate every OTHER
+    partition of the lake on a single monthly write."""
     path = lake_path(root, data_type)
     (
         df.withColumn("year", F.lit(int(year)))
         .withColumn("month", F.lit(str(month)))
         .write.partitionBy("year", "month")
+        .option("partitionOverwriteMode", "dynamic")
         .mode(mode)
         .parquet(path)
     )
@@ -133,11 +149,16 @@ def read_lake(spark: SparkSession, root: str, data_type: str) -> DataFrame:
     ``month varchar, year int64``): type inference would turn month=03
     into the integer 3, so it's disabled for this read and year is cast
     back explicitly."""
-    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    conf_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prev = spark.conf.get(conf_key, "true")
+    # NOTE: session-global toggle — not safe against a CONCURRENT read on
+    # the same session in the window below; restores the caller's prior
+    # value rather than assuming it was the default.
+    spark.conf.set(conf_key, "false")
     try:
         df = spark.read.parquet(lake_path(root, data_type))
     finally:
-        spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "true")
+        spark.conf.set(conf_key, prev)
     return df.withColumn("year", F.col("year").cast("int"))
 
 
@@ -159,13 +180,22 @@ def compact_lake(
     Returns the number of partitions rewritten."""
     path = lake_path(root, data_type)
     part_df = read_lake(spark, root, data_type)
-    sizes = (
-        part_df.groupBy("year", "month").count()
-    )  # row counts only guide logging; bytes drive the file math below
+    # Partition list from the DIRECTORY LAYOUT (two levels of listStatus),
+    # never a data scan: a groupBy over the lake just to enumerate
+    # (year, month) would read every row of a 100 TB table per
+    # compaction run.
+    partitions = []
+    for ydir in _list_subdirs(spark, path):
+        if not os.path.basename(ydir).startswith("year="):
+            continue
+        y = int(os.path.basename(ydir).split("=", 1)[1])
+        for mdir in _list_subdirs(spark, ydir):
+            if not os.path.basename(mdir).startswith("month="):
+                continue
+            partitions.append((y, os.path.basename(mdir).split("=", 1)[1]))
 
     rewritten = 0
-    for row in sizes.collect():
-        y, m = row["year"], row["month"]
+    for y, m in sorted(partitions):
         files = fs_list_files(
             spark, os.path.join(path, f"year={y}", f"month={m}"), suffix=".parquet"
         )
@@ -200,6 +230,7 @@ def write_lake_by_event_time(
         df.withColumn("year", F.year(ts_col))
         .withColumn("month", F.date_format(ts_col, "MM"))
         .write.partitionBy("year", "month")
+        .option("partitionOverwriteMode", "dynamic")
         .mode(mode)
         .parquet(path)
     )

@@ -45,9 +45,10 @@ def write_bucketed(
 
 
 def salted(col: str | Column, n_salts: int) -> Column:
-    """Deterministic salt derived FROM THE ROW (hash-mod), not rand():
-    re-runs place every row in the same salt bucket, keeping retried
-    tasks idempotent."""
+    """Deterministic salt derived FROM THE ROW (hash-mod), not rand() or
+    monotonically_increasing_id(): re-runs and task RETRIES place every
+    row in the same salt bucket (nondeterministic repartitioning under
+    retry is the classic lost/duplicated-rows bug, SPARK-23207)."""
     return F.pmod(F.hash(col), F.lit(n_salts))
 
 
@@ -65,8 +66,15 @@ def salted_groupby_agg(
     two-phase split is valid for.  Phase 1 shuffles (key, salt) —
     splitting any hot key across ``n_salts`` reducers — phase 2 merges
     the per-salt partials on key alone, moving only n_salts rows per key.
-    """
-    salt_col = salted(salt_source or key, n_salts)
+    ``salt_source`` must vary WITHIN a key group (a high-cardinality
+    column like a row id).  The default salts on a hash of the whole
+    row — deterministic and varying for any non-identical rows; fully
+    identical duplicate rows share a salt, which only matters if a key's
+    rows are mostly byte-identical (pass an id column then)."""
+    if salt_source is not None:
+        salt_col = salted(salt_source, n_salts)
+    else:
+        salt_col = F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(n_salts))
     phase1_aggs, phase2_aggs = [], []
     for out, (col, how) in measures.items():
         part = f"__p_{out}"
@@ -95,8 +103,16 @@ def salted_join(
     """Inner equi-join with explicit salting: the big side gets a
     row-derived salt, the small side is replicated n_salts times, and the
     join key becomes (key, salt) — a hot key's rows spread over n_salts
-    partitions instead of one."""
-    big_s = big.withColumn("__salt", salted(F.monotonically_increasing_id(), n_salts))
+    partitions instead of one.
+
+    The salt hashes the big side's FULL ROW — deterministic under task
+    retry (monotonically_increasing_id would migrate rows between shuffle
+    partitions on recomputation: SPARK-23207 lost/duplicated output).
+    Byte-identical duplicate rows share a salt; a hot key of IDENTICAL
+    rows needs a distinguishing id column added upstream."""
+    big_s = big.withColumn(
+        "__salt", F.pmod(F.hash(*[F.col(c) for c in big.columns]), F.lit(n_salts))
+    )
     small_s = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
@@ -151,16 +167,25 @@ def incremental_dedup_ingest(
     index_path: str,
     content_col: str = "text",
     id_col: str = "doc_id",
+    persist=None,
 ) -> DataFrame:
     """Dedup a NEW batch against everything ever ingested, using a
     persistent content-hash index — the incremental flow the reference's
     monthly-dump cadence implies (each month arrives as a new dump;
     re-deduping the full corpus per month is a 100 TB no-op generator).
 
-    Steps: (1) sha256 each batch row; (2) within-batch keep-first per
-    hash (min id); (3) LEFT ANTI join against the stored index — only
-    never-seen content survives; (4) append the survivors' hashes to the
-    index; (5) return the novel rows.
+    Steps: (1) sha256 each batch row (NULL content passes through as
+    always-novel and never enters the index — NULL is not equal to
+    NULL); (2) within-batch keep-first per hash (min id); (3) LEFT ANTI
+    join against the stored index — only never-seen content survives;
+    (4) hand the novel rows to ``persist`` (the caller's durable write);
+    (5) append the survivors' hashes to the index ONLY AFTER persist
+    returns.  Ordering matters: appending the index first would, on a
+    crashed downstream write, permanently classify that month's content
+    as already-seen — silent data loss on retry.  With no ``persist``
+    callback the index append still happens (single-process convenience),
+    and the docstring contract is: persist the returned rows in the same
+    job or pass the callback.
 
     The returned DataFrame is eagerly localCheckpoint-ed BEFORE the index
     append: the anti-join plan must not re-execute against the index it
@@ -175,9 +200,13 @@ def incremental_dedup_ingest(
     (hash, first id) — bytes per corpus row, not the corpus."""
     from discogs_etl_spark.lake import fs_exists
 
+    nulls = batch.where(F.col(content_col).isNull()).withColumn(
+        "content_sha256", F.lit(None).cast("string")
+    )
     w_first = Window.partitionBy("content_sha256").orderBy(F.asc(id_col))
     hashed = (
-        batch.withColumn("content_sha256", F.sha2(F.col(content_col), 256))
+        batch.where(F.col(content_col).isNotNull())
+        .withColumn("content_sha256", F.sha2(F.col(content_col), 256))
         .withColumn("__rn", F.row_number().over(w_first))
         .where(F.col("__rn") == 1)
         .drop("__rn")
@@ -187,9 +216,12 @@ def incremental_dedup_ingest(
         novel = hashed.join(index, "content_sha256", "left_anti")
     else:
         novel = hashed
-    novel = novel.localCheckpoint(eager=True)
+    novel = novel.unionByName(nulls).localCheckpoint(eager=True)
+    if persist is not None:
+        persist(novel)
     (
-        novel.select("content_sha256", F.col(id_col).alias("first_id"))
+        novel.where(F.col("content_sha256").isNotNull())
+        .select("content_sha256", F.col(id_col).alias("first_id"))
         .write.mode("append")
         .parquet(index_path)
     )

@@ -60,6 +60,7 @@ from discogs_etl_spark.transforms.cleaning import (
     clean_xml_bytes,
     clean_xml_content,
     collapse_whitespace,
+    escape_bare_amps,
     fix_xml_structure_text,
 )
 
@@ -102,7 +103,7 @@ def repair_document(text: str, data_type: str) -> str:
     scrub invalid chars, drop stray wrappers, ensure a single root
     (reference process.py:221-238; utils.py:49-58)."""
     root_tag, _ = XML_TAGS[data_type]
-    text = clean_xml_content(text)
+    text = escape_bare_amps(clean_xml_content(text))
     text = fix_xml_structure_text(text)
     text = _XML_DECL_RE.sub("", text)
     stripped = text.lstrip()
@@ -277,6 +278,13 @@ def _iter_decompressed(stream, chunk_bytes: int) -> Iterator[bytes]:
             yield out
         if d.eof:
             rest = d.unused_data
+            # the next member's magic may straddle the read boundary:
+            # with <2 bytes in hand the check is undecidable — read on
+            while len(rest) < 2:
+                more = stream.read(chunk_bytes)
+                if not more:
+                    break
+                rest += more
             if rest[:2] == GZIP_MAGIC:  # concatenated gzip members
                 d = zlib.decompressobj(16 + zlib.MAX_WBITS)
                 pending = rest
@@ -315,9 +323,17 @@ def _iter_repaired_text(
     decoder = codecs.getincrementaldecoder("utf-8")("replace")
 
     def _clean(text: str) -> str:
+        # Scrub BEFORE collapsing: scrubbing injects spaces, and only
+        # scrub-then-collapse is IDEMPOTENT as a composite — re-cleaning
+        # the carry must not re-collapse spaces the scrub produced, or
+        # record text would depend on where chunk boundaries fall.
+        # (Bare-ampersand escaping deliberately does NOT run here: its
+        # lookahead needs the WHOLE entity, which may still be split
+        # across chunks — it runs on the yielded prefix only, whose tail
+        # is guaranteed entity-complete by the keep adjustment below.)
+        text = clean_xml_content(text)
         if collapse_ws:
             text = collapse_whitespace(text)
-        text = clean_xml_content(text)
         return fix_xml_structure_text(text)
 
     header_buf = ""
@@ -366,8 +382,16 @@ def _iter_repaired_text(
         keep = len(combined) - _REPAIR_CARRY
         ws_tail = len(combined) - len(combined.rstrip())
         keep = min(keep, len(combined) - ws_tail)
+        # never end a yield inside a possibly-incomplete entity: the
+        # longest reference ("&#x10FFFF;") is 10 chars, so pull any '&'
+        # within the last 11 chars of the prefix back into the carry —
+        # escape_bare_amps then always sees complete entities
         if keep > 0:
-            yield combined[:keep]
+            amp = combined.rfind("&", max(0, keep - 11), keep)
+            if amp != -1:
+                keep = amp
+        if keep > 0:
+            yield escape_bare_amps(combined[:keep])
             carry = combined[keep:]
         else:
             carry = combined
@@ -377,6 +401,7 @@ def _iter_repaired_text(
         final, wrapped = _start_body(header_buf + tail)
         if collapse_ws:
             final = final.strip()
+        final = escape_bare_amps(final)
         if wrapped and final:
             yield f"<{root_tag}>{final}</{root_tag}>"
         elif final:
@@ -386,7 +411,7 @@ def _iter_repaired_text(
     if collapse_ws:
         final = final.rstrip()
     if final:
-        yield final
+        yield escape_bare_amps(final)
     if wrapped:
         yield f"</{root_tag}>"
 
@@ -410,10 +435,27 @@ def iter_records_stream(
     # record.
     depth = 0
     root = None
+    broken = False
 
     def _drain() -> Iterator[dict]:
-        nonlocal depth, root
-        for event, elem in parser.read_events():
+        # XMLPullParser DEFERS feed-time errors into the event queue and
+        # re-raises them from read_events() — leniency must live here,
+        # not only around feed().  Events queued before the error still
+        # come through first, so completed records survive.
+        nonlocal depth, root, broken
+        try:
+            events = parser.read_events()
+        except _PARSE_ERRORS:
+            broken = True
+            return
+        while True:
+            try:
+                event, elem = next(events)
+            except StopIteration:
+                return
+            except _PARSE_ERRORS:
+                broken = True
+                return
             if event == "start":
                 if root is None:
                     root = elem
@@ -432,8 +474,18 @@ def iter_records_stream(
                         pass
 
     for text in _iter_repaired_text(stream, data_type, chunk_bytes):
-        parser.feed(text)
+        try:
+            parser.feed(text)
+        except _PARSE_ERRORS:
+            broken = True
         yield from _drain()
+        if broken:
+            # Mid-stream well-formedness error the repairs could not fix
+            # (e.g. mismatched tags): stop consuming this file leniently —
+            # records completed before the error were already yielded,
+            # matching the reference's lxml recover=True survival
+            # (process.py:322) instead of failing the whole task.
+            return
     try:
         parser.close()
     except _PARSE_ERRORS:

@@ -34,6 +34,11 @@ _INVALID_XML_RE = re.compile(
 _WS_RUN_RE = re.compile(r"\s+")
 _WRAPPER_TAG_RE = re.compile(rb"</?documents?>")
 _WRAPPER_TAG_TEXT_RE = re.compile(r"</?documents?>")
+# A bare '&' (not starting a valid entity/char reference) is the most
+# common well-formedness error in dirty dumps ("AT&T" in a profile);
+# expat has no lxml-style recover mode, so repair it to &amp; pre-parse.
+# The negative lookahead makes the substitution idempotent.
+_BARE_AMP_RE = re.compile(r"&(?!(?:amp|lt|gt|quot|apos|#[0-9]+|#x[0-9a-fA-F]+);)")
 
 
 def clean_xml_content(text: str) -> str:
@@ -62,6 +67,14 @@ def fix_xml_structure(data: bytes) -> bytes:
 
 def fix_xml_structure_text(text: str) -> str:
     return _WRAPPER_TAG_TEXT_RE.sub("", text)
+
+
+def escape_bare_amps(text: str) -> str:
+    """Repair bare ampersands into ``&amp;`` (idempotent) — the stdlib
+    pull parser dies mid-stream on an undefined entity where the
+    reference's lxml ``recover=True`` kept going; escaping preserves the
+    text instead of losing the record (or the task)."""
+    return _BARE_AMP_RE.sub("&amp;", text)
 
 
 # ---- column-expression twins (for post-parse normalization pipelines) ----

@@ -36,11 +36,15 @@ def _whole_doc_records(data: bytes, data_type: str) -> list[dict]:
 
     from discogs_etl_spark.sources.xml_ingest import PARSERS, XML_TAGS
 
+    from discogs_etl_spark.transforms.cleaning import clean_xml_content
+
     text = data.decode("utf-8", errors="replace")
     if data_type == "label":
         text = repair_document(text, data_type)
     else:
-        text = repair_document(clean_xml_bytes(text), data_type)
+        # scrub-then-collapse, mirroring the streaming repair's
+        # idempotent composite (see _iter_repaired_text._clean)
+        text = repair_document(clean_xml_bytes(clean_xml_content(text)), data_type)
     _, item_tag = XML_TAGS[data_type]
     out, depth = [], 0
     for event, elem in ET.iterparse(
@@ -146,3 +150,57 @@ def test_no_husks_accumulate_under_root():
         xi.ET.XMLPullParser = real
     assert len(got) == n
     assert seen_roots and len(seen_roots[0]) <= 2  # husks detached, not n
+
+
+def test_bare_ampersand_recovered_not_fatal():
+    """A bare '&' (undefined entity — 'AT&T') must be repaired to &amp;
+    and the record kept, for EVERY chunking, instead of killing the
+    parse (the reference's lxml recover=True survived this input)."""
+    doc = (b"<artists><artist><id>1</id><name>AT&T Records</name></artist>"
+           b"<artist><id>2</id><name>Ok &amp; Fine</name></artist></artists>")
+    for chunk in (3, 7, 64, 1 << 20):
+        got = list(iter_records_stream(io.BytesIO(doc), "artist", chunk))
+        assert [r["id"] for r in got] == [1, 2], chunk
+        assert got[0]["name"] == "AT&T Records", chunk
+        # pre-existing entities must NOT be double-escaped at any chunking
+        assert got[1]["name"] == "Ok & Fine", chunk
+
+
+def test_midstream_malformation_is_lenient():
+    """A well-formedness error the repairs can't fix (mismatched tag)
+    stops THAT file leniently: records before the error survive, the
+    task does not die."""
+    doc = (b"<artists><artist><id>1</id><name>A</name></artist>"
+           b"<artist><id>2</id><name>B</name></BROKEN>"
+           b"<artist><id>3</id><name>C</name></artist></artists>")
+    got = list(iter_records_stream(io.BytesIO(doc), "artist"))
+    assert [r["id"] for r in got] == [1]
+
+
+def test_concatenated_gzip_member_boundary():
+    """Concatenated gzip members must all be read even when the member
+    boundary aligns with the read-chunk boundary (magic split across
+    reads)."""
+    import gzip as _gz
+
+    a = _gz.compress(b"<artists><artist><id>1</id><name>A</name></artist>")
+    b = _gz.compress(b"<artist><id>2</id><name>B</name></artist></artists>")
+    blob = a + b
+    # chunk sizes that land the boundary at/next to a read edge, plus odd ones
+    for chunk in (len(a), len(a) - 1, len(a) + 1, 5, 1 << 20):
+        got = list(iter_records_stream(io.BytesIO(blob), "artist", chunk))
+        assert [r["id"] for r in got] == [1, 2], chunk
+
+
+def test_scrub_space_runs_chunk_invariant():
+    """Invalid-char RUNS adjacent to whitespace must clean identically
+    for any chunking (the scrub-then-collapse idempotence contract)."""
+    doc = b"<artists><artist><id>1</id><name>A \x00\x00 B</name></artist></artists>"
+    expected = None
+    for chunk in (1, 2, 3, 7, 64, 1 << 20):
+        got = list(iter_records_stream(io.BytesIO(doc), "artist", chunk))
+        assert len(got) == 1, chunk
+        if expected is None:
+            expected = got[0]["name"]
+        assert got[0]["name"] == expected, chunk
+    assert expected == "A B"
