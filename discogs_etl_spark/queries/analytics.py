@@ -3842,3 +3842,105 @@ def variant_semistructured_events(spark: SparkSession, sf_dir: str) -> DataFrame
             F.max(k).alias("max_k"),
         )
     )
+
+
+@register(
+    "events_top_paths",
+    oracle="""
+        WITH ranked AS (
+            SELECT user_id, event_type,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        ),
+        paths AS (
+            SELECT user_id,
+                   string_agg(event_type, '>' ORDER BY rn) AS path
+            FROM ranked WHERE rn <= 3
+            GROUP BY user_id
+        )
+        SELECT path, COUNT(*) AS n_users
+        FROM paths GROUP BY path
+    """,
+    tags=("window", "path", "behavior"),
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PATH analysis: each user's first three event types joined into a
+    journey string, counted across users — the onboarding-flow question
+    ("what do people actually do first?") answered without a graph
+    engine.  One user-keyed window (shared exchange with every other
+    per-user op), a per-user ordered string_agg, and a paths-sized
+    count.
+
+    Scale: journeys truncate at k=3 so the path alphabet stays bounded
+    (|types|^k); the aggregate output is path-sized, never user-sized."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    )
+    paths = (
+        ranked.where(F.col("rn") <= 3)
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                ">", F.array_sort(F.collect_list(F.struct("rn", "event_type")))
+                .getField("event_type")
+            ).alias("path")
+        )
+    )
+    return paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+@register(
+    "orders_rfm_segments",
+    oracle="""
+        WITH per_cust AS (
+            SELECT o_custkey,
+                   MAX(o_orderdate) AS last_order,
+                   COUNT(*) AS frequency,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS monetary
+            FROM orders GROUP BY o_custkey
+        ),
+        scored AS (
+            SELECT o_custkey,
+                   ntile(4) OVER (ORDER BY last_order, o_custkey) AS r_q,
+                   ntile(4) OVER (ORDER BY frequency, o_custkey) AS f_q,
+                   ntile(4) OVER (ORDER BY monetary, o_custkey) AS m_q
+            FROM per_cust
+        )
+        SELECT r_q, f_q, m_q, COUNT(*) AS n_customers
+        FROM scored GROUP BY r_q, f_q, m_q
+    """,
+    tags=("window", "rfm", "segmentation"),
+)
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM SEGMENTATION: customers quartiled independently on recency
+    (last order date), frequency (order count), and monetary (exact
+    total spend), reported as the 4x4x4 segment census — the classic
+    customer-value grid.  Deterministic ntile via total orders
+    (metric, custkey) on both engines.
+
+    Scale: one customer-keyed aggregate, then three windows over the
+    CUSTOMER-sized frame.  The single-partition windows are the exact
+    ntile trade-off: global quantile ranks need a global order — at
+    true scale swap to approx ntile via percentile thresholds +
+    broadcast (the quality_gate_quantile two-pass shape)."""
+    per_cust = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            dsum("o_totalprice", 2).alias("monetary"),
+        )
+    )
+    scored = per_cust.select(
+        "o_custkey",
+        F.ntile(4).over(Window.orderBy("last_order", "o_custkey")).alias("r_q"),
+        F.ntile(4).over(Window.orderBy("frequency", "o_custkey")).alias("f_q"),
+        F.ntile(4).over(Window.orderBy("monetary", "o_custkey")).alias("m_q"),
+    )
+    return scored.groupBy("r_q", "f_q", "m_q").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
