@@ -3944,3 +3944,45 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("r_q", "f_q", "m_q").agg(
         F.count(F.lit(1)).alias("n_customers")
     )
+
+
+@register(
+    "window_rolling_median",
+    oracle="""
+        SELECT event_id, user_id,
+               round(median(value) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING),
+                     6) AS smoothed
+        FROM events
+    """,
+    tags=("window", "median", "smoothing"),
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling MEDIAN smoothing (5-event centered window per user) — the
+    robust denoiser for spiky gauges where a rolling mean chases
+    outliers.  Exact small-window median: both engines sort the same ≤5
+    doubles, so the result is bit-deterministic (a rolling mean would
+    need the fixed-point treatment; the median needs nothing).
+
+    Scale: one user-keyed window, frame state bounded at 5 rows per
+    step — O(1) memory per row, no skew surface beyond the user key
+    itself.  (Spark's median/percentile aggregates reject window
+    frames, so the median is spelled from a frame collect_list +
+    array_sort — identical arithmetic to DuckDB's windowed median,
+    including the even-count midpoint.)"""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, 2)
+    )
+    frame = F.array_sort(F.collect_list("value").over(w))
+    k = F.size(frame)
+    mid_hi = F.element_at(frame, (k / 2 + 1).cast("int"))
+    mid_lo = F.element_at(frame, ((k + 1) / 2).cast("int"))
+    med = F.when(k % 2 == 1, mid_lo).otherwise((mid_lo + mid_hi) / 2)
+    return load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.round(med, 6).alias("smoothed"),
+    )
