@@ -3986,3 +3986,48 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round(med, 6).alias("smoothed"),
     )
+
+
+@register(
+    "events_burst_users",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id,
+                   COUNT(*) AS n_events,
+                   round(epoch(MAX(ts)) - epoch(MIN(ts)), 6) AS span_sec
+            FROM events GROUP BY user_id
+        )
+        SELECT user_id, n_events, span_sec,
+               round(n_events / (span_sec / 60.0), 6) AS events_per_min
+        FROM per_user
+        WHERE n_events >= 20 AND span_sec > 0
+          AND n_events / (span_sec / 60.0) > 0.2
+    """,
+    tags=("agg", "quality", "bot_detection"),
+)
+def events_burst_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BURST/AUTOMATION detection: users whose sustained event rate over
+    their active span exceeds a threshold — the traffic-quality gate
+    that keeps bot-generated interactions out of behavioral training
+    data (the events-table sibling of the documents-side quality gates).
+
+    One grouped pass computes count + span; the rate is a per-row
+    expression over exact aggregates.  Scale: user-keyed aggregate
+    sharing its exchange with every other per-user op; output is
+    flagged-users-sized."""
+    per_user = load(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(epoch(F.max("ts")) - epoch(F.min("ts")), 6).alias("span_sec"),
+    )
+    rate = F.col("n_events") / (F.col("span_sec") / 60.0)
+    return (
+        per_user.where(
+            (F.col("n_events") >= 20) & (F.col("span_sec") > 0) & (rate > 0.2)
+        )
+        .select(
+            "user_id",
+            "n_events",
+            "span_sec",
+            F.round(rate, 6).alias("events_per_min"),
+        )
+    )
