@@ -3203,48 +3203,53 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeping the heaviest hub's wedges on the smaller side; the per-order
     item cap is the real-world guard (a 1000-item order contributes
     half a million edges unbounded).  All shuffles are edge-keyed
-    equi-joins."""
-    items = (
+    equi-joins.
+
+    The edge build is ONE order-keyed aggregation: collect the distinct
+    part set per order, keep orders with 2-4 parts, and emit the ordered
+    pairs with a higher-order transform — replacing the
+    distinct + count + self-join pipeline (3 shuffles and a per-order
+    n^2 join blowup BEFORE the cap filter) with 1 shuffle whose
+    aggregation buffer holds at most one order's distinct parts,
+    strictly smaller state than the self-join it replaces."""
+    parts = (
         load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .where(F.size("ps").between(2, 4))
     )
-    small = (
-        items.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .where(F.col("n") <= 4)
-        .select("l_orderkey")
+    pair_expr = F.flatten(
+        F.expr(
+            "transform(ps, (x, i) -> "
+            "transform(slice(ps, i + 2, size(ps) - i - 1), "
+            "y -> struct(x AS u, y AS v)))"
+        )
     )
-    a = items.select("l_orderkey", F.col("l_partkey").alias("u"))
-    b = items.select("l_orderkey", F.col("l_partkey").alias("v"))
     # Materialize the edge set ONCE: the triangle enumeration references
     # it three times, and Spark does not share common subplans across
-    # DataFrame branches — without the checkpoint the whole
-    # items-distinct + cap + self-join subtree executes 3x (measured 73
-    # exchanges in the un-checkpointed plan).  Same pattern as the
-    # CC family's minhash_pair_graph.
+    # DataFrame branches — without the checkpoint the whole edge-build
+    # subtree executes per reference.  Same pattern as the CC family's
+    # minhash_pair_graph.
     edges = (
-        a.join(b, "l_orderkey")
-        .where(F.col("u") < F.col("v"))
-        .join(small, "l_orderkey")
-        .select("u", "v")
+        parts.select(F.explode(pair_expr).alias("e"))
+        .select("e.u", "e.v")
         .distinct()
         .localCheckpoint()
     )
-    e1 = edges
     e2 = edges.select(F.col("u").alias("v"), F.col("v").alias("w"))
-    e3 = edges.select(F.col("u").alias("u3"), F.col("v").alias("w3"))
+    # Wedge u<v<w, then keep it only when closing edge (u, w) exists —
+    # a LEFT SEMI join, so the probe rows never widen.  Per-node counts
+    # come from ONE explode over the surviving triangles (a unionAll of
+    # three projections would re-execute the wedge join per branch).
     tri = (
-        e1.join(e2, "v")
-        .join(e3, (F.col("u") == F.col("u3")) & (F.col("w") == F.col("w3")))
-        .select("u", "v", "w")
+        edges.join(e2, "v")
+        .join(edges.select("u", F.col("v").alias("w")), ["u", "w"], "left_semi")
     )
-    nodes = (
-        tri.select(F.col("u").alias("node"))
-        .unionAll(tri.select(F.col("v")))
-        .unionAll(tri.select(F.col("w")))
+    return (
+        tri.select(F.explode(F.array("u", "v", "w")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
-    return nodes.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
 @register(

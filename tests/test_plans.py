@@ -246,3 +246,16 @@ def test_funnel_stages_broadcast_user_sets(spark, q):
     plan = _plan(q["funnel_view_click_purchase"](spark, SF))
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_triangle_edge_build_single_aggregation(spark, q):
+    """The triangle edge build must be ONE order-keyed aggregation (pair
+    generation via higher-order array functions, no self-join of items),
+    and the closing-edge check must plan as a LEFT SEMI hash join."""
+    plan = _plan(q["graph_triangle_count"](spark, SF))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # exactly one collect_set aggregate pair (partial + final) feeds the
+    # edge generation; the old shape had a distinct + count + self-join
+    assert plan.count("collect_set") <= 4
