@@ -2576,6 +2576,103 @@ def text_search_inverted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_search_bm25_topk",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, w, COUNT(*) AS tf FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+            ) WHERE len(w) > 3
+            GROUP BY doc_id, w
+        ),
+        dl AS (SELECT doc_id, SUM(tf) AS dl FROM tok GROUP BY doc_id),
+        stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+        dfreq AS (SELECT w, COUNT(*) AS df FROM tok GROUP BY w),
+        q AS (SELECT doc_id AS q_id, w FROM tok WHERE doc_id % 100 = 0),
+        scored AS (
+            SELECT q.q_id, t.doc_id,
+                   SUM(CAST(round(
+                       ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                       * (t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * d.dl
+                             / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))
+                   , 6) AS DECIMAL(28,6))) AS sc
+            FROM q JOIN tok t ON q.w = t.w
+                 JOIN dfreq f ON t.w = f.w
+                 JOIN dl d ON t.doc_id = d.doc_id
+                 CROSS JOIN stats s
+            WHERE t.doc_id <> q.q_id
+            GROUP BY q.q_id, t.doc_id
+        )
+        SELECT q_id, doc_id, CAST(sc AS DOUBLE) AS score FROM (
+            SELECT q_id, doc_id, sc,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY sc DESC, doc_id) AS rn
+            FROM scored
+        ) WHERE rn <= 3
+    """,
+    tags=("text", "search", "bm25", "topk"),
+    bench=True,
+)
+def text_search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval over the inverted index — the standard
+    lexical relevance function (Robertson-Spärck Jones idf, tf saturation
+    k1=1.2, length normalization b=0.75), queries = every 100th document's
+    unique terms, top 3 per query, self-match excluded.
+
+    Float-exactness: BM25 is float math, but it oracle-hashes exactly by
+    the repo's exact-accumulation rule — each (query, doc, term)
+    contribution is computed from integer inputs (tf, df, dl, N, Σdl)
+    through deterministic scalar double ops, ROUNDED to 6 dp, then summed
+    as DECIMAL(28,6), so grouped-sum ORDER can't smear the score and the
+    top-k ORDER BY compares exact decimals on both engines.
+
+    Scale: same shape as text_search_inverted_topk — postings shuffle on
+    the term (hot-term skew gated by len > 3; salting/impact-ordering are
+    the 100 TB knobs), df and dl attach as term-/doc-keyed joins that
+    reuse the postings' partitioning, the corpus stats (N, Σdl) broadcast
+    as a 1-row aggregate, scoring reduces on (query, doc), and top-k is a
+    WindowGroupLimit — never a global sort."""
+    k1, b = 1.2, 0.75
+    docs = load(spark, sf_dir, "documents")
+    tok = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .where(F.length("w") > 3)
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = tok.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl"))
+    dfreq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    q = tok.where(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("q_id"), "w"
+    )
+    joined = (
+        q.join(tok.join(dfreq, "w").join(dl, "doc_id"), "w")
+        .where(F.col("doc_id") != F.col("q_id"))
+        .join(F.broadcast(stats))
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tfnorm = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl)
+    )
+    scored = (
+        joined.select(
+            "q_id", "doc_id", F.round(idf * tfnorm, 6).cast("decimal(28,6)").alias("c")
+        )
+        .groupBy("q_id", "doc_id")
+        .agg(F.sum("c").alias("sc"))
+    )
+    wtop = Window.partitionBy("q_id").orderBy(F.desc("sc"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(wtop))
+        .where(F.col("rn") <= 3)
+        .select("q_id", "doc_id", F.col("sc").cast("double").alias("score"))
+    )
+
+
+@register(
     "embedding_random_projection",
     oracle="""
         SELECT vec_id, k.k,

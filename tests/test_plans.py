@@ -259,3 +259,11 @@ def test_triangle_edge_build_single_aggregation(spark, q):
     # exactly one collect_set aggregate pair (partial + final) feeds the
     # edge generation; the old shape had a distinct + count + self-join
     assert plan.count("collect_set") <= 4
+
+
+def test_bm25_group_limit_and_broadcast_stats(spark, q):
+    """BM25 top-k must plan as a WindowGroupLimit; the 1-row corpus stats
+    aggregate must broadcast, never cartesian the postings."""
+    plan = _plan(q["text_search_bm25_topk"](spark, SF))
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
