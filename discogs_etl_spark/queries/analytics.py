@@ -3157,6 +3157,50 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _coorder_oriented_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oriented (u < v) distinct edges of the parts-co-order graph: parts
+    are connected when they appear in the same order; orders capped at 4
+    distinct parts so the per-order pair fan-out is bounded.  ONE
+    order-keyed aggregation (collect the distinct part set, cap, emit
+    pairs via a higher-order transform) — no self-join, no per-order n^2
+    blowup before the cap."""
+    parts = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .where(F.size("ps").between(2, 4))
+    )
+    pair_expr = F.flatten(
+        F.expr(
+            "transform(ps, (x, i) -> "
+            "transform(slice(ps, i + 2, size(ps) - i - 1), "
+            "y -> struct(x AS u, y AS v)))"
+        )
+    )
+    return (
+        parts.select(F.explode(pair_expr).alias("e"))
+        .select("e.u", "e.v")
+        .distinct()
+    )
+
+
+# Shared DuckDB CTE prefix for the co-order graph family (edge build must
+# match _coorder_oriented_edges exactly).
+_COORDER_EDGES_SQL = """
+    op AS (
+        SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS ps
+        FROM lineitem GROUP BY l_orderkey
+        HAVING len(list_distinct(list(l_partkey))) BETWEEN 2 AND 4
+    ),
+    oriented AS (
+        SELECT DISTINCT p1.u, p2.v FROM (
+            SELECT unnest(ps) AS u, ps FROM op
+        ) AS p1, LATERAL (SELECT unnest(p1.ps) AS v) p2
+        WHERE p1.u < p2.v
+    )
+"""
+
+
 @register(
     "graph_triangle_count",
     oracle="""
@@ -3212,30 +3256,12 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     n^2 join blowup BEFORE the cap filter) with 1 shuffle whose
     aggregation buffer holds at most one order's distinct parts,
     strictly smaller state than the self-join it replaces."""
-    parts = (
-        load(spark, sf_dir, "lineitem")
-        .groupBy("l_orderkey")
-        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
-        .where(F.size("ps").between(2, 4))
-    )
-    pair_expr = F.flatten(
-        F.expr(
-            "transform(ps, (x, i) -> "
-            "transform(slice(ps, i + 2, size(ps) - i - 1), "
-            "y -> struct(x AS u, y AS v)))"
-        )
-    )
     # Materialize the edge set ONCE: the triangle enumeration references
     # it three times, and Spark does not share common subplans across
     # DataFrame branches — without the checkpoint the whole edge-build
     # subtree executes per reference.  Same pattern as the CC family's
     # minhash_pair_graph.
-    edges = (
-        parts.select(F.explode(pair_expr).alias("e"))
-        .select("e.u", "e.v")
-        .distinct()
-        .localCheckpoint()
-    )
+    edges = _coorder_oriented_edges(spark, sf_dir).localCheckpoint()
     e2 = edges.select(F.col("u").alias("v"), F.col("v").alias("w"))
     # Wedge u<v<w, then keep it only when closing edge (u, w) exists —
     # a LEFT SEMI join, so the probe rows never widen.  Per-node counts
@@ -4038,3 +4064,85 @@ def events_burst_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(rate, 6).alias("events_per_min"),
         )
     )
+
+
+_PAGERANK_DAMPING = 0.85
+_PAGERANK_ITERS = 5
+
+_PAGERANK_STEPS = ",\n    ".join(
+    f"""r{i + 1} AS (
+        SELECT e.v AS node,
+               CAST(SUM(CAST(round(r.rank * {_PAGERANK_DAMPING} / e.deg, 12)
+                             AS DECIMAL(38,12))) AS DOUBLE)
+               + (SELECT (1.0 - {_PAGERANK_DAMPING}) / n FROM nn) AS rank
+        FROM dedges e JOIN r{i} r ON e.u = r.node
+        GROUP BY e.v
+    )"""
+    for i in range(_PAGERANK_ITERS)
+)
+
+_PAGERANK_ORACLE = f"""
+    WITH {_COORDER_EDGES_SQL.strip()},
+    edges AS (
+        SELECT u, v FROM oriented UNION ALL SELECT v AS u, u AS v FROM oriented
+    ),
+    deg AS (SELECT u, COUNT(*) AS deg FROM edges GROUP BY u),
+    nn AS (SELECT COUNT(*) AS n FROM deg),
+    dedges AS (SELECT e.u, e.v, d.deg FROM edges e JOIN deg d ON e.u = d.u),
+    r0 AS (SELECT u AS node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank
+           FROM deg),
+    {_PAGERANK_STEPS}
+    SELECT node, round(rank, 8) AS pagerank FROM r{_PAGERANK_ITERS}
+"""
+
+
+@register(
+    "graph_pagerank_coorder",
+    oracle=_PAGERANK_ORACLE,
+    tags=("graph", "pagerank", "iterative"),
+    bench=True,
+)
+def graph_pagerank_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAGERANK over the parts-co-order graph — the canonical iterative
+    graph centrality, 5 fixed power iterations with damping 0.85.  The
+    graph is UNDIRECTED (both edge directions materialized), so every
+    node has out-degree >= 1 and there is no dangling-node mass to
+    redistribute — the rank update is exactly
+    r' = (1-d)/N + d * sum(r_u / deg_u over in-neighbors u).
+
+    Float-exactness: the per-edge contribution (rank * d / degree) is
+    scalar double math — deterministic — rounded to 12 dp and summed as
+    DECIMAL(38,12), so the per-node reduce is order-independent and the
+    result hash-matches the DuckDB oracle's unrolled-CTE iteration
+    bit-for-bit.
+
+    Scale: each iteration is one node-keyed broadcast-or-shuffle join
+    (ranks are node-sized, edges are the big side and stay PUT — they are
+    localCheckpointed once and re-joined by key each round, never
+    re-derived) plus one grouped sum; 5 rounds = 5 edge-keyed shuffles,
+    the textbook Pregel schedule expressed as DataFrame ops.  For long
+    runs, per-iteration localCheckpoints would bound lineage the same way
+    the CC loop does (llm.py dedup_connected_components)."""
+    d, iters = _PAGERANK_DAMPING, _PAGERANK_ITERS
+    oriented = _coorder_oriented_edges(spark, sf_dir)
+    edges = oriented.unionAll(
+        oriented.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    n_nodes = deg.count()
+    base = (1.0 - d) / n_nodes
+    src = edges.join(deg, "u")
+    ranks = deg.select(F.col("u").alias("node"), F.lit(1.0 / n_nodes).alias("rank"))
+    for _ in range(iters):
+        contrib = src.join(ranks.withColumnRenamed("node", "u"), "u").select(
+            F.col("v").alias("node"),
+            F.round(F.col("rank") * d / F.col("deg"), 12)
+            .cast("decimal(38,12)")
+            .alias("c"),
+        )
+        ranks = (
+            contrib.groupBy("node")
+            .agg(F.sum("c").alias("s"))
+            .select("node", (F.col("s").cast("double") + F.lit(base)).alias("rank"))
+        )
+    return ranks.select("node", F.round("rank", 8).alias("pagerank"))
