@@ -363,6 +363,85 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Scoped confs for the runtime bloom-filter demonstration: injection is
+# gated by an application-side scan-size threshold (10 GB by default —
+# correct for production, unreachable at fixture scale), so the query
+# lowers it, and disables broadcast so the join actually shuffles (a
+# broadcast join needs no runtime filter).  Confs are RESTORED before the
+# builder returns; the result is materialized (eager localCheckpoint)
+# while they are active.
+_BLOOM_RUNTIME_CONFS = {
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def _bloom_join_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The un-checkpointed plan behind join_bloom_runtime_filter (split
+    out so the plan test can explain() it under the bloom confs)."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 150000)
+    )
+    revenue_fp = fixed("l_extendedprice", 2) * (F.lit(100) - fixed("l_discount", 2))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            (F.sum(revenue_fp).cast("double") / 1e4).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "join_bloom_runtime_filter",
+    oracle="""
+        SELECT l_linestatus, COUNT(*) AS n_items,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+                   AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000
+        GROUP BY l_linestatus
+    """,
+    tags=("join", "bloom_filter", "runtime_filter"),
+)
+def join_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle join accelerated by a RUNTIME BLOOM FILTER: the selective
+    orders predicate builds a bloom sketch (bloom_filter_agg over the
+    build-side keys), which is pushed into the lineitem scan as a
+    might_contain() filter — Spark's InjectRuntimeFilter, the engine's
+    answer to sideways information passing.  Rows of the 100 TB fact side
+    that cannot join are dropped AT THE SCAN, before the shuffle — the
+    single biggest shuffle-volume lever on selective fact-dim joins that
+    are too big to broadcast.
+
+    The confs that gate injection (application-side size threshold, and
+    broadcast disabled so a shuffle join exists to filter) are scoped to
+    this builder: set, materialize via eager localCheckpoint, restore —
+    the shared session's other plans never see them.  Correctness is
+    bloom-independent (false positives are re-checked by the exact join),
+    so the oracle is the plain join."""
+    saved: dict[str, str | None] = {}
+    for k, v in _BLOOM_RUNTIME_CONFS.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        out = _bloom_join_frame(spark, sf_dir).localCheckpoint()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return out
+
+
 @register(
     "q5_regional_revenue",
     oracle=f"""

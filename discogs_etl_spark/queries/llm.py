@@ -1027,6 +1027,50 @@ def sample_stratified_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sample_weighted_per_source",
+    oracle="""
+        SELECT source, doc_id, n_chars, priority FROM (
+            SELECT source, doc_id, n_chars,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+                       // greatest(n_chars, 1) AS priority,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+                                // greatest(n_chars, 1), doc_id) AS rn
+            FROM documents
+        ) WHERE rn <= 10
+    """,
+    tags=("sampling", "weighted", "reservoir"),
+)
+def sample_weighted_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED per-group sampling, deterministic: 10 docs per source,
+    selection priority = hash(doc_id) DIV weight (weight = n_chars), so
+    longer documents are proportionally likelier to draw a small priority
+    and be picked — the distributed-reservoir idea of
+    Efraimidis-Spirakis A-Res (priority u^(1/w)), replayed with EXACT
+    integer arithmetic (hash DIV weight) instead of a float pow/log key,
+    so the sample is reproducible run-to-run, engine-to-engine, and
+    under task retry — the property a training-data sampler actually
+    needs (no RNG state on executors).
+
+    Scale: map-only priority computation, then a per-group top-k that
+    plans as WindowGroupLimit — k rows per group survive each shuffle
+    stage, never the full corpus."""
+    pri = F.expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10) AS BIGINT)"
+        " DIV greatest(n_chars, 1)"
+    )
+    w = Window.partitionBy("source").orderBy("priority", "doc_id")
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "source", "n_chars", pri.alias("priority"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .select("source", "doc_id", "n_chars", "priority")
+    )
+
+
+@register(
     "embedding_centroid_by_label",
     oracle="""
         SELECT label, pos,

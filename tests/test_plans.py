@@ -267,3 +267,35 @@ def test_bm25_group_limit_and_broadcast_stats(spark, q):
     plan = _plan(q["text_search_bm25_topk"](spark, SF))
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bloom_runtime_filter_injected(spark, q):
+    """Under the scoped bloom confs, the fact-side scan filter must carry
+    might_contain (bloom pushed to the scan) fed by a bloom_filter_agg on
+    the build side; the builder must restore every conf afterwards."""
+    from discogs_etl_spark.queries.analytics import (
+        _BLOOM_RUNTIME_CONFS,
+        _bloom_join_frame,
+    )
+
+    before = {
+        k: spark.conf.get(k, None) for k in _BLOOM_RUNTIME_CONFS
+    }
+    saved = {}
+    for k, v in _BLOOM_RUNTIME_CONFS.items():
+        saved[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    try:
+        plan = _plan(_bloom_join_frame(spark, SF))
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert "might_contain" in plan
+    assert "bloom_filter_agg" in plan
+    # the registered query (checkpoint + restore) leaves confs untouched
+    q["join_bloom_runtime_filter"](spark, SF)
+    after = {k: spark.conf.get(k, None) for k in _BLOOM_RUNTIME_CONFS}
+    assert after == before
