@@ -1,0 +1,360 @@
+"""Statistical testing / distribution analysis over the fixture tables.
+
+The experimentation layer a production analytics engine ships next to its
+aggregates: two-sample testing (Welch), independence testing (chi-square),
+concentration (Gini), information content (Shannon entropy), and corpus
+rank-frequency structure (Zipf slope).  Every statistic is float math made
+oracle-exact by the repo's accumulation rule (registry.py): per-row/cell
+contributions are computed with deterministic scalar double ops, ROUNDED
+to a fixed scale, summed as DECIMAL (order-independent), and only the
+final scalar arithmetic runs in doubles — identical on both engines.
+
+Scale notes per query; none of these shuffle more than one key family,
+and the only windows are partitioned by bounded groups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from discogs_etl_spark.registry import register
+from discogs_etl_spark.tables import load
+
+
+@register(
+    "stats_welch_ttest",
+    oracle="""
+        WITH g AS (
+            SELECT
+                COUNT(*) FILTER (event_type = 'purchase') AS na,
+                COUNT(*) FILTER (event_type = 'click') AS nb,
+                CAST(SUM(CAST(round(value, 6) AS DECIMAL(28,6)))
+                     FILTER (event_type = 'purchase') AS DOUBLE) AS sa,
+                CAST(SUM(CAST(round(value, 6) AS DECIMAL(28,6)))
+                     FILTER (event_type = 'click') AS DOUBLE) AS sb,
+                CAST(SUM(CAST(round(value * value, 6) AS DECIMAL(38,6)))
+                     FILTER (event_type = 'purchase') AS DOUBLE) AS ssa,
+                CAST(SUM(CAST(round(value * value, 6) AS DECIMAL(38,6)))
+                     FILTER (event_type = 'click') AS DOUBLE) AS ssb
+            FROM events WHERE event_type IN ('purchase', 'click')
+        ),
+        st AS (
+            SELECT na, nb,
+                   sa / na AS ma, sb / nb AS mb,
+                   (ssa - na * (sa / na) * (sa / na)) / (na - 1) AS va,
+                   (ssb - nb * (sb / nb) * (sb / nb)) / (nb - 1) AS vb
+            FROM g
+        )
+        SELECT na, nb,
+               round(ma - mb, 6) AS mean_diff,
+               round((ma - mb) / sqrt(va / na + vb / nb), 6) AS t_stat,
+               round(pow(va / na + vb / nb, 2)
+                     / (pow(va / na, 2) / (na - 1) + pow(vb / nb, 2) / (nb - 1)),
+                     4) AS dof
+        FROM st
+    """,
+    tags=("stats", "ttest", "ab_test"),
+)
+def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WELCH'S two-sample t-test (unequal variances) comparing event
+    ``value`` between purchase and click events — the A/B-test primitive.
+    Outputs group sizes, mean difference, the t statistic, and the
+    Welch-Satterthwaite degrees of freedom.
+
+    Exactness: sums and sums-of-squares accumulate as DECIMAL over
+    6-dp-rounded terms (order-independent); means/variances/t/dof are
+    scalar double arithmetic on those exact sums, identical per the
+    oracle's formula order.
+
+    Scale: ONE conditional aggregation pass over the fact table — no
+    shuffle at all beyond the final single-row reduce; this is the
+    cheapest possible shape for a two-group test at 100 TB."""
+    ev = load(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "click")
+    )
+    is_a = F.col("event_type") == "purchase"
+    is_b = F.col("event_type") == "click"
+    s6 = F.round("value", 6).cast("decimal(28,6)")
+    sq6 = F.round(F.col("value") * F.col("value"), 6).cast("decimal(38,6)")
+    g = ev.agg(
+        F.count(F.when(is_a, 1)).alias("na"),
+        F.count(F.when(is_b, 1)).alias("nb"),
+        F.sum(F.when(is_a, s6)).cast("double").alias("sa"),
+        F.sum(F.when(is_b, s6)).cast("double").alias("sb"),
+        F.sum(F.when(is_a, sq6)).cast("double").alias("ssa"),
+        F.sum(F.when(is_b, sq6)).cast("double").alias("ssb"),
+    )
+    ma = F.col("sa") / F.col("na")
+    mb = F.col("sb") / F.col("nb")
+    va = (F.col("ssa") - F.col("na") * ma * ma) / (F.col("na") - 1)
+    vb = (F.col("ssb") - F.col("nb") * mb * mb) / (F.col("nb") - 1)
+    st = g.select("na", "nb", ma.alias("ma"), mb.alias("mb"), va.alias("va"), vb.alias("vb"))
+    sea = F.col("va") / F.col("na")
+    seb = F.col("vb") / F.col("nb")
+    return st.select(
+        "na",
+        "nb",
+        F.round(F.col("ma") - F.col("mb"), 6).alias("mean_diff"),
+        F.round((F.col("ma") - F.col("mb")) / F.sqrt(sea + seb), 6).alias("t_stat"),
+        F.round(
+            F.pow(sea + seb, F.lit(2))
+            / (
+                F.pow(sea, F.lit(2)) / (F.col("na") - 1)
+                + F.pow(seb, F.lit(2)) / (F.col("nb") - 1)
+            ),
+            4,
+        ).alias("dof"),
+    )
+
+
+@register(
+    "stats_chi_square_lang_source",
+    oracle="""
+        WITH cells AS (
+            SELECT lang, source, COUNT(*) AS obs FROM documents
+            GROUP BY lang, source
+        ),
+        rt AS (SELECT lang, SUM(obs) AS r FROM cells GROUP BY lang),
+        ct AS (SELECT source, SUM(obs) AS c FROM cells GROUP BY source),
+        tot AS (SELECT SUM(obs) AS n FROM cells),
+        contrib AS (
+            SELECT CAST(round(
+                       pow(obs - (r * c / CAST(n AS DOUBLE)), 2)
+                       / (r * c / CAST(n AS DOUBLE)), 9) AS DECIMAL(38,9)) AS x
+            FROM cells JOIN rt USING (lang) JOIN ct USING (source)
+                 CROSS JOIN tot
+        )
+        SELECT round(CAST(SUM(x) AS DOUBLE), 6) AS chi2,
+               (SELECT CAST((COUNT(DISTINCT lang) - 1)
+                            * (COUNT(DISTINCT source) - 1) AS BIGINT)
+                FROM cells) AS dof,
+               (SELECT n FROM tot) AS n
+        FROM contrib
+    """,
+    tags=("stats", "chi_square", "independence"),
+)
+def stats_chi_square_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PEARSON CHI-SQUARE independence test on the lang × source
+    contingency table — "is document language independent of source?",
+    the categorical counterpart of the t-test.  Outputs the statistic,
+    degrees of freedom, and N.
+
+    Exactness: observed counts and marginals are integers; each cell's
+    (obs-exp)²/exp is scalar double math rounded to 9 dp and summed as
+    DECIMAL, so the Σ over cells is order-free.
+
+    Scale: cells/marginals are category-bounded aggregates (the only
+    corpus-sized pass is the first groupBy); the marginal joins run over
+    the tiny cell table and the 1-row total broadcasts."""
+    docs = load(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("obs"))
+    rt = cells.groupBy("lang").agg(F.sum("obs").alias("r"))
+    ct = cells.groupBy("source").agg(F.sum("obs").alias("c"))
+    tot = cells.agg(F.sum("obs").alias("n"))
+    dims = cells.agg(
+        (
+            (F.countDistinct("lang") - 1) * (F.countDistinct("source") - 1)
+        ).alias("dof")
+    )
+    exp = F.col("r") * F.col("c") / F.col("n").cast("double")
+    contrib = (
+        cells.join(rt, "lang")
+        .join(ct, "source")
+        .join(F.broadcast(tot))
+        .select(
+            F.round(F.pow(F.col("obs") - exp, F.lit(2)) / exp, 9)
+            .cast("decimal(38,9)")
+            .alias("x"),
+            "n",
+        )
+    )
+    return (
+        contrib.groupBy("n")
+        .agg(F.round(F.sum("x").cast("double"), 6).alias("chi2"))
+        .join(F.broadcast(dims))
+        .select("chi2", "dof", "n")
+    )
+
+
+@register(
+    "stats_entropy_by_source",
+    oracle="""
+        WITH cnt AS (
+            SELECT source, lang, COUNT(*) AS c FROM documents
+            GROUP BY source, lang
+        ),
+        tot AS (SELECT source, SUM(c) AS n FROM cnt GROUP BY source),
+        contrib AS (
+            SELECT cnt.source, tot.n,
+                   CAST(round((c / CAST(n AS DOUBLE))
+                              * ln(c / CAST(n AS DOUBLE)), 9)
+                        AS DECIMAL(38,9)) AS x
+            FROM cnt JOIN tot ON cnt.source = tot.source
+        )
+        SELECT source, MAX(n) AS n_docs, CAST(COUNT(*) AS BIGINT) AS n_langs,
+               round(-CAST(SUM(x) AS DOUBLE), 6) AS entropy_nats
+        FROM contrib GROUP BY source
+    """,
+    tags=("stats", "entropy", "distribution"),
+)
+def stats_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHANNON ENTROPY of the language mix per source (nats): the
+    diversity number a corpus-mixture dashboard reports — 0 for a
+    single-language source, ln(k) for a uniform k-language mix.
+
+    Exactness: per-(source,lang) p·ln(p) terms are scalar double math
+    rounded to 9 dp, summed as DECIMAL per source.
+
+    Scale: one corpus-sized groupBy; everything downstream is
+    category-bounded.  The two aggregations share the source key, so
+    Spark lines them up on one exchange."""
+    docs = load(spark, sf_dir, "documents")
+    cnt = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("source").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n").cast("double")
+    contrib = cnt.join(tot, "source").select(
+        "source",
+        "n",
+        F.round(p * F.log(p), 9).cast("decimal(38,9)").alias("x"),
+    )
+    return contrib.groupBy("source").agg(
+        F.max("n").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_langs"),
+        F.round(-F.sum("x").cast("double"), 6).alias("entropy_nats"),
+    )
+
+
+@register(
+    "stats_gini_revenue_by_nation",
+    oracle="""
+        WITH crev AS (
+            SELECT c_nationkey, c_custkey,
+                   SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_fp
+            FROM customer JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_nationkey, c_custkey
+        ),
+        ranked AS (
+            SELECT c_nationkey, rev_fp,
+                   ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                      ORDER BY rev_fp, c_custkey) AS i
+            FROM crev
+        )
+        SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_customers,
+               round(2.0 * SUM(i * rev_fp) / (COUNT(*) * CAST(SUM(rev_fp) AS DOUBLE))
+                     - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+        FROM ranked GROUP BY c_nationkey
+    """,
+    tags=("stats", "gini", "concentration"),
+)
+def stats_gini_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GINI COEFFICIENT of customer revenue concentration per nation —
+    the inequality measure behind "top-x% of customers drive y% of
+    revenue" (the Pareto curve's scalar summary).  Computed by the
+    rank identity G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over ascending-sorted
+    revenues.
+
+    Exactness: revenues are fixed-point longs (cents), ranks are
+    integers, so Σ(i·xᵢ) and Σx are EXACT integer sums on both engines —
+    only the final two divisions are doubles.
+
+    Scale: the rank window partitions by nation (bounded groups, ~25 at
+    any SF — never a global sort), and the revenue pre-aggregation
+    reduces orders to customer-sized data before the window."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", F.round(F.col("o_totalprice") * 100).cast("long").alias("fp")
+    )
+    crev = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey", "c_custkey")
+        .agg(F.sum("fp").alias("rev_fp"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("rev_fp", "c_custkey")
+    ranked = crev.withColumn("i", F.row_number().over(w))
+    n = F.count(F.lit(1))
+    return ranked.groupBy("c_nationkey").agg(
+        n.cast("bigint").alias("n_customers"),
+        F.round(
+            F.lit(2.0) * F.sum(F.col("i") * F.col("rev_fp"))
+            / (n * F.sum("rev_fp").cast("double"))
+            - (n + F.lit(1.0)) / n,
+            6,
+        ).alias("gini"),
+    )
+
+
+@register(
+    "stats_zipf_slope_by_lang",
+    oracle="""
+        WITH tf AS (
+            SELECT lang, w, COUNT(*) AS c FROM (
+                SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents
+            ) WHERE len(w) > 3
+            GROUP BY lang, w
+        ),
+        ranked AS (
+            SELECT lang, c,
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                                      ORDER BY c DESC, w) AS rnk
+            FROM tf
+        ),
+        xy AS (
+            SELECT lang,
+                   CAST(round(ln(rnk), 9) AS DECIMAL(38,9)) AS x,
+                   CAST(round(ln(c), 9) AS DECIMAL(38,9)) AS y,
+                   CAST(round(ln(rnk) * ln(c), 9) AS DECIMAL(38,9)) AS xy,
+                   CAST(round(ln(rnk) * ln(rnk), 9) AS DECIMAL(38,9)) AS xx
+            FROM ranked
+        )
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_terms,
+               round((COUNT(*) * CAST(SUM(xy) AS DOUBLE)
+                      - CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE))
+                     / (COUNT(*) * CAST(SUM(xx) AS DOUBLE)
+                        - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)),
+                     4) AS zipf_slope
+        FROM xy GROUP BY lang
+    """,
+    tags=("stats", "zipf", "regression", "text"),
+)
+def stats_zipf_slope_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIPF SLOPE per language: ordinary-least-squares slope of
+    ln(frequency) against ln(rank) over the term distribution — natural
+    text sits near −1, and a corpus whose slope drifts flags synthetic
+    or boilerplate-heavy text.  This is regr_slope re-derived with
+    order-free accumulation (the built-in would sum raw doubles in
+    partition order).
+
+    Exactness: per-term ln contributions (x, y, xy, x²) round to 9 dp
+    and sum as DECIMAL; the OLS closed form then runs on exact sums.
+
+    Scale: term counting is the corpus-sized pass; the rank window
+    partitions by language over vocabulary-sized data (term counts, not
+    token occurrences)."""
+    docs = load(spark, sf_dir, "documents")
+    tf = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("w"))
+        .where(F.length("w") > 3)
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("w"))
+    lx = F.log(F.col("rnk").cast("double"))
+    ly = F.log(F.col("c").cast("double"))
+    xy = tf.withColumn("rnk", F.row_number().over(w)).select(
+        "lang",
+        F.round(lx, 9).cast("decimal(38,9)").alias("x"),
+        F.round(ly, 9).cast("decimal(38,9)").alias("y"),
+        F.round(lx * ly, 9).cast("decimal(38,9)").alias("xy"),
+        F.round(lx * lx, 9).cast("decimal(38,9)").alias("xx"),
+    )
+    n = F.count(F.lit(1))
+    sx = F.sum("x").cast("double")
+    sy = F.sum("y").cast("double")
+    sxy = F.sum("xy").cast("double")
+    sxx = F.sum("xx").cast("double")
+    return xy.groupBy("lang").agg(
+        n.cast("bigint").alias("n_terms"),
+        F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4).alias("zipf_slope"),
+    )

@@ -67,6 +67,7 @@ def _load_all() -> None:
         etl_roundtrip,
         llm,
         python_api,
+        stats,
     )
     from discogs_etl_spark.streaming import events  # noqa: F401
 
