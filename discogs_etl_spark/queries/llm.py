@@ -1070,6 +1070,124 @@ def sample_weighted_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KMEANS_K = 8
+_KMEANS_ITERS = 3
+_KMEANS_DIST_SQL = (
+    "CAST(round(list_reduce(list_transform(list_zip(t.v, c.cv), "
+    "p -> (p[1]-p[2])*(p[1]-p[2])), (a,b)->a+b),9) AS DECIMAL(38,9))"
+)
+
+
+def _kmeans_oracle() -> str:
+    parts = []
+    for i in range(_KMEANS_ITERS):
+        parts.append(
+            f"""a{i} AS (
+            SELECT vec_id, v, cid, dist FROM (
+                SELECT t.vec_id, t.v, c.cid, {_KMEANS_DIST_SQL} AS dist,
+                       ROW_NUMBER() OVER (PARTITION BY t.vec_id
+                                          ORDER BY {_KMEANS_DIST_SQL}, c.cid) AS rn
+                FROM vv t CROSS JOIN c{i} c
+            ) WHERE rn = 1
+        )"""
+        )
+        if i < _KMEANS_ITERS - 1:
+            parts.append(
+                f"""c{i + 1} AS (
+            SELECT cid, list(cval ORDER BY pos) AS cv FROM (
+                SELECT cid, pos,
+                       round(CAST(SUM(CAST(round(val,9) AS DECIMAL(38,9)))
+                                  AS DOUBLE)/COUNT(*),9) AS cval
+                FROM (SELECT cid, gs.i AS pos, v[gs.i+1] AS val
+                      FROM a{i},
+                           LATERAL (SELECT unnest(range(len(v))) AS i) gs)
+                GROUP BY cid, pos
+            ) GROUP BY cid
+        )"""
+            )
+    body = ",\n        ".join(parts)
+    return f"""
+        WITH vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+        c0 AS (SELECT vec_id AS cid, v AS cv FROM vv WHERE vec_id < {_KMEANS_K}),
+        {body}
+        SELECT vec_id, cid, CAST(dist AS DOUBLE) AS dist
+        FROM a{_KMEANS_ITERS - 1}
+    """
+
+
+@register(
+    "kmeans_embeddings_fixed",
+    oracle=_kmeans_oracle(),
+    tags=("embedding", "kmeans", "clustering", "iterative"),
+    bench=True,
+)
+def kmeans_embeddings_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-MEANS clustering over the embedding corpus, made EXACTLY
+    reproducible: k=8 centroids seeded from vec_id < 8 (deterministic
+    init — the k-means++ RNG is what makes library k-means
+    unreplayable), 3 Lloyd iterations, squared-L2 assignment with ties
+    broken on (distance, centroid id).  Unlike similarity_ivf_topk
+    (pyspark.ml KMeans, checked by invariants), every assignment here
+    hash-matches a DuckDB oracle that unrolls the same 3 iterations.
+
+    Exactness: distances fold left-to-right over identical terms (Spark
+    ``aggregate`` ≡ DuckDB ``list_reduce``), then round to 9 dp into
+    DECIMAL(38,9) so the argmin comparison is exact on both engines;
+    centroid updates are per-(cluster, dim) DECIMAL means rounded to
+    9 dp before re-use.
+
+    Scale: the centroid table is K×dims — always broadcast, so
+    assignment is MAP-ONLY over the corpus; the update is one
+    (cluster, dim)-keyed aggregation with map-side partials (K·dims
+    output rows regardless of corpus size).  3 rounds = 3 such passes;
+    a long-running job would localCheckpoint per round to cut lineage
+    (the CC-loop pattern), and k-means|| init replaces the fixed seed
+    when determinism is not required."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cent = emb.where(F.col("vec_id") < _KMEANS_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+
+    def assign(cent: DataFrame) -> DataFrame:
+        d = emb.join(F.broadcast(cent))
+        dist = F.aggregate(
+            F.zip_with("v", "cv", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        dd = d.select(
+            "vec_id", "v", "cid", F.round(dist, 9).cast("decimal(38,9)").alias("dist")
+        )
+        w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+        return (
+            dd.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "v", "cid", "dist")
+        )
+
+    a = assign(cent)
+    for _ in range(_KMEANS_ITERS - 1):
+        ex = a.select("cid", F.posexplode("v").alias("pos", "val"))
+        newc = ex.groupBy("cid", "pos").agg(
+            F.round(
+                F.sum(F.round("val", 9).cast("decimal(38,9)")).cast("double")
+                / F.count(F.lit(1)),
+                9,
+            ).alias("cval")
+        )
+        cent = newc.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+                lambda s: s.cval,
+            ).alias("cv")
+        )
+        a = assign(cent)
+    return a.select("vec_id", "cid", F.col("dist").cast("double").alias("dist"))
+
+
 @register(
     "embedding_centroid_by_label",
     oracle="""
