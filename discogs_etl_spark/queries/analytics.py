@@ -4225,3 +4225,92 @@ def graph_pagerank_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("node", (F.col("s").cast("double") + F.lit(base)).alias("rank"))
         )
     return ranks.select("node", F.round("rank", 8).alias("pagerank"))
+
+
+@register(
+    "assoc_rules_coorder",
+    oracle="""
+        WITH op AS (
+            SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS ps
+            FROM lineitem GROUP BY l_orderkey
+            HAVING len(list_distinct(list(l_partkey))) BETWEEN 2 AND 4
+        ),
+        pairs AS (
+            SELECT p1.u, p2.v, COUNT(*) AS n_ab FROM (
+                SELECT unnest(ps) AS u, ps FROM op
+            ) AS p1, LATERAL (SELECT unnest(p1.ps) AS v) p2
+            WHERE p1.u < p2.v GROUP BY p1.u, p2.v HAVING COUNT(*) >= 2
+        ),
+        items AS (
+            SELECT p, COUNT(*) AS cnt
+            FROM (SELECT unnest(ps) AS p FROM op) GROUP BY p
+        ),
+        nn AS (SELECT COUNT(*) AS n FROM op)
+        SELECT u, v, n_ab, a.cnt AS n_a, b.cnt AS n_b,
+               round(n_ab / CAST(a.cnt AS DOUBLE), 6) AS confidence,
+               round(CAST(nn.n AS DOUBLE) * n_ab / (a.cnt * b.cnt), 6) AS lift
+        FROM pairs JOIN items a ON u = a.p JOIN items b ON v = b.p CROSS JOIN nn
+        ORDER BY lift DESC, u, v LIMIT 20
+    """,
+    tags=("assoc", "market_basket", "lift"),
+)
+def assoc_rules_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASSOCIATION RULES (market-basket) over co-ordered parts: pair
+    support, confidence, and lift for part pairs appearing in >= 2
+    orders, top 20 by lift — the Apriori/FP-growth output for itemsets
+    of size 2, which at 100 TB is the only level mined exhaustively
+    (higher levels prune through these counts).
+
+    Shares the bounded pair-generation shape with the co-order graph
+    family (one order-keyed collect_set aggregation, per-order cap, no
+    self-join); per-item supports are one explode + count over the same
+    capped baskets, the basket total broadcasts, and all ratios are
+    integer-derived doubles (exact on both engines).  Top-20 is a
+    TakeOrderedAndProject, never a global sort."""
+    parts = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .where(F.size("ps").between(2, 4))
+    )
+    pair_expr = F.flatten(
+        F.expr(
+            "transform(ps, (x, i) -> "
+            "transform(slice(ps, i + 2, size(ps) - i - 1), "
+            "y -> struct(x AS u, y AS v)))"
+        )
+    )
+    pairs = (
+        parts.select(F.explode(pair_expr).alias("e"))
+        .groupBy(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= 2)
+    )
+    items = parts.select(F.explode("ps").alias("p")).groupBy("p").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    nn = parts.agg(F.count(F.lit(1)).alias("n"))
+    ia = items.select(F.col("p").alias("u"), F.col("cnt").alias("n_a"))
+    ib = items.select(F.col("p").alias("v"), F.col("cnt").alias("n_b"))
+    return (
+        pairs.join(ia, "u")
+        .join(ib, "v")
+        .join(F.broadcast(nn))
+        .select(
+            "u",
+            "v",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.round(F.col("n_ab") / F.col("n_a").cast("double"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                F.col("n").cast("double") * F.col("n_ab")
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("u"), F.asc("v"))
+        .limit(20)
+    )

@@ -358,3 +358,107 @@ def stats_zipf_slope_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("bigint").alias("n_terms"),
         F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4).alias("zipf_slope"),
     )
+
+
+@register(
+    "stats_ewma_per_user",
+    oracle="""
+        WITH recent AS (
+            SELECT user_id, ts, event_id, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ),
+        seq AS (
+            SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+            FROM recent WHERE rn <= 20 GROUP BY user_id
+        )
+        SELECT user_id, CAST(len(vals) AS INT) AS n_recent,
+               list_reduce(list_concat([round(vals[1], 6)], vals[2:]),
+                           (acc, x) -> round(x * 0.2 + acc * 0.8, 6))
+                   AS ewma_value
+        FROM seq
+    """,
+    tags=("stats", "ewma", "timeseries"),
+)
+def stats_ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPONENTIALLY-WEIGHTED moving average of each user's last 20 event
+    values (α=0.2) — the standard time-series smoother for "current
+    level" features (recency-weighted spend, engagement score).  EWMA is
+    inherently sequential (sₜ = αxₜ + (1-α)sₜ₋₁), which SQL aggregates
+    can't express — so the recurrence runs as a LEFT-TO-RIGHT array fold
+    over the per-user ordered tail, rounding each step to 6 dp so both
+    engines walk identical doubles (Spark ``aggregate`` ≡ DuckDB
+    ``list_reduce``).
+
+    Scale: the rn <= 20 window prunes per-user state to a BOUNDED tail
+    before collect_list (never the full history — the window's
+    WindowGroupLimit keeps 20 rows per user per partition), and the fold
+    is row-local.  One user-keyed shuffle total."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    recent = ev.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 20)
+    seq = recent.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
+            lambda s: s.value,
+        ).alias("vals")
+    )
+    ewma = F.aggregate(
+        F.slice("vals", 2, F.size("vals") - 1),
+        F.round(F.element_at("vals", 1), 6),
+        lambda acc, x: F.round(x * F.lit(0.2) + acc * F.lit(0.8), 6),
+    )
+    return seq.select(
+        "user_id", F.size("vals").alias("n_recent"), ewma.alias("ewma_value")
+    )
+
+
+@register(
+    "stats_mad_by_event_type",
+    oracle="""
+        WITH med AS (
+            SELECT event_type, COUNT(*) AS n,
+                   median(value) AS med
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_type, MAX(m.n) AS n,
+               round(MAX(m.med), 6) AS median_value,
+               round(median(abs(e.value - m.med)), 6) AS mad
+        FROM events e JOIN med m ON e.event_type = m.event_type
+        GROUP BY e.event_type
+    """,
+    tags=("stats", "mad", "robust"),
+)
+def stats_mad_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEDIAN ABSOLUTE DEVIATION per event type — the robust spread
+    measure behind outlier fences that survive heavy tails where stddev
+    blows up (the robust twin of events_anomaly_zscore).  Two exact
+    median passes: the group median, then the median of absolute
+    deviations from it.
+
+    Exactness: exact interpolated percentile (Spark ``percentile`` ≡
+    DuckDB ``median``: both average the two middle values at even n over
+    identically-sorted doubles); no order-dependent float sums anywhere.
+
+    Scale: exact medians need the group's values at one reducer — the
+    documented cost of EXACT rank statistics (both engines pay it);
+    event_type cardinality is bounded (5), and each group's values
+    stream through a sort, not memory.  approx_percentile is the 100 TB
+    fallback when exactness is negotiable (agg_approx_distinct's note)."""
+    ev = load(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile("value", F.lit(0.5)).alias("med"),
+    )
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.round(F.max("med"), 6).alias("median_value"),
+            F.round(
+                F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)), 6
+            ).alias("mad"),
+        )
+    )
