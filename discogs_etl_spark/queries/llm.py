@@ -2795,11 +2795,18 @@ def text_search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WindowGroupLimit — never a global sort."""
     k1, b = 1.2, 0.75
     docs = load(spark, sf_dir, "documents")
+    # Materialize the postings ONCE: tok feeds FOUR subplans (dl, df, the
+    # query side, and the postings join), and Spark shares no common
+    # subtrees across DataFrame branches — un-checkpointed, the corpus
+    # tokenization + (doc, term) aggregation ran 4x (measured ~3x the
+    # whole query).  At 100 TB this materialization IS the inverted
+    # index a search deployment persists.
     tok = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
         .where(F.length("w") > 3)
         .groupBy("doc_id", "w")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
     )
     dl = tok.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl"))
