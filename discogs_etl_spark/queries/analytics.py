@@ -4324,3 +4324,142 @@ def assoc_rules_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), F.asc("u"), F.asc("v"))
         .limit(20)
     )
+
+
+@register(
+    "agg_mode_per_user",
+    oracle="""
+        SELECT user_id, event_type AS modal_type, n AS n_events FROM (
+            SELECT user_id, event_type, COUNT(*) AS n,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY COUNT(*) DESC, event_type) AS rn
+            FROM events GROUP BY user_id, event_type
+        ) WHERE rn = 1
+    """,
+    tags=("agg", "mode", "window"),
+)
+def agg_mode_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODE aggregate — each user's most frequent event type — built as
+    count + per-group argmax instead of the engine's ``mode()``, whose
+    tie-breaking is UNSPECIFIED (Spark and DuckDB may legally disagree);
+    here ties break deterministically on the lexicographically smallest
+    type, so the result is replayable and oracle-exact.
+
+    Scale: one (user, type)-keyed count (map-side partials), then a
+    WindowGroupLimit argmax over the tiny per-user distribution — the
+    window input is users x types, not events."""
+    ev = load(spark, sf_dir, "events")
+    cnt = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("modal_type"),
+            F.col("n").alias("n_events"),
+        )
+    )
+
+
+@register(
+    "agg_equidepth_deciles",
+    oracle="""
+        SELECT CAST(gs.i + 1 AS INT) AS decile, round(qs[gs.i + 1], 6) AS boundary
+        FROM (SELECT quantile_cont(o_totalprice,
+                     [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs FROM orders),
+             LATERAL (SELECT unnest(range(9)) AS i) gs
+    """,
+    tags=("agg", "percentile", "histogram"),
+)
+def agg_equidepth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQUI-DEPTH histogram boundaries: the nine decile cut points of
+    order value — the complement of histogram_fixed_bins (equi-WIDTH):
+    equi-depth adapts bin edges to the distribution, which is what query
+    optimizers keep as statistics and SREs put on latency dashboards.
+
+    Exactness: EXACT interpolated percentiles (Spark ``percentile`` ≡
+    DuckDB ``quantile_cont`` — the same (n-1)·q interpolation over
+    identically-sorted doubles, the pairing stats_mad_by_event_type
+    pinned); one call computes all nine points in a single pass.
+
+    Scale: exact rank statistics sort the column once (both engines);
+    approx_percentile is the documented 100 TB fallback when the exact
+    boundary is negotiable."""
+    dec = load(spark, sf_dir, "orders").agg(
+        F.percentile(
+            "o_totalprice", F.array(*[F.lit(i / 10) for i in range(1, 10)])
+        ).alias("qs")
+    )
+    return dec.select(F.posexplode("qs").alias("d", "b")).select(
+        (F.col("d") + 1).cast("int").alias("decile"),
+        F.round("b", 6).alias("boundary"),
+    )
+
+
+@register(
+    "graph_clustering_coefficient",
+    oracle=f"""
+        WITH {_COORDER_EDGES_SQL.strip()},
+        edges AS (
+            SELECT u, v FROM oriented UNION ALL SELECT v AS u, u AS v FROM oriented
+        ),
+        deg AS (SELECT u AS node, COUNT(*) AS deg FROM edges GROUP BY u),
+        tri AS (
+            SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            FROM oriented e1
+            JOIN oriented e2 ON e1.v = e2.u
+            JOIN oriented e3 ON e3.u = e1.u AND e3.v = e2.v
+        ),
+        tcnt AS (
+            SELECT node, COUNT(*) AS t FROM (
+                SELECT a AS node FROM tri
+                UNION ALL SELECT b FROM tri
+                UNION ALL SELECT c FROM tri
+            ) GROUP BY node
+        )
+        SELECT d.node, d.deg, COALESCE(t.t, 0) AS n_triangles,
+               round(2.0 * COALESCE(t.t, 0) / (d.deg * (d.deg - 1)), 6)
+                   AS clustering_coeff
+        FROM deg d LEFT JOIN tcnt t ON d.node = t.node
+        WHERE d.deg >= 2
+    """,
+    tags=("graph", "triangle", "clustering"),
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCAL CLUSTERING COEFFICIENT per node: 2T(v) / (deg(v)·(deg(v)−1))
+    over the co-order graph — "how close is each node's neighborhood to a
+    clique", the community-density companion of graph_triangle_count
+    (nodes with deg ≥ 2; triangle-free nodes surface with coefficient 0
+    via the left join, which a triangle-only pipeline silently drops).
+
+    Scale: same bounded edge build + oriented wedge enumeration as the
+    triangle query (edges checkpointed once, semi-join close), plus one
+    degree aggregation on the symmetric edge list; the final join is
+    node-sized on both sides."""
+    edges = _coorder_oriented_edges(spark, sf_dir).localCheckpoint()
+    sym = edges.unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    e2 = edges.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    tri = edges.join(e2, "v").join(
+        edges.select("u", F.col("v").alias("w")), ["u", "w"], "left_semi"
+    )
+    tcnt = (
+        tri.select(F.explode(F.array("u", "v", "w")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    return (
+        deg.join(tcnt, "node", "left")
+        .where(F.col("deg") >= 2)
+        .select(
+            "node",
+            "deg",
+            F.coalesce(F.col("t"), F.lit(0)).alias("n_triangles"),
+            F.round(
+                F.lit(2.0) * F.coalesce(F.col("t"), F.lit(0))
+                / (F.col("deg") * (F.col("deg") - 1)),
+                6,
+            ).alias("clustering_coeff"),
+        )
+    )
