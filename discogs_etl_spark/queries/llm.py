@@ -3315,3 +3315,89 @@ def contrastive_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("pos_cos") > F.col("neg_cos")).cast("int").alias("margin_ok"),
         )
     )
+
+
+_BPE_ITERS = 3
+
+
+def _bpe_oracle() -> str:
+    steps = ["t0 AS (SELECT text AS t FROM documents)"]
+    for i in range(_BPE_ITERS):
+        steps.append(
+            f"""p{i} AS (
+            SELECT w[gs.i] AS a, w[gs.i + 1] AS b, COUNT(*) AS n
+            FROM (SELECT string_split(t, ' ') AS w FROM t{i}),
+                 LATERAL (SELECT unnest(range(1, len(w))) AS i) gs
+            GROUP BY 1, 2
+        ),
+        top{i} AS (SELECT a, b, n FROM p{i} ORDER BY n DESC, a, b LIMIT 1)"""
+        )
+        steps.append(
+            f"""t{i + 1} AS (
+            SELECT trim(replace(
+                replace(' ' || replace(t, ' ', '  ') || ' ',
+                        ' ' || (SELECT a FROM top{i}) || '  '
+                            || (SELECT b FROM top{i}) || ' ',
+                        ' ' || (SELECT a FROM top{i}) || '_'
+                            || (SELECT b FROM top{i}) || ' '),
+                '  ', ' ')) AS t
+            FROM t{i}
+        )"""
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT CAST({i + 1} AS INT) AS step, a AS token_a, b AS token_b,"
+        f" n AS pair_count FROM top{i}"
+        for i in range(_BPE_ITERS)
+    )
+    return "WITH " + ",\n        ".join(steps) + "\n        " + finals
+
+
+@register(
+    "bpe_learn_merges",
+    oracle=_bpe_oracle(),
+    tags=("text", "bpe", "tokenizer", "iterative"),
+)
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style TOKENIZER TRAINING, word-level: 3 rounds of "count all
+    adjacent token pairs, merge the most frequent one everywhere" — the
+    byte-pair-encoding loop (Sennrich'16) that produces a tokenizer's
+    merge table, run over the corpus as the training set.  Output is the
+    learned merge table (step, pair, count) — the actual artifact a
+    tokenizer trainer persists.
+
+    Greedy-merge parity: re-tokenization is a literal string REPLACE over
+    the double-spaced text (" a  b " → " a_b ") — replace() scans
+    left-to-right non-overlapping on BOTH engines, which is exactly
+    BPE's greedy application order, and the double-space join keeps each
+    token gap self-delimiting so adjacent matches can't swallow each
+    other's boundary.  Tie-break: (count DESC, pair lexicographic).
+
+    Scale: each round is one corpus-sized pair count (map-side partials,
+    (a,b)-keyed shuffle) + one MAP-ONLY rewrite; the argmax-per-round
+    driver pull is inherent to BPE (the merge is a global decision —
+    production trainers batch thousands of such rounds the same way).
+    The 1-row top-pair collect is the only driver traffic."""
+    texts = load(spark, sf_dir, "documents").select(F.col("text").alias("t"))
+    rules = []
+    for it in range(_BPE_ITERS):
+        toks = texts.select(F.split("t", " ").alias("w"))
+        pair = toks.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1), i -> "
+                    "struct(element_at(w, i) AS a, element_at(w, i + 1) AS b))"
+                )
+            ).alias("p")
+        )
+        cnt = pair.groupBy("p.a", "p.b").agg(F.count(F.lit(1)).alias("n"))
+        top = cnt.orderBy(F.desc("n"), F.asc("a"), F.asc("b")).first()
+        a, b, n = top["a"], top["b"], top["n"]
+        rules.append((it + 1, a, b, n))
+        s2 = F.concat(
+            F.lit(" "), F.replace("t", F.lit(" "), F.lit("  ")), F.lit(" ")
+        )
+        s3 = F.replace(s2, F.lit(f" {a}  {b} "), F.lit(f" {a}_{b} "))
+        texts = texts.select(F.trim(F.replace(s3, F.lit("  "), F.lit(" "))).alias("t"))
+    return spark.createDataFrame(
+        rules, "step int, token_a string, token_b string, pair_count bigint"
+    )
