@@ -639,3 +639,55 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+@register(
+    "stream_sliding_window",
+    oracle="""
+        WITH starts AS (
+            SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws, event_type, value
+            FROM events
+            UNION ALL
+            SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes',
+                   event_type, value
+            FROM events
+        )
+        SELECT ws AS window_start, event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM starts GROUP BY ws, event_type
+    """,
+    tags=("streaming", "window", "sliding"),
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING event-time windows as a stream: 1-hour windows advancing
+    every 30 minutes, so each event lands in exactly TWO overlapping
+    windows — the moving-average window type (tumbling and session are
+    covered by stream_events_hourly / stream_session_window; this
+    completes Spark's three streaming window kinds).
+
+    The oracle materializes the overlap explicitly: each event
+    contributes to the window starting at its 30-minute bucket AND the
+    one 30 minutes earlier — exactly the window-assignment expansion
+    Spark's Expand node performs for sliding windows.
+
+    Scale: state is one row per (window, event_type); the 2-hour
+    watermark expires closed windows, and the overlap factor
+    (length/slide = 2) multiplies shuffle rows — the documented cost of
+    sliding vs tumbling at any scale."""
+    events = read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value", 6)).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_stream_to_table(agg, "stream_sliding_window_sink", "complete")
