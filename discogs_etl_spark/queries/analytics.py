@@ -4463,3 +4463,109 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering_coeff"),
         )
     )
+
+
+@register(
+    "growth_mom_by_nation",
+    oracle="""
+        WITH monthly AS (
+            SELECT n_name, CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                   SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_fp
+            FROM orders JOIN customer ON o_custkey = c_custkey
+                        JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name, date_trunc('month', o_orderdate)
+        )
+        SELECT n_name, month, CAST(rev_fp AS DOUBLE) / 100 AS revenue,
+               round(CASE WHEN lag(rev_fp) OVER w IS NOT NULL
+                     THEN CAST(rev_fp - lag(rev_fp) OVER w AS DOUBLE)
+                          / (lag(rev_fp) OVER w) * 100 END, 4) AS mom_pct
+        FROM monthly WINDOW w AS (PARTITION BY n_name ORDER BY month)
+    """,
+    tags=("window", "growth", "bi"),
+)
+def growth_mom_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MONTH-OVER-MONTH revenue growth per nation — the standard BI
+    trend shape: aggregate to a (dimension, month) grid, then lag() over
+    the grid for the % change (first month NULL).  Revenue accumulates
+    as fixed-point cents so the growth ratio divides exact integers.
+
+    Scale: the window runs over the AGGREGATED grid (nations x months —
+    thousands of rows at any SF), never the fact table; both dimension
+    joins broadcast, and the one real shuffle is the monthly groupBy."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    monthly = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            "n_name", F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+        )
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_fp"))
+    )
+    w = Window.partitionBy("n_name").orderBy("month")
+    return (
+        monthly.withColumn("prev_fp", F.lag("rev_fp").over(w))
+        .select(
+            "n_name",
+            "month",
+            (F.col("rev_fp").cast("double") / 100).alias("revenue"),
+            F.round(
+                F.when(
+                    F.col("prev_fp").isNotNull(),
+                    (F.col("rev_fp") - F.col("prev_fp")).cast("double")
+                    / F.col("prev_fp")
+                    * 100,
+                ),
+                4,
+            ).alias("mom_pct"),
+        )
+    )
+
+
+@register(
+    "users_new_vs_returning",
+    oracle="""
+        WITH fm AS (
+            SELECT user_id, CAST(date_trunc('month', MIN(ts)) AS DATE) AS first_month
+            FROM events GROUP BY user_id
+        ),
+        act AS (
+            SELECT DISTINCT user_id, CAST(date_trunc('month', ts) AS DATE) AS month
+            FROM events
+        )
+        SELECT month,
+               COUNT(*) FILTER (month = first_month) AS new_users,
+               COUNT(*) FILTER (month <> first_month) AS returning_users
+        FROM act JOIN fm USING (user_id) GROUP BY month
+    """,
+    tags=("agg", "cohort", "bi"),
+)
+def users_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW vs RETURNING user split per month — the top-line growth
+    decomposition (every active user is "new" in their first-seen month,
+    "returning" after), the scalar companion of the full retention
+    matrix in events_retention_cohorts.
+
+    Scale: same first-seen decomposition as the cohort query — both
+    inputs reduce to user-sized data on the SAME user key before the
+    join (one lined-up exchange), and the final groupBy is months-sized."""
+    ev = load(spark, sf_dir, "events")
+    fm = ev.groupBy("user_id").agg(
+        F.date_trunc("month", F.min("ts")).cast("date").alias("first_month")
+    )
+    act = ev.select(
+        "user_id", F.date_trunc("month", "ts").cast("date").alias("month")
+    ).distinct()
+    return (
+        act.join(fm, "user_id")
+        .groupBy("month")
+        .agg(
+            F.count(F.when(F.col("month") == F.col("first_month"), 1)).alias(
+                "new_users"
+            ),
+            F.count(F.when(F.col("month") != F.col("first_month"), 1)).alias(
+                "returning_users"
+            ),
+        )
+    )

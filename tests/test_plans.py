@@ -299,3 +299,28 @@ def test_bloom_runtime_filter_injected(spark, q):
     q["join_bloom_runtime_filter"](spark, SF)
     after = {k: spark.conf.get(k, None) for k in _BLOOM_RUNTIME_CONFS}
     assert after == before
+
+
+def test_kmeans_assignment_broadcast_map_only(spark, q):
+    """K-means assignment must join the broadcast centroid table with a
+    BroadcastNestedLoopJoin (K-row build side, no shuffle of the corpus)
+    and never a CartesianProduct."""
+    plan = _plan(q["kmeans_embeddings_fixed"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_growth_window_over_aggregated_grid(spark, q):
+    """The MoM lag window must sit ABOVE the monthly aggregation (window
+    input is the grid, not the fact table) and the dimension joins must
+    broadcast."""
+    plan = _plan(q["growth_mom_by_nation"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    w = plan.index("Window")
+    assert "HashAggregate" in plan[w:]  # aggregate below (after) the window node
+
+
+def test_assoc_rules_take_ordered(spark, q):
+    plan = _plan(q["assoc_rules_coorder"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
