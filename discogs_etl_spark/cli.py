@@ -99,6 +99,40 @@ def _cmd_dedup(args) -> int:
     return 0
 
 
+def _cmd_search(args) -> int:
+    from discogs_etl_spark.curation import search_corpus
+
+    spark = get_spark(app_name="discogs-etl-search")
+    df = spark.read.parquet(args.input)
+    hits = search_corpus(
+        spark, df, args.query, id_col=args.id, text_col=args.text, k=args.k
+    )
+    for row in hits.toJSON().collect():
+        print(row)
+    return 0
+
+
+def _cmd_cluster(args) -> int:
+    from discogs_etl_spark.curation import cluster_corpus
+
+    spark = get_spark(app_name="discogs-etl-cluster")
+    df = spark.read.parquet(args.input)
+    assigned = cluster_corpus(
+        spark, df, id_col=args.id, vec_col=args.vec, k=args.k, iters=args.iters
+    )
+    assigned.write.mode("overwrite").parquet(args.output)
+    sizes = (
+        assigned.groupBy("cluster")
+        .count()
+        .orderBy("cluster")
+        .toJSON()
+        .collect()
+    )
+    for row in sizes:
+        print(row)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="discogs_etl_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -138,6 +172,23 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--text", default="text", help="content column")
     d.add_argument("--method", default="minhash", choices=["exact", "minhash"])
     d.set_defaults(fn=_cmd_dedup)
+
+    s = sub.add_parser("search", help="BM25 search over a parquet text corpus")
+    s.add_argument("--input", required=True, help="input parquet path")
+    s.add_argument("--query", required=True, help="free-text query")
+    s.add_argument("--id", default="doc_id", help="unique id column")
+    s.add_argument("--text", default="text", help="content column")
+    s.add_argument("--k", type=int, default=10, help="results to return")
+    s.set_defaults(fn=_cmd_search)
+
+    k = sub.add_parser("cluster", help="deterministic k-means over a parquet vector corpus")
+    k.add_argument("--input", required=True, help="input parquet path")
+    k.add_argument("--output", required=True, help="output parquet path (id, cluster, dist)")
+    k.add_argument("--id", default="vec_id", help="numeric unique id column")
+    k.add_argument("--vec", default="embedding", help="vector (array) column")
+    k.add_argument("--k", type=int, default=8, help="number of clusters")
+    k.add_argument("--iters", type=int, default=3, help="Lloyd iterations")
+    k.set_defaults(fn=_cmd_cluster)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -127,3 +127,122 @@ def profile_table(df: DataFrame) -> DataFrame:
     return stacked.select(
         "col", "n_rows", "n_nulls", "n_distinct_approx", "min_str", "max_str"
     )
+
+
+def search_corpus(
+    spark: SparkSession,
+    df: DataFrame,
+    query: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+) -> DataFrame:
+    """BM25 ranked retrieval of ``query`` against ANY (id, text) corpus —
+    the text_search_bm25_topk scoring (k1=1.2, b=0.75, exact-decimal
+    accumulation) bound to a free-text query string instead of the
+    fixture query set.  Returns the top ``k`` (id, score) rows.
+
+    Scale shape: the query's terms are a LITERAL in-filter pushed into
+    the postings aggregation (only matching terms' postings ever
+    shuffle); corpus stats broadcast; top-k is a TakeOrderedAndProject."""
+    k1, b = 1.2, 0.75
+    qterms = sorted({w for w in query.split() if len(w) > 3})
+    if not qterms:
+        return spark.createDataFrame([], f"{id_col} long, score double")
+    base = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+    tok = (
+        base.select("__id", F.explode(F.split("__text", " ")).alias("w"))
+        .where(F.length("w") > 3)
+        .groupBy("__id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = tok.groupBy("__id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl"))
+    hits = tok.where(F.col("w").isin(qterms))
+    dfreq = hits.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    joined = hits.join(dfreq, "w").join(dl, "__id").join(F.broadcast(stats))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tfnorm = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl)
+    )
+    return (
+        joined.select(
+            "__id", F.round(idf * tfnorm, 6).cast("decimal(28,6)").alias("c")
+        )
+        .groupBy("__id")
+        .agg(F.sum("c").cast("double").alias("score"))
+        .orderBy(F.desc("score"), F.asc("__id"))
+        .limit(k)
+        .select(F.col("__id").alias(id_col), "score")
+    )
+
+
+def cluster_corpus(
+    spark: SparkSession,
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 3,
+) -> DataFrame:
+    """Deterministic fixed-iteration k-means over ANY (id, vector)
+    DataFrame — the kmeans_embeddings_fixed machinery (the registered
+    query binds it to the fixture table): centroids seed from the ``k``
+    smallest ids, squared-L2 assignment with exact-decimal argmin ties,
+    per-(cluster, dim) decimal-mean updates.  Returns (id, cluster,
+    dist) after ``iters`` Lloyd rounds.
+
+    Scale: centroids (k x dims) broadcast, so assignment is map-only
+    over the corpus; each update emits k·dims rows regardless of corpus
+    size."""
+    emb = df.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    cent = (
+        emb.orderBy("__id")
+        .limit(k)
+        .select(F.col("__id").alias("cid"), F.col("v").alias("cv"))
+    )
+
+    def assign(cent: DataFrame) -> DataFrame:
+        d = emb.join(F.broadcast(cent))
+        dist = F.aggregate(
+            F.zip_with("v", "cv", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        dd = d.select(
+            "__id", "v", "cid", F.round(dist, 9).cast("decimal(38,9)").alias("dist")
+        )
+        w = Window.partitionBy("__id").orderBy("dist", "cid")
+        return (
+            dd.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select("__id", "v", "cid", "dist")
+        )
+
+    a = assign(cent)
+    for _ in range(iters - 1):
+        ex = a.select("cid", F.posexplode("v").alias("pos", "val"))
+        newc = ex.groupBy("cid", "pos").agg(
+            F.round(
+                F.sum(F.round("val", 9).cast("decimal(38,9)")).cast("double")
+                / F.count(F.lit(1)),
+                9,
+            ).alias("cval")
+        )
+        cent = newc.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+                lambda s: s.cval,
+            ).alias("cv")
+        )
+        a = assign(cent)
+    return a.select(
+        F.col("__id").alias(id_col),
+        F.col("cid").alias("cluster"),
+        F.col("dist").cast("double").alias("dist"),
+    )

@@ -1111,7 +1111,7 @@ def _kmeans_oracle() -> str:
                     FROM embeddings),
         c0 AS (SELECT vec_id AS cid, v AS cv FROM vv WHERE vec_id < {_KMEANS_K}),
         {body}
-        SELECT vec_id, cid, CAST(dist AS DOUBLE) AS dist
+        SELECT vec_id, cid AS cluster, CAST(dist AS DOUBLE) AS dist
         FROM a{_KMEANS_ITERS - 1}
     """
 
@@ -1143,49 +1143,22 @@ def kmeans_embeddings_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     output rows regardless of corpus size).  3 rounds = 3 such passes;
     a long-running job would localCheckpoint per round to cut lineage
     (the CC-loop pattern), and k-means|| init replaces the fixed seed
-    when determinism is not required."""
-    emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    cent = emb.where(F.col("vec_id") < _KMEANS_K).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
-    )
+    when determinism is not required.
 
-    def assign(cent: DataFrame) -> DataFrame:
-        d = emb.join(F.broadcast(cent))
-        dist = F.aggregate(
-            F.zip_with("v", "cv", lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        dd = d.select(
-            "vec_id", "v", "cid", F.round(dist, 9).cast("decimal(38,9)").alias("dist")
-        )
-        w = Window.partitionBy("vec_id").orderBy("dist", "cid")
-        return (
-            dd.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("vec_id", "v", "cid", "dist")
-        )
+    The machinery lives in curation.cluster_corpus (seeded from the k
+    smallest ids — identical to vec_id < 8 on the dense fixture ids);
+    this query binds it to the fixture table, and the same code path
+    backs `python -m discogs_etl_spark cluster` over arbitrary parquet."""
+    from discogs_etl_spark.curation import cluster_corpus
 
-    a = assign(cent)
-    for _ in range(_KMEANS_ITERS - 1):
-        ex = a.select("cid", F.posexplode("v").alias("pos", "val"))
-        newc = ex.groupBy("cid", "pos").agg(
-            F.round(
-                F.sum(F.round("val", 9).cast("decimal(38,9)")).cast("double")
-                / F.count(F.lit(1)),
-                9,
-            ).alias("cval")
-        )
-        cent = newc.groupBy("cid").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "cval"))),
-                lambda s: s.cval,
-            ).alias("cv")
-        )
-        a = assign(cent)
-    return a.select("vec_id", "cid", F.col("dist").cast("double").alias("dist"))
+    return cluster_corpus(
+        spark,
+        load(spark, sf_dir, "embeddings"),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=_KMEANS_K,
+        iters=_KMEANS_ITERS,
+    )
 
 
 @register(

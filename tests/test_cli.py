@@ -77,3 +77,49 @@ def test_cli_dedup_and_profile(spark, tmp_path, capsys):
     cols = {r["col"] for r in rows}
     assert cols == {"doc_id", "text"}
     assert all(r["n_nulls"] == 0 for r in rows)
+
+
+def test_cli_search_and_cluster(spark, tmp_path, capsys):
+    """User-facing retrieval + clustering verbs: BM25 search over a text
+    corpus ranks the on-topic doc first; k-means over a vector corpus
+    assigns every row and writes (id, cluster, dist) parquet."""
+    import json
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "spark shuffle partitions tuning guide"),
+            (2, "cooking pasta with tomato sauce"),
+            (3, "spark shuffle service internals deep dive"),
+            (4, "gardening tips for spring flowers"),
+        ],
+        "doc_id long, text string",
+    )
+    cpath = str(tmp_path / "corpus.parquet")
+    corpus.write.parquet(cpath)
+
+    from discogs_etl_spark.cli import main
+
+    assert main(["search", "--input", cpath, "--query", "spark shuffle", "--k", "2"]) == 0
+    rows = [json.loads(ln) for ln in capsys.readouterr().out.strip().splitlines()]
+    assert len(rows) == 2
+    assert {r["doc_id"] for r in rows} == {1, 3}
+    assert all(r["score"] > 0 for r in rows)
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 2) * 10, float(i % 2) * 10 + 1.0]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    vpath = str(tmp_path / "vecs.parquet")
+    vecs.write.parquet(vpath)
+    opath = str(tmp_path / "assigned.parquet")
+    assert main(
+        ["cluster", "--input", vpath, "--output", opath, "--k", "2", "--iters", "2"]
+    ) == 0
+    sizes = [json.loads(ln) for ln in capsys.readouterr().out.strip().splitlines()]
+    assert sum(s["count"] for s in sizes) == 10
+    assigned = spark.read.parquet(opath)
+    # the two parity groups must land in two distinct clusters
+    by_parity = {
+        r["vec_id"] % 2: r["cluster"] for r in assigned.collect()
+    }
+    assert len(set(by_parity.values())) == 2
