@@ -462,3 +462,55 @@ def stats_mad_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mad"),
         )
     )
+
+
+@register(
+    "stats_seasonal_adjust_daily",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+            FROM events GROUP BY 1
+        ),
+        dowavg AS (
+            SELECT dayofweek(day) + 1 AS dw,
+                   CAST(SUM(n_events) AS DOUBLE) / COUNT(*) AS dow_mean
+            FROM daily GROUP BY 1
+        )
+        SELECT day, n_events, round(dow_mean, 4) AS dow_mean,
+               round(n_events - dow_mean, 4) AS seasonal_adj
+        FROM daily JOIN dowavg ON dayofweek(day) + 1 = dw
+    """,
+    tags=("stats", "seasonal", "timeseries"),
+)
+def stats_seasonal_adjust_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEEKDAY-SEASONALITY adjustment of the daily event count: subtract
+    each day-of-week's mean from the raw daily count — the first step of
+    classical seasonal decomposition, and the transform that stops a
+    Monday peak from tripping the anomaly detector
+    (events_anomaly_zscore's complement).
+
+    Day-of-week parity is pinned: Spark dayofweek() is 1=Sunday, DuckDB
+    dayofweek() is 0=Sunday — the oracle shifts by one so both engines
+    group identical buckets.  Means are exact integer-sum divisions.
+
+    Scale: the corpus-sized pass is the daily count; everything after
+    runs on ~days rows with a broadcast 7-row seasonal profile."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    dowavg = (
+        daily.select(F.dayofweek("day").alias("dw"), "n_events")
+        .groupBy("dw")
+        .agg((F.sum("n_events").cast("double") / F.count(F.lit(1))).alias("dow_mean"))
+    )
+    return (
+        daily.withColumn("dw", F.dayofweek("day"))
+        .join(F.broadcast(dowavg), "dw")
+        .select(
+            "day",
+            "n_events",
+            F.round("dow_mean", 4).alias("dow_mean"),
+            F.round(F.col("n_events") - F.col("dow_mean"), 4).alias("seasonal_adj"),
+        )
+    )

@@ -9,6 +9,7 @@ import contextlib
 import io
 
 import pytest
+from pyspark.sql import functions as F
 
 from discogs_etl_spark.registry import queries
 
@@ -324,3 +325,45 @@ def test_growth_window_over_aggregated_grid(spark, q):
 def test_assoc_rules_take_ordered(spark, q):
     plan = _plan(q["assoc_rules_coorder"](spark, SF))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path_factory):
+    """BUCKETED-TABLE join evidence: co-bucketing both join sides on the
+    key lets the sort-merge join run with NO Exchange on either side —
+    the pre-shuffled-layout strategy for repeated fact-fact joins at
+    100 TB (bucket pruning + shuffle elimination are free thereafter)."""
+    import uuid
+
+    from discogs_etl_spark.tables import load
+
+    tag = uuid.uuid4().hex[:8]
+    warehouse = tmp_path_factory.mktemp("bucketed")
+    orders = load(spark, SF, "orders").select("o_orderkey", "o_totalprice")
+    li = load(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    for df, name, key in ((orders, f"b_orders_{tag}", "o_orderkey"),
+                          (li, f"b_lineitem_{tag}", "l_orderkey")):
+        (df.write.mode("overwrite")
+         .option("path", str(warehouse / name))
+         .bucketBy(8, key).sortBy(key)
+         .saveAsTable(name))
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable broadcast so the join exercises the bucketed SMJ path
+        # (at fixture size the small side would otherwise broadcast and
+        # prove nothing about the bucket layout)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = (spark.table(f"b_orders_{tag}")
+             .join(spark.table(f"b_lineitem_{tag}"),
+                   F.col("o_orderkey") == F.col("l_orderkey"))
+             .groupBy("o_orderkey").count())
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan
+        assert "Bucketed: true" in plan
+        # co-bucketed layout: no shuffle below the join, and the final
+        # same-key aggregation reuses it too — the whole plan must be
+        # Exchange-free.
+        assert "Exchange" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        spark.sql(f"DROP TABLE IF EXISTS b_orders_{tag}")
+        spark.sql(f"DROP TABLE IF EXISTS b_lineitem_{tag}")
