@@ -150,6 +150,7 @@ def enlarged_lineitem(spark, n: int):
     # grows n-fold with the rows — partsupp derivation sees MORE groups,
     # not hotter ones (the honest scale axis for a dimension derivation)
     return reps.join(F.broadcast(base)).select(
+        (F.col("l_orderkey") + F.col("id") * 1_000_000).alias("l_orderkey"),
         (F.col("l_partkey") + F.col("id") * 1_000_000).alias("l_partkey"),
         (F.col("l_suppkey") + F.col("id") * 1_000_000).alias("l_suppkey"),
         "l_quantity",
@@ -185,6 +186,133 @@ def shuffle_shards(docs):
     )
 
 
+def bm25_score(docs):
+    """BM25 over an n-times corpus with a FIXED query set (the base
+    copy's every-100th doc): the scale axis is the index side — postings,
+    df, dl all grow with the corpus; the query fan-out does not."""
+    k1, b = 1.2, 0.75
+    tok = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .where(F.length("w") > 3)
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
+    )
+    dl = tok.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl"))
+    dfreq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    q = tok.where(
+        (F.col("doc_id") < 1_000_000) & (F.col("doc_id") % 100 == 0)
+    ).select(F.col("doc_id").alias("q_id"), "w")
+    joined = (
+        q.join(tok.join(dfreq, "w").join(dl, "doc_id"), "w")
+        .where(F.col("doc_id") != F.col("q_id"))
+        .join(F.broadcast(stats))
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tfnorm = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl)
+    )
+    from pyspark.sql.window import Window
+
+    scored = (
+        joined.select("q_id", "doc_id", F.round(idf * tfnorm, 6).cast("decimal(28,6)").alias("c"))
+        .groupBy("q_id", "doc_id")
+        .agg(F.sum("c").alias("sc"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sc"), F.asc("doc_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 3)
+
+
+def coorder_edges(li):
+    """The shared one-aggregation co-order edge build (triangle/PageRank/
+    clustering-coefficient family) — order count grows n-fold."""
+    parts = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .where(F.size("ps").between(2, 4))
+    )
+    pair_expr = F.flatten(
+        F.expr(
+            "transform(ps, (x, i) -> transform(slice(ps, i + 2, size(ps) - i - 1),"
+            " y -> struct(x AS u, y AS v)))"
+        )
+    )
+    return (
+        parts.select(F.explode(pair_expr).alias("e")).select("e.u", "e.v").distinct()
+    )
+
+
+def pagerank_round(edges):
+    """ONE PageRank power iteration over the symmetric edge set: the
+    per-round cost that multiplies by the iteration count."""
+    sym = edges.unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = deg.select(F.col("u").alias("node"), F.lit(1.0).alias("rank"))
+    contrib = (
+        sym.join(deg, "u")
+        .join(ranks.withColumnRenamed("node", "u"), "u")
+        .select(
+            F.col("v").alias("node"),
+            F.round(F.col("rank") * 0.85 / F.col("deg") * 1e12).cast("long").alias("c"),
+        )
+    )
+    return contrib.groupBy("node").agg(F.sum("c").alias("s"))
+
+
+def kmeans_assign(embs):
+    """One Lloyd assignment pass: broadcast 8 centroids, map-only
+    distance argmin over the n-times corpus."""
+    from pyspark.sql.window import Window
+
+    emb = embs.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    cent = (
+        emb.where(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+    )
+    dist = F.aggregate(
+        F.zip_with("v", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dd = emb.join(F.broadcast(cent)).select(
+        "vec_id", "cid", F.round(dist, 9).cast("decimal(38,9)").alias("dist")
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    return dd.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+
+
+def prefix_filter_candidates(docs):
+    """PPJoin candidate generation: rare-first prefix postings self-join —
+    the part whose growth separates prefix filtering from the full
+    inverted-index join."""
+    from pyspark.sql.window import Window
+
+    from discogs_etl_spark.queries.llm import _SHINGLES_SQL
+
+    staged = docs.selectExpr("doc_id", "split(text, ' ') AS __w").selectExpr(
+        "doc_id", _SHINGLES_SQL.format(w="__w") + " AS shingles"
+    )
+    ex = staged.select("doc_id", F.explode("shingles").alias("sh"))
+    freq = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("gf"))
+    sizes = staged.select("doc_id", F.size("shingles").alias("L")).where(F.col("L") > 0)
+    w = Window.partitionBy("doc_id").orderBy(F.asc("gf"), F.asc("sh"))
+    prefix = (
+        ex.join(freq, "sh")
+        .withColumn("rn", F.row_number().over(w))
+        .join(sizes, "doc_id")
+        .where(F.col("rn") <= F.col("L") - F.ceil(F.lit(0.3) * F.col("L")) + 1)
+        .select("doc_id", "sh")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    return (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
 def main() -> None:
     scales = [int(a) for a in sys.argv[1:]] or [1, 5, 20]
     spark = get_spark(app_name="stress")
@@ -205,6 +333,10 @@ def main() -> None:
             ("emb_bucket_pairs", emb_bucket_pairs(embs)),
             ("partsupp_derive", partsupp_derive(enlarged_lineitem(spark, n))),
             ("shuffle_shards", shuffle_shards(docs)),
+            ("bm25_score", bm25_score(docs)),
+            ("pagerank_round", pagerank_round(coorder_edges(enlarged_lineitem(spark, n)))),
+            ("kmeans_assign", kmeans_assign(embs)),
+            ("prefix_filter_cand", prefix_filter_candidates(docs)),
         ):
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
