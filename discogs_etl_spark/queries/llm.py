@@ -3441,3 +3441,69 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rules, "step int, token_a string, token_b string, pair_count bigint"
     )
+
+
+@register(
+    "keywords_per_doc",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, w, COUNT(*) AS tf FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+            ) WHERE len(w) > 3 GROUP BY doc_id, w
+        ),
+        dfreq AS (SELECT w, COUNT(*) AS df FROM tok GROUP BY w),
+        nn AS (SELECT COUNT(*) AS n FROM documents),
+        scored AS (
+            SELECT doc_id, w, round(tf * ln(CAST(n AS DOUBLE) / df), 6) AS tfidf
+            FROM tok JOIN dfreq USING (w) CROSS JOIN nn
+        )
+        SELECT doc_id, CAST(rn AS INT) AS rank, w AS keyword, tfidf FROM (
+            SELECT doc_id, w, tfidf,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY tfidf DESC, w) AS rn
+            FROM scored
+        ) WHERE rn <= 3
+    """,
+    tags=("text", "keywords", "tfidf"),
+)
+def keywords_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYWORD EXTRACTION: each document's top-3 terms by tf·idf — the
+    per-DOCUMENT twin of tfidf_top_terms (which ranks corpus-wide): the
+    tagging/snippet primitive of a document-processing pipeline.  Ties
+    break lexicographically; idf = ln(N/df) on integer inputs, rounded
+    to 6 dp so the rank comparison is exact.
+
+    Scale: one (doc, term) count, one term-keyed df aggregate joined
+    back on the term, a broadcast 1-row N, and a WindowGroupLimit top-3
+    per doc — nothing bigger than the token table ever shuffles."""
+    docs = load(spark, sf_dir, "documents")
+    tok = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .where(F.length("w") > 3)
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    nn = docs.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tok.join(dfreq, "w")
+        .join(F.broadcast(nn))
+        .select(
+            "doc_id",
+            "w",
+            F.round(
+                F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("w"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select(
+            "doc_id",
+            F.col("rn").cast("int").alias("rank"),
+            F.col("w").alias("keyword"),
+            "tfidf",
+        )
+    )
