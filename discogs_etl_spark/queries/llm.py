@@ -1099,11 +1099,11 @@ def sample_stratified_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT source, doc_id, n_chars, priority FROM (
             SELECT source, doc_id, n_chars,
                    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
-                       // greatest(n_chars, 1) AS priority,
+                       // greatest(coalesce(n_chars, 1), 1) AS priority,
                    ROW_NUMBER() OVER (
                        PARTITION BY source
                        ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
-                                // greatest(n_chars, 1), doc_id) AS rn
+                                // greatest(coalesce(n_chars, 1), 1), doc_id) AS rn
             FROM documents
         ) WHERE rn <= 10
     """,
@@ -1124,8 +1124,11 @@ def sample_weighted_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     plans as WindowGroupLimit — k rows per group survive each shuffle
     stage, never the full corpus."""
     pri = F.expr(
+        # coalesce BEFORE greatest: Spark's greatest skips NULLs but
+        # DuckDB's returns NULL, so a NULL weight would silently diverge
+        # on a generic corpus (fixtures are non-null; this is armor)
         "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10) AS BIGINT)"
-        " DIV greatest(n_chars, 1)"
+        " DIV greatest(coalesce(n_chars, 1), 1)"
     )
     w = Window.partitionBy("source").orderBy("priority", "doc_id")
     return (

@@ -233,6 +233,7 @@ def stats_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT c_nationkey, c_custkey,
                    SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_fp
             FROM customer JOIN orders ON c_custkey = o_custkey
+            WHERE o_totalprice IS NOT NULL
             GROUP BY c_nationkey, c_custkey
         ),
         ranked AS (
@@ -263,7 +264,12 @@ def stats_gini_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     any SF — never a global sort), and the revenue pre-aggregation
     reduces orders to customer-sized data before the window."""
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    orders = load(spark, sf_dir, "orders").select(
+    # NULL prices out before ranking: a NULL rev_fp would sort NULLS
+    # FIRST in Spark but NULLS LAST in DuckDB, silently shifting every
+    # rank (fixtures are non-null; this is armor for generic tables)
+    orders = load(spark, sf_dir, "orders").where(
+        F.col("o_totalprice").isNotNull()
+    ).select(
         "o_custkey", F.round(F.col("o_totalprice") * 100).cast("long").alias("fp")
     )
     crev = (
@@ -367,7 +373,7 @@ def stats_zipf_slope_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT user_id, ts, event_id, value,
                    ROW_NUMBER() OVER (PARTITION BY user_id
                                       ORDER BY ts DESC, event_id DESC) AS rn
-            FROM events
+            FROM events WHERE value IS NOT NULL
         ),
         seq AS (
             SELECT user_id, list(value ORDER BY ts, event_id) AS vals
@@ -395,7 +401,10 @@ def stats_ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     before collect_list (never the full history — the window's
     WindowGroupLimit keeps 20 rows per user per partition), and the fold
     is row-local.  One user-keyed shuffle total."""
-    ev = load(spark, sf_dir, "events")
+    # drop NULL values BEFORE collecting: Spark collect_list skips
+    # NULLs while DuckDB list() keeps them — on a generic table the two
+    # folds would walk different sequences (fixtures are non-null)
+    ev = load(spark, sf_dir, "events").where(F.col("value").isNotNull())
     w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
     recent = ev.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 20)
     seq = recent.groupBy("user_id").agg(

