@@ -523,3 +523,65 @@ def stats_seasonal_adjust_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_events") - F.col("dow_mean"), 4).alias("seasonal_adj"),
         )
     )
+
+
+_WILSON_Z = 1.96
+
+
+@register(
+    "stats_wilson_ci_daily",
+    oracle=f"""
+        WITH g AS (
+            SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n,
+                   COUNT(*) FILTER (event_type = 'purchase') AS k
+            FROM events GROUP BY 1
+        )
+        SELECT day, n, k,
+               round(k / CAST(n AS DOUBLE), 6) AS rate,
+               round((k/CAST(n AS DOUBLE) + ({_WILSON_Z}*{_WILSON_Z}/n)/2)
+                     / (1 + {_WILSON_Z}*{_WILSON_Z}/n)
+                     - ({_WILSON_Z}*sqrt((k/CAST(n AS DOUBLE))
+                                         * (1-k/CAST(n AS DOUBLE))/n
+                            + ({_WILSON_Z}*{_WILSON_Z}/n)/(4*n))
+                        / (1 + {_WILSON_Z}*{_WILSON_Z}/n)), 6) AS wilson_lo,
+               round((k/CAST(n AS DOUBLE) + ({_WILSON_Z}*{_WILSON_Z}/n)/2)
+                     / (1 + {_WILSON_Z}*{_WILSON_Z}/n)
+                     + ({_WILSON_Z}*sqrt((k/CAST(n AS DOUBLE))
+                                         * (1-k/CAST(n AS DOUBLE))/n
+                            + ({_WILSON_Z}*{_WILSON_Z}/n)/(4*n))
+                        / (1 + {_WILSON_Z}*{_WILSON_Z}/n)), 6) AS wilson_hi
+        FROM g
+    """,
+    tags=("stats", "confidence_interval", "rate"),
+)
+def stats_wilson_ci_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAILY CONVERSION RATE with a WILSON 95% confidence interval — the
+    interval that stays honest at small n and extreme rates where the
+    naive normal approximation (p ± z√(p(1-p)/n)) escapes [0, 1]; this
+    is the number an experiment dashboard should put error bars on.
+
+    Exactness: n and k are integer counts from one conditional
+    aggregation; the Wilson center/margin is scalar double arithmetic in
+    the same operation order on both engines, rounded to 6 dp.
+
+    Scale: one pass over events, day-keyed; output is days-sized."""
+    z = _WILSON_Z
+    ev = load(spark, sf_dir, "events")
+    g = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("k"),
+    )
+    p = F.col("k") / F.col("n").cast("double")
+    z2n = F.lit(z * z) / F.col("n")
+    center = (p + z2n / 2) / (1 + z2n)
+    margin = F.lit(z) * F.sqrt(p * (1 - p) / F.col("n") + z2n / (4 * F.col("n"))) / (
+        1 + z2n
+    )
+    return g.select(
+        "day",
+        "n",
+        "k",
+        F.round(p, 6).alias("rate"),
+        F.round(center - margin, 6).alias("wilson_lo"),
+        F.round(center + margin, 6).alias("wilson_hi"),
+    )
