@@ -585,3 +585,74 @@ def stats_wilson_ci_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(center - margin, 6).alias("wilson_lo"),
         F.round(center + margin, 6).alias("wilson_hi"),
     )
+
+
+@register(
+    "stats_trend_slope_per_user",
+    oracle="""
+        WITH fs AS (
+            SELECT user_id, MIN(ts) AS t0, COUNT(*) AS cnt FROM events
+            GROUP BY user_id HAVING COUNT(*) >= 3
+        ),
+        xy AS (
+            SELECT e.user_id,
+                   CAST(round((epoch(e.ts) - epoch(f.t0)) / 3600.0, 9)
+                        AS DECIMAL(38,9)) AS x,
+                   CAST(round(e.value, 9) AS DECIMAL(38,9)) AS y,
+                   CAST(round((epoch(e.ts) - epoch(f.t0)) / 3600.0 * e.value, 9)
+                        AS DECIMAL(38,9)) AS xy,
+                   CAST(round((epoch(e.ts) - epoch(f.t0)) / 3600.0
+                              * ((epoch(e.ts) - epoch(f.t0)) / 3600.0), 9)
+                        AS DECIMAL(38,9)) AS xx
+            FROM events e JOIN fs f USING (user_id)
+        )
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+               round((COUNT(*) * CAST(SUM(xy) AS DOUBLE)
+                      - CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE))
+                     / (COUNT(*) * CAST(SUM(xx) AS DOUBLE)
+                        - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)),
+                     6) AS trend_slope
+        FROM xy GROUP BY user_id
+    """,
+    tags=("stats", "regression", "trend"),
+)
+def stats_trend_slope_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-USER TREND: OLS slope of event value against hours since the
+    user's first event (users with >= 3 events) — "is this account's
+    engagement rising or falling", the grouped-regression surface
+    (regr_slope per group) with order-free accumulation.
+
+    The x axis is CENTERED per user (hours since first event, not raw
+    epoch): raw epoch seconds (~1.7e9) square to 3e18 per row and the
+    OLS denominator n·Σx² − (Σx)² cancels catastrophically; centering
+    keeps both terms small and the 9-dp rounding meaningful — the
+    numerically-sane form of the closed-form OLS on BOTH engines.
+
+    Scale: one user-keyed pre-aggregate (first ts + count gate), joined
+    back on the same key (lined-up exchange), then one grouped sum of
+    decimal contributions."""
+    from discogs_etl_spark.queries._util import epoch
+
+    ev = load(spark, sf_dir, "events")
+    fs = (
+        ev.groupBy("user_id")
+        .agg(F.min("ts").alias("t0"), F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= 3)
+    )
+    x = (epoch("ts") - epoch("t0")) / 3600.0
+    xy = ev.join(fs, "user_id").select(
+        "user_id",
+        F.round(x, 9).cast("decimal(38,9)").alias("x"),
+        F.round(F.col("value"), 9).cast("decimal(38,9)").alias("y"),
+        F.round(x * F.col("value"), 9).cast("decimal(38,9)").alias("xy"),
+        F.round(x * x, 9).cast("decimal(38,9)").alias("xx"),
+    )
+    n = F.count(F.lit(1))
+    sx = F.sum("x").cast("double")
+    sy = F.sum("y").cast("double")
+    sxy = F.sum("xy").cast("double")
+    sxx = F.sum("xx").cast("double")
+    return xy.groupBy("user_id").agg(
+        n.cast("bigint").alias("n_events"),
+        F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6).alias("trend_slope"),
+    )

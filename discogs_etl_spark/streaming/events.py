@@ -691,3 +691,39 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_stream_to_table(agg, "stream_sliding_window_sink", "complete")
+
+
+@register(
+    "stream_global_topk_users",
+    oracle="""
+        SELECT user_id,
+               CAST(SUM(CAST(round(value, 6) AS DECIMAL(28,6))) AS DOUBLE)
+                   AS total_value
+        FROM events GROUP BY user_id
+        ORDER BY total_value DESC, user_id LIMIT 5
+    """,
+    tags=("streaming", "topk", "complete_mode"),
+)
+def stream_global_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL TOP-K over a stream: the 5 users with the highest running
+    total value.  Sorting a stream is only defined when the sink sees
+    the COMPLETE aggregate each trigger — exactly the complete-output
+    leaderboard pattern (and the reason append-mode streams cannot
+    ORDER BY); state is one row per user, the sort runs over the
+    (user-sized) aggregate, and the memory sink holds k rows.
+
+    Exactness: per-user totals accumulate as 6-dp decimals, so the
+    ranking compares exact sums — same ordering both engines, ties by
+    user id."""
+    events = read_events_stream(spark, sf_dir)
+    agg = (
+        events.groupBy("user_id")
+        .agg(
+            F.sum(F.round("value", 6).cast("decimal(28,6)"))
+            .cast("double")
+            .alias("total_value")
+        )
+        .orderBy(F.desc("total_value"), F.asc("user_id"))
+        .limit(5)
+    )
+    return run_stream_to_table(agg, "stream_global_topk_users_sink", "complete")
