@@ -121,8 +121,11 @@ def _cmd_cluster(args) -> int:
         spark, df, id_col=args.id, vec_col=args.vec, k=args.k, iters=args.iters
     )
     assigned.write.mode("overwrite").parquet(args.output)
+    # size report from the WRITTEN parquet — recomputing `assigned` would
+    # re-run all Lloyd iterations a second time
     sizes = (
-        assigned.groupBy("cluster")
+        spark.read.parquet(args.output)
+        .groupBy("cluster")
         .count()
         .orderBy("cluster")
         .toJSON()

@@ -145,33 +145,32 @@ def search_corpus(
     Scale shape: the query's terms are a LITERAL in-filter pushed into
     the postings aggregation (only matching terms' postings ever
     shuffle); corpus stats broadcast; top-k is a TakeOrderedAndProject."""
-    k1, b = 1.2, 0.75
     qterms = sorted({w for w in query.split() if len(w) > 3})
-    if not qterms:
-        return spark.createDataFrame([], f"{id_col} long, score double")
     base = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+    if not qterms:
+        # empty frame with the CORPUS's id type, not a hardcoded long
+        return base.select(
+            F.col("__id").alias(id_col), F.lit(0.0).alias("score")
+        ).limit(0)
+    # Materialize the postings ONCE — same reason as the registered BM25
+    # query: tok feeds dl, the hit filter, and the scoring join, and an
+    # un-checkpointed plan re-tokenizes the corpus per branch.
     tok = (
         base.select("__id", F.explode(F.split("__text", " ")).alias("w"))
         .where(F.length("w") > 3)
         .groupBy("__id", "w")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
     )
     dl = tok.groupBy("__id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl"))
     hits = tok.where(F.col("w").isin(qterms))
     dfreq = hits.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    from discogs_etl_spark.queries.llm import bm25_contribution
+
     joined = hits.join(dfreq, "w").join(dl, "__id").join(F.broadcast(stats))
-    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
-    idf = F.log(
-        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
-    tfnorm = (F.col("tf") * (k1 + 1)) / (
-        F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl)
-    )
     return (
-        joined.select(
-            "__id", F.round(idf * tfnorm, 6).cast("decimal(28,6)").alias("c")
-        )
+        joined.select("__id", bm25_contribution().alias("c"))
         .groupBy("__id")
         .agg(F.sum("c").cast("double").alias("score"))
         .orderBy(F.desc("score"), F.asc("__id"))

@@ -424,12 +424,14 @@ def join_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shared session's other plans never see them.  Correctness is
     bloom-independent (false positives are re-checked by the exact join),
     so the oracle is the plain join."""
-    saved: dict[str, str | None] = {}
+    # get(k, None) returns None when the conf is NOT explicitly set (the
+    # registered Spark default doesn't count); get(k) would return that
+    # default and the restore below would then pin previously-unset confs
+    # as explicitly set — a state leak the plan test asserts against.
+    saved: dict[str, str | None] = {
+        k: spark.conf.get(k, None) for k in _BLOOM_RUNTIME_CONFS
+    }
     for k, v in _BLOOM_RUNTIME_CONFS.items():
-        try:
-            saved[k] = spark.conf.get(k)
-        except Exception:
-            saved[k] = None
         spark.conf.set(k, v)
     try:
         out = _bloom_join_frame(spark, sf_dir).localCheckpoint()
@@ -3236,28 +3238,34 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _coorder_oriented_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Oriented (u < v) distinct edges of the parts-co-order graph: parts
-    are connected when they appear in the same order; orders capped at 4
-    distinct parts so the per-order pair fan-out is bounded.  ONE
-    order-keyed aggregation (collect the distinct part set, cap, emit
-    pairs via a higher-order transform) — no self-join, no per-order n^2
-    blowup before the cap."""
-    parts = (
+def _coorder_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-order distinct-part baskets, capped at 2-4 parts: ONE
+    order-keyed aggregation shared by the co-order graph family (edges)
+    and the association-rules miner (supports)."""
+    return (
         load(spark, sf_dir, "lineitem")
         .groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
         .where(F.size("ps").between(2, 4))
     )
-    pair_expr = F.flatten(
-        F.expr(
-            "transform(ps, (x, i) -> "
-            "transform(slice(ps, i + 2, size(ps) - i - 1), "
-            "y -> struct(x AS u, y AS v)))"
-        )
-    )
+
+
+# ordered-pair generation over a basket's sorted `ps` array (u < v)
+_COORDER_PAIR_EXPR = (
+    "flatten(transform(ps, (x, i) -> "
+    "transform(slice(ps, i + 2, size(ps) - i - 1), "
+    "y -> struct(x AS u, y AS v))))"
+)
+
+
+def _coorder_oriented_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oriented (u < v) distinct edges of the parts-co-order graph: parts
+    are connected when they appear in the same order; orders capped at 4
+    distinct parts so the per-order pair fan-out is bounded.  No
+    self-join, no per-order n^2 blowup before the cap."""
     return (
-        parts.select(F.explode(pair_expr).alias("e"))
+        _coorder_baskets(spark, sf_dir)
+        .select(F.explode(F.expr(_COORDER_PAIR_EXPR)).alias("e"))
         .select("e.u", "e.v")
         .distinct()
     )
@@ -4277,21 +4285,9 @@ def assoc_rules_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped baskets, the basket total broadcasts, and all ratios are
     integer-derived doubles (exact on both engines).  Top-20 is a
     TakeOrderedAndProject, never a global sort."""
-    parts = (
-        load(spark, sf_dir, "lineitem")
-        .groupBy("l_orderkey")
-        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
-        .where(F.size("ps").between(2, 4))
-    )
-    pair_expr = F.flatten(
-        F.expr(
-            "transform(ps, (x, i) -> "
-            "transform(slice(ps, i + 2, size(ps) - i - 1), "
-            "y -> struct(x AS u, y AS v)))"
-        )
-    )
+    parts = _coorder_baskets(spark, sf_dir)
     pairs = (
-        parts.select(F.explode(pair_expr).alias("e"))
+        parts.select(F.explode(F.expr(_COORDER_PAIR_EXPR)).alias("e"))
         .groupBy(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .where(F.col("n_ab") >= 2)
@@ -4333,7 +4329,8 @@ def assoc_rules_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT user_id, event_type, COUNT(*) AS n,
                    ROW_NUMBER() OVER (PARTITION BY user_id
                                       ORDER BY COUNT(*) DESC, event_type) AS rn
-            FROM events GROUP BY user_id, event_type
+            FROM events WHERE event_type IS NOT NULL
+            GROUP BY user_id, event_type
         ) WHERE rn = 1
     """,
     tags=("agg", "mode", "window"),
@@ -4348,7 +4345,10 @@ def agg_mode_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one (user, type)-keyed count (map-side partials), then a
     WindowGroupLimit argmax over the tiny per-user distribution — the
     window input is users x types, not events."""
-    ev = load(spark, sf_dir, "events")
+    # NULL types out before the tie-break: ASC sorts NULLS FIRST in
+    # Spark but NULLS LAST in DuckDB, so a count tie against a NULL
+    # group would pick different modes (fixtures non-null; armor)
+    ev = load(spark, sf_dir, "events").where(F.col("event_type").isNotNull())
     cnt = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
     w = Window.partitionBy("user_id").orderBy(F.desc("n"), F.asc("event_type"))
     return (

@@ -2780,6 +2780,24 @@ def text_search_inverted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def bm25_contribution() -> Column:
+    """Per-(query, doc, term) BM25 contribution as an exact decimal —
+    THE scoring definition (k1/b constants, 6-dp rounding) shared by the
+    registered query and curation.search_corpus so the two can't drift.
+    Expects columns tf, df, dl, n_docs, sum_dl in scope."""
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tfnorm = (F.col("tf") * (_BM25_K1 + 1)) / (
+        F.col("tf") + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / avgdl)
+    )
+    return F.round(idf * tfnorm, 6).cast("decimal(28,6)")
+
+
 @register(
     "text_search_bm25_topk",
     oracle="""
@@ -2836,7 +2854,6 @@ def text_search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     reuse the postings' partitioning, the corpus stats (N, Σdl) broadcast
     as a 1-row aggregate, scoring reduces on (query, doc), and top-k is a
     WindowGroupLimit — never a global sort."""
-    k1, b = 1.2, 0.75
     docs = load(spark, sf_dir, "documents")
     # Materialize the postings ONCE: tok feeds FOUR subplans (dl, df, the
     # query side, and the postings join), and Spark shares no common
@@ -2862,17 +2879,8 @@ def text_search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("doc_id") != F.col("q_id"))
         .join(F.broadcast(stats))
     )
-    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
-    idf = F.log(
-        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
-    tfnorm = (F.col("tf") * (k1 + 1)) / (
-        F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl)
-    )
     scored = (
-        joined.select(
-            "q_id", "doc_id", F.round(idf * tfnorm, 6).cast("decimal(28,6)").alias("c")
-        )
+        joined.select("q_id", "doc_id", bm25_contribution().alias("c"))
         .groupBy("q_id", "doc_id")
         .agg(F.sum("c").alias("sc"))
     )

@@ -147,3 +147,41 @@ def test_weighted_sample_and_ewma_null_safety(spark):
     )
     out = docs.select("doc_id", pri.alias("priority")).collect()
     assert all(r["priority"] is not None for r in out)
+
+    # EWMA: NULL values must be dropped BEFORE the ordered collect, so
+    # the fold walks only non-null values (regression guard for the
+    # isNotNull filter in stats_ewma_per_user)
+    import datetime
+
+    ev = spark.createDataFrame(
+        [
+            (1, 10, datetime.datetime(2024, 1, 1, 0, 0, 0), 2.0),
+            (2, 10, datetime.datetime(2024, 1, 1, 0, 1, 0), None),
+            (3, 10, datetime.datetime(2024, 1, 1, 0, 2, 0), 4.0),
+        ],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    from pyspark.sql.window import Window
+
+    base = ev.where(F.col("value").isNotNull())
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    seq = (
+        base.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 20)
+        .groupBy("user_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
+                lambda s: s.value,
+            ).alias("vals")
+        )
+    )
+    vals = seq.collect()[0]["vals"]
+    assert vals == [2.0, 4.0]  # the NULL row is gone, order preserved
+    ewma = F.aggregate(
+        F.slice("vals", 2, F.size("vals") - 1),
+        F.round(F.element_at("vals", 1), 6),
+        lambda acc, x: F.round(x * F.lit(0.2) + acc * F.lit(0.8), 6),
+    )
+    got = seq.select(ewma.alias("e")).collect()[0]["e"]
+    assert got == round(4.0 * 0.2 + 2.0 * 0.8, 6)
