@@ -3258,17 +3258,35 @@ _COORDER_PAIR_EXPR = (
 )
 
 
+_COORDER_EDGE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _coorder_oriented_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oriented (u < v) distinct edges of the parts-co-order graph: parts
     are connected when they appear in the same order; orders capped at 4
     distinct parts so the per-order pair fan-out is bounded.  No
-    self-join, no per-order n^2 blowup before the cap."""
-    return (
-        _coorder_baskets(spark, sf_dir)
-        .select(F.explode(F.expr(_COORDER_PAIR_EXPR)).alias("e"))
-        .select("e.u", "e.v")
-        .distinct()
-    )
+    self-join, no per-order n^2 blowup before the cap.
+
+    MATERIALIZED once per (session, sf_dir) behind a localCheckpoint —
+    the same cache shape as the dedup family's minhash_pair_graph:
+    triangle counting, PageRank, and the clustering coefficient all
+    consume this edge set, and rebuilding it per query paid the
+    order-keyed aggregation three times per session."""
+    app = spark.sparkContext.applicationId
+    for k in [k for k in _COORDER_EDGE_CACHE if k[0] != app]:
+        del _COORDER_EDGE_CACHE[k]
+    key = (app, sf_dir)
+    df = _COORDER_EDGE_CACHE.get(key)
+    if df is None:
+        df = (
+            _coorder_baskets(spark, sf_dir)
+            .select(F.explode(F.expr(_COORDER_PAIR_EXPR)).alias("e"))
+            .select("e.u", "e.v")
+            .distinct()
+            .localCheckpoint()
+        )
+        _COORDER_EDGE_CACHE[key] = df
+    return df
 
 
 # Shared DuckDB CTE prefix for the co-order graph family (edge build must
@@ -3348,7 +3366,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DataFrame branches — without the checkpoint the whole edge-build
     # subtree executes per reference.  Same pattern as the CC family's
     # minhash_pair_graph.
-    edges = _coorder_oriented_edges(spark, sf_dir).localCheckpoint()
+    edges = _coorder_oriented_edges(spark, sf_dir)
     e2 = edges.select(F.col("u").alias("v"), F.col("v").alias("w"))
     # Wedge u<v<w, then keep it only when closing edge (u, w) exists —
     # a LEFT SEMI join, so the probe rows never widen.  Per-node counts
@@ -4437,7 +4455,7 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangle query (edges checkpointed once, semi-join close), plus one
     degree aggregation on the symmetric edge list; the final join is
     node-sized on both sides."""
-    edges = _coorder_oriented_edges(spark, sf_dir).localCheckpoint()
+    edges = _coorder_oriented_edges(spark, sf_dir)
     sym = edges.unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = sym.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
     e2 = edges.select(F.col("u").alias("v"), F.col("v").alias("w"))
