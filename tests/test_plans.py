@@ -367,3 +367,26 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path_factory):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
         spark.sql(f"DROP TABLE IF EXISTS b_orders_{tag}")
         spark.sql(f"DROP TABLE IF EXISTS b_lineitem_{tag}")
+
+
+def test_observe_metrics_on_curation_pipeline(spark, q):
+    """Pipeline observability: df.observe() collects named metrics (row
+    counts, aggregate checks) as a side effect of the SAME action that
+    produces the data — no second pass over the corpus.  This is how a
+    production curation job reports its dedup rate without re-running."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from discogs_etl_spark.tables import load
+
+    obs = Observation("curate_metrics")
+    docs = load(spark, SF, "documents").observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.length("text") > 0, 1).otherwise(0)).alias("n_nonempty"),
+    )
+    out = docs.where(F.col("n_chars") > 0).count()
+    got = obs.get
+    assert got["n_rows"] > 0
+    assert got["n_nonempty"] <= got["n_rows"]
+    assert out <= got["n_rows"]
