@@ -136,6 +136,22 @@ def _cmd_cluster(args) -> int:
     return 0
 
 
+def _cmd_validate(args) -> int:
+    from discogs_etl_spark.curation import validate_table
+
+    spark = get_spark(app_name="discogs-etl-validate")
+    if args.type:
+        df = read_lake(spark, args.input, args.type)
+    else:
+        df = spark.read.parquet(args.input)
+    report = validate_table(spark, df, args.rules.split(","))
+    failed = 0
+    for row in report.toJSON().collect():
+        print(row)
+    failed = report.where("passed = 0").count()
+    return 1 if failed else 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="discogs_etl_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -192,6 +208,20 @@ def main(argv: list[str] | None = None) -> int:
     k.add_argument("--k", type=int, default=8, help="number of clusters")
     k.add_argument("--iters", type=int, default=3, help="Lloyd iterations")
     k.set_defaults(fn=_cmd_cluster)
+
+    v = sub.add_parser(
+        "validate",
+        help="data-quality constraint report (exit 1 on any failed check)",
+    )
+    v.add_argument("--input", required=True, help="parquet path or lake root (with --type)")
+    v.add_argument("--type", choices=sorted(_PLURAL_TO_TYPE.values()))
+    v.add_argument(
+        "--rules",
+        required=True,
+        help="comma list: not_null:col | unique:col | range:col:lo:hi"
+             " | in_set:col:a|b | before:col:ts",
+    )
+    v.set_defaults(fn=_cmd_validate)
 
     args = ap.parse_args(argv)
     return args.fn(args)

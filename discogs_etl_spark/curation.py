@@ -245,3 +245,63 @@ def cluster_corpus(
         F.col("cid").alias("cluster"),
         F.col("dist").cast("double").alias("dist"),
     )
+
+
+def validate_table(
+    spark: SparkSession, df: DataFrame, rules: list[str]
+) -> DataFrame:
+    """Data-quality constraint report over ANY DataFrame in ONE scan —
+    the Deequ-style gate a production pipeline runs before publishing a
+    table.  ``rules`` is a list of rule strings:
+
+    - ``not_null:col``           — no NULLs in col
+    - ``unique:col``             — col has no duplicate values
+    - ``range:col:lo:hi``        — every col value in [lo, hi]
+    - ``in_set:col:a|b|c``       — every col value in the given set
+    - ``before:col:timestamp``   — every col value strictly earlier
+
+    Returns one row per rule: (check_name, n_rows, n_violations,
+    passed).  All checks evaluate in a SINGLE wide aggregation (the
+    profile_table shape) — adding a rule never adds a pass over the
+    data; ``unique`` contributes the only non-trivially-mergeable term
+    (COUNT DISTINCT) and Catalyst plans the expand for it."""
+    n = F.count(F.lit(1))
+    aggs = [n.alias("__n_rows")]
+    names: list[str] = []
+    for i, rule in enumerate(rules):
+        parts = rule.split(":")
+        kind, col = parts[0], parts[1]
+        if kind == "not_null":
+            expr = F.sum(F.when(F.col(col).isNull(), 1).otherwise(0))
+            name = f"not_null({col})"
+        elif kind == "unique":
+            expr = n - F.countDistinct(col)
+            name = f"unique({col})"
+        elif kind == "range":
+            lo, hi = float(parts[2]), float(parts[3])
+            expr = F.sum(F.when(~F.col(col).between(lo, hi), 1).otherwise(0))
+            name = f"range({col},{parts[2]},{parts[3]})"
+        elif kind == "in_set":
+            vals = parts[2].split("|")
+            expr = F.sum(F.when(~F.col(col).isin(vals), 1).otherwise(0))
+            name = f"in_set({col})"
+        elif kind == "before":
+            cutoff = parts[2]
+            expr = F.sum(
+                F.when(F.col(col) >= F.lit(cutoff).cast("timestamp"), 1).otherwise(0)
+            )
+            name = f"before({col},{cutoff})"
+        else:
+            raise ValueError(f"unknown rule kind {kind!r} in {rule!r}")
+        aggs.append(expr.cast("long").alias(f"__v{i}"))
+        names.append(name)
+    wide = df.agg(*aggs)
+    stack = ", ".join(f"'{name}', `__v{i}`" for i, name in enumerate(names))
+    return wide.selectExpr(
+        "__n_rows", f"stack({len(names)}, {stack}) AS (check_name, n_violations)"
+    ).selectExpr(
+        "check_name",
+        "__n_rows AS n_rows",
+        "n_violations",
+        "CAST(n_violations = 0 AS INT) AS passed",
+    )

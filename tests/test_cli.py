@@ -123,3 +123,29 @@ def test_cli_search_and_cluster(spark, tmp_path, capsys):
         r["vec_id"] % 2: r["cluster"] for r in assigned.collect()
     }
     assert len(set(by_parity.values())) == 2
+
+
+def test_cli_validate(spark, tmp_path, capsys):
+    """Data-quality verb: one-scan constraint report, exit code 1 when a
+    check fails, 0 when all pass."""
+    import json
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (2, -5.0)], "id long, price double"
+    )
+    path = str(tmp_path / "t.parquet")
+    df.write.parquet(path)
+    from discogs_etl_spark.cli import main
+
+    rc = main(["validate", "--input", path,
+               "--rules", "not_null:id,unique:id,range:price:0:100"])
+    rows = [json.loads(ln) for ln in capsys.readouterr().out.strip().splitlines()]
+    assert rc == 1  # duplicate id + negative price
+    by_name = {r["check_name"]: r for r in rows}
+    assert by_name["unique(id)"]["n_violations"] == 1
+    assert by_name["range(price,0,100)"]["n_violations"] == 1
+    assert by_name["not_null(id)"]["passed"] == 1
+
+    rc2 = main(["validate", "--input", path, "--rules", "not_null:price"])
+    capsys.readouterr()
+    assert rc2 == 0
