@@ -4587,3 +4587,71 @@ def users_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "attribution_first_vs_last",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type, value,
+                   FIRST_VALUE(event_type) OVER w AS first_touch,
+                   LAG(event_type) OVER w AS prev_type
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        pur AS (
+            SELECT CAST(round(value, 6) AS DECIMAL(28,6)) AS v, first_touch,
+                   COALESCE(prev_type, 'direct') AS last_touch
+            FROM seq WHERE event_type = 'purchase'
+        ),
+        ft AS (SELECT first_touch AS channel, CAST(SUM(v) AS DOUBLE) AS fr
+               FROM pur GROUP BY 1),
+        lt AS (SELECT last_touch AS channel, CAST(SUM(v) AS DOUBLE) AS lr
+               FROM pur GROUP BY 1)
+        SELECT COALESCE(ft.channel, lt.channel) AS channel,
+               round(COALESCE(fr, 0.0), 6) AS first_touch_revenue,
+               round(COALESCE(lr, 0.0), 6) AS last_touch_revenue
+        FROM ft FULL OUTER JOIN lt ON ft.channel = lt.channel
+    """,
+    tags=("window", "attribution", "bi"),
+)
+def attribution_first_vs_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MARKETING ATTRIBUTION, first-touch vs last-touch: every purchase's
+    value credited (a) to the user's FIRST event type ever and (b) to the
+    event type immediately PRECEDING the purchase ('direct' when the
+    purchase opens the history) — the two bookend models whose
+    disagreement quantifies how much the channel mix narrative depends
+    on the attribution choice.
+
+    Scale: one user-keyed window pass computes both touchpoints
+    (first_value + lag share the same window frame and shuffle), the
+    purchase filter shrinks the stream before the two channel-sized
+    aggregates, and the full outer join runs over ~channels rows."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        "value",
+        F.first("event_type").over(w).alias("first_touch"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    pur = seq.where(F.col("event_type") == "purchase").select(
+        F.round("value", 6).cast("decimal(28,6)").alias("v"),
+        "first_touch",
+        F.coalesce("prev_type", F.lit("direct")).alias("last_touch"),
+    )
+    ft = pur.groupBy(F.col("first_touch").alias("channel")).agg(
+        F.sum("v").cast("double").alias("first_touch_revenue")
+    )
+    lt = pur.groupBy(F.col("last_touch").alias("channel")).agg(
+        F.sum("v").cast("double").alias("last_touch_revenue")
+    )
+    return ft.join(lt, "channel", "full_outer").select(
+        "channel",
+        F.round(F.coalesce("first_touch_revenue", F.lit(0.0)), 6).alias(
+            "first_touch_revenue"
+        ),
+        F.round(F.coalesce("last_touch_revenue", F.lit(0.0)), 6).alias(
+            "last_touch_revenue"
+        ),
+    )
