@@ -290,7 +290,7 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id,
                MAX(h) AS in_h, MAX(w) AS in_w,
                CAST(4 AS BIGINT) AS out_h, CAST(4 AS BIGINT) AS out_w,
-               SUM(v) AS pixel_sum,
+               CAST(SUM(v) AS BIGINT) AS pixel_sum,
                CAST(SUM(CASE WHEN i = 0 AND j = 0 AND ch = 0 THEN v END) AS BIGINT)
                    AS p_first,
                CAST(SUM(CASE WHEN i = 3 AND j = 3 AND ch = 2 THEN v END) AS BIGINT)
@@ -357,7 +357,7 @@ def multimodal_resize_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id,
                CAST(t // 32 AS BIGINT) AS frame_idx,
                COUNT(*) AS n_in_frame,
-               SUM(amp * amp) AS energy,
+               CAST(SUM(amp * amp) AS BIGINT) AS energy,
                CAST(MAX(abs(amp)) AS BIGINT) AS peak
         FROM s GROUP BY doc_id, t // 32
     """,

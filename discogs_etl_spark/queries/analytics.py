@@ -3158,9 +3158,9 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM firstday GROUP BY first_day
         )
         SELECT day, new_users,
-               SUM(new_users) OVER (ORDER BY day
+               CAST(SUM(new_users) OVER (ORDER BY day
                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   AS cum_distinct_users
+                    AS BIGINT) AS cum_distinct_users
         FROM daily
     """,
     tags=("window", "distinct", "running"),
@@ -3808,12 +3808,12 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT closed, -1 FROM bounds WHERE closed IS NOT NULL
         ),
         daily AS (
-            SELECT day, SUM(d) AS delta FROM deltas GROUP BY day
+            SELECT day, CAST(SUM(d) AS BIGINT) AS delta FROM deltas GROUP BY day
         )
         SELECT day, delta,
-               SUM(delta) OVER (ORDER BY day
+               CAST(SUM(delta) OVER (ORDER BY day
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   AS open_orders
+                    AS BIGINT) AS open_orders
         FROM daily
     """,
     tags=("window", "interval", "backlog"),

@@ -2679,8 +2679,8 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT cluster_size,
                COUNT(*) AS n_clusters,
-               SUM(cluster_size) AS n_docs,
-               SUM(cluster_size - 1) AS n_removable
+               CAST(SUM(cluster_size) AS BIGINT) AS n_docs,
+               CAST(SUM(cluster_size - 1) AS BIGINT) AS n_removable
         FROM sizes GROUP BY cluster_size
     """,
     tags=("dedup", "graph", "stats"),
@@ -2721,7 +2721,8 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         scored AS (
             SELECT q.q_id, t.doc_id,
-                   SUM(CASE WHEN q.tfq < t.tf THEN q.tfq ELSE t.tf END) AS score
+                   CAST(SUM(CASE WHEN q.tfq < t.tf THEN q.tfq ELSE t.tf END)
+                        AS BIGINT) AS score
             FROM q JOIN tok t ON q.w = t.w
             WHERE t.doc_id <> q.q_id
             GROUP BY q.q_id, t.doc_id
@@ -3162,7 +3163,7 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM w, LATERAL (SELECT unnest(range(1, len(ws))) AS i) g
         ),
         cnt AS (SELECT w, nxt, COUNT(*) AS c FROM big GROUP BY w, nxt),
-        tot AS (SELECT w, SUM(c) AS n FROM cnt GROUP BY w)
+        tot AS (SELECT w, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY w)
         SELECT c.w, c.nxt AS top_next, c.c AS pair_count, t.n AS word_count
         FROM (
             SELECT w, nxt, c,

@@ -130,7 +130,7 @@ def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
                (SELECT CAST((COUNT(DISTINCT lang) - 1)
                             * (COUNT(DISTINCT source) - 1) AS BIGINT)
                 FROM cells) AS dof,
-               (SELECT n FROM tot) AS n
+               (SELECT CAST(n AS BIGINT) FROM tot) AS n
         FROM contrib
     """,
     tags=("stats", "chi_square", "independence"),
@@ -193,7 +193,8 @@ def stats_chi_square_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                         AS DECIMAL(38,9)) AS x
             FROM cnt JOIN tot ON cnt.source = tot.source
         )
-        SELECT source, MAX(n) AS n_docs, CAST(COUNT(*) AS BIGINT) AS n_langs,
+        SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_langs,
                round(-CAST(SUM(x) AS DOUBLE), 6) AS entropy_nats
         FROM contrib GROUP BY source
     """,
