@@ -119,3 +119,25 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() >= 0
     assert set(e.oracle_sql()).issubset(set(e.queries()))
+
+
+HAZARD_DUCK_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL", "BOOLEAN")
+
+
+@pytest.mark.parametrize("name", sorted(ORACLE_SPECS))
+def test_oracle_schema_driver_hash_safe(duck, name):
+    """Every oracle's RESULT TYPES must be driver-hasher safe — DuckDB
+    silently widens SUM(BIGINT) to HUGEINT (arrow decimal128), which the
+    driver's pandas canonicalizer hashes differently from Spark's int64
+    even for equal values.  DESCRIBE exposes the types without executing
+    the query, so this guards all ~200 oracles in seconds."""
+    desc = duck.execute(f"DESCRIBE {ORACLE_SPECS[name].oracle}").fetchall()
+    offenders = [
+        (col, typ)
+        for col, typ, *_ in desc
+        if any(typ.startswith(h) for h in HAZARD_DUCK_TYPES)
+    ]
+    assert not offenders, (
+        f"{name}: oracle emits driver-hash-unsafe types {offenders}; "
+        "CAST to BIGINT/DOUBLE/INT in the oracle SQL"
+    )
