@@ -713,3 +713,149 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "before:o_orderdate:1999-01-01",
         ],
     )
+
+
+@register(
+    "stats_benford_first_digit",
+    oracle="""
+        WITH g AS (
+            SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                    AS VARCHAR), 1, 1) AS INT) AS digit,
+                   COUNT(*) AS observed
+            FROM orders WHERE o_totalprice > 0 GROUP BY 1
+        ),
+        tot AS (SELECT CAST(SUM(observed) AS BIGINT) AS n FROM g)
+        SELECT digit, observed,
+               round(observed / CAST(n AS DOUBLE), 6) AS observed_p,
+               round(log10(1.0 + 1.0/digit), 6) AS benford_p
+        FROM g CROSS JOIN tot
+    """,
+    tags=("stats", "benford", "fraud"),
+)
+def stats_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENFORD'S-LAW first-digit profile of order values: observed digit
+    shares next to the log10(1 + 1/d) expectation — the classic
+    anomaly/fraud screen (fabricated amounts drift from Benford; TPC-H's
+    uniform-ish synthetic prices visibly do too, which is the point: the
+    test DETECTS non-natural distributions).
+
+    First digit extracted from the DECIMAL(18,2) string rendering —
+    pinned identical across engines (double-to-string formatting is
+    not).  One grouped count, a broadcast 1-row total, 9 output rows."""
+    o = load(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1
+    ).cast("int")
+    g = (
+        o.where(F.col("o_totalprice") > 0)
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).alias("observed"))
+    )
+    tot = g.agg(F.sum("observed").alias("n"))
+    return (
+        g.join(F.broadcast(tot))
+        .select(
+            "digit",
+            "observed",
+            F.round(F.col("observed") / F.col("n").cast("double"), 6).alias(
+                "observed_p"
+            ),
+            F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6).alias("benford_p"),
+        )
+    )
+
+
+@register(
+    "events_dau_wau_stickiness",
+    oracle="""
+        WITH dau AS (
+            SELECT day, COUNT(*) AS dau FROM (
+                SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+            ) GROUP BY day
+        ),
+        wau AS (
+            SELECT week, COUNT(*) AS wau FROM (
+                SELECT DISTINCT CAST(date_trunc('week', ts) AS DATE) AS week,
+                       user_id
+                FROM events
+            ) GROUP BY week
+        )
+        SELECT day, dau, wau, round(dau / CAST(wau AS DOUBLE), 6) AS stickiness
+        FROM dau JOIN wau ON CAST(date_trunc('week', day) AS DATE) = week
+    """,
+    tags=("agg", "stickiness", "bi"),
+)
+def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU STICKINESS: each day's distinct actives over its calendar
+    week's distinct actives — the engagement-frequency ratio product
+    dashboards track (1/7 = everyone shows once a week; 1.0 = everyone
+    daily).
+
+    Scale: two distinct-then-count aggregations (day- and week-keyed)
+    over user-sized intermediates; the weekly table broadcasts into the
+    daily one."""
+    ev = load(spark, sf_dir, "events")
+    dau = (
+        ev.select(F.col("ts").cast("date").alias("day"), "user_id")
+        .distinct()
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("dau"))
+    )
+    wau = (
+        ev.select(F.date_trunc("week", "ts").cast("date").alias("week"), "user_id")
+        .distinct()
+        .groupBy("week")
+        .agg(F.count(F.lit(1)).alias("wau"))
+    )
+    return (
+        dau.withColumn("week", F.date_trunc("week", "day").cast("date"))
+        .join(F.broadcast(wau), "week")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.round(F.col("dau") / F.col("wau").cast("double"), 6).alias(
+                "stickiness"
+            ),
+        )
+    )
+
+
+@register(
+    "orders_interpurchase_gap",
+    oracle="""
+        WITH gaps AS (
+            SELECT datediff('day', LAG(o_orderdate) OVER w, o_orderdate)
+                       AS gap_days
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_gaps,
+               round(quantile_cont(gap_days, 0.5), 4) AS median_gap_days,
+               round(quantile_cont(gap_days, 0.9), 4) AS p90_gap_days
+        FROM gaps WHERE gap_days IS NOT NULL
+    """,
+    tags=("window", "percentile", "bi"),
+)
+def orders_interpurchase_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTER-PURCHASE interval distribution: median and p90 of the gap in
+    days between a customer's consecutive orders — the number behind
+    replenishment-cycle and churn-risk models ("silent for 3x the median
+    gap").
+
+    Scale: one customer-keyed lag window produces the gaps; the exact
+    percentiles reduce to a single row (the documented exact-rank cost;
+    approx_percentile is the at-scale fallback)."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        load(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderdate", "o_orderkey")
+        .withColumn("prev", F.lag("o_orderdate").over(w))
+        .where(F.col("prev").isNotNull())
+        .select(F.datediff("o_orderdate", "prev").alias("gap_days"))
+    )
+    return gaps.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.round(F.percentile("gap_days", F.lit(0.5)), 4).alias("median_gap_days"),
+        F.round(F.percentile("gap_days", F.lit(0.9)), 4).alias("p90_gap_days"),
+    )
