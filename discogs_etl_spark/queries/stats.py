@@ -859,3 +859,64 @@ def orders_interpurchase_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("gap_days", F.lit(0.5)), 4).alias("median_gap_days"),
         F.round(F.percentile("gap_days", F.lit(0.9)), 4).alias("p90_gap_days"),
     )
+
+
+@register(
+    "stats_hhi_supplier_concentration",
+    oracle="""
+        WITH rev AS (
+            SELECT p_type, l_suppkey,
+                   SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS rev_fp
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_type, l_suppkey
+        ),
+        tot AS (
+            SELECT p_type, CAST(SUM(rev_fp) AS BIGINT) AS tot_fp,
+                   CAST(COUNT(*) AS BIGINT) AS n_suppliers
+            FROM rev GROUP BY p_type
+        )
+        SELECT r.p_type, MAX(n_suppliers) AS n_suppliers,
+               round(CAST(SUM(CAST(round((rev_fp/CAST(tot_fp AS DOUBLE))
+                                          *(rev_fp/CAST(tot_fp AS DOUBLE)), 9)
+                                   AS DECIMAL(38,9))) AS DOUBLE) * 10000, 4)
+                   AS hhi
+        FROM rev r JOIN tot t ON r.p_type = t.p_type
+        GROUP BY r.p_type
+    """,
+    tags=("stats", "hhi", "concentration"),
+)
+def stats_hhi_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HERFINDAHL-HIRSCHMAN INDEX of supplier concentration per part
+    type: Σ(market share²)·10000 — the antitrust-grade concentration
+    measure (10000 = monopoly, →0 = atomized), the squared-share
+    companion of the Gini coefficient already in the family.  Revenue
+    shares come from exact fixed-point cents; squared shares round to
+    9 dp and sum as DECIMAL so the per-type reduce is order-free.
+
+    Scale: one fact-sized grouped sum (broadcast part dimension), then
+    everything is (type × supplier)-sized; both aggregations share the
+    p_type key."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_type", "l_suppkey")
+        .agg(F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("rev_fp"))
+    )
+    tot = rev.groupBy("p_type").agg(
+        F.sum("rev_fp").alias("tot_fp"), F.count(F.lit(1)).alias("n_suppliers")
+    )
+    share = F.col("rev_fp").cast("double") / F.col("tot_fp")
+    return (
+        rev.join(tot, "p_type")
+        .select(
+            "p_type",
+            "n_suppliers",
+            F.round(share * share, 9).cast("decimal(38,9)").alias("c"),
+        )
+        .groupBy("p_type")
+        .agg(
+            F.max("n_suppliers").alias("n_suppliers"),
+            F.round(F.sum("c").cast("double") * 10000, 4).alias("hhi"),
+        )
+    )
