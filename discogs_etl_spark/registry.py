@@ -135,6 +135,15 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "mapinarrow_token_stats",
     "udtf_token_runs",
     "pandas_udaf_lang_iqr",
+    # ROUND-4 ROTATION NOTE: once CORRECTNESS_r03 lands, replace this
+    # tuple's contents with the still-never-driver-checked set — chiefly
+    # the extension-pass operators registered AFTER this window was
+    # frozen (BM25/PageRank/k-means/BPE/prefix-filter, the stats_*
+    # family, attribution, data_quality_report, sliding/top-k streams,
+    # keywords, assoc rules, mode/deciles/clustering-coefficient,
+    # weighted sampling, bloom join, Benford/DAU-WAU/HHI/gap) — they all
+    # pass the local one-session driver simulation, so rotation is pure
+    # evidence collection, not risk.
     # new this round (appended as they land)
     "xml_ingest_roundtrip",
     "join_skew_salted",
