@@ -145,10 +145,14 @@ def _cmd_validate(args) -> int:
     else:
         df = spark.read.parquet(args.input)
     report = validate_table(spark, df, args.rules.split(","))
-    failed = 0
-    for row in report.toJSON().collect():
+    # ONE action: the exit code comes from the same collected rows the
+    # report prints — a second .count() would re-run the full scan
+    import json as _json
+
+    rows = report.toJSON().collect()
+    for row in rows:
         print(row)
-    failed = report.where("passed = 0").count()
+    failed = sum(1 for row in rows if _json.loads(row)["passed"] == 0)
     return 1 if failed else 0
 
 

@@ -255,48 +255,65 @@ def validate_table(
     table.  ``rules`` is a list of rule strings:
 
     - ``not_null:col``           — no NULLs in col
-    - ``unique:col``             — col has no duplicate values
+    - ``unique:col``             — col's non-NULL values have no
+      duplicates (SQL UNIQUE semantics: NULLs are permitted and never
+      count as duplicates of each other — pair with not_null to forbid)
     - ``range:col:lo:hi``        — every col value in [lo, hi]
     - ``in_set:col:a|b|c``       — every col value in the given set
     - ``before:col:timestamp``   — every col value strictly earlier
+      (the cutoff may contain ':' — only the first two ':' split)
 
     Returns one row per rule: (check_name, n_rows, n_violations,
     passed).  All checks evaluate in a SINGLE wide aggregation (the
     profile_table shape) — adding a rule never adds a pass over the
     data; ``unique`` contributes the only non-trivially-mergeable term
     (COUNT DISTINCT) and Catalyst plans the expand for it."""
+    if not rules:
+        raise ValueError("validate_table: empty rules list")
     n = F.count(F.lit(1))
     aggs = [n.alias("__n_rows")]
     names: list[str] = []
     for i, rule in enumerate(rules):
-        parts = rule.split(":")
+        # split only kind and col — the remainder may itself contain ':'
+        # (timestamps); each kind parses its own tail
+        parts = rule.split(":", 2)
+        if len(parts) < 2 or not parts[0] or not parts[1]:
+            raise ValueError(f"malformed rule {rule!r} (want kind:col[:args])")
         kind, col = parts[0], parts[1]
+        rest = parts[2] if len(parts) > 2 else ""
         if kind == "not_null":
             expr = F.sum(F.when(F.col(col).isNull(), 1).otherwise(0))
             name = f"not_null({col})"
         elif kind == "unique":
-            expr = n - F.countDistinct(col)
+            # non-NULL count minus distinct non-NULL count: NULLs are
+            # not duplicates of each other (SQL UNIQUE semantics)
+            expr = F.count(F.col(col)) - F.countDistinct(col)
             name = f"unique({col})"
         elif kind == "range":
-            lo, hi = float(parts[2]), float(parts[3])
+            lo_s, hi_s = rest.split(":")
+            lo, hi = float(lo_s), float(hi_s)
             expr = F.sum(F.when(~F.col(col).between(lo, hi), 1).otherwise(0))
-            name = f"range({col},{parts[2]},{parts[3]})"
+            name = f"range({col},{lo_s},{hi_s})"
         elif kind == "in_set":
-            vals = parts[2].split("|")
+            vals = rest.split("|")
             expr = F.sum(F.when(~F.col(col).isin(vals), 1).otherwise(0))
             name = f"in_set({col})"
         elif kind == "before":
-            cutoff = parts[2]
             expr = F.sum(
-                F.when(F.col(col) >= F.lit(cutoff).cast("timestamp"), 1).otherwise(0)
+                F.when(F.col(col) >= F.lit(rest).cast("timestamp"), 1).otherwise(0)
             )
-            name = f"before({col},{cutoff})"
+            name = f"before({col},{rest})"
         else:
             raise ValueError(f"unknown rule kind {kind!r} in {rule!r}")
         aggs.append(expr.cast("long").alias(f"__v{i}"))
         names.append(name)
     wide = df.agg(*aggs)
-    stack = ", ".join(f"'{name}', `__v{i}`" for i, name in enumerate(names))
+    # check names carry user strings (column names, cutoffs) — escape
+    # quotes so the generated stack() literal can't break or be abused
+    stack = ", ".join(
+        "'{q}', `__v{i}`".format(q=name.replace("'", "''"), i=i)
+        for i, name in enumerate(names)
+    )
     return wide.selectExpr(
         "__n_rows", f"stack({len(names)}, {stack}) AS (check_name, n_violations)"
     ).selectExpr(

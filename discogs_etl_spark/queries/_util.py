@@ -76,3 +76,21 @@ def sql_dsum(expr: str, scale: int = 2, prec: int = 18) -> str:
 
 def sql_davg(expr: str, scale: int = 2, prec: int = 18) -> str:
     return f"(CAST(SUM(CAST({expr} AS DECIMAL({prec},{scale}))) AS DOUBLE) / COUNT(*))"
+
+
+def session_memo(cache, spark, sf_dir, build):
+    """Memoize a DataFrame behind an eager localCheckpoint, keyed by
+    (Spark application id, sf_dir) — the shared mechanism of the dedup
+    family's pair graph, the co-order edge set, and the lexical
+    postings.  Entries from earlier (stopped) sessions are evicted:
+    their checkpointed blocks died with the executors, and a long-lived
+    process that cycles SparkSessions must not pin dead DataFrames."""
+    app = spark.sparkContext.applicationId
+    for k in [k for k in cache if k[0] != app]:
+        del cache[k]
+    key = (app, sf_dir)
+    df = cache.get(key)
+    if df is None:
+        df = build().localCheckpoint()
+        cache[key] = df
+    return df

@@ -3272,21 +3272,19 @@ def _coorder_oriented_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangle counting, PageRank, and the clustering coefficient all
     consume this edge set, and rebuilding it per query paid the
     order-keyed aggregation three times per session."""
-    app = spark.sparkContext.applicationId
-    for k in [k for k in _COORDER_EDGE_CACHE if k[0] != app]:
-        del _COORDER_EDGE_CACHE[k]
-    key = (app, sf_dir)
-    df = _COORDER_EDGE_CACHE.get(key)
-    if df is None:
-        df = (
+    from discogs_etl_spark.queries._util import session_memo
+
+    return session_memo(
+        _COORDER_EDGE_CACHE,
+        spark,
+        sf_dir,
+        lambda: (
             _coorder_baskets(spark, sf_dir)
             .select(F.explode(F.expr(_COORDER_PAIR_EXPR)).alias("e"))
             .select("e.u", "e.v")
             .distinct()
-            .localCheckpoint()
-        )
-        _COORDER_EDGE_CACHE[key] = df
-    return df
+        ),
+    )
 
 
 # Shared DuckDB CTE prefix for the co-order graph family (edge build must

@@ -1332,22 +1332,14 @@ _PAIR_GRAPH_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def minhash_pair_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    app = spark.sparkContext.applicationId
-    # evict entries from earlier (stopped) sessions: their checkpointed
-    # blocks are gone with the executors, and a long-lived process that
-    # cycles SparkSessions must not pin dead DataFrames forever
-    for k in [k for k in _PAIR_GRAPH_CACHE if k[0] != app]:
-        del _PAIR_GRAPH_CACHE[k]
-    key = (app, sf_dir)
-    df = _PAIR_GRAPH_CACHE.get(key)
-    if df is None:
-        df = (
-            dedup_minhash_lsh(spark, sf_dir)
-            .select("doc_a", "doc_b")
-            .localCheckpoint()
-        )
-        _PAIR_GRAPH_CACHE[key] = df
-    return df
+    from discogs_etl_spark.queries._util import session_memo
+
+    return session_memo(
+        _PAIR_GRAPH_CACHE,
+        spark,
+        sf_dir,
+        lambda: dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b"),
+    )
 
 
 @register(
@@ -2785,22 +2777,20 @@ def _postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     (histogram-intersection and BM25) and their df/dl side tables derive
     from this; at 100 TB this materialization IS the persisted inverted
     index, built once and served to every query."""
-    app = spark.sparkContext.applicationId
-    for k in [k for k in _POSTINGS_CACHE if k[0] != app]:
-        del _POSTINGS_CACHE[k]
-    key = (app, sf_dir)
-    df = _POSTINGS_CACHE.get(key)
-    if df is None:
-        df = (
+    from discogs_etl_spark.queries._util import session_memo
+
+    return session_memo(
+        _POSTINGS_CACHE,
+        spark,
+        sf_dir,
+        lambda: (
             load(spark, sf_dir, "documents")
             .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
             .where(F.length("w") > 3)
             .groupBy("doc_id", "w")
             .agg(F.count(F.lit(1)).alias("tf"))
-            .localCheckpoint()
-        )
-        _POSTINGS_CACHE[key] = df
-    return df
+        ),
+    )
 
 
 _BM25_K1, _BM25_B = 1.2, 0.75

@@ -665,7 +665,7 @@ def stats_trend_slope_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH agg AS (
             SELECT COUNT(*) AS n_rows,
                    SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS v0,
-                   COUNT(*) - COUNT(DISTINCT o_orderkey) AS v1,
+                   COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS v1,
                    SUM(CASE WHEN o_totalprice NOT BETWEEN 0 AND 1000000
                        THEN 1 ELSE 0 END) AS v2,
                    SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
@@ -687,7 +687,8 @@ def stats_trend_slope_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DATA-QUALITY CONSTRAINT REPORT (Deequ-style) over orders: five
-    declarative checks — key non-null, key uniqueness, price range,
+    declarative checks — key non-null, key uniqueness (SQL UNIQUE
+    semantics: NULLs permitted, not duplicates), price range,
     status domain, date sanity — evaluated in ONE wide aggregation, one
     row per check with violation counts and a pass flag.  (The date
     check legitimately FAILS on the fixtures — 40% of orders post-date

@@ -149,3 +149,39 @@ def test_cli_validate(spark, tmp_path, capsys):
     rc2 = main(["validate", "--input", path, "--rules", "not_null:price"])
     capsys.readouterr()
     assert rc2 == 0
+
+
+def test_validate_rules_edge_cases(spark):
+    """Rules-engine armor: timestamp cutoffs containing ':', NULL-bearing
+    unique columns (SQL UNIQUE semantics), quoted column names, and
+    malformed/empty rules."""
+    import datetime
+
+    import pytest as _pytest
+
+    from discogs_etl_spark.curation import validate_table
+
+    df = spark.createDataFrame(
+        [
+            (1, None, datetime.datetime(1998, 1, 1, 10, 0, 0)),
+            (2, 5, datetime.datetime(1999, 6, 1, 15, 30, 0)),
+            (3, None, datetime.datetime(1997, 1, 1, 0, 0, 0)),
+        ],
+        "id long, fk int, ts timestamp",
+    )
+    rep = {
+        r["check_name"]: r
+        for r in validate_table(
+            spark, df, ["unique:fk", "before:ts:1999-01-01 12:30:00"]
+        ).collect()
+    }
+    # two NULL fks are NOT duplicates of each other
+    assert rep["unique(fk)"]["n_violations"] == 0
+    # the ':'-bearing cutoff must parse fully: only the 1999-06-01 row
+    # is at-or-after it
+    assert rep["before(ts,1999-01-01 12:30:00)"]["n_violations"] == 1
+
+    with _pytest.raises(ValueError, match="empty rules"):
+        validate_table(spark, df, [])
+    with _pytest.raises(ValueError, match="malformed rule"):
+        validate_table(spark, df, ["not_null"])
