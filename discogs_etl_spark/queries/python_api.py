@@ -286,3 +286,63 @@ def pandas_udaf_lang_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("lang", "n_chars")
     iqr = _iqr_udaf()
     return docs.groupBy("lang").agg(F.round(iqr("n_chars"), 6).alias("iqr_chars"))
+
+
+def _arrow_scalar_fingerprint_udf():
+    """Arrow-OPTIMIZED scalar Python UDF (Spark 4 ``useArrow=True``):
+    per-value Python logic shipped over Arrow batches instead of pickled
+    rows — the migration path for row-at-a-time UDFs that can't be
+    vectorized but shouldn't pay pickle serialization.  Built lazily
+    (decorator needs an active session, same reason as the pandas_udf
+    sibling)."""
+    from pyspark.sql.functions import udf
+
+    @udf("string", useArrow=True)
+    def char_class_fingerprint(s: str) -> str:
+        if s is None:
+            return None
+        out = []
+        last = ""
+        for ch in s:
+            cls = "a" if ch.isalpha() else ("9" if ch.isdigit() else "_")
+            if cls != last:
+                out.append(cls)
+                last = cls
+        return "".join(out)
+
+    return char_class_fingerprint
+
+
+@register(
+    "arrow_udf_char_classes",
+    oracle="""
+        SELECT doc_id,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(text, '[a-zA-Z]+', 'a', 'g'),
+                       '[0-9]+', '9', 'g'),
+                   '[^a9]+', '_', 'g') AS shape
+        FROM documents WHERE doc_id % 50 = 0
+    """,
+    tags=("python", "arrow_udf", "scalar"),
+)
+def arrow_udf_char_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized SCALAR Python UDF exemplar (§2.11, the sixth
+    extension point): collapse each document to its character-class
+    shape (runs of letters→'a', digits→'9', other→'_') — per-value
+    sequential string logic, exactly the kind of UDF that can't become
+    a whole-column NumPy expression, with Arrow transport replacing
+    row pickling.  The oracle reproduces the same shape with three
+    ordered regexp_replace passes (letters, digits, remainder), proving
+    the Python semantics against a pure-SQL twin.
+
+    Scale: map-only; Arrow batching bounds the Python-boundary cost to
+    once per batch, not once per row — but the docstring rule stands:
+    this path exists for logic the JVM genuinely can't express, and the
+    1%-of-corpus query set keeps the exemplar honest about that cost."""
+    fp = _arrow_scalar_fingerprint_udf()
+    return (
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 50 == 0)
+        .select("doc_id", fp("text").alias("shape"))
+    )
