@@ -185,3 +185,48 @@ def test_weighted_sample_and_ewma_null_safety(spark):
     )
     got = seq.select(ewma.alias("e")).collect()[0]["e"]
     assert got == round(4.0 * 0.2 + 2.0 * 0.8, 6)
+
+
+def test_validate_table_matches_python_reference(spark):
+    """Property test: validate_table's violation counts must equal an
+    independent pure-Python evaluation of the same rules over
+    hypothesis-generated rows (NULLs, duplicates, boundary values)."""
+    from hypothesis import given, settings, strategies as st
+
+    from discogs_etl_spark.curation import validate_table
+
+    row = st.tuples(
+        st.one_of(st.none(), st.integers(min_value=-5, max_value=5)),
+        st.one_of(st.none(), st.floats(min_value=-50, max_value=150,
+                                       allow_nan=False)),
+        st.sampled_from(["a", "b", "c", None]),
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.lists(row, min_size=1, max_size=12))
+    def check(rows):
+        df = spark.createDataFrame(rows, "k int, v double, tag string")
+        rep = {
+            r["check_name"]: r["n_violations"]
+            for r in validate_table(
+                spark,
+                df,
+                ["not_null:k", "unique:k", "range:v:0:100", "in_set:tag:a|b"],
+            ).collect()
+        }
+        ks = [r[0] for r in rows]
+        vs = [r[1] for r in rows]
+        tags = [r[2] for r in rows]
+        nn = [k for k in ks if k is not None]
+        assert rep["not_null(k)"] == sum(1 for k in ks if k is None)
+        assert rep["unique(k)"] == len(nn) - len(set(nn))
+        # NULLs never violate range/in_set (SQL three-valued logic:
+        # NOT(NULL between ...) is NULL, not TRUE)
+        assert rep["range(v,0,100)"] == sum(
+            1 for v in vs if v is not None and not (0 <= v <= 100)
+        )
+        assert rep["in_set(tag)"] == sum(
+            1 for t in tags if t is not None and t not in ("a", "b")
+        )
+
+    check()
