@@ -3522,3 +3522,47 @@ def keywords_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tfidf",
         )
     )
+
+
+@register(
+    "vocab_hapax_rate",
+    oracle="""
+        WITH tf AS (
+            SELECT lang, w, COUNT(*) AS c FROM (
+                SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents
+            ) WHERE len(w) > 3
+            GROUP BY lang, w
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS vocab_size,
+               CAST(COUNT(*) FILTER (c = 1) AS BIGINT) AS n_hapax,
+               round(COUNT(*) FILTER (c = 1) / CAST(COUNT(*) AS DOUBLE), 6)
+                   AS hapax_rate
+        FROM tf GROUP BY lang
+    """,
+    tags=("text", "vocabulary", "hapax"),
+)
+def vocab_hapax_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAPAX LEGOMENA rate per language: the fraction of the vocabulary
+    appearing exactly once — the corpus-level vocabulary-richness signal
+    (natural text runs ~40-60%; heavy dedup or template text crushes it,
+    synthetic small-vocab text reads near zero), complementing the
+    per-doc type-token ratio in text_stats_by_lang and the corpus OOV
+    rate in vocab_oov_rate.
+
+    Scale: one (lang, term) count with map-side partials, then a
+    vocabulary-sized conditional aggregate per lang."""
+    docs = load(spark, sf_dir, "documents")
+    tf = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("w"))
+        .where(F.length("w") > 3)
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = F.count(F.lit(1))
+    hap = F.count(F.when(F.col("c") == 1, 1))
+    return tf.groupBy("lang").agg(
+        n.cast("bigint").alias("vocab_size"),
+        hap.cast("bigint").alias("n_hapax"),
+        F.round(hap / n.cast("double"), 6).alias("hapax_rate"),
+    )
