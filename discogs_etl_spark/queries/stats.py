@@ -921,3 +921,60 @@ def stats_hhi_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFr
             F.round(F.sum("c").cast("double") * 10000, 4).alias("hhi"),
         )
     )
+
+
+_RI_CHECKS = (
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+_RI_ORACLE = "\n        UNION ALL ".join(
+    f"""SELECT '{name}' AS fk_relation,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) FILTER (d.{pk} IS NULL) AS BIGINT) AS n_orphans,
+               CAST(COUNT(*) FILTER (d.{pk} IS NULL) = 0 AS INT) AS passed
+        FROM {fact} f LEFT JOIN (SELECT DISTINCT {pk} FROM {dim}) d
+             ON f.{fk} = d.{pk}"""
+    for name, fact, fk, dim, pk in _RI_CHECKS
+)
+
+
+@register(
+    "data_quality_referential",
+    oracle=_RI_ORACLE,
+    tags=("quality", "referential", "constraints"),
+)
+def data_quality_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REFERENTIAL-INTEGRITY report across the whole star schema: every
+    foreign-key relation checked for orphans (fact keys with no match in
+    the dimension) — the cross-table half of the data-quality gate that
+    data_quality_report's single-table rules can't express.  One row per
+    relation with row/orphan counts and a pass flag.
+
+    Scale: each relation is one LEFT ANTI-shaped probe (expressed as a
+    left join + null count so row totals come along for free); dimension
+    key sets deduplicate before the join and broadcast when small.  The
+    seven probes are independent — Spark schedules them as parallel
+    stages under the final union."""
+    out = None
+    for name, fact, fk, dim, pk in _RI_CHECKS:
+        f = load(spark, sf_dir, fact).select(F.col(fk).alias("k"))
+        d = load(spark, sf_dir, dim).select(F.col(pk).alias("k")).distinct()
+        j = f.join(d.withColumn("__hit", F.lit(1)), "k", "left")
+        row = j.agg(
+            F.lit(name).alias("fk_relation"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.count(F.when(F.col("__hit").isNull(), 1)).cast("bigint").alias(
+                "n_orphans"
+            ),
+            (F.count(F.when(F.col("__hit").isNull(), 1)) == 0)
+            .cast("int")
+            .alias("passed"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
