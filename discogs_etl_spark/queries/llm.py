@@ -3566,3 +3566,155 @@ def vocab_hapax_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         hap.cast("bigint").alias("n_hapax"),
         F.round(hap / n.cast("double"), 6).alias("hapax_rate"),
     )
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+        WITH sh AS (
+            SELECT doc_id, unnest({_SQL_TRIGRAMS}) AS sh FROM documents
+        ),
+        m AS (SELECT doc_id, COUNT(*) AS m FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               round(CAST(n_common AS DOUBLE) / least(ma.m, mb.m), 6) AS containment
+        FROM inter
+        JOIN m ma ON doc_a = ma.doc_id
+        JOIN m mb ON doc_b = mb.doc_id
+        WHERE CAST(n_common AS DOUBLE) / least(ma.m, mb.m) >= 0.5
+    """,
+    tags=("dedup", "ngram", "containment"),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by CONTAINMENT similarity |A∩B| / min(|A|, |B|) ≥ 0.5
+    over word-3-gram shingle sets — the asymmetric complement of Jaccard:
+    a short excerpt embedded verbatim inside a long document scores ~1.0
+    here but near 0 on Jaccard (the union is dominated by the long doc),
+    so this is the operator that catches quote/excerpt/subset duplication
+    that dedup_ngram_jaccard structurally cannot.
+
+    Scale: identical shape to the Jaccard join — inverted-index shingle
+    self-join (docs must share a shingle; never a cross join) feeding one
+    (doc_a, doc_b) count, sizes joined back per side.  The same prefix-
+    filter and MinHash escalations apply when posting lists explode."""
+    docs = _with_shingles(load(spark, sf_dir, "documents"), "doc_id")
+    sh = docs.select("doc_id", F.explode("shingles").alias("sh"))
+    m = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("m"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ma = m.select(F.col("doc_id").alias("doc_a"), F.col("m").alias("m_a"))
+    mb = m.select(F.col("doc_id").alias("doc_b"), F.col("m").alias("m_b"))
+    cont = F.col("n_common").cast("double") / F.least("m_a", "m_b")
+    return (
+        inter.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .where(cont >= 0.5)
+        .select("doc_a", "doc_b", F.round(cont, 6).alias("containment"))
+    )
+
+
+@register(
+    "lm_bigram_surprisal",
+    oracle="""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        inst AS (
+            SELECT doc_id, w[i] AS w1, w[i] || ' ' || w[i + 1] AS bigram
+            FROM w, unnest(range(1, len(w))) AS t(i)
+            WHERE len(w) >= 2
+        ),
+        bg AS (SELECT w1, bigram, COUNT(*) AS c2 FROM inst GROUP BY w1, bigram),
+        ctx AS (SELECT w1, SUM(c2) AS c1 FROM bg GROUP BY w1),
+        v AS (
+            SELECT COUNT(DISTINCT tok) AS v
+            FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        ),
+        lm AS (
+            SELECT bigram,
+                   round(-ln((c2 + 1) / CAST(c1 + v AS DOUBLE)), 6) AS s
+            FROM bg JOIN ctx USING (w1) CROSS JOIN v
+        ),
+        per AS (
+            SELECT doc_id, bigram, COUNT(*) AS k FROM inst GROUP BY doc_id, bigram
+        )
+        SELECT doc_id, n_bigrams, mean_surprisal
+        FROM (
+            SELECT per.doc_id,
+                   CAST(SUM(k) AS BIGINT) AS n_bigrams,
+                   round(CAST(SUM(CAST(round(k * s, 6) AS DECIMAL(28,6))) AS DOUBLE)
+                         / SUM(k), 6) AS mean_surprisal
+            FROM per JOIN lm USING (bigram)
+            GROUP BY per.doc_id
+        )
+        ORDER BY mean_surprisal DESC, doc_id
+        LIMIT 50
+    """,
+    tags=("text", "lm", "quality", "surprisal"),
+)
+def lm_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM perplexity filter (the CCNet/Gopher quality signal): train
+    an add-one-smoothed bigram model ON the corpus itself, then score each
+    document's mean surprisal −ln p(w_i | w_{i−1}); the 50 most surprising
+    documents — the boilerplate/garbled/off-distribution tail a real
+    pretraining pipeline routes to review or drops.
+
+    Scale: the LM is two aggregations over one bigram-instance pass
+    (map-side partials); scoring is a single shuffle join keyed by bigram
+    between per-doc bigram multiplicities and the LM table — the LM is
+    vocabulary²-bounded, far smaller than the corpus, but not assumed
+    broadcastable; AQE splits the stop-bigram skew.  The vocabulary size
+    V is the one driver-side scalar (tfidf_top_terms precedent).
+
+    Determinism: c1/c2/k/V are exact integers; each distinct bigram's
+    surprisal is one double ln rounded to 6 dp; per-doc totals accumulate
+    k·s as DECIMAL (order-free); the final mean is one double divide
+    rounded to 6 dp — bit-identical on both engines, so the top-50 cut
+    (doc_id tie-break) agrees."""
+    docs = load(spark, sf_dir, "documents")
+    wdf = docs.selectExpr("doc_id", "split(text, ' ') AS w")
+    inst = (
+        wdf.where(F.size("w") >= 2)
+        .selectExpr(
+            "doc_id",
+            "explode(transform(sequence(1, size(w) - 1),"
+            " i -> struct(element_at(w, i) AS w1,"
+            " concat(element_at(w, i), ' ', element_at(w, i + 1)) AS bigram))) AS s",
+        )
+        .select("doc_id", "s.w1", "s.bigram")
+    )
+    bg = inst.groupBy("w1", "bigram").agg(F.count(F.lit(1)).alias("c2"))
+    ctx = bg.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    v = docs.select(F.explode(F.split("text", " ")).alias("tok")).distinct().count()
+    lm = bg.join(ctx, "w1").select(
+        "bigram",
+        F.round(
+            -F.log((F.col("c2") + 1) / (F.col("c1") + F.lit(int(v))).cast("double")), 6
+        ).alias("s"),
+    )
+    per = inst.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("k"))
+    return (
+        per.join(lm, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").cast("bigint").alias("n_bigrams"),
+            F.round(
+                F.sum(F.round(F.col("k") * F.col("s"), 6).cast("decimal(28,6)")).cast(
+                    "double"
+                )
+                / F.sum("k"),
+                6,
+            ).alias("mean_surprisal"),
+        )
+        .orderBy(F.desc("mean_surprisal"), F.asc("doc_id"))
+        .limit(50)
+    )

@@ -978,3 +978,64 @@ def data_quality_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+@register(
+    "orders_cohort_ltv",
+    oracle="""
+        WITH f AS (
+            SELECT o_custkey,
+                   CAST(date_trunc('month',
+                        MIN(o_orderdate) OVER (PARTITION BY o_custkey)) AS DATE)
+                       AS cohort_month,
+                   CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+                   o_totalprice
+            FROM orders
+        )
+        SELECT cohort_month,
+               CAST(date_diff('month', cohort_month, order_month) AS BIGINT)
+                   AS month_no,
+               COUNT(DISTINCT o_custkey) AS n_customers,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM f
+        GROUP BY cohort_month, date_diff('month', cohort_month, order_month)
+    """,
+    tags=("agg", "cohort", "ltv", "revenue"),
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value matrix: customers grouped by first-order
+    month, revenue and active-customer counts accumulated per months-
+    since-acquisition — the revenue twin of events_retention_cohorts'
+    user-count triangle (cumulating month_no rows per cohort gives the
+    LTV curve finance actually plots).
+
+    Scale: the per-customer first-order MIN is a customer-partitioned
+    window over the orders shuffle, and the final (cohort, month_no)
+    aggregate is a second small-key shuffle with map-side partials;
+    both keys are bounded (customers; months²/2 cells).  Revenue sums
+    as DECIMAL cents (order-independent), month arithmetic runs on
+    month-truncated DATEs so both engines count calendar months."""
+    w = Window.partitionBy("o_custkey")
+    f = (
+        load(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderdate", "o_totalprice")
+        .withColumn(
+            "cohort_month",
+            F.date_trunc("month", F.min("o_orderdate").over(w)).cast("date"),
+        )
+        .withColumn("order_month", F.date_trunc("month", "o_orderdate").cast("date"))
+    )
+    return (
+        f.groupBy(
+            "cohort_month",
+            F.months_between("order_month", "cohort_month")
+            .cast("bigint")
+            .alias("month_no"),
+        )
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
