@@ -3718,3 +3718,132 @@ def lm_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("mean_surprisal"), F.asc("doc_id"))
         .limit(50)
     )
+
+
+@register(
+    "quality_percentile_by_lang",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, lang,
+                   round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                         / len(string_split(text, ' ')), 6) AS ttr
+            FROM documents
+        )
+        SELECT doc_id, lang, ttr,
+               round(PERCENT_RANK() OVER (PARTITION BY lang ORDER BY ttr), 6)
+                   AS q_pct,
+               CAST(PERCENT_RANK() OVER (PARTITION BY lang ORDER BY ttr) >= 0.25
+                    AS INT) AS keep
+        FROM t
+    """,
+    tags=("text", "quality", "calibration"),
+)
+def quality_percentile_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality-score CALIBRATION: each document's type-token
+    ratio mapped to its percentile WITHIN its language, with a drop-the-
+    bottom-quartile gate.  A single global threshold over-prunes
+    whichever language naturally scores lower (the classic multilingual-
+    curation bug); per-lang percent_rank makes the gate
+    distribution-aware — the rank twin of quality_gate_quantile's
+    threshold join.
+
+    Scale: one lang-partitioned window over a (doc, score) projection —
+    no joins; score ties share a rank in both engines so the rounded
+    percentile is engine-independent."""
+    t = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.round(
+            F.size(F.array_distinct(_words())).cast("double") / F.size(_words()), 6
+        ).alias("ttr"),
+    )
+    w = Window.partitionBy("lang").orderBy("ttr")
+    pct = F.percent_rank().over(w)
+    return t.select(
+        "doc_id",
+        "lang",
+        "ttr",
+        F.round(pct, 6).alias("q_pct"),
+        (pct >= 0.25).cast("int").alias("keep"),
+    )
+
+
+@register(
+    "embedding_dispersion_by_label",
+    oracle="""
+        WITH e AS (
+            SELECT vec_id, label, gs.i AS pos,
+                   CAST(embedding[gs.i + 1] AS DOUBLE) AS v
+            FROM embeddings,
+                 LATERAL (SELECT unnest(range(len(embedding))) AS i) gs
+        ),
+        cent AS (
+            SELECT label, pos,
+                   round(CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE)
+                         / COUNT(*), 6) AS c
+            FROM e GROUP BY label, pos
+        ),
+        parts AS (
+            SELECT e.vec_id, e.label,
+                   CAST(SUM(CAST(round(e.v * c.c, 12) AS DECIMAL(38,12)))
+                        AS DOUBLE) AS dot,
+                   CAST(SUM(CAST(round(e.v * e.v, 12) AS DECIMAL(38,12)))
+                        AS DOUBLE) AS nv,
+                   CAST(SUM(CAST(round(c.c * c.c, 12) AS DECIMAL(38,12)))
+                        AS DOUBLE) AS nc
+            FROM e JOIN cent c ON e.label = c.label AND e.pos = c.pos
+            GROUP BY e.vec_id, e.label
+        )
+        SELECT label,
+               COUNT(*) AS n_vectors,
+               round(CAST(SUM(CAST(round(dot / (sqrt(nv) * sqrt(nc)), 6)
+                                   AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+                   AS mean_cos_to_centroid
+        FROM parts GROUP BY label
+    """,
+    tags=("embedding", "clustering", "cohesion"),
+)
+def embedding_dispersion_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-cohesion report: per label, the mean cosine of each member
+    to its label centroid — the dispersion/quality metric that tells you
+    whether labels (or k-means clusters / IVF cells) are tight enough to
+    prune against, complementing embedding_centroid_by_label (which
+    outputs the centroids this consumes).
+
+    Scale: the centroid table is labels x dims (tiny → broadcast); the
+    member-side explode is dim-bounded; per-vector dot/norms and the
+    per-label mean all accumulate as rounded DECIMAL so no double sum
+    depends on partition order."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
+    )
+    cent = e.groupBy("label", "pos").agg(
+        F.round(
+            F.sum(F.col("v").cast("decimal(28,12)")).cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("c")
+    )
+    parts = (
+        e.join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.round(F.col("v") * F.col("c"), 12).cast("decimal(38,12)"))
+            .cast("double")
+            .alias("dot"),
+            F.sum(F.round(F.col("v") * F.col("v"), 12).cast("decimal(38,12)"))
+            .cast("double")
+            .alias("nv"),
+            F.sum(F.round(F.col("c") * F.col("c"), 12).cast("decimal(38,12)"))
+            .cast("double")
+            .alias("nc"),
+        )
+    )
+    cos = F.round(F.col("dot") / (F.sqrt("nv") * F.sqrt("nc")), 6)
+    return parts.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(
+            F.sum(cos.cast("decimal(18,6)")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_cos_to_centroid"),
+    )

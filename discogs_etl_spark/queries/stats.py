@@ -1039,3 +1039,137 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
         )
     )
+
+
+@register(
+    "stats_cusum_daily_revenue",
+    oracle="""
+        WITH d AS (
+            SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+            FROM orders GROUP BY 1
+        ),
+        m AS (
+            SELECT CAST(SUM(CAST(rev AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mu
+            FROM d
+        ),
+        c AS (
+            SELECT day, rev,
+                   round(rev - mu, 4) AS dev,
+                   CAST(SUM(CAST(round(rev - mu, 4) AS DECIMAL(28,4)))
+                            OVER (ORDER BY day) AS DOUBLE) AS cusum
+            FROM d CROSS JOIN m
+        )
+        SELECT day, rev, dev, cusum,
+               CAST(abs(cusum) = (SELECT MAX(abs(cusum)) FROM c) AS INT)
+                   AS is_changepoint
+        FROM c
+    """,
+    tags=("stats", "timeseries", "changepoint"),
+)
+def stats_cusum_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint screen over daily revenue: cumulative sum of
+    deviations from the global mean, with the max-|CUSUM| day flagged —
+    the classical level-shift detector (the flagged day is where the
+    series' mean most plausibly changed).
+
+    Scale: the daily rollup is the only data-sized shuffle; the running
+    sum is a single global window over ONE ROW PER DAY (bounded by the
+    calendar, not the data), and the mean/max ride along as 1-row
+    broadcast joins.  Determinism: revenue and deviations accumulate as
+    DECIMAL (order-free); mean/max/equality all evaluate on identical
+    doubles in both engines."""
+    d = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("rev")
+        )
+    )
+    m = d.agg(
+        (
+            F.sum(F.col("rev").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mu")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = (
+        d.crossJoin(F.broadcast(m))
+        .withColumn("dev", F.round(F.col("rev") - F.col("mu"), 4))
+        .withColumn(
+            "cusum",
+            F.sum(F.col("dev").cast("decimal(28,4)")).over(w).cast("double"),
+        )
+        .select("day", "rev", "dev", "cusum")
+    )
+    mx = c.agg(F.max(F.abs("cusum")).alias("mx"))
+    return c.crossJoin(F.broadcast(mx)).select(
+        "day",
+        "rev",
+        "dev",
+        "cusum",
+        (F.abs("cusum") == F.col("mx")).cast("int").alias("is_changepoint"),
+    )
+
+
+_SKEW_KEYS = (
+    ("lineitem.l_partkey", "lineitem", "l_partkey"),
+    ("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+    ("orders.o_custkey", "orders", "o_custkey"),
+    ("events.user_id", "events", "user_id"),
+)
+
+
+@register(
+    "skew_report_join_keys",
+    oracle="""
+        WITH per AS (
+            SELECT 'lineitem.l_partkey' AS join_key, l_partkey AS k FROM lineitem
+            UNION ALL
+            SELECT 'lineitem.l_suppkey', l_suppkey FROM lineitem
+            UNION ALL
+            SELECT 'orders.o_custkey', o_custkey FROM orders
+            UNION ALL
+            SELECT 'events.user_id', user_id FROM events
+        ),
+        kc AS (
+            SELECT join_key, k, COUNT(*) AS c FROM per GROUP BY join_key, k
+        )
+        SELECT join_key,
+               CAST(SUM(c) AS BIGINT) AS n_rows,
+               COUNT(*) AS n_keys,
+               CAST(MAX(c) AS BIGINT) AS max_key_rows,
+               round(CAST(MAX(c) AS DOUBLE) * COUNT(*) / SUM(c), 6) AS skew_ratio
+        FROM kc GROUP BY join_key
+    """,
+    tags=("diagnostics", "skew", "ops"),
+)
+def skew_report_join_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew report: for each hot join key in the schema, the key
+    cardinality, the heaviest key's row count, and the skew ratio
+    max/avg — the diagnostic that decides between a plain shuffle join,
+    AQE skew splitting, and explicit salting (join_skew_salted /
+    agg_salted_skew_safe are this report's remediations).
+
+    Scale: one count per (relation, key) with map-side partials, then a
+    4-row rollup; each relation scans only its key column (pruned)."""
+    out = None
+    for label, table, key in _SKEW_KEYS:
+        kc = (
+            load(spark, sf_dir, table)
+            .groupBy(F.col(key).alias("k"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        row = kc.agg(
+            F.lit(label).alias("join_key"),
+            F.sum("c").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("c").cast("bigint").alias("max_key_rows"),
+            F.round(
+                F.max("c").cast("double") * F.count(F.lit(1)) / F.sum("c"), 6
+            ).alias("skew_ratio"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
