@@ -4653,3 +4653,133 @@ def attribution_first_vs_last(spark: SparkSession, sf_dir: str) -> DataFrame:
             "last_touch_revenue"
         ),
     )
+
+
+@register(
+    "sessions_max_concurrency",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                             OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800.0
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+            SELECT user_id, ts,
+                   SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+            FROM flagged
+        ), bounds AS (
+            SELECT user_id, session_id,
+                   MIN(ts) AS s_start, MAX(ts) AS s_end
+            FROM sess GROUP BY user_id, session_id
+        ), b AS (
+            SELECT CAST(date_trunc('day', t) AS DATE) AS day,
+                   t, delta, user_id, session_id
+            FROM (
+                SELECT user_id, session_id, s_start AS t, 1 AS delta FROM bounds
+                UNION ALL
+                SELECT user_id, session_id, s_end AS t, -1 AS delta FROM bounds
+            )
+        ), carry AS (
+            SELECT CAST(d AS DATE) AS day, COUNT(*) AS carry_in
+            FROM bounds,
+                 unnest(generate_series(CAST(date_trunc('day', s_start) AS DATE) + 1,
+                                        CAST(date_trunc('day', s_end) AS DATE),
+                                        INTERVAL 1 DAY)) AS g(d)
+            GROUP BY 1
+        ), sweep AS (
+            SELECT day, delta,
+                   SUM(delta) OVER (PARTITION BY day
+                                    ORDER BY t, delta DESC, user_id, session_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS run
+            FROM b
+        ), inday AS (
+            SELECT day, MAX(run) AS max_run FROM sweep GROUP BY day
+        )
+        SELECT COALESCE(i.day, c.day) AS day,
+               CAST(COALESCE(c.carry_in, 0) AS BIGINT) AS carry_in,
+               CAST(COALESCE(c.carry_in, 0)
+                    + GREATEST(COALESCE(i.max_run, 0), 0) AS BIGINT)
+                   AS max_concurrency
+        FROM inday i FULL OUTER JOIN carry c ON i.day = c.day
+    """,
+    tags=("window", "sessionization", "sweepline", "interval"),
+)
+def sessions_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day — the interval sweep-line: sessions
+    (30-min-gap, same definition as sessionization_events) become ±1
+    boundary events, a running sum is the live-concurrency curve, and its
+    daily max is the capacity-planning number.  Midnight-crossing sessions
+    contribute CARRY-IN: sessions spanning a whole day are counted by an
+    explode over their covered days (bounded by session length — never an
+    inequality join of days × sessions), so each day's sweep is
+    self-contained: concurrency(t) = carry_in + prefix_sum(t).
+
+    Tie convention (pinned identically in both engines): at one instant,
+    session starts order before session ends (delta DESC), so touching
+    sessions count as overlapping; user_id/session_id break exact ties.
+
+    Scale: the sweep window partitions by DAY, so no global sort; if one
+    day is still too big, the same two-pass trick applies fractally —
+    sub-partition by hour, sweep each, then cumulate the 24 per-hour
+    totals as hour-level carry (the standard distributed prefix-sum)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ep = epoch("ts")
+    flagged = load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.lag("ts").over(w).isNull() | ((ep - F.lag(ep).over(w)) > 1800.0), 1)
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    bounds = (
+        flagged.withColumn("session_id", F.sum("is_new").over(wsum))
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    )
+    starts = bounds.select(
+        "user_id", "session_id", F.col("s_start").alias("t"), F.lit(1).alias("delta")
+    )
+    ends = bounds.select(
+        "user_id", "session_id", F.col("s_end").alias("t"), F.lit(-1).alias("delta")
+    )
+    b = starts.unionAll(ends).withColumn(
+        "day", F.date_trunc("day", "t").cast("date")
+    )
+    # Midnight-crossers only: Spark's sequence(start, stop) DESCENDS when
+    # start > stop (same-day sessions would fabricate carry days), while
+    # DuckDB's generate_series returns empty — the filter pins both to
+    # "days strictly after the start day, through the end day".
+    s_day = F.date_trunc("day", "s_start").cast("date")
+    e_day = F.date_trunc("day", "s_end").cast("date")
+    carry = (
+        bounds.where(e_day > s_day)
+        .select(F.explode(F.sequence(F.date_add(s_day, 1), e_day)).alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("carry_in"))
+    )
+    wsweep = Window.partitionBy("day").orderBy(
+        F.asc("t"), F.desc("delta"), F.asc("user_id"), F.asc("session_id")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    inday = (
+        b.withColumn("run", F.sum("delta").over(wsweep))
+        .groupBy("day")
+        .agg(F.max("run").alias("max_run"))
+    )
+    j = inday.alias("i").join(carry.alias("c"), "day", "full_outer")
+    return j.select(
+        F.col("day"),
+        F.coalesce(F.col("carry_in"), F.lit(0)).cast("bigint").alias("carry_in"),
+        (
+            F.coalesce(F.col("carry_in"), F.lit(0))
+            + F.greatest(F.coalesce(F.col("max_run"), F.lit(0)), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("max_concurrency"),
+    )

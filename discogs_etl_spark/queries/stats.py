@@ -1173,3 +1173,94 @@ def skew_report_join_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+_CMS_SEEDS = 4
+_CMS_WIDTH = 256
+
+
+@register(
+    "sketch_countmin_heavy_hitters",
+    oracle=f"""
+        WITH k AS (SELECT CAST(user_id AS VARCHAR) AS key FROM events),
+        hashed AS (
+            SELECT key, s.seed,
+                   ('0x' || substr(md5(CAST(s.seed AS VARCHAR) || ':' || key), 1, 8))
+                       ::BIGINT % {_CMS_WIDTH} AS bkt
+            FROM k, (SELECT unnest(range({_CMS_SEEDS})) AS seed) s
+        ),
+        sketch AS (
+            SELECT seed, bkt, COUNT(*) AS c FROM hashed GROUP BY seed, bkt
+        ),
+        exact AS (
+            SELECT key, COUNT(*) AS exact_cnt FROM k GROUP BY key
+            ORDER BY exact_cnt DESC, key LIMIT 20
+        ),
+        est AS (
+            SELECT e.key, MIN(s.c) AS cm_estimate
+            FROM exact e,
+                 (SELECT unnest(range({_CMS_SEEDS})) AS seed) sd
+            JOIN sketch s
+              ON s.seed = sd.seed
+             AND s.bkt = ('0x' || substr(md5(CAST(sd.seed AS VARCHAR) || ':' || e.key), 1, 8))
+                             ::BIGINT % {_CMS_WIDTH}
+            GROUP BY e.key
+        )
+        SELECT e.key AS user_key, e.exact_cnt,
+               CAST(est.cm_estimate AS BIGINT) AS cm_estimate,
+               CAST(est.cm_estimate - e.exact_cnt AS BIGINT) AS overestimate
+        FROM exact e JOIN est USING (key)
+    """,
+    tags=("sketch", "countmin", "heavy_hitters"),
+)
+def sketch_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (Cormode–Muthukrishnan) heavy-hitter estimation,
+    checked against exact counts: a {_CMS_SEEDS}x{_CMS_WIDTH} sketch of
+    event counts per user, then the top-20 users' CM estimates
+    (min over rows) next to their true counts — the overestimate column
+    is the sketch's one-sided error, never negative by construction.
+
+    The sketch hash is md5-prefix based so Spark and DuckDB build the
+    BIT-IDENTICAL sketch (the repo's cross-engine hash idiom); built-in
+    engine hashes (xxhash64 etc.) would diverge.
+
+    Scale: this is why sketches exist — the sketch is a FIXED
+    {_CMS_SEEDS}*{_CMS_WIDTH}-cell table regardless of key cardinality
+    (vs the exact count's key-sized shuffle), built in one map-side-
+    partial aggregation over seed-exploded rows; estimation touches only
+    the candidate set x seeds against the broadcast sketch."""
+    k = load(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("key")
+    )
+    seeds = F.explode(
+        F.array(*[F.lit(i) for i in range(_CMS_SEEDS)])
+    ).alias("seed")
+    bkt = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.col("seed"), F.col("key"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % _CMS_WIDTH
+    )
+    hashed = k.select("key", seeds).withColumn("bkt", bkt)
+    sketch = hashed.groupBy("seed", "bkt").agg(F.count(F.lit(1)).alias("c"))
+    exact = (
+        k.groupBy("key")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("key"))
+        .limit(20)
+    )
+    est = (
+        exact.select("key", seeds)
+        .withColumn("bkt", bkt)
+        .join(F.broadcast(sketch), ["seed", "bkt"])
+        .groupBy("key")
+        .agg(F.min("c").alias("cm_estimate"))
+    )
+    return exact.join(est, "key").select(
+        F.col("key").alias("user_key"),
+        "exact_cnt",
+        F.col("cm_estimate").cast("bigint").alias("cm_estimate"),
+        (F.col("cm_estimate") - F.col("exact_cnt")).cast("bigint").alias("overestimate"),
+    )
