@@ -3847,3 +3847,176 @@ def embedding_dispersion_by_label(spark: SparkSession, sf_dir: str) -> DataFrame
             F.sum(cos.cast("decimal(18,6)")).cast("double") / F.count(F.lit(1)), 6
         ).alias("mean_cos_to_centroid"),
     )
+
+
+@register(
+    "dedup_substring_windows",
+    oracle="""
+        WITH winds AS (
+            SELECT doc_id, substr(text, t.i, 48) AS window_text
+            FROM documents, unnest(range(1, len(text) - 46)) AS t(i)
+            WHERE len(text) >= 48
+        )
+        SELECT window_text,
+               COUNT(*) AS n_occurrences,
+               COUNT(DISTINCT doc_id) AS n_docs
+        FROM winds
+        GROUP BY window_text
+        HAVING COUNT(DISTINCT doc_id) >= 2
+        ORDER BY n_occurrences DESC, window_text
+        LIMIT 100
+    """,
+    tags=("dedup", "substring", "exact"),
+)
+def dedup_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT substring-level duplication (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): every 48-character
+    sliding window, grouped corpus-wide; windows appearing in ≥2 distinct
+    documents are verbatim cross-document substrings — the memorization
+    hazard document-level dedup (Jaccard/MinHash) cannot see when only a
+    passage is shared.  Top-100 by occurrence count.
+
+    Scale: window generation is map-only but emits ~len(text) rows per
+    doc; at 100 TB you (a) hash each window to 8 bytes before the
+    shuffle (the group key here stays textual only because the oracle
+    compares values), and (b) stride the windows (every k-th offset) —
+    a duplicated run of length ≥ 48+k−1 is still caught, trading recall
+    floor for k× less shuffle.  The ≥2-docs filter is HAVING on the
+    grouped result, so partial aggregation still compacts singletons
+    map-side."""
+    winds = (
+        load(spark, sf_dir, "documents")
+        .where(F.length("text") >= 48)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(text) - 47),"
+                    " i -> substring(text, i, 48))"
+                )
+            ).alias("window_text"),
+        )
+    )
+    return (
+        winds.groupBy("window_text")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .where(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_occurrences"), F.asc("window_text"))
+        .limit(100)
+    )
+
+
+@register(
+    "text_search_phrase",
+    oracle="""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        post AS (
+            SELECT doc_id, t.i AS pos, w[t.i] AS term
+            FROM w, unnest(range(1, len(w) + 1)) AS t(i)
+        )
+        SELECT doc_id, n_matches FROM (
+            SELECT a.doc_id, COUNT(*) AS n_matches
+            FROM post a JOIN post b
+              ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+            WHERE a.term = 'table' AND b.term = 'value'
+            GROUP BY a.doc_id
+        )
+        ORDER BY n_matches DESC, doc_id
+        LIMIT 50
+    """,
+    tags=("search", "phrase", "positional_index"),
+)
+def text_search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact PHRASE search ("table value") via a positional inverted
+    index: per-term postings carry token positions, and the phrase match
+    is a postings self-join with the adjacency constraint pos_b =
+    pos_a + 1 — the classic IR positional-index operator that bag-of-
+    words scoring (text_search_inverted_topk / BM25) cannot express.
+    Top-50 docs by phrase frequency.
+
+    Scale: both join sides filter to ONE term's postings before the join
+    (predicate pushdown under the explode), so the join is posting-list-
+    sized, equi-keyed on (doc_id, pos) — n-term phrases chain n−1 such
+    joins, each pruned to its term."""
+    post = load(spark, sf_dir, "documents").select(
+        "doc_id", F.posexplode(_words()).alias("pos0", "term")
+    )
+    a = post.where(F.col("term") == "table").select(
+        "doc_id", (F.col("pos0") + 1).alias("pos_a")
+    )
+    b = post.where(F.col("term") == "value").select(
+        "doc_id", (F.col("pos0") + 1).alias("pos_b")
+    )
+    return (
+        a.join(b, (a["doc_id"] == b["doc_id"]) & (b["pos_b"] == a["pos_a"] + 1))
+        .groupBy(a["doc_id"].alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+        .orderBy(F.desc("n_matches"), F.asc("doc_id"))
+        .limit(50)
+    )
+
+
+_FEATHASH_DIM = 1024
+
+
+@register(
+    "feature_hashing_vectorize",
+    oracle=f"""
+        WITH tf AS (
+            SELECT doc_id, t.term, COUNT(*) AS cnt
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                  FROM documents) t
+            GROUP BY doc_id, t.term
+        ),
+        h AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(term), 1, 8))::BIGINT % {_FEATHASH_DIM}
+                       AS feat_idx,
+                   CASE WHEN (('0x' || substr(md5(term), 1, 8))::BIGINT
+                              // {_FEATHASH_DIM}) % 2 = 0
+                        THEN cnt ELSE -cnt END AS signed_cnt
+            FROM tf
+        )
+        SELECT doc_id, CAST(feat_idx AS BIGINT) AS feat_idx,
+               CAST(SUM(signed_cnt) AS BIGINT) AS feat_val
+        FROM h
+        GROUP BY doc_id, feat_idx
+        HAVING SUM(signed_cnt) <> 0
+    """,
+    tags=("features", "hashing_trick", "vectorize"),
+)
+def feature_hashing_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (Weinberger et al. 2009): token counts folded
+    into a fixed {_FEATHASH_DIM}-dim sparse feature vector per document —
+    index = hash(term) mod D, value accumulated with a hash-derived ±1
+    sign so collisions cancel in expectation instead of biasing upward.
+    The vocabulary-free vectorizer that feeds linear quality classifiers
+    (fastText-style) without a fitted dictionary.
+
+    Scale: vocabulary-independent by construction — no vocab table, no
+    broadcast, no OOV path; one (doc, term) count then one (doc, idx)
+    sum, both with map-side partials.  Emitted sparse (COO) — exactly
+    what a downstream trainer consumes.  Cross-engine md5 hash idiom;
+    zero-sum cells drop on both sides (true sparsity)."""
+    tf = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(_words()).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    hv = F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long")
+    h = tf.select(
+        "doc_id",
+        (hv % _FEATHASH_DIM).alias("feat_idx"),
+        F.when((F.floor(hv / _FEATHASH_DIM) % 2) == 0, F.col("cnt"))
+        .otherwise(-F.col("cnt"))
+        .alias("signed_cnt"),
+    )
+    return (
+        h.groupBy("doc_id", F.col("feat_idx").cast("bigint").alias("feat_idx"))
+        .agg(F.sum("signed_cnt").cast("bigint").alias("feat_val"))
+        .where(F.col("feat_val") != 0)
+    )

@@ -1264,3 +1264,88 @@ def sketch_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("cm_estimate").cast("bigint").alias("cm_estimate"),
         (F.col("cm_estimate") - F.col("exact_cnt")).cast("bigint").alias("overestimate"),
     )
+
+
+@register(
+    "stats_acf_daily_revenue",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+            FROM orders GROUP BY 1
+        ),
+        d AS (SELECT day, rev, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM daily),
+        l AS (SELECT unnest(range(1, 8)) AS lag),
+        p AS (
+            SELECT l.lag, a.rev AS x, b.rev AS y
+            FROM d a CROSS JOIN l
+            JOIN d b ON b.rn = a.rn - l.lag
+        ),
+        s AS (
+            SELECT lag, COUNT(*) AS n,
+                   CAST(SUM(CAST(round(x, 2) AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(round(y, 2) AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(round(x * y, 4) AS DECIMAL(38,4))) AS DOUBLE) AS sxy,
+                   CAST(SUM(CAST(round(x * x, 4) AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+                   CAST(SUM(CAST(round(y * y, 4) AS DECIMAL(38,4))) AS DOUBLE) AS syy
+            FROM p GROUP BY lag
+        )
+        SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+               round((n * sxy - sx * sy)
+                     / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+                   AS acf
+        FROM s
+    """,
+    tags=("stats", "timeseries", "autocorrelation"),
+)
+def stats_acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of daily revenue at lags 1-7: the
+    weekly-seasonality detector (a spike at lag 7 is the signature
+    stats_seasonal_adjust_daily then removes).  Lagged pairs come from an
+    equi-join of the day-indexed series with itself shifted by each lag —
+    LAG() can't take a variable offset, the rn-arithmetic join can.
+
+    Scale: the series is calendar-bounded (one row per day) after the
+    only data-sized shuffle (the daily rollup); the 7-way lag fan-out and
+    Pearson accumulations are all over that tiny series.  Sums accumulate
+    as rounded DECIMAL so both engines' correlation doubles agree
+    bit-for-bit."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("rev")
+        )
+    )
+    d = daily.withColumn("rn", F.row_number().over(Window.orderBy("day")))
+    lags = spark.range(1, 8).select(F.col("id").alias("lag"))
+    a = d.crossJoin(F.broadcast(lags))
+    b = d.select(F.col("rn").alias("rn_b"), F.col("rev").alias("y"))
+    p = a.join(b, a["rn"] - a["lag"] == b["rn_b"]).select(
+        "lag", F.col("rev").alias("x"), "y"
+    )
+    s = p.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round("x", 2).cast("decimal(18,2)")).cast("double").alias("sx"),
+        F.sum(F.round("y", 2).cast("decimal(18,2)")).cast("double").alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("y"), 4).cast("decimal(38,4)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.round(F.col("x") * F.col("x"), 4).cast("decimal(38,4)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.round(F.col("y") * F.col("y"), 4).cast("decimal(38,4)"))
+        .cast("double")
+        .alias("syy"),
+    )
+    acf = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select(
+        F.col("lag").cast("bigint").alias("lag"),
+        F.col("n").cast("bigint").alias("n_pairs"),
+        F.round(acf, 6).alias("acf"),
+    )
