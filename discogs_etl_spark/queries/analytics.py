@@ -4783,3 +4783,149 @@ def sessions_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("max_concurrency"),
     )
+
+
+@register(
+    "graph_label_propagation",
+    oracle=f"""
+        WITH {_COORDER_EDGES_SQL},
+        und AS (
+            SELECT u AS a, v AS b FROM oriented
+            UNION ALL
+            SELECT v AS a, u AS b FROM oriented
+        ),
+        l0 AS (SELECT DISTINCT a AS node, a AS label FROM und),
+        r1 AS (
+            SELECT node, label FROM (
+                SELECT und.a AS node, lb.label, COUNT(*) AS c,
+                       ROW_NUMBER() OVER (PARTITION BY und.a
+                                          ORDER BY COUNT(*) DESC, lb.label)
+                           AS rn
+                FROM und JOIN l0 lb ON und.b = lb.node
+                GROUP BY und.a, lb.label
+            ) WHERE rn = 1
+        ),
+        r2 AS (
+            SELECT node, label FROM (
+                SELECT und.a AS node, lb.label, COUNT(*) AS c,
+                       ROW_NUMBER() OVER (PARTITION BY und.a
+                                          ORDER BY COUNT(*) DESC, lb.label)
+                           AS rn
+                FROM und JOIN r1 lb ON und.b = lb.node
+                GROUP BY und.a, lb.label
+            ) WHERE rn = 1
+        ),
+        r3 AS (
+            SELECT node, label FROM (
+                SELECT und.a AS node, lb.label, COUNT(*) AS c,
+                       ROW_NUMBER() OVER (PARTITION BY und.a
+                                          ORDER BY COUNT(*) DESC, lb.label)
+                           AS rn
+                FROM und JOIN r2 lb ON und.b = lb.node
+                GROUP BY und.a, lb.label
+            ) WHERE rn = 1
+        )
+        SELECT label AS community,
+               COUNT(*) AS n_members,
+               MIN(node) AS min_node
+        FROM r3 GROUP BY label
+    """,
+    tags=("graph", "community", "label_propagation"),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation (Raghavan et
+    al. 2007), 3 fixed rounds over the parts co-order graph: every node
+    adopts the most frequent label among its neighbors, ties broken by
+    smallest label — the deterministic variant (classic LPA's random
+    tie-breaks and async order don't replay across engines or runs).
+    Output: one row per surviving community with its size.
+
+    Completes the graph family's spectrum: connected components finds
+    REACHABILITY equivalence, LPA finds DENSITY clusters inside a
+    component, PageRank ranks within them.
+
+    Scale: each round is one edge-sized shuffle join (labels by node) +
+    one (node, label) count + one node-partitioned argmax window — the
+    Pregel superstep shape; rounds are fixed (3) so the plan is static,
+    no driver-side convergence actions (contrast
+    dedup_connected_components, where convergence IS the contract)."""
+    oriented = _coorder_oriented_edges(spark, sf_dir)
+    und = oriented.select(
+        F.col("u").alias("a"), F.col("v").alias("b")
+    ).unionAll(oriented.select(F.col("v").alias("a"), F.col("u").alias("b")))
+    labels = und.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
+    for _ in range(3):
+        labels = (
+            und.join(
+                labels.select(F.col("node").alias("b"), "label"), "b"
+            )
+            .groupBy(F.col("a").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("node", "label")
+        )
+    return labels.groupBy(F.col("label").alias("community")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("node").alias("min_node"),
+    )
+
+
+@register(
+    "agg_weighted_median",
+    oracle="""
+        WITH t AS (
+            SELECT l_returnflag AS flag, l_extendedprice AS price,
+                   CAST(l_quantity AS DECIMAL(18,2)) AS w
+            FROM lineitem
+        ),
+        c AS (
+            SELECT flag, price,
+                   SUM(w) OVER (PARTITION BY flag ORDER BY price) AS cw,
+                   SUM(w) OVER (PARTITION BY flag) AS tw
+            FROM t
+        )
+        SELECT flag,
+               MIN(price) AS weighted_median,
+               CAST(ANY_VALUE(tw) AS DOUBLE) AS total_weight
+        FROM c
+        WHERE 2 * cw >= tw
+        GROUP BY flag
+    """,
+    tags=("agg", "percentile", "weighted"),
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED median: the price at which half the total QUANTITY (not
+    half the rows) sits on each side, per return flag — the
+    inventory-weighted central price percentile_cont can't express
+    (it weights every row equally).  First price whose cumulative weight
+    reaches half the group total.
+
+    Scale: one flag-partitioned cumulative window over the price sort;
+    weights accumulate as DECIMAL so the crossing test 2·cum ≥ total is
+    exact integer-like arithmetic in both engines (no double running
+    sums); RANGE framing makes price-ties share a cumulative value."""
+    t = load(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").cast("decimal(18,2)").alias("w"),
+    )
+    wcum = Window.partitionBy("flag").orderBy("price")
+    wall = Window.partitionBy("flag")
+    c = t.select(
+        "flag",
+        "price",
+        F.sum("w").over(wcum).alias("cw"),
+        F.sum("w").over(wall).alias("tw"),
+    )
+    return (
+        c.where(F.lit(2) * F.col("cw") >= F.col("tw"))
+        .groupBy("flag")
+        .agg(
+            F.min("price").alias("weighted_median"),
+            F.first("tw").cast("double").alias("total_weight"),
+        )
+    )
