@@ -4929,3 +4929,61 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.first("tw").cast("double").alias("total_weight"),
         )
     )
+
+
+@register(
+    "window_gap_islands",
+    oracle="""
+        WITH act AS (
+            SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+            FROM events
+        ),
+        g AS (
+            SELECT user_id, d,
+                   d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                            AS INTEGER) AS grp
+            FROM act
+        )
+        SELECT user_id, streak_start, streak_end, streak_days FROM (
+            SELECT user_id, MIN(d) AS streak_start, MAX(d) AS streak_end,
+                   COUNT(*) AS streak_days
+            FROM g GROUP BY user_id, grp
+        )
+        ORDER BY streak_days DESC, user_id, streak_start
+        LIMIT 20
+    """,
+    tags=("window", "gaps_islands", "streaks"),
+)
+def window_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: longest consecutive-day activity streaks — the
+    canonical rn-difference trick (a run of consecutive days shares
+    day − row_number), which turns streak detection into a plain GROUP BY
+    with no iterative logic.  Top-20 streaks with their spans.
+
+    Scale: one user-partitioned window over per-(user, day) DISTINCT
+    activity (already reduced from raw events), one grouped aggregate on
+    the derived island key, and a 20-row TakeOrderedAndProject — the
+    user-keyed shuffle is shared by the window and the distinct."""
+    act = (
+        load(spark, sf_dir, "events")
+        .select("user_id", F.date_trunc("day", "ts").cast("date").alias("d"))
+        .distinct()
+    )
+    g = act.withColumn(
+        "grp",
+        F.date_sub(
+            "d",
+            F.row_number().over(Window.partitionBy("user_id").orderBy("d")),
+        ),
+    )
+    return (
+        g.groupBy("user_id", "grp")
+        .agg(
+            F.min("d").alias("streak_start"),
+            F.max("d").alias("streak_end"),
+            F.count(F.lit(1)).alias("streak_days"),
+        )
+        .select("user_id", "streak_start", "streak_end", "streak_days")
+        .orderBy(F.desc("streak_days"), F.asc("user_id"), F.asc("streak_start"))
+        .limit(20)
+    )

@@ -1349,3 +1349,111 @@ def stats_acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_pairs"),
         F.round(acf, 6).alias("acf"),
     )
+
+
+@register(
+    "stats_survival_km_repurchase",
+    oracle="""
+        WITH o AS (
+            SELECT DISTINCT o_custkey AS c,
+                   CAST(date_trunc('day', o_orderdate) AS DATE) AS d
+            FROM orders
+        ),
+        mx AS (SELECT MAX(d) AS mxd FROM o),
+        seq AS (
+            SELECT c, d, LEAD(d) OVER (PARTITION BY c ORDER BY d) AS nd FROM o
+        ),
+        obs AS (
+            SELECT CASE WHEN nd IS NULL THEN date_diff('day', d, mxd)
+                        ELSE date_diff('day', d, nd) END AS t,
+                   CASE WHEN nd IS NULL THEN 0 ELSE 1 END AS ev
+            FROM seq CROSS JOIN mx
+        ),
+        n AS (SELECT COUNT(*) AS n_total FROM obs),
+        allt AS (SELECT t, COUNT(*) AS n_at FROM obs GROUP BY t),
+        cum AS (
+            SELECT t, SUM(n_at) OVER (ORDER BY t) - n_at AS n_before FROM allt
+        ),
+        ev AS (SELECT t, COUNT(*) AS d_i FROM obs WHERE ev = 1 GROUP BY t),
+        km AS (
+            SELECT e.t, e.d_i,
+                   n.n_total - c.n_before AS n_i,
+                   round(ln(1 - e.d_i / CAST(n.n_total - c.n_before AS DOUBLE)), 8)
+                       AS lnterm
+            FROM ev e JOIN cum c ON e.t = c.t CROSS JOIN n
+            WHERE e.d_i < n.n_total - c.n_before
+        )
+        SELECT CAST(t AS BIGINT) AS t_days,
+               CAST(n_i AS BIGINT) AS n_risk,
+               CAST(d_i AS BIGINT) AS n_events,
+               round(exp(CAST(SUM(CAST(lnterm AS DECIMAL(28,8)))
+                                  OVER (ORDER BY t) AS DOUBLE)), 6) AS survival
+        FROM km
+    """,
+    tags=("stats", "survival", "kaplan_meier"),
+)
+def stats_survival_km_repurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of time-to-NEXT-purchase: every
+    order-day opens an observation that either ends at the customer's
+    next order-day (event) or is right-CENSORED at the dataset's end —
+    the estimator that makes "median repurchase cycle" honest when many
+    customers haven't repurchased yet (orders_interpurchase_gap's naive
+    percentiles silently drop exactly those).  S(t) = Π(1 − dᵢ/nᵢ) over
+    event times; the degenerate terminal point (risk set exhausted,
+    S = 0) is excluded.
+
+    Scale: risk sets come from ONE cumulative count over the day-bounded
+    gap distribution (never the correlated n-per-t subquery, which is
+    O(T·N)); the product telescopes as exp of a DECIMAL running sum of
+    rounded ln terms, so the curve is order-exact in both engines."""
+    o = (
+        load(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("c"),
+            F.date_trunc("day", "o_orderdate").cast("date").alias("d"),
+        )
+        .distinct()
+    )
+    mx = o.agg(F.max("d").alias("mxd"))
+    seq = o.withColumn(
+        "nd", F.lead("d").over(Window.partitionBy("c").orderBy("d"))
+    )
+    obs = seq.crossJoin(F.broadcast(mx)).select(
+        F.when(F.col("nd").isNull(), F.datediff("mxd", "d"))
+        .otherwise(F.datediff("nd", "d"))
+        .alias("t"),
+        F.when(F.col("nd").isNull(), 0).otherwise(1).alias("ev"),
+    )
+    n_total = obs.count()
+    allt = obs.groupBy("t").agg(F.count(F.lit(1)).alias("n_at"))
+    wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = allt.select(
+        "t", (F.sum("n_at").over(wcum) - F.col("n_at")).alias("n_before")
+    )
+    ev = obs.where(F.col("ev") == 1).groupBy("t").agg(F.count(F.lit(1)).alias("d_i"))
+    km = (
+        ev.join(cum, "t")
+        .select(
+            "t",
+            "d_i",
+            (F.lit(n_total) - F.col("n_before")).alias("n_i"),
+        )
+        .where(F.col("d_i") < F.col("n_i"))
+        .withColumn(
+            "lnterm",
+            F.round(F.log(F.lit(1.0) - F.col("d_i") / F.col("n_i").cast("double")), 8),
+        )
+    )
+    return km.select(
+        F.col("t").cast("bigint").alias("t_days"),
+        F.col("n_i").cast("bigint").alias("n_risk"),
+        F.col("d_i").cast("bigint").alias("n_events"),
+        F.round(
+            F.exp(
+                F.sum(F.col("lnterm").cast("decimal(28,8)"))
+                .over(Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow))
+                .cast("double")
+            ),
+            6,
+        ).alias("survival"),
+    )
