@@ -4987,3 +4987,99 @@ def window_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("streak_days"), F.asc("user_id"), F.asc("streak_start"))
         .limit(20)
     )
+
+
+@register(
+    "agg_approx_percentile_eval",
+    oracle="""
+        SELECT event_type,
+               round(quantile_disc(value, 0.49), 4) AS p50_lo,
+               round(quantile_disc(value, 0.51), 4) AS p50_hi,
+               1 AS within_bounds
+        FROM events
+        GROUP BY event_type
+    """,
+    tags=("agg", "percentile", "approx", "sketch", "invariant"),
+)
+def agg_approx_percentile_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile ACCURACY EVAL, self-verifying (the
+    similarity_ivf_topk pattern for sketches): Spark's approximate median
+    (accuracy=100 → rank error ≤ 1%) is checked against the EXACT
+    discrete quantiles at 0.49/0.51 — the algorithm's guarantee says the
+    approximate median's value must lie within that rank window, so
+    `within_bounds` must be 1 for every group.  The oracle recomputes the
+    exact bounds and asserts the flag; the approximate value itself is
+    deliberately NOT emitted (sketch internals are engine-specific — the
+    guarantee, not the estimate, is the cross-engine contract).
+
+    Scale: this is the operator you actually run at 100 TB — the exact
+    per-group sort (agg_percentiles_price) becomes a bounded-memory
+    mergeable sketch; this query keeps its honesty measurable."""
+    ex = load(spark, sf_dir, "events").groupBy("event_type").agg(
+        F.round(
+            F.expr("percentile_disc(0.49) WITHIN GROUP (ORDER BY value)"), 4
+        ).alias("p50_lo"),
+        F.round(
+            F.expr("percentile_disc(0.51) WITHIN GROUP (ORDER BY value)"), 4
+        ).alias("p50_hi"),
+        F.expr("approx_percentile(value, 0.5, 100)").alias("apx"),
+    )
+    return ex.select(
+        "event_type",
+        "p50_lo",
+        "p50_hi",
+        (
+            (F.col("apx") >= F.col("p50_lo")) & (F.col("apx") <= F.col("p50_hi"))
+        )
+        .cast("int")
+        .alias("within_bounds"),
+    )
+
+
+@register(
+    "window_rolling_percentile_7d",
+    oracle="""
+        WITH e AS (
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS d, value
+            FROM events WHERE event_type = 'purchase'
+        ),
+        grid AS (SELECT DISTINCT d FROM e),
+        fan AS (
+            SELECT CAST(g.wd AS DATE) AS wd, e.value
+            FROM e, unnest(generate_series(e.d, e.d + 6, INTERVAL 1 DAY)) AS g(wd)
+            WHERE CAST(g.wd AS DATE) IN (SELECT d FROM grid)
+        )
+        SELECT wd AS day,
+               COUNT(*) AS n_values,
+               round(quantile_cont(value, 0.95), 4) AS p95_7d
+        FROM fan GROUP BY wd
+    """,
+    tags=("window", "percentile", "rolling", "timeseries"),
+)
+def window_rolling_percentile_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day EXACT p95 of purchase values per day — the rolling
+    percentile a RANGE window can't do cheaply (percentile isn't an
+    incremental window aggregate; per-row re-sorts are quadratic).
+    Instead each event FANS OUT to the ≤7 report days it influences
+    (map-side, bounded ×7), then one plain per-day percentile aggregate —
+    the standard rewrite that turns a sliding non-decomposable aggregate
+    into a grouped one.
+
+    Scale: fan-out is a constant factor (window/step = 7), the aggregate
+    shuffles on the day key with exact percentile per day; the day grid
+    membership filter is a broadcast semi-join against a calendar-bounded
+    set.  For wider windows at 100 TB, swap the exact percentile for the
+    mergeable sketch (agg_approx_percentile_eval)."""
+    e = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(F.date_trunc("day", "ts").cast("date").alias("d"), "value")
+    )
+    grid = e.select("d").distinct()
+    fan = e.select(
+        F.explode(F.sequence("d", F.date_add("d", 6))).alias("wd"), "value"
+    ).join(F.broadcast(grid.select(F.col("d").alias("wd"))), "wd", "left_semi")
+    return fan.groupBy(F.col("wd").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_values"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95_7d"),
+    )

@@ -1457,3 +1457,107 @@ def stats_survival_km_repurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("survival"),
     )
+
+
+@register(
+    "stats_two_proportion_ztest",
+    oracle="""
+        WITH t AS (
+            SELECT user_id,
+                   ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2
+                       AS arm,
+                   CAST(SUM(CAST(round(value, 6) AS DECIMAL(28,6)))
+                            FILTER (event_type = 'purchase') AS DOUBLE) AS spend
+            FROM events GROUP BY user_id
+        ),
+        med AS (SELECT quantile_disc(spend, 0.5) AS m FROM t),
+        u AS (
+            SELECT user_id, arm,
+                   CASE WHEN spend > m THEN 1 ELSE 0 END AS converted
+            FROM t CROSS JOIN med
+        ),
+        s AS (
+            SELECT COUNT(*) FILTER (arm = 0) AS n_a,
+                   SUM(converted) FILTER (arm = 0) AS conv_a,
+                   COUNT(*) FILTER (arm = 1) AS n_b,
+                   SUM(converted) FILTER (arm = 1) AS conv_b
+            FROM u
+        )
+        SELECT CAST(n_a AS BIGINT) AS n_a, CAST(conv_a AS BIGINT) AS conv_a,
+               CAST(n_b AS BIGINT) AS n_b, CAST(conv_b AS BIGINT) AS conv_b,
+               round((conv_a / CAST(n_a AS DOUBLE) - conv_b / CAST(n_b AS DOUBLE))
+                     / sqrt(((conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                            * (1 - (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                            * (1.0 / n_a + 1.0 / n_b)), 4) AS z_stat,
+               CAST(abs((conv_a / CAST(n_a AS DOUBLE) - conv_b / CAST(n_b AS DOUBLE))
+                     / sqrt(((conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                            * (1 - (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                            * (1.0 / n_a + 1.0 / n_b))) > 1.96 AS INT)
+                   AS significant_95
+        FROM s
+    """,
+    tags=("stats", "experiment", "ab_test"),
+)
+def stats_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on a deterministic 50/50 user split: the A/B
+    readout for a binary metric (is the user an above-median purchaser? —
+    a median-split so the rate is interior by construction; the fixtures
+    give every user every event type, so mere presence is degenerate),
+    completing the experimentation family next to Welch's t (continuous
+    metrics) and the Wilson CI (single rates).  Arms come from the
+    content-keyed hash idiom — reproducible assignment, no rand().
+
+    Scale: one user-grouped spend aggregate (DECIMAL, order-free), a
+    1-row median broadcast, one 4-number conditional aggregate, scalar
+    math on the driver row; nothing after the first shuffle is
+    data-sized."""
+    t = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round("value", 6).cast("decimal(28,6)"),
+                )
+            )
+            .cast("double")
+            .alias("spend")
+        )
+        .withColumn(
+            "arm",
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            % 2,
+        )
+    )
+    med = t.agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY spend)").alias("m")
+    )
+    u = t.crossJoin(F.broadcast(med)).select(
+        "user_id",
+        "arm",
+        F.when(F.col("spend") > F.col("m"), 1).otherwise(0).alias("converted"),
+    )
+    s = u.agg(
+        F.count(F.when(F.col("arm") == 0, 1)).alias("n_a"),
+        F.sum(F.when(F.col("arm") == 0, F.col("converted"))).alias("conv_a"),
+        F.count(F.when(F.col("arm") == 1, 1)).alias("n_b"),
+        F.sum(F.when(F.col("arm") == 1, F.col("converted"))).alias("conv_b"),
+    )
+    pa = F.col("conv_a") / F.col("n_a").cast("double")
+    pb = F.col("conv_b") / F.col("n_b").cast("double")
+    pp = (F.col("conv_a") + F.col("conv_b")) / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    z = (pa - pb) / F.sqrt(
+        pp * (1 - pp) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    return s.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("conv_a").cast("bigint").alias("conv_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("conv_b").cast("bigint").alias("conv_b"),
+        F.round(z, 4).alias("z_stat"),
+        (F.abs(z) > 1.96).cast("int").alias("significant_95"),
+    )
