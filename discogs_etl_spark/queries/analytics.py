@@ -5083,3 +5083,82 @@ def window_rolling_percentile_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_values"),
         F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95_7d"),
     )
+
+
+@register(
+    "scalar_higher_order_maps",
+    oracle="""
+        WITH tf AS (
+            SELECT doc_id, t.term, COUNT(*) AS cnt
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                  FROM documents) t
+            GROUP BY doc_id, t.term
+        ),
+        tot AS (
+            SELECT doc_id, SUM(cnt) AS total FROM tf GROUP BY doc_id
+        )
+        SELECT tf.doc_id, tf.term,
+               CAST(tf.cnt AS BIGINT) AS cnt,
+               round(tf.cnt / CAST(tot.total AS DOUBLE), 6) AS rel_freq
+        FROM tf JOIN tot USING (doc_id)
+        WHERE tf.cnt >= 3
+    """,
+    tags=("scalar", "map", "higher_order"),
+)
+def scalar_higher_order_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP higher-order functions (§2.9, the map-side of
+    scalar_higher_order_arrays): per-document term-frequency MAPS built
+    with map_from_entries, pruned with map_filter (count ≥ 3), rescaled
+    with transform_values (relative frequency), then exploded back to
+    rows.  The oracle computes the same result relationally — map ops
+    are a Spark representation choice, not a semantic extension, which
+    is exactly what makes them safely testable cross-engine.
+
+    Scale: the map lives inside one row (per doc) — no shuffle grows;
+    aggregation-to-map and explode are both row-local around the single
+    (doc, term) count shuffle."""
+    tf = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    as_map = tf.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("term", "cnt"))
+        ).alias("tfmap")
+    )
+    pruned = as_map.select(
+        "doc_id",
+        F.map_filter("tfmap", lambda k, v: v >= 3).alias("tfmap"),
+    ).withColumn(
+        "total",
+        F.aggregate(
+            F.map_values("tfmap"), F.lit(0).cast("long"), lambda a, v: a + v
+        ),
+    )
+    # total of the PRUNED map would change semantics: rescale against the
+    # full doc length, carried from the pre-filter counts.
+    doc_tot = tf.groupBy("doc_id").agg(F.sum("cnt").alias("doc_total"))
+    rel = (
+        pruned.join(doc_tot, "doc_id")
+        .select(
+            "doc_id",
+            F.transform_values(
+                "tfmap", lambda k, v: F.round(v / F.col("doc_total").cast("double"), 6)
+            ).alias("relmap"),
+            "tfmap",
+        )
+        .select(
+            "doc_id",
+            F.explode("tfmap").alias("term", "cnt"),
+            F.col("relmap"),
+        )
+        .select(
+            "doc_id",
+            "term",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.element_at("relmap", F.col("term")).alias("rel_freq"),
+        )
+    )
+    return rel

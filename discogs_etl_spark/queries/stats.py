@@ -1561,3 +1561,61 @@ def stats_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 4).alias("z_stat"),
         (F.abs(z) > 1.96).cast("int").alias("significant_95"),
     )
+
+
+@register(
+    "timeseries_locf_fill",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+            FROM orders GROUP BY 1
+        ),
+        cal AS (
+            SELECT CAST(d AS DATE) AS day
+            FROM (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+                 unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS g(d)
+        )
+        SELECT c.day,
+               LAST_VALUE(d.rev IGNORE NULLS)
+                   OVER (ORDER BY c.day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS rev_filled,
+               CAST(d.rev IS NULL AS INT) AS is_filled
+        FROM cal c LEFT JOIN daily d ON c.day = d.day
+    """,
+    tags=("stats", "timeseries", "gap_fill", "locf"),
+)
+def timeseries_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-fill with last-observation-carried-forward: a dense
+    day spine generated from the series' own bounds, left-joined to the
+    observed daily revenue, with missing days inheriting the previous
+    value (IGNORE NULLS running last) and flagged — the regularization
+    step every downstream window/ACF/EWMA assumes (their row-offset
+    semantics silently skew on gappy series).
+
+    Scale: the spine is calendar-bounded (generated, not shuffled), the
+    join is day-keyed against the already-reduced daily rollup, and the
+    LOCF window orders the day-bounded spine — none of it data-sized.
+    First-day-missing would stay NULL; the spine starts at the first
+    OBSERVED day, so the first row is always real (never silent NULL)."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("rev")
+        )
+    )
+    bounds = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    cal = bounds.select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        cal.join(daily, "day", "left")
+        .select(
+            "day",
+            F.last("rev", ignorenulls=True).over(w).alias("rev_filled"),
+            F.col("rev").isNull().cast("int").alias("is_filled"),
+        )
+    )
