@@ -424,3 +424,100 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow-batched map stages."""
     decoded = decode_features(with_payload(load(spark, sf_dir, "documents")))
     return sample_frames(decoded.where(F.col("media_type") == "video"))
+
+
+@register(
+    "multimodal_phash_dedup",
+    oracle=f"""
+        WITH img AS (
+            SELECT doc_id, {_SQL_H} AS h FROM documents WHERE doc_id % 3 = 0
+        ),
+        bits AS (
+            SELECT doc_id,
+                   array_to_string(list_transform(range(1, 33),
+                       i -> CASE WHEN h[i:i] >= '8' THEN '1' ELSE '0' END), '')
+                       AS bits
+            FROM img
+        ),
+        banded AS (
+            SELECT doc_id, bits, b.b AS band,
+                   substr(bits, (b.b - 1) * 4 + 1, 4) AS sig
+            FROM bits, (SELECT unnest(range(1, 9)) AS b) b
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.bits AS ba, b.bits AS bb
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               CAST(list_sum(list_transform(range(1, 33),
+                    i -> CASE WHEN ba[i:i] = bb[i:i] THEN 0 ELSE 1 END))
+                    AS BIGINT) AS hamming
+        FROM cand
+        WHERE list_sum(list_transform(range(1, 33),
+                  i -> CASE WHEN ba[i:i] = bb[i:i] THEN 0 ELSE 1 END)) <= 7
+    """,
+    tags=("multimodal", "dedup", "phash", "lsh"),
+)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup detection over the IMAGE slice: a 32-bit
+    aHash is derived per image from the decode stage's content digest
+    (with a real decoder this is the mean-threshold bit per downsampled
+    cell — same shape, different bit source), then pairs within Hamming
+    distance ≤ 7 are found by BANDED bucketing: 8 bands × 4 bits, so any
+    pair ≤ 7 differing bits MUST agree on at least one band (pigeonhole)
+    — zero false negatives, no all-pairs compare.  The dedup_simhash /
+    MinHash band trick applied to the multimodal plane.
+
+    With the container's deterministic fake decoder, distinct payloads
+    hash independently, so surviving pairs are exact-duplicate images
+    (hamming 0) — honest, and the banding machinery is fully exercised;
+    a real pHash makes near-misses land in the ≤ 7 ring too.
+
+    Scale: hashing rides the Arrow-batched decode (map-only); banding
+    fans out ×8; the self-join is an equi-join on (band, sig) buckets;
+    Hamming verification touches only bucket collisions."""
+    feats = decode_features(with_payload(load(spark, sf_dir, "documents")))
+    img = feats.where(F.col("media_type") == "image").select("doc_id", "content_md5")
+    bits = img.selectExpr(
+        "doc_id",
+        "array_join(transform(sequence(1, 32),"
+        " i -> IF(substring(content_md5, i, 1) >= '8', '1', '0')), '') AS bits",
+    )
+    banded = bits.select(
+        "doc_id",
+        "bits",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, 8), b -> struct(b AS band,"
+                " substring(bits, (b - 1) * 4 + 1, 4) AS sig))"
+            )
+        ).alias("e"),
+    ).select("doc_id", "bits", "e.band", "e.sig")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.bits").alias("ba"),
+            F.col("b.bits").alias("bb"),
+        )
+        .distinct()
+    )
+    ham = F.expr(
+        "aggregate(transform(sequence(1, 32),"
+        " i -> IF(substring(ba, i, 1) = substring(bb, i, 1), 0, 1)),"
+        " 0, (acc, v) -> acc + v)"
+    )
+    return (
+        cand.withColumn("hamming", ham.cast("bigint"))
+        .where(F.col("hamming") <= 7)
+        .select("doc_a", "doc_b", "hamming")
+    )

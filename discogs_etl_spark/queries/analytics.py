@@ -5162,3 +5162,66 @@ def scalar_higher_order_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return rel
+
+
+@register(
+    "table_diff_snapshots",
+    oracle="""
+        WITH a AS (
+            SELECT o_custkey AS k, COUNT(*) AS n,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tot
+            FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1
+        ),
+        b AS (
+            SELECT o_custkey AS k, COUNT(*) AS n,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tot
+            FROM orders GROUP BY 1
+        )
+        SELECT b.k AS o_custkey,
+               CASE WHEN a.k IS NULL THEN 'insert' ELSE 'update' END AS change_type,
+               CAST(COALESCE(a.n, 0) AS BIGINT) AS old_n_orders,
+               CAST(b.n AS BIGINT) AS new_n_orders,
+               COALESCE(a.tot, 0.0) AS old_total,
+               b.tot AS new_total
+        FROM b LEFT JOIN a ON a.k = b.k
+        WHERE a.k IS NULL OR a.n <> b.n
+    """,
+    tags=("cdc", "diff", "reconciliation"),
+)
+def table_diff_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot DIFF (the change-data-capture readout Delta/Iceberg CDF
+    gives you, computed relationally): per-customer order aggregates "as
+    of" 1998-01-01 vs the current snapshot, emitting insert/update rows
+    with old→new values — the reconciliation operator behind incremental
+    loads and audit diffs.  Unchanged keys are suppressed; this dataset
+    is append-only, so the delete branch (old key absent from the new
+    snapshot — a full-outer's left-null side) cannot occur and the join
+    is a left join from the new snapshot.
+
+    Scale: both snapshots reduce to per-key aggregates BEFORE the diff
+    join (never row-level full-outer on the raw fact), so the join is
+    key-cardinality-sized; both aggregations share the o_custkey
+    shuffle.  DECIMAL totals make old/new comparable exactly."""
+    o = load(spark, sf_dir, "orders")
+    agg = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("tot"),
+    ]
+    a = (
+        o.where(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(*agg)
+    )
+    b = o.groupBy(F.col("o_custkey").alias("k")).agg(*agg)
+    j = b.alias("b").join(a.alias("a"), "k", "left")
+    return j.where(
+        F.col("a.n").isNull() | (F.col("a.n") != F.col("b.n"))
+    ).select(
+        F.col("k").alias("o_custkey"),
+        F.when(F.col("a.n").isNull(), "insert").otherwise("update").alias("change_type"),
+        F.coalesce(F.col("a.n"), F.lit(0)).cast("bigint").alias("old_n_orders"),
+        F.col("b.n").cast("bigint").alias("new_n_orders"),
+        F.coalesce(F.col("a.tot"), F.lit(0.0)).alias("old_total"),
+        F.col("b.tot").alias("new_total"),
+    )
