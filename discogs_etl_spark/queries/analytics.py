@@ -5225,3 +5225,102 @@ def table_diff_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("a.tot"), F.lit(0.0)).alias("old_total"),
         F.col("b.tot").alias("new_total"),
     )
+
+
+@register(
+    "join_range_band_pricing",
+    oracle="""
+        WITH bands AS (
+            SELECT * FROM (VALUES
+                ('budget',   0.0,     50000.0),
+                ('standard', 50000.0, 150000.0),
+                ('premium',  150000.0, 300000.0),
+                ('luxury',   300000.0, 1e18)
+            ) AS t(tier, lo, hi)
+        )
+        SELECT b.tier,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders o JOIN bands b
+          ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+        GROUP BY b.tier
+    """,
+    tags=("join", "range_band", "inequality"),
+)
+def join_range_band_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-BAND lookup join: each order lands in the pricing tier whose
+    [lo, hi) interval contains its total — the inequality-join-against-a-
+    tiny-dimension pattern (tax brackets, SLA tiers, risk bands).  Spark
+    executes it as a BroadcastNestedLoopJoin — the DELIBERATE keyless-
+    broadcast shape (4-row build side; cost = fact × 4 comparisons,
+    map-only, no shuffle), same family as the k-means centroid and
+    brute-force-similarity broadcasts the plan audit documents.
+
+    At 100 TB this stays optimal while the band table is small; if bands
+    grow into the thousands, rewrite as a bucketed equi-join on
+    width_bucket-style precomputed band ids.
+
+    Non-overlapping, gap-free bands are the stated contract (each order
+    matches exactly one tier) — revenue then partitions exactly."""
+    bands = spark.createDataFrame(
+        [
+            ("budget", 0.0, 50_000.0),
+            ("standard", 50_000.0, 150_000.0),
+            ("premium", 150_000.0, 300_000.0),
+            ("luxury", 300_000.0, 1e18),
+        ],
+        "tier string, lo double, hi double",
+    )
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.join(
+            F.broadcast(bands),
+            (o["o_totalprice"] >= bands["lo"]) & (o["o_totalprice"] < bands["hi"]),
+        )
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+@register(
+    "scalar_try_safe_casts",
+    oracle="""
+        SELECT doc_id,
+               TRY_CAST(source AS BIGINT) AS src_as_int,
+               TRY_CAST(substr(text, 1, 4) AS DOUBLE) AS head_as_double,
+               COALESCE(TRY_CAST(lang AS BIGINT), -1) AS lang_as_int_or_default,
+               CAST(floor(n_chars / NULLIF(len(string_split(text, ' ')), 0))
+                    AS BIGINT) AS chars_per_token
+        FROM documents
+    """,
+    tags=("scalar", "try_cast", "null_safety"),
+)
+def scalar_try_safe_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fault-tolerant cast surface (§2.9): try_cast returns NULL instead
+    of failing the job on malformed input — the difference between a
+    100 TB ingest that survives one bad row and one that dies at hour 9
+    (ANSI mode makes plain CAST throw; try_* is the sanctioned escape),
+    plus the NULLIF-guarded division idiom for zero denominators.
+    All-NULL columns here are the honest result: the fixture's source /
+    lang values aren't numeric, which is exactly the malformed-input
+    case the operator exists for."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("source").try_cast("bigint").alias("src_as_int"),
+        F.substring("text", 1, 4).try_cast("double").alias("head_as_double"),
+        F.coalesce(F.col("lang").try_cast("bigint"), F.lit(-1)).alias(
+            "lang_as_int_or_default"
+        ),
+        F.floor(
+            F.col("n_chars")
+            / F.nullif(F.size(F.split("text", " ")), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("chars_per_token"),
+    )
