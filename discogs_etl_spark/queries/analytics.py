@@ -5324,3 +5324,80 @@ def scalar_try_safe_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("chars_per_token"),
     )
+
+
+@register(
+    "orders_duplicate_payments",
+    oracle="""
+        WITH o AS (
+            SELECT o_orderkey, o_custkey, o_totalprice,
+                   CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+                   CAST(floor(o_totalprice / 1000) AS BIGINT) AS blk
+            FROM orders
+        ),
+        probe AS (
+            SELECT o.*, blk + dd.dd AS jblk
+            FROM o, (SELECT unnest([-1, 0, 1]) AS dd) dd
+        )
+        SELECT a.o_orderkey AS order_a, b.o_orderkey AS order_b,
+               a.o_custkey AS o_custkey,
+               round(abs(a.o_totalprice - b.o_totalprice), 2) AS amount_diff,
+               CAST(abs(date_diff('day', a.d, b.d)) AS BIGINT) AS days_apart
+        FROM probe a JOIN o b
+          ON a.o_custkey = b.o_custkey AND a.jblk = b.blk
+         AND a.o_orderkey < b.o_orderkey
+        WHERE abs(a.o_totalprice - b.o_totalprice) <= 100.0
+          AND abs(date_diff('day', a.d, b.d)) <= 90
+    """,
+    tags=("entity_resolution", "blocking", "fraud"),
+)
+def orders_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-payment detection (entity-resolution blocking): pairs of
+    orders from the SAME customer with totals within $100 and dates
+    within 90 days.  The similarity join is made EXACT and equi-keyed by
+    NEIGHBOR-BLOCK blocking: amounts bucket by $1000, and each probe row
+    fans out to its own and both adjacent blocks — a qualifying pair can
+    differ by at most one block boundary, so no false negatives, and the
+    join never compares across customers or distant amounts.  Each
+    qualifying pair matches in EXACTLY one (probe-block = build-block)
+    combination, so no post-join dedup is needed.
+
+    Scale: ×3 bounded fan-out on the probe side only; the join key
+    (custkey, block) keeps candidate sets tiny under any amount
+    distribution; date/amount tolerances are residual filters.  The
+    same shape generalizes to any banded numeric tolerance (blocking =
+    tolerance-width buckets + neighbor probe)."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.date_trunc("day", "o_orderdate").cast("date").alias("d"),
+        F.floor(F.col("o_totalprice") / 1000).cast("bigint").alias("blk"),
+    )
+    probe = o.select(
+        "*", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("dd")
+    ).withColumn("jblk", F.col("blk") + F.col("dd"))
+    a, b = probe.alias("a"), o.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.jblk") == F.col("b.blk"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey")),
+        )
+        .where(
+            (F.abs(F.col("a.o_totalprice") - F.col("b.o_totalprice")) <= 100.0)
+            & (F.abs(F.datediff(F.col("a.d"), F.col("b.d"))) <= 90)
+        )
+        .select(
+            F.col("a.o_orderkey").alias("order_a"),
+            F.col("b.o_orderkey").alias("order_b"),
+            F.col("a.o_custkey").alias("o_custkey"),
+            F.round(F.abs(F.col("a.o_totalprice") - F.col("b.o_totalprice")), 2).alias(
+                "amount_diff"
+            ),
+            F.abs(F.datediff(F.col("a.d"), F.col("b.d"))).cast("bigint").alias(
+                "days_apart"
+            ),
+        )
+    )

@@ -4020,3 +4020,67 @@ def feature_hashing_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("signed_cnt").cast("bigint").alias("feat_val"))
         .where(F.col("feat_val") != 0)
     )
+
+
+def _semdedup_oracle() -> str:
+    kmeans = _kmeans_oracle()
+    cos = _SQL_COS.format(a="xv.v", b="yv.v")
+    return f"""
+        WITH asn AS ({kmeans}),
+        vv2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        SELECT x.cluster, x.vec_id AS vec_a, y.vec_id AS vec_b,
+               round({cos}, 6) AS cos_sim
+        FROM asn x JOIN asn y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+        JOIN vv2 xv ON xv.vec_id = x.vec_id
+        JOIN vv2 yv ON yv.vec_id = y.vec_id
+        WHERE {cos} >= 0.42
+    """
+
+
+@register(
+    "dedup_semdedup",
+    oracle=_semdedup_oracle(),
+    tags=("dedup", "embedding", "semdedup", "kmeans"),
+)
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup scoped INSIDE k-means
+    clusters — cluster the embedding corpus (the deterministic 3-round
+    Lloyd of kmeans_embeddings_fixed), then compare pairs only within a
+    cluster and flag cosine ≥ 0.42 near-duplicates.  The clustering is
+    the blocking structure: O(Σ cluster²) instead of O(n²), with the
+    miss-rate argument that cross-cluster pairs are far by construction
+    (they were assigned to different centroids).  The third member of
+    the embedding-dedup triad: exact all-pairs (the baseline), sign-LSH
+    buckets (data-independent blocking), SemDeDup (data-ADAPTIVE
+    blocking — tighter buckets where the corpus is dense).
+
+    Keep-policy downstream is dedup_keep_best / dedup_fuzzy_keep_one's
+    job; this emits the scored pair graph (SemDeDup's paper policy —
+    keep the member farthest from the centroid — is one ORDER BY on the
+    carried assignment's dist column).
+
+    Scale: assignment is map-only under broadcast centroids; the
+    within-cluster self-join shuffles on the cluster key; a skewed giant
+    cluster is handled by raising k (the paper runs k ≈ 11k for 100M
+    docs — cluster size, not corpus size, bounds the quadratic term)."""
+    from discogs_etl_spark.curation import cluster_corpus
+
+    emb = load(spark, sf_dir, "embeddings")
+    asn = cluster_corpus(
+        spark, emb, id_col="vec_id", vec_col="embedding",
+        k=_KMEANS_K, iters=_KMEANS_ITERS,
+    ).select("vec_id", "cluster")
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    x = asn.join(v, "vec_id").select(
+        F.col("vec_id").alias("vec_a"), "cluster", F.col("v").alias("va")
+    )
+    y = asn.join(v, "vec_id").select(
+        F.col("vec_id").alias("vec_b"), F.col("cluster").alias("cl_b"),
+        F.col("v").alias("vb"),
+    )
+    cos = _cosine(F.col("va"), F.col("vb"))
+    return (
+        x.join(y, (F.col("cluster") == F.col("cl_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .where(cos >= 0.42)
+        .select("cluster", "vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
+    )
