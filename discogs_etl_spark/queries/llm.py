@@ -4084,3 +4084,110 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(cos >= 0.42)
         .select("cluster", "vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
     )
+
+
+@register(
+    "privacy_k_anonymity_report",
+    oracle="""
+        WITH q AS (
+            SELECT lang, source,
+                   CAST(floor(n_chars / 100) AS BIGINT) AS chars_bucket
+            FROM documents
+        )
+        SELECT lang, source, chars_bucket, COUNT(*) AS group_size
+        FROM q
+        GROUP BY lang, source, chars_bucket
+        HAVING COUNT(*) < 5
+    """,
+    tags=("privacy", "k_anonymity", "audit"),
+)
+def privacy_k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-ANONYMITY audit (k = 5) over the quasi-identifier tuple
+    (lang, source, length-bucket): every combination shared by fewer
+    than k documents is a re-identification risk cell — the privacy
+    screen a dataset release runs BEFORE publication, complementing
+    text_redact_pii (which removes direct identifiers; quasi-identifier
+    joins are how "anonymized" data gets re-identified anyway).
+    Remediation is generalization (coarser buckets) or suppression
+    (drop the flagged cells) — both expressible as follow-up filters.
+
+    Scale: one grouped count over the quasi-identifier key with
+    map-side partials; the HAVING keeps only risk cells, so output is
+    small even when the input isn't."""
+    q = load(spark, sf_dir, "documents").select(
+        "lang",
+        "source",
+        F.floor(F.col("n_chars") / 100).cast("bigint").alias("chars_bucket"),
+    )
+    return (
+        q.groupBy("lang", "source", "chars_bucket")
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .where(F.col("group_size") < 5)
+    )
+
+
+@register(
+    "vocab_coverage_curve",
+    oracle="""
+        WITH tf AS (
+            SELECT t.term, COUNT(*) AS c
+            FROM (SELECT unnest(string_split(text, ' ')) AS term
+                  FROM documents) t
+            GROUP BY t.term
+        ),
+        tot AS (SELECT SUM(c) AS total FROM tf),
+        ranked AS (
+            SELECT term, c,
+                   ROW_NUMBER() OVER (ORDER BY c DESC, term) AS rnk,
+                   SUM(c) OVER (ORDER BY c DESC, term
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum_c
+            FROM tf
+        )
+        SELECT CAST(rnk AS BIGINT) AS vocab_size,
+               CAST(cum_c AS BIGINT) AS cum_tokens,
+               round(cum_c / CAST(total AS DOUBLE), 6) AS coverage
+        FROM ranked CROSS JOIN tot
+        WHERE rnk IN (5, 10, 20)
+    """,
+    tags=("text", "vocabulary", "coverage"),
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary COVERAGE curve: what fraction of all corpus tokens the
+    top-5 / top-10 / top-20 terms account for (marks sized to the
+    fixture vocabulary; production marks are 1k/10k/100k) — the curve that sizes
+    a tokenizer's vocabulary (and, with vocab_oov_rate, its OOV budget).
+    Frequency ranks tie-break on the term string so the curve is
+    engine-stable.
+
+    Scale: the vocabulary count is the only corpus-sized aggregation;
+    the ranked cumulative window runs over the VOCABULARY (≪ corpus —
+    Heaps' law), and integer cumulative counts divide by the total once
+    at the three report marks."""
+    tf = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(_words()).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = tf.agg(F.sum("c").alias("total"))
+    w = Window.orderBy(F.desc("c"), F.asc("term"))
+    ranked = tf.select(
+        "term",
+        "c",
+        F.row_number().over(w).alias("rnk"),
+        F.sum("c")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum_c"),
+    )
+    return (
+        ranked.where(F.col("rnk").isin(5, 10, 20))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("rnk").cast("bigint").alias("vocab_size"),
+            F.col("cum_c").cast("bigint").alias("cum_tokens"),
+            F.round(F.col("cum_c") / F.col("total").cast("double"), 6).alias(
+                "coverage"
+            ),
+        )
+    )
