@@ -3626,6 +3626,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "lm_bigram_surprisal",
+    bench=True,
     oracle="""
         WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         inst AS (
@@ -4066,10 +4067,20 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from discogs_etl_spark.curation import cluster_corpus
 
     emb = load(spark, sf_dir, "embeddings")
-    asn = cluster_corpus(
-        spark, emb, id_col="vec_id", vec_col="embedding",
-        k=_KMEANS_K, iters=_KMEANS_ITERS,
-    ).select("vec_id", "cluster")
+    # localCheckpoint: the assignment feeds BOTH sides of the self-join —
+    # without the cut Spark inlines the 3-round k-means plan twice.  The
+    # remaining cost at sf0.1 (~10s) is the within-cluster quadratic
+    # itself (k=8 → ~2.5k-vector clusters → ~25M cosine folds): k is the
+    # knob, and at fixture scale the shared-oracle k stays small on
+    # purpose (the DuckDB twin unrolls the same Lloyd rounds).
+    asn = (
+        cluster_corpus(
+            spark, emb, id_col="vec_id", vec_col="embedding",
+            k=_KMEANS_K, iters=_KMEANS_ITERS,
+        )
+        .select("vec_id", "cluster")
+        .localCheckpoint()
+    )
     v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     x = asn.join(v, "vec_id").select(
         F.col("vec_id").alias("vec_a"), "cluster", F.col("v").alias("va")
