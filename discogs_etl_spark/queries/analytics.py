@@ -5401,3 +5401,65 @@ def orders_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "skyline_pareto_frontier",
+    oracle="""
+        WITH o AS (
+            SELECT o_orderkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS pc,
+                   o_totalprice,
+                   CAST(date_trunc('day', o_orderdate) AS DATE) AS d
+            FROM orders
+        ),
+        w AS (
+            SELECT o_orderkey, o_totalprice, d, pc,
+                   MAX(d) OVER (PARTITION BY pc) AS eq_max,
+                   MAX(d) OVER (ORDER BY pc
+                                RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS lt_max
+            FROM o
+        )
+        SELECT o_orderkey, o_totalprice, d AS o_orderdate
+        FROM w
+        WHERE d = eq_max AND (lt_max IS NULL OR d > lt_max)
+    """,
+    tags=("skyline", "pareto", "window"),
+)
+def skyline_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKYLINE (Pareto frontier) on (minimize price, maximize recency):
+    the orders no other order beats on both axes — the multi-objective
+    dominance operator (Börzsönyi et al. 2001) behind "cheapest AND
+    freshest" shortlists.  The 2-D case needs NO pairwise comparison:
+    sorted by price, a point survives iff its date strictly exceeds the
+    running max date over all STRICTLY cheaper points (RANGE frame to 1
+    preceding cent) and it carries its own price-tie group's max date —
+    dominance collapses into two window maxes.
+
+    Scale: prices are keyed to integer cents so the strict-predecessor
+    frame is an exact RANGE window; the global ordered window distributes
+    by the usual two-pass trick (range-partition by price, per-partition
+    running max + carried prefix max — the sweep-line / prefix-sum
+    shape).  d-dimensional skylines (d > 2) need the block-nested or
+    sort-filter-skyline algorithms instead; this is the window-native
+    special case."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("pc"),
+        "o_totalprice",
+        F.date_trunc("day", "o_orderdate").cast("date").alias("d"),
+    )
+    w_eq = Window.partitionBy("pc")
+    w_lt = Window.orderBy("pc").rangeBetween(Window.unboundedPreceding, -1)
+    w = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        "d",
+        F.max("d").over(w_eq).alias("eq_max"),
+        F.max("d").over(w_lt).alias("lt_max"),
+    )
+    return w.where(
+        (F.col("d") == F.col("eq_max"))
+        & (F.col("lt_max").isNull() | (F.col("d") > F.col("lt_max")))
+    ).select("o_orderkey", "o_totalprice", F.col("d").alias("o_orderdate"))

@@ -1619,3 +1619,70 @@ def timeseries_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rev").isNull().cast("int").alias("is_filled"),
         )
     )
+
+
+@register(
+    "events_value_winsorize",
+    oracle="""
+        WITH b AS (
+            SELECT event_type,
+                   quantile_cont(value, 0.01) AS lo,
+                   quantile_cont(value, 0.99) AS hi
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_type,
+               COUNT(*) AS n,
+               COUNT(*) FILTER (e.value < b.lo) AS n_clipped_lo,
+               COUNT(*) FILTER (e.value > b.hi) AS n_clipped_hi,
+               round(b.lo, 6) AS p01,
+               round(b.hi, 6) AS p99,
+               round(CAST(SUM(CAST(round(least(greatest(e.value, b.lo), b.hi), 6)
+                                   AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6)
+                   AS mean_winsorized
+        FROM events e JOIN b USING (event_type)
+        GROUP BY e.event_type, b.lo, b.hi
+    """,
+    tags=("stats", "winsorize", "robust"),
+)
+def events_value_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINSORIZATION: clip each event type's values to its own exact
+    [p01, p99] band and report the clipped-tail counts and winsorized
+    mean — the robust-mean preprocessing that tames heavy tails without
+    dropping rows (vs trimming), feeding anomaly baselines and
+    stats_welch_ttest-style comparisons.
+
+    Scale: the classic TWO-PASS shape — pass 1 computes per-group exact
+    percentiles (a sort per group; swap in the t-digest sketch at 100 TB
+    per agg_approx_percentile_eval), pass 2 re-streams the data clipping
+    against the BROADCAST thresholds (group-count-sized).  The clipped
+    mean accumulates as rounded DECIMAL, so partition order never moves
+    the result."""
+    e = load(spark, sf_dir, "events")
+    b = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.01)").alias("lo"),
+        F.expr("percentile(value, 0.99)").alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        e.join(F.broadcast(b), "event_type")
+        .groupBy("event_type", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("value") < F.col("lo"), 1)).alias("n_clipped_lo"),
+            F.count(F.when(F.col("value") > F.col("hi"), 1)).alias("n_clipped_hi"),
+            F.round(
+                F.sum(F.round(clipped, 6).cast("decimal(28,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_winsorized"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "n_clipped_lo",
+            "n_clipped_hi",
+            F.round("lo", 6).alias("p01"),
+            F.round("hi", 6).alias("p99"),
+            "mean_winsorized",
+        )
+    )
