@@ -4202,3 +4202,92 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "similarity_matryoshka_recall",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+                   CAST(embedding[1:16] AS DOUBLE[]) AS emb16
+            FROM embeddings
+        ),
+        q AS (SELECT vec_id AS q_vec_id, emb AS q_emb, emb16 AS q_emb16
+              FROM e WHERE vec_id < 20),
+        exact AS (
+            SELECT q_vec_id, vec_id FROM (
+                SELECT q.q_vec_id, v.vec_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.q_vec_id
+                           ORDER BY {_SQL_COS.format(a='q.q_emb', b='v.emb')} DESC,
+                                    v.vec_id) AS rank
+                FROM q JOIN e v ON v.vec_id <> q.q_vec_id
+            ) WHERE rank <= 3
+        ),
+        trunc AS (
+            SELECT q_vec_id, vec_id FROM (
+                SELECT q.q_vec_id, v.vec_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.q_vec_id
+                           ORDER BY {_SQL_COS.format(a='q.q_emb16', b='v.emb16')} DESC,
+                                    v.vec_id) AS rank
+                FROM q JOIN e v ON v.vec_id <> q.q_vec_id
+            ) WHERE rank <= 3
+        )
+        SELECT x.q_vec_id,
+               COUNT(t.vec_id) AS n_hit,
+               COUNT(*) AS k,
+               round(COUNT(t.vec_id) / CAST(COUNT(*) AS DOUBLE), 6)
+                   AS recall_at_k
+        FROM exact x LEFT JOIN trunc t
+          ON x.q_vec_id = t.q_vec_id AND x.vec_id = t.vec_id
+        GROUP BY x.q_vec_id
+    """,
+    tags=("similarity", "matryoshka", "recall", "eval"),
+)
+def similarity_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATRYOSHKA truncation eval (Kusupati et al. 2022): recall@3 of
+    top-k search run on the embeddings' FIRST 16 OF 64 dimensions
+    against the full-dimension exact neighbors — the measurement behind
+    the 4× memory/compute cut of prefix-truncated vectors (and the
+    shortlist-then-rerank pattern: truncated search recalls a candidate
+    set, full vectors re-rank it).  Same harness shape as
+    similarity_ann_recall, different approximation axis: LSH approximates
+    the SEARCH, truncation approximates the VECTORS.
+
+    Scale: truncation is free at scan time (array slice projects before
+    the shuffle — 4× less data moved); both top-k passes are
+    broadcast-query one-pass scans with window group-limits."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("emb"),
+        F.slice(F.col("embedding").cast("array<double>"), 1, 16).alias("emb16"),
+    )
+    q = e.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("emb16").alias("q_emb16"),
+    )
+    def topk(vec_col: str, qcol: str) -> DataFrame:
+        cos = _cosine(F.col(qcol), F.col(vec_col))
+        w = Window.partitionBy("q_vec_id").orderBy(F.desc("c"), F.asc("vec_id"))
+        return (
+            e.join(F.broadcast(q), F.col("vec_id") != F.col("q_vec_id"))
+            .select("q_vec_id", "vec_id", cos.alias("c"))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 3)
+            .select("q_vec_id", "vec_id")
+        )
+    exact = topk("emb", "q_emb")
+    trunc = topk("emb16", "q_emb16").withColumn("hit", F.lit(1))
+    return (
+        exact.join(trunc, ["q_vec_id", "vec_id"], "left")
+        .groupBy("q_vec_id")
+        .agg(
+            F.count("hit").alias("n_hit"),
+            F.count(F.lit(1)).alias("k"),
+            F.round(F.count("hit").cast("double") / F.count(F.lit(1)), 6).alias(
+                "recall_at_k"
+            ),
+        )
+    )

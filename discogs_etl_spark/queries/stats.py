@@ -1686,3 +1686,117 @@ def events_value_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_winsorized",
         )
     )
+
+
+@register(
+    "stats_psi_value_drift",
+    oracle="""
+        WITH tagged AS (
+            SELECT event_id, value,
+                   CASE WHEN CAST(date_trunc('day', ts) AS DATE)
+                             < DATE '2024-01-16'
+                        THEN 'base' ELSE 'curr' END AS half
+            FROM events WHERE event_type = 'purchase'
+        ),
+        edges AS (
+            SELECT unnest(range(1, 10)) AS k,
+                   unnest([quantile_disc(value, 0.1), quantile_disc(value, 0.2),
+                           quantile_disc(value, 0.3), quantile_disc(value, 0.4),
+                           quantile_disc(value, 0.5), quantile_disc(value, 0.6),
+                           quantile_disc(value, 0.7), quantile_disc(value, 0.8),
+                           quantile_disc(value, 0.9)]) AS edge
+            FROM tagged WHERE half = 'base'
+        ),
+        bucketed AS (
+            SELECT t.event_id, t.half,
+                   1 + COUNT(e.k) AS bucket
+            FROM tagged t LEFT JOIN edges e ON t.value > e.edge
+            GROUP BY t.event_id, t.half
+        ),
+        counts AS (
+            SELECT bucket,
+                   COUNT(*) FILTER (half = 'base') AS n_base,
+                   COUNT(*) FILTER (half = 'curr') AS n_curr
+            FROM bucketed GROUP BY bucket
+        ),
+        tot AS (
+            SELECT SUM(n_base) AS tb, SUM(n_curr) AS tc FROM counts
+        )
+        SELECT CAST(bucket AS BIGINT) AS bucket,
+               CAST(n_base AS BIGINT) AS n_base,
+               CAST(n_curr AS BIGINT) AS n_curr,
+               round((n_base / CAST(tb AS DOUBLE)
+                      - greatest(n_curr / CAST(tc AS DOUBLE), 0.0001))
+                     * ln((n_base / CAST(tb AS DOUBLE))
+                          / greatest(n_curr / CAST(tc AS DOUBLE), 0.0001)), 6)
+                   AS psi_contrib
+        FROM counts CROSS JOIN tot
+    """,
+    tags=("stats", "drift", "psi", "mlops"),
+)
+def stats_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second half-month
+    of purchase values: equi-depth deciles fitted on the BASELINE window,
+    both windows counted into those fixed bins, PSI contribution
+    (p−q)·ln(p/q) per bin — the model-monitoring drift metric (PSI > 0.2
+    = retrain alarm).  The floor at 0.0001 on the current-window share is
+    the standard zero-bin guard.
+
+    Bin assignment is an EQUI-join-free trick: each value left-joins the
+    9 broadcast edges on value > edge and its bucket is 1 + matching-edge
+    count — bounded ×9 fan-out, no CASE ladder, no correlated subquery.
+
+    Scale: baseline deciles are one exact-percentile pass (sketchable at
+    100 TB); bucketing is map-side against broadcast edges; the final
+    aggregate is 10 rows.  Deterministic: integer counts, shares divide
+    once, one rounded double per bin."""
+    tagged = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "value",
+            F.when(
+                F.date_trunc("day", "ts").cast("date") < F.lit("2024-01-16").cast("date"),
+                "base",
+            )
+            .otherwise("curr")
+            .alias("half"),
+        )
+    )
+    base = tagged.where(F.col("half") == "base")
+    edges = base.agg(
+        *[
+            F.expr(f"percentile_disc(0.{k}) WITHIN GROUP (ORDER BY value)").alias(
+                f"e{k}"
+            )
+            for k in range(1, 10)
+        ]
+    ).select(
+        F.explode(
+            F.array(*[F.struct(F.lit(k).alias("k"), F.col(f"e{k}").alias("edge")) for k in range(1, 10)])
+        ).alias("s")
+    ).select("s.k", "s.edge")
+    bucketed = (
+        tagged.join(F.broadcast(edges), F.col("value") > F.col("edge"), "left")
+        .groupBy("event_id", "half")
+        .agg((F.lit(1) + F.count("k")).alias("bucket"))
+    )
+    counts = bucketed.groupBy("bucket").agg(
+        F.count(F.when(F.col("half") == "base", 1)).alias("n_base"),
+        F.count(F.when(F.col("half") == "curr", 1)).alias("n_curr"),
+    )
+    tot = counts.agg(
+        F.sum("n_base").alias("tb"), F.sum("n_curr").alias("tc")
+    )
+    p = F.col("n_base") / F.col("tb").cast("double")
+    qv = F.greatest(F.col("n_curr") / F.col("tc").cast("double"), F.lit(0.0001))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("bucket").cast("bigint").alias("bucket"),
+            F.col("n_base").cast("bigint").alias("n_base"),
+            F.col("n_curr").cast("bigint").alias("n_curr"),
+            F.round((p - qv) * F.log(p / qv), 6).alias("psi_contrib"),
+        )
+    )
