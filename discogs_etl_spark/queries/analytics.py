@@ -5463,3 +5463,131 @@ def skyline_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("d") == F.col("eq_max"))
         & (F.col("lt_max").isNull() | (F.col("d") > F.col("lt_max")))
     ).select("o_orderkey", "o_totalprice", F.col("d").alias("o_orderdate"))
+
+
+@register(
+    "graph_link_prediction_jaccard",
+    oracle=f"""
+        WITH {_COORDER_EDGES_SQL},
+        und AS (
+            SELECT u AS a, v AS b FROM oriented
+            UNION ALL
+            SELECT v AS a, u AS b FROM oriented
+        ),
+        deg AS (SELECT a AS node, COUNT(*) AS d FROM und GROUP BY a),
+        common AS (
+            SELECT x.a AS u, y.a AS v, COUNT(*) AS cn
+            FROM und x JOIN und y ON x.b = y.b AND x.a < y.a
+            GROUP BY x.a, y.a
+        ),
+        cand AS (
+            SELECT c.u, c.v, c.cn, du.d AS du, dv.d AS dv
+            FROM common c
+            JOIN deg du ON du.node = c.u
+            JOIN deg dv ON dv.node = c.v
+            ANTI JOIN oriented o ON o.u = c.u AND o.v = c.v
+        )
+        SELECT u, v, CAST(cn AS BIGINT) AS common_neighbors,
+               round(cn / CAST(du + dv - cn AS DOUBLE), 6) AS jaccard
+        FROM cand
+        ORDER BY jaccard DESC, u, v
+        LIMIT 20
+    """,
+    tags=("graph", "link_prediction", "jaccard"),
+)
+def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINK PREDICTION by neighborhood Jaccard: for part pairs NOT yet
+    co-ordered, score |Γ(u)∩Γ(v)| / |Γ(u)∪Γ(v)| — the classic
+    common-neighbors recommender ("parts likely to be ordered together
+    next"), top-20.  Candidates come from the 2-hop wedge join (pairs
+    sharing ≥1 neighbor), existing edges are removed by an ANTI join —
+    the graph-completion counterpart of the family's descriptive ops
+    (triangles, LPA, PageRank).
+
+    Scale: the wedge join is the triangle-count shape (explodes on hub
+    nodes — cap or sample hub adjacency lists past a degree bound, the
+    standard mitigation); degrees broadcast; the anti-join is edge-keyed.
+    Never materializes the quadratic non-edge set — only wedge-connected
+    pairs are ever candidates."""
+    oriented = _coorder_oriented_edges(spark, sf_dir)
+    und = oriented.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        oriented.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    deg = und.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    x, y = und.alias("x"), und.alias("y")
+    common = (
+        x.join(y, (F.col("x.b") == F.col("y.b")) & (F.col("x.a") < F.col("y.a")))
+        .groupBy(F.col("x.a").alias("u"), F.col("y.a").alias("v"))
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    cand = (
+        common.join(oriented, ["u", "v"], "left_anti")
+        .join(F.broadcast(deg.select(F.col("node").alias("u"), F.col("d").alias("du"))), "u")
+        .join(F.broadcast(deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))), "v")
+    )
+    jac = F.col("cn") / (F.col("du") + F.col("dv") - F.col("cn")).cast("double")
+    return (
+        cand.select(
+            "u",
+            "v",
+            F.col("cn").cast("bigint").alias("common_neighbors"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), F.asc("u"), F.asc("v"))
+        .limit(20)
+    )
+
+
+@register(
+    "scalar_business_days_gap",
+    oracle="""
+        WITH j AS (
+            SELECT l.l_orderkey, l.l_linenumber,
+                   date_diff('day', DATE '1970-01-05',
+                             CAST(date_trunc('day', o.o_orderdate) AS DATE)) AS na,
+                   date_diff('day', DATE '1970-01-05',
+                             CAST(date_trunc('day', l.l_shipdate) AS DATE)) AS nb
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        )
+        SELECT l_orderkey, l_linenumber,
+               CAST(nb - na AS BIGINT) AS calendar_days,
+               CAST((5 * (nb // 7) + least((nb % 7) + 1, 5))
+                    - (5 * (na // 7) + least((na % 7) + 1, 5)) AS BIGINT)
+                   AS business_days
+        FROM j
+        WHERE nb >= na
+    """,
+    tags=("scalar", "calendar", "business_days"),
+)
+def scalar_business_days_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUSINESS-day gap between order and ship date, closed-form: both
+    dates map to day numbers since a Monday epoch (1970-01-05), and
+    f(n) = 5·(n div 7) + min(n mod 7 + 1, 5) counts business days from
+    the epoch through day n — the gap is f(ship) − f(order), no calendar
+    table, no per-day explode.  Day numbers avoid the engines'
+    incompatible day-of-week conventions (Spark's dayofweek is
+    1=Sunday, DuckDB's isodow is 1=Monday; epoch-day arithmetic is
+    convention-free and holiday tables join in as an optional subtrahend).
+
+    Scale: map-only over the order-ship join (the join itself is the
+    orderkey equi-join q4/q12 share); the closed form is why this works
+    at 100 TB where an explode-the-days rewrite (O(rows × gap)) would
+    not."""
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate"
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    epoch = F.lit("1970-01-05").cast("date")
+    na = F.datediff(F.date_trunc("day", "o_orderdate").cast("date"), epoch)
+    nb = F.datediff(F.date_trunc("day", "l_shipdate").cast("date"), epoch)
+    def f(n):
+        return 5 * F.floor(n / 7) + F.least(n % 7 + 1, F.lit(5))
+    j = l.join(o, l["l_orderkey"] == o["o_orderkey"]).select(
+        "l_orderkey", "l_linenumber", na.alias("na"), nb.alias("nb")
+    )
+    return j.where(F.col("nb") >= F.col("na")).select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("nb") - F.col("na")).cast("bigint").alias("calendar_days"),
+        (f(F.col("nb")) - f(F.col("na"))).cast("bigint").alias("business_days"),
+    )
