@@ -5591,3 +5591,129 @@ def scalar_business_days_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("nb") - F.col("na")).cast("bigint").alias("calendar_days"),
         (f(F.col("nb")) - f(F.col("na"))).cast("bigint").alias("business_days"),
     )
+
+
+@register(
+    "inventory_abc_xyz_matrix",
+    oracle="""
+        WITH rev AS (
+            SELECT l_partkey,
+                   CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount), 2)
+                                 AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+            FROM lineitem GROUP BY l_partkey
+        ),
+        abc AS (
+            SELECT l_partkey,
+                   CASE WHEN cum <= 0.8 THEN 'A'
+                        WHEN cum <= 0.95 THEN 'B' ELSE 'C' END AS abc_class
+            FROM (
+                SELECT l_partkey,
+                       CAST(SUM(CAST(revenue AS DECIMAL(18,2)))
+                                OVER (ORDER BY revenue DESC, l_partkey) AS DOUBLE)
+                       / (SELECT CAST(SUM(CAST(revenue AS DECIMAL(18,2))) AS DOUBLE)
+                          FROM rev) AS cum
+                FROM rev
+            )
+        ),
+        weekly AS (
+            SELECT l_partkey,
+                   CAST(date_trunc('week', l_shipdate) AS DATE) AS wk,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS q
+            FROM lineitem GROUP BY 1, 2
+        ),
+        xyz AS (
+            SELECT l_partkey,
+                   CASE WHEN n < 2 THEN 'Z'
+                        WHEN sqrt(greatest((sq - s * s / n) / (n - 1), 0))
+                             / (s / n) < 0.5 THEN 'X'
+                        WHEN sqrt(greatest((sq - s * s / n) / (n - 1), 0))
+                             / (s / n) < 1.0 THEN 'Y'
+                        ELSE 'Z' END AS xyz_class
+            FROM (
+                SELECT l_partkey, COUNT(*) AS n,
+                       CAST(SUM(CAST(round(q, 2) AS DECIMAL(18,2))) AS DOUBLE) AS s,
+                       CAST(SUM(CAST(round(q * q, 4) AS DECIMAL(38,4))) AS DOUBLE)
+                           AS sq
+                FROM weekly GROUP BY l_partkey
+            )
+        )
+        SELECT abc_class, xyz_class, COUNT(*) AS n_parts
+        FROM abc JOIN xyz USING (l_partkey)
+        GROUP BY abc_class, xyz_class
+    """,
+    tags=("inventory", "abc_xyz", "classification"),
+)
+def inventory_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC-XYZ inventory matrix: parts classified by cumulative revenue
+    share (A = first 80%, B = to 95%, C = tail — the Pareto cut) crossed
+    with demand VARIABILITY (coefficient of variation of weekly shipped
+    quantity: X < 0.5 steady, Y < 1.0, Z erratic or single-week) — the
+    9-cell planning grid (AX = automate replenishment, CZ = stock to
+    order).  Weeks with no demand are absent rather than zero-filled
+    (observed-week CV; the zero-filled variant joins the
+    timeseries_locf_fill spine first).
+
+    Scale: the revenue ranking is one cumulative window over the
+    PART-level rollup (part-cardinality-sized, not lineitem-sized); the
+    CV pass is two stacked aggregations (part,week → part) sharing the
+    part-key shuffle; the final join is part-keyed and the output is 9
+    rows.  All sums DECIMAL; the CV's variance uses the same
+    guarded-nonnegative formula as stats_welch_ttest."""
+    li = load(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).cast(
+                "decimal(18,2)"
+            )
+        )
+        .cast("double")
+        .alias("revenue")
+    )
+    tot = rev.agg(
+        F.sum(F.col("revenue").cast("decimal(18,2)")).cast("double").alias("t")
+    )
+    wcum = Window.orderBy(F.desc("revenue"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    abc = (
+        rev.withColumn(
+            "cumrev", F.sum(F.col("revenue").cast("decimal(18,2)")).over(wcum).cast("double")
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "l_partkey",
+            F.when(F.col("cumrev") / F.col("t") <= 0.8, "A")
+            .when(F.col("cumrev") / F.col("t") <= 0.95, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+    )
+    weekly = li.groupBy(
+        "l_partkey", F.date_trunc("week", "l_shipdate").cast("date").alias("wk")
+    ).agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("q"))
+    stats = weekly.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round("q", 2).cast("decimal(18,2)")).cast("double").alias("s"),
+        F.sum(F.round(F.col("q") * F.col("q"), 4).cast("decimal(38,4)"))
+        .cast("double")
+        .alias("sq"),
+    )
+    cv = F.sqrt(
+        F.greatest(
+            (F.col("sq") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1),
+            F.lit(0.0),
+        )
+    ) / (F.col("s") / F.col("n"))
+    xyz = stats.select(
+        "l_partkey",
+        F.when(F.col("n") < 2, "Z")
+        .when(cv < 0.5, "X")
+        .when(cv < 1.0, "Y")
+        .otherwise("Z")
+        .alias("xyz_class"),
+    )
+    return (
+        abc.join(xyz, "l_partkey")
+        .groupBy("abc_class", "xyz_class")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )

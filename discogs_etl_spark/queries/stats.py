@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from discogs_etl_spark.queries._util import epoch
 from discogs_etl_spark.registry import register
 from discogs_etl_spark.tables import load
 
@@ -1799,4 +1800,81 @@ def stats_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_curr").cast("bigint").alias("n_curr"),
             F.round((p - qv) * F.log(p / qv), 6).alias("psi_contrib"),
         )
+    )
+
+
+@register(
+    "stats_ks_exponential_gaps",
+    oracle="""
+        WITH g AS (
+            SELECT epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id
+                                                   ORDER BY ts, event_id)) AS t
+            FROM events WHERE event_type = 'purchase'
+        ),
+        gg AS (SELECT t FROM g WHERE t IS NOT NULL AND t > 0),
+        s AS (
+            SELECT COUNT(*) AS n,
+                   CAST(SUM(CAST(round(t, 6) AS DECIMAL(28,6))) AS DOUBLE) AS st
+            FROM gg
+        ),
+        r AS (
+            SELECT t, ROW_NUMBER() OVER (ORDER BY t) AS i FROM gg
+        ),
+        d AS (
+            SELECT r.t, r.i, s.n,
+                   1 - exp(-(s.n / s.st) * r.t) AS fit
+            FROM r CROSS JOIN s
+        )
+        SELECT CAST(MAX(n) AS BIGINT) AS n_gaps,
+               round(MAX(n) / CAST((SELECT st FROM s) AS DOUBLE), 8) AS lambda_hat,
+               round(MAX(greatest(abs(i / CAST(n AS DOUBLE) - fit),
+                                  abs((i - 1) / CAST(n AS DOUBLE) - fit))), 6)
+                   AS d_stat,
+               CAST(MAX(greatest(abs(i / CAST(n AS DOUBLE) - fit),
+                                 abs((i - 1) / CAST(n AS DOUBLE) - fit)))
+                    > 1.36 / sqrt(MAX(n)) AS INT) AS reject_95
+        FROM d
+    """,
+    tags=("stats", "ks_test", "goodness_of_fit"),
+)
+def stats_ks_exponential_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov-Smirnov goodness-of-fit: are per-user inter-purchase
+    gaps exponential (i.e., is purchasing Poisson)?  λ is fitted as
+    n/Σt, the KS D-statistic is the max deviation between the empirical
+    step CDF (BOTH step sides per sorted gap) and the fitted CDF, and
+    the 1.36/√n line gives the 95% verdict — the distributional test
+    that validates (or refutes) every "assume Poisson arrivals" model
+    downstream.
+
+    Scale: gap extraction is the sessionization window (user-keyed); the
+    ECDF rank is ONE global sort over the gap values — at 100 TB,
+    rank via range-partitioned sort + partition-offset prefix sums (the
+    repo's standard two-pass trick), or test on a uniform sample (KS
+    is sample-size-happy).  Determinism: integer-second gaps, DECIMAL
+    Σt, and identical double exp/abs/max on both engines."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ep = epoch("ts")
+    g = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select((ep - F.lag(ep).over(w)).alias("t"))
+        .where(F.col("t").isNotNull() & (F.col("t") > 0))
+    )
+    s = g.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round("t", 6).cast("decimal(28,6)")).cast("double").alias("st"),
+    )
+    r = g.withColumn("i", F.row_number().over(Window.orderBy("t")))
+    d = r.crossJoin(F.broadcast(s)).withColumn(
+        "fit", F.lit(1.0) - F.exp(-(F.col("n") / F.col("st")) * F.col("t"))
+    )
+    dev = F.greatest(
+        F.abs(F.col("i") / F.col("n").cast("double") - F.col("fit")),
+        F.abs((F.col("i") - 1) / F.col("n").cast("double") - F.col("fit")),
+    )
+    return d.agg(
+        F.max("n").cast("bigint").alias("n_gaps"),
+        F.round(F.max("n") / F.max("st"), 8).alias("lambda_hat"),
+        F.round(F.max(dev), 6).alias("d_stat"),
+        (F.max(dev) > 1.36 / F.sqrt(F.max("n"))).cast("int").alias("reject_95"),
     )
