@@ -4291,3 +4291,75 @@ def similarity_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "terms_pmi_cooccurrence",
+    oracle="""
+        WITH dt AS (
+            SELECT DISTINCT doc_id, t.term
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                  FROM documents) t
+        ),
+        n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM dt),
+        df AS (SELECT term, COUNT(*) AS df FROM dt GROUP BY term),
+        pair AS (
+            SELECT a.term AS term_a, b.term AS term_b, COUNT(*) AS n_ab
+            FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+            GROUP BY a.term, b.term
+            HAVING COUNT(*) >= 5
+        )
+        SELECT term_a, term_b, CAST(n_ab AS BIGINT) AS n_ab,
+               round(ln((n_ab * CAST(n.n_docs AS DOUBLE))
+                        / (da.df * CAST(db.df AS DOUBLE))), 6) AS pmi
+        FROM pair
+        JOIN df da ON da.term = term_a
+        JOIN df db ON db.term = term_b
+        CROSS JOIN n
+        ORDER BY pmi DESC, term_a, term_b
+        LIMIT 20
+    """,
+    tags=("text", "pmi", "cooccurrence", "lm"),
+)
+def terms_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of term CO-OCCURRENCE at document
+    scope: ln(P(a,b) / P(a)P(b)) over per-doc distinct term pairs —
+    the collocation/query-expansion signal (ngram_bigram_counts sees
+    only ADJACENT pairs; PMI sees topical affinity anywhere in the doc).
+    Top-20 associated pairs with a min-support floor.
+
+    Scale: the per-doc distinct projection caps each doc's fan-out at
+    vocabulary², and the pair count shuffles (term, term) keys with
+    map-side partials; document frequencies broadcast.  On a corpus with
+    open vocabulary, the support floor (≥5) is what keeps the pair space
+    bounded (standard collocation practice)."""
+    dt = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(_words()).alias("term"))
+        .distinct()
+    )
+    n_docs = dt.select("doc_id").distinct().count()
+    df = dt.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    a, b = dt.alias("a"), dt.alias("b")
+    pair = (
+        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.term") < F.col("b.term")))
+        .groupBy(F.col("a.term").alias("term_a"), F.col("b.term").alias("term_b"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= 5)
+    )
+    pmi = F.log(
+        (F.col("n_ab") * F.lit(float(n_docs)))
+        / (F.col("da") * F.col("db").cast("double"))
+    )
+    return (
+        pair.join(F.broadcast(df.select(F.col("term").alias("term_a"), F.col("df").alias("da"))), "term_a")
+        .join(F.broadcast(df.select(F.col("term").alias("term_b"), F.col("df").alias("db"))), "term_b")
+        .select(
+            "term_a",
+            "term_b",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            F.round(pmi, 6).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("term_a"), F.asc("term_b"))
+        .limit(20)
+    )

@@ -1878,3 +1878,84 @@ def stats_ks_exponential_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max(dev), 6).alias("d_stat"),
         (F.max(dev) > 1.36 / F.sqrt(F.max("n"))).cast("int").alias("reject_95"),
     )
+
+
+@register(
+    "stats_diff_in_diff",
+    oracle="""
+        WITH cell AS (
+            SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2
+                       AS arm,
+                   CASE WHEN CAST(date_trunc('day', ts) AS DATE) < DATE '2024-01-16'
+                        THEN 0 ELSE 1 END AS post,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(round(value, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sv
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY 1, 2
+        ),
+        m AS (
+            SELECT
+                MAX(CASE WHEN arm = 1 AND post = 0 THEN sv / n END) AS t_pre,
+                MAX(CASE WHEN arm = 1 AND post = 1 THEN sv / n END) AS t_post,
+                MAX(CASE WHEN arm = 0 AND post = 0 THEN sv / n END) AS c_pre,
+                MAX(CASE WHEN arm = 0 AND post = 1 THEN sv / n END) AS c_post
+            FROM cell
+        )
+        SELECT round(t_pre, 6) AS treat_pre, round(t_post, 6) AS treat_post,
+               round(c_pre, 6) AS ctrl_pre, round(c_post, 6) AS ctrl_post,
+               round((t_post - t_pre) - (c_post - c_pre), 6) AS did_effect
+        FROM m
+    """,
+    tags=("stats", "experiment", "diff_in_diff"),
+)
+def stats_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: mean purchase value in a 2×2 grid of
+    (hash-assigned arm) × (pre/post 2024-01-16), effect = the treated
+    arm's change minus the control arm's change — the causal estimator
+    that nets out the common time trend a naive before/after comparison
+    absorbs (seasonality, platform-wide shifts).  On the fixtures' null
+    effect the estimate hovers near zero, which is itself the honest
+    A/A-test readout.
+
+    Scale: one 4-cell conditional aggregation over the purchase slice
+    (map-side partials), then scalar arithmetic — the entire estimator
+    is one shuffle of 4 groups."""
+    cell = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .groupBy(
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+                ).cast("long")
+                % 2
+            ).alias("arm"),
+            F.when(
+                F.date_trunc("day", "ts").cast("date")
+                < F.lit("2024-01-16").cast("date"),
+                0,
+            )
+            .otherwise(1)
+            .alias("post"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round("value", 6).cast("decimal(28,6)")).cast("double").alias("sv"),
+        )
+    )
+    mean = F.col("sv") / F.col("n")
+    m = cell.agg(
+        F.max(F.when((F.col("arm") == 1) & (F.col("post") == 0), mean)).alias("t_pre"),
+        F.max(F.when((F.col("arm") == 1) & (F.col("post") == 1), mean)).alias("t_post"),
+        F.max(F.when((F.col("arm") == 0) & (F.col("post") == 0), mean)).alias("c_pre"),
+        F.max(F.when((F.col("arm") == 0) & (F.col("post") == 1), mean)).alias("c_post"),
+    )
+    return m.select(
+        F.round("t_pre", 6).alias("treat_pre"),
+        F.round("t_post", 6).alias("treat_post"),
+        F.round("c_pre", 6).alias("ctrl_pre"),
+        F.round("c_post", 6).alias("ctrl_post"),
+        F.round(
+            (F.col("t_post") - F.col("t_pre")) - (F.col("c_post") - F.col("c_pre")), 6
+        ).alias("did_effect"),
+    )
