@@ -4363,3 +4363,100 @@ def terms_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), F.asc("term_a"), F.asc("term_b"))
         .limit(20)
     )
+
+
+@register(
+    "dedup_minhash_eval",
+    oracle=f"""
+        WITH mh AS ({_MINHASH_ORACLE}),
+        ex AS ({_NGRAM_ORACLE})
+        SELECT n_exact, n_minhash, n_common,
+               round(n_common / CAST(n_minhash AS DOUBLE), 6) AS precision,
+               round(n_common / CAST(n_exact AS DOUBLE), 6) AS recall
+        FROM (
+            SELECT (SELECT COUNT(*) FROM ex) AS n_exact,
+                   (SELECT COUNT(*) FROM mh) AS n_minhash,
+                   (SELECT COUNT(*) FROM mh JOIN ex
+                     ON mh.doc_a = ex.doc_a AND mh.doc_b = ex.doc_b) AS n_common
+        )
+    """,
+    tags=("dedup", "minhash", "eval", "recall"),
+)
+def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH dedup EVALUATED against the exact Jaccard join:
+    precision/recall of the banded approximation vs ground truth — the
+    number that justifies (or indicts) the banding parameters (16
+    hashes, 4 bands × 4 rows).  Precision is 1.0 by construction (LSH
+    candidates are verified with exact Jaccard before emission); recall
+    measures pairs whose signatures never collided in any band — the
+    knob is bands × rows, and this query is how you tune it.  The
+    similarity_ann_recall pattern applied to the dedup plane.
+
+    Scale: both pipelines are the already-scale-shaped registered ops;
+    the comparison joins two pair sets on (doc_a, doc_b) — pair-set-
+    sized, not corpus-sized."""
+    ex = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    mh = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    n_exact = ex.count()
+    n_mh = mh.count()
+    n_common = mh.join(ex, ["doc_a", "doc_b"]).count()
+    return (
+        load(spark, sf_dir, "documents")
+        .limit(1)
+        .select(
+            F.lit(n_exact).cast("bigint").alias("n_exact"),
+            F.lit(n_mh).cast("bigint").alias("n_minhash"),
+            F.lit(n_common).cast("bigint").alias("n_common"),
+            F.round(F.lit(n_common) / F.lit(float(n_mh)), 6).alias("precision"),
+            F.round(F.lit(n_common) / F.lit(float(n_exact)), 6).alias("recall"),
+        )
+    )
+
+
+_SAFETY_LEXICON = ("error", "slow", "fail", "crash", "broken", "deprecated")
+_SQL_SAFETY_LEX = "(" + ", ".join(f"'{w}'" for w in _SAFETY_LEXICON) + ")"
+
+
+@register(
+    "safety_lexicon_filter",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(list_filter(w, x -> x IN {_SQL_SAFETY_LEX})) AS BIGINT)
+                   AS n_flagged,
+               round(CAST(len(list_filter(w, x -> x IN {_SQL_SAFETY_LEX})) AS DOUBLE)
+                     / len(w), 6) AS flag_rate,
+               CAST(CAST(len(list_filter(w, x -> x IN {_SQL_SAFETY_LEX})) AS DOUBLE)
+                    / len(w) > 0.05 AS INT) AS blocked
+        FROM t
+        WHERE len(list_filter(w, x -> x IN {_SQL_SAFETY_LEX})) > 0
+    """,
+    tags=("safety", "lexicon", "filter"),
+)
+def safety_lexicon_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-based SAFETY screen: per-document hit count and rate
+    against a blocklist (here a stand-in term list; production swaps in
+    the real toxicity/NSFW lexicon as a broadcast table), with a
+    block-gate at 5% density — the first, cheapest tier of a safety
+    stack (tier 2 is a fastText-style classifier over
+    feature_hashing_vectorize's output; tier 3 an LLM judge).  Rate,
+    not raw count, so long documents aren't over-flagged.
+
+    Scale: map-only array intersection per row (JVM higher-order
+    filter, no explode, no shuffle); only flagged docs are emitted so
+    output tracks the violation rate, not the corpus size."""
+    w = _words()
+    n_flag = F.size(F.filter(w, lambda x: x.isin(*_SAFETY_LEXICON)))
+    rate = n_flag.cast("double") / F.size(w)
+    return (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            n_flag.cast("bigint").alias("n_flagged"),
+            F.round(rate, 6).alias("flag_rate"),
+            (rate > 0.05).cast("int").alias("blocked"),
+        )
+        .where(F.col("n_flagged") > 0)
+    )
