@@ -5717,3 +5717,216 @@ def inventory_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("abc_class", "xyz_class")
         .agg(F.count(F.lit(1)).alias("n_parts"))
     )
+
+
+@register(
+    "bandit_greedy_replay",
+    oracle="""
+        WITH m AS (
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(round(value, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sv
+            FROM events GROUP BY 1, 2
+        ),
+        hist AS (
+            SELECT day, event_type,
+                   round(sv / n, 6) AS realized,
+                   SUM(sv) OVER (PARTITION BY event_type ORDER BY day
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS cum_sv,
+                   SUM(n) OVER (PARTITION BY event_type ORDER BY day
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS cum_n
+            FROM m
+        ),
+        scored AS (
+            SELECT day, event_type, realized,
+                   round(cum_sv / cum_n, 6) AS prev_mean,
+                   ROW_NUMBER() OVER (PARTITION BY day
+                                      ORDER BY round(cum_sv / cum_n, 6) DESC,
+                                               event_type) AS rn
+            FROM hist WHERE cum_n IS NOT NULL AND cum_n > 0
+        ),
+        best AS (
+            SELECT day, MAX(realized) AS best_realized FROM hist GROUP BY day
+        )
+        SELECT s.day, s.event_type AS chosen_arm,
+               s.prev_mean AS expected,
+               s.realized,
+               b.best_realized,
+               round(b.best_realized - s.realized, 6) AS regret
+        FROM scored s JOIN best b ON s.day = b.day
+        WHERE s.rn = 1
+    """,
+    tags=("policy_eval", "bandit", "replay"),
+)
+def bandit_greedy_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OFFLINE POLICY REPLAY of a greedy bandit: each day the policy
+    "pick the event type with the best historical mean value" is scored
+    against what that arm actually returned that day, with per-day
+    regret vs the (hindsight) best arm — the deterministic skeleton of
+    off-policy evaluation: the policy, the replay, and the regret curve
+    are all relational, no simulation loop.  Day 1 has no history and is
+    excluded (the cold-start the ε-greedy variant would randomize over).
+
+    Scale: one (day, arm) aggregate over the events (the only data-sized
+    shuffle), then arm-partitioned running sums over the calendar-bounded
+    grid, a per-day argmax window, and a day-keyed join — everything
+    after the rollup is days × arms small."""
+    m = load(spark, sf_dir, "events").groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round("value", 6).cast("decimal(28,6)")).cast("double").alias("sv"),
+    )
+    wprev = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    hist = m.select(
+        "day",
+        "event_type",
+        F.round(F.col("sv") / F.col("n"), 6).alias("realized"),
+        F.sum("sv").over(wprev).alias("cum_sv"),
+        F.sum("n").over(wprev).alias("cum_n"),
+    )
+    prev_mean = F.round(F.col("cum_sv") / F.col("cum_n"), 6)
+    wday = Window.partitionBy("day").orderBy(F.desc("prev_mean"), F.asc("event_type"))
+    scored = (
+        hist.where(F.col("cum_n").isNotNull() & (F.col("cum_n") > 0))
+        .withColumn("prev_mean", prev_mean)
+        .withColumn("rn", F.row_number().over(wday))
+        .where(F.col("rn") == 1)
+    )
+    best = hist.groupBy("day").agg(F.max("realized").alias("best_realized"))
+    return scored.join(best, "day").select(
+        "day",
+        F.col("event_type").alias("chosen_arm"),
+        F.col("prev_mean").alias("expected"),
+        "realized",
+        "best_realized",
+        F.round(F.col("best_realized") - F.col("realized"), 6).alias("regret"),
+    )
+
+
+@register(
+    "recsys_holdout_hitrate",
+    oracle="""
+        WITH op AS (
+            SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS ps
+            FROM lineitem GROUP BY l_orderkey
+            HAVING len(list_distinct(list(l_partkey))) BETWEEN 2 AND 4
+        ),
+        wpairs AS (
+            SELECT u, v, COUNT(*) AS c FROM (
+                SELECT p1.u, p2.v FROM (
+                    SELECT unnest(ps) AS u, ps FROM op
+                ) p1, LATERAL (SELECT unnest(p1.ps) AS v) p2
+                WHERE p1.u < p2.v
+            ) GROUP BY u, v
+        ),
+        split AS (
+            SELECT l_orderkey, ps[len(ps)] AS holdout, ps[1:len(ps)-1] AS ctx
+            FROM op
+        ),
+        ctxe AS (
+            SELECT l_orderkey, holdout, unnest(ctx) AS cpart, ctx FROM split
+        ),
+        cand AS (
+            SELECT e.l_orderkey, e.holdout,
+                   CASE WHEN w.u = e.cpart THEN w.v ELSE w.u END AS candidate,
+                   w.c
+            FROM ctxe e JOIN wpairs w ON w.u = e.cpart OR w.v = e.cpart
+            WHERE NOT list_contains(e.ctx,
+                      CASE WHEN w.u = e.cpart THEN w.v ELSE w.u END)
+        ),
+        scoredc AS (
+            SELECT l_orderkey, holdout, candidate, SUM(c) AS score
+            FROM cand GROUP BY 1, 2, 3
+        ),
+        topk AS (
+            SELECT l_orderkey, holdout, candidate FROM (
+                SELECT l_orderkey, holdout, candidate,
+                       ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                          ORDER BY score DESC, candidate) AS rn
+                FROM scoredc
+            ) WHERE rn <= 3
+        )
+        SELECT (SELECT COUNT(*) FROM split) AS n_baskets,
+               CAST(COUNT(DISTINCT CASE WHEN candidate = holdout
+                                        THEN l_orderkey END) AS BIGINT) AS n_hits,
+               round(COUNT(DISTINCT CASE WHEN candidate = holdout
+                                         THEN l_orderkey END)
+                     / CAST((SELECT COUNT(*) FROM split) AS DOUBLE), 6)
+                   AS hit_rate_at_3
+        FROM topk
+    """,
+    tags=("recsys", "eval", "hitrate"),
+)
+def recsys_holdout_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-order recommender EVALUATED by leave-one-out holdout: from each
+    2-4-part basket, hide the largest part id, score candidates by
+    summed co-order counts with the remaining context parts, and measure
+    hit-rate@3 — the evaluation harness for the
+    graph_link_prediction_jaccard / assoc_rules_coorder family (scores
+    without a metric are vibes).  Counts include the evaluated basket's
+    own pairs (in-corpus fit; a time-split replaces the pair table with
+    a past-window one for true generalization — same plan, different
+    filter).
+
+    Scale: the weighted pair table is the co-order edge build with
+    counts; candidate generation joins context parts against it
+    (posting-list-sized, the OR on (u, v) is two equi-probes unioned by
+    the planner); per-basket scoring and the top-3 window shuffle on
+    basket keys.  Output is 1 row."""
+    op = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .where(F.size("ps").between(2, 4))
+    )
+    wpairs = (
+        op.select(F.explode(F.expr(_COORDER_PAIR_EXPR)).alias("e"))
+        .select("e.u", "e.v")
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    split = op.select(
+        "l_orderkey",
+        F.element_at("ps", F.size("ps")).alias("holdout"),
+        F.slice("ps", 1, F.size("ps") - 1).alias("ctx"),
+    )
+    n_baskets = split.count()
+    ctxe = split.select(
+        "l_orderkey", "holdout", "ctx", F.explode("ctx").alias("cpart")
+    )
+    w = wpairs.alias("w")
+    e = ctxe.alias("e")
+    candidate = F.when(F.col("w.u") == F.col("e.cpart"), F.col("w.v")).otherwise(
+        F.col("w.u")
+    )
+    cand = (
+        e.join(w, (F.col("w.u") == F.col("e.cpart")) | (F.col("w.v") == F.col("e.cpart")))
+        .where(~F.array_contains(F.col("e.ctx"), candidate))
+        .select("e.l_orderkey", "e.holdout", candidate.alias("candidate"), "w.c")
+    )
+    scoredc = cand.groupBy("l_orderkey", "holdout", "candidate").agg(
+        F.sum("c").alias("score")
+    )
+    wtop = Window.partitionBy("l_orderkey").orderBy(F.desc("score"), F.asc("candidate"))
+    topk = (
+        scoredc.withColumn("rn", F.row_number().over(wtop))
+        .where(F.col("rn") <= 3)
+    )
+    hits = topk.where(F.col("candidate") == F.col("holdout")).select("l_orderkey").distinct()
+    n_hits = hits.count()
+    return (
+        load(spark, sf_dir, "lineitem")
+        .limit(1)
+        .select(
+            F.lit(n_baskets).cast("bigint").alias("n_baskets"),
+            F.lit(n_hits).cast("bigint").alias("n_hits"),
+            F.round(F.lit(n_hits) / F.lit(float(n_baskets)), 6).alias("hit_rate_at_3"),
+        )
+    )
