@@ -4460,3 +4460,98 @@ def safety_lexicon_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_flagged") > 0)
     )
+
+
+@register(
+    "fuzzy_join_levenshtein_blocked",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id, text, substr(text, 1, 16) AS blk FROM documents
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev_dist
+        FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        WHERE levenshtein(a.text, b.text) <= 5
+    """,
+    tags=("fuzzy_join", "levenshtein", "blocking"),
+)
+def fuzzy_join_levenshtein_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY STRING JOIN: document pairs within Levenshtein distance 5,
+    made joinable by PREFIX BLOCKING (equal first 16 chars) — the
+    edit-distance counterpart of the set-similarity joins (Jaccard /
+    containment): catches typo-level and truncation-level near-copies
+    that shingle overlap scores poorly on short texts.  Both engines
+    implement the identical classic edit distance, so the verified
+    pairs hash-match.
+
+    Blocking recall: a prefix-16 block misses pairs whose edits touch
+    the first 16 chars; production stacks passes over several blocking
+    keys (prefix, suffix, sorted-q-gram sample) and unions candidates —
+    each pass is this same plan with a different block column.  The
+    O(len²) Levenshtein kernel runs ONLY on blocked candidates, never
+    all pairs.
+
+    Scale: block key is a map-side projection; the self-join shuffles on
+    the 16-char key; skewed blocks (boilerplate prefixes) surface in
+    boilerplate_prefix_groups and cap/salt the same way."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.substring("text", 1, 16).alias("blk")
+    )
+    a, b = d.alias("a"), d.alias("b")
+    lev = F.levenshtein(F.col("a.text"), F.col("b.text"))
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .where(lev <= 5)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            lev.cast("bigint").alias("lev_dist"),
+        )
+    )
+
+
+@register(
+    "dedup_provenance_matrix",
+    oracle=f"""
+        WITH px AS ({_NGRAM_ORACLE})
+        SELECT least(da.source, db.source) AS src_a,
+               greatest(da.source, db.source) AS src_b,
+               COUNT(*) AS n_dup_pairs,
+               CAST(least(da.source, db.source) = greatest(da.source, db.source)
+                    AS INT) AS within_source
+        FROM px
+        JOIN documents da ON da.doc_id = px.doc_a
+        JOIN documents db ON db.doc_id = px.doc_b
+        GROUP BY 1, 2
+    """,
+    tags=("dedup", "provenance", "diagnostics"),
+)
+def dedup_provenance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate PROVENANCE matrix: near-duplicate pairs (the exact
+    3-gram Jaccard join's output) rolled up by the UNORDERED source pair
+    they span — the diagnostic that distinguishes internal re-posting
+    (within-source duplication: fix the crawler) from cross-source
+    syndication (mirror/scraper overlap: fix the source list), which
+    dedup pair counts alone can't separate.
+
+    Scale: the pair set is the already-scale-shaped inverted-index
+    join; source attribution is two doc-keyed joins (dimension side
+    prunable to (doc_id, source)); the matrix is sources² small."""
+    px = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    src = load(spark, sf_dir, "documents").select("doc_id", "source")
+    j = (
+        px.join(src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")), "doc_a")
+        .join(src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")), "doc_b")
+    )
+    src_a = F.least(F.col("sa"), F.col("sb"))
+    src_b = F.greatest(F.col("sa"), F.col("sb"))
+    return (
+        j.groupBy(src_a.alias("src_a"), src_b.alias("src_b"))
+        .agg(F.count(F.lit(1)).alias("n_dup_pairs"))
+        .select(
+            "src_a",
+            "src_b",
+            "n_dup_pairs",
+            (F.col("src_a") == F.col("src_b")).cast("int").alias("within_source"),
+        )
+    )
