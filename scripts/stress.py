@@ -313,6 +313,78 @@ def prefix_filter_candidates(docs):
     )
 
 
+def substring_windows(docs):
+    """dedup_substring_windows' shuffle: every 48-char sliding window
+    grouped corpus-wide.  Row fan-out is ~n_chars per doc — the heaviest
+    map-side explosion in the registry; the HAVING-style filter keeps
+    the reduce side honest."""
+    winds = docs.where(F.length("text") >= 48).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text) - 47),"
+                " i -> substring(text, i, 48))"
+            )
+        ).alias("w")
+    )
+    return (
+        winds.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 2)
+    )
+
+
+def feature_hash(docs):
+    """feature_hashing_vectorize's two aggregations — vocabulary-free, so
+    the plan shape is identical at any corpus size."""
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    hv = F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long")
+    return (
+        tf.select(
+            "doc_id",
+            (hv % 1024).alias("fi"),
+            F.when((F.floor(hv / 1024) % 2) == 0, F.col("cnt"))
+            .otherwise(-F.col("cnt"))
+            .alias("sc"),
+        )
+        .groupBy("doc_id", "fi")
+        .agg(F.sum("sc").alias("v"))
+        .where(F.col("v") != 0)
+    )
+
+
+def bigram_lm_score(docs):
+    """lm_bigram_surprisal's LM build + score join (minus the driver-side
+    vocab count — fixed at a constant here): two aggregations over the
+    bigram stream, then the bigram-keyed scoring join."""
+    inst = (
+        docs.selectExpr("doc_id", "split(text, ' ') AS w")
+        .where(F.size("w") >= 2)
+        .selectExpr(
+            "doc_id",
+            "explode(transform(sequence(1, size(w) - 1),"
+            " i -> struct(element_at(w, i) AS w1,"
+            " concat(element_at(w, i), ' ', element_at(w, i + 1)) AS bigram))) AS s",
+        )
+        .select("doc_id", "s.w1", "s.bigram")
+    )
+    bg = inst.groupBy("w1", "bigram").agg(F.count(F.lit(1)).alias("c2"))
+    ctx = bg.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    lm = bg.join(ctx, "w1").select(
+        "bigram",
+        (-F.log((F.col("c2") + 1) / (F.col("c1") + F.lit(50)).cast("double"))).alias("s"),
+    )
+    per = inst.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("k"))
+    return (
+        per.join(lm, "bigram")
+        .groupBy("doc_id")
+        .agg((F.sum(F.col("k") * F.col("s")) / F.sum("k")).alias("m"))
+    )
+
+
 def main() -> None:
     scales = [int(a) for a in sys.argv[1:]] or [1, 5, 20]
     spark = get_spark(app_name="stress")
@@ -337,6 +409,9 @@ def main() -> None:
             ("pagerank_round", pagerank_round(coorder_edges(enlarged_lineitem(spark, n)))),
             ("kmeans_assign", kmeans_assign(embs)),
             ("prefix_filter_cand", prefix_filter_candidates(docs)),
+            ("substring_windows", substring_windows(docs)),
+            ("feature_hash", feature_hash(docs)),
+            ("bigram_lm_score", bigram_lm_score(docs)),
         ):
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
