@@ -4555,3 +4555,77 @@ def dedup_provenance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("src_a") == F.col("src_b")).cast("int").alias("within_source"),
         )
     )
+
+
+@register(
+    "dedup_winnowing_fingerprints",
+    oracle=f"""
+        WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            WHERE len(string_split(text, ' ')) >= 6
+        ),
+        hs AS (
+            SELECT doc_id,
+                   list_transform(range(1, len(w) - 1),
+                       i -> ('0x' || substr(md5(array_to_string(w[i:i+2], ' ')),
+                                            1, 12))::BIGINT % {_MINHASH_P})
+                       AS hs
+            FROM w
+        ),
+        sel AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(range(1, len(hs) - 2),
+                       j -> list_min(hs[j:j+3])))) AS fp
+            FROM hs
+        )
+        SELECT doc_a, doc_b, n_shared FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+            FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+            HAVING COUNT(*) >= 3
+        )
+        ORDER BY n_shared DESC, doc_a, doc_b
+        LIMIT 50
+    """,
+    tags=("dedup", "winnowing", "fingerprint", "moss"),
+)
+def dedup_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINNOWING document fingerprints (Schleimer et al. 2003 — the MOSS
+    algorithm): hash every POSITIONAL word-3-gram, slide a window of 4
+    hashes, keep each window's minimum — winnowing's guarantee is that
+    any shared run of ≥ 6 words yields at least one shared fingerprint,
+    with a fingerprint density of ~2/(w+1) instead of every-gram.  Pairs
+    sharing ≥ 3 selected fingerprints, top-50 — the local, position-
+    robust plagiarism/copy detector next to MinHash (global set
+    resemblance) and the substring-window join (exact but dense).
+
+    Scale: selection is row-local (the whole winnow happens inside one
+    higher-order expression — no explode until the already-thinned
+    fingerprints), so the shuffle carries ~2/(w+1) of the gram stream;
+    the pair join is the standard inverted-index self-join on
+    fingerprint keys."""
+    w = (
+        load(spark, sf_dir, "documents")
+        .selectExpr("doc_id", "split(text, ' ') AS w")
+        .where(F.size("w") >= 6)
+    )
+    hs = w.selectExpr(
+        "doc_id",
+        "transform(sequence(1, size(w) - 2),"
+        " i -> CAST(conv(substring(md5(array_join(slice(w, i, 3), ' ')), 1, 12),"
+        f" 16, 10) AS BIGINT) % {_MINHASH_P}L) AS hs",
+    )
+    sel = hs.selectExpr(
+        "doc_id",
+        "explode(array_distinct(transform(sequence(1, size(hs) - 3),"
+        " j -> array_min(slice(hs, j, 4))))) AS fp",
+    )
+    a, b = sel.alias("a"), sel.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= 3)
+        .orderBy(F.desc("n_shared"), F.asc("doc_a"), F.asc("doc_b"))
+        .limit(50)
+    )

@@ -1959,3 +1959,63 @@ def stats_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("t_post") - F.col("t_pre")) - (F.col("c_post") - F.col("c_pre")), 6
         ).alias("did_effect"),
     )
+
+
+@register(
+    "stats_theil_sen_trend",
+    oracle="""
+        WITH daily AS (
+            SELECT date_diff('day', DATE '1970-01-01',
+                             CAST(date_trunc('day', o_orderdate) AS DATE)) AS d,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+            FROM orders GROUP BY 1
+        ),
+        slopes AS (
+            SELECT (b.rev - a.rev) / (b.d - a.d) AS slope
+            FROM daily a JOIN daily b ON b.d > a.d
+        )
+        SELECT CAST((SELECT COUNT(*) FROM daily) AS BIGINT) AS n_days,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               round(quantile_cont(slope, 0.5), 6) AS sen_slope
+        FROM slopes
+    """,
+    tags=("stats", "robust", "theil_sen", "trend"),
+)
+def stats_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THEIL-SEN robust trend of daily revenue: the median of all
+    pairwise slopes — a 29%-breakdown-point estimator immune to the
+    outlier days that drag stats_trend_slope_per_user's OLS around.
+    Day indices are epoch-day integers, so each slope is one exact
+    division; the median is the engines' shared interpolated quantile.
+
+    Scale: the pairwise join is over the CALENDAR-BOUNDED daily rollup
+    (n² of ~2.4k days ≈ 3M pairs — trivial), never the raw fact table;
+    at decades-of-days scale the O(n log n) Theil-Sen refinements or a
+    pair sample replace the full cross.  The inequality join (b.d > a.d)
+    over the tiny series is the one deliberate non-equi join here."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.datediff(
+                F.date_trunc("day", "o_orderdate").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            ).alias("d")
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("rev")
+        )
+    )
+    n_days = daily.count()
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = a.join(b, F.col("b.d") > F.col("a.d")).select(
+        ((F.col("b.rev") - F.col("a.rev")) / (F.col("b.d") - F.col("a.d"))).alias(
+            "slope"
+        )
+    )
+    return slopes.agg(
+        F.lit(n_days).cast("bigint").alias("n_days"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(F.expr("percentile(slope, 0.5)"), 6).alias("sen_slope"),
+    )
