@@ -5930,3 +5930,102 @@ def recsys_holdout_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.lit(n_hits) / F.lit(float(n_baskets)), 6).alias("hit_rate_at_3"),
         )
     )
+
+
+def _concurrency_oracle() -> str:
+    from discogs_etl_spark.registry import _REGISTRY
+
+    return _REGISTRY["sessions_max_concurrency"].oracle
+
+
+@register(
+    "events_littles_law_report",
+    oracle=f"""
+        WITH flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                             OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800.0
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+            SELECT user_id, ts,
+                   SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+            FROM flagged
+        ), bounds AS (
+            SELECT user_id, session_id,
+                   MIN(ts) AS s_start, MAX(ts) AS s_end
+            FROM sess GROUP BY user_id, session_id
+        ), obs AS (
+            SELECT COUNT(*) AS n_sessions,
+                   CAST(SUM(CAST(round(epoch(s_end) - epoch(s_start), 3)
+                                 AS DECIMAL(28,3))) AS DOUBLE) AS total_dur,
+                   epoch(MAX(s_end)) - epoch(MIN(s_start)) AS t_window
+            FROM bounds
+        ), peak AS (
+            SELECT MAX(max_concurrency) AS peak FROM ({_concurrency_oracle()})
+        )
+        SELECT CAST(n_sessions AS BIGINT) AS n_sessions,
+               round(n_sessions / (t_window / 3600.0), 6) AS lambda_per_hour,
+               round(total_dur / n_sessions, 6) AS avg_duration_sec,
+               round(total_dur / t_window, 6) AS avg_concurrency,
+               CAST(peak AS BIGINT) AS peak_concurrency,
+               round(peak / (total_dur / t_window), 6) AS peak_to_avg
+        FROM obs CROSS JOIN peak
+    """,
+    tags=("capacity", "littles_law", "sessionization"),
+)
+def events_littles_law_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LITTLE'S LAW capacity report: arrival rate λ (sessions/hour), mean
+    session duration W, time-averaged concurrency L = λW (the law — here
+    computed as total session-seconds over the observation window), and
+    PEAK concurrency from the sweep-line operator — whose ratio to L is
+    the burstiness factor capacity planning multiplies into "average
+    load × headroom".  Composes sessionization and
+    sessions_max_concurrency into the one-row summary an SRE actually
+    reads (the eval-harness pattern applied to systems analytics).
+
+    Scale: session bounds are the user-keyed sessionization shuffle;
+    the report aggregates are scalars; the peak reuses the day-
+    partitioned sweep (never a global single-partition sort)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ep = epoch("ts")
+    flagged = load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.lag("ts").over(w).isNull() | ((ep - F.lag(ep).over(w)) > 1800.0), 1)
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    bounds = (
+        flagged.withColumn("session_id", F.sum("is_new").over(wsum))
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    )
+    dur = F.round(epoch("s_end") - epoch("s_start"), 3)
+    obs = bounds.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(dur.cast("decimal(28,3)")).cast("double").alias("total_dur"),
+        (epoch(F.max("s_end")) - epoch(F.min("s_start"))).alias("t_window"),
+    )
+    peak = sessions_max_concurrency(spark, sf_dir).agg(
+        F.max("max_concurrency").alias("peak")
+    )
+    return obs.crossJoin(F.broadcast(peak)).select(
+        F.col("n_sessions").cast("bigint").alias("n_sessions"),
+        F.round(F.col("n_sessions") / (F.col("t_window") / 3600.0), 6).alias(
+            "lambda_per_hour"
+        ),
+        F.round(F.col("total_dur") / F.col("n_sessions"), 6).alias(
+            "avg_duration_sec"
+        ),
+        F.round(F.col("total_dur") / F.col("t_window"), 6).alias("avg_concurrency"),
+        F.col("peak").cast("bigint").alias("peak_concurrency"),
+        F.round(
+            F.col("peak") / (F.col("total_dur") / F.col("t_window")), 6
+        ).alias("peak_to_avg"),
+    )

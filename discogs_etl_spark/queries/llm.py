@@ -4629,3 +4629,81 @@ def dedup_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_shared"), F.asc("doc_a"), F.asc("doc_b"))
         .limit(50)
     )
+
+
+@register(
+    "lm_next_word_accuracy",
+    oracle="""
+        WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+        inst AS (
+            SELECT doc_id, lang, w[i] AS w1, w[i + 1] AS w2
+            FROM w, unnest(range(1, len(w))) AS t(i)
+            WHERE len(w) >= 2
+        ),
+        bg AS (SELECT w1, w2, COUNT(*) AS c FROM inst GROUP BY w1, w2),
+        pred AS (
+            SELECT w1, w2 AS predicted FROM (
+                SELECT w1, w2,
+                       ROW_NUMBER() OVER (PARTITION BY w1
+                                          ORDER BY c DESC, w2) AS rn
+                FROM bg
+            ) WHERE rn = 1
+        )
+        SELECT i.lang,
+               COUNT(*) AS n_predictions,
+               CAST(COUNT(*) FILTER (i.w2 = p.predicted) AS BIGINT) AS n_correct,
+               round(COUNT(*) FILTER (i.w2 = p.predicted)
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS accuracy
+        FROM inst i JOIN pred p ON i.w1 = p.w1
+        GROUP BY i.lang
+    """,
+    tags=("text", "lm", "eval", "accuracy"),
+)
+def lm_next_word_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-word prediction ACCURACY of the corpus bigram argmax model,
+    per language: for every bigram instance, does the globally most
+    frequent continuation of w1 (ties → lexicographic) equal the actual
+    next word?  The intrinsic-eval twin of lm_bigram_surprisal — the
+    0-R baseline every fancier LM must beat, and a per-language
+    difficulty read (in-corpus fit; hold-out via
+    sample_deterministic_split for generalization).
+
+    Scale: the model is one (w1, w2) count + a w1-partitioned argmax
+    over the VOCABULARY² table; scoring joins instances on w1 (the
+    model table broadcasts at sane vocabularies); accuracy is one
+    grouped conditional count."""
+    wdf = load(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "lang", "split(text, ' ') AS w"
+    )
+    inst = (
+        wdf.where(F.size("w") >= 2)
+        .selectExpr(
+            "doc_id",
+            "lang",
+            "explode(transform(sequence(1, size(w) - 1),"
+            " i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))) AS s",
+        )
+        .select("doc_id", "lang", "s.w1", "s.w2")
+    )
+    bg = inst.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    wp = Window.partitionBy("w1").orderBy(F.desc("c"), F.asc("w2"))
+    pred = (
+        bg.withColumn("rn", F.row_number().over(wp))
+        .where(F.col("rn") == 1)
+        .select("w1", F.col("w2").alias("predicted"))
+    )
+    return (
+        inst.join(F.broadcast(pred), "w1")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_predictions"),
+            F.count(F.when(F.col("w2") == F.col("predicted"), 1))
+            .cast("bigint")
+            .alias("n_correct"),
+            F.round(
+                F.count(F.when(F.col("w2") == F.col("predicted"), 1))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("accuracy"),
+        )
+    )
