@@ -4707,3 +4707,136 @@ def lm_next_word_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("accuracy"),
         )
     )
+
+
+def _power_iter_oracle(iters: int = 3) -> str:
+    parts = [
+        """v0 AS (SELECT unnest(range(64)) AS i, 0.125 AS v)"""
+    ]
+    for k in range(iters):
+        parts.append(f"""w{k} AS (
+            SELECT c.i,
+                   CAST(SUM(CAST(round(c.c * v.v, 6) AS DECIMAL(38,6)))
+                        AS DOUBLE) AS wv
+            FROM cov c JOIN v{k} v ON c.j = v.i GROUP BY c.i
+        )""")
+        parts.append(f"""n{k} AS (
+            SELECT sqrt(CAST(SUM(CAST(round(wv * wv, 6) AS DECIMAL(38,6)))
+                             AS DOUBLE)) AS nn
+            FROM w{k}
+        )""")
+        parts.append(f"""v{k + 1} AS (
+            SELECT i, round(wv / nn, 6) AS v FROM w{k} CROSS JOIN n{k}
+        )""")
+    body = ",\n        ".join(parts)
+    return f"""
+        WITH e AS (
+            SELECT vec_id, gs.i AS pos, CAST(embedding[gs.i + 1] AS DOUBLE) AS v
+            FROM embeddings,
+                 LATERAL (SELECT unnest(range(len(embedding))) AS i) gs
+        ),
+        nv AS (SELECT COUNT(DISTINCT vec_id) AS n FROM e),
+        mu AS (
+            SELECT pos,
+                   round(CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE)
+                         / COUNT(*), 9) AS mu
+            FROM e GROUP BY pos
+        ),
+        cent AS (
+            SELECT e.vec_id, e.pos, e.v - mu.mu AS cv
+            FROM e JOIN mu ON e.pos = mu.pos
+        ),
+        cov AS (
+            SELECT a.pos AS i, b.pos AS j,
+                   round(CAST(SUM(CAST(round(a.cv * b.cv, 9) AS DECIMAL(38,9)))
+                              AS DOUBLE) / nv.n, 9) AS c
+            FROM cent a JOIN cent b ON a.vec_id = b.vec_id CROSS JOIN nv
+            GROUP BY a.pos, b.pos, nv.n
+        ),
+        {body}
+        SELECT CAST(i AS BIGINT) AS pos, v AS loading,
+               round((SELECT nn FROM n{iters - 1}), 6) AS eigenvalue
+        FROM v{iters}
+    """
+
+
+@register(
+    "embedding_power_iteration_pc1",
+    oracle=_power_iter_oracle(),
+    tags=("embedding", "pca", "linear_algebra"),
+)
+def embedding_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top PRINCIPAL COMPONENT by power iteration, fully relational: the
+    64×64 covariance matrix is one self-join aggregation over centered
+    (vec, dim, value) triples, then 3 fixed matvec+normalize rounds from
+    a uniform start — PCA's workhorse eigensolver expressed as joins, no
+    BLAS, every step DECIMAL-rounded so both engines walk the identical
+    trajectory (the k-means exactness discipline applied to linear
+    algebra).  Output: the 64 loadings plus the final Rayleigh norm (the
+    dominant eigenvalue estimate — the "explained variance" numerator).
+
+    Scale: covariance is the only corpus-sized stage — (vec_id-keyed
+    self-join, dims² cells out, map-side partials; at 100 TB use the
+    Gram-matrix form Σxxᵀ − nμμᵀ to make it ONE pass); the iteration
+    itself touches 64²-sized tables — broadcast-trivial regardless of
+    corpus.  More components = deflate and repeat (or Lanczos)."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
+    )
+    n = e.select("vec_id").distinct().count()
+    mu = e.groupBy("pos").agg(
+        F.round(
+            F.sum(F.col("v").cast("decimal(28,12)")).cast("double") / F.count(F.lit(1)),
+            9,
+        ).alias("mu")
+    )
+    cent = e.join(F.broadcast(mu), "pos").select(
+        "vec_id", "pos", (F.col("v") - F.col("mu")).alias("cv")
+    )
+    a, b = cent.alias("a"), cent.alias("b")
+    cov = (
+        a.join(b, "vec_id")
+        .groupBy(F.col("a.pos").alias("i"), F.col("b.pos").alias("j"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(F.col("a.cv") * F.col("b.cv"), 9).cast("decimal(38,9)")
+                ).cast("double")
+                / F.lit(float(n)),
+                9,
+            ).alias("c")
+        )
+        .localCheckpoint()
+    )
+    spark_sess = spark
+    v = spark_sess.range(64).select(
+        F.col("id").cast("int").alias("i"), F.lit(0.125).alias("v")
+    )
+    last_norm = None
+    for _ in range(3):
+        w = (
+            cov.join(F.broadcast(v.select(F.col("i").alias("j"), "v")), "j")
+            .groupBy("i")
+            .agg(
+                F.sum(F.round(F.col("c") * F.col("v"), 6).cast("decimal(38,6)"))
+                .cast("double")
+                .alias("wv")
+            )
+        )
+        nrm = w.agg(
+            F.sqrt(
+                F.sum(F.round(F.col("wv") * F.col("wv"), 6).cast("decimal(38,6)")).cast(
+                    "double"
+                )
+            ).alias("nn")
+        )
+        last_norm = nrm
+        v = w.crossJoin(F.broadcast(nrm)).select(
+            "i", F.round(F.col("wv") / F.col("nn"), 6).alias("v")
+        )
+    return v.crossJoin(F.broadcast(last_norm)).select(
+        F.col("i").cast("bigint").alias("pos"),
+        F.col("v").alias("loading"),
+        F.round("nn", 6).alias("eigenvalue"),
+    )

@@ -2019,3 +2019,69 @@ def stats_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
         F.round(F.expr("percentile(slope, 0.5)"), 6).alias("sen_slope"),
     )
+
+
+@register(
+    "stats_circular_mean_hour",
+    oracle="""
+        WITH h AS (
+            SELECT event_type,
+                   (epoch(ts) % 86400) / 86400.0 * 2 * pi() AS theta
+            FROM events
+        ),
+        s AS (
+            SELECT event_type, COUNT(*) AS n,
+                   CAST(SUM(CAST(round(sin(theta), 9) AS DECIMAL(28,9)))
+                        AS DOUBLE) AS ss,
+                   CAST(SUM(CAST(round(cos(theta), 9) AS DECIMAL(28,9)))
+                        AS DOUBLE) AS sc
+            FROM h GROUP BY event_type
+        )
+        SELECT event_type, CAST(n AS BIGINT) AS n,
+               round(((atan2(ss, sc) + 2 * pi()) % (2 * pi()))
+                     / (2 * pi()) * 24, 4) AS mean_hour,
+               round(sqrt(ss * ss + sc * sc) / n, 6) AS resultant_r
+        FROM s
+    """,
+    tags=("stats", "circular", "time_of_day"),
+)
+def stats_circular_mean_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CIRCULAR mean time-of-day per event type: each timestamp becomes
+    an angle on the 24 h clock, the mean direction comes from atan2 of
+    the summed sin/cos, and the resultant length R ∈ [0, 1] measures
+    concentration — the statistic that correctly averages 23:00 and
+    01:00 to midnight where a linear mean says noon (the classic
+    time-of-day bug), with R ≈ 0 flagging "no preferred hour" where a
+    linear mean would still print one.
+
+    Scale: map-side sin/cos, one grouped DECIMAL sum per type, scalar
+    atan2 on the group row — the cheapest query in the stats family.
+    Determinism: rounded sin/cos contributions accumulate as DECIMAL;
+    atan2/sqrt on identical doubles agree bit-for-bit."""
+    ep = epoch("ts")
+    theta = (ep % 86400) / 86400.0 * 2 * 3.141592653589793
+    h = load(spark, sf_dir, "events").select(
+        "event_type", theta.alias("theta")
+    )
+    s = h.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.sin("theta"), 9).cast("decimal(28,9)"))
+        .cast("double")
+        .alias("ss"),
+        F.sum(F.round(F.cos("theta"), 9).cast("decimal(28,9)"))
+        .cast("double")
+        .alias("sc"),
+    )
+    two_pi = 2 * 3.141592653589793
+    mean_hour = F.round(
+        ((F.atan2("ss", "sc") + two_pi) % two_pi) / two_pi * 24, 4
+    )
+    return s.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        mean_hour.alias("mean_hour"),
+        F.round(
+            F.sqrt(F.col("ss") * F.col("ss") + F.col("sc") * F.col("sc")) / F.col("n"),
+            6,
+        ).alias("resultant_r"),
+    )
