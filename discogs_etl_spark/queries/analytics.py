@@ -6029,3 +6029,174 @@ def events_littles_law_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("peak") / (F.col("total_dur") / F.col("t_window")), 6
         ).alias("peak_to_avg"),
     )
+
+
+@register(
+    "orders_fiscal_445_revenue",
+    oracle="""
+        WITH o AS (
+            SELECT o_orderkey, o_totalprice,
+                   date_diff('day', DATE '1970-01-05',
+                             CAST(date_trunc('day', o_orderdate) AS DATE)) // 7
+                       AS wk
+            FROM orders
+        ),
+        f AS (
+            SELECT o_orderkey, o_totalprice,
+                   1970 + wk // 52 AS fiscal_year,
+                   (wk % 52) // 13 AS q,
+                   (wk % 52) % 13 AS wiq
+            FROM o
+        )
+        SELECT CAST(fiscal_year AS BIGINT) AS fiscal_year,
+               CAST(q * 3 + CASE WHEN wiq < 4 THEN 1
+                                 WHEN wiq < 8 THEN 2 ELSE 3 END AS BIGINT)
+                   AS fiscal_period,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM f
+        GROUP BY 1, 2
+    """,
+    tags=("calendar", "fiscal_445", "revenue"),
+)
+def orders_fiscal_445_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by 4-4-5 FISCAL periods (the retail calendar: each
+    13-week quarter splits into 4+4+5-week periods, so periods align on
+    whole weeks and comparisons are same-weekday-mix clean): the
+    Gregorian date collapses to a Monday-epoch week number and pure
+    integer arithmetic yields fiscal year, quarter, and period — no
+    calendar dimension table, and the same epoch-day idiom as
+    scalar_business_days_gap keeps both engines convention-free.
+    53rd-week years fold into period 12 here (the NRF leap-week rule is
+    one extra CASE on wk % 52 = 52, omitted for clarity).
+
+    Scale: map-only derivation, one grouped aggregate on the (year,
+    period) key — period cardinality is years × 12."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_totalprice",
+        F.floor(
+            F.datediff(
+                F.date_trunc("day", "o_orderdate").cast("date"),
+                F.lit("1970-01-05").cast("date"),
+            )
+            / 7
+        ).alias("wk"),
+    )
+    f = o.select(
+        "o_totalprice",
+        (F.lit(1970) + F.floor(F.col("wk") / 52)).alias("fiscal_year"),
+        F.floor((F.col("wk") % 52) / 13).alias("q"),
+        ((F.col("wk") % 52) % 13).alias("wiq"),
+    )
+    period = F.col("q") * 3 + F.when(F.col("wiq") < 4, 1).when(
+        F.col("wiq") < 8, 2
+    ).otherwise(3)
+    return (
+        f.groupBy(
+            F.col("fiscal_year").cast("bigint").alias("fiscal_year"),
+            period.cast("bigint").alias("fiscal_period"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+@register(
+    "supplier_scorecard_composite",
+    oracle="""
+        WITH m AS (
+            SELECT l_suppkey,
+                   CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount), 2)
+                                 AS DECIMAL(18,2))) AS DOUBLE) AS rev,
+                   round(CAST(SUM(CAST(round(l_discount, 4) AS DECIMAL(18,4)))
+                              AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+                   COUNT(*) AS vol
+            FROM lineitem GROUP BY l_suppkey
+        ),
+        g AS (
+            SELECT COUNT(*) AS n,
+                   CAST(SUM(CAST(round(rev, 2) AS DECIMAL(28,2))) AS DOUBLE) AS sr,
+                   CAST(SUM(CAST(round(rev * rev, 4) AS DECIMAL(38,4))) AS DOUBLE)
+                       AS srr,
+                   CAST(SUM(CAST(round(avg_disc, 6) AS DECIMAL(28,6))) AS DOUBLE)
+                       AS sd,
+                   CAST(SUM(CAST(round(avg_disc * avg_disc, 9) AS DECIMAL(38,9)))
+                        AS DOUBLE) AS sdd,
+                   CAST(SUM(vol) AS DOUBLE) AS sv,
+                   CAST(SUM(CAST(vol AS DECIMAL(38,0)) * vol) AS DOUBLE) AS svv
+            FROM m
+        )
+        SELECT l_suppkey,
+               round(0.5 * ((rev - sr / n) / sqrt(greatest(srr / n - (sr/n)*(sr/n), 1e-12)))
+                     - 0.3 * ((avg_disc - sd / n) / sqrt(greatest(sdd / n - (sd/n)*(sd/n), 1e-12)))
+                     + 0.2 * ((vol - sv / n) / sqrt(greatest(svv / n - (sv/n)*(sv/n), 1e-12))),
+                     6) AS composite
+        FROM m CROSS JOIN g
+        ORDER BY composite DESC, l_suppkey
+        LIMIT 10
+    """,
+    tags=("bi", "scorecard", "zscore"),
+)
+def supplier_scorecard_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier SCORECARD: three per-supplier KPIs (net revenue ↑, mean
+    discount given ↓, shipment volume ↑) z-score-normalized across the
+    supplier population and blended 0.5/−0.3/0.2 into one composite —
+    the weighted-z pattern behind every vendor/store/rep ranking
+    dashboard (z-scores make incommensurable units addable; the weights
+    are the business's stated priorities).  Top-10 suppliers.
+
+    Scale: one supplier-keyed rollup (supplier cardinality ≪ fact), a
+    1-row population-moment aggregate broadcast back, map-side z math,
+    10-row TakeOrderedAndProject.  Population variances use the same
+    guarded sum-of-squares form as stats_welch_ttest; every sum is
+    DECIMAL."""
+    m = load(spark, sf_dir, "lineitem").groupBy("l_suppkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).cast(
+                "decimal(18,2)"
+            )
+        )
+        .cast("double")
+        .alias("rev"),
+        F.round(
+            F.sum(F.round("l_discount", 4).cast("decimal(18,4)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_disc"),
+        F.count(F.lit(1)).alias("vol"),
+    )
+    g = m.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round("rev", 2).cast("decimal(28,2)")).cast("double").alias("sr"),
+        F.sum(F.round(F.col("rev") * F.col("rev"), 4).cast("decimal(38,4)"))
+        .cast("double")
+        .alias("srr"),
+        F.sum(F.round("avg_disc", 6).cast("decimal(28,6)")).cast("double").alias("sd"),
+        F.sum(F.round(F.col("avg_disc") * F.col("avg_disc"), 9).cast("decimal(38,9)"))
+        .cast("double")
+        .alias("sdd"),
+        F.sum("vol").cast("double").alias("sv"),
+        F.sum(F.col("vol").cast("decimal(38,0)") * F.col("vol"))
+        .cast("double")
+        .alias("svv"),
+    )
+    def z(x, sx, sxx):
+        mean = F.col(sx) / F.col("n")
+        var = F.greatest(F.col(sxx) / F.col("n") - mean * mean, F.lit(1e-12))
+        return (F.col(x) - mean) / F.sqrt(var)
+    comp = F.round(
+        0.5 * z("rev", "sr", "srr")
+        - 0.3 * z("avg_disc", "sd", "sdd")
+        + 0.2 * z("vol", "sv", "svv"),
+        6,
+    )
+    return (
+        m.crossJoin(F.broadcast(g))
+        .select("l_suppkey", comp.alias("composite"))
+        .orderBy(F.desc("composite"), F.asc("l_suppkey"))
+        .limit(10)
+    )
