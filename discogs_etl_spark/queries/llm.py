@@ -4840,3 +4840,64 @@ def embedding_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("v").alias("loading"),
         F.round("nn", 6).alias("eigenvalue"),
     )
+
+
+@register(
+    "text_char_entropy",
+    oracle="""
+        WITH ch AS (
+            SELECT doc_id,
+                   substr(text, t.i, 2) AS bg
+            FROM documents, unnest(range(1, len(text))) AS t(i)
+        ),
+        cnt AS (
+            SELECT doc_id, bg, COUNT(*) AS c FROM ch GROUP BY doc_id, bg
+        ),
+        tot AS (SELECT doc_id, SUM(c) AS t FROM cnt GROUP BY doc_id)
+        SELECT c.doc_id,
+               CAST(ANY_VALUE(t.t) AS BIGINT) AS n_transitions,
+               round(CAST(SUM(CAST(round(-(c.c / CAST(t.t AS DOUBLE))
+                                         * ln(c.c / CAST(t.t AS DOUBLE)), 9)
+                                   AS DECIMAL(28,9))) AS DOUBLE), 6)
+                   AS char_entropy
+        FROM cnt c JOIN tot t ON c.doc_id = t.doc_id
+        GROUP BY c.doc_id
+    """,
+    tags=("text", "entropy", "gibberish", "quality"),
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHARACTER-transition entropy per document: Shannon entropy of the
+    2-char sliding window distribution — the gibberish detector
+    (keyboard mash and random strings run near the uniform ceiling;
+    natural text sits well below; template/repeated text near zero) that
+    complements the WORD-level signals (text_repetition_score,
+    lm_bigram_surprisal) at the granularity where "asdfjkl;" and
+    base64 blobs actually live.
+
+    Scale: the window explode is map-side (×len fan-out, same budget as
+    dedup_substring_windows but 2-char), the count shuffles on
+    (doc, bigram), and the entropy sum is per-doc DECIMAL-accumulated —
+    exact p·ln p contributions from integer count ratios."""
+    ch = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text) - 1),"
+                " i -> substring(text, i, 2))"
+            )
+        ).alias("bg"),
+    )
+    cnt = ch.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("doc_id").agg(F.sum("c").alias("t"))
+    p = F.col("c") / F.col("t").cast("double")
+    return (
+        cnt.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.first("t").cast("bigint").alias("n_transitions"),
+            F.round(
+                F.sum(F.round(-p * F.log(p), 9).cast("decimal(28,9)")).cast("double"),
+                6,
+            ).alias("char_entropy"),
+        )
+    )

@@ -2085,3 +2085,102 @@ def stats_circular_mean_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("resultant_r"),
     )
+
+
+@register(
+    "retention_halflife_fit",
+    oracle="""
+        WITH firstseen AS (
+            SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cw
+            FROM events GROUP BY user_id
+        ),
+        activity AS (
+            SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS aw
+            FROM events
+        ),
+        tri AS (
+            SELECT CAST(date_diff('day', f.cw, a.aw) / 7 AS BIGINT) AS w,
+                   COUNT(*) AS active
+            FROM activity a JOIN firstseen f ON a.user_id = f.user_id
+            GROUP BY 1
+        ),
+        base AS (SELECT active AS cohort0 FROM tri WHERE w = 0),
+        pts AS (
+            SELECT w, round(ln(active / CAST(cohort0 AS DOUBLE)), 9) AS y
+            FROM tri CROSS JOIN base WHERE w >= 1
+        ),
+        s AS (
+            SELECT COUNT(*) AS n,
+                   CAST(SUM(CAST(w AS DECIMAL(18,0))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(round(y, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(round(w * y, 9) AS DECIMAL(38,9))) AS DOUBLE) AS sxy,
+                   CAST(SUM(CAST(w AS DECIMAL(18,0)) * w) AS DOUBLE) AS sxx
+            FROM pts
+        )
+        SELECT CAST(n AS BIGINT) AS n_points,
+               round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS decay_slope,
+               round(-ln(2) / ((n * sxy - sx * sy) / (n * sxx - sx * sx)), 4)
+                   AS halflife_weeks
+        FROM s
+    """,
+    tags=("stats", "retention", "halflife", "regression"),
+)
+def retention_halflife_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention HALF-LIFE: fit ln(retention) = a + b·week over the
+    weekly retention curve (active users at offset w over the week-0
+    base) and report b and −ln2/b — the single number ("users halve
+    every N weeks") product teams quote from the retention triangle
+    events_retention_cohorts draws.  Exponential decay is the standard
+    first-order retention model; a poor fit (curvature in ln space)
+    flags the power-law/heterogeneous-cohort case where the half-life
+    headline misleads.
+
+    Scale: the triangle is the retention query's two user-keyed
+    reductions; the fit runs over W points (weeks — calendar-bounded);
+    same OLS-with-DECIMAL-moments shape as stats_zipf_slope_by_lang."""
+    firstseen = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).cast("date").alias("cw"))
+    )
+    activity = (
+        load(spark, sf_dir, "events")
+        .select("user_id", F.date_trunc("week", "ts").cast("date").alias("aw"))
+        .distinct()
+    )
+    tri = (
+        activity.join(firstseen, "user_id")
+        .groupBy(
+            F.floor(F.datediff("aw", "cw") / 7).cast("bigint").alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("active"))
+    )
+    base = tri.where(F.col("w") == 0).select(F.col("active").alias("cohort0"))
+    pts = (
+        tri.crossJoin(F.broadcast(base))
+        .where(F.col("w") >= 1)
+        .select(
+            "w",
+            F.round(F.log(F.col("active") / F.col("cohort0").cast("double")), 9).alias(
+                "y"
+            ),
+        )
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("w").cast("decimal(18,0)")).cast("double").alias("sx"),
+        F.sum(F.round("y", 9).cast("decimal(28,9)")).cast("double").alias("sy"),
+        F.sum(F.round(F.col("w") * F.col("y"), 9).cast("decimal(38,9)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.col("w").cast("decimal(18,0)") * F.col("w")).cast("double").alias("sxx"),
+    )
+    b = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    import math
+    return s.select(
+        F.col("n").cast("bigint").alias("n_points"),
+        F.round(b, 6).alias("decay_slope"),
+        F.round(F.lit(-math.log(2)) / b, 4).alias("halflife_weeks"),
+    )
