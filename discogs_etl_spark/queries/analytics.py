@@ -5598,8 +5598,9 @@ def scalar_business_days_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH rev AS (
             SELECT l_partkey,
-                   CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount), 2)
-                                 AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l_discount AS DECIMAL(4,2))))
+                        AS DOUBLE) AS revenue
             FROM lineitem GROUP BY l_partkey
         ),
         abc AS (
@@ -5662,9 +5663,8 @@ def inventory_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_partkey").agg(
         F.sum(
-            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).cast(
-                "decimal(18,2)"
-            )
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
         )
         .cast("double")
         .alias("revenue")
@@ -6110,8 +6110,9 @@ def orders_fiscal_445_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH m AS (
             SELECT l_suppkey,
-                   CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount), 2)
-                                 AS DECIMAL(18,2))) AS DOUBLE) AS rev,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l_discount AS DECIMAL(4,2))))
+                        AS DOUBLE) AS rev,
                    round(CAST(SUM(CAST(round(l_discount, 4) AS DECIMAL(18,4)))
                               AS DOUBLE) / COUNT(*), 6) AS avg_disc,
                    COUNT(*) AS vol
@@ -6156,9 +6157,8 @@ def supplier_scorecard_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL."""
     m = load(spark, sf_dir, "lineitem").groupBy("l_suppkey").agg(
         F.sum(
-            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).cast(
-                "decimal(18,2)"
-            )
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
         )
         .cast("double")
         .alias("rev"),
@@ -6199,4 +6199,168 @@ def supplier_scorecard_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_suppkey", comp.alias("composite"))
         .orderBy(F.desc("composite"), F.asc("l_suppkey"))
         .limit(10)
+    )
+
+
+@register(
+    "topn_with_others_rollup",
+    oracle="""
+        WITH rev AS (
+            SELECT p.p_brand,
+                   CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l.l_discount AS DECIMAL(4,2))))
+                        AS DOUBLE) AS revenue
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY p.p_brand
+        ),
+        ranked AS (
+            SELECT p_brand, revenue,
+                   ROW_NUMBER() OVER (ORDER BY revenue DESC, p_brand) AS rn
+            FROM rev
+        )
+        SELECT CASE WHEN rn <= 5 THEN p_brand ELSE 'Other' END AS brand_group,
+               CAST(COUNT(*) AS BIGINT) AS n_brands,
+               CAST(SUM(CAST(revenue AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM ranked
+        GROUP BY CASE WHEN rn <= 5 THEN p_brand ELSE 'Other' END
+    """,
+    tags=("bi", "topn", "others_rollup"),
+)
+def topn_with_others_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 brands by revenue WITH AN 'Other' BUCKET: the ubiquitous
+    dashboard shape a bare LIMIT gets wrong (dropping the tail silently
+    misstates the total) — rank, relabel everything past the cut, and
+    re-aggregate so the chart still sums to 100% of revenue.
+
+    Scale: the ranking window runs over the BRAND rollup (brand
+    cardinality, not fact rows); the relabel + regroup is a second
+    tiny-key shuffle.  The fact-side join is the broadcast-dimension
+    shape q3/q5 pin."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    ranked = rev.withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.desc("revenue"), F.asc("p_brand")))
+    )
+    return (
+        ranked.groupBy(
+            F.when(F.col("rn") <= 5, F.col("p_brand"))
+            .otherwise("Other")
+            .alias("brand_group")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_brands"),
+            F.sum(F.col("revenue").cast("decimal(18,2)")).cast("double").alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+@register(
+    "process_conformance_sessions",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                             OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800.0
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+            SELECT user_id, ts, event_id, event_type,
+                   SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+            FROM flagged
+        ), firsts AS (
+            SELECT user_id, session_id,
+                   MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+                   MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+                   MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+            FROM sess GROUP BY user_id, session_id
+        )
+        SELECT CASE
+                 WHEN t_buy IS NOT NULL AND (t_view IS NULL OR t_click IS NULL
+                      OR NOT (t_view <= t_click AND t_click <= t_buy))
+                   THEN 'violating_purchase'
+                 WHEN t_buy IS NOT NULL THEN 'conformant_purchase'
+                 WHEN t_click IS NOT NULL AND (t_view IS NULL OR t_view > t_click)
+                   THEN 'violating_click'
+                 WHEN t_click IS NOT NULL THEN 'conformant_click'
+                 ELSE 'browse_only'
+               END AS trace_class,
+               COUNT(*) AS n_sessions
+        FROM firsts
+        GROUP BY 1
+    """,
+    tags=("process_mining", "conformance", "sessionization"),
+)
+def process_conformance_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROCESS-MINING conformance check: every session's trace is
+    classified against the reference process view → click → purchase
+    using first-occurrence timestamps — purchases whose prefix is
+    missing or out of order are 'violating' traces (tracking bugs, bots,
+    or deep-linked buys), the conformance-checking core of process
+    mining without materializing full trace strings.
+
+    Scale: sessionization's user-keyed windows, then ONE conditional-MIN
+    aggregate per session and a 5-way classification — no joins, no
+    per-trace explode; the class histogram is the output."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ep = epoch("ts")
+    flagged = load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(F.lag("ts").over(w).isNull() | ((ep - F.lag(ep).over(w)) > 1800.0), 1)
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    firsts = (
+        flagged.withColumn("session_id", F.sum("is_new").over(wsum))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+            F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+            F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_buy"),
+        )
+    )
+    cls = (
+        F.when(
+            F.col("t_buy").isNotNull()
+            & (
+                F.col("t_view").isNull()
+                | F.col("t_click").isNull()
+                | ~(
+                    (F.col("t_view") <= F.col("t_click"))
+                    & (F.col("t_click") <= F.col("t_buy"))
+                )
+            ),
+            "violating_purchase",
+        )
+        .when(F.col("t_buy").isNotNull(), "conformant_purchase")
+        .when(
+            F.col("t_click").isNotNull()
+            & (F.col("t_view").isNull() | (F.col("t_view") > F.col("t_click"))),
+            "violating_click",
+        )
+        .when(F.col("t_click").isNotNull(), "conformant_click")
+        .otherwise("browse_only")
+    )
+    return firsts.groupBy(cls.alias("trace_class")).agg(
+        F.count(F.lit(1)).alias("n_sessions")
     )
