@@ -6364,3 +6364,54 @@ def process_conformance_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return firsts.groupBy(cls.alias("trace_class")).agg(
         F.count(F.lit(1)).alias("n_sessions")
     )
+
+
+@register(
+    "supply_single_source_risk",
+    oracle="""
+        WITH srcs AS (
+            SELECT l_partkey, COUNT(DISTINCT l_suppkey) AS n_suppliers,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l_discount AS DECIMAL(4,2))))
+                        AS DOUBLE) AS revenue_exposed
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT CAST(n_suppliers AS BIGINT) AS n_suppliers,
+               COUNT(*) AS n_parts,
+               -- per-part revenue sits on a 4-dp grid (price x (1-disc));
+               -- re-accumulate at 4 dp so no half-boundary re-rounding
+               CAST(SUM(CAST(revenue_exposed AS DECIMAL(28,4))) AS DOUBLE)
+                   AS revenue_exposed
+        FROM srcs
+        GROUP BY n_suppliers
+    """,
+    tags=("supply_chain", "risk", "sourcing"),
+)
+def supply_single_source_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOURCING-REDUNDANCY risk profile: parts histogrammed by how many
+    distinct suppliers ship them, with the revenue riding on each tier —
+    the n_suppliers = 1 row is the single-source exposure a supply-chain
+    review opens with (one supplier failure strands that revenue), and
+    the complement of q16's supplier-count listing: aggregated to the
+    risk tiers with money attached.
+
+    Scale: one part-keyed distinct-count + revenue rollup (shared
+    shuffle), then a tiers-sized regroup; revenue uses the decimal-
+    factor idiom so tier totals are exact."""
+    srcs = load(spark, sf_dir, "lineitem").groupBy("l_partkey").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+        )
+        .cast("double")
+        .alias("revenue_exposed"),
+    )
+    return srcs.groupBy(
+        F.col("n_suppliers").cast("bigint").alias("n_suppliers")
+    ).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum(F.col("revenue_exposed").cast("decimal(28,4)"))
+        .cast("double")
+        .alias("revenue_exposed"),
+    )

@@ -2184,3 +2184,55 @@ def retention_halflife_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(b, 6).alias("decay_slope"),
         F.round(F.lit(-math.log(2)) / b, 4).alias("halflife_weeks"),
     )
+
+
+@register(
+    "stats_dispersion_order_size",
+    oracle="""
+        WITH sz AS (
+            SELECT l_orderkey, COUNT(*) AS k FROM lineitem GROUP BY l_orderkey
+        ),
+        s AS (
+            SELECT COUNT(*) AS n,
+                   CAST(SUM(CAST(k AS DECIMAL(18,0))) AS DOUBLE) AS sk,
+                   CAST(SUM(CAST(k AS DECIMAL(18,0)) * k) AS DOUBLE) AS skk
+            FROM sz
+        )
+        SELECT CAST(n AS BIGINT) AS n_orders,
+               round(sk / n, 6) AS mean_lines,
+               round((skk - sk * sk / n) / (n - 1), 6) AS var_lines,
+               round(((skk - sk * sk / n) / (n - 1)) / (sk / n), 6)
+                   AS dispersion_index,
+               CAST(((skk - sk * sk / n) / (n - 1)) / (sk / n) > 1.0 AS INT)
+                   AS overdispersed
+        FROM s
+    """,
+    tags=("stats", "dispersion", "count_model"),
+)
+def stats_dispersion_order_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INDEX OF DISPERSION for order sizes (lineitems per order):
+    variance over mean of a count variable — 1.0 under Poisson, above it
+    the counts are clumped (negative-binomial territory) and any
+    "expected orders of size k" model built on Poisson quietly
+    under-predicts the tail.  The count-data companion to
+    stats_ks_exponential_gaps' continuous-gap test.
+
+    Scale: one order-keyed count, one 3-moment aggregate, scalar math —
+    integer counts accumulate as DECIMAL so the moments are exact."""
+    sz = load(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    s = sz.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("k").cast("decimal(18,0)")).cast("double").alias("sk"),
+        F.sum(F.col("k").cast("decimal(18,0)") * F.col("k")).cast("double").alias("skk"),
+    )
+    mean = F.col("sk") / F.col("n")
+    var = (F.col("skk") - F.col("sk") * F.col("sk") / F.col("n")) / (F.col("n") - 1)
+    return s.select(
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.round(mean, 6).alias("mean_lines"),
+        F.round(var, 6).alias("var_lines"),
+        F.round(var / mean, 6).alias("dispersion_index"),
+        (var / mean > 1.0).cast("int").alias("overdispersed"),
+    )
