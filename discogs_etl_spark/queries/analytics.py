@@ -6415,3 +6415,81 @@ def supply_single_source_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue_exposed"),
     )
+
+
+@register(
+    "revenue_bridge_price_volume",
+    oracle="""
+        WITH per AS (
+            SELECT p.p_brand,
+                   CAST(year(l.l_shipdate) AS BIGINT) AS yr,
+                   CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS q,
+                   CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l.l_discount AS DECIMAL(4,2))))
+                        AS DOUBLE) AS r
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE year(l.l_shipdate) IN (1996, 1997)
+            GROUP BY p.p_brand, year(l.l_shipdate)
+        ),
+        w AS (
+            SELECT p_brand,
+                   MAX(CASE WHEN yr = 1996 THEN q END) AS q0,
+                   MAX(CASE WHEN yr = 1996 THEN r END) AS r0,
+                   MAX(CASE WHEN yr = 1997 THEN q END) AS q1,
+                   MAX(CASE WHEN yr = 1997 THEN r END) AS r1
+            FROM per GROUP BY p_brand
+        )
+        SELECT p_brand,
+               round(r1 - r0, 2) AS delta_revenue,
+               round((r1 / q1 - r0 / q0) * q0, 2) AS price_effect,
+               round((r0 / q0) * (q1 - q0), 2) AS volume_effect,
+               round((r1 / q1 - r0 / q0) * (q1 - q0), 2) AS mix_effect
+        FROM w
+        WHERE q0 IS NOT NULL AND q1 IS NOT NULL
+    """,
+    tags=("bi", "fpa", "bridge", "decomposition"),
+)
+def revenue_bridge_price_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REVENUE BRIDGE: each brand's 1996→1997 revenue change decomposed
+    into price, volume, and joint effects (ΔR = Δp·q₀ + p₀·Δq + Δp·Δq,
+    p = realized unit price) — the FP&A waterfall that answers "did we
+    sell MORE or sell DEARER", which the raw delta alone can't.  The
+    three effects reconcile to delta_revenue exactly by construction —
+    a self-checking identity in the output.
+
+    Scale: one (brand, year) rollup with decimal sums (brand-cardinality
+    output), a brand-keyed pivot via conditional MAX, map-side effect
+    arithmetic.  Brands present in only one year are excluded (no
+    denominator) — the new/discontinued-line rows a real bridge lists
+    separately."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    per = (
+        li.where(F.year("l_shipdate").isin(1996, 1997))
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", F.year("l_shipdate").cast("bigint").alias("yr"))
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("q"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+            )
+            .cast("double")
+            .alias("r"),
+        )
+    )
+    w = per.groupBy("p_brand").agg(
+        F.max(F.when(F.col("yr") == 1996, F.col("q"))).alias("q0"),
+        F.max(F.when(F.col("yr") == 1996, F.col("r"))).alias("r0"),
+        F.max(F.when(F.col("yr") == 1997, F.col("q"))).alias("q1"),
+        F.max(F.when(F.col("yr") == 1997, F.col("r"))).alias("r1"),
+    )
+    p0 = F.col("r0") / F.col("q0")
+    p1 = F.col("r1") / F.col("q1")
+    return w.where(F.col("q0").isNotNull() & F.col("q1").isNotNull()).select(
+        "p_brand",
+        F.round(F.col("r1") - F.col("r0"), 2).alias("delta_revenue"),
+        F.round((p1 - p0) * F.col("q0"), 2).alias("price_effect"),
+        F.round(p0 * (F.col("q1") - F.col("q0")), 2).alias("volume_effect"),
+        F.round((p1 - p0) * (F.col("q1") - F.col("q0")), 2).alias("mix_effect"),
+    )

@@ -4901,3 +4901,83 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("char_entropy"),
         )
     )
+
+
+@register(
+    "dedup_doc_duplication_score",
+    oracle="""
+        WITH winds AS (
+            SELECT doc_id, substr(text, t.i, 48) AS w
+            FROM documents, unnest(range(1, len(text) - 46)) AS t(i)
+            WHERE len(text) >= 48
+        ),
+        dupw AS (
+            SELECT w FROM winds GROUP BY w HAVING COUNT(DISTINCT doc_id) >= 2
+        ),
+        per AS (
+            SELECT wi.doc_id,
+                   COUNT(*) AS n_windows,
+                   COUNT(*) FILTER (wi.w IN (SELECT w FROM dupw)) AS n_dup
+            FROM winds wi
+            GROUP BY wi.doc_id
+        )
+        SELECT doc_id, CAST(n_windows AS BIGINT) AS n_windows,
+               CAST(n_dup AS BIGINT) AS n_dup,
+               round(n_dup / CAST(n_windows AS DOUBLE), 6) AS dup_coverage
+        FROM per
+        WHERE n_dup > 0
+        ORDER BY dup_coverage DESC, doc_id
+        LIMIT 50
+    """,
+    tags=("dedup", "substring", "coverage"),
+)
+def dedup_doc_duplication_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DUPLICATION COVERAGE: the fraction of a doc's 48-char
+    window positions whose window also appears in another document — the
+    doc-level removal signal built on dedup_substring_windows' corpus
+    view (Lee et al. drop or trim docs above a coverage threshold;
+    pair-level output can't rank docs).  Top-50 most-duplicated docs.
+
+    Scale: windows are generated once and reused for both the duplicate
+    set (grouped, distinct-doc floor) and the per-doc position counts;
+    the membership test is a semi-join on the window key (hash the key
+    at 100 TB, stride the windows — same mitigations as the base op)."""
+    winds = (
+        load(spark, sf_dir, "documents")
+        .where(F.length("text") >= 48)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(text) - 47),"
+                    " i -> substring(text, i, 48))"
+                )
+            ).alias("w"),
+        )
+    )
+    dupw = (
+        winds.groupBy("w")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("w")
+    )
+    marked = winds.join(
+        dupw.withColumn("__dup", F.lit(1)), "w", "left"
+    )
+    per = marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.count("__dup").alias("n_dup"),
+    )
+    return (
+        per.where(F.col("n_dup") > 0)
+        .select(
+            "doc_id",
+            F.col("n_windows").cast("bigint").alias("n_windows"),
+            F.col("n_dup").cast("bigint").alias("n_dup"),
+            F.round(F.col("n_dup") / F.col("n_windows").cast("double"), 6).alias(
+                "dup_coverage"
+            ),
+        )
+        .orderBy(F.desc("dup_coverage"), F.asc("doc_id"))
+        .limit(50)
+    )
