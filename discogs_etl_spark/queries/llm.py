@@ -4981,3 +4981,65 @@ def dedup_doc_duplication_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("dup_coverage"), F.asc("doc_id"))
         .limit(50)
     )
+
+
+def _ensemble_oracle() -> str:
+    from discogs_etl_spark.registry import _REGISTRY
+
+    j = _REGISTRY["dedup_ngram_jaccard"].oracle
+    c = _REGISTRY["dedup_containment"].oracle
+    w = _REGISTRY["dedup_winnowing_fingerprints"].oracle
+    return f"""
+        WITH mj AS ({j}), mc AS ({c}), mw AS ({w}),
+        votes AS (
+            SELECT doc_a, doc_b, 'jaccard' AS method FROM mj
+            UNION ALL
+            SELECT doc_a, doc_b, 'containment' FROM mc
+            UNION ALL
+            SELECT doc_a, doc_b, 'winnowing' FROM mw
+        )
+        SELECT doc_a, doc_b,
+               CAST(COUNT(*) AS BIGINT) AS n_methods,
+               array_to_string(list_sort(list(method)), ',') AS methods
+        FROM votes
+        GROUP BY doc_a, doc_b
+        HAVING COUNT(*) >= 2
+    """
+
+
+@register(
+    "dedup_ensemble_vote",
+    oracle=_ensemble_oracle(),
+    tags=("dedup", "ensemble", "voting"),
+)
+def dedup_ensemble_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENSEMBLE near-dup detection: a pair counts as duplicate only when
+    flagged by ≥ 2 of 3 INDEPENDENT detectors — word-3-gram Jaccard
+    (global set overlap), containment (subset/excerpt), and winnowing
+    fingerprints (local runs).  Majority voting suppresses each method's
+    characteristic false positives (short-text Jaccard flukes, common-
+    boilerplate winnow hits) at a small recall tax — the production
+    posture when a deletion decision needs to be defensible.  The
+    methods column records WHICH detectors agreed (the audit trail).
+
+    Scale: each member is its registered, scale-shaped pipeline; the
+    vote is one (doc_a, doc_b)-keyed count over their unioned outputs —
+    pair-set-sized."""
+    j = dedup_ngram_jaccard(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit("jaccard").alias("method")
+    )
+    c = dedup_containment(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit("containment").alias("method")
+    )
+    w = dedup_winnowing_fingerprints(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit("winnowing").alias("method")
+    )
+    votes = j.unionAll(c).unionAll(w)
+    return (
+        votes.groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_methods"),
+            F.concat_ws(",", F.sort_array(F.collect_list("method"))).alias("methods"),
+        )
+        .where(F.col("n_methods") >= 2)
+    )

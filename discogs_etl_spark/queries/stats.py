@@ -2236,3 +2236,72 @@ def stats_dispersion_order_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(var / mean, 6).alias("dispersion_index"),
         (var / mean > 1.0).cast("int").alias("overdispersed"),
     )
+
+
+@register(
+    "events_error_budget_burn",
+    oracle="""
+        WITH d AS (
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                   COUNT(*) AS n_total,
+                   COUNT(*) FILTER (event_type = 'error') AS n_err
+            FROM events GROUP BY 1
+        ),
+        c AS (
+            SELECT day, n_total, n_err,
+                   SUM(n_err) OVER (ORDER BY day
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum_err,
+                   SUM(n_total) OVER (ORDER BY day
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum_total
+            FROM d
+        )
+        SELECT day, CAST(n_total AS BIGINT) AS n_total,
+               CAST(n_err AS BIGINT) AS n_err,
+               round(n_err / CAST(n_total AS DOUBLE) / 0.2, 6) AS daily_burn_rate,
+               round(cum_err / CAST(cum_total AS DOUBLE) / 0.2, 6)
+                   AS cum_budget_used,
+               CAST(n_err / CAST(n_total AS DOUBLE) / 0.2 > 1.0 AS INT)
+                   AS burn_alert
+        FROM c
+    """,
+    tags=("sre", "slo", "error_budget"),
+)
+def events_error_budget_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLO ERROR-BUDGET BURN: daily error fraction over an 80%-success
+    SLO (20% budget — sized to the fixtures' uniform event mix; a real
+    service uses 99.9% and the same arithmetic), expressed as burn RATE
+    (1.0 = exactly consuming budget; >1 pages someone) plus the
+    cumulative budget-used curve — Google-SRE-style alerting math as a
+    relational query.  The cumulative series is the month-to-date budget
+    meter; multi-window burn alerts (5m + 1h) are the same expression
+    over finer windows.
+
+    Scale: one (day)-keyed conditional count (map-side partials), then
+    running sums over the calendar-bounded daily grid."""
+    d = load(spark, sf_dir, "events").groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("n_err"),
+    )
+    wcum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = d.select(
+        "day",
+        "n_total",
+        "n_err",
+        F.sum("n_err").over(wcum).alias("cum_err"),
+        F.sum("n_total").over(wcum).alias("cum_total"),
+    )
+    daily = F.col("n_err") / F.col("n_total").cast("double") / 0.2
+    return c.select(
+        "day",
+        F.col("n_total").cast("bigint").alias("n_total"),
+        F.col("n_err").cast("bigint").alias("n_err"),
+        F.round(daily, 6).alias("daily_burn_rate"),
+        F.round(F.col("cum_err") / F.col("cum_total").cast("double") / 0.2, 6).alias(
+            "cum_budget_used"
+        ),
+        (daily > 1.0).cast("int").alias("burn_alert"),
+    )
