@@ -5043,3 +5043,101 @@ def dedup_ensemble_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_methods") >= 2)
     )
+
+
+@register(
+    "embedding_triplet_check",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        anchors AS (SELECT * FROM e WHERE vec_id < 50),
+        pos AS (
+            SELECT a.vec_id AS aid, MIN(p.vec_id) AS pid
+            FROM anchors a JOIN e p
+              ON p.label = a.label AND p.vec_id > a.vec_id
+            GROUP BY a.vec_id
+        ),
+        neg AS (
+            SELECT a.vec_id AS aid, MIN(n.vec_id) AS nid
+            FROM anchors a JOIN e n
+              ON n.label <> a.label AND n.vec_id > a.vec_id
+            GROUP BY a.vec_id
+        ),
+        t AS (
+            SELECT a.vec_id AS aid, p.pid, n.nid,
+                   {_SQL_COS.format(a='a.v', b='pv.v')} AS cp,
+                   {_SQL_COS.format(a='a.v', b='nv.v')} AS cn
+            FROM anchors a
+            JOIN pos p ON p.aid = a.vec_id
+            JOIN neg n ON n.aid = a.vec_id
+            JOIN e pv ON pv.vec_id = p.pid
+            JOIN e nv ON nv.vec_id = n.nid
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_triplets,
+               CAST(COUNT(*) FILTER (cp > cn) AS BIGINT) AS n_satisfied,
+               round(COUNT(*) FILTER (cp > cn) / CAST(COUNT(*) AS DOUBLE), 6)
+                   AS satisfaction_rate
+        FROM t
+    """,
+    tags=("embedding", "eval", "triplet", "metric_learning"),
+)
+def embedding_triplet_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRIPLET satisfaction rate: for deterministic (anchor, positive =
+    next same-label id, negative = next other-label id) triplets, how
+    often cos(a, p) > cos(a, n) — the metric-learning health check that
+    says whether the embedding space actually respects the labels
+    (rate ≈ 0.5 means the labels are invisible to the geometry; a
+    trained encoder should sit far above).  Complements
+    embedding_dispersion_by_label (within-cluster tightness) with a
+    RELATIVE between-class test.
+
+    Scale: anchors are a fixed slice; positive/negative selection is two
+    grouped MINs over label-keyed joins; three vector fetch joins and a
+    2-count aggregate — anchor-set-sized throughout."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    anchors = e.where(F.col("vec_id") < 50)
+    pos = (
+        anchors.alias("a")
+        .join(
+            e.alias("p"),
+            (F.col("p.label") == F.col("a.label"))
+            & (F.col("p.vec_id") > F.col("a.vec_id")),
+        )
+        .groupBy(F.col("a.vec_id").alias("aid"))
+        .agg(F.min("p.vec_id").alias("pid"))
+    )
+    neg = (
+        anchors.alias("a")
+        .join(
+            e.alias("n"),
+            (F.col("n.label") != F.col("a.label"))
+            & (F.col("n.vec_id") > F.col("a.vec_id")),
+        )
+        .groupBy(F.col("a.vec_id").alias("aid"))
+        .agg(F.min("n.vec_id").alias("nid"))
+    )
+    t = (
+        anchors.select(F.col("vec_id").alias("aid"), F.col("v").alias("av"))
+        .join(pos, "aid")
+        .join(neg, "aid")
+        .join(e.select(F.col("vec_id").alias("pid"), F.col("v").alias("pv")), "pid")
+        .join(e.select(F.col("vec_id").alias("nid"), F.col("v").alias("nv")), "nid")
+        .select(
+            _cosine(F.col("av"), F.col("pv")).alias("cp"),
+            _cosine(F.col("av"), F.col("nv")).alias("cn"),
+        )
+    )
+    return t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triplets"),
+        F.count(F.when(F.col("cp") > F.col("cn"), 1)).cast("bigint").alias(
+            "n_satisfied"
+        ),
+        F.round(
+            F.count(F.when(F.col("cp") > F.col("cn"), 1))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("satisfaction_rate"),
+    )

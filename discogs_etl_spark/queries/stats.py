@@ -2305,3 +2305,72 @@ def events_error_budget_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (daily > 1.0).cast("int").alias("burn_alert"),
     )
+
+
+@register(
+    "forecast_snaive_backtest",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+            FROM orders GROUP BY 1
+        ),
+        d AS (SELECT day, rev, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM daily),
+        bt AS (
+            SELECT a.day, a.rev AS actual, b.rev AS forecast
+            FROM d a JOIN d b ON b.rn = a.rn - 7
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_forecasts,
+               round(CAST(SUM(CAST(round(abs(actual - forecast), 2)
+                                   AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*), 2)
+                   AS mae,
+               round(CAST(SUM(CAST(round(200.0 * abs(actual - forecast)
+                                         / (abs(actual) + abs(forecast)), 6)
+                                   AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 4)
+                   AS smape_pct
+        FROM bt
+    """,
+    tags=("forecast", "backtest", "snaive"),
+)
+def forecast_snaive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEASONAL-NAIVE forecast BACKTEST: predict each day's revenue as
+    the value 7 observations earlier and score MAE and sMAPE over the
+    whole history — the benchmark every forecasting model must beat
+    before it ships (M-competition practice: report skill relative to
+    snaive, not absolute error).  Pairs come from the same rn-arithmetic
+    self-join as stats_acf_daily_revenue; sMAPE's symmetric denominator
+    avoids the divide-by-small-actual blowup of plain MAPE.
+
+    Scale: the backtest runs over the day-bounded rollup; error sums
+    accumulate as rounded DECIMAL so both engines report identical
+    skill numbers."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("rev")
+        )
+    )
+    d = daily.withColumn("rn", F.row_number().over(Window.orderBy("day")))
+    a = d.alias("a")
+    b = d.select(F.col("rn").alias("rn_b"), F.col("rev").alias("forecast"))
+    bt = a.join(b, F.col("a.rn") - 7 == F.col("rn_b")).select(
+        F.col("a.rev").alias("actual"), "forecast"
+    )
+    ae = F.abs(F.col("actual") - F.col("forecast"))
+    smape = 200.0 * ae / (F.abs("actual") + F.abs("forecast"))
+    return bt.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_forecasts"),
+        F.round(
+            F.sum(F.round(ae, 2).cast("decimal(28,2)")).cast("double")
+            / F.count(F.lit(1)),
+            2,
+        ).alias("mae"),
+        F.round(
+            F.sum(F.round(smape, 6).cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("smape_pct"),
+    )
