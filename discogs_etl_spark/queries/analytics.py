@@ -6493,3 +6493,64 @@ def revenue_bridge_price_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p0 * (F.col("q1") - F.col("q0")), 2).alias("volume_effect"),
         F.round((p1 - p0) * (F.col("q1") - F.col("q0")), 2).alias("mix_effect"),
     )
+
+
+@register(
+    "graph_edge_triangle_support",
+    oracle=f"""
+        WITH {_COORDER_EDGES_SQL},
+        wedges AS (
+            SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            FROM oriented e1 JOIN oriented e2
+              ON e1.v = e2.u
+        ),
+        tri AS (
+            SELECT w.a, w.b, w.c
+            FROM wedges w JOIN oriented e3 ON w.a = e3.u AND w.c = e3.v
+        ),
+        support AS (
+            SELECT u, v, COUNT(*) AS sup FROM (
+                SELECT a AS u, b AS v FROM tri
+                UNION ALL SELECT b, c FROM tri
+                UNION ALL SELECT a, c FROM tri
+            ) GROUP BY u, v
+        )
+        SELECT u, v, CAST(sup AS BIGINT) AS triangle_support
+        FROM support
+        ORDER BY sup DESC, u, v
+        LIMIT 20
+    """,
+    tags=("graph", "truss", "triangle_support"),
+)
+def graph_edge_triangle_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EDGE triangle SUPPORT: how many triangles each co-order edge
+    participates in — the k-truss building block (a k-truss keeps edges
+    with support ≥ k−2; iterating the peel from this table converges in
+    O(edges) rounds) and, read directly, the tie-strength ranking:
+    high-support edges are embedded in dense neighborhoods, low-support
+    edges are bridges (Granovetter).  Top-20 strongest ties.
+
+    Scale: the oriented wedge join + close check is exactly the
+    triangle-count plan (hub-degree capping applies); support
+    attribution is a 3-way union of the triangle table re-grouped by
+    edge — triangle-set-sized, not quadratic."""
+    oriented = _coorder_oriented_edges(spark, sf_dir)
+    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
+    wedges = e1.join(e2, F.col("e1.v") == F.col("e2.u")).select(
+        F.col("e1.u").alias("a"), F.col("e1.v").alias("b"), F.col("e2.v").alias("c")
+    )
+    tri = wedges.join(
+        e3, (F.col("a") == F.col("e3.u")) & (F.col("c") == F.col("e3.v"))
+    ).select("a", "b", "c")
+    support = (
+        tri.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionAll(tri.select(F.col("b").alias("u"), F.col("c").alias("v")))
+        .unionAll(tri.select(F.col("a").alias("u"), F.col("c").alias("v")))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("sup"))
+    )
+    return (
+        support.select("u", "v", F.col("sup").cast("bigint").alias("triangle_support"))
+        .orderBy(F.desc("triangle_support"), F.asc("u"), F.asc("v"))
+        .limit(20)
+    )

@@ -2374,3 +2374,65 @@ def forecast_snaive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("smape_pct"),
     )
+
+
+@register(
+    "spc_pchart_returns",
+    oracle="""
+        WITH wk AS (
+            SELECT CAST(date_trunc('week', l_shipdate) AS DATE) AS week,
+                   COUNT(*) AS n,
+                   COUNT(*) FILTER (l_returnflag = 'R') AS n_ret
+            FROM lineitem GROUP BY 1
+        ),
+        cl AS (
+            SELECT CAST(SUM(n_ret) AS DOUBLE) / SUM(n) AS pbar FROM wk
+        )
+        SELECT week, CAST(n AS BIGINT) AS n,
+               round(n_ret / CAST(n AS DOUBLE), 6) AS p_hat,
+               round(pbar, 6) AS center_line,
+               round(pbar + 3 * sqrt(pbar * (1 - pbar) / n), 6) AS ucl,
+               round(greatest(pbar - 3 * sqrt(pbar * (1 - pbar) / n), 0.0), 6)
+                   AS lcl,
+               CAST(n_ret / CAST(n AS DOUBLE)
+                    > pbar + 3 * sqrt(pbar * (1 - pbar) / n)
+                    OR n_ret / CAST(n AS DOUBLE)
+                    < greatest(pbar - 3 * sqrt(pbar * (1 - pbar) / n), 0.0)
+                    AS INT) AS out_of_control
+        FROM wk CROSS JOIN cl
+    """,
+    tags=("spc", "control_chart", "quality"),
+)
+def spc_pchart_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p-CHART (statistical process control): weekly return-flag rate
+    against 3σ binomial control limits around the process centerline —
+    Shewhart's rule separates common-cause noise from assignable-cause
+    weeks (flagged rows are the ones worth investigating; reacting to
+    in-control wiggles is tampering).  Per-week limits widen for small
+    samples automatically via the √(p̄(1−p̄)/n) term.
+
+    Scale: one week-keyed conditional count, a 1-row centerline
+    broadcast, map-side limit arithmetic — the entire chart is two
+    scans' worth of work regardless of history length."""
+    wk = load(spark, sf_dir, "lineitem").groupBy(
+        F.date_trunc("week", "l_shipdate").cast("date").alias("week")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("n_ret"),
+    )
+    cl = wk.agg(
+        (F.sum("n_ret").cast("double") / F.sum("n")).alias("pbar")
+    )
+    p_hat = F.col("n_ret") / F.col("n").cast("double")
+    sig = F.sqrt(F.col("pbar") * (1 - F.col("pbar")) / F.col("n"))
+    ucl = F.col("pbar") + 3 * sig
+    lcl = F.greatest(F.col("pbar") - 3 * sig, F.lit(0.0))
+    return wk.crossJoin(F.broadcast(cl)).select(
+        "week",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(p_hat, 6).alias("p_hat"),
+        F.round("pbar", 6).alias("center_line"),
+        F.round(ucl, 6).alias("ucl"),
+        F.round(lcl, 6).alias("lcl"),
+        ((p_hat > ucl) | (p_hat < lcl)).cast("int").alias("out_of_control"),
+    )
