@@ -6554,3 +6554,155 @@ def graph_edge_triangle_support(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("triangle_support"), F.asc("u"), F.asc("v"))
         .limit(20)
     )
+
+
+@register(
+    "allocation_largest_remainder",
+    oracle="""
+        WITH rev AS (
+            SELECT n.n_name,
+                   CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS r
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+        ),
+        tot AS (SELECT CAST(SUM(CAST(r AS DECIMAL(28,2))) AS DOUBLE) AS t FROM rev),
+        quota AS (
+            SELECT n_name, r,
+                   1000 * r / t AS q,
+                   CAST(floor(1000 * r / t) AS BIGINT) AS base,
+                   1000 * r / t - floor(1000 * r / t) AS rem
+            FROM rev CROSS JOIN tot
+        ),
+        leftover AS (
+            SELECT 1000 - SUM(base) AS k FROM quota
+        ),
+        ranked AS (
+            SELECT n_name, base, rem,
+                   ROW_NUMBER() OVER (ORDER BY rem DESC, n_name) AS rnk
+            FROM quota
+        )
+        SELECT n_name,
+               CAST(base AS BIGINT) AS base_units,
+               CAST(CASE WHEN rnk <= k THEN 1 ELSE 0 END AS INT) AS extra_unit,
+               CAST(base + CASE WHEN rnk <= k THEN 1 ELSE 0 END AS BIGINT)
+                   AS allocation
+        FROM ranked CROSS JOIN leftover
+    """,
+    tags=("allocation", "apportionment", "largest_remainder"),
+)
+def allocation_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LARGEST-REMAINDER apportionment (Hamilton's method): split a fixed
+    budget of 1000 units across nations proportionally to revenue —
+    floors first, then the leftover units go to the largest fractional
+    remainders — the integer-allocation op behind quota assignment,
+    seat apportionment, and promo-inventory splits, where naive
+    rounding either over- or under-spends the budget.  Allocations sum
+    to EXACTLY 1000 by construction (the identity a reviewer checks).
+
+    Scale: revenue reduces to nation cardinality before any window; the
+    remainder rank runs over that tiny table; ties on equal remainders
+    break lexicographically so the allocation is replayable."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("r")
+        )
+    )
+    tot = rev.agg(
+        F.sum(F.col("r").cast("decimal(28,2)")).cast("double").alias("t")
+    )
+    quota = rev.crossJoin(F.broadcast(tot)).select(
+        "n_name",
+        (F.lit(1000) * F.col("r") / F.col("t")).alias("q"),
+    ).select(
+        "n_name",
+        F.floor("q").cast("bigint").alias("base"),
+        (F.col("q") - F.floor("q")).alias("rem"),
+    )
+    leftover = quota.agg((F.lit(1000) - F.sum("base")).alias("k"))
+    ranked = quota.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.desc("rem"), F.asc("n_name")))
+    )
+    return ranked.crossJoin(F.broadcast(leftover)).select(
+        "n_name",
+        F.col("base").cast("bigint").alias("base_units"),
+        (F.col("rnk") <= F.col("k")).cast("int").alias("extra_unit"),
+        (F.col("base") + (F.col("rnk") <= F.col("k")).cast("int"))
+        .cast("bigint")
+        .alias("allocation"),
+    )
+
+
+@register(
+    "rank_wilson_lower_bound",
+    oracle="""
+        WITH s AS (
+            SELECT l_partkey,
+                   COUNT(*) AS n,
+                   COUNT(*) FILTER (l_returnflag <> 'R') AS ok
+            FROM lineitem GROUP BY l_partkey
+            HAVING COUNT(*) >= 5
+        ),
+        w AS (
+            SELECT l_partkey, n, ok,
+                   round((ok / CAST(n AS DOUBLE) + 1.9208 / n
+                          - 1.96 * sqrt((ok / CAST(n AS DOUBLE))
+                                        * (1 - ok / CAST(n AS DOUBLE)) / n
+                                        + 0.9604 / (n * CAST(n AS DOUBLE))))
+                         / (1 + 3.8416 / n), 6) AS wilson_lb
+            FROM s
+        )
+        SELECT l_partkey, CAST(n AS BIGINT) AS n, CAST(ok AS BIGINT) AS n_ok,
+               wilson_lb
+        FROM w
+        ORDER BY wilson_lb DESC, l_partkey
+        LIMIT 20
+    """,
+    tags=("ranking", "wilson", "uncertainty"),
+)
+def rank_wilson_lower_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANKING BY WILSON LOWER BOUND: parts ordered by the 95% lower
+    confidence bound of their non-return rate (min 5 shipments) — the
+    "sort by best rating" algorithm that beats raw proportions (a 3/3
+    part shouldn't outrank a 96/100 one; the lower bound encodes sample
+    size into the order).  Top-20 most reliably return-free parts.
+
+    Scale: one part-keyed conditional count, map-side Wilson arithmetic
+    (z = 1.96 constants folded), 20-row TakeOrderedAndProject — ranking
+    under uncertainty at aggregation cost."""
+    s = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("l_returnflag") != "R", 1)).alias("ok"),
+        )
+        .where(F.col("n") >= 5)
+    )
+    p = F.col("ok") / F.col("n").cast("double")
+    nn = F.col("n")
+    lb = (
+        p
+        + 1.9208 / nn
+        - 1.96
+        * F.sqrt(p * (1 - p) / nn + 0.9604 / (nn * nn.cast("double")))
+    ) / (1 + 3.8416 / nn)
+    return (
+        s.select(
+            "l_partkey",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("ok").cast("bigint").alias("n_ok"),
+            F.round(lb, 6).alias("wilson_lb"),
+        )
+        .orderBy(F.desc("wilson_lb"), F.asc("l_partkey"))
+        .limit(20)
+    )
