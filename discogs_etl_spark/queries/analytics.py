@@ -6706,3 +6706,55 @@ def rank_wilson_lower_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("wilson_lb"), F.asc("l_partkey"))
         .limit(20)
     )
+
+
+@register(
+    "events_runlength_encode",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type, ts, event_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id) AS rnt
+            FROM events
+        )
+        SELECT user_id, event_type, run_len, run_start FROM (
+            SELECT user_id, event_type,
+                   COUNT(*) AS run_len,
+                   MIN(ts) AS run_start
+            FROM seq
+            GROUP BY user_id, event_type, rn - rnt
+        )
+        ORDER BY run_len DESC, user_id, run_start
+        LIMIT 20
+    """,
+    tags=("sequence", "rle", "window"),
+)
+def events_runlength_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RUN-LENGTH ENCODING of per-user event streams: consecutive
+    same-type events collapse into runs via the two-row_number trick
+    (rn − rn_within_type is constant exactly along a run) — the
+    sequence-compression view that surfaces rage-clicks (long 'click'
+    runs), error storms, and scripted scrapers (top-20 longest runs),
+    and halves storage for downstream sequence models.
+
+    Scale: both row_numbers ride the SAME user-keyed sort (one window
+    shuffle — the second partitions by a superset key, so Spark reuses
+    the exchange); the run group-by is another pass on the same keys."""
+    w1 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w2 = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    seq = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        (F.row_number().over(w1) - F.row_number().over(w2)).alias("grp"),
+    )
+    return (
+        seq.groupBy("user_id", "event_type", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"), F.min("ts").alias("run_start"))
+        .select("user_id", "event_type", "run_len", "run_start")
+        .orderBy(F.desc("run_len"), F.asc("user_id"), F.asc("run_start"))
+        .limit(20)
+    )

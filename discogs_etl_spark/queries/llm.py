@@ -5141,3 +5141,65 @@ def embedding_triplet_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("satisfaction_rate"),
     )
+
+
+@register(
+    "sample_balance_classes",
+    oracle="""
+        WITH sized AS (
+            SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+        ),
+        target AS (SELECT MIN(n) AS m FROM sized),
+        ranked AS (
+            SELECT doc_id, lang,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY ('0x' || substr(md5('bal:' || CAST(doc_id AS VARCHAR)),
+                                                1, 8))::BIGINT, doc_id) AS rn
+            FROM documents
+        )
+        SELECT lang, COUNT(*) AS n_kept,
+               CAST(MIN(doc_id) AS BIGINT) AS min_kept_doc
+        FROM ranked CROSS JOIN target
+        WHERE rn <= m
+        GROUP BY lang
+    """,
+    tags=("sampling", "balance", "downsample"),
+)
+def sample_balance_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLASS-BALANCED downsampling: every language keeps exactly
+    min-class-count documents, selected by a content-keyed hash order —
+    the majority-class downsampling step before training a classifier on
+    skewed data (a quality or language-ID model trained on the raw mix
+    learns the prior, not the signal).  Hash ordering makes the kept set
+    reproducible across runs, partitionings, and engines — rand() is
+    none of these; summary emitted per class, the kept rows are the same
+    plan minus the final aggregate.
+
+    Scale: class sizes are one tiny aggregate; selection is a
+    lang-partitioned window over hash-ranked rows; no joins beyond the
+    1-row target broadcast."""
+    docs = load(spark, sf_dir, "documents")
+    sized = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    target = sized.agg(F.min("n").alias("m"))
+    hkey = F.conv(
+        F.substring(F.md5(F.concat(F.lit("bal:"), F.col("doc_id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    ranked = docs.select(
+        "doc_id",
+        "lang",
+        F.row_number()
+        .over(Window.partitionBy("lang").orderBy(hkey, F.asc("doc_id")))
+        .alias("rn"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(target))
+        .where(F.col("rn") <= F.col("m"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("doc_id").cast("bigint").alias("min_kept_doc"),
+        )
+    )
