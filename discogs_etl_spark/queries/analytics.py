@@ -6758,3 +6758,145 @@ def events_runlength_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("run_len"), F.asc("user_id"), F.asc("run_start"))
         .limit(20)
     )
+
+
+@register(
+    "orders_open_aging_buckets",
+    oracle="""
+        WITH mx AS (
+            SELECT MAX(CAST(date_trunc('day', o_orderdate) AS DATE)) AS asof_day
+            FROM orders
+        ),
+        open_orders AS (
+            SELECT o_orderkey, o_totalprice,
+                   date_diff('day', CAST(date_trunc('day', o_orderdate) AS DATE),
+                             asof_day) AS age_days
+            FROM orders CROSS JOIN mx
+            WHERE o_orderstatus = 'O'
+        )
+        SELECT CASE WHEN age_days <= 30 THEN '0-30'
+                    WHEN age_days <= 90 THEN '31-90'
+                    WHEN age_days <= 365 THEN '91-365'
+                    ELSE '365+' END AS age_bucket,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS open_value
+        FROM open_orders
+        GROUP BY 1
+    """,
+    tags=("aging", "wip", "ar_report"),
+)
+def orders_open_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPEN-ORDER AGING: still-open orders bucketed by age as of the
+    dataset's latest day, with the order value tied up in each bucket —
+    the accounts-receivable / WIP aging report whose 365+ row is where
+    working-capital reviews start (old open orders are either stuck or
+    stale data — data_quality_report's temporal rules are the
+    companion check).
+
+    Scale: the as-of date is a 1-row broadcast; aging is map-side date
+    arithmetic on the status-filtered scan (predicate pushdown on
+    o_orderstatus); output is 4 buckets."""
+    mx = load(spark, sf_dir, "orders").agg(
+        F.max(F.date_trunc("day", "o_orderdate").cast("date")).alias("asof_day")
+    )
+    o = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "O")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "o_totalprice",
+            F.datediff(
+                "asof_day", F.date_trunc("day", "o_orderdate").cast("date")
+            ).alias("age_days"),
+        )
+    )
+    bucket = (
+        F.when(F.col("age_days") <= 30, "0-30")
+        .when(F.col("age_days") <= 90, "31-90")
+        .when(F.col("age_days") <= 365, "91-365")
+        .otherwise("365+")
+    )
+    return o.groupBy(bucket.alias("age_bucket")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("open_value"),
+    )
+
+
+@register(
+    "graph_degree_assortativity",
+    oracle=f"""
+        WITH {_COORDER_EDGES_SQL},
+        und AS (
+            SELECT u AS a, v AS b FROM oriented
+            UNION ALL SELECT v, u FROM oriented
+        ),
+        deg AS (SELECT a AS node, COUNT(*) AS d FROM und GROUP BY a),
+        ed AS (
+            SELECT da.d AS x, db.d AS y
+            FROM und e
+            JOIN deg da ON da.node = e.a
+            JOIN deg db ON db.node = e.b
+        ),
+        s AS (
+            SELECT COUNT(*) AS n,
+                   CAST(SUM(CAST(x AS DECIMAL(18,0))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(y AS DECIMAL(18,0))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(x AS DECIMAL(18,0)) * y) AS DOUBLE) AS sxy,
+                   CAST(SUM(CAST(x AS DECIMAL(18,0)) * x) AS DOUBLE) AS sxx,
+                   CAST(SUM(CAST(y AS DECIMAL(18,0)) * y) AS DOUBLE) AS syy
+            FROM ed
+        )
+        SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+               round((n * sxy - sx * sy)
+                     / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+                   AS assortativity
+        FROM s
+    """,
+    tags=("graph", "assortativity", "structure"),
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEGREE ASSORTATIVITY (Newman): Pearson correlation of endpoint
+    degrees over every directed edge instance — positive means hubs link
+    to hubs (social-network-like), negative means hubs link to leaves
+    (hub-and-spoke, typical for product co-purchase graphs) — the one
+    number that says which skew mitigations (hub capping, salting) the
+    OTHER graph queries will actually need on this topology.
+
+    Scale: degrees are one edge-keyed count; the edge-endpoint join is
+    two broadcast degree lookups; the correlation is the exact-DECIMAL
+    moment aggregate (integer degrees — no rounding anywhere)."""
+    oriented = _coorder_oriented_edges(spark, sf_dir)
+    und = oriented.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        oriented.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    deg = und.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    ed = (
+        und.join(
+            F.broadcast(deg.select(F.col("node").alias("a"), F.col("d").alias("x"))),
+            "a",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("node").alias("b"), F.col("d").alias("y"))),
+            "b",
+        )
+        .select("x", "y")
+    )
+    s = ed.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(18,0)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(18,0)")).cast("double").alias("sy"),
+        F.sum(F.col("x").cast("decimal(18,0)") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x").cast("decimal(18,0)") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y").cast("decimal(18,0)") * F.col("y")).cast("double").alias("syy"),
+    )
+    r = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select(
+        (F.col("n") / 2).cast("bigint").alias("n_edges"),
+        F.round(r, 6).alias("assortativity"),
+    )
