@@ -6900,3 +6900,138 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") / 2).cast("bigint").alias("n_edges"),
         F.round(r, 6).alias("assortativity"),
     )
+
+
+@register(
+    "customer_wallet_share_deciles",
+    oracle="""
+        WITH spend AS (
+            SELECT o_custkey,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sp
+            FROM orders GROUP BY o_custkey
+        ),
+        ranked AS (
+            SELECT c.c_custkey, c.c_acctbal, COALESCE(s.sp, 0.0) AS sp,
+                   NTILE(10) OVER (ORDER BY c.c_acctbal, c.c_custkey) AS decile
+            FROM customer c LEFT JOIN spend s ON s.o_custkey = c.c_custkey
+        ),
+        tot AS (SELECT CAST(SUM(CAST(sp AS DECIMAL(28,2))) AS DOUBLE) AS t
+                FROM ranked)
+        SELECT CAST(decile AS BIGINT) AS acctbal_decile,
+               COUNT(*) AS n_customers,
+               round(CAST(SUM(CAST(sp AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*), 2)
+                   AS avg_spend,
+               round(CAST(SUM(CAST(sp AS DECIMAL(28,2))) AS DOUBLE) / t, 6)
+                   AS spend_share
+        FROM ranked CROSS JOIN tot
+        GROUP BY decile, t
+    """,
+    tags=("bi", "deciles", "wallet_share", "ntile"),
+)
+def customer_wallet_share_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WALLET-SHARE by account-balance decile: customers NTILE'd on
+    c_acctbal, each decile's average and share of total order spend —
+    the "does balance predict wallet" read that decides whether acctbal
+    is worth a slot in the LTV model, and the NTILE exemplar in the
+    window surface (deterministic: ties broken by custkey so both
+    engines cut identical deciles).  Customers with no orders stay in
+    at zero spend — dropping them would bias every decile upward.
+
+    Scale: spend reduces per customer before the join; the NTILE window
+    sorts the CUSTOMER table (dimension-sized); the rollup is 10 rows."""
+    spend = load(spark, sf_dir, "orders").groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("sp")
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    ranked = (
+        c.join(spend, c["c_custkey"] == spend["o_custkey"], "left")
+        .select(
+            "c_custkey",
+            "c_acctbal",
+            F.coalesce("sp", F.lit(0.0)).alias("sp"),
+        )
+        .withColumn(
+            "decile",
+            F.ntile(10).over(Window.orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))),
+        )
+    )
+    tot = ranked.agg(
+        F.sum(F.col("sp").cast("decimal(28,2)")).cast("double").alias("t")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .groupBy(F.col("decile").cast("bigint").alias("acctbal_decile"), "t")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(
+                F.sum(F.col("sp").cast("decimal(28,2)")).cast("double")
+                / F.count(F.lit(1)),
+                2,
+            ).alias("avg_spend"),
+            F.round(
+                F.sum(F.col("sp").cast("decimal(28,2)")).cast("double") / F.col("t"), 6
+            ).alias("spend_share"),
+        )
+        .drop("t")
+    )
+
+
+@register(
+    "credit_risk_exposure",
+    oracle="""
+        WITH open_val AS (
+            SELECT o_custkey,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS ov
+            FROM orders WHERE o_orderstatus = 'O'
+            GROUP BY o_custkey
+        )
+        SELECT c.c_mktsegment,
+               COUNT(*) AS n_neg_customers,
+               round(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2)
+                   AS neg_balance_total,
+               round(CAST(SUM(CAST(COALESCE(ov.ov, 0.0) AS DECIMAL(28,2)))
+                          AS DOUBLE), 2) AS open_exposure
+        FROM customer c LEFT JOIN open_val ov ON ov.o_custkey = c.c_custkey
+        WHERE c.c_acctbal < 0
+        GROUP BY c.c_mktsegment
+    """,
+    tags=("credit", "risk", "exposure"),
+)
+def credit_risk_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREDIT-RISK exposure: customers already in negative balance,
+    rolled up by market segment with their total deficit AND the value
+    of orders still open against them — the two numbers a credit desk
+    multiplies into expected loss (deficit = realized, open orders =
+    at-risk pipeline).  Customers with no open orders count at zero
+    exposure, not dropped — the deficit is real either way.
+
+    Scale: open-order value reduces per customer under the pushed-down
+    status filter; the negative-balance filter prunes the customer scan;
+    the rollup is segment-sized."""
+    ov = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "O")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("ov")
+        )
+    )
+    c = load(spark, sf_dir, "customer").where(F.col("c_acctbal") < 0)
+    return (
+        c.join(ov, c["c_custkey"] == ov["o_custkey"], "left")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_neg_customers"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("neg_balance_total"),
+            F.round(
+                F.sum(F.coalesce("ov", F.lit(0.0)).cast("decimal(28,2)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("open_exposure"),
+        )
+    )
