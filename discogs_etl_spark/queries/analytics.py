@@ -7035,3 +7035,135 @@ def credit_risk_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("open_exposure"),
         )
     )
+
+
+@register(
+    "audit_sequence_gaps",
+    oracle="""
+        WITH k AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+        g AS (
+            SELECT k,
+                   LEAD(k) OVER (ORDER BY k) AS nxt
+            FROM k
+        )
+        SELECT k + 1 AS gap_start,
+               nxt - 1 AS gap_end,
+               CAST(nxt - k - 1 AS BIGINT) AS gap_len
+        FROM g
+        WHERE nxt IS NOT NULL AND nxt - k > 1
+        ORDER BY gap_len DESC, gap_start
+        LIMIT 20
+    """,
+    tags=("audit", "sequence", "gaps"),
+)
+def audit_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENCE-GAP audit: missing runs in the order-key numbering (the
+    receipt-continuity check bookkeeping law mandates in many
+    jurisdictions — every gap is a voided/lost/suppressed document to
+    explain).  One LEAD over the sorted distinct keys turns
+    gap-detection into a filter; top-20 largest gaps with their exact
+    ranges.  TPC-H-style keys are deliberately sparse, so the fixtures
+    exercise the report with real gaps.
+
+    Scale: a global ordered window over the KEY SET — at 100 TB,
+    range-partition the keys and check gaps per partition plus the
+    partition boundaries (each partition's min/max against its
+    neighbor's: the same two-pass prefix trick as the sweep-line)."""
+    k = load(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k")).distinct()
+    g = k.withColumn("nxt", F.lead("k").over(Window.orderBy("k")))
+    return (
+        g.where(F.col("nxt").isNotNull() & (F.col("nxt") - F.col("k") > 1))
+        .select(
+            (F.col("k") + 1).alias("gap_start"),
+            (F.col("nxt") - 1).alias("gap_end"),
+            (F.col("nxt") - F.col("k") - 1).cast("bigint").alias("gap_len"),
+        )
+        .orderBy(F.desc("gap_len"), F.asc("gap_start"))
+        .limit(20)
+    )
+
+
+@register(
+    "parts_bundle_detection",
+    oracle="""
+        WITH op AS (
+            SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS ps
+            FROM lineitem GROUP BY l_orderkey
+            HAVING len(list_distinct(list(l_partkey))) BETWEEN 2 AND 4
+        ),
+        pairs AS (
+            SELECT u, v, COUNT(*) AS c FROM (
+                SELECT p1.u, p2.v FROM (
+                    SELECT unnest(ps) AS u, ps FROM op
+                ) p1, LATERAL (SELECT unnest(p1.ps) AS v) p2
+                WHERE p1.u < p2.v
+            ) GROUP BY u, v
+        ),
+        freq AS (
+            SELECT u AS part, COUNT(*) AS n FROM (
+                SELECT unnest(ps) AS u FROM op
+            ) GROUP BY u
+        )
+        SELECT p.u, p.v, CAST(p.c AS BIGINT) AS n_together,
+               round(p.c / CAST(least(fu.n, fv.n) AS DOUBLE), 6) AS attach_rate
+        FROM pairs p
+        JOIN freq fu ON fu.part = p.u
+        JOIN freq fv ON fv.part = p.v
+        WHERE p.c >= 3
+          AND p.c / CAST(least(fu.n, fv.n) AS DOUBLE) >= 0.8
+        ORDER BY n_together DESC, p.u, p.v
+        LIMIT 20
+    """,
+    tags=("recsys", "bundle", "attach_rate"),
+)
+def parts_bundle_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUNDLE detection: part pairs whose ATTACH RATE — co-order count
+    over the rarer part's basket count — is ≥ 0.8 (min support 3): the
+    "these are really one product" signal that drives kitting, bundle
+    pricing, and the containment-style asymmetric complement of
+    assoc_rules_coorder's confidence (attach rate is confidence against
+    the RARER side, so accessory→flagship pairs surface even when the
+    flagship sells alone).  Top-20 strongest bundles.
+
+    Scale: the weighted pair table and basket frequencies are the
+    co-order family's shared aggregations; the rate filter is two
+    broadcast frequency lookups over the pair set."""
+    op = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .where(F.size("ps").between(2, 4))
+    )
+    pairs = (
+        op.select(F.explode(F.expr(_COORDER_PAIR_EXPR)).alias("e"))
+        .select("e.u", "e.v")
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    freq = (
+        op.select(F.explode("ps").alias("part"))
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    j = (
+        pairs.join(
+            F.broadcast(freq.select(F.col("part").alias("u"), F.col("n").alias("nu"))),
+            "u",
+        )
+        .join(
+            F.broadcast(freq.select(F.col("part").alias("v"), F.col("n").alias("nv"))),
+            "v",
+        )
+    )
+    rate = F.col("c") / F.least("nu", "nv").cast("double")
+    return (
+        j.where((F.col("c") >= 3) & (rate >= 0.8))
+        .select(
+            "u",
+            "v",
+            F.col("c").cast("bigint").alias("n_together"),
+            F.round(rate, 6).alias("attach_rate"),
+        )
+        .orderBy(F.desc("n_together"), F.asc("u"), F.asc("v"))
+        .limit(20)
+    )
