@@ -7177,3 +7177,67 @@ def parts_bundle_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("attach_rate"), F.desc("n_together"), F.asc("u"), F.asc("v"))
         .limit(20)
     )
+
+
+@register(
+    "supplier_leadtime_p90",
+    oracle="""
+        WITH lt AS (
+            SELECT l.l_suppkey,
+                   date_diff('day', CAST(date_trunc('day', o.o_orderdate) AS DATE),
+                             CAST(date_trunc('day', l.l_shipdate) AS DATE)) AS days
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_shipdate >= o.o_orderdate
+        ),
+        per AS (
+            SELECT l_suppkey, COUNT(*) AS n,
+                   round(quantile_cont(days, 0.5), 4) AS p50_days,
+                   round(quantile_cont(days, 0.9), 4) AS p90_days
+            FROM lt GROUP BY l_suppkey
+        ),
+        g AS (SELECT round(quantile_cont(days, 0.9), 4) AS gp90 FROM lt)
+        SELECT l_suppkey, CAST(n AS BIGINT) AS n_shipments, p50_days, p90_days,
+               CAST(p90_days > gp90 AS INT) AS slower_than_fleet
+        FROM per CROSS JOIN g
+    """,
+    tags=("ops", "leadtime", "percentile", "sla"),
+)
+def supplier_leadtime_p90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier LEAD-TIME distribution (order → ship days): median
+    and p90 per supplier plus a flag against the fleet-wide p90 — the
+    SLA scorecard procurement reviews run (p90, not mean: lead-time
+    pain lives in the tail, and one slow supplier's p90 is what strands
+    a production line).  scalar_business_days_gap is the
+    working-day-true refinement of the same measure.
+
+    Scale: the order-ship join is the shared orderkey equi-join; exact
+    per-supplier percentiles sort within supplier groups (sketch at
+    100 TB); the fleet benchmark is a 1-row broadcast."""
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_shipdate"
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    lt = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .where(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select(
+            "l_suppkey",
+            F.datediff(
+                F.date_trunc("day", "l_shipdate").cast("date"),
+                F.date_trunc("day", "o_orderdate").cast("date"),
+            ).alias("days"),
+        )
+    )
+    per = lt.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shipments"),
+        F.round(F.expr("percentile(days, 0.5)"), 4).alias("p50_days"),
+        F.round(F.expr("percentile(days, 0.9)"), 4).alias("p90_days"),
+    )
+    g = lt.agg(F.round(F.expr("percentile(days, 0.9)"), 4).alias("gp90"))
+    return per.crossJoin(F.broadcast(g)).select(
+        "l_suppkey",
+        "n_shipments",
+        "p50_days",
+        "p90_days",
+        (F.col("p90_days") > F.col("gp90")).cast("int").alias("slower_than_fleet"),
+    )

@@ -2436,3 +2436,85 @@ def spc_pchart_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(lcl, 6).alias("lcl"),
         ((p_hat > ucl) | (p_hat < lcl)).cast("int").alias("out_of_control"),
     )
+
+
+@register(
+    "events_harmonic_peak_hour",
+    oracle="""
+        WITH hh AS (
+            SELECT CAST(extract('hour' FROM ts) AS BIGINT) AS hr, COUNT(*) AS y
+            FROM events GROUP BY 1
+        ),
+        terms AS (
+            SELECT hr, y,
+                   cos(2 * pi() * hr / 24.0) AS ch,
+                   sin(2 * pi() * hr / 24.0) AS sh
+            FROM hh
+        ),
+        fit AS (
+            SELECT CAST(SUM(CAST(y AS DECIMAL(18,0))) AS DOUBLE) / COUNT(*) AS a,
+                   2.0 / COUNT(*)
+                       * CAST(SUM(CAST(round(y * ch, 6) AS DECIMAL(28,6)))
+                              AS DOUBLE) AS b,
+                   2.0 / COUNT(*)
+                       * CAST(SUM(CAST(round(y * sh, 6) AS DECIMAL(28,6)))
+                              AS DOUBLE) AS c
+            FROM terms
+        )
+        SELECT round(a, 4) AS mean_per_hour,
+               round(sqrt(b * b + c * c), 4) AS amplitude,
+               round(((atan2(c, b) + 2 * pi()) % (2 * pi())) / (2 * pi()) * 24, 4)
+                   AS peak_hour,
+               round(sqrt(b * b + c * c) / a, 6) AS relative_amplitude
+        FROM fit
+    """,
+    tags=("stats", "harmonic", "fourier", "seasonality"),
+)
+def events_harmonic_peak_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST-HARMONIC fit of the hourly load curve: regress hourly event
+    counts on cos/sin of the 24 h cycle — on the BALANCED hourly design
+    the least-squares coefficients collapse to scaled inner products (no
+    normal-equation solve), giving amplitude, PEAK HOUR (the phase), and
+    relative amplitude = how concentrated daily load is.  The
+    count-weighted Fourier twin of stats_circular_mean_hour (which
+    averages event angles; this fits the load CURVE — they disagree
+    exactly when traffic is multimodal, which is itself the signal).
+
+    Scale: 24-row aggregation after one hour-keyed count; everything
+    else is scalar.  Higher harmonics are more cos/sin columns, same
+    shape."""
+    two_pi = 2 * 3.141592653589793
+    hh = load(spark, sf_dir, "events").groupBy(
+        F.hour("ts").cast("bigint").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    terms = hh.select(
+        "y",
+        F.cos(two_pi * F.col("hr") / 24.0).alias("ch"),
+        F.sin(two_pi * F.col("hr") / 24.0).alias("sh"),
+    )
+    fit = terms.agg(
+        (F.sum(F.col("y").cast("decimal(18,0)")).cast("double") / F.count(F.lit(1))).alias("a"),
+        (
+            2.0
+            / F.count(F.lit(1))
+            * F.sum(F.round(F.col("y") * F.col("ch"), 6).cast("decimal(28,6)")).cast(
+                "double"
+            )
+        ).alias("b"),
+        (
+            2.0
+            / F.count(F.lit(1))
+            * F.sum(F.round(F.col("y") * F.col("sh"), 6).cast("decimal(28,6)")).cast(
+                "double"
+            )
+        ).alias("c"),
+    )
+    amp = F.sqrt(F.col("b") * F.col("b") + F.col("c") * F.col("c"))
+    return fit.select(
+        F.round("a", 4).alias("mean_per_hour"),
+        F.round(amp, 4).alias("amplitude"),
+        F.round(
+            ((F.atan2("c", "b") + two_pi) % two_pi) / two_pi * 24, 4
+        ).alias("peak_hour"),
+        F.round(amp / F.col("a"), 6).alias("relative_amplitude"),
+    )
