@@ -7241,3 +7241,50 @@ def supplier_leadtime_p90(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p90_days",
         (F.col("p90_days") > F.col("gp90")).cast("int").alias("slower_than_fleet"),
     )
+
+
+@register(
+    "customers_churned_1997",
+    oracle="""
+        WITH y96 AS (
+            SELECT o_custkey,
+                   COUNT(*) AS n_orders_1996,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS value_1996
+            FROM orders WHERE year(o_orderdate) = 1996
+            GROUP BY o_custkey
+        ),
+        y97 AS (
+            SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+        )
+        SELECT a.o_custkey,
+               CAST(a.n_orders_1996 AS BIGINT) AS n_orders_1996,
+               a.value_1996
+        FROM y96 a ANTI JOIN y97 b ON a.o_custkey = b.o_custkey
+    """,
+    tags=("churn", "anti_join", "retention"),
+)
+def customers_churned_1997(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHURN LIST: customers who ordered in 1996 but placed nothing in
+    1997, with their 1996 order count and value — the win-back campaign
+    input (the at-risk VALUE ranks the outreach).  Complements
+    users_new_vs_returning's aggregate flows with the actionable
+    per-customer roster; the anti-join-of-two-period-sets shape is the
+    canonical churn idiom.
+
+    Scale: both year slices reduce before the anti-join (year predicate
+    pushed to the scan); the anti-join keys on customer — the smaller
+    1997 key set builds the hash side."""
+    o = load(spark, sf_dir, "orders")
+    y96 = (
+        o.where(F.year("o_orderdate") == 1996)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders_1996"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("value_1996"),
+        )
+    )
+    y97 = o.where(F.year("o_orderdate") == 1997).select("o_custkey").distinct()
+    return y96.join(y97, "o_custkey", "left_anti")

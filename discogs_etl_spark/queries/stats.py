@@ -2518,3 +2518,71 @@ def events_harmonic_peak_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("peak_hour"),
         F.round(amp / F.col("a"), 6).alias("relative_amplitude"),
     )
+
+
+@register(
+    "users_discounted_ltv",
+    oracle="""
+        WITH base AS (SELECT MIN(CAST(date_trunc('day', ts) AS DATE)) AS d0
+                      FROM events),
+        pv AS (
+            SELECT user_id,
+                   round(value * pow(0.999,
+                         date_diff('day', d0, CAST(date_trunc('day', ts) AS DATE))),
+                         6) AS disc_v
+            FROM events CROSS JOIN base
+            WHERE event_type = 'purchase'
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_purchases,
+               round(CAST(SUM(CAST(disc_v AS DECIMAL(28,6))) AS DOUBLE), 4)
+                   AS discounted_ltv
+        FROM pv
+        GROUP BY user_id
+        ORDER BY discounted_ltv DESC, user_id
+        LIMIT 20
+    """,
+    tags=("finance", "ltv", "npv", "discounting"),
+)
+def users_discounted_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISCOUNTED lifetime value: each purchase present-valued at a
+    0.1%/day discount rate from the observation start — the NPV
+    arithmetic that makes early and late revenue commensurable (the
+    difference between "total spend" rankings and what finance will
+    actually fund acquisition against).  Top-20 users by discounted
+    value.
+
+    Scale: the discount factor is map-side pow over the day offset (no
+    window); per-user sums accumulate rounded DECIMAL; the 1-row epoch
+    broadcasts.  pow on identical (base, integer exponent) pairs is
+    bit-stable across engines."""
+    base = load(spark, sf_dir, "events").agg(
+        F.min(F.date_trunc("day", "ts").cast("date")).alias("d0")
+    )
+    pv = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(base))
+        .select(
+            "user_id",
+            F.round(
+                F.col("value")
+                * F.pow(
+                    F.lit(0.999),
+                    F.datediff(F.date_trunc("day", "ts").cast("date"), "d0"),
+                ),
+                6,
+            ).alias("disc_v"),
+        )
+    )
+    return (
+        pv.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            F.round(
+                F.sum(F.col("disc_v").cast("decimal(28,6)")).cast("double"), 4
+            ).alias("discounted_ltv"),
+        )
+        .orderBy(F.desc("discounted_ltv"), F.asc("user_id"))
+        .limit(20)
+    )
