@@ -7288,3 +7288,85 @@ def customers_churned_1997(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     y97 = o.where(F.year("o_orderdate") == 1997).select("o_custkey").distinct()
     return y96.join(y97, "o_custkey", "left_anti")
+
+
+@register(
+    "conversion_by_session_depth",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                             OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800.0
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+            SELECT user_id, event_type,
+                   SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+            FROM flagged
+        ), per AS (
+            SELECT user_id, session_id, COUNT(*) AS depth,
+                   MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS converted
+            FROM sess GROUP BY user_id, session_id
+        )
+        SELECT CASE WHEN depth = 1 THEN '1'
+                    WHEN depth <= 3 THEN '2-3'
+                    WHEN depth <= 7 THEN '4-7'
+                    ELSE '8+' END AS depth_bucket,
+               COUNT(*) AS n_sessions,
+               CAST(SUM(converted) AS BIGINT) AS n_converted,
+               round(SUM(converted) / CAST(COUNT(*) AS DOUBLE), 6)
+                   AS conversion_rate
+        FROM per
+        GROUP BY 1
+    """,
+    tags=("funnel", "sessionization", "conversion"),
+)
+def conversion_by_session_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVERSION BY ENGAGEMENT DEPTH: sessions bucketed by event count,
+    each bucket's purchase-conversion rate — the depth-response curve
+    behind "get them to a third page" growth tactics (monotone-rising
+    rates justify engagement investment; a hump says long sessions are
+    STRUGGLING, not shopping — direction matters and this table shows
+    it).  Sessions from the standard 30-min-gap definition.
+
+    Scale: sessionization's user-keyed windows, a per-session count+flag
+    aggregate, a 4-bucket rollup — nothing new shuffles."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ep = epoch("ts")
+    flagged = load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(F.lag("ts").over(w).isNull() | ((ep - F.lag(ep).over(w)) > 1800.0), 1)
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    per = (
+        flagged.withColumn("session_id", F.sum("is_new").over(wsum))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("depth"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("converted"),
+        )
+    )
+    bucket = (
+        F.when(F.col("depth") == 1, "1")
+        .when(F.col("depth") <= 3, "2-3")
+        .when(F.col("depth") <= 7, "4-7")
+        .otherwise("8+")
+    )
+    return per.groupBy(bucket.alias("depth_bucket")).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+        F.round(
+            F.sum("converted") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("conversion_rate"),
+    )

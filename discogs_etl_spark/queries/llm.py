@@ -5203,3 +5203,53 @@ def sample_balance_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").cast("bigint").alias("min_kept_doc"),
         )
     )
+
+
+@register(
+    "boilerplate_ngram_discovery",
+    oracle=f"""
+        WITH sh AS (
+            SELECT doc_id, unnest({_SQL_TRIGRAMS}) AS sh FROM documents
+        ),
+        n AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM sh),
+        df AS (
+            SELECT sh, COUNT(DISTINCT doc_id) AS df FROM sh GROUP BY sh
+        )
+        SELECT sh AS ngram, CAST(df AS BIGINT) AS doc_freq,
+               round(df / CAST(nd AS DOUBLE), 6) AS doc_frac
+        FROM df CROSS JOIN n
+        WHERE df / CAST(nd AS DOUBLE) >= 0.3
+        ORDER BY doc_freq DESC, ngram
+        LIMIT 50
+    """,
+    tags=("text", "boilerplate", "stoplist"),
+)
+def boilerplate_ngram_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOILERPLATE n-gram DISCOVERY: word-3-grams present in ≥ 30% of all
+    documents — phrases that frequent ("cookie policy", nav chrome,
+    license headers) are template, not content, and this df-ranked list
+    is the auto-generated stop-PHRASE table that text cleaning strips
+    before dedup (boilerplate inflates every similarity metric) and LM
+    training (it's memorized instantly).  Complements
+    boilerplate_prefix_groups (which only sees document HEADS) with
+    position-independent discovery.
+
+    Scale: per-doc DISTINCT shingles bound each doc's contribution; the
+    df count is one shingle-keyed aggregation with map-side partials;
+    the corpus size is a 1-row broadcast."""
+    sh = (
+        _with_shingles(load(spark, sf_dir, "documents"), "doc_id")
+        .select("doc_id", F.explode("shingles").alias("sh"))
+    )
+    nd = sh.select("doc_id").distinct().count()
+    df = sh.groupBy("sh").agg(F.countDistinct("doc_id").alias("df"))
+    return (
+        df.where(F.col("df") / F.lit(float(nd)) >= 0.3)
+        .select(
+            F.col("sh").alias("ngram"),
+            F.col("df").cast("bigint").alias("doc_freq"),
+            F.round(F.col("df") / F.lit(float(nd)), 6).alias("doc_frac"),
+        )
+        .orderBy(F.desc("doc_freq"), F.asc("ngram"))
+        .limit(50)
+    )
