@@ -7370,3 +7370,64 @@ def conversion_by_session_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("converted") / F.count(F.lit(1)).cast("double"), 6
         ).alias("conversion_rate"),
     )
+
+
+@register(
+    "orders_otif_rate",
+    oracle="""
+        WITH per AS (
+            SELECT o.o_orderkey,
+                   CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
+                   CAST(bool_and(date_diff('day',
+                            CAST(date_trunc('day', o.o_orderdate) AS DATE),
+                            CAST(date_trunc('day', l.l_shipdate) AS DATE)) <= 90)
+                        AS INT) AS otif
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderkey, date_trunc('month', o.o_orderdate)
+        )
+        SELECT month,
+               COUNT(*) AS n_orders,
+               CAST(SUM(otif) AS BIGINT) AS n_otif,
+               round(SUM(otif) / CAST(COUNT(*) AS DOUBLE), 6) AS otif_rate
+        FROM per GROUP BY month
+    """,
+    tags=("supply_chain", "otif", "kpi"),
+)
+def orders_otif_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTIF (on-time-in-full) rate by order month: an order counts only
+    if EVERY line shipped within the 90-day promise window (bool_and
+    over lines — the "in-full" part; one late line fails the whole
+    order, which per-line on-time rates hide), tracked monthly — the
+    canonical supply-chain service KPI.
+
+    Scale: the orderkey join is the shared q4/q12 shape; the per-order
+    bool_and folds in the first aggregation (map-side partials); the
+    monthly rollup is calendar-sized.  The INT cast keeps the
+    boolean out of the result per the driver-hash rules."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    per = (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .groupBy(
+            "o_orderkey",
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+        )
+        .agg(
+            F.min(
+                (
+                    F.datediff(
+                        F.date_trunc("day", "l_shipdate").cast("date"),
+                        F.date_trunc("day", "o_orderdate").cast("date"),
+                    )
+                    <= 90
+                ).cast("int")
+            ).alias("otif")
+        )
+    )
+    return per.groupBy("month").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("otif").cast("bigint").alias("n_otif"),
+        F.round(F.sum("otif") / F.count(F.lit(1)).cast("double"), 6).alias(
+            "otif_rate"
+        ),
+    )

@@ -5255,3 +5255,68 @@ def boilerplate_ngram_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("doc_freq"), F.asc("ngram"))
         .limit(50)
     )
+
+
+@register(
+    "text_msttr_diversity",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            WHERE len(string_split(text, ' ')) >= 25
+        ),
+        seg AS (
+            SELECT doc_id, g.s AS seg_idx,
+                   w[(g.s * 25 + 1):(g.s * 25 + 25)] AS seg
+            FROM w, unnest(range(len(w) // 25)) AS g(s)
+        ),
+        ttr AS (
+            SELECT doc_id, seg_idx,
+                   round(len(list_distinct(seg)) / 25.0, 6) AS seg_ttr
+            FROM seg
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_segments,
+               round(CAST(SUM(CAST(seg_ttr AS DECIMAL(18,6))) AS DOUBLE)
+                     / COUNT(*), 6) AS msttr
+        FROM ttr GROUP BY doc_id
+    """,
+    tags=("text", "diversity", "msttr"),
+)
+def text_msttr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEAN SEGMENTAL type-token ratio (MSTTR-25): lexical diversity
+    computed over fixed 25-token segments and averaged — the
+    length-ROBUST diversity metric (plain TTR mechanically falls with
+    document length, so text_stats_by_lang's per-doc TTR can't compare a
+    tweet to an essay; fixed segments can).  Trailing partial segments
+    are dropped per the standard definition; docs under one segment are
+    excluded.
+
+    Scale: segmentation is a row-local array slice (no explode until
+    the bounded per-segment rows); per-segment TTR is array_distinct
+    over 25 elements; the per-doc mean accumulates rounded DECIMAL."""
+    w = (
+        load(spark, sf_dir, "documents")
+        .selectExpr("doc_id", "split(text, ' ') AS w")
+        .where(F.size("w") >= 25)
+    )
+    seg = w.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(w) DIV 25 - 1),"
+                " s -> slice(w, s * 25 + 1, 25))"
+            )
+        ).alias("seg"),
+    )
+    ttr = seg.select(
+        "doc_id",
+        F.round(F.size(F.array_distinct("seg")) / 25.0, 6).alias("seg_ttr"),
+    )
+    return ttr.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+        F.round(
+            F.sum(F.col("seg_ttr").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("msttr"),
+    )
