@@ -5320,3 +5320,72 @@ def text_msttr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("msttr"),
     )
+
+
+@register(
+    "embedding_norm_outliers",
+    oracle="""
+        WITH nrm AS (
+            SELECT vec_id, label,
+                   round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                               CAST(embedding AS DOUBLE[]))), 6)
+                       AS l2
+            FROM embeddings
+        ),
+        s AS (
+            SELECT COUNT(*) AS n,
+                   CAST(SUM(CAST(round(l2, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sl,
+                   CAST(SUM(CAST(round(l2 * l2, 8) AS DECIMAL(38,8))) AS DOUBLE)
+                       AS sll
+            FROM nrm
+        )
+        SELECT vec_id, label, l2,
+               round((l2 - sl / n)
+                     / sqrt(greatest((sll - sl * sl / n) / (n - 1), 1e-12)), 4)
+                   AS z
+        FROM nrm CROSS JOIN s
+        WHERE abs((l2 - sl / n)
+                  / sqrt(greatest((sll - sl * sl / n) / (n - 1), 1e-12))) > 3
+           OR l2 < 1e-6
+        ORDER BY z DESC, vec_id
+    """,
+    tags=("embedding", "qa", "outliers"),
+)
+def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING QA: vectors whose L2 norm sits more than 3σ from the
+    corpus mean, or is numerically zero — the two failure signatures of
+    a broken encoder run (zero vectors from padded/failed inputs,
+    exploding norms from fp overflow or un-normalized mixtures), both of
+    which silently poison cosine math downstream (zero vectors make
+    cosine NaN; giant norms dominate any dot-product index).  Run this
+    BEFORE the similarity/dedup planes.
+
+    Scale: the norm is row-local (JVM fold); moments are one DECIMAL
+    aggregate broadcast back; output tracks the violation rate."""
+    nrm = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.round(F.sqrt(_dot(F.col("embedding").cast("array<double>"),
+                            F.col("embedding").cast("array<double>"))), 6).alias("l2"),
+    )
+    s = nrm.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round("l2", 6).cast("decimal(28,6)")).cast("double").alias("sl"),
+        F.sum(F.round(F.col("l2") * F.col("l2"), 8).cast("decimal(38,8)"))
+        .cast("double")
+        .alias("sll"),
+    )
+    mean = F.col("sl") / F.col("n")
+    sd = F.sqrt(
+        F.greatest(
+            (F.col("sll") - F.col("sl") * F.col("sl") / F.col("n")) / (F.col("n") - 1),
+            F.lit(1e-12),
+        )
+    )
+    z = (F.col("l2") - mean) / sd
+    return (
+        nrm.crossJoin(F.broadcast(s))
+        .where((F.abs(z) > 3) | (F.col("l2") < 1e-6))
+        .select("vec_id", "label", "l2", F.round(z, 4).alias("z"))
+        .orderBy(F.desc("z"), F.asc("vec_id"))
+    )

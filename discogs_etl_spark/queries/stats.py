@@ -2586,3 +2586,73 @@ def users_discounted_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("discounted_ltv"), F.asc("user_id"))
         .limit(20)
     )
+
+
+@register(
+    "price_elasticity_discount",
+    oracle="""
+        WITH pt AS (
+            SELECT p.p_type AS ptype,
+                   CAST(l.l_discount AS DOUBLE) AS x,
+                   round(ln(l.l_quantity), 9) AS y
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE l.l_quantity > 0
+        ),
+        s AS (
+            SELECT ptype, COUNT(*) AS n,
+                   CAST(SUM(CAST(round(x, 4) AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(round(y, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(round(x * y, 9) AS DECIMAL(38,9))) AS DOUBLE)
+                       AS sxy,
+                   CAST(SUM(CAST(round(x * x, 8) AS DECIMAL(28,8))) AS DOUBLE)
+                       AS sxx
+            FROM pt GROUP BY ptype
+        )
+        SELECT ptype AS p_type, CAST(n AS BIGINT) AS n_lines,
+               round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+                   AS discount_response,
+               CAST((n * sxy - sx * sy) / (n * sxx - sx * sx) > 0 AS INT)
+                   AS discount_lifts_volume
+        FROM s
+    """,
+    tags=("stats", "elasticity", "econometrics"),
+)
+def price_elasticity_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISCOUNT RESPONSE (semi-log elasticity): per part type, regress
+    ln(quantity) on the discount rate — the slope reads as "% volume
+    change per discount point", the number pricing teams trade against
+    margin give-up.  A flat/negative slope on the fixtures is the honest
+    null (quantities are independent of discount by construction) — the
+    estimator's job is to SAY so, which naive avg-quantity-by-discount-
+    bucket tables routinely don't (they re-discover bucket noise).
+
+    Scale: the part-type join broadcasts the dimension; OLS moments
+    accumulate as rounded DECIMAL per type (map-side partials); output
+    is type-cardinality rows."""
+    l = load(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 0)
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    pt = l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"]).select(
+        F.col("p_type").alias("ptype"),
+        F.col("l_discount").cast("double").alias("x"),
+        F.round(F.log("l_quantity"), 9).alias("y"),
+    )
+    s = pt.groupBy("ptype").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round("x", 4).cast("decimal(18,4)")).cast("double").alias("sx"),
+        F.sum(F.round("y", 9).cast("decimal(28,9)")).cast("double").alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("y"), 9).cast("decimal(38,9)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.round(F.col("x") * F.col("x"), 8).cast("decimal(28,8)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("ptype").alias("p_type"),
+        F.col("n").cast("bigint").alias("n_lines"),
+        F.round(slope, 6).alias("discount_response"),
+        (slope > 0).cast("int").alias("discount_lifts_volume"),
+    )
