@@ -5339,15 +5339,17 @@ def text_msttr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
                        AS sll
             FROM nrm
         )
-        SELECT vec_id, label, l2,
-               round((l2 - sl / n)
-                     / sqrt(greatest((sll - sl * sl / n) / (n - 1), 1e-12)), 4)
-                   AS z
-        FROM nrm CROSS JOIN s
-        WHERE abs((l2 - sl / n)
-                  / sqrt(greatest((sll - sl * sl / n) / (n - 1), 1e-12))) > 3
-           OR l2 < 1e-6
-        ORDER BY z DESC, vec_id
+        SELECT vec_id, label, l2, z,
+               CAST(abs(z) > 3 OR l2 < 1e-6 AS INT) AS is_outlier
+        FROM (
+            SELECT vec_id, label, l2,
+                   round((l2 - sl / n)
+                         / sqrt(greatest((sll - sl * sl / n) / (n - 1), 1e-12)), 4)
+                       AS z
+            FROM nrm CROSS JOIN s
+        )
+        ORDER BY abs(z) DESC, vec_id
+        LIMIT 10
     """,
     tags=("embedding", "qa", "outliers"),
 )
@@ -5385,7 +5387,11 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = (F.col("l2") - mean) / sd
     return (
         nrm.crossJoin(F.broadcast(s))
-        .where((F.abs(z) > 3) | (F.col("l2") < 1e-6))
         .select("vec_id", "label", "l2", F.round(z, 4).alias("z"))
-        .orderBy(F.desc("z"), F.asc("vec_id"))
+        .withColumn(
+            "is_outlier",
+            ((F.abs("z") > 3) | (F.col("l2") < 1e-6)).cast("int"),
+        )
+        .orderBy(F.desc(F.abs("z")), F.asc("vec_id"))
+        .limit(10)
     )
