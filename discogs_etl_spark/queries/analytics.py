@@ -7431,3 +7431,64 @@ def orders_otif_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "otif_rate"
         ),
     )
+
+
+@register(
+    "features_target_encoding_loo",
+    oracle="""
+        WITH spend AS (
+            SELECT o_custkey,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sp
+            FROM orders GROUP BY o_custkey
+        ),
+        base AS (
+            SELECT c.c_custkey, c.c_mktsegment, COALESCE(s.sp, 0.0) AS sp
+            FROM customer c LEFT JOIN spend s ON s.o_custkey = c.c_custkey
+        ),
+        seg AS (
+            SELECT c_mktsegment,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(round(sp, 2) AS DECIMAL(28,2))) AS DOUBLE) AS tot
+            FROM base GROUP BY c_mktsegment
+        )
+        SELECT b.c_custkey, b.c_mktsegment,
+               round((g.tot - b.sp) / (g.n - 1), 4) AS loo_encoding
+        FROM base b JOIN seg g ON g.c_mktsegment = b.c_mktsegment
+        WHERE g.n > 1
+    """,
+    tags=("features", "target_encoding", "ml_prep"),
+)
+def features_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAVE-ONE-OUT target encoding: each customer's market segment
+    encoded as the mean spend of the segment's OTHER members —
+    (Σsegment − own)/(n − 1) — the categorical encoder that feeds tree
+    and linear models without the target leakage plain mean-encoding
+    commits (a customer's own spend never enters its own feature, so
+    train-time fit statistics stay honest).  Singleton segments are
+    dropped (no peers to encode from).
+
+    Scale: segment totals are one tiny aggregate broadcast back; the
+    encoding is map-side arithmetic per row — the whole encoder costs
+    one dimension scan more than a groupBy."""
+    spend = load(spark, sf_dir, "orders").groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("sp")
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    base = c.join(spend, c["c_custkey"] == spend["o_custkey"], "left").select(
+        "c_custkey", "c_mktsegment", F.coalesce("sp", F.lit(0.0)).alias("sp")
+    )
+    seg = base.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round("sp", 2).cast("decimal(28,2)")).cast("double").alias("tot"),
+    )
+    return (
+        base.join(F.broadcast(seg), "c_mktsegment")
+        .where(F.col("n") > 1)
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.round((F.col("tot") - F.col("sp")) / (F.col("n") - 1), 4).alias(
+                "loo_encoding"
+            ),
+        )
+    )

@@ -2656,3 +2656,96 @@ def price_elasticity_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("discount_response"),
         (slope > 0).cast("int").alias("discount_lifts_volume"),
     )
+
+
+@register(
+    "users_bot_score",
+    oracle="""
+        WITH g AS (
+            SELECT user_id,
+                   epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id
+                                                   ORDER BY ts, event_id)) AS gap
+            FROM events
+        ),
+        per AS (
+            SELECT user_id,
+                   COUNT(*) + 1 AS n_events,
+                   CAST(SUM(CAST(round(gap, 3) AS DECIMAL(28,3))) AS DOUBLE) AS sg,
+                   CAST(SUM(CAST(round(gap * gap, 3) AS DECIMAL(38,3))) AS DOUBLE)
+                       AS sgg,
+                   COUNT(*) AS n_gaps
+            FROM g WHERE gap IS NOT NULL
+            GROUP BY user_id
+            HAVING COUNT(*) >= 5
+        ),
+        scored AS (
+            SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+                   round(3600.0 * n_gaps / sg, 4) AS events_per_hour,
+                   round(sqrt(greatest((sgg - sg * sg / n_gaps)
+                                       / (n_gaps - 1), 0.0))
+                         / (sg / n_gaps), 4) AS gap_cv
+            FROM per
+        )
+        SELECT user_id, n_events, events_per_hour, gap_cv,
+               CAST(gap_cv < 0.3 AS INT) AS too_regular
+        FROM scored
+        ORDER BY gap_cv, user_id
+        LIMIT 20
+    """,
+    tags=("abuse", "bot_detection", "regularity"),
+)
+def users_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOT-REGULARITY screen: per user (≥ 5 gaps), event rate and the
+    COEFFICIENT OF VARIATION of inter-arrival times — humans are bursty
+    (CV ≈ 1 for Poisson, higher with sessions), schedulers are metronomic
+    (CV → 0), so the 20 most-regular users ranked here are the cron-job
+    candidates.  Rate alone misses slow bots; regularity alone misses
+    bursty scrapers — ship both columns, gate on the pair.  Complements
+    events_burst_users (which finds the OPPOSITE tail).
+
+    Scale: gap extraction is the sessionization window; per-user moments
+    accumulate as rounded DECIMAL; the CV formula is the guarded
+    sum-of-squares idiom."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ep = epoch("ts")
+    g = load(spark, sf_dir, "events").select(
+        "user_id", (ep - F.lag(ep).over(w)).alias("gap")
+    )
+    per = (
+        g.where(F.col("gap").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            (F.count(F.lit(1)) + 1).cast("bigint").alias("n_events"),
+            F.sum(F.round("gap", 3).cast("decimal(28,3)")).cast("double").alias("sg"),
+            F.sum(F.round(F.col("gap") * F.col("gap"), 3).cast("decimal(38,3)"))
+            .cast("double")
+            .alias("sgg"),
+            F.count(F.lit(1)).alias("n_gaps"),
+        )
+        .where(F.col("n_gaps") >= 5)
+    )
+    mean = F.col("sg") / F.col("n_gaps")
+    sd = F.sqrt(
+        F.greatest(
+            (F.col("sgg") - F.col("sg") * F.col("sg") / F.col("n_gaps"))
+            / (F.col("n_gaps") - 1),
+            F.lit(0.0),
+        )
+    )
+    scored = per.select(
+        "user_id",
+        "n_events",
+        F.round(3600.0 * F.col("n_gaps") / F.col("sg"), 4).alias("events_per_hour"),
+        F.round(sd / mean, 4).alias("gap_cv"),
+    )
+    return (
+        scored.select(
+            "user_id",
+            "n_events",
+            "events_per_hour",
+            "gap_cv",
+            (F.col("gap_cv") < 0.3).cast("int").alias("too_regular"),
+        )
+        .orderBy(F.asc("gap_cv"), F.asc("user_id"))
+        .limit(20)
+    )
