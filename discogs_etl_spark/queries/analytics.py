@@ -7492,3 +7492,62 @@ def features_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "parts_price_dispersion",
+    oracle="""
+        WITH pr AS (
+            SELECT l_partkey,
+                   COUNT(DISTINCT l_suppkey) AS n_suppliers,
+                   MIN(l_extendedprice / l_quantity) AS min_unit,
+                   MAX(l_extendedprice / l_quantity) AS max_unit
+            FROM lineitem
+            WHERE l_quantity > 0
+            GROUP BY l_partkey
+            HAVING COUNT(DISTINCT l_suppkey) >= 2
+        )
+        SELECT l_partkey, CAST(n_suppliers AS BIGINT) AS n_suppliers,
+               round(min_unit, 4) AS min_unit_price,
+               round(max_unit, 4) AS max_unit_price,
+               round(max_unit / min_unit, 6) AS dispersion_ratio
+        FROM pr
+        ORDER BY dispersion_ratio DESC, l_partkey
+        LIMIT 20
+    """,
+    tags=("pricing", "dispersion", "market"),
+)
+def parts_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRICE DISPERSION: for multi-supplier parts, the max/min realized
+    unit-price ratio — the law-of-one-price violation screen (high
+    dispersion = someone is overpaying or a supplier is dumping;
+    procurement arbitrages it, economists measure market friction by
+    it).  Top-20 most dispersed parts.
+
+    Scale: unit prices are map-side; one part-keyed min/max/distinct
+    aggregation; 20-row TakeOrderedAndProject.  MIN/MAX of identical
+    double divisions are order-free, so no decimal staging is needed."""
+    pr = (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") > 0)
+        .groupBy("l_partkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("min_unit"),
+            F.max(F.col("l_extendedprice") / F.col("l_quantity")).alias("max_unit"),
+        )
+        .where(F.col("n_suppliers") >= 2)
+    )
+    return (
+        pr.select(
+            "l_partkey",
+            F.col("n_suppliers").cast("bigint").alias("n_suppliers"),
+            F.round("min_unit", 4).alias("min_unit_price"),
+            F.round("max_unit", 4).alias("max_unit_price"),
+            F.round(F.col("max_unit") / F.col("min_unit"), 6).alias(
+                "dispersion_ratio"
+            ),
+        )
+        .orderBy(F.desc("dispersion_ratio"), F.asc("l_partkey"))
+        .limit(20)
+    )

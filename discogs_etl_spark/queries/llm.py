@@ -5395,3 +5395,85 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc(F.abs("z")), F.asc("vec_id"))
         .limit(10)
     )
+
+
+@register(
+    "corpus_jsd_sources",
+    oracle="""
+        WITH tf AS (
+            SELECT source, t.term, COUNT(*) AS c
+            FROM (SELECT source, unnest(string_split(text, ' ')) AS term
+                  FROM documents) t
+            GROUP BY source, t.term
+        ),
+        tot AS (SELECT source, SUM(c) AS n FROM tf GROUP BY source),
+        p AS (
+            SELECT tf.source, tf.term, tf.c / CAST(tot.n AS DOUBLE) AS p
+            FROM tf JOIN tot ON tf.source = tot.source
+        ),
+        pairs AS (
+            SELECT a.source AS src_a, b.source AS src_b, a.term,
+                   COALESCE(a.p, 0.0) AS pa, COALESCE(b.p, 0.0) AS pb
+            FROM p a JOIN p b ON a.term = b.term AND a.source < b.source
+        ),
+        contrib AS (
+            SELECT src_a, src_b,
+                   round(0.5 * pa * ln(pa / ((pa + pb) / 2))
+                         + 0.5 * pb * ln(pb / ((pa + pb) / 2)), 9) AS js
+            FROM pairs WHERE pa > 0 AND pb > 0
+        )
+        SELECT src_a, src_b,
+               round(CAST(SUM(CAST(js AS DECIMAL(28,9))) AS DOUBLE), 6)
+                   AS jsd_shared_terms
+        FROM contrib GROUP BY src_a, src_b
+    """,
+    tags=("text", "divergence", "jsd", "corpus_comparison"),
+)
+def corpus_jsd_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JENSEN-SHANNON divergence between sources' unigram distributions
+    (shared-vocabulary term): which crawl sources speak the same
+    language statistically — near-zero pairs are redundant acquisitions,
+    high pairs genuinely diversify the mixture (the corpus-level
+    companion to stats_psi_value_drift's within-stream drift).  Computed
+    over terms present in BOTH sources (the smoothed full-vocabulary JSD
+    adds the disjoint mass; shared-term JSD is the comparable core and
+    stays log-safe without epsilons).
+
+    Scale: per-source distributions are one (source, term) count; the
+    pairwise join keys on term with source-pair fan-out bounded by
+    sources²; contributions accumulate as rounded DECIMAL."""
+    tf = (
+        load(spark, sf_dir, "documents")
+        .select("source", F.explode(_words()).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = tf.groupBy("source").agg(F.sum("c").alias("n"))
+    p = tf.join(tot, "source").select(
+        "source", "term", (F.col("c") / F.col("n").cast("double")).alias("p")
+    )
+    a, b = p.alias("a"), p.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.term") == F.col("b.term")) & (F.col("a.source") < F.col("b.source")),
+    ).select(
+        F.col("a.source").alias("src_a"),
+        F.col("b.source").alias("src_b"),
+        F.col("a.p").alias("pa"),
+        F.col("b.p").alias("pb"),
+    )
+    m = (F.col("pa") + F.col("pb")) / 2
+    js = F.round(
+        0.5 * F.col("pa") * F.log(F.col("pa") / m)
+        + 0.5 * F.col("pb") * F.log(F.col("pb") / m),
+        9,
+    )
+    return (
+        pairs.where((F.col("pa") > 0) & (F.col("pb") > 0))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.round(
+                F.sum(js.cast("decimal(28,9)")).cast("double"), 6
+            ).alias("jsd_shared_terms")
+        )
+    )
