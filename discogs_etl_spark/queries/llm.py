@@ -5477,3 +5477,111 @@ def corpus_jsd_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jsd_shared_terms")
         )
     )
+
+
+@register(
+    "corpus_heaps_law_fit",
+    oracle="""
+        WITH firstseen AS (
+            SELECT t.term, MIN(doc_id) AS first_doc
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                  FROM documents) t
+            GROUP BY t.term
+        ),
+        toks AS (
+            SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+        ),
+        grid AS (SELECT unnest([49, 99, 149, 199, 249, 299, 349, 399, 449, 499])
+                     AS cut),
+        pts AS (
+            SELECT g.cut,
+                   (SELECT SUM(n_tok) FROM toks WHERE doc_id <= g.cut) AS n_tokens,
+                   (SELECT COUNT(*) FROM firstseen WHERE first_doc <= g.cut)
+                       AS vocab
+            FROM grid g
+        ),
+        ln_pts AS (
+            SELECT round(ln(CAST(n_tokens AS DOUBLE)), 9) AS x,
+                   round(ln(CAST(vocab AS DOUBLE)), 9) AS y
+            FROM pts
+        ),
+        s AS (
+            SELECT COUNT(*) AS n,
+                   CAST(SUM(CAST(x AS DECIMAL(28,9))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(y AS DECIMAL(28,9))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(round(x * y, 9) AS DECIMAL(38,9))) AS DOUBLE)
+                       AS sxy,
+                   CAST(SUM(CAST(round(x * x, 9) AS DECIMAL(38,9))) AS DOUBLE)
+                       AS sxx
+            FROM ln_pts
+        )
+        SELECT CAST(n AS BIGINT) AS n_checkpoints,
+               round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS heaps_beta,
+               round(exp((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                         / n), 4) AS heaps_k
+        FROM s
+    """,
+    tags=("text", "heaps_law", "scaling", "vocabulary"),
+)
+def corpus_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEAPS' LAW fit: vocabulary growth V(n) = K·n^β estimated by OLS in
+    log-log space over 10 corpus-prefix checkpoints — the vocabulary
+    SCALING LAW that predicts how big the token table gets at 100× the
+    corpus (β ≈ 0.4-0.6 for natural text; the fixtures' closed synthetic
+    vocabulary drives β → 0, which is exactly what the fit should say —
+    compare vocab_coverage_curve's static view).  V at each checkpoint
+    comes from FIRST-APPEARANCE aggregation (one min per term + a
+    membership count), never ten recomputed distinct-counts over
+    prefixes.
+
+    Scale: one (term → min doc) aggregation and one token-count pass;
+    the checkpoint probes are against those two small tables; the OLS is
+    the repo's DECIMAL-moment idiom over 10 points."""
+    docs = load(spark, sf_dir, "documents")
+    firstseen = (
+        docs.select("doc_id", F.explode(_words()).alias("term"))
+        .groupBy("term")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    toks = docs.select("doc_id", F.size(_words()).alias("n_tok"))
+    cuts = [49, 99, 149, 199, 249, 299, 349, 399, 449, 499]
+    grid = load(spark, sf_dir, "documents").sparkSession.createDataFrame(
+        [(c,) for c in cuts], "cut bigint"
+    )
+    nt = (
+        grid.crossJoin(toks)
+        .where(F.col("doc_id") <= F.col("cut"))
+        .groupBy("cut")
+        .agg(F.sum("n_tok").alias("n_tokens"))
+    )
+    vb = (
+        grid.crossJoin(firstseen)
+        .where(F.col("first_doc") <= F.col("cut"))
+        .groupBy("cut")
+        .agg(F.count(F.lit(1)).alias("vocab"))
+    )
+    ln_pts = nt.join(vb, "cut").select(
+        F.round(F.log(F.col("n_tokens").cast("double")), 9).alias("x"),
+        F.round(F.log(F.col("vocab").cast("double")), 9).alias("y"),
+    )
+    s = ln_pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(28,9)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(28,9)")).cast("double").alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("y"), 9).cast("decimal(38,9)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.round(F.col("x") * F.col("x"), 9).cast("decimal(38,9)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    beta = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n_checkpoints"),
+        F.round(beta, 6).alias("heaps_beta"),
+        F.round(F.exp((F.col("sy") - beta * F.col("sx")) / F.col("n")), 4).alias(
+            "heaps_k"
+        ),
+    )
