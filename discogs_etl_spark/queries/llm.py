@@ -5585,3 +5585,71 @@ def corpus_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "heaps_k"
         ),
     )
+
+
+@register(
+    "dedup_transitivity_audit",
+    oracle=f"""
+        WITH px AS ({_NGRAM_ORACLE}),
+        e AS (SELECT doc_a AS u, doc_b AS v FROM px),
+        und AS (
+            SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e
+        ),
+        wedges AS (
+            SELECT x.a AS u, x.b AS mid, y.b AS w
+            FROM und x JOIN und y ON x.b = y.a AND x.a < y.b
+        ),
+        closed AS (
+            SELECT wg.u, wg.mid, wg.w
+            FROM wedges wg JOIN e ON e.u = wg.u AND e.v = wg.w
+        )
+        SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_pairs,
+               CAST((SELECT COUNT(*) FROM wedges) AS BIGINT) AS n_wedges,
+               CAST((SELECT COUNT(*) FROM closed) AS BIGINT) AS n_closed,
+               round((SELECT COUNT(*) FROM closed)
+                     / CAST(greatest((SELECT COUNT(*) FROM wedges), 1) AS DOUBLE),
+                     6) AS transitivity
+    """,
+    tags=("dedup", "transitivity", "audit", "graph"),
+)
+def dedup_transitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRANSITIVITY audit of the near-dup graph: of all 2-paths a~b~c in
+    the Jaccard-pair graph, what fraction close into a~c — the number
+    that says whether connected-components dedup is SAFE at this
+    threshold (CC treats similarity as transitive; low closure means
+    components chain dissimilar docs together and keep-one-per-component
+    over-deletes — raise the threshold or switch to star-contraction
+    with verification).  The graph family's clustering coefficient
+    aimed at the dedup plane's own output.
+
+    Scale: the pair graph is pair-set-sized; wedges and closures are the
+    triangle-count shapes over it — tiny relative to the corpus
+    pipelines that produced the pairs."""
+    e = dedup_ngram_jaccard(spark, sf_dir).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).localCheckpoint()
+    und = e.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        e.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    x, y = und.alias("x"), und.alias("y")
+    wedges = x.join(
+        y, (F.col("x.b") == F.col("y.a")) & (F.col("x.a") < F.col("y.b"))
+    ).select(F.col("x.a").alias("wu"), F.col("y.b").alias("ww"))
+    closed = wedges.join(
+        e, (F.col("wu") == F.col("u")) & (F.col("ww") == F.col("v"))
+    )
+    n_pairs = e.count()
+    n_wedges = wedges.count()
+    n_closed = closed.count()
+    return (
+        load(spark, sf_dir, "documents")
+        .limit(1)
+        .select(
+            F.lit(n_pairs).cast("bigint").alias("n_pairs"),
+            F.lit(n_wedges).cast("bigint").alias("n_wedges"),
+            F.lit(n_closed).cast("bigint").alias("n_closed"),
+            F.round(
+                F.lit(n_closed) / F.lit(float(max(n_wedges, 1))), 6
+            ).alias("transitivity"),
+        )
+    )
