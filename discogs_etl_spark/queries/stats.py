@@ -2749,3 +2749,224 @@ def users_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("gap_cv"), F.asc("user_id"))
         .limit(20)
     )
+
+
+@register(
+    "whale_retention_jaccard",
+    oracle="""
+        WITH wk AS (
+            SELECT CAST(date_trunc('week', ts) AS DATE) AS week, user_id,
+                   CAST(SUM(CAST(round(value, 6) AS DECIMAL(28,6))) AS DOUBLE)
+                       AS v
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT week, user_id,
+                   ROW_NUMBER() OVER (PARTITION BY week
+                                      ORDER BY v DESC, user_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY week) AS n
+            FROM wk
+        ),
+        whales AS (
+            SELECT week, user_id FROM ranked WHERE rn <= greatest(n // 10, 1)
+        ),
+        weeks AS (SELECT DISTINCT week FROM whales),
+        pairs AS (
+            SELECT w1.week AS week_a, MIN(w2.week) AS week_b
+            FROM weeks w1 JOIN weeks w2 ON w2.week > w1.week
+            GROUP BY w1.week
+        )
+        SELECT p.week_a, p.week_b,
+               CAST(COUNT(a.user_id) AS BIGINT) AS n_whales_a,
+               CAST((SELECT COUNT(*) FROM whales x WHERE x.week = p.week_b)
+                    AS BIGINT) AS n_whales_b,
+               CAST(COUNT(b.user_id) AS BIGINT) AS n_retained,
+               round(COUNT(b.user_id)
+                     / CAST(COUNT(a.user_id)
+                            + (SELECT COUNT(*) FROM whales x
+                               WHERE x.week = p.week_b)
+                            - COUNT(b.user_id) AS DOUBLE), 6) AS jaccard
+        FROM pairs p
+        JOIN whales a ON a.week = p.week_a
+        LEFT JOIN whales b ON b.week = p.week_b AND b.user_id = a.user_id
+        GROUP BY p.week_a, p.week_b
+    """,
+    tags=("cohort", "whales", "jaccard", "retention"),
+)
+def whale_retention_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHALE-SET stability: the top-10% purchasers of each week compared
+    to the NEXT observed week's set by Jaccard — high overlap means
+    revenue concentration is persistent (retain the same whales), low
+    overlap means whale status is churn-prone noise (acquisition, not
+    retention, drives the top decile).  Set similarity applied to
+    cohorts instead of documents — the same metric, a different plane.
+
+    Scale: weekly per-user sums shuffle once; whale selection is a
+    week-partitioned window; consecutive-week pairing and the overlap
+    join run over the whale sets (10% of weekly actives)."""
+    wk = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .groupBy(
+            F.date_trunc("week", "ts").cast("date").alias("week"), "user_id"
+        )
+        .agg(
+            F.sum(F.round("value", 6).cast("decimal(28,6)"))
+            .cast("double")
+            .alias("v")
+        )
+    )
+    wrk = Window.partitionBy("week").orderBy(F.desc("v"), F.asc("user_id"))
+    wn = Window.partitionBy("week")
+    whales = (
+        wk.withColumn("rn", F.row_number().over(wrk))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .where(F.col("rn") <= F.greatest(F.floor(F.col("n") / 10), F.lit(1)))
+        .select("week", "user_id")
+        .localCheckpoint()
+    )
+    weeks = whales.select("week").distinct()
+    w1, w2 = weeks.alias("w1"), weeks.alias("w2")
+    pairs = (
+        w1.join(w2, F.col("w2.week") > F.col("w1.week"))
+        .groupBy(F.col("w1.week").alias("week_a"))
+        .agg(F.min("w2.week").alias("week_b"))
+    )
+    sizes = whales.groupBy("week").agg(F.count(F.lit(1)).alias("sz"))
+    a = whales.select(F.col("week").alias("week_a"), "user_id")
+    b = whales.select(F.col("week").alias("wb"), F.col("user_id").alias("uid_b"))
+    j = (
+        pairs.join(a, "week_a")
+        .join(
+            b,
+            (F.col("week_b") == F.col("wb")) & (F.col("user_id") == F.col("uid_b")),
+            "left",
+        )
+        .groupBy("week_a", "week_b")
+        .agg(
+            F.count("user_id").cast("bigint").alias("n_whales_a"),
+            F.count("uid_b").cast("bigint").alias("n_retained"),
+        )
+    )
+    jj = j.join(
+        F.broadcast(sizes.select(F.col("week").alias("week_b"), F.col("sz").alias("n_whales_b"))),
+        "week_b",
+    )
+    return jj.select(
+        "week_a",
+        "week_b",
+        "n_whales_a",
+        F.col("n_whales_b").cast("bigint").alias("n_whales_b"),
+        "n_retained",
+        F.round(
+            F.col("n_retained")
+            / (F.col("n_whales_a") + F.col("n_whales_b") - F.col("n_retained")).cast(
+                "double"
+            ),
+            6,
+        ).alias("jaccard"),
+    )
+
+
+@register(
+    "seasonality_strength_dow",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+            FROM orders GROUP BY 1
+        ),
+        tagged AS (
+            SELECT day, rev,
+                   date_diff('day', DATE '1970-01-05', day) % 7 AS dow
+            FROM daily
+        ),
+        dowm AS (
+            SELECT dow,
+                   CAST(SUM(CAST(round(rev, 2) AS DECIMAL(28,2))) AS DOUBLE)
+                       / COUNT(*) AS m,
+                   COUNT(*) AS n
+            FROM tagged GROUP BY dow
+        ),
+        g AS (
+            SELECT CAST(SUM(CAST(round(rev, 2) AS DECIMAL(28,2))) AS DOUBLE)
+                       / COUNT(*) AS gm,
+                   COUNT(*) AS gn,
+                   CAST(SUM(CAST(round(rev * rev, 4) AS DECIMAL(38,4)))
+                        AS DOUBLE) AS srr,
+                   CAST(SUM(CAST(round(rev, 2) AS DECIMAL(28,2))) AS DOUBLE) AS sr
+            FROM tagged
+        ),
+        between_var AS (
+            SELECT CAST(SUM(CAST(round(d.n * (d.m - g.gm) * (d.m - g.gm), 6)
+                                 AS DECIMAL(38,6))) AS DOUBLE) AS ssb
+            FROM dowm d CROSS JOIN g
+        )
+        SELECT round(b.ssb / (g.srr - g.sr * g.sr / g.gn), 6)
+                   AS seasonality_strength,
+               CAST(b.ssb / (g.srr - g.sr * g.sr / g.gn) > 0.1 AS INT)
+                   AS weekly_pattern_present
+        FROM between_var b CROSS JOIN g
+    """,
+    tags=("stats", "seasonality", "variance_decomposition"),
+)
+def seasonality_strength_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEASONALITY STRENGTH: the share of daily-revenue variance
+    explained by day-of-week means (between-group sum of squares over
+    total — the one-way ANOVA R²) — the single number that decides
+    whether stats_seasonal_adjust_daily is worth running at all
+    (strength ≈ 0 → adjusting adds noise, not signal).  Day-of-week via
+    the convention-free Monday-epoch modulus shared with the calendar
+    ops.
+
+    Scale: daily rollup, a 7-row group-mean table, and two scalar
+    aggregates — variance decomposition at aggregation cost."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("rev")
+        )
+    )
+    tagged = daily.select(
+        "rev",
+        (F.datediff("day", F.lit("1970-01-05").cast("date")) % 7).alias("dow"),
+    )
+    dowm = tagged.groupBy("dow").agg(
+        (
+            F.sum(F.round("rev", 2).cast("decimal(28,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    g = tagged.agg(
+        (
+            F.sum(F.round("rev", 2).cast("decimal(28,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("gm"),
+        F.count(F.lit(1)).alias("gn"),
+        F.sum(F.round(F.col("rev") * F.col("rev"), 4).cast("decimal(38,4)"))
+        .cast("double")
+        .alias("srr"),
+        F.sum(F.round("rev", 2).cast("decimal(28,2)")).cast("double").alias("sr"),
+    )
+    bet = dowm.crossJoin(F.broadcast(g)).agg(
+        F.sum(
+            F.round(
+                F.col("n") * (F.col("m") - F.col("gm")) * (F.col("m") - F.col("gm")),
+                6,
+            ).cast("decimal(38,6)")
+        )
+        .cast("double")
+        .alias("ssb")
+    )
+    strength = F.col("ssb") / (
+        F.col("srr") - F.col("sr") * F.col("sr") / F.col("gn")
+    )
+    return bet.crossJoin(F.broadcast(g)).select(
+        F.round(strength, 6).alias("seasonality_strength"),
+        (strength > 0.1).cast("int").alias("weekly_pattern_present"),
+    )
