@@ -5653,3 +5653,76 @@ def dedup_transitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("transitivity"),
         )
     )
+
+
+def _medoid_oracle() -> str:
+    from discogs_etl_spark.registry import _REGISTRY
+
+    cc = _REGISTRY["dedup_connected_components"].oracle
+    mh = _REGISTRY["dedup_minhash_lsh"].oracle
+    return f"""
+        WITH cc AS ({cc}), px AS ({mh}),
+        dist AS (
+            SELECT doc_a AS doc_id, round(1 - jaccard, 6) AS d FROM px
+            UNION ALL
+            SELECT doc_b, round(1 - jaccard, 6) FROM px
+        ),
+        per AS (
+            SELECT doc_id,
+                   CAST(SUM(CAST(d AS DECIMAL(18,6))) AS DOUBLE) AS dist_sum
+            FROM dist GROUP BY doc_id
+        ),
+        ranked AS (
+            SELECT c.component_id, c.doc_id, p.dist_sum,
+                   ROW_NUMBER() OVER (PARTITION BY c.component_id
+                                      ORDER BY p.dist_sum, c.doc_id) AS rn
+            FROM cc c JOIN per p ON p.doc_id = c.doc_id
+        )
+        SELECT component_id, doc_id AS medoid_doc,
+               round(dist_sum, 6) AS dist_sum
+        FROM ranked WHERE rn = 1
+    """
+
+
+@register(
+    "dedup_medoid_selection",
+    oracle=_medoid_oracle(),
+    tags=("dedup", "medoid", "canonical"),
+)
+def dedup_medoid_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEDOID canonical selection: within each near-dup component, keep
+    the member with the smallest total Jaccard DISTANCE to its
+    neighbors — the principled "most representative survivor"
+    (dedup_keep_best's quality heuristic picks the richest doc;
+    dedup_fuzzy_keep_one the best-scoring; the medoid picks the one
+    closest to everything it replaces, which matters when the kept doc
+    stands in for the deleted ones in citations or training mixtures
+    — ties break to the smallest id).
+
+    Scale: distances re-use the verified MinHash pair graph (both
+    directions, pair-set-sized); per-doc sums and the per-component
+    argmin window shuffle on component keys."""
+    cc = dedup_connected_components(spark, sf_dir).localCheckpoint()
+    px = dedup_minhash_lsh(spark, sf_dir)
+    dist = px.select(
+        F.col("doc_a").alias("doc_id"), F.round(1 - F.col("jaccard"), 6).alias("d")
+    ).unionAll(
+        px.select(
+            F.col("doc_b").alias("doc_id"),
+            F.round(1 - F.col("jaccard"), 6).alias("d"),
+        )
+    )
+    per = dist.groupBy("doc_id").agg(
+        F.sum(F.col("d").cast("decimal(18,6)")).cast("double").alias("dist_sum")
+    )
+    w = Window.partitionBy("component_id").orderBy(F.asc("dist_sum"), F.asc("doc_id"))
+    return (
+        cc.join(per, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "component_id",
+            F.col("doc_id").alias("medoid_doc"),
+            F.round("dist_sum", 6).alias("dist_sum"),
+        )
+    )
