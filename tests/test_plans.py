@@ -390,3 +390,62 @@ def test_observe_metrics_on_curation_pipeline(spark, q):
     assert got["n_rows"] > 0
     assert got["n_nonempty"] <= got["n_rows"]
     assert out <= got["n_rows"]
+
+
+def test_phash_dedup_is_banded_equi_join(spark, q):
+    """The perceptual-hash dedup must candidate-generate via an equi-join
+    on (band, sig) — never a nested-loop over all image pairs."""
+    plan = _plan(q["multimodal_phash_dedup"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "band" in plan and "sig" in plan
+
+
+def test_sweepline_partitions_by_day(spark, q):
+    """The concurrency sweep must window per DAY (hashpartitioning on the
+    day key), not sort the whole boundary stream in one partition."""
+    plan = _plan(q["sessions_max_concurrency"](spark, SF))
+    assert "hashpartitioning(day" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_duplicate_payments_blocks_before_compare(spark, q):
+    """The fuzzy payment join must be equi-keyed on (custkey, block) with
+    the tolerances as residual filters — no inequality-driven nested
+    loop."""
+    plan = _plan(q["orders_duplicate_payments"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semdedup_scopes_pairs_to_clusters(spark, q):
+    """SemDeDup's pair join must be keyed on the cluster id (equi-join),
+    which is the entire point of clustering-as-blocking."""
+    plan = _plan(q["dedup_semdedup"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_substring_windows_partial_aggregates(spark, q):
+    """The 48-char window count must partial-aggregate map-side (two
+    HashAggregate nodes around one Exchange on the window key)."""
+    plan = _plan(q["dedup_substring_windows"](spark, SF))
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_bigram_lm_join_is_keyed_on_bigram(spark, q):
+    """The LM scoring join keys on the bigram string; no plan may fall
+    back to a nested loop between instances and the model table."""
+    plan = _plan(q["lm_bigram_surprisal"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_band_pricing_is_deliberate_bnlj(spark, q):
+    """The band lookup is the DOCUMENTED keyless broadcast: exactly a
+    BroadcastNestedLoopJoin against the 4-row band table — and nothing
+    larger."""
+    plan = _plan(q["join_range_band_pricing"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
