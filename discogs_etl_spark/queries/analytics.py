@@ -7551,3 +7551,167 @@ def parts_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("dispersion_ratio"), F.asc("l_partkey"))
         .limit(20)
     )
+
+
+@register(
+    "attribution_shapley_two_channel",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                             OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800.0
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+            SELECT user_id, event_type,
+                   SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+            FROM flagged
+        ), per AS (
+            SELECT user_id, session_id,
+                   MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS has_v,
+                   MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS has_c,
+                   MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+            FROM sess GROUP BY user_id, session_id
+        ), v AS (
+            SELECT
+                COALESCE(SUM(conv) FILTER (has_v = 0 AND has_c = 0)
+                         / CAST(NULLIF(COUNT(*) FILTER (has_v = 0 AND has_c = 0), 0)
+                                AS DOUBLE), 0.0) AS v0,
+                COALESCE(SUM(conv) FILTER (has_v = 1 AND has_c = 0)
+                         / CAST(NULLIF(COUNT(*) FILTER (has_v = 1 AND has_c = 0), 0)
+                                AS DOUBLE), 0.0) AS vv,
+                COALESCE(SUM(conv) FILTER (has_v = 0 AND has_c = 1)
+                         / CAST(NULLIF(COUNT(*) FILTER (has_v = 0 AND has_c = 1), 0)
+                                AS DOUBLE), 0.0) AS vc,
+                COALESCE(SUM(conv) FILTER (has_v = 1 AND has_c = 1)
+                         / CAST(NULLIF(COUNT(*) FILTER (has_v = 1 AND has_c = 1), 0)
+                                AS DOUBLE), 0.0) AS vvc
+            FROM per
+        )
+        SELECT 'view' AS channel,
+               round(0.5 * (vv - v0) + 0.5 * (vvc - vc), 6) AS shapley_value
+        FROM v
+        UNION ALL
+        SELECT 'click',
+               round(0.5 * (vc - v0) + 0.5 * (vvc - vv), 6)
+        FROM v
+    """,
+    tags=("attribution", "shapley", "game_theory"),
+)
+def attribution_shapley_two_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT SHAPLEY attribution over two channels: with sessions
+    characterized by which touch types they contain, the coalition value
+    v(S) is the conversion rate of sessions exposed to exactly S, and
+    each channel's Shapley value averages its marginal contribution over
+    both join orders — the fair-division attribution that first/last-
+    touch bookends (attribution_first_vs_last) cannot be: it credits
+    channels by what they ADD, not where they sit.  Two channels keep
+    the 2^n coalition enumeration exact and readable; more channels
+    follow the same conditional-aggregation pattern.
+
+    Scale: sessionization + ONE 4-cell conditional aggregate; the
+    Shapley arithmetic is scalar.  Sessions missing a coalition cell
+    contribute v = 0 (NULLIF-guarded) — stated, not silent."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ep = epoch("ts")
+    flagged = load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(F.lag("ts").over(w).isNull() | ((ep - F.lag(ep).over(w)) > 1800.0), 1)
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    per = (
+        flagged.withColumn("session_id", F.sum("is_new").over(wsum))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("has_v"),
+            F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+                "has_c"
+            ),
+            F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+                "conv"
+            ),
+        )
+    )
+    def rate(cond):
+        n = F.count(F.when(cond, 1))
+        s = F.sum(F.when(cond, F.col("conv")))
+        return F.coalesce(s / F.nullif(n, F.lit(0)).cast("double"), F.lit(0.0))
+    v = per.agg(
+        rate((F.col("has_v") == 0) & (F.col("has_c") == 0)).alias("v0"),
+        rate((F.col("has_v") == 1) & (F.col("has_c") == 0)).alias("vv"),
+        rate((F.col("has_v") == 0) & (F.col("has_c") == 1)).alias("vc"),
+        rate((F.col("has_v") == 1) & (F.col("has_c") == 1)).alias("vvc"),
+    )
+    view_row = v.select(
+        F.lit("view").alias("channel"),
+        F.round(
+            0.5 * (F.col("vv") - F.col("v0")) + 0.5 * (F.col("vvc") - F.col("vc")), 6
+        ).alias("shapley_value"),
+    )
+    click_row = v.select(
+        F.lit("click").alias("channel"),
+        F.round(
+            0.5 * (F.col("vc") - F.col("v0")) + 0.5 * (F.col("vvc") - F.col("vv")), 6
+        ).alias("shapley_value"),
+    )
+    return view_row.unionAll(click_row)
+
+
+@register(
+    "price_endings_audit",
+    oracle="""
+        WITH e AS (
+            SELECT CAST(round(o_totalprice * 100) AS BIGINT) % 100 AS cents
+            FROM orders
+        ),
+        c AS (SELECT cents, COUNT(*) AS n FROM e GROUP BY cents),
+        t AS (SELECT SUM(n) AS tot, COUNT(*) AS n_endings FROM c)
+        SELECT CAST(cents AS BIGINT) AS cents_ending,
+               CAST(n AS BIGINT) AS n_orders,
+               round(n / CAST(tot AS DOUBLE), 6) AS frac,
+               round((n - tot / 100.0) * (n - tot / 100.0) / (tot / 100.0), 4)
+                   AS chi2_contrib
+        FROM c CROSS JOIN t
+        ORDER BY n DESC, cents_ending
+        LIMIT 10
+    """,
+    tags=("audit", "pricing", "distribution"),
+)
+def price_endings_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRICE-ENDING audit: the distribution of cent endings across order
+    totals, with per-ending chi-square contributions against uniform —
+    human-set prices pile up on .99/.95/.00 (charm pricing), machine-
+    generated or synthetic amounts are flat, and fraudsters writing fake
+    invoices round suspiciously — the cents-digit cousin of
+    stats_benford_first_digit (leading digits catch fabricated
+    magnitudes; trailing cents catch fabricated PRICING).  Top-10 most
+    common endings.
+
+    Scale: map-side modulus, a ≤100-key count, scalar comparisons."""
+    e = load(spark, sf_dir, "orders").select(
+        (F.round(F.col("o_totalprice") * 100).cast("bigint") % 100).alias("cents")
+    )
+    c = e.groupBy("cents").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").alias("tot"))
+    exp = F.col("tot") / 100.0
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            F.col("cents").cast("bigint").alias("cents_ending"),
+            F.col("n").cast("bigint").alias("n_orders"),
+            F.round(F.col("n") / F.col("tot").cast("double"), 6).alias("frac"),
+            F.round((F.col("n") - exp) * (F.col("n") - exp) / exp, 4).alias(
+                "chi2_contrib"
+            ),
+        )
+        .orderBy(F.desc("n_orders"), F.asc("cents_ending"))
+        .limit(10)
+    )
