@@ -5794,3 +5794,170 @@ def bpe_compression_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "embedding_ncm_probe_accuracy",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        cent AS (
+            SELECT label AS cid, list(cval ORDER BY pos) AS cv FROM (
+                SELECT label, gs.i AS pos,
+                       round(CAST(SUM(CAST(round(v[gs.i + 1], 9) AS DECIMAL(38,9)))
+                                  AS DOUBLE) / COUNT(*), 9) AS cval
+                FROM e, LATERAL (SELECT unnest(range(len(v))) AS i) gs
+                WHERE vec_id % 2 = 0
+                GROUP BY label, gs.i
+            ) GROUP BY label
+        ),
+        assigned AS (
+            SELECT vec_id, label, cid FROM (
+                SELECT t.vec_id, t.label, c.cid,
+                       ROW_NUMBER() OVER (PARTITION BY t.vec_id
+                                          ORDER BY {_KMEANS_DIST_SQL}, c.cid) AS rn
+                FROM (SELECT * FROM e WHERE vec_id % 2 = 1) t
+                CROSS JOIN cent c
+            ) WHERE rn = 1
+        )
+        SELECT label,
+               CAST(COUNT(*) AS BIGINT) AS n_test,
+               CAST(COUNT(*) FILTER (cid = label) AS BIGINT) AS n_correct,
+               round(COUNT(*) FILTER (cid = label) / CAST(COUNT(*) AS DOUBLE), 6)
+                   AS accuracy
+        FROM assigned GROUP BY label
+    """,
+    tags=("embedding", "probe", "eval", "ncm"),
+)
+def embedding_ncm_probe_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-CLASS-MEAN probe: class centroids fitted on the even
+    vec_ids, odd vec_ids classified to the nearest centroid, accuracy
+    per label — the cheapest linear probe of representation quality
+    (if class means can't separate held-out points, no linear head
+    will; NCM accuracy tracks linear-probe accuracy closely at zero
+    training cost).  Completes the embedding-eval triad: dispersion
+    (within-class), triplet (relative), NCM (held-out decision).
+
+    Scale: centroids are labels × dims (broadcast); assignment is the
+    k-means map-only argmin under the same DECIMAL distance discipline;
+    the deterministic parity split replaces rand() sampling."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    train = e.where(F.col("vec_id") % 2 == 0)
+    cent = (
+        train.select("label", F.posexplode("v").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(
+            F.round(
+                F.sum(F.round("val", 9).cast("decimal(38,9)")).cast("double")
+                / F.count(F.lit(1)),
+                9,
+            ).alias("cval")
+        )
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cval"))).alias("pc"))
+        .select(
+            F.col("label").alias("cid"),
+            F.expr("transform(pc, x -> x.cval)").alias("cv"),
+        )
+    )
+    test = e.where(F.col("vec_id") % 2 == 1)
+    dist = F.expr(
+        "CAST(round(aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0.0 AS DOUBLE), (a, b) -> a + b), 9) AS DECIMAL(38,9))"
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cid"))
+    assigned = (
+        test.crossJoin(F.broadcast(cent))
+        .withColumn("dist", dist)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    return assigned.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        F.count(F.when(F.col("cid") == F.col("label"), 1))
+        .cast("bigint")
+        .alias("n_correct"),
+        F.round(
+            F.count(F.when(F.col("cid") == F.col("label"), 1))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("accuracy"),
+    )
+
+
+def _dedup_impact_oracle() -> str:
+    from discogs_etl_spark.registry import _REGISTRY
+
+    cc = _REGISTRY["dedup_connected_components"].oracle
+    fz = _REGISTRY["dedup_fuzzy_keep_one"].oracle
+    return f"""
+        WITH cc AS ({cc}), fz AS ({fz}),
+        removed AS (
+            SELECT c.doc_id FROM cc c
+            WHERE c.doc_id NOT IN (SELECT keep_doc_id FROM fz)
+        ),
+        tot AS (
+            SELECT COUNT(*) AS n_docs,
+                   CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        rem AS (
+            SELECT COUNT(*) AS r_docs,
+                   CAST(COALESCE(SUM(len(string_split(d.text, ' '))), 0) AS BIGINT)
+                       AS r_tokens
+            FROM removed r JOIN documents d ON d.doc_id = r.doc_id
+        )
+        SELECT CAST(tot.n_docs AS BIGINT) AS docs_before,
+               CAST(tot.n_docs - rem.r_docs AS BIGINT) AS docs_after,
+               tot.n_tokens AS tokens_before,
+               CAST(tot.n_tokens - rem.r_tokens AS BIGINT) AS tokens_after,
+               round(rem.r_tokens / CAST(tot.n_tokens AS DOUBLE), 6)
+                   AS token_reduction
+        FROM tot CROSS JOIN rem
+    """
+
+
+@register(
+    "dedup_impact_report",
+    oracle=_dedup_impact_oracle(),
+    tags=("dedup", "impact", "report"),
+)
+def dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEDUP IMPACT summary: corpus document and token counts before and
+    after the full fuzzy keep-one pipeline (pairs → components → best
+    survivor) — the one-row readout that justifies the dedup compute
+    spend ("we removed X% of tokens") and, tracked across ingests, the
+    drift signal that a source started syndicating.  Removed docs =
+    component members minus survivors; untouched docs pass through.
+
+    Scale: reuses the session-cached pair graph and component labels;
+    the report adds one anti-join (members vs survivors) and two
+    aggregates over the already-reduced sets."""
+    cc = dedup_connected_components(spark, sf_dir).select("doc_id")
+    fz = dedup_fuzzy_keep_one(spark, sf_dir).select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    removed = cc.join(fz, "doc_id", "left_anti")
+    docs = load(spark, sf_dir, "documents")
+    tot = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"),
+    )
+    rem = removed.join(docs, "doc_id").agg(
+        F.count(F.lit(1)).alias("r_docs"),
+        F.coalesce(F.sum(F.size(F.split("text", " "))), F.lit(0))
+        .cast("bigint")
+        .alias("r_tokens"),
+    )
+    return tot.crossJoin(F.broadcast(rem)).select(
+        F.col("n_docs").cast("bigint").alias("docs_before"),
+        (F.col("n_docs") - F.col("r_docs")).cast("bigint").alias("docs_after"),
+        F.col("n_tokens").alias("tokens_before"),
+        (F.col("n_tokens") - F.col("r_tokens")).cast("bigint").alias("tokens_after"),
+        F.round(F.col("r_tokens") / F.col("n_tokens").cast("double"), 6).alias(
+            "token_reduction"
+        ),
+    )
