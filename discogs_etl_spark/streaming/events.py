@@ -727,3 +727,49 @@ def stream_global_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(5)
     )
     return run_stream_to_table(agg, "stream_global_topk_users_sink", "complete")
+
+
+@register(
+    "stream_hourly_error_rate",
+    oracle="""
+        SELECT date_trunc('hour', ts) AS hour_start,
+               COUNT(*) AS n_events,
+               CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS n_errors,
+               round(COUNT(*) FILTER (event_type = 'error')
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS error_rate
+        FROM events
+        GROUP BY date_trunc('hour', ts)
+    """,
+    tags=("streaming", "window", "derived_metric", "sre"),
+)
+def stream_hourly_error_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DERIVED METRIC in a streaming window: per tumbling hour, the
+    error RATE — a ratio of two conditional counts computed inside one
+    windowed aggregation (not two streams joined) — the live twin of
+    events_error_budget_burn's daily batch meter and the shape every
+    streaming SLO dashboard runs.  The watermark bounds state exactly
+    as in stream_events_hourly; the rate derives in the same projection
+    so no second stateful operator exists.
+
+    Scale: one row of state per open hour window; the conditional count
+    is map-side within the window state update."""
+    events = read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.when(F.col("event_type") == "error", 1))
+            .cast("bigint")
+            .alias("n_errors"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "n_events",
+            "n_errors",
+            F.round(
+                F.col("n_errors") / F.col("n_events").cast("double"), 6
+            ).alias("error_rate"),
+        )
+    )
+    return run_stream_to_table(agg, "stream_hourly_error_rate_sink", "complete")
