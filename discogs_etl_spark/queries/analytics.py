@@ -7715,3 +7715,95 @@ def price_endings_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_orders"), F.asc("cents_ending"))
         .limit(10)
     )
+
+
+@register(
+    "orders_repeat_probability_curve",
+    oracle="""
+        WITH ranked AS (
+            SELECT o_custkey,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey) AS k
+            FROM orders
+        ),
+        at_k AS (
+            SELECT k, COUNT(*) AS n_customers FROM ranked GROUP BY k
+        )
+        SELECT a.k AS order_number,
+               CAST(a.n_customers AS BIGINT) AS n_reaching,
+               CAST(COALESCE(b.n_customers, 0) AS BIGINT) AS n_continuing,
+               round(COALESCE(b.n_customers, 0) / CAST(a.n_customers AS DOUBLE), 6)
+                   AS repeat_probability
+        FROM at_k a LEFT JOIN at_k b ON b.k = a.k + 1
+        WHERE a.k <= 15
+    """,
+    tags=("retention", "repeat_purchase", "curve"),
+)
+def orders_repeat_probability_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REPEAT-PURCHASE curve: of customers who reached their k-th order,
+    the fraction who placed a (k+1)-th — the curve whose early slope is
+    the loyalty cliff (P(2nd|1st) is the single most diagnostic
+    retention number in commerce; it typically jumps after k=2 as
+    habitual buyers self-select).  First 15 ranks.
+
+    Scale: one customer-partitioned rank window, a rank histogram, and
+    a shifted self-join over ≤ max-rank rows — the curve is
+    rank-cardinality-sized regardless of order volume."""
+    ranked = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.row_number()
+        .over(Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey"))
+        .alias("k"),
+    )
+    at_k = ranked.groupBy("k").agg(F.count(F.lit(1)).alias("n_customers"))
+    a = at_k.alias("a")
+    b = at_k.select(F.col("k").alias("kb"), F.col("n_customers").alias("nb"))
+    return (
+        a.join(b, F.col("a.k") + 1 == F.col("kb"), "left")
+        .where(F.col("a.k") <= 15)
+        .select(
+            F.col("a.k").alias("order_number"),
+            F.col("a.n_customers").cast("bigint").alias("n_reaching"),
+            F.coalesce(F.col("nb"), F.lit(0)).cast("bigint").alias("n_continuing"),
+            F.round(
+                F.coalesce(F.col("nb"), F.lit(0))
+                / F.col("a.n_customers").cast("double"),
+                6,
+            ).alias("repeat_probability"),
+        )
+    )
+
+
+@register(
+    "relational_division_all_orders_above",
+    oracle="""
+        SELECT o_custkey,
+               COUNT(*) AS n_orders,
+               MIN(o_totalprice) AS min_order_value
+        FROM orders
+        GROUP BY o_custkey
+        HAVING COUNT(*) >= 3 AND MIN(o_totalprice) > 150000.0
+    """,
+    tags=("relational_division", "forall", "sql_surface"),
+)
+def relational_division_all_orders_above(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RELATIONAL DIVISION (the FORALL quantifier): customers with ≥ 3
+    orders, EVERY one of which exceeds $150k — "division" is the
+    textbook relational operator SQL famously lacks as a keyword, and
+    the MIN-over-group rewrite is its efficient form (the double
+    NOT EXISTS formulation walks the data twice; MIN > threshold is one
+    aggregation and states the same ∀).  The consistently-premium
+    customer roster, not just high-average (one cheap order disqualifies
+    — averages can't say that).
+
+    Scale: one customer-keyed aggregation with map-side partial MIN —
+    the quantifier costs nothing beyond the rollup."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("min_order_value"),
+        )
+        .where((F.col("n_orders") >= 3) & (F.col("min_order_value") > 150000.0))
+    )
