@@ -7807,3 +7807,48 @@ def relational_division_all_orders_above(spark: SparkSession, sf_dir: str) -> Da
         )
         .where((F.col("n_orders") >= 3) & (F.col("min_order_value") > 150000.0))
     )
+
+
+@register(
+    "reach_cumulative_users",
+    oracle="""
+        WITH first_day AS (
+            SELECT user_id, MIN(CAST(date_trunc('day', ts) AS DATE)) AS d0
+            FROM events GROUP BY user_id
+        ),
+        daily_new AS (
+            SELECT d0 AS day, COUNT(*) AS n_new FROM first_day GROUP BY d0
+        )
+        SELECT day,
+               CAST(n_new AS BIGINT) AS n_new_users,
+               CAST(SUM(n_new) OVER (ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cumulative_reach
+        FROM daily_new
+    """,
+    tags=("growth", "reach", "first_appearance"),
+)
+def reach_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUMULATIVE REACH: distinct users ever seen, by day — computed via
+    the FIRST-APPEARANCE trick (each user contributes once, on their
+    first day; a running sum of first-appearances IS the running
+    distinct count) instead of re-counting distinct users per day
+    prefix, which is O(days × users).  The same rewrite that makes
+    corpus_heaps_law_fit cheap, applied to audience growth; the curve's
+    flattening is market saturation.
+
+    Scale: one user-keyed MIN, a day histogram, and a running sum over
+    the calendar-bounded day grid — running-distinct at aggregation
+    cost."""
+    first_day = load(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts").cast("date")).alias("d0")
+    )
+    daily_new = first_day.groupBy(F.col("d0").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily_new.select(
+        "day",
+        F.col("n_new").cast("bigint").alias("n_new_users"),
+        F.sum("n_new").over(w).cast("bigint").alias("cumulative_reach"),
+    )

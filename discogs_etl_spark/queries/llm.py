@@ -5961,3 +5961,69 @@ def dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "token_reduction"
         ),
     )
+
+
+def _effective_tokens_oracle() -> str:
+    from discogs_etl_spark.registry import _REGISTRY
+
+    cc = _REGISTRY["dedup_connected_components"].oracle
+    return f"""
+        WITH cc AS ({cc}),
+        sized AS (
+            SELECT component_id, COUNT(*) AS csize FROM cc GROUP BY component_id
+        ),
+        docs AS (
+            SELECT d.doc_id,
+                   len(string_split(d.text, ' ')) AS n_tok,
+                   COALESCE(s.csize, 1) AS csize
+            FROM documents d
+            LEFT JOIN cc ON cc.doc_id = d.doc_id
+            LEFT JOIN sized s ON s.component_id = cc.component_id
+        )
+        SELECT CAST(SUM(n_tok) AS BIGINT) AS raw_tokens,
+               round(CAST(SUM(CAST(round(n_tok / CAST(csize AS DOUBLE), 6)
+                                   AS DECIMAL(28,6))) AS DOUBLE), 2)
+                   AS effective_tokens,
+               round(1 - CAST(SUM(CAST(round(n_tok / CAST(csize AS DOUBLE), 6)
+                                       AS DECIMAL(28,6))) AS DOUBLE)
+                       / SUM(n_tok), 6) AS duplication_discount
+        FROM docs
+    """
+
+
+@register(
+    "corpus_effective_tokens",
+    oracle=_effective_tokens_oracle(),
+    tags=("scaling", "dedup", "effective_data"),
+)
+def corpus_effective_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EFFECTIVE TOKEN COUNT: each document's tokens down-weighted by its
+    near-dup cluster size (a doc in a 4-way cluster contributes 1/4
+    weight), so the corpus's unique-information budget is one number —
+    the data-constrained-scaling accounting (Muennighoff et al. 2023:
+    repeated data is worth less than fresh data per token) that raw
+    token counts overstate exactly when dedup matters most.  Singleton
+    docs keep full weight.
+
+    Scale: component sizes from the session-cached CC labels; one
+    doc-keyed join and a DECIMAL-weighted sum — the accounting costs
+    one pass over the corpus plus the dedup pipeline it already ran."""
+    cc = dedup_connected_components(spark, sf_dir).localCheckpoint()
+    sized = cc.groupBy("component_id").agg(F.count(F.lit(1)).alias("csize"))
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.size(F.split("text", " ")).alias("n_tok"))
+        .join(cc, "doc_id", "left")
+        .join(sized, "component_id", "left")
+        .select("n_tok", F.coalesce("csize", F.lit(1)).alias("csize"))
+    )
+    eff = F.sum(
+        F.round(F.col("n_tok") / F.col("csize").cast("double"), 6).cast(
+            "decimal(28,6)"
+        )
+    ).cast("double")
+    return docs.agg(
+        F.sum("n_tok").cast("bigint").alias("raw_tokens"),
+        F.round(eff, 2).alias("effective_tokens"),
+        F.round(1 - eff / F.sum("n_tok"), 6).alias("duplication_discount"),
+    )
