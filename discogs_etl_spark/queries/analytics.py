@@ -7852,3 +7852,134 @@ def reach_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_new").cast("bigint").alias("n_new_users"),
         F.sum("n_new").over(w).cast("bigint").alias("cumulative_reach"),
     )
+
+
+@register(
+    "nested_agg_avg_of_sums",
+    oracle="""
+        WITH per_cust AS (
+            SELECT c.c_nationkey, o.o_custkey,
+                   CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS cust_total
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_nationkey, o.o_custkey
+        )
+        SELECT n.n_name,
+               COUNT(*) AS n_customers,
+               round(CAST(SUM(CAST(round(cust_total, 2) AS DECIMAL(28,2)))
+                          AS DOUBLE) / COUNT(*), 2) AS avg_customer_total
+        FROM per_cust p JOIN nation n ON n.n_nationkey = p.c_nationkey
+        GROUP BY n.n_name
+    """,
+    tags=("agg", "nested", "sql_surface"),
+)
+def nested_agg_avg_of_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AGGREGATE OF AGGREGATES: average per-customer lifetime total by
+    nation — the two-level rollup (SUM per customer, then AVG per
+    nation) that a single-level AVG(o_totalprice) silently gets wrong
+    (it averages ORDERS, weighting busy customers up; this averages
+    CUSTOMERS).  The most common analyst-SQL trap, pinned as an engine
+    surface query.
+
+    Scale: the inner rollup shuffles on (nation, customer); the outer
+    on nation — the second shuffle is customer-cardinality-sized, and
+    Catalyst needs no subquery materialization, just two exchanges."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    per_cust = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("cust_total")
+        )
+    )
+    return (
+        per_cust.join(F.broadcast(n), per_cust["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(
+                F.sum(F.round("cust_total", 2).cast("decimal(28,2)")).cast("double")
+                / F.count(F.lit(1)),
+                2,
+            ).alias("avg_customer_total"),
+        )
+    )
+
+
+@register(
+    "participation_inequality_901",
+    oracle="""
+        WITH per AS (
+            SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+        ),
+        ranked AS (
+            SELECT n,
+                   ROW_NUMBER() OVER (ORDER BY n DESC, user_id) AS rnk,
+                   COUNT(*) OVER () AS n_users,
+                   SUM(n) OVER () AS total,
+                   SUM(n) OVER (ORDER BY n DESC, user_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum
+            FROM per
+        )
+        SELECT mark, share FROM (
+            SELECT 'top_1pct' AS mark,
+                   round(MAX(CASE WHEN rnk <= greatest(n_users // 100, 1)
+                                  THEN cum END) / CAST(MAX(total) AS DOUBLE), 6)
+                       AS share
+            FROM ranked
+            UNION ALL
+            SELECT 'top_10pct',
+                   round(MAX(CASE WHEN rnk <= greatest(n_users // 10, 1)
+                                  THEN cum END) / CAST(MAX(total) AS DOUBLE), 6)
+            FROM ranked
+            UNION ALL
+            SELECT 'top_50pct',
+                   round(MAX(CASE WHEN rnk <= greatest(n_users // 2, 1)
+                                  THEN cum END) / CAST(MAX(total) AS DOUBLE), 6)
+            FROM ranked
+        )
+    """,
+    tags=("social", "inequality", "participation"),
+)
+def participation_inequality_901(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTICIPATION INEQUALITY (the 90-9-1 rule): the share of all
+    events produced by the top 1%, 10%, and 50% most active users — the
+    community-health profile (UGC platforms run ~90% of content from
+    ~1% of users; a flat profile reads as bot traffic or synthetic
+    data — the fixtures' uniform users land near the flat end, which is
+    the honest readout).  vocab_coverage_curve's shape applied to
+    people.
+
+    Scale: one per-user count, one ranked cumulative window over the
+    USER table (≪ events), three report marks."""
+    per = load(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("user_id"))
+    ranked = per.select(
+        "n",
+        F.row_number().over(w).alias("rnk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n_users"),
+        F.sum("n").over(Window.partitionBy()).alias("total"),
+        F.sum("n")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+    )
+    def mark(label, frac_den):
+        cut = F.greatest(F.floor(F.col("n_users") / frac_den), F.lit(1))
+        return ranked.agg(
+            F.lit(label).alias("mark"),
+            F.round(
+                F.max(F.when(F.col("rnk") <= cut, F.col("cum")))
+                / F.max("total").cast("double"),
+                6,
+            ).alias("share"),
+        )
+    return mark("top_1pct", 100).unionAll(mark("top_10pct", 10)).unionAll(
+        mark("top_50pct", 2)
+    )
