@@ -7983,3 +7983,70 @@ def participation_inequality_901(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mark("top_1pct", 100).unionAll(mark("top_10pct", 10)).unionAll(
         mark("top_50pct", 2)
     )
+
+
+@register(
+    "graph_rich_club",
+    oracle=f"""
+        WITH {_COORDER_EDGES_SQL},
+        und AS (
+            SELECT u AS a, v AS b FROM oriented
+            UNION ALL SELECT v, u FROM oriented
+        ),
+        deg AS (SELECT a AS node, COUNT(*) AS d FROM und GROUP BY a),
+        hubs AS (
+            SELECT node FROM (
+                SELECT node, ROW_NUMBER() OVER (ORDER BY d DESC, node) AS rnk
+                FROM deg
+            ) WHERE rnk <= 50
+        ),
+        club_edges AS (
+            SELECT e.u, e.v FROM oriented e
+            JOIN hubs h1 ON h1.node = e.u
+            JOIN hubs h2 ON h2.node = e.v
+        )
+        SELECT CAST(50 AS BIGINT) AS n_hubs,
+               CAST((SELECT COUNT(*) FROM club_edges) AS BIGINT) AS club_edges,
+               round((SELECT COUNT(*) FROM club_edges)
+                     / (50 * 49 / 2.0), 6) AS rich_club_coefficient
+    """,
+    tags=("graph", "rich_club", "structure"),
+)
+def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RICH-CLUB coefficient: edge density among the 50 highest-degree
+    parts — hubs that preferentially co-order with other hubs (φ → 1)
+    form an elite core whose failure is systemic; φ near the background
+    density means hubs are independent stars (hub-and-spoke).  With
+    degree assortativity this pins WHERE the graph's connectivity
+    concentrates, not just whether.
+
+    Scale: degrees are one count; hub selection a 50-row top-k; the
+    club-edge count is two semi-join probes of the edge list against
+    the broadcast hub set."""
+    oriented = _coorder_oriented_edges(spark, sf_dir)
+    und = oriented.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        oriented.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    deg = und.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    hubs = (
+        deg.withColumn(
+            "rnk", F.row_number().over(Window.orderBy(F.desc("d"), F.asc("node")))
+        )
+        .where(F.col("rnk") <= 50)
+        .select("node")
+    )
+    club = oriented.join(
+        F.broadcast(hubs.select(F.col("node").alias("u"))), "u", "left_semi"
+    ).join(F.broadcast(hubs.select(F.col("node").alias("v"))), "v", "left_semi")
+    n_club = club.count()
+    return (
+        load(spark, sf_dir, "lineitem")
+        .limit(1)
+        .select(
+            F.lit(50).cast("bigint").alias("n_hubs"),
+            F.lit(n_club).cast("bigint").alias("club_edges"),
+            F.round(F.lit(n_club) / F.lit(50 * 49 / 2.0), 6).alias(
+                "rich_club_coefficient"
+            ),
+        )
+    )

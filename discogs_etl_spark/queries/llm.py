@@ -6027,3 +6027,55 @@ def corpus_effective_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(eff, 2).alias("effective_tokens"),
         F.round(1 - eff / F.sum("n_tok"), 6).alias("duplication_discount"),
     )
+
+
+@register(
+    "pack_efficiency_curve",
+    oracle="""
+        WITH d AS (
+            SELECT len(string_split(text, ' ')) AS n_tok FROM documents
+        ),
+        sizes AS (SELECT unnest([64, 128, 256]) AS ctx)
+        SELECT CAST(ctx AS BIGINT) AS context_size,
+               CAST(SUM((n_tok + ctx - 1) // ctx) AS BIGINT) AS n_chunks,
+               CAST(SUM(n_tok) AS BIGINT) AS used_tokens,
+               CAST(SUM(((n_tok + ctx - 1) // ctx) * ctx - n_tok) AS BIGINT)
+                   AS padding_tokens,
+               round(SUM(((n_tok + ctx - 1) // ctx) * ctx - n_tok)
+                     / CAST(SUM(((n_tok + ctx - 1) // ctx) * ctx) AS DOUBLE), 6)
+                   AS waste_fraction
+        FROM d CROSS JOIN sizes
+        GROUP BY ctx
+    """,
+    tags=("packing", "context_size", "efficiency"),
+)
+def pack_efficiency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTEXT-SIZE trade study: padding waste when each document chunks
+    into fixed windows of 64/128/256 tokens — the utilization curve that
+    picks the training sequence length (small contexts waste little
+    padding but fragment documents; large ones pad heavily on short
+    docs; sequence PACKING — pack_sequences_by_budget — recovers most
+    of the waste, and this table is its do-nothing baseline).
+
+    Scale: pure map-side ceiling arithmetic over doc lengths with a
+    3-row size grid fan-out; one grouped sum per size."""
+    d = load(spark, sf_dir, "documents").select(
+        F.size(F.split("text", " ")).alias("n_tok")
+    )
+    sizes = load(spark, sf_dir, "documents").sparkSession.createDataFrame(
+        [(64,), (128,), (256,)], "ctx int"
+    )
+    x = d.crossJoin(F.broadcast(sizes))
+    chunks = F.ceil(F.col("n_tok") / F.col("ctx"))
+    return x.groupBy(F.col("ctx").cast("bigint").alias("context_size")).agg(
+        F.sum(chunks).cast("bigint").alias("n_chunks"),
+        F.sum("n_tok").cast("bigint").alias("used_tokens"),
+        F.sum(chunks * F.col("ctx") - F.col("n_tok"))
+        .cast("bigint")
+        .alias("padding_tokens"),
+        F.round(
+            F.sum(chunks * F.col("ctx") - F.col("n_tok"))
+            / F.sum(chunks * F.col("ctx")).cast("double"),
+            6,
+        ).alias("waste_fraction"),
+    )
