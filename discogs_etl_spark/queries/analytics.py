@@ -8050,3 +8050,75 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "segment_migration_matrix",
+    oracle="""
+        WITH y96 AS (
+            SELECT o_custkey,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sp
+            FROM orders WHERE year(o_orderdate) = 1996 GROUP BY o_custkey
+        ),
+        y97 AS (
+            SELECT o_custkey,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sp
+            FROM orders WHERE year(o_orderdate) = 1997 GROUP BY o_custkey
+        ),
+        s96 AS (
+            SELECT o_custkey,
+                   CASE NTILE(3) OVER (ORDER BY sp, o_custkey)
+                        WHEN 1 THEN 'low' WHEN 2 THEN 'mid' ELSE 'high' END AS seg
+            FROM y96
+        ),
+        s97 AS (
+            SELECT o_custkey,
+                   CASE NTILE(3) OVER (ORDER BY sp, o_custkey)
+                        WHEN 1 THEN 'low' WHEN 2 THEN 'mid' ELSE 'high' END AS seg
+            FROM y97
+        )
+        SELECT COALESCE(a.seg, 'absent') AS seg_1996,
+               COALESCE(b.seg, 'absent') AS seg_1997,
+               COUNT(*) AS n_customers
+        FROM s96 a FULL OUTER JOIN s97 b ON a.o_custkey = b.o_custkey
+        GROUP BY 1, 2
+    """,
+    tags=("crm", "segmentation", "migration"),
+)
+def segment_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEGMENT MIGRATION matrix: customers terciled by annual spend in
+    1996 and again in 1997 (ties broken by key so both engines cut
+    identical terciles), cross-tabulated — with 'absent' rows capturing
+    churn-out and new-in: the CRM mobility table that says whether
+    'high-value' is a stable trait or annual churn (diagonal mass =
+    stickiness; the high→absent cell is the revenue-at-risk headline).
+
+    Scale: two year-sliced per-customer rollups, two NTILE windows over
+    customer-cardinality tables, one full-outer on the customer key,
+    a ≤16-cell rollup."""
+    o = load(spark, sf_dir, "orders")
+    def seg(year):
+        y = (
+            o.where(F.year("o_orderdate") == year)
+            .groupBy("o_custkey")
+            .agg(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sp")
+            )
+        )
+        t = F.ntile(3).over(Window.orderBy(F.asc("sp"), F.asc("o_custkey")))
+        return y.select(
+            "o_custkey",
+            F.when(t == 1, "low").when(t == 2, "mid").otherwise("high").alias("seg"),
+        )
+    a = seg(1996).select(F.col("o_custkey").alias("k"), F.col("seg").alias("sa"))
+    b = seg(1997).select(F.col("o_custkey").alias("k"), F.col("seg").alias("sb"))
+    return (
+        a.join(b, "k", "full_outer")
+        .groupBy(
+            F.coalesce("sa", F.lit("absent")).alias("seg_1996"),
+            F.coalesce("sb", F.lit("absent")).alias("seg_1997"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
