@@ -385,6 +385,49 @@ def bigram_lm_score(docs):
     )
 
 
+def winnowing_select(docs):
+    """dedup_winnowing_fingerprints' selection phase: positional 3-gram
+    hashes + windowed-min fingerprints, all row-local — the map-side
+    thinning that makes the downstream join ~2/(w+1) of the gram
+    stream."""
+    from discogs_etl_spark.queries.llm import _MINHASH_P
+
+    w = docs.selectExpr("doc_id", "split(text, ' ') AS w").where(F.size("w") >= 6)
+    hs = w.selectExpr(
+        "doc_id",
+        "transform(sequence(1, size(w) - 2),"
+        " i -> CAST(conv(substring(md5(array_join(slice(w, i, 3), ' ')), 1, 12),"
+        f" 16, 10) AS BIGINT) % {_MINHASH_P}L) AS hs",
+    )
+    sel = hs.selectExpr(
+        "doc_id",
+        "explode(array_distinct(transform(sequence(1, size(hs) - 3),"
+        " j -> array_min(slice(hs, j, 4))))) AS fp",
+    )
+    return sel.groupBy("fp").agg(F.count(F.lit(1)).alias("n"))
+
+
+def char_entropy(docs):
+    """text_char_entropy's window explode + per-doc entropy — the 2-char
+    cousin of the 48-char substring shuffle."""
+    ch = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"
+            )
+        ).alias("bg"),
+    )
+    cnt = ch.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("doc_id").agg(F.sum("c").alias("t"))
+    p = F.col("c") / F.col("t").cast("double")
+    return (
+        cnt.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.sum(-p * F.log(p)).alias("h"))
+    )
+
+
 def main() -> None:
     scales = [int(a) for a in sys.argv[1:]] or [1, 5, 20]
     spark = get_spark(app_name="stress")
@@ -412,6 +455,8 @@ def main() -> None:
             ("substring_windows", substring_windows(docs)),
             ("feature_hash", feature_hash(docs)),
             ("bigram_lm_score", bigram_lm_score(docs)),
+            ("winnowing_select", winnowing_select(docs)),
+            ("char_entropy", char_entropy(docs)),
         ):
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
