@@ -521,3 +521,57 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("hamming") <= 7)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+@register(
+    "multimodal_media_summary",
+    oracle=f"""
+        WITH feats AS (
+            SELECT doc_id,
+                   {_SQL_MEDIA} AS media_type,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+                   CASE WHEN doc_id % 3 IN (0, 2)
+                        THEN 64 + 4 * ('0x' || substr({_SQL_H}, 1, 2))::BIGINT
+                   END AS width,
+                   CASE WHEN doc_id % 3 IN (0, 2)
+                        THEN 64 + 4 * ('0x' || substr({_SQL_H}, 3, 2))::BIGINT
+                   END AS height,
+                   CASE WHEN doc_id % 3 IN (1, 2)
+                        THEN ('0x' || substr({_SQL_H}, 5, 4))::BIGINT
+                   END AS duration_ms
+            FROM documents
+        )
+        SELECT media_type,
+               COUNT(*) AS n_assets,
+               CAST(SUM(byte_len) AS BIGINT) AS total_bytes,
+               round(CAST(SUM(CAST(width * height AS DECIMAL(28,0))) AS DOUBLE)
+                     / NULLIF(COUNT(width), 0), 2) AS avg_pixels,
+               CAST(SUM(duration_ms) AS BIGINT) AS total_duration_ms
+        FROM feats GROUP BY media_type
+    """,
+    tags=("multimodal", "summary", "inventory"),
+)
+def multimodal_media_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEDIA INVENTORY rollup off the decode stage: per media type, asset
+    count, total payload bytes, mean decoded pixel area, and total audio/
+    video duration — the capacity-planning numbers a multimodal training
+    pipeline sizes GPUs and storage against (pixel area drives image
+    preprocessing cost; duration drives audio/video frame extraction).
+    NULL metadata (audio has no pixels, images no duration) aggregates
+    correctly via count-of-non-null denominators.
+
+    Scale: the decode is the Arrow-batched map-only stage; the rollup is
+    one 3-key aggregation — inventorying 100 TB of media costs one scan."""
+    feats = decode_features(with_payload(load(spark, sf_dir, "documents")))
+    return feats.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.sum("byte_len").cast("bigint").alias("total_bytes"),
+        F.round(
+            F.sum((F.col("width") * F.col("height")).cast("decimal(28,0)")).cast(
+                "double"
+            )
+            / F.nullif(F.count("width"), F.lit(0)),
+            2,
+        ).alias("avg_pixels"),
+        F.sum("duration_ms").cast("bigint").alias("total_duration_ms"),
+    )

@@ -8122,3 +8122,54 @@ def segment_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_customers"))
     )
+
+
+@register(
+    "pivot_multi_aggregate",
+    oracle="""
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+               COUNT(*) FILTER (o_orderstatus = 'O') AS n_open,
+               COUNT(*) FILTER (o_orderstatus = 'F') AS n_finished,
+               COUNT(*) FILTER (o_orderstatus = 'P') AS n_pending,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                        FILTER (o_orderstatus = 'O') AS DOUBLE) AS rev_open,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                        FILTER (o_orderstatus = 'F') AS DOUBLE) AS rev_finished,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                        FILTER (o_orderstatus = 'P') AS DOUBLE) AS rev_pending
+        FROM orders
+        GROUP BY year(o_orderdate)
+    """,
+    tags=("pivot", "multi_aggregate", "sql_surface"),
+)
+def pivot_multi_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-AGGREGATE pivot: order count AND revenue pivoted by status
+    into one wide row per year — Spark's pivot() takes several agg
+    expressions at once and suffixes column names; the query pins that
+    surface with explicitly aliased aggregates so the wide schema is
+    engine-stable (the single-agg variant is pivot_orders_status).  The
+    wide shape is what BI layers and spreadsheet exports consume.
+
+    Scale: one shuffle on the groupBy key; the pivot's status domain is
+    declared (3 values), so Catalyst plans a fixed-width aggregate, no
+    second pass to discover columns."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("yr"))
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("rev"),
+        )
+        .select(
+            "yr",
+            F.col("O_n").alias("n_open"),
+            F.col("F_n").alias("n_finished"),
+            F.col("P_n").alias("n_pending"),
+            F.col("O_rev").alias("rev_open"),
+            F.col("F_rev").alias("rev_finished"),
+            F.col("P_rev").alias("rev_pending"),
+        )
+    )
