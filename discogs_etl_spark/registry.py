@@ -136,14 +136,20 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "udtf_token_runs",
     "pandas_udaf_lang_iqr",
     # ROUND-4 ROTATION NOTE: once CORRECTNESS_r03 lands, replace this
-    # tuple's contents with the still-never-driver-checked set — chiefly
-    # the extension-pass operators registered AFTER this window was
-    # frozen (BM25/PageRank/k-means/BPE/prefix-filter, the stats_*
-    # family, attribution, data_quality_report, sliding/top-k streams,
-    # keywords, assoc rules, mode/deciles/clustering-coefficient,
-    # weighted sampling, bloom join, Benford/DAU-WAU/HHI/gap) — they all
-    # pass the local one-session driver simulation, so rotation is pure
-    # evidence collection, not risk.
+    # tuple's contents with 50 names from the still-never-driver-checked
+    # set.  That set now has two strata: (a) the round-3 extension pass
+    # frozen out of this window (BM25/PageRank/k-means/BPE/prefix-filter,
+    # the stats_* family, attribution, data_quality_report, sliding/
+    # top-k streams, keywords, assoc rules, mode/deciles/clustering-
+    # coefficient, weighted sampling, bloom join, Benford/DAU-WAU/HHI/
+    # gap), and (b) the ~130 second-half additions (substring/winnowing/
+    # containment/ensemble/SemDeDup/medoid dedup, sketches, survival/
+    # KS/PSI/DiD stats, PCA, sweep-line, calendars, recsys/bandit/probe
+    # evals, streaming error rate, ...).  Every one passes the local
+    # one-session driver simulation (tests/test_oracle.py over the full
+    # registry), so rotation is pure evidence collection, not risk —
+    # prefer stratum (a) first (older code, zero driver rows), then (b)
+    # by registration order; ~5 rounds drains the backlog.
     # new this round (appended as they land)
     "xml_ingest_roundtrip",
     "join_skew_salted",
