@@ -2970,3 +2970,94 @@ def seasonality_strength_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(strength, 6).alias("seasonality_strength"),
         (strength > 0.1).cast("int").alias("weekly_pattern_present"),
     )
+
+
+@register(
+    "stats_jarque_bera_normality",
+    oracle="""
+        WITH s AS (
+            SELECT event_type, COUNT(*) AS n,
+                   CAST(SUM(CAST(round(value, 6) AS DECIMAL(28,6))) AS DOUBLE)
+                       AS s1,
+                   CAST(SUM(CAST(round(value * value, 6) AS DECIMAL(38,6)))
+                        AS DOUBLE) AS s2,
+                   CAST(SUM(CAST(round(value * value * value, 4)
+                                 AS DECIMAL(38,4))) AS DOUBLE) AS s3,
+                   CAST(SUM(CAST(round(value * value * value * value, 2)
+                                 AS DECIMAL(38,2))) AS DOUBLE) AS s4
+            FROM events GROUP BY event_type
+        ),
+        m AS (
+            SELECT event_type, n,
+                   s1 / n AS m1,
+                   s2 / n - (s1 / n) * (s1 / n) AS m2,
+                   s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * pow(s1 / n, 3) AS m3,
+                   s4 / n - 4 * (s1 / n) * (s3 / n)
+                       + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                       - 3 * pow(s1 / n, 4) AS m4
+            FROM s
+        )
+        SELECT event_type, CAST(n AS BIGINT) AS n,
+               round(m3 / pow(m2, 1.5), 6) AS skewness,
+               round(m4 / (m2 * m2) - 3, 6) AS excess_kurtosis,
+               round(n / 6.0 * (pow(m3 / pow(m2, 1.5), 2)
+                                + pow(m4 / (m2 * m2) - 3, 2) / 4), 4) AS jb_stat,
+               CAST(n / 6.0 * (pow(m3 / pow(m2, 1.5), 2)
+                               + pow(m4 / (m2 * m2) - 3, 2) / 4) > 5.99 AS INT)
+                   AS reject_normal_95
+        FROM m
+    """,
+    tags=("stats", "normality", "jarque_bera"),
+)
+def stats_jarque_bera_normality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JARQUE-BERA normality test per event type: skewness and excess
+    kurtosis from exact central moments, JB = n/6·(S² + K²/4) against
+    the χ²₂ 95% line — the moment-based normality screen that decides
+    whether the z-score anomaly detectors (events_anomaly_zscore) and
+    t-based intervals upstream are standing on their assumptions (heavy
+    tails inflate σ and hide anomalies; this is the test that says so).
+
+    Scale: four power sums per group with rounded-DECIMAL accumulation
+    (the raw→central moment conversion is scalar algebra); one shuffle,
+    group-cardinality output."""
+    s = load(spark, sf_dir, "events").groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round("value", 6).cast("decimal(28,6)")).cast("double").alias("s1"),
+        F.sum(F.round(F.col("value") * F.col("value"), 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("s2"),
+        F.sum(
+            F.round(F.col("value") * F.col("value") * F.col("value"), 4).cast(
+                "decimal(38,4)"
+            )
+        )
+        .cast("double")
+        .alias("s3"),
+        F.sum(
+            F.round(
+                F.col("value") * F.col("value") * F.col("value") * F.col("value"), 2
+            ).cast("decimal(38,2)")
+        )
+        .cast("double")
+        .alias("s4"),
+    )
+    m1 = F.col("s1") / F.col("n")
+    m2 = F.col("s2") / F.col("n") - m1 * m1
+    m3 = F.col("s3") / F.col("n") - 3 * m1 * (F.col("s2") / F.col("n")) + 2 * F.pow(m1, 3)
+    m4 = (
+        F.col("s4") / F.col("n")
+        - 4 * m1 * (F.col("s3") / F.col("n"))
+        + 6 * m1 * m1 * (F.col("s2") / F.col("n"))
+        - 3 * F.pow(m1, 4)
+    )
+    skew = m3 / F.pow(m2, 1.5)
+    kurt = m4 / (m2 * m2) - 3
+    jb = F.col("n") / 6.0 * (F.pow(skew, 2) + F.pow(kurt, 2) / 4)
+    return s.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(skew, 6).alias("skewness"),
+        F.round(kurt, 6).alias("excess_kurtosis"),
+        F.round(jb, 4).alias("jb_stat"),
+        (jb > 5.99).cast("int").alias("reject_normal_95"),
+    )
