@@ -6079,3 +6079,123 @@ def pack_efficiency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("waste_fraction"),
     )
+
+
+@register(
+    "lm_domain_surprisal_ratio",
+    oracle="""
+        WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w
+                   FROM documents),
+        inst AS (
+            SELECT doc_id, source, w[i] AS w1, w[i] || ' ' || w[i + 1] AS bigram
+            FROM w, unnest(range(1, len(w))) AS t(i)
+            WHERE len(w) >= 2
+        ),
+        v AS (
+            SELECT COUNT(DISTINCT tok) AS v
+            FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        ),
+        bg AS (SELECT w1, bigram, COUNT(*) AS c2 FROM inst GROUP BY w1, bigram),
+        cx AS (SELECT w1, SUM(c2) AS c1 FROM bg GROUP BY w1),
+        bgs AS (SELECT source, w1, bigram, COUNT(*) AS c2s
+                FROM inst GROUP BY source, w1, bigram),
+        cxs AS (SELECT source, w1, SUM(c2s) AS c1s FROM bgs GROUP BY source, w1),
+        lm AS (
+            SELECT bg.bigram,
+                   round(-ln((bg.c2 + 1) / CAST(cx.c1 + v.v AS DOUBLE)), 6) AS sg
+            FROM bg JOIN cx USING (w1) CROSS JOIN v
+        ),
+        lms AS (
+            SELECT bgs.source, bgs.bigram,
+                   round(-ln((bgs.c2s + 1) / CAST(cxs.c1s + v.v AS DOUBLE)), 6)
+                       AS ss
+            FROM bgs JOIN cxs ON cxs.source = bgs.source AND cxs.w1 = bgs.w1
+            CROSS JOIN v
+        ),
+        per AS (
+            SELECT doc_id, source, bigram, COUNT(*) AS k
+            FROM inst GROUP BY doc_id, source, bigram
+        )
+        SELECT doc_id, n_bigrams, domain_ratio FROM (
+            SELECT per.doc_id,
+                   CAST(SUM(k) AS BIGINT) AS n_bigrams,
+                   round((CAST(SUM(CAST(round(k * lms.ss, 6) AS DECIMAL(28,6)))
+                               AS DOUBLE)
+                          - CAST(SUM(CAST(round(k * lm.sg, 6) AS DECIMAL(28,6)))
+                                 AS DOUBLE)) / SUM(k), 6) AS domain_ratio
+            FROM per
+            JOIN lm ON lm.bigram = per.bigram
+            JOIN lms ON lms.source = per.source AND lms.bigram = per.bigram
+            GROUP BY per.doc_id
+        )
+        ORDER BY domain_ratio DESC, doc_id
+        LIMIT 20
+    """,
+    tags=("text", "lm", "domain_filter", "surprisal"),
+)
+def lm_domain_surprisal_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-LM DOMAIN FILTER (the CCNet ratio): each document's mean
+    surprisal under ITS OWN SOURCE's bigram LM minus under the GLOBAL
+    LM — positive means the doc reads more unusual to its own domain
+    than to the corpus at large, i.e. it's mis-sourced, spam inside a
+    good domain, or genuinely off-topic (the top-20 here).  One LM
+    (lm_bigram_surprisal) scores absolute quality; the RATIO scores
+    domain FIT — the two filters catch different garbage.  Both LMs
+    share the global-vocabulary add-one smoothing so the ratio isn't
+    driven by smoothing-mass differences.
+
+    Scale: the per-source LM tables add one (source, bigram) aggregation
+    over the same instance pass; scoring joins key on bigram and
+    (source, bigram); all sums are rounded-DECIMAL."""
+    docs = load(spark, sf_dir, "documents")
+    inst = (
+        docs.selectExpr("doc_id", "source", "split(text, ' ') AS w")
+        .where(F.size("w") >= 2)
+        .selectExpr(
+            "doc_id",
+            "source",
+            "explode(transform(sequence(1, size(w) - 1),"
+            " i -> struct(element_at(w, i) AS w1,"
+            " concat(element_at(w, i), ' ', element_at(w, i + 1)) AS bigram))) AS s",
+        )
+        .select("doc_id", "source", "s.w1", "s.bigram")
+    )
+    v = docs.select(F.explode(F.split("text", " ")).alias("tok")).distinct().count()
+    bg = inst.groupBy("w1", "bigram").agg(F.count(F.lit(1)).alias("c2"))
+    cx = bg.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    lm = bg.join(cx, "w1").select(
+        "bigram",
+        F.round(
+            -F.log((F.col("c2") + 1) / (F.col("c1") + F.lit(int(v))).cast("double")), 6
+        ).alias("sg"),
+    )
+    bgs = inst.groupBy("source", "w1", "bigram").agg(F.count(F.lit(1)).alias("c2s"))
+    cxs = bgs.groupBy("source", "w1").agg(F.sum("c2s").alias("c1s"))
+    lms = bgs.join(cxs, ["source", "w1"]).select(
+        "source",
+        "bigram",
+        F.round(
+            -F.log((F.col("c2s") + 1) / (F.col("c1s") + F.lit(int(v))).cast("double")),
+            6,
+        ).alias("ss"),
+    )
+    per = inst.groupBy("doc_id", "source", "bigram").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    joined = per.join(lm, "bigram").join(lms, ["source", "bigram"])
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.sum("k").cast("bigint").alias("n_bigrams"),
+            F.round(
+                (
+                    F.sum(F.round(F.col("k") * F.col("ss"), 6).cast("decimal(28,6)")).cast("double")
+                    - F.sum(F.round(F.col("k") * F.col("sg"), 6).cast("decimal(28,6)")).cast("double")
+                )
+                / F.sum("k"),
+                6,
+            ).alias("domain_ratio"),
+        )
+        .orderBy(F.desc("domain_ratio"), F.asc("doc_id"))
+        .limit(20)
+    )
