@@ -3061,3 +3061,99 @@ def stats_jarque_bera_normality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(jb, 4).alias("jb_stat"),
         (jb > 5.99).cast("int").alias("reject_normal_95"),
     )
+
+
+@register(
+    "changepoint_poisson_binseg",
+    oracle="""
+        WITH d AS (
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS n
+            FROM events GROUP BY 1
+        ),
+        c AS (
+            SELECT day, n,
+                   SUM(n) OVER (ORDER BY day
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum_n,
+                   ROW_NUMBER() OVER (ORDER BY day) AS k,
+                   SUM(n) OVER () AS tot_n,
+                   COUNT(*) OVER () AS tot_d
+            FROM d
+        ),
+        scored AS (
+            SELECT day, cum_n, k, tot_n, tot_d,
+                   round(cum_n * ln(cum_n / CAST(k AS DOUBLE))
+                         + (tot_n - cum_n)
+                           * ln((tot_n - cum_n) / CAST(tot_d - k AS DOUBLE))
+                         - tot_n * ln(tot_n / CAST(tot_d AS DOUBLE)), 6) AS gain
+            FROM c
+            WHERE k < tot_d AND cum_n > 0 AND tot_n - cum_n > 0
+        )
+        SELECT day AS split_after_day,
+               round(cum_n / CAST(k AS DOUBLE), 4) AS rate_left,
+               round((tot_n - cum_n) / CAST(tot_d - k AS DOUBLE), 4) AS rate_right,
+               gain AS loglik_gain
+        FROM scored
+        ORDER BY gain DESC, day
+        LIMIT 1
+    """,
+    tags=("stats", "changepoint", "poisson", "binseg"),
+)
+def changepoint_poisson_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POISSON BINARY SEGMENTATION: the single best day to split the
+    daily event-count series into two constant-rate regimes, by exact
+    log-likelihood gain n₁ln(n₁/d₁) + n₂ln(n₂/d₂) − n·ln(n/D) — the
+    likelihood-based changepoint that complements CUSUM
+    (stats_cusum_daily_revenue detects MEAN shifts in a continuous
+    series; this detects RATE shifts in counts, with a principled gain
+    to threshold against χ²).  Recursing into each side yields the full
+    binary-segmentation tree — each recursion is this same query over a
+    day range.
+
+    Scale: every candidate split's statistics come from ONE running sum
+    over the calendar-bounded daily grid (no per-split rescan), then an
+    argmax — O(days) total."""
+    d = load(spark, sf_dir, "events").groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wcum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy()
+    c = d.select(
+        "day",
+        F.sum("n").over(wcum).alias("cum_n"),
+        F.row_number().over(Window.orderBy("day")).alias("k"),
+        F.sum("n").over(wall).alias("tot_n"),
+        F.count(F.lit(1)).over(wall).alias("tot_d"),
+    )
+    gain = F.round(
+        F.col("cum_n") * F.log(F.col("cum_n") / F.col("k").cast("double"))
+        + (F.col("tot_n") - F.col("cum_n"))
+        * F.log(
+            (F.col("tot_n") - F.col("cum_n"))
+            / (F.col("tot_d") - F.col("k")).cast("double")
+        )
+        - F.col("tot_n") * F.log(F.col("tot_n") / F.col("tot_d").cast("double")),
+        6,
+    )
+    scored = (
+        c.where(
+            (F.col("k") < F.col("tot_d"))
+            & (F.col("cum_n") > 0)
+            & (F.col("tot_n") - F.col("cum_n") > 0)
+        )
+        .withColumn("gain", gain)
+    )
+    return (
+        scored.select(
+            F.col("day").alias("split_after_day"),
+            F.round(F.col("cum_n") / F.col("k").cast("double"), 4).alias("rate_left"),
+            F.round(
+                (F.col("tot_n") - F.col("cum_n"))
+                / (F.col("tot_d") - F.col("k")).cast("double"),
+                4,
+            ).alias("rate_right"),
+            F.col("gain").alias("loglik_gain"),
+        )
+        .orderBy(F.desc("loglik_gain"), F.asc("split_after_day"))
+        .limit(1)
+    )
