@@ -8173,3 +8173,57 @@ def pivot_multi_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("P_rev").alias("rev_pending"),
         )
     )
+
+
+@register(
+    "events_transition_latency",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type, ts,
+                   LAG(event_type) OVER w AS prev_type,
+                   epoch(ts) - epoch(LAG(ts) OVER w) AS gap
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT prev_type, event_type AS next_type,
+               COUNT(*) AS n_transitions,
+               round(CAST(SUM(CAST(round(gap, 3) AS DECIMAL(28,3))) AS DOUBLE)
+                     / COUNT(*), 3) AS mean_gap_sec,
+               round(quantile_cont(gap, 0.5), 3) AS median_gap_sec
+        FROM seq
+        WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    """,
+    tags=("sequence", "markov", "latency"),
+)
+def events_transition_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRANSITION LATENCY matrix: for every consecutive event-type pair
+    within a user's stream, the count, mean, and median seconds between
+    them — events_markov_transitions with TIME on the edges: the
+    view→click gap is perceived responsiveness, click→purchase is
+    decision latency, error→anything is recovery time.  Mean and median
+    together expose the skew (funnel latencies are long-tailed; the
+    mean alone misleads).
+
+    Scale: one user-keyed lag window (the sessionization exchange), one
+    (prev, next)-keyed aggregate — type² output."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ep = epoch("ts")
+    seq = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+        (ep - F.lag(ep).over(w)).alias("gap"),
+    )
+    return (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.round(
+                F.sum(F.round("gap", 3).cast("decimal(28,3)")).cast("double")
+                / F.count(F.lit(1)),
+                3,
+            ).alias("mean_gap_sec"),
+            F.round(F.expr("percentile(gap, 0.5)"), 3).alias("median_gap_sec"),
+        )
+    )
