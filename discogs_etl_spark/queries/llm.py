@@ -6199,3 +6199,73 @@ def lm_domain_surprisal_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("domain_ratio"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+@register(
+    "dedup_threshold_sweep",
+    oracle=f"""
+        WITH sh AS (
+            SELECT doc_id, unnest({_SQL_TRIGRAMS}) AS sh FROM documents
+        ),
+        m AS (SELECT doc_id, COUNT(*) AS m FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ),
+        jp AS (
+            SELECT CAST(n_common AS DOUBLE) / (ma.m + mb.m - n_common) AS j
+            FROM inter
+            JOIN m ma ON doc_a = ma.doc_id
+            JOIN m mb ON doc_b = mb.doc_id
+        ),
+        marks AS (SELECT CAST(unnest([0.2, 0.3, 0.5, 0.7]) AS DOUBLE) AS thr)
+        SELECT thr AS threshold,
+               CAST(COUNT(CASE WHEN j >= thr THEN 1 END) AS BIGINT) AS n_pairs
+        FROM marks CROSS JOIN jp
+        GROUP BY thr
+    """,
+    tags=("dedup", "threshold", "tuning"),
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THRESHOLD SENSITIVITY sweep: near-dup pair counts at Jaccard cuts
+    0.2/0.3/0.5/0.7 from ONE inverted-index pass — the tuning curve that
+    picks the production threshold (a cliff between marks means the
+    corpus separates cleanly; a smooth slope means every threshold is a
+    judgment call and dedup_transitivity_audit should gate the choice).
+    Computing each threshold separately would re-run the self-join four
+    times; scoring once and bucketing is the whole trick.
+
+    Scale: the pair scoring is the standard shingle self-join; the
+    4-mark fan-out multiplies only the tiny scored-pair set."""
+    docs = _with_shingles(load(spark, sf_dir, "documents"), "doc_id")
+    sh = docs.select("doc_id", F.explode("shingles").alias("sh"))
+    m = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("m"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jp = (
+        inter.join(m.select(F.col("doc_id").alias("doc_a"), F.col("m").alias("ma")), "doc_a")
+        .join(m.select(F.col("doc_id").alias("doc_b"), F.col("m").alias("mb")), "doc_b")
+        .select(
+            (
+                F.col("n_common").cast("double")
+                / (F.col("ma") + F.col("mb") - F.col("n_common"))
+            ).alias("j")
+        )
+    )
+    marks = load(spark, sf_dir, "documents").sparkSession.createDataFrame(
+        [(0.2,), (0.3,), (0.5,), (0.7,)], "thr double"
+    )
+    return (
+        jp.crossJoin(F.broadcast(marks))
+        .groupBy(F.col("thr").alias("threshold"))
+        .agg(
+            F.count(F.when(F.col("j") >= F.col("thr"), 1))
+            .cast("bigint")
+            .alias("n_pairs")
+        )
+    )

@@ -3157,3 +3157,69 @@ def changepoint_poisson_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("loglik_gain"), F.asc("split_after_day"))
         .limit(1)
     )
+
+
+@register(
+    "stats_burstiness_index",
+    oracle="""
+        WITH g AS (
+            SELECT event_type,
+                   epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY event_type, user_id
+                                                   ORDER BY ts, event_id)) AS gap
+            FROM events
+        ),
+        s AS (
+            SELECT event_type, COUNT(*) AS n,
+                   CAST(SUM(CAST(round(gap, 3) AS DECIMAL(28,3))) AS DOUBLE) AS sg,
+                   CAST(SUM(CAST(round(gap * gap, 3) AS DECIMAL(38,3))) AS DOUBLE)
+                       AS sgg
+            FROM g WHERE gap IS NOT NULL
+            GROUP BY event_type
+        )
+        SELECT event_type, CAST(n AS BIGINT) AS n_gaps,
+               round((sqrt(greatest((sgg - sg * sg / n) / (n - 1), 0.0)) - sg / n)
+                     / (sqrt(greatest((sgg - sg * sg / n) / (n - 1), 0.0)) + sg / n),
+                     6) AS burstiness_b
+        FROM s
+    """,
+    tags=("stats", "burstiness", "timeseries"),
+)
+def stats_burstiness_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BURSTINESS index B = (σ−μ)/(σ+μ) of per-user inter-arrival gaps,
+    by event type (Goh & Barabási 2008): −1 = metronomic, 0 = Poisson,
+    → +1 = extreme bursts — the bounded, comparable-across-scales
+    version of the coefficient of variation (users_bot_score's CV is
+    unbounded; B maps the same signal to [−1, 1] so types and cohorts
+    compare directly).  Human activity runs B ≈ 0.2-0.6; the fixtures'
+    Poisson-ish streams sit near 0, which is the honest null.
+
+    Scale: per-(type, user) lag windows share the user-keyed exchange;
+    one moment aggregate per type."""
+    w = Window.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
+    ep = epoch("ts")
+    g = load(spark, sf_dir, "events").select(
+        "event_type", (ep - F.lag(ep).over(w)).alias("gap")
+    )
+    s = (
+        g.where(F.col("gap").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round("gap", 3).cast("decimal(28,3)")).cast("double").alias("sg"),
+            F.sum(F.round(F.col("gap") * F.col("gap"), 3).cast("decimal(38,3)"))
+            .cast("double")
+            .alias("sgg"),
+        )
+    )
+    mu = F.col("sg") / F.col("n")
+    sd = F.sqrt(
+        F.greatest(
+            (F.col("sgg") - F.col("sg") * F.col("sg") / F.col("n")) / (F.col("n") - 1),
+            F.lit(0.0),
+        )
+    )
+    return s.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_gaps"),
+        F.round((sd - mu) / (sd + mu), 6).alias("burstiness_b"),
+    )
