@@ -3223,3 +3223,61 @@ def stats_burstiness_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_gaps"),
         F.round((sd - mu) / (sd + mu), 6).alias("burstiness_b"),
     )
+
+
+@register(
+    "p95_rollup_hazard",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                   round(quantile_cont(value, 0.95), 6) AS p95_day
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY 1
+        ),
+        rollup_avg AS (
+            SELECT round(CAST(SUM(CAST(p95_day AS DECIMAL(28,6))) AS DOUBLE)
+                         / COUNT(*), 6) AS avg_of_daily_p95
+            FROM daily
+        ),
+        true_p95 AS (
+            SELECT round(quantile_cont(value, 0.95), 6) AS global_p95
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT avg_of_daily_p95, global_p95,
+               round(avg_of_daily_p95 - global_p95, 6) AS rollup_bias
+        FROM rollup_avg CROSS JOIN true_p95
+    """,
+    tags=("stats", "percentile", "pitfall", "observability"),
+)
+def p95_rollup_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE p95 ROLLUP HAZARD, measured: the average of daily p95s next
+    to the true global p95, with their gap — percentiles do NOT average
+    (every observability vendor's dashboards quietly do it anyway), and
+    this query pins the bias magnitude on real data so the claim is a
+    number, not folklore.  The correct rollup is merging the underlying
+    data (or mergeable sketches — agg_approx_percentile_eval); this
+    emits the evidence for that rule.
+
+    Scale: one per-day exact percentile pass + one global pass — the
+    point is the comparison, not the compute."""
+    base = load(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    daily = base.groupBy(F.date_trunc("day", "ts").cast("date").alias("day")).agg(
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95_day")
+    )
+    ra = daily.agg(
+        F.round(
+            F.sum(F.col("p95_day").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_of_daily_p95")
+    )
+    tp = base.agg(
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("global_p95")
+    )
+    return ra.crossJoin(F.broadcast(tp)).select(
+        "avg_of_daily_p95",
+        "global_p95",
+        F.round(F.col("avg_of_daily_p95") - F.col("global_p95"), 6).alias(
+            "rollup_bias"
+        ),
+    )
