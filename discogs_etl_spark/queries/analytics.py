@@ -8227,3 +8227,99 @@ def events_transition_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.expr("percentile(gap, 0.5)"), 3).alias("median_gap_sec"),
         )
     )
+
+
+@register(
+    "calendar_comparability_eval",
+    oracle="""
+        WITH w AS (
+            SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+            FROM (
+                SELECT o_totalprice,
+                       date_diff('day', DATE '1970-01-05',
+                                 CAST(date_trunc('day', o_orderdate) AS DATE)) // 7
+                           AS wk
+                FROM orders
+            )
+            GROUP BY 1970 + wk // 52,
+                     (wk % 52) // 13 * 3
+                         + CASE WHEN (wk % 52) % 13 < 4 THEN 1
+                                WHEN (wk % 52) % 13 < 8 THEN 2 ELSE 3 END
+        ),
+        m AS (
+            SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+            FROM orders
+            GROUP BY date_trunc('month', o_orderdate)
+        ),
+        cv AS (
+            SELECT 'fiscal_445' AS calendar, COUNT(*) AS n_periods,
+                   CAST(SUM(CAST(round(rev, 2) AS DECIMAL(28,2))) AS DOUBLE) AS s,
+                   CAST(SUM(CAST(round(rev * rev, 4) AS DECIMAL(38,4)))
+                        AS DOUBLE) AS ss
+            FROM w
+            UNION ALL
+            SELECT 'calendar_month', COUNT(*),
+                   CAST(SUM(CAST(round(rev, 2) AS DECIMAL(28,2))) AS DOUBLE),
+                   CAST(SUM(CAST(round(rev * rev, 4) AS DECIMAL(38,4))) AS DOUBLE)
+            FROM m
+        )
+        SELECT calendar, CAST(n_periods AS BIGINT) AS n_periods,
+               round(sqrt(greatest((ss - s * s / n_periods) / (n_periods - 1), 0.0))
+                     / (s / n_periods), 6) AS revenue_cv
+        FROM cv
+    """,
+    tags=("calendar", "eval", "fiscal_445"),
+)
+def calendar_comparability_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALENDAR COMPARABILITY eval: coefficient of variation of
+    per-period revenue under the 4-4-5 fiscal calendar vs calendar
+    months — the 4-4-5 sales pitch is that whole-week periods remove
+    the artificial variance calendar months inject (28-31 days, ragged
+    weekday mixes), and this query MEASURES whether that holds on this
+    data instead of asserting it.  Mixed 4- and 5-week periods add
+    their own variance; the comparison is honest about both effects.
+
+    Scale: two period rollups (calendar-bounded outputs) and a 2-row
+    moment aggregate."""
+    o = load(spark, sf_dir, "orders")
+    wk = F.floor(
+        F.datediff(
+            F.date_trunc("day", "o_orderdate").cast("date"),
+            F.lit("1970-01-05").cast("date"),
+        )
+        / 7
+    )
+    period = (
+        (F.lit(1970) + F.floor(wk / 52)) * 100
+        + F.floor((wk % 52) / 13) * 3
+        + F.when((wk % 52) % 13 < 4, 1).when((wk % 52) % 13 < 8, 2).otherwise(3)
+    )
+    w = o.groupBy(period.alias("p")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("rev")
+    )
+    m = o.groupBy(F.date_trunc("month", "o_orderdate").alias("p")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("rev")
+    )
+    def moments(df, label):
+        return df.agg(
+            F.lit(label).alias("calendar"),
+            F.count(F.lit(1)).alias("n_periods"),
+            F.sum(F.round("rev", 2).cast("decimal(28,2)")).cast("double").alias("s"),
+            F.sum(F.round(F.col("rev") * F.col("rev"), 4).cast("decimal(38,4)"))
+            .cast("double")
+            .alias("ss"),
+        )
+    cv = moments(w, "fiscal_445").unionAll(moments(m, "calendar_month"))
+    mean = F.col("s") / F.col("n_periods")
+    sd = F.sqrt(
+        F.greatest(
+            (F.col("ss") - F.col("s") * F.col("s") / F.col("n_periods"))
+            / (F.col("n_periods") - 1),
+            F.lit(0.0),
+        )
+    )
+    return cv.select(
+        "calendar",
+        F.col("n_periods").cast("bigint").alias("n_periods"),
+        F.round(sd / mean, 6).alias("revenue_cv"),
+    )
