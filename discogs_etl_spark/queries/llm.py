@@ -6269,3 +6269,73 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_pairs")
         )
     )
+
+
+@register(
+    "dedup_pair_evidence",
+    oracle=f"""
+        WITH px AS ({_NGRAM_ORACLE}),
+        top5 AS (
+            SELECT doc_a, doc_b, jaccard FROM px
+            ORDER BY jaccard DESC, doc_a, doc_b LIMIT 5
+        ),
+        sha AS (
+            SELECT t.doc_a, t.doc_b, t.jaccard, unnest({_SQL_TRIGRAMS}) AS sh
+            FROM top5 t JOIN documents ON doc_id = t.doc_a
+        ),
+        shb AS (
+            SELECT t.doc_a, t.doc_b, unnest({_SQL_TRIGRAMS}) AS sh
+            FROM top5 t JOIN documents ON doc_id = t.doc_b
+        ),
+        shared AS (
+            SELECT a.doc_a, a.doc_b, a.jaccard, a.sh
+            FROM sha a JOIN shb b
+              ON a.doc_a = b.doc_a AND a.doc_b = b.doc_b AND a.sh = b.sh
+        )
+        SELECT doc_a, doc_b, jaccard,
+               CAST(COUNT(*) AS BIGINT) AS n_shared_shingles,
+               array_to_string((list_sort(list(sh)))[1:3], ' | ')
+                   AS sample_evidence
+        FROM shared
+        GROUP BY doc_a, doc_b, jaccard
+    """,
+    tags=("dedup", "explainability", "evidence"),
+)
+def dedup_pair_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEDUP EVIDENCE: for the 5 highest-Jaccard pairs, the shared
+    shingle count and the first three shared 3-grams verbatim — the
+    explainability layer a deletion pipeline owes its appeals process
+    (a similarity SCORE justifies nothing; the overlapping text does).
+    Every dedup decision in this engine can be traced to this query's
+    shape at pair granularity.
+
+    Scale: evidence is computed only for the pairs under review (top-5
+    here; the flagged set in production) — two doc-keyed joins to
+    re-shingle just those docs, never the corpus."""
+    px = dedup_ngram_jaccard(spark, sf_dir)
+    top5 = px.orderBy(F.desc("jaccard"), F.asc("doc_a"), F.asc("doc_b")).limit(5)
+    docs = _with_shingles(load(spark, sf_dir, "documents"), "doc_id")
+    sha = (
+        top5.join(docs, top5["doc_a"] == docs["doc_id"])
+        .select("doc_a", "doc_b", "jaccard", F.explode("shingles").alias("sh"))
+    )
+    shb = (
+        top5.join(docs, top5["doc_b"] == docs["doc_id"])
+        .select(
+            F.col("doc_a").alias("da"),
+            F.col("doc_b").alias("db"),
+            F.explode("shingles").alias("shb"),
+        )
+    )
+    shared = sha.join(
+        shb,
+        (F.col("doc_a") == F.col("da"))
+        & (F.col("doc_b") == F.col("db"))
+        & (F.col("sh") == F.col("shb")),
+    )
+    return shared.groupBy("doc_a", "doc_b", "jaccard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shared_shingles"),
+        F.array_join(
+            F.slice(F.array_sort(F.collect_list("sh")), 1, 3), " | "
+        ).alias("sample_evidence"),
+    )
