@@ -8323,3 +8323,123 @@ def calendar_comparability_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_periods").cast("bigint").alias("n_periods"),
         F.round(sd / mean, 6).alias("revenue_cv"),
     )
+
+
+@register(
+    "returns_by_basket_size",
+    oracle="""
+        WITH per AS (
+            SELECT l_orderkey, COUNT(*) AS n_lines,
+                   COUNT(*) FILTER (l_returnflag = 'R') AS n_ret
+            FROM lineitem GROUP BY l_orderkey
+        )
+        SELECT CASE WHEN n_lines <= 2 THEN '1-2'
+                    WHEN n_lines <= 4 THEN '3-4'
+                    ELSE '5+' END AS basket_size,
+               COUNT(*) AS n_orders,
+               CAST(SUM(n_lines) AS BIGINT) AS n_lines,
+               CAST(SUM(n_ret) AS BIGINT) AS n_returned,
+               round(SUM(n_ret) / CAST(SUM(n_lines) AS DOUBLE), 6)
+                   AS return_rate
+        FROM per
+        GROUP BY 1
+    """,
+    tags=("returns", "interaction", "ops"),
+)
+def returns_by_basket_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETURN RATE × BASKET SIZE interaction: line-level return rates
+    bucketed by how many lines the order carried — rising rates with
+    basket size indicate bracketing behavior (order several, return
+    most), flat rates say returns are item-driven; the two need opposite
+    fixes (checkout UX vs product pages).  The grouped-then-bucketed
+    shape avoids the ecological-inference trap of correlating at the
+    line level.
+
+    Scale: one order-keyed rollup, a 3-bucket regroup."""
+    per = load(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("n_ret"),
+    )
+    bucket = (
+        F.when(F.col("n_lines") <= 2, "1-2")
+        .when(F.col("n_lines") <= 4, "3-4")
+        .otherwise("5+")
+    )
+    return per.groupBy(bucket.alias("basket_size")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("n_lines").cast("bigint").alias("n_lines"),
+        F.sum("n_ret").cast("bigint").alias("n_returned"),
+        F.round(F.sum("n_ret") / F.sum("n_lines").cast("double"), 6).alias(
+            "return_rate"
+        ),
+    )
+
+
+@register(
+    "activity_comovement_matrix",
+    oracle="""
+        WITH d AS (
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        p AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   a.n AS x, b.n AS y
+            FROM d a JOIN d b
+              ON a.day = b.day AND a.event_type < b.event_type
+        ),
+        s AS (
+            SELECT type_a, type_b, COUNT(*) AS n,
+                   CAST(SUM(CAST(x AS DECIMAL(18,0))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(y AS DECIMAL(18,0))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(x AS DECIMAL(18,0)) * y) AS DOUBLE) AS sxy,
+                   CAST(SUM(CAST(x AS DECIMAL(18,0)) * x) AS DOUBLE) AS sxx,
+                   CAST(SUM(CAST(y AS DECIMAL(18,0)) * y) AS DOUBLE) AS syy
+            FROM p GROUP BY type_a, type_b
+        )
+        SELECT type_a, type_b,
+               round((n * sxy - sx * sy)
+                     / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+                   AS daily_corr
+        FROM s
+    """,
+    tags=("timeseries", "correlation", "comovement"),
+)
+def activity_comovement_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTIVITY CO-MOVEMENT: Pearson correlation of DAILY volumes
+    between every event-type pair — types that rise and fall together
+    share a driver (campaigns, outages, seasonality), types that
+    decouple have independent audiences; a sudden correlation break in
+    a pair that normally co-moves is an instrumentation alarm.  The
+    exact-DECIMAL correlation idiom on the type-pair grid.
+
+    Scale: the daily rollup is the only data-sized pass; the pair join
+    and moments run over days × types² small tables."""
+    d = load(spark, sf_dir, "events").groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    a, b = d.alias("a"), d.alias("b")
+    p = a.join(
+        b,
+        (F.col("a.day") == F.col("b.day"))
+        & (F.col("a.event_type") < F.col("b.event_type")),
+    ).select(
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+        F.col("a.n").alias("x"),
+        F.col("b.n").alias("y"),
+    )
+    s = p.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(18,0)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(18,0)")).cast("double").alias("sy"),
+        F.sum(F.col("x").cast("decimal(18,0)") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x").cast("decimal(18,0)") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y").cast("decimal(18,0)") * F.col("y")).cast("double").alias("syy"),
+    )
+    r = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select("type_a", "type_b", F.round(r, 6).alias("daily_corr"))
