@@ -8443,3 +8443,78 @@ def activity_comovement_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
     )
     return s.select("type_a", "type_b", F.round(r, 6).alias("daily_corr"))
+
+
+@register(
+    "inventory_safety_stock",
+    oracle="""
+        WITH weekly AS (
+            SELECT l_partkey,
+                   CAST(date_trunc('week', l_shipdate) AS DATE) AS wk,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS q
+            FROM lineitem GROUP BY 1, 2
+        ),
+        s AS (
+            SELECT l_partkey, COUNT(*) AS n,
+                   CAST(SUM(CAST(round(q, 2) AS DECIMAL(18,2))) AS DOUBLE) AS sq,
+                   CAST(SUM(CAST(round(q * q, 4) AS DECIMAL(38,4))) AS DOUBLE)
+                       AS sqq
+            FROM weekly GROUP BY l_partkey
+            HAVING COUNT(*) >= 5
+        )
+        SELECT l_partkey, CAST(n AS BIGINT) AS n_weeks,
+               round(sq / n, 4) AS mean_weekly_demand,
+               round(1.645 * sqrt(greatest((sqq - sq * sq / n) / (n - 1), 0.0)), 4)
+                   AS safety_stock,
+               round(sq / n
+                     + 1.645 * sqrt(greatest((sqq - sq * sq / n) / (n - 1), 0.0)),
+                     4) AS reorder_point
+        FROM s
+        ORDER BY reorder_point DESC, l_partkey
+        LIMIT 20
+    """,
+    tags=("inventory", "safety_stock", "ops"),
+)
+def inventory_safety_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAFETY STOCK + REORDER POINT at a 95% cycle service level: per
+    part (≥ 5 observed weeks), mean weekly demand plus z₀.₉₅·σ of weekly
+    demand — the textbook μ_L + zσ_L formula with a one-week replenish
+    lead, turning the ABC-XYZ matrix's descriptive variance into the
+    operational number a planner actually sets.  Top-20 highest reorder
+    points (the parts that tie up the most buffer capital).
+
+    Scale: the weekly rollup and per-part moments share the part-keyed
+    shuffle with inventory_abc_xyz_matrix; the formula is map-side; the
+    Gaussian z is the stated approximation (Poisson/NB variants swap
+    the quantile)."""
+    weekly = load(spark, sf_dir, "lineitem").groupBy(
+        "l_partkey", F.date_trunc("week", "l_shipdate").cast("date").alias("wk")
+    ).agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("q"))
+    s = (
+        weekly.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round("q", 2).cast("decimal(18,2)")).cast("double").alias("sq"),
+            F.sum(F.round(F.col("q") * F.col("q"), 4).cast("decimal(38,4)"))
+            .cast("double")
+            .alias("sqq"),
+        )
+        .where(F.col("n") >= 5)
+    )
+    sd = F.sqrt(
+        F.greatest(
+            (F.col("sqq") - F.col("sq") * F.col("sq") / F.col("n")) / (F.col("n") - 1),
+            F.lit(0.0),
+        )
+    )
+    return (
+        s.select(
+            "l_partkey",
+            F.col("n").cast("bigint").alias("n_weeks"),
+            F.round(F.col("sq") / F.col("n"), 4).alias("mean_weekly_demand"),
+            F.round(1.645 * sd, 4).alias("safety_stock"),
+            F.round(F.col("sq") / F.col("n") + 1.645 * sd, 4).alias("reorder_point"),
+        )
+        .orderBy(F.desc("reorder_point"), F.asc("l_partkey"))
+        .limit(20)
+    )
