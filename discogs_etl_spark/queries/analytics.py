@@ -8518,3 +8518,146 @@ def inventory_safety_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("reorder_point"), F.asc("l_partkey"))
         .limit(20)
     )
+
+
+@register(
+    "first_order_value_predictiveness",
+    oracle="""
+        WITH ranked AS (
+            SELECT o_custkey, o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey) AS k
+            FROM orders
+        ),
+        per AS (
+            SELECT o_custkey,
+                   MAX(CASE WHEN k = 1 THEN o_totalprice END) AS first_val,
+                   CAST(SUM(CASE WHEN k > 1
+                                 THEN CAST(o_totalprice AS DECIMAL(18,2))
+                            END) AS DOUBLE) AS later_spend
+            FROM ranked GROUP BY o_custkey
+            HAVING COUNT(*) > 1
+        ),
+        s AS (
+            SELECT COUNT(*) AS n,
+                   CAST(SUM(CAST(round(first_val, 2) AS DECIMAL(28,2)))
+                        AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(round(later_spend, 2) AS DECIMAL(28,2)))
+                        AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(round(first_val * later_spend, 4)
+                                 AS DECIMAL(38,4))) AS DOUBLE) AS sxy,
+                   CAST(SUM(CAST(round(first_val * first_val, 4)
+                                 AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+                   CAST(SUM(CAST(round(later_spend * later_spend, 4)
+                                 AS DECIMAL(38,4))) AS DOUBLE) AS syy
+            FROM per
+        ),
+        med AS (SELECT quantile_disc(first_val, 0.5) AS m FROM per),
+        lift AS (
+            SELECT
+                CAST(SUM(CAST(round(later_spend, 2) AS DECIMAL(28,2)))
+                         FILTER (first_val > m) AS DOUBLE)
+                    / NULLIF(COUNT(*) FILTER (first_val > m), 0) AS hi,
+                CAST(SUM(CAST(round(later_spend, 2) AS DECIMAL(28,2)))
+                         FILTER (first_val <= m) AS DOUBLE)
+                    / NULLIF(COUNT(*) FILTER (first_val <= m), 0) AS lo
+            FROM per CROSS JOIN med
+        )
+        SELECT CAST(s.n AS BIGINT) AS n_repeat_customers,
+               round((s.n * s.sxy - s.sx * s.sy)
+                     / (sqrt(s.n * s.sxx - s.sx * s.sx)
+                        * sqrt(s.n * s.syy - s.sy * s.sy)), 6) AS correlation,
+               round(l.hi / l.lo, 6) AS high_vs_low_lift
+        FROM s CROSS JOIN lift l
+    """,
+    tags=("growth", "ltv", "predictiveness"),
+)
+def first_order_value_predictiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST-ORDER predictiveness: does a customer's first order value
+    predict their subsequent spend?  Pearson correlation plus the
+    above/below-median-first-order LIFT in later spend — the two numbers
+    that decide whether acquisition should bid on initial basket value
+    (near-zero on this synthetic data: first orders are independent of
+    later ones by construction, and the estimator says so).
+
+    Scale: one rank window, one customer rollup, exact-DECIMAL moments
+    and a median-split conditional aggregate — all
+    customer-cardinality."""
+    ranked = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_totalprice",
+        F.row_number()
+        .over(Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey"))
+        .alias("k"),
+    )
+    per = (
+        ranked.groupBy("o_custkey")
+        .agg(
+            F.max(F.when(F.col("k") == 1, F.col("o_totalprice"))).alias("first_val"),
+            F.sum(
+                F.when(F.col("k") > 1, F.col("o_totalprice").cast("decimal(18,2)"))
+            )
+            .cast("double")
+            .alias("later_spend"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .where(F.col("cnt") > 1)
+        .drop("cnt")
+    )
+    s = per.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round("first_val", 2).cast("decimal(28,2)")).cast("double").alias("sx"),
+        F.sum(F.round("later_spend", 2).cast("decimal(28,2)"))
+        .cast("double")
+        .alias("sy"),
+        F.sum(
+            F.round(F.col("first_val") * F.col("later_spend"), 4).cast("decimal(38,4)")
+        )
+        .cast("double")
+        .alias("sxy"),
+        F.sum(
+            F.round(F.col("first_val") * F.col("first_val"), 4).cast("decimal(38,4)")
+        )
+        .cast("double")
+        .alias("sxx"),
+        F.sum(
+            F.round(F.col("later_spend") * F.col("later_spend"), 4).cast(
+                "decimal(38,4)"
+            )
+        )
+        .cast("double")
+        .alias("syy"),
+    )
+    med = per.agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY first_val)").alias("m")
+    )
+    pm = per.crossJoin(F.broadcast(med))
+    lift = pm.agg(
+        (
+            F.sum(
+                F.when(
+                    F.col("first_val") > F.col("m"),
+                    F.round("later_spend", 2).cast("decimal(28,2)"),
+                )
+            ).cast("double")
+            / F.nullif(F.count(F.when(F.col("first_val") > F.col("m"), 1)), F.lit(0))
+        ).alias("hi"),
+        (
+            F.sum(
+                F.when(
+                    F.col("first_val") <= F.col("m"),
+                    F.round("later_spend", 2).cast("decimal(28,2)"),
+                )
+            ).cast("double")
+            / F.nullif(F.count(F.when(F.col("first_val") <= F.col("m"), 1)), F.lit(0))
+        ).alias("lo"),
+    )
+    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.crossJoin(F.broadcast(lift)).select(
+        F.col("n").cast("bigint").alias("n_repeat_customers"),
+        F.round(corr, 6).alias("correlation"),
+        F.round(F.col("hi") / F.col("lo"), 6).alias("high_vs_low_lift"),
+    )
