@@ -8661,3 +8661,64 @@ def first_order_value_predictiveness(spark: SparkSession, sf_dir: str) -> DataFr
         F.round(corr, 6).alias("correlation"),
         F.round(F.col("hi") / F.col("lo"), 6).alias("high_vs_low_lift"),
     )
+
+
+@register(
+    "activation_latency_percentiles",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id,
+                   MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+                   MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_first_buy
+            FROM events GROUP BY user_id
+        ),
+        gaps AS (
+            SELECT epoch(t_first_buy) - epoch(t_signup) AS gap_sec
+            FROM firsts
+            WHERE t_signup IS NOT NULL AND t_first_buy IS NOT NULL
+              AND t_first_buy >= t_signup
+        )
+        SELECT CAST((SELECT COUNT(*) FROM firsts
+                     WHERE t_signup IS NOT NULL) AS BIGINT) AS n_signups,
+               CAST(COUNT(*) AS BIGINT) AS n_activated,
+               round(COUNT(*) / CAST((SELECT COUNT(*) FROM firsts
+                                      WHERE t_signup IS NOT NULL) AS DOUBLE), 6)
+                   AS activation_rate,
+               round(quantile_cont(gap_sec, 0.5) / 3600, 4) AS p50_hours,
+               round(quantile_cont(gap_sec, 0.9) / 3600, 4) AS p90_hours
+        FROM gaps
+    """,
+    tags=("growth", "activation", "latency"),
+)
+def activation_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTIVATION LATENCY: time from a user's first signup event to
+    their first purchase — activation rate plus p50/p90 hours, the
+    product-led-growth metric that sets the onboarding window ("most
+    who ever convert do so within X hours"; nudges after p90 are spam).
+    LIFETIME-scoped first-to-first, unlike funnel_time_to_convert's
+    session-scoped path; users who purchased before any signup are
+    excluded as instrumentation noise, counted neither side.
+
+    Scale: one conditional-MIN rollup per user, then scalar percentiles
+    over the activated set."""
+    firsts = load(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_first_buy"
+        ),
+    )
+    n_signups = firsts.where(F.col("t_signup").isNotNull()).count()
+    gaps = firsts.where(
+        F.col("t_signup").isNotNull()
+        & F.col("t_first_buy").isNotNull()
+        & (F.col("t_first_buy") >= F.col("t_signup"))
+    ).select((epoch("t_first_buy") - epoch("t_signup")).alias("gap_sec"))
+    return gaps.agg(
+        F.lit(n_signups).cast("bigint").alias("n_signups"),
+        F.count(F.lit(1)).cast("bigint").alias("n_activated"),
+        F.round(F.count(F.lit(1)) / F.lit(float(n_signups)), 6).alias(
+            "activation_rate"
+        ),
+        F.round(F.expr("percentile(gap_sec, 0.5)") / 3600, 4).alias("p50_hours"),
+        F.round(F.expr("percentile(gap_sec, 0.9)") / 3600, 4).alias("p90_hours"),
+    )
