@@ -3281,3 +3281,102 @@ def p95_rollup_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rollup_bias"
         ),
     )
+
+
+@register(
+    "stats_ks_two_sample",
+    oracle="""
+        WITH v AS (
+            SELECT value,
+                   CASE WHEN date_diff('day', DATE '1970-01-05',
+                             CAST(date_trunc('day', ts) AS DATE)) % 7 >= 5
+                        THEN 1 ELSE 0 END AS is_weekend
+            FROM events WHERE event_type = 'purchase'
+        ),
+        n AS (
+            SELECT SUM(is_weekend) AS n1,
+                   COUNT(*) - SUM(is_weekend) AS n0
+            FROM v
+        ),
+        r AS (
+            SELECT value, is_weekend,
+                   SUM(is_weekend) OVER (ORDER BY value, is_weekend
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+                   SUM(1 - is_weekend) OVER (ORDER BY value, is_weekend
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c0
+            FROM v
+        )
+        SELECT CAST(n.n0 AS BIGINT) AS n_weekday,
+               CAST(n.n1 AS BIGINT) AS n_weekend,
+               round(MAX(abs(c0 / CAST(n.n0 AS DOUBLE)
+                             - c1 / CAST(n.n1 AS DOUBLE))), 6) AS d_stat,
+               CAST(MAX(abs(c0 / CAST(n.n0 AS DOUBLE)
+                            - c1 / CAST(n.n1 AS DOUBLE)))
+                    > 1.36 * sqrt((n.n0 + n.n1)
+                                  / (n.n0 * CAST(n.n1 AS DOUBLE))) AS INT)
+                   AS reject_same_dist_95
+        FROM r CROSS JOIN n
+        GROUP BY n.n0, n.n1
+    """,
+    tags=("stats", "ks_test", "two_sample"),
+)
+def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-SAMPLE Kolmogorov-Smirnov: do weekend and weekday purchase
+    values come from the same distribution?  D = max gap between the two
+    empirical CDFs, evaluated at every pooled observation via running
+    per-group counts over ONE sort (the textbook merge formulation),
+    against the 1.36·√((n₀+n₁)/n₀n₁) 95% line.  Distribution-free —
+    catches shape differences (bimodality, tail weight) that the
+    mean-only Welch test (stats_welch_ttest) is blind to; weekday/
+    weekend via the convention-free Monday-epoch modulus.
+
+    Scale: the pooled sort is the one global ordering (range-partition +
+    offset prefix sums at 100 TB, as with the one-sample KS); ties
+    across groups are sequenced deterministically so both engines step
+    the CDFs identically."""
+    is_wknd = (
+        (
+            F.datediff(
+                F.date_trunc("day", "ts").cast("date"),
+                F.lit("1970-01-05").cast("date"),
+            )
+            % 7
+            >= 5
+        )
+        .cast("int")
+        .alias("is_weekend")
+    )
+    v = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select("value", is_wknd)
+    )
+    n = v.agg(
+        F.sum("is_weekend").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("is_weekend")).alias("n0"),
+    )
+    w = Window.orderBy("value", "is_weekend").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = v.select(
+        F.sum("is_weekend").over(w).alias("c1"),
+        F.sum(1 - F.col("is_weekend")).over(w).alias("c0"),
+    )
+    d = F.abs(
+        F.col("c0") / F.col("n0").cast("double")
+        - F.col("c1") / F.col("n1").cast("double")
+    )
+    crit = 1.36 * F.sqrt(
+        (F.col("n0") + F.col("n1")) / (F.col("n0") * F.col("n1").cast("double"))
+    )
+    return (
+        r.crossJoin(F.broadcast(n))
+        .groupBy("n0", "n1")
+        .agg(F.max(d).alias("dmax"))
+        .select(
+            F.col("n0").cast("bigint").alias("n_weekday"),
+            F.col("n1").cast("bigint").alias("n_weekend"),
+            F.round("dmax", 6).alias("d_stat"),
+            (F.col("dmax") > crit).cast("int").alias("reject_same_dist_95"),
+        )
+    )
