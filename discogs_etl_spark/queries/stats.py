@@ -3380,3 +3380,124 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("dmax") > crit).cast("int").alias("reject_same_dist_95"),
         )
     )
+
+
+@register(
+    "stats_mann_whitney_u",
+    oracle="""
+        WITH v AS (
+            SELECT value,
+                   CASE WHEN date_diff('day', DATE '1970-01-05',
+                             CAST(date_trunc('day', ts) AS DATE)) % 7 >= 5
+                        THEN 1 ELSE 0 END AS grp
+            FROM events WHERE event_type = 'purchase'
+        ),
+        ranked AS (
+            SELECT grp, value,
+                   RANK() OVER (ORDER BY value) AS r,
+                   COUNT(*) OVER (PARTITION BY value) AS t
+            FROM v
+        ),
+        s AS (
+            SELECT
+                CAST(SUM(CASE WHEN grp = 1
+                              THEN CAST(r AS DECIMAL(28,1)) + (t - 1) / 2.0
+                         END) AS DOUBLE) AS r1,
+                SUM(grp) AS n1,
+                COUNT(*) - SUM(grp) AS n0,
+                COUNT(*) AS nn
+            FROM ranked
+        ),
+        ties AS (
+            SELECT CAST(SUM(CAST(t * t * t - t AS DECIMAL(38,0))) AS DOUBLE)
+                       AS tie_term
+            FROM (SELECT COUNT(*) AS t FROM v GROUP BY value)
+        )
+        SELECT CAST(n0 AS BIGINT) AS n_weekday,
+               CAST(n1 AS BIGINT) AS n_weekend,
+               round(r1 - n1 * (n1 + 1) / 2.0, 1) AS u_stat,
+               round((r1 - n1 * (n1 + 1) / 2.0 - n0 * n1 / 2.0)
+                     / sqrt(n0 * n1 / 12.0
+                            * ((nn + 1) - tie_term / (nn * (nn - 1.0)))), 4)
+                   AS z_stat
+        FROM s CROSS JOIN ties
+    """,
+    tags=("stats", "mann_whitney", "nonparametric"),
+)
+def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN-WHITNEY U (rank-sum) on weekend vs weekday purchase values:
+    tie-corrected average ranks, U = R₁ − n₁(n₁+1)/2, and the
+    normal-approximation z — the LOCATION-shift nonparametric test
+    pairing with stats_ks_two_sample's shape test (U asks "does one
+    group tend to be larger", KS asks "are the distributions the
+    same AT ALL"; they disagree exactly when spread changes but medians
+    don't).  Average ranks come from RANK() + (tie_count−1)/2 — no
+    dense re-ranking pass.
+
+    Scale: one global rank window over the pooled values (the KS
+    sort, reused), a per-value tie histogram, and scalar algebra."""
+    is_wknd = (
+        (
+            F.datediff(
+                F.date_trunc("day", "ts").cast("date"),
+                F.lit("1970-01-05").cast("date"),
+            )
+            % 7
+            >= 5
+        )
+        .cast("int")
+        .alias("grp")
+    )
+    v = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select("value", is_wknd)
+    )
+    ranked = v.select(
+        "grp",
+        "value",
+        F.rank().over(Window.orderBy("value")).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy("value")).alias("t"),
+    )
+    s = ranked.agg(
+        F.sum(
+            F.when(
+                F.col("grp") == 1,
+                F.col("r").cast("decimal(28,1)") + (F.col("t") - 1) / 2.0,
+            )
+        )
+        .cast("double")
+        .alias("r1"),
+        F.sum("grp").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("grp")).alias("n0"),
+        F.count(F.lit(1)).alias("nn"),
+    )
+    ties = (
+        v.groupBy("value")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.sum(
+                (F.col("t") * F.col("t") * F.col("t") - F.col("t")).cast(
+                    "decimal(38,0)"
+                )
+            )
+            .cast("double")
+            .alias("tie_term")
+        )
+    )
+    u = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2.0
+    sigma = F.sqrt(
+        F.col("n0")
+        * F.col("n1")
+        / 12.0
+        * (
+            (F.col("nn") + 1)
+            - F.col("tie_term") / (F.col("nn") * (F.col("nn") - F.lit(1.0)))
+        )
+    )
+    return s.crossJoin(F.broadcast(ties)).select(
+        F.col("n0").cast("bigint").alias("n_weekday"),
+        F.col("n1").cast("bigint").alias("n_weekend"),
+        F.round(u, 1).alias("u_stat"),
+        F.round((u - F.col("n0") * F.col("n1") / 2.0) / sigma, 4).alias("z_stat"),
+    )
