@@ -6339,3 +6339,102 @@ def dedup_pair_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice(F.array_sort(F.collect_list("sh")), 1, 3), " | "
         ).alias("sample_evidence"),
     )
+
+
+@register(
+    "chunking_content_defined",
+    oracle="""
+        WITH pos AS (
+            SELECT doc_id, text, t.i AS i,
+                   CASE WHEN ('0x' || substr(md5(substr(text, t.i, 8)), 1, 8))
+                                 ::BIGINT % 64 = 0
+                        THEN 1 ELSE 0 END AS is_cut
+            FROM documents, unnest(range(1, len(text) - 6)) AS t(i)
+        ),
+        cuts AS (
+            SELECT doc_id, text, i FROM pos WHERE is_cut = 1
+            UNION ALL
+            SELECT DISTINCT doc_id, text, 1 FROM pos
+        ),
+        bounds AS (
+            SELECT doc_id, text, i AS cut_start,
+                   LEAD(i) OVER (PARTITION BY doc_id ORDER BY i) AS nxt
+            FROM (SELECT DISTINCT doc_id, text, i FROM cuts)
+        ),
+        chunks AS (
+            SELECT doc_id,
+                   md5(substr(text, cut_start,
+                              COALESCE(nxt, len(text) + 1) - cut_start))
+                       AS chunk_hash,
+                   COALESCE(nxt, len(text) + 1) - cut_start AS chunk_len
+            FROM bounds
+            WHERE COALESCE(nxt, len(text) + 1) - cut_start >= 16
+        )
+        SELECT chunk_hash,
+               CAST(ANY_VALUE(chunk_len) AS BIGINT) AS chunk_len,
+               COUNT(*) AS n_occurrences,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM chunks
+        GROUP BY chunk_hash
+        HAVING COUNT(DISTINCT doc_id) >= 2
+        ORDER BY n_occurrences DESC, chunk_hash
+        LIMIT 20
+    """,
+    tags=("chunking", "cdc", "dedup", "storage"),
+)
+def chunking_content_defined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTENT-DEFINED CHUNKING (the rsync/FastCDC idea): chunk
+    boundaries fall where a rolling 8-char window's hash ≡ 0 (mod 64),
+    so boundaries are SHIFT-INVARIANT — insert a word at the front and
+    every downstream chunk still aligns, which is why storage dedup and
+    incremental sync use content cuts instead of fixed offsets
+    (text_chunk_sliding's fixed windows all shift and nothing matches).
+    Emitted: cross-document duplicated chunks (≥ 16 chars, in ≥ 2
+    docs), the storage-dedup view of the corpus next to
+    dedup_substring_windows' fixed-width exact view.
+
+    Scale: cut detection is the map-side window explode (~len rows per
+    doc, the substring-window budget); chunk assembly is one
+    doc-partitioned LEAD; chunk identity ships as md5, so the
+    cross-corpus shuffle carries 32-byte keys, not text."""
+    pos = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.expr(
+                "filter(transform(sequence(1, length(text) - 7), i -> "
+                "IF(CAST(conv(substring(md5(substring(text, i, 8)), 1, 8), 16, 10)"
+                " AS BIGINT) % 64 = 0, i, -1)), x -> x > 0)"
+            )
+        ).alias("i"),
+    )
+    cuts = pos.select("doc_id", "text", "i").unionAll(
+        load(spark, sf_dir, "documents").select(
+            "doc_id", "text", F.lit(1).alias("i")
+        )
+    ).distinct()
+    w = Window.partitionBy("doc_id").orderBy("i")
+    bounds = cuts.withColumn("nxt", F.lead("i").over(w))
+    chunk_end = F.coalesce(F.col("nxt"), F.length("text") + 1)
+    # substring with COLUMN offsets needs the SQL form (the F.substring
+    # builder only takes literal ints).
+    chunks = (
+        bounds.withColumn("chunk_len", chunk_end - F.col("i"))
+        .where(F.col("chunk_len") >= 16)
+        .selectExpr(
+            "doc_id",
+            "md5(substring(text, i, chunk_len)) AS chunk_hash",
+            "chunk_len",
+        )
+    )
+    return (
+        chunks.groupBy("chunk_hash")
+        .agg(
+            F.first("chunk_len").cast("bigint").alias("chunk_len"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        )
+        .where(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_occurrences"), F.asc("chunk_hash"))
+        .limit(20)
+    )
