@@ -8722,3 +8722,48 @@ def activation_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFram
         F.round(F.expr("percentile(gap_sec, 0.5)") / 3600, 4).alias("p50_hours"),
         F.round(F.expr("percentile(gap_sec, 0.9)") / 3600, 4).alias("p90_hours"),
     )
+
+
+@register(
+    "discount_response_curve",
+    oracle="""
+        SELECT round(l_discount, 2) AS discount_level,
+               COUNT(*) AS n_lines,
+               round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                     / COUNT(*), 4) AS mean_quantity,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+                   AS net_revenue
+        FROM lineitem
+        GROUP BY round(l_discount, 2)
+    """,
+    tags=("pricing", "response_curve", "empirical"),
+)
+def discount_response_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMPIRICAL discount-response curve: mean quantity and net revenue
+    at each observed discount level — the table analysts actually plot
+    before (or instead of) trusting price_elasticity_discount's single
+    slope: non-monotonic cells expose promo mix effects the regression
+    averages away.  Discount levels are the data's own grid (2-dp), no
+    bucketing choices to defend.
+
+    Scale: one grouped aggregate on the ~10-level discount key with
+    map-side partials — the cheapest pricing read in the registry."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(F.round("l_discount", 2).alias("discount_level"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("mean_quantity"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+            )
+            .cast("double")
+            .alias("net_revenue"),
+        )
+    )

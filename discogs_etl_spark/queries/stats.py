@@ -3501,3 +3501,57 @@ def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(u, 1).alias("u_stat"),
         F.round((u - F.col("n0") * F.col("n1") / 2.0) / sigma, 4).alias("z_stat"),
     )
+
+
+@register(
+    "scan_statistic_errors",
+    oracle="""
+        WITH e AS (
+            SELECT ts FROM events WHERE event_type = 'error'
+        ),
+        fan AS (
+            SELECT CAST(to_timestamp((floor(epoch(ts) / 300) - g.k) * 300)
+                        AS TIMESTAMP) AS win_start
+            FROM e, unnest(range(12)) AS g(k)
+        ),
+        wins AS (
+            SELECT win_start, COUNT(*) AS n_errors
+            FROM fan GROUP BY win_start
+        )
+        SELECT win_start, CAST(n_errors AS BIGINT) AS n_errors
+        FROM wins
+        ORDER BY n_errors DESC, win_start
+        LIMIT 5
+    """,
+    tags=("stats", "scan_statistic", "incident"),
+)
+def scan_statistic_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCAN STATISTIC: the 5 worst 1-hour windows (slid at 5-minute
+    steps) by error count — the incident-detection maximum that fixed
+    hourly buckets UNDERCOUNT whenever a burst straddles a boundary (a
+    10:58-11:07 spike splits across two calendar hours; some sliding
+    window contains all of it).  Each error fans out to the 12 sliding
+    windows that cover it — the bounded window/step fan-out rewrite
+    (window_rolling_percentile_7d's trick at incident timescale), never
+    a per-window rescan.
+
+    Scale: ×12 map-side fan-out on the error slice only (already
+    filtered), one window-keyed count, a 5-row top-k."""
+    e = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type") == "error")
+        .select("ts")
+    )
+    fan = e.select(
+        F.explode(F.sequence(F.lit(0), F.lit(11))).alias("k"), "ts"
+    ).select(
+        F.timestamp_seconds(
+            (F.floor(epoch("ts") / 300) - F.col("k")) * 300
+        ).alias("win_start")
+    )
+    return (
+        fan.groupBy("win_start")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_errors"))
+        .orderBy(F.desc("n_errors"), F.asc("win_start"))
+        .limit(5)
+    )
