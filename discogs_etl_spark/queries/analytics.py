@@ -8767,3 +8767,71 @@ def discount_response_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("net_revenue"),
         )
     )
+
+
+@register(
+    "graph_edge_formation_rate",
+    oracle="""
+        WITH op AS (
+            SELECT l.l_orderkey,
+                   CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
+                   list_sort(list_distinct(list(l.l_partkey))) AS ps
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY l.l_orderkey, date_trunc('month', o.o_orderdate)
+            HAVING len(list_distinct(list(l.l_partkey))) BETWEEN 2 AND 4
+        ),
+        pe AS (
+            SELECT month, p1.u, p2.v FROM (
+                SELECT month, unnest(ps) AS u, ps FROM op
+            ) p1, LATERAL (SELECT unnest(p1.ps) AS v) p2
+            WHERE p1.u < p2.v
+        ),
+        first_seen AS (
+            SELECT u, v, MIN(month) AS born FROM pe GROUP BY u, v
+        )
+        SELECT born AS month,
+               COUNT(*) AS n_new_edges,
+               CAST(SUM(COUNT(*)) OVER (ORDER BY born
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cumulative_edges
+        FROM first_seen
+        GROUP BY born
+    """,
+    tags=("graph", "temporal", "edge_formation"),
+)
+def graph_edge_formation_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPORAL GRAPH growth: new co-order edges per month (first month
+    each part pair was ever ordered together) and the cumulative edge
+    count — the graph-evolution curve whose flattening means the
+    co-purchase structure has saturated (new orders re-walk known
+    edges; recommendation models can train less often), and whose
+    spikes date assortment changes.  The first-appearance rewrite again
+    (reach_cumulative_users for edges): never a per-month distinct
+    re-count of the cumulative graph.
+
+    Scale: basket pairs carry their order month; one (u, v) MIN and a
+    month histogram + running sum over the calendar."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    op = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            "l_orderkey",
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+        )
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .where(F.size("ps").between(2, 4))
+    )
+    pe = op.select(
+        "month", F.explode(F.expr(_COORDER_PAIR_EXPR)).alias("e")
+    ).select("month", "e.u", "e.v")
+    first_seen = pe.groupBy("u", "v").agg(F.min("month").alias("born"))
+    monthly = first_seen.groupBy(F.col("born").alias("month")).agg(
+        F.count(F.lit(1)).alias("n_new_edges")
+    )
+    w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return monthly.select(
+        "month",
+        "n_new_edges",
+        F.sum("n_new_edges").over(w).cast("bigint").alias("cumulative_edges"),
+    )

@@ -6438,3 +6438,110 @@ def chunking_content_defined(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), F.asc("chunk_hash"))
         .limit(20)
     )
+
+
+@register(
+    "similarity_int8_recall",
+    oracle=f"""
+        WITH base AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+                   list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                           x -> abs(x))) AS amax
+            FROM embeddings
+        ),
+        q AS (
+            SELECT vec_id, emb,
+                   CASE WHEN amax = 0 THEN emb
+                        ELSE list_transform(emb,
+                             x -> CAST(floor(x / (amax / 127.0) + 0.5) AS DOUBLE)
+                                  * (amax / 127.0))
+                   END AS remb
+            FROM base
+        ),
+        qq AS (SELECT vec_id AS q_vec_id, emb AS q_emb, remb AS q_remb
+               FROM q WHERE vec_id < 20),
+        exact AS (
+            SELECT q_vec_id, vec_id FROM (
+                SELECT qq.q_vec_id, v.vec_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY qq.q_vec_id
+                           ORDER BY {_SQL_COS.format(a='qq.q_emb', b='v.emb')} DESC,
+                                    v.vec_id) AS rank
+                FROM qq JOIN q v ON v.vec_id <> qq.q_vec_id
+            ) WHERE rank <= 3
+        ),
+        approx AS (
+            SELECT q_vec_id, vec_id FROM (
+                SELECT qq.q_vec_id, v.vec_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY qq.q_vec_id
+                           ORDER BY {_SQL_COS.format(a='qq.q_remb', b='v.remb')} DESC,
+                                    v.vec_id) AS rank
+                FROM qq JOIN q v ON v.vec_id <> qq.q_vec_id
+            ) WHERE rank <= 3
+        )
+        SELECT x.q_vec_id,
+               COUNT(t.vec_id) AS n_hit,
+               COUNT(*) AS k,
+               round(COUNT(t.vec_id) / CAST(COUNT(*) AS DOUBLE), 6)
+                   AS recall_at_k
+        FROM exact x LEFT JOIN approx t
+          ON x.q_vec_id = t.q_vec_id AND x.vec_id = t.vec_id
+        GROUP BY x.q_vec_id
+    """,
+    tags=("similarity", "quantization", "recall", "eval"),
+)
+def similarity_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INT8-QUANTIZED search recall: top-3 neighbors computed on
+    dequantized (int8-lattice) vectors vs full-precision exact — the
+    third approximation axis measured by the recall harness (LSH
+    approximates the SEARCH, Matryoshka the DIMENSIONS, int8 the
+    PRECISION), using exactly embedding_quantize_int8's symmetric
+    scale/round-half-up lattice so the eval certifies the shipped
+    quantizer, not a lookalike.
+
+    Scale: quantize-dequantize is map-side; both top-k passes are the
+    broadcast-query scans of the recall family."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    ).withColumn(
+        "amax", F.array_max(F.transform("emb", lambda x: F.abs(x)))
+    )
+    scale = F.col("amax") / 127.0
+    q = e.withColumn(
+        "remb",
+        F.when(F.col("amax") == 0, F.col("emb")).otherwise(
+            F.expr(
+                "transform(emb, x -> CAST(floor(x / (amax / 127.0) + 0.5) AS DOUBLE)"
+                " * (amax / 127.0))"
+            )
+        ),
+    ).select("vec_id", "emb", "remb")
+    qq = q.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("remb").alias("q_remb"),
+    )
+    def topk(qcol, vcol):
+        cos = _cosine(F.col(qcol), F.col(vcol))
+        w = Window.partitionBy("q_vec_id").orderBy(F.desc("c"), F.asc("vec_id"))
+        return (
+            q.join(F.broadcast(qq), F.col("vec_id") != F.col("q_vec_id"))
+            .select("q_vec_id", "vec_id", cos.alias("c"))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 3)
+            .select("q_vec_id", "vec_id")
+        )
+    exact = topk("q_emb", "emb")
+    approx = topk("q_remb", "remb").withColumn("hit", F.lit(1))
+    return (
+        exact.join(approx, ["q_vec_id", "vec_id"], "left")
+        .groupBy("q_vec_id")
+        .agg(
+            F.count("hit").alias("n_hit"),
+            F.count(F.lit(1)).alias("k"),
+            F.round(F.count("hit").cast("double") / F.count(F.lit(1)), 6).alias(
+                "recall_at_k"
+            ),
+        )
+    )
