@@ -3555,3 +3555,132 @@ def scan_statistic_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_errors"), F.asc("win_start"))
         .limit(5)
     )
+
+
+@register(
+    "numeric_precision_audit",
+    oracle="""
+        WITH probes AS (
+            SELECT 'lineitem.l_quantity' AS col, l_quantity AS v FROM lineitem
+            UNION ALL
+            SELECT 'lineitem.l_extendedprice', l_extendedprice FROM lineitem
+            UNION ALL
+            SELECT 'orders.o_totalprice', o_totalprice FROM orders
+            UNION ALL
+            SELECT 'events.value', value FROM events
+        )
+        SELECT col,
+               COUNT(*) AS n,
+               CAST(COUNT(*) FILTER (v = floor(v)) AS BIGINT) AS n_integral,
+               CAST(COUNT(*) FILTER (v * 100 = floor(v * 100)) AS BIGINT)
+                   AS n_cents_exact,
+               CASE WHEN COUNT(*) FILTER (v = floor(v)) = COUNT(*)
+                    THEN 'BIGINT'
+                    WHEN COUNT(*) FILTER (v * 100 = floor(v * 100)) = COUNT(*)
+                    THEN 'DECIMAL(18,2)'
+                    ELSE 'DOUBLE' END AS recommended_type
+        FROM probes GROUP BY col
+    """,
+    tags=("data_quality", "schema", "precision"),
+)
+def numeric_precision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NUMERIC PRECISION audit: for each double-typed measure, how many
+    values are exactly integral or exactly cent-precision — columns
+    that are 100% integral or 100% 2-dp are DECIMAL/BIGINT stored as
+    DOUBLE, the schema smell behind every float-summation
+    nondeterminism this repo's decimal idiom works around; the
+    recommended_type column is the migration the audit justifies.
+    (The v·100 = floor(v·100) test is exact for cent-valued doubles:
+    both sides compute the same IEEE values in both engines.)
+
+    Scale: map-side predicates, one count per probed column; each
+    relation scans only its probed column."""
+    probes = None
+    for label, table, col in (
+        ("lineitem.l_quantity", "lineitem", "l_quantity"),
+        ("lineitem.l_extendedprice", "lineitem", "l_extendedprice"),
+        ("orders.o_totalprice", "orders", "o_totalprice"),
+        ("events.value", "events", "value"),
+    ):
+        p = load(spark, sf_dir, table).select(
+            F.lit(label).alias("col"), F.col(col).alias("v")
+        )
+        probes = p if probes is None else probes.unionAll(p)
+    n_int = F.count(F.when(F.col("v") == F.floor("v"), 1))
+    n_cents = F.count(F.when(F.col("v") * 100 == F.floor(F.col("v") * 100), 1))
+    return probes.groupBy("col").agg(
+        F.count(F.lit(1)).alias("n"),
+        n_int.cast("bigint").alias("n_integral"),
+        n_cents.cast("bigint").alias("n_cents_exact"),
+        F.when(n_int == F.count(F.lit(1)), "BIGINT")
+        .when(n_cents == F.count(F.lit(1)), "DECIMAL(18,2)")
+        .otherwise("DOUBLE")
+        .alias("recommended_type"),
+    )
+
+
+@register(
+    "categorical_drift_dow",
+    oracle="""
+        WITH d AS (
+            SELECT date_diff('day', DATE '1970-01-05',
+                             CAST(date_trunc('day', o_orderdate) AS DATE)) % 7
+                       AS dow,
+                   CASE WHEN year(o_orderdate) = 1996 THEN 0 ELSE 1 END AS half
+            FROM orders WHERE year(o_orderdate) IN (1996, 1997)
+        ),
+        cell AS (
+            SELECT dow,
+                   COUNT(*) FILTER (half = 0) AS a,
+                   COUNT(*) FILTER (half = 1) AS b
+            FROM d GROUP BY dow
+        ),
+        tot AS (SELECT SUM(a) AS ta, SUM(b) AS tb FROM cell)
+        SELECT CAST(dow AS BIGINT) AS dow,
+               CAST(a AS BIGINT) AS n_1996,
+               CAST(b AS BIGINT) AS n_1997,
+               round((a / CAST(ta AS DOUBLE) - b / CAST(tb AS DOUBLE))
+                     * (a / CAST(ta AS DOUBLE) - b / CAST(tb AS DOUBLE))
+                     / ((a + b) / CAST(ta + tb AS DOUBLE)), 8) AS chi2_contrib
+        FROM cell CROSS JOIN tot
+    """,
+    tags=("stats", "drift", "categorical", "homogeneity"),
+)
+def categorical_drift_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CATEGORICAL drift: the weekday MIX of orders in 1996 vs 1997 as
+    per-cell homogeneity contributions — the composition-shift test for
+    discrete features (stats_psi_value_drift handles numeric
+    distributions; category mixes need the two-sample proportion form),
+    catching e.g. a B2B shift (weekday-heavy) masquerading as flat
+    volume.  Monday-epoch dow keeps both engines on one convention.
+
+    Scale: one (dow, year) conditional count, a 1-row total broadcast,
+    7 output rows."""
+    d = (
+        load(spark, sf_dir, "orders")
+        .where(F.year("o_orderdate").isin(1996, 1997))
+        .select(
+            (
+                F.datediff(
+                    F.date_trunc("day", "o_orderdate").cast("date"),
+                    F.lit("1970-01-05").cast("date"),
+                )
+                % 7
+            ).alias("dow"),
+            F.when(F.year("o_orderdate") == 1996, 0).otherwise(1).alias("half"),
+        )
+    )
+    cell = d.groupBy("dow").agg(
+        F.count(F.when(F.col("half") == 0, 1)).alias("a"),
+        F.count(F.when(F.col("half") == 1, 1)).alias("b"),
+    )
+    tot = cell.agg(F.sum("a").alias("ta"), F.sum("b").alias("tb"))
+    pa = F.col("a") / F.col("ta").cast("double")
+    pb = F.col("b") / F.col("tb").cast("double")
+    pool = (F.col("a") + F.col("b")) / (F.col("ta") + F.col("tb")).cast("double")
+    return cell.crossJoin(F.broadcast(tot)).select(
+        F.col("dow").cast("bigint").alias("dow"),
+        F.col("a").cast("bigint").alias("n_1996"),
+        F.col("b").cast("bigint").alias("n_1997"),
+        F.round((pa - pb) * (pa - pb) / pool, 8).alias("chi2_contrib"),
+    )
