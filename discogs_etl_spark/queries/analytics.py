@@ -8835,3 +8835,54 @@ def graph_edge_formation_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_new_edges",
         F.sum("n_new_edges").over(w).cast("bigint").alias("cumulative_edges"),
     )
+
+
+@register(
+    "pricing_consistency_audit",
+    oracle="""
+        WITH j AS (
+            SELECT l.l_orderkey, l.l_linenumber,
+                   l.l_extendedprice / (l.l_quantity * p.p_retailprice) AS ratio
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE l.l_quantity > 0 AND p.p_retailprice > 0
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+               round(quantile_cont(ratio, 0.5), 6) AS median_ratio,
+               round(quantile_cont(ratio, 0.01), 6) AS p01_ratio,
+               round(quantile_cont(ratio, 0.99), 6) AS p99_ratio,
+               CAST(COUNT(*) FILTER (ratio < 0.5 OR ratio > 1.5) AS BIGINT)
+                   AS n_out_of_band
+        FROM j
+    """,
+    tags=("audit", "pricing", "consistency"),
+)
+def pricing_consistency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRICING CONSISTENCY audit: the ratio of each invoice line's
+    extended price to quantity × catalog retail price — the invoice-vs-
+    catalog reconciliation every AP control runs (median ≈ the standard
+    trade-discount level; out-of-band lines beyond ±50% are keying
+    errors, unauthorized discounts, or fraud).  Reported as the ratio
+    distribution plus the exception count — the exception LIST is the
+    same plan minus the final aggregate.
+
+    Scale: the part join broadcasts the dimension; ratios are map-side;
+    exact percentiles over the ratio column (sketchable at 100 TB)."""
+    l = load(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 0)
+    p = load(spark, sf_dir, "part").where(F.col("p_retailprice") > 0).select(
+        "p_partkey", "p_retailprice"
+    )
+    j = l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"]).select(
+        (
+            F.col("l_extendedprice")
+            / (F.col("l_quantity") * F.col("p_retailprice"))
+        ).alias("ratio")
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.round(F.expr("percentile(ratio, 0.5)"), 6).alias("median_ratio"),
+        F.round(F.expr("percentile(ratio, 0.01)"), 6).alias("p01_ratio"),
+        F.round(F.expr("percentile(ratio, 0.99)"), 6).alias("p99_ratio"),
+        F.count(F.when((F.col("ratio") < 0.5) | (F.col("ratio") > 1.5), 1))
+        .cast("bigint")
+        .alias("n_out_of_band"),
+    )
