@@ -6545,3 +6545,76 @@ def similarity_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def _impact_by_source_oracle() -> str:
+    from discogs_etl_spark.registry import _REGISTRY
+
+    cc = _REGISTRY["dedup_connected_components"].oracle
+    return f"""
+        WITH cc AS ({cc}),
+        sized AS (
+            SELECT component_id, COUNT(*) AS csize FROM cc GROUP BY component_id
+        ),
+        docs AS (
+            SELECT d.source,
+                   len(string_split(d.text, ' ')) AS n_tok,
+                   COALESCE(s.csize, 1) AS csize
+            FROM documents d
+            LEFT JOIN cc ON cc.doc_id = d.doc_id
+            LEFT JOIN sized s ON s.component_id = cc.component_id
+        )
+        SELECT source,
+               CAST(SUM(n_tok) AS BIGINT) AS raw_tokens,
+               round(CAST(SUM(CAST(round(n_tok / CAST(csize AS DOUBLE), 6)
+                                   AS DECIMAL(28,6))) AS DOUBLE), 2)
+                   AS effective_tokens,
+               round(1 - CAST(SUM(CAST(round(n_tok / CAST(csize AS DOUBLE), 6)
+                                       AS DECIMAL(28,6))) AS DOUBLE)
+                       / SUM(n_tok), 6) AS duplication_discount
+        FROM docs GROUP BY source
+        ORDER BY duplication_discount DESC, source
+        LIMIT 20
+    """
+
+
+@register(
+    "dedup_impact_by_source",
+    oracle=_impact_by_source_oracle(),
+    tags=("dedup", "impact", "source", "crawl_budget"),
+)
+def dedup_impact_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEDUP IMPACT BY SOURCE: the duplication discount of
+    corpus_effective_tokens decomposed per source, worst first — the
+    ACTIONABLE version: a source whose tokens are heavily discounted is
+    paying crawl, storage, and training cost for data the corpus
+    already has (cut it or dedup it at ingest), which the corpus-level
+    single number can't tell you.  Pairs with dedup_provenance_matrix:
+    that names WHO duplicates WHOM, this prices WHAT IT COSTS.
+
+    Scale: identical machinery to the corpus-level report plus a
+    source key on the final rollup — source-cardinality output."""
+    cc = dedup_connected_components(spark, sf_dir).localCheckpoint()
+    sized = cc.groupBy("component_id").agg(F.count(F.lit(1)).alias("csize"))
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "source", F.size(F.split("text", " ")).alias("n_tok"))
+        .join(cc, "doc_id", "left")
+        .join(sized, "component_id", "left")
+        .select("source", "n_tok", F.coalesce("csize", F.lit(1)).alias("csize"))
+    )
+    eff = F.sum(
+        F.round(F.col("n_tok") / F.col("csize").cast("double"), 6).cast(
+            "decimal(28,6)"
+        )
+    ).cast("double")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.sum("n_tok").cast("bigint").alias("raw_tokens"),
+            F.round(eff, 2).alias("effective_tokens"),
+            F.round(1 - eff / F.sum("n_tok"), 6).alias("duplication_discount"),
+        )
+        .orderBy(F.desc("duplication_discount"), F.asc("source"))
+        .limit(20)
+    )
