@@ -4657,6 +4657,7 @@ def attribution_first_vs_last(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sessions_max_concurrency",
+    bench=True,
     oracle="""
         WITH flagged AS (
             SELECT user_id, ts, event_id,

@@ -3965,6 +3965,7 @@ _FEATHASH_DIM = 1024
 
 @register(
     "feature_hashing_vectorize",
+    bench=True,
     oracle=f"""
         WITH tf AS (
             SELECT doc_id, t.term, COUNT(*) AS cnt
