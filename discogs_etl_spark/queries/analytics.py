@@ -8887,3 +8887,53 @@ def pricing_consistency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_out_of_band"),
     )
+
+
+@register(
+    "priority_sla_fairness",
+    oracle="""
+        WITH lt AS (
+            SELECT o.o_orderpriority,
+                   date_diff('day', CAST(date_trunc('day', o.o_orderdate) AS DATE),
+                             CAST(date_trunc('day', l.l_shipdate) AS DATE)) AS days
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_shipdate >= o.o_orderdate
+        )
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_shipments,
+               round(quantile_cont(days, 0.5), 4) AS p50_days,
+               round(quantile_cont(days, 0.9), 4) AS p90_days
+        FROM lt GROUP BY o_orderpriority
+    """,
+    tags=("sla", "priority", "fairness"),
+)
+def priority_sla_fairness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRIORITY SLA fairness: ship lead-time p50/p90 per order priority
+    class — the audit of whether '1-URGENT' actually ships faster than
+    '5-LOW' (if the percentiles are flat across classes, the priority
+    field is theater and every SLA conversation built on it is too; on
+    these fixtures they ARE flat, which is the honest finding).  The
+    priority cut of supplier_leadtime_p90's supplier view.
+
+    Scale: the shared orderkey join; per-class exact percentiles over
+    a 5-class key."""
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lt = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .where(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select(
+            "o_orderpriority",
+            F.datediff(
+                F.date_trunc("day", "l_shipdate").cast("date"),
+                F.date_trunc("day", "o_orderdate").cast("date"),
+            ).alias("days"),
+        )
+    )
+    return lt.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shipments"),
+        F.round(F.expr("percentile(days, 0.5)"), 4).alias("p50_days"),
+        F.round(F.expr("percentile(days, 0.9)"), 4).alias("p90_days"),
+    )
