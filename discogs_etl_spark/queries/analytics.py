@@ -8937,3 +8937,114 @@ def priority_sla_fairness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(days, 0.5)"), 4).alias("p50_days"),
         F.round(F.expr("percentile(days, 0.9)"), 4).alias("p90_days"),
     )
+
+
+@register(
+    "path_entropy_by_outcome",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                             OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800.0
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+            SELECT user_id, ts, event_id, event_type,
+                   SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+            FROM flagged
+        ), numbered AS (
+            SELECT user_id, session_id, event_type,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM sess
+        ), per AS (
+            SELECT user_id, session_id,
+                   array_to_string(list(event_type ORDER BY rn) FILTER (rn <= 3),
+                                   '>') AS path3,
+                   MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS converted
+            FROM numbered GROUP BY user_id, session_id
+        ), pc AS (
+            SELECT converted, path3, COUNT(*) AS c FROM per
+            GROUP BY converted, path3
+        ), tot AS (
+            SELECT converted, SUM(c) AS t FROM pc GROUP BY converted
+        )
+        SELECT CAST(pc.converted AS INT) AS converted,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct_paths,
+               CAST(ANY_VALUE(tot.t) AS BIGINT) AS n_sessions,
+               round(CAST(SUM(CAST(round(-(pc.c / CAST(tot.t AS DOUBLE))
+                                         * ln(pc.c / CAST(tot.t AS DOUBLE)), 9)
+                                   AS DECIMAL(28,9))) AS DOUBLE), 6)
+                   AS path_entropy
+        FROM pc JOIN tot ON pc.converted = tot.converted
+        GROUP BY pc.converted
+    """,
+    tags=("funnel", "entropy", "paths"),
+)
+def path_entropy_by_outcome(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PATH ENTROPY by OUTCOME: Shannon entropy of the first-3-event
+    path distribution, split by whether the session converted — low
+    entropy among converters means a few golden paths carry the
+    purchases (pave them); equal entropy says conversion is
+    path-independent and the funnel redesign backlog is fighting noise.
+    The outcome-conditioned refinement of events_top_paths.
+
+    Scale: sessionization windows, a per-session ordered collect of 3
+    elements, and a (outcome, path) count → entropy per class with
+    DECIMAL accumulation — path cardinality is types³ bounded."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ep = epoch("ts")
+    flagged = load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(F.lag("ts").over(w).isNull() | ((ep - F.lag(ep).over(w)) > 1800.0), 1)
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    numbered = flagged.withColumn("session_id", F.sum("is_new").over(wsum)).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+        ),
+    )
+    per = numbered.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.expr(
+                "transform(array_sort(collect_list(struct(rn, event_type)),"
+                " (a, b) -> a.rn - b.rn), x -> x.event_type)"
+            ),
+            ">",
+        ).alias("__ignore"),
+        F.array_join(
+            F.expr(
+                "transform(filter(array_sort(collect_list(struct(rn, event_type)),"
+                " (a, b) -> a.rn - b.rn), x -> x.rn <= 3), x -> x.event_type)"
+            ),
+            ">",
+        ).alias("path3"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "converted"
+        ),
+    ).drop("__ignore")
+    pc = per.groupBy("converted", "path3").agg(F.count(F.lit(1)).alias("c"))
+    tot = pc.groupBy("converted").agg(F.sum("c").alias("t"))
+    p = F.col("c") / F.col("t").cast("double")
+    return (
+        pc.join(tot, "converted")
+        .groupBy(F.col("converted").cast("int").alias("converted"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_paths"),
+            F.first("t").cast("bigint").alias("n_sessions"),
+            F.round(
+                F.sum(F.round(-p * F.log(p), 9).cast("decimal(28,9)")).cast("double"),
+                6,
+            ).alias("path_entropy"),
+        )
+    )
