@@ -9017,13 +9017,6 @@ def path_entropy_by_outcome(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = numbered.groupBy("user_id", "session_id").agg(
         F.array_join(
             F.expr(
-                "transform(array_sort(collect_list(struct(rn, event_type)),"
-                " (a, b) -> a.rn - b.rn), x -> x.event_type)"
-            ),
-            ">",
-        ).alias("__ignore"),
-        F.array_join(
-            F.expr(
                 "transform(filter(array_sort(collect_list(struct(rn, event_type)),"
                 " (a, b) -> a.rn - b.rn), x -> x.rn <= 3), x -> x.event_type)"
             ),
@@ -9032,7 +9025,7 @@ def path_entropy_by_outcome(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
             "converted"
         ),
-    ).drop("__ignore")
+    )
     pc = per.groupBy("converted", "path3").agg(F.count(F.lit(1)).alias("c"))
     tot = pc.groupBy("converted").agg(F.sum("c").alias("t"))
     p = F.col("c") / F.col("t").cast("double")
