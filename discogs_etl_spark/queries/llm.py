@@ -6619,3 +6619,85 @@ def dedup_impact_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("duplication_discount"), F.asc("source"))
         .limit(20)
     )
+
+
+@register(
+    "text_search_query_likelihood",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, w, COUNT(*) AS tf FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+            ) WHERE len(w) > 3
+            GROUP BY doc_id, w
+        ),
+        dl AS (SELECT doc_id, SUM(tf) AS dl FROM tok GROUP BY doc_id),
+        cf AS (SELECT w, SUM(tf) AS cf FROM tok GROUP BY w),
+        stats AS (SELECT SUM(dl) AS c_len FROM dl),
+        q AS (SELECT doc_id AS q_id, w FROM tok WHERE doc_id % 100 = 0),
+        scored AS (
+            SELECT q.q_id, t.doc_id,
+                   SUM(CAST(round(
+                       ln((t.tf + 100.0 * f.cf / s.c_len)
+                          / (d.dl + 100.0)), 6) AS DECIMAL(28,6))) AS sc
+            FROM q
+            JOIN tok t ON t.w = q.w
+            JOIN cf f ON f.w = q.w
+            JOIN dl d ON d.doc_id = t.doc_id
+            CROSS JOIN stats s
+            WHERE t.doc_id <> q.q_id
+            GROUP BY q.q_id, t.doc_id
+        )
+        SELECT q_id, doc_id, CAST(sc AS DOUBLE) AS score FROM (
+            SELECT q_id, doc_id, sc,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY sc DESC, doc_id) AS rn
+            FROM scored
+        ) WHERE rn <= 3
+    """,
+    tags=("search", "query_likelihood", "lm", "ranking"),
+)
+def text_search_query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUERY-LIKELIHOOD retrieval with Dirichlet smoothing (μ = 100,
+    Zhai-Lafferty): documents ranked by Σ ln((tf + μ·p(w|C))/(dl + μ))
+    over MATCHED query terms — the language-modeling ranker completing
+    the lexical triad (histogram intersection, BM25, QL; the three
+    families every IR course contrasts).  Missing-term mass is omitted
+    (the matched-terms form; the full QL adds a per-doc closed-form
+    correction — rank order shifts only when dl varies wildly, and the
+    same oracle discipline would cover it).  Same query protocol as
+    BM25: every 100th doc's terms, top-3, self-match excluded.
+
+    Scale: identical join graph to BM25 over the SAME session-cached
+    postings (cf replaces df; the collection length is the 1-row
+    broadcast) — a third ranker for one more aggregation, which is the
+    economics persisted inverted indexes exist for."""
+    tok = _postings(spark, sf_dir)
+    dl = tok.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    cf = tok.groupBy("w").agg(F.sum("tf").alias("cf"))
+    stats = dl.agg(F.sum("dl").alias("c_len"))
+    q = tok.where(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("q_id"), "w"
+    )
+    joined = (
+        q.join(tok.join(cf, "w").join(dl, "doc_id"), "w")
+        .where(F.col("doc_id") != F.col("q_id"))
+        .crossJoin(F.broadcast(stats))
+    )
+    contrib = F.round(
+        F.log(
+            (F.col("tf") + 100.0 * F.col("cf") / F.col("c_len"))
+            / (F.col("dl") + 100.0)
+        ),
+        6,
+    ).cast("decimal(28,6)")
+    scored = (
+        joined.select("q_id", "doc_id", contrib.alias("c"))
+        .groupBy("q_id", "doc_id")
+        .agg(F.sum("c").alias("sc"))
+    )
+    wtop = Window.partitionBy("q_id").orderBy(F.desc("sc"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(wtop))
+        .where(F.col("rn") <= 3)
+        .select("q_id", "doc_id", F.col("sc").cast("double").alias("score"))
+    )
