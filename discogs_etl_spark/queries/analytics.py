@@ -9041,3 +9041,48 @@ def path_entropy_by_outcome(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("path_entropy"),
         )
     )
+
+
+@register(
+    "shipping_consolidation_opportunity",
+    oracle="""
+        WITH per AS (
+            SELECT o_custkey,
+                   CAST(date_trunc('week', o_orderdate) AS DATE) AS wk,
+                   COUNT(*) AS n_orders
+            FROM orders GROUP BY 1, 2
+        )
+        SELECT CAST(strftime(wk, '%Y-%m') AS VARCHAR) AS month,
+               CAST(COUNT(CASE WHEN n_orders > 1 THEN 1 END) AS BIGINT)
+                   AS multi_order_cust_weeks,
+               CAST(SUM(CASE WHEN n_orders > 1 THEN n_orders - 1 ELSE 0 END)
+                    AS BIGINT) AS consolidatable_shipments,
+               round(SUM(CASE WHEN n_orders > 1 THEN n_orders - 1 ELSE 0 END)
+                     / CAST(SUM(n_orders) AS DOUBLE), 6) AS consolidation_rate
+        FROM per
+        GROUP BY strftime(wk, '%Y-%m')
+    """,
+    tags=("logistics", "consolidation", "ops"),
+)
+def shipping_consolidation_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHIPPING CONSOLIDATION opportunity: customers placing multiple
+    orders in the same week, monthly — each extra same-week order is a
+    shipment that could have ridden along (the n−1 excess is the freight
+    line a consolidation program attacks, and the rate trend says
+    whether order-batching nudges are working).
+
+    Scale: one (customer, week) count, a month rollup — the report
+    costs one orders scan."""
+    per = load(spark, sf_dir, "orders").groupBy(
+        "o_custkey", F.date_trunc("week", "o_orderdate").cast("date").alias("wk")
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    excess = F.when(F.col("n_orders") > 1, F.col("n_orders") - 1).otherwise(0)
+    return per.groupBy(F.date_format("wk", "yyyy-MM").alias("month")).agg(
+        F.count(F.when(F.col("n_orders") > 1, 1)).cast("bigint").alias(
+            "multi_order_cust_weeks"
+        ),
+        F.sum(excess).cast("bigint").alias("consolidatable_shipments"),
+        F.round(F.sum(excess) / F.sum("n_orders").cast("double"), 6).alias(
+            "consolidation_rate"
+        ),
+    )

@@ -6701,3 +6701,73 @@ def text_search_query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 3)
         .select("q_id", "doc_id", F.col("sc").cast("double").alias("score"))
     )
+
+
+def _rank_agreement_oracle() -> str:
+    from discogs_etl_spark.registry import _REGISTRY
+
+    inv = _REGISTRY["text_search_inverted_topk"].oracle
+    bm = _REGISTRY["text_search_bm25_topk"].oracle
+    ql = _REGISTRY["text_search_query_likelihood"].oracle
+    return f"""
+        WITH r_inv AS ({inv}), r_bm AS ({bm}), r_ql AS ({ql}),
+        pairs AS (
+            SELECT 'inverted_vs_bm25' AS ranker_pair, a.q_id, a.doc_id,
+                   CASE WHEN b.doc_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+            FROM r_inv a LEFT JOIN r_bm b
+              ON a.q_id = b.q_id AND a.doc_id = b.doc_id
+            UNION ALL
+            SELECT 'inverted_vs_ql', a.q_id, a.doc_id,
+                   CASE WHEN b.doc_id IS NOT NULL THEN 1 ELSE 0 END
+            FROM r_inv a LEFT JOIN r_ql b
+              ON a.q_id = b.q_id AND a.doc_id = b.doc_id
+            UNION ALL
+            SELECT 'bm25_vs_ql', a.q_id, a.doc_id,
+                   CASE WHEN b.doc_id IS NOT NULL THEN 1 ELSE 0 END
+            FROM r_bm a LEFT JOIN r_ql b
+              ON a.q_id = b.q_id AND a.doc_id = b.doc_id
+        )
+        SELECT ranker_pair,
+               CAST(COUNT(*) AS BIGINT) AS n_result_slots,
+               CAST(SUM(hit) AS BIGINT) AS n_agree,
+               round(SUM(hit) / CAST(COUNT(*) AS DOUBLE), 6) AS overlap_at_3
+        FROM pairs GROUP BY ranker_pair
+    """
+
+
+@register(
+    "retrieval_rank_agreement",
+    oracle=_rank_agreement_oracle(),
+    tags=("search", "eval", "agreement"),
+)
+def retrieval_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANKER AGREEMENT: pairwise top-3 overlap between the three
+    lexical rankers (histogram intersection, BM25, query likelihood) —
+    high agreement means the cheap ranker suffices for first-stage
+    retrieval; low agreement locates the queries where model choice
+    actually changes what users see (THOSE are the ones worth an
+    interleaving experiment).  The judge-panel pattern applied to
+    retrieval models.
+
+    Scale: three pair-set joins over top-3 result lists (queries × 3
+    rows each); the rankers themselves share the cached postings."""
+    inv = text_search_inverted_topk(spark, sf_dir).select("q_id", "doc_id")
+    bm = text_search_bm25_topk(spark, sf_dir).select("q_id", "doc_id")
+    ql = text_search_query_likelihood(spark, sf_dir).select("q_id", "doc_id")
+    def overlap(a, b, label):
+        j = a.join(
+            b.withColumn("__hit", F.lit(1)), ["q_id", "doc_id"], "left"
+        )
+        return j.agg(
+            F.lit(label).alias("ranker_pair"),
+            F.count(F.lit(1)).cast("bigint").alias("n_result_slots"),
+            F.count("__hit").cast("bigint").alias("n_agree"),
+            F.round(F.count("__hit") / F.count(F.lit(1)).cast("double"), 6).alias(
+                "overlap_at_3"
+            ),
+        )
+    return (
+        overlap(inv, bm, "inverted_vs_bm25")
+        .unionAll(overlap(inv, ql, "inverted_vs_ql"))
+        .unionAll(overlap(bm, ql, "bm25_vs_ql"))
+    )
