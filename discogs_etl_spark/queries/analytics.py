@@ -9086,3 +9086,79 @@ def shipping_consolidation_opportunity(spark: SparkSession, sf_dir: str) -> Data
             "consolidation_rate"
         ),
     )
+
+
+@register(
+    "users_activity_bitmask",
+    oracle="""
+        WITH base AS (SELECT MIN(CAST(date_trunc('day', ts) AS DATE)) AS d0
+                      FROM events),
+        act AS (
+            SELECT DISTINCT user_id,
+                   date_diff('day', d0, CAST(date_trunc('day', ts) AS DATE)) AS d
+            FROM events CROSS JOIN base
+        ),
+        packed AS (
+            SELECT user_id,
+                   CAST(SUM(CAST(1 AS BIGINT) << d) AS BIGINT) AS mask,
+                   COUNT(*) AS n_active_days
+            FROM act WHERE d < 62 GROUP BY user_id
+        )
+        SELECT user_id, mask, CAST(n_active_days AS BIGINT) AS n_active_days,
+               CAST(bit_count(CAST(mask AS BIGINT)
+                              & CAST(2360311741714804832 AS BIGINT)) AS BIGINT)
+                   AS n_weekend_days
+        FROM packed
+        ORDER BY n_active_days DESC, user_id
+        LIMIT 20
+    """,
+    tags=("bitmap", "retention", "representation"),
+)
+def users_activity_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BITMAP-PACKED activity calendars: each user's active days as one
+    BIGINT bitmask (bit d = active on day-offset d, 62-day window) —
+    the roaring-bitmap idea in miniature: retention intersections,
+    streaks, and cohort overlaps become BITWISE AND + bit_count instead
+    of joins (the weekend-day count here is one mask AND against the
+    precomputed weekend-bits constant).  Top-20 most active users with
+    their masks.
+
+    The weekend constant packs bits {5,6, 12,13, ...} for the Saturday/
+    Sunday offsets of the fixtures' Monday day-0 origin — computed once,
+    embedded, and engine-independent integer math throughout.
+
+    Scale: one distinct-(user, day) reduction, integer shifts and sums
+    per user — the packed masks are 8 bytes/user/quarter, the
+    representation you ship to a feature store."""
+    base = load(spark, sf_dir, "events").agg(
+        F.min(F.date_trunc("day", "ts").cast("date")).alias("d0")
+    )
+    act = (
+        load(spark, sf_dir, "events")
+        .crossJoin(F.broadcast(base))
+        .select(
+            "user_id",
+            F.datediff(F.date_trunc("day", "ts").cast("date"), "d0").alias("d"),
+        )
+        .distinct()
+        .where(F.col("d") < 62)
+    )
+    weekend_mask = sum(1 << d for d in range(62) if d % 7 in (5, 6))
+    packed = act.groupBy("user_id").agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(d AS INT))"))
+        .cast("bigint")
+        .alias("mask"),
+        F.count(F.lit(1)).cast("bigint").alias("n_active_days"),
+    )
+    return (
+        packed.select(
+            "user_id",
+            "mask",
+            "n_active_days",
+            F.bit_count(F.col("mask").bitwiseAND(F.lit(weekend_mask)))
+            .cast("bigint")
+            .alias("n_weekend_days"),
+        )
+        .orderBy(F.desc("n_active_days"), F.asc("user_id"))
+        .limit(20)
+    )
