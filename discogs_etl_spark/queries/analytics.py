@@ -9162,3 +9162,60 @@ def users_activity_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_active_days"), F.asc("user_id"))
         .limit(20)
     )
+
+
+@register(
+    "users_reactivation_rate",
+    oracle="""
+        WITH g AS (
+            SELECT user_id,
+                   epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id
+                                                   ORDER BY ts, event_id)) AS gap
+            FROM events
+        ),
+        per AS (
+            SELECT user_id,
+                   COUNT(CASE WHEN gap >= 7 * 86400 THEN 1 END) AS n_dormancies
+            FROM g GROUP BY user_id
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(COUNT(CASE WHEN n_dormancies > 0 THEN 1 END) AS BIGINT)
+                   AS n_reactivated,
+               round(COUNT(CASE WHEN n_dormancies > 0 THEN 1 END)
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS reactivation_share,
+               CAST(SUM(n_dormancies) AS BIGINT) AS total_dormancy_cycles
+        FROM per
+    """,
+    tags=("growth", "reactivation", "dormancy"),
+)
+def users_reactivation_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DORMANCY-REACTIVATION: users who went quiet for ≥ 7 days and came
+    back, with the total count of such cycles — the resurrection metric
+    that sits between retention (never left) and churn (never returned):
+    a high reactivation share means win-back outreach has a real
+    audience; many cycles per user means engagement is episodic and
+    weekly-cohort retention curves (events_retention_cohorts) will
+    zigzag rather than decay.
+
+    Scale: the sessionization lag window at day scale, one per-user
+    count, a 4-number rollup."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ep = epoch("ts")
+    g = load(spark, sf_dir, "events").select(
+        "user_id", (ep - F.lag(ep).over(w)).alias("gap")
+    )
+    per = g.groupBy("user_id").agg(
+        F.count(F.when(F.col("gap") >= 7 * 86400, 1)).alias("n_dormancies")
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.count(F.when(F.col("n_dormancies") > 0, 1)).cast("bigint").alias(
+            "n_reactivated"
+        ),
+        F.round(
+            F.count(F.when(F.col("n_dormancies") > 0, 1))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("reactivation_share"),
+        F.sum("n_dormancies").cast("bigint").alias("total_dormancy_cycles"),
+    )
