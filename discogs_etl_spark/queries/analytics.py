@@ -9221,3 +9221,83 @@ def users_reactivation_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("reactivation_share"),
         F.sum("n_dormancies").cast("bigint").alias("total_dormancy_cycles"),
     )
+
+
+def _greedy_cover_oracle() -> str:
+    # Three unrolled greedy rounds; cov{k} tracks covered parts, pick{k}
+    # the round winner (ties -> smallest supplier key).
+    return """
+        WITH sp AS (
+            SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+        ),
+        pick0 AS (
+            SELECT s, COUNT(*) AS gain FROM sp GROUP BY s
+            ORDER BY gain DESC, s LIMIT 1
+        ),
+        cov1 AS (SELECT DISTINCT p FROM sp WHERE s = (SELECT s FROM pick0)),
+        pick1 AS (
+            SELECT s, COUNT(*) AS gain FROM sp
+            WHERE p NOT IN (SELECT p FROM cov1)
+            GROUP BY s ORDER BY gain DESC, s LIMIT 1
+        ),
+        cov2 AS (
+            SELECT p FROM cov1
+            UNION
+            SELECT DISTINCT p FROM sp WHERE s = (SELECT s FROM pick1)
+        ),
+        pick2 AS (
+            SELECT s, COUNT(*) AS gain FROM sp
+            WHERE p NOT IN (SELECT p FROM cov2)
+            GROUP BY s ORDER BY gain DESC, s LIMIT 1
+        )
+        SELECT CAST(1 AS INT) AS round, CAST(s AS BIGINT) AS l_suppkey,
+               CAST(gain AS BIGINT) AS parts_added
+        FROM pick0
+        UNION ALL
+        SELECT 2, CAST(s AS BIGINT), CAST(gain AS BIGINT) FROM pick1
+        UNION ALL
+        SELECT 3, CAST(s AS BIGINT), CAST(gain AS BIGINT) FROM pick2
+    """
+
+
+@register(
+    "supplier_greedy_cover",
+    oracle=_greedy_cover_oracle(),
+    tags=("optimization", "set_cover", "greedy"),
+)
+def supplier_greedy_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GREEDY SET COVER, 3 rounds: which 3 suppliers together cover the
+    most distinct parts — each round picks the supplier adding the most
+    UNCOVERED parts (ties → smallest key), the classic (1−1/e)-
+    approximation to the NP-hard cover problem, and the consolidation
+    question procurement actually asks ("fewest suppliers to keep the
+    catalog shippable").  Output: each round's pick and its marginal
+    part gain — the diminishing-returns curve IS the negotiation
+    leverage read.
+
+    Scale: each round is one grouped count over the (supplier, part)
+    edge set with the covered set broadcast as an anti-filter; the
+    per-round argmax is the bandit/BPE driver-pull pattern (a global
+    decision per round is inherent to greedy)."""
+    sp = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint()
+    )
+    covered = None
+    rows = []
+    for rnd in range(1, 4):
+        cand = sp if covered is None else sp.join(covered, "p", "left_anti")
+        top = (
+            cand.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("gain"))
+            .orderBy(F.desc("gain"), F.asc("s"))
+            .first()
+        )
+        rows.append((rnd, int(top["s"]), int(top["gain"])))
+        newly = sp.where(F.col("s") == int(top["s"])).select("p")
+        covered = newly if covered is None else covered.unionAll(newly).distinct()
+    return sp.sparkSession.createDataFrame(
+        rows, "round int, l_suppkey bigint, parts_added bigint"
+    )
