@@ -6771,3 +6771,65 @@ def retrieval_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(overlap(inv, ql, "inverted_vs_ql"))
         .unionAll(overlap(bm, ql, "bm25_vs_ql"))
     )
+
+
+@register(
+    "pack_shard_balance_eval",
+    oracle="""
+        WITH t AS (
+            SELECT lang, source,
+                   len(string_split(text, ' ')) AS n_tokens
+            FROM documents
+        ),
+        shard AS (
+            SELECT lang, source,
+                   CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+                   COUNT(*) AS n_docs
+            FROM t GROUP BY lang, source
+        ),
+        g AS (
+            SELECT COUNT(*) AS n_shards,
+                   CAST(SUM(shard_tokens) AS DOUBLE) AS tot,
+                   CAST(MAX(shard_tokens) AS DOUBLE) AS mx
+            FROM shard
+        )
+        SELECT CAST(n_shards AS BIGINT) AS n_shards,
+               CAST(tot AS BIGINT) AS total_tokens,
+               CAST(mx AS BIGINT) AS max_shard_tokens,
+               round(mx * n_shards / tot, 6) AS imbalance_factor,
+               round(1 - tot / (mx * n_shards), 6) AS wasted_capacity
+        FROM g
+    """,
+    tags=("packing", "shards", "balance", "eval"),
+)
+def pack_shard_balance_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHARD BALANCE eval for the per-(lang, source) packer: the
+    imbalance factor max/mean across shards — data-parallel training
+    runs at the pace of the FULLEST shard, so imbalance 2.0 means half
+    the fleet idles (wasted_capacity is that idle share).  The eval
+    that decides between pack_sequences_sharded's natural sharding and
+    corpus_shuffle_shards' balanced assignment — measured, not argued.
+
+    Scale: one (lang, source) rollup and a 1-row moment aggregate."""
+    t = load(spark, sf_dir, "documents").select(
+        "lang", "source", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    shard = t.groupBy("lang", "source").agg(
+        F.sum("n_tokens").cast("bigint").alias("shard_tokens")
+    )
+    g = shard.agg(
+        F.count(F.lit(1)).alias("n_shards"),
+        F.sum("shard_tokens").cast("double").alias("tot"),
+        F.max("shard_tokens").cast("double").alias("mx"),
+    )
+    return g.select(
+        F.col("n_shards").cast("bigint").alias("n_shards"),
+        F.col("tot").cast("bigint").alias("total_tokens"),
+        F.col("mx").cast("bigint").alias("max_shard_tokens"),
+        F.round(F.col("mx") * F.col("n_shards") / F.col("tot"), 6).alias(
+            "imbalance_factor"
+        ),
+        F.round(
+            1 - F.col("tot") / (F.col("mx") * F.col("n_shards")), 6
+        ).alias("wasted_capacity"),
+    )
