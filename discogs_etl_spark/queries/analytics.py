@@ -9301,3 +9301,135 @@ def supplier_greedy_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sp.sparkSession.createDataFrame(
         rows, "round int, l_suppkey bigint, parts_added bigint"
     )
+
+
+def _modularity_oracle() -> str:
+    from discogs_etl_spark.registry import _REGISTRY
+
+    lpa = _REGISTRY["graph_label_propagation"].oracle
+    # Re-derive per-node labels from the LPA rounds: the registered query
+    # aggregates to communities, so the oracle below repeats its CTE
+    # chain up to r3 (node-level) by wrapping and re-joining edges.
+    return f"""
+        WITH {_COORDER_EDGES_SQL},
+        und AS (
+            SELECT u AS a, v AS b FROM oriented
+            UNION ALL SELECT v, u FROM oriented
+        ),
+        l0 AS (SELECT DISTINCT a AS node, a AS label FROM und),
+        r1 AS (
+            SELECT node, label FROM (
+                SELECT und.a AS node, lb.label, COUNT(*) AS c,
+                       ROW_NUMBER() OVER (PARTITION BY und.a
+                                          ORDER BY COUNT(*) DESC, lb.label) AS rn
+                FROM und JOIN l0 lb ON und.b = lb.node
+                GROUP BY und.a, lb.label
+            ) WHERE rn = 1
+        ),
+        r2 AS (
+            SELECT node, label FROM (
+                SELECT und.a AS node, lb.label, COUNT(*) AS c,
+                       ROW_NUMBER() OVER (PARTITION BY und.a
+                                          ORDER BY COUNT(*) DESC, lb.label) AS rn
+                FROM und JOIN r1 lb ON und.b = lb.node
+                GROUP BY und.a, lb.label
+            ) WHERE rn = 1
+        ),
+        r3 AS (
+            SELECT node, label FROM (
+                SELECT und.a AS node, lb.label, COUNT(*) AS c,
+                       ROW_NUMBER() OVER (PARTITION BY und.a
+                                          ORDER BY COUNT(*) DESC, lb.label) AS rn
+                FROM und JOIN r2 lb ON und.b = lb.node
+                GROUP BY und.a, lb.label
+            ) WHERE rn = 1
+        ),
+        m AS (SELECT COUNT(*) AS m FROM oriented),
+        intra AS (
+            SELECT COUNT(*) AS e_in FROM oriented e
+            JOIN r3 la ON la.node = e.u
+            JOIN r3 lb ON lb.node = e.v
+            WHERE la.label = lb.label
+        ),
+        deg AS (SELECT a AS node, COUNT(*) AS d FROM und GROUP BY a),
+        comm AS (
+            SELECT r3.label, SUM(deg.d) AS dc
+            FROM r3 JOIN deg ON deg.node = r3.node
+            GROUP BY r3.label
+        ),
+        expct AS (
+            SELECT CAST(SUM(CAST(dc AS DECIMAL(38,0)) * dc) AS DOUBLE) AS sum_dc2
+            FROM comm
+        )
+        SELECT CAST((SELECT COUNT(*) FROM comm) AS BIGINT) AS n_communities,
+               CAST(i.e_in AS BIGINT) AS intra_edges,
+               CAST(m.m AS BIGINT) AS total_edges,
+               round(i.e_in / CAST(m.m AS DOUBLE)
+                     - x.sum_dc2 / (4.0 * m.m * m.m), 6) AS modularity_q
+        FROM intra i CROSS JOIN m CROSS JOIN expct x
+    """
+
+
+@register(
+    "graph_modularity_lpa",
+    oracle=_modularity_oracle(),
+    tags=("graph", "modularity", "community", "eval"),
+)
+def graph_modularity_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODULARITY of the label-propagation partition: Q = e_in/m −
+    Σ(d_c/2m)² — the community-quality score that says whether LPA
+    found real structure (Q ≳ 0.3) or just relabeled noise (Q ≈ 0 —
+    the honest expectation for these random co-order baskets).  Every
+    clustering deserves its eval; this is LPA's, alongside the
+    dispersion/NCM/triplet trio for k-means and embeddings.
+
+    Scale: re-runs the 3 LPA supersteps (edge-keyed shuffles), then one
+    intra-edge join against labels and a per-community degree sum —
+    community-cardinality arithmetic at the end."""
+    oriented = _coorder_oriented_edges(spark, sf_dir)
+    und = oriented.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        oriented.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    labels = und.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    warg = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
+    for _ in range(3):
+        labels = (
+            und.join(labels.select(F.col("node").alias("b"), "label"), "b")
+            .groupBy(F.col("a").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("rn", F.row_number().over(warg))
+            .where(F.col("rn") == 1)
+            .select("node", "label")
+        )
+    labels = labels.localCheckpoint()
+    m = oriented.count()
+    intra = (
+        oriented.join(
+            labels.select(F.col("node").alias("u"), F.col("label").alias("lu")), "u"
+        )
+        .join(
+            labels.select(F.col("node").alias("v"), F.col("label").alias("lv")), "v"
+        )
+        .where(F.col("lu") == F.col("lv"))
+        .count()
+    )
+    deg = und.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    comm = labels.join(deg, "node").groupBy("label").agg(F.sum("d").alias("dc"))
+    stats = comm.agg(
+        F.count(F.lit(1)).alias("n_comm"),
+        F.sum(F.col("dc").cast("decimal(38,0)") * F.col("dc"))
+        .cast("double")
+        .alias("sum_dc2"),
+    )
+    return stats.select(
+        F.col("n_comm").cast("bigint").alias("n_communities"),
+        F.lit(intra).cast("bigint").alias("intra_edges"),
+        F.lit(m).cast("bigint").alias("total_edges"),
+        F.round(
+            F.lit(intra) / F.lit(float(m))
+            - F.col("sum_dc2") / (4.0 * m * m),
+            6,
+        ).alias("modularity_q"),
+    )
