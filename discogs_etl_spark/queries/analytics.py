@@ -9304,12 +9304,9 @@ def supplier_greedy_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _modularity_oracle() -> str:
-    from discogs_etl_spark.registry import _REGISTRY
-
-    lpa = _REGISTRY["graph_label_propagation"].oracle
-    # Re-derive per-node labels from the LPA rounds: the registered query
-    # aggregates to communities, so the oracle below repeats its CTE
-    # chain up to r3 (node-level) by wrapping and re-joining edges.
+    # Re-derives per-node labels by repeating graph_label_propagation's
+    # CTE chain up to r3: the registered query aggregates to communities,
+    # and modularity needs node-level labels joined back to edges.
     return f"""
         WITH {_COORDER_EDGES_SQL},
         und AS (
