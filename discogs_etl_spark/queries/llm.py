@@ -6833,3 +6833,63 @@ def pack_shard_balance_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             1 - F.col("tot") / (F.col("mx") * F.col("n_shards")), 6
         ).alias("wasted_capacity"),
     )
+
+
+@register(
+    "dedup_bag_of_words_exact",
+    oracle="""
+        WITH b AS (
+            SELECT doc_id,
+                   md5(array_to_string(list_sort(string_split(text, ' ')), ' '))
+                       AS bag_hash,
+                   md5(text) AS text_hash
+            FROM documents
+        ),
+        g AS (
+            SELECT bag_hash,
+                   COUNT(*) AS n_docs,
+                   COUNT(DISTINCT text_hash) AS n_texts
+            FROM b GROUP BY bag_hash
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_bags,
+               CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+               CAST(COUNT(CASE WHEN n_docs > 1 THEN 1 END) AS BIGINT)
+                   AS n_dup_bags,
+               CAST(COUNT(CASE WHEN n_docs > 1 AND n_texts > 1 THEN 1 END)
+                    AS BIGINT) AS n_shuffled_dup_bags
+        FROM g
+    """,
+    tags=("dedup", "bag_of_words", "spinner"),
+)
+def dedup_bag_of_words_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BAG-OF-WORDS exact dedup: documents fingerprinted by their SORTED
+    token multiset — word-order-invariant, so it catches article-spinner
+    output (same words, reshuffled) that content-hash dedup misses
+    entirely and shingle Jaccard scores LOW (shuffling destroys
+    3-grams).  The n_shuffled_dup_bags column isolates exactly those:
+    bag-equal groups containing distinct texts (zero on these fixtures —
+    the honest no-spinners readout; the doc-level pair listing is the
+    same plan grouped differently).
+
+    Scale: the sort is row-local inside one expression; the fingerprint
+    ships as md5 so the shuffle carries 32-byte keys; one grouped count
+    plus a 1-row rollup."""
+    b = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.array_join(F.array_sort(F.split("text", " ")), " ")).alias(
+            "bag_hash"
+        ),
+        F.md5("text").alias("text_hash"),
+    )
+    g = b.groupBy("bag_hash").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("text_hash").alias("n_texts"),
+    )
+    return g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bags"),
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.count(F.when(F.col("n_docs") > 1, 1)).cast("bigint").alias("n_dup_bags"),
+        F.count(F.when((F.col("n_docs") > 1) & (F.col("n_texts") > 1), 1))
+        .cast("bigint")
+        .alias("n_shuffled_dup_bags"),
+    )
