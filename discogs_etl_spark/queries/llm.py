@@ -6893,3 +6893,104 @@ def dedup_bag_of_words_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_shuffled_dup_bags"),
     )
+
+
+@register(
+    "dedup_granularity_compare",
+    oracle="""
+        WITH docs AS (
+            SELECT 'document' AS level, COUNT(*) AS n_units,
+                   COUNT(DISTINCT md5(text)) AS n_distinct
+            FROM documents
+        ),
+        chunks AS (
+            SELECT 'chunk_32tok' AS level, COUNT(*) AS n_units,
+                   COUNT(DISTINCT md5(ch)) AS n_distinct
+            FROM (
+                SELECT array_to_string(w[(g.s * 32 + 1):(g.s * 32 + 32)], ' ')
+                           AS ch
+                FROM (SELECT string_split(text, ' ') AS w FROM documents),
+                     unnest(range((len(w) + 31) // 32)) AS g(s)
+            )
+        ),
+        winds AS (
+            SELECT 'window_48ch' AS level, COUNT(*) AS n_units,
+                   COUNT(DISTINCT md5(wd)) AS n_distinct
+            FROM (
+                SELECT substr(text, t.i, 48) AS wd
+                FROM documents, unnest(range(1, len(text) - 46)) AS t(i)
+                WHERE len(text) >= 48
+            )
+        )
+        SELECT level, CAST(n_units AS BIGINT) AS n_units,
+               CAST(n_distinct AS BIGINT) AS n_distinct,
+               round(1 - n_distinct / CAST(n_units AS DOUBLE), 6) AS dup_rate
+        FROM (SELECT * FROM docs UNION ALL SELECT * FROM chunks
+              UNION ALL SELECT * FROM winds)
+    """,
+    tags=("dedup", "granularity", "comparison"),
+)
+def dedup_granularity_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DUPLICATION BY GRANULARITY: exact-duplicate rates measured at
+    three scales — whole documents, 32-token chunks, 48-char sliding
+    windows — in one table.  The profile SHAPE picks the dedup strategy:
+    doc-rate ≈ window-rate means whole-document copying (cheap hash
+    dedup suffices); window-rate ≫ chunk-rate ≫ doc-rate means
+    duplication lives in passages (substring/winnowing methods earn
+    their cost).  Sliding windows overcount by construction (49
+    windows per shared 96-char run) — the column is a comparable
+    signal, not a token share; corpus_effective_tokens prices that.
+
+    Scale: three independent hash-distinct aggregations, each the
+    already-shaped pipeline of its granularity; md5 keys keep every
+    shuffle 32 bytes wide."""
+    docs = load(spark, sf_dir, "documents")
+    d = docs.agg(
+        F.lit("document").alias("level"),
+        F.count(F.lit(1)).alias("n_units"),
+        F.countDistinct(F.md5("text")).alias("n_distinct"),
+    )
+    ch = (
+        docs.selectExpr("split(text, ' ') AS w")
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, (size(w) + 31) DIV 32 - 1),"
+                    " s -> array_join(slice(w, s * 32 + 1, 32), ' '))"
+                )
+            ).alias("ch")
+        )
+        .agg(
+            F.lit("chunk_32tok").alias("level"),
+            F.count(F.lit(1)).alias("n_units"),
+            F.countDistinct(F.md5("ch")).alias("n_distinct"),
+        )
+    )
+    wd = (
+        docs.where(F.length("text") >= 48)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(text) - 47),"
+                    " i -> substring(text, i, 48))"
+                )
+            ).alias("wd")
+        )
+        .agg(
+            F.lit("window_48ch").alias("level"),
+            F.count(F.lit(1)).alias("n_units"),
+            F.countDistinct(F.md5("wd")).alias("n_distinct"),
+        )
+    )
+    return (
+        d.unionAll(ch)
+        .unionAll(wd)
+        .select(
+            "level",
+            F.col("n_units").cast("bigint").alias("n_units"),
+            F.col("n_distinct").cast("bigint").alias("n_distinct"),
+            F.round(
+                1 - F.col("n_distinct") / F.col("n_units").cast("double"), 6
+            ).alias("dup_rate"),
+        )
+    )
