@@ -6994,3 +6994,106 @@ def dedup_granularity_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_rate"),
         )
     )
+
+
+def _token_budget_oracle() -> str:
+    from discogs_etl_spark.registry import _REGISTRY
+
+    cc = _REGISTRY["dedup_connected_components"].oracle
+    return f"""
+        WITH cc AS ({cc}),
+        sized AS (
+            SELECT component_id, COUNT(*) AS csize FROM cc GROUP BY component_id
+        ),
+        d AS (
+            SELECT doc.doc_id,
+                   len(string_split(doc.text, ' ')) AS n_tok,
+                   CASE WHEN len(string_split(doc.text, ' ')) BETWEEN 30 AND 2000
+                        AND len(list_filter(string_split(doc.text, ' '),
+                                x -> x IN ('the', 'a', 'data', 'value', 'key',
+                                           'row')))
+                            / CAST(len(string_split(doc.text, ' ')) AS DOUBLE)
+                            <= 0.5
+                        THEN 1 ELSE 0 END AS ok,
+                   COALESCE(s.csize, 1) AS csize
+            FROM documents doc
+            LEFT JOIN cc ON cc.doc_id = doc.doc_id
+            LEFT JOIN sized s ON s.component_id = cc.component_id
+        )
+        SELECT 'raw' AS scenario, CAST(SUM(n_tok) AS BIGINT) AS tokens FROM d
+        UNION ALL
+        SELECT 'quality_gated', CAST(SUM(CASE WHEN ok = 1 THEN n_tok END)
+                                     AS BIGINT) FROM d
+        UNION ALL
+        SELECT 'dedup_discounted',
+               CAST(round(CAST(SUM(CAST(round(n_tok / CAST(csize AS DOUBLE), 6)
+                                        AS DECIMAL(28,6))) AS DOUBLE), 0)
+                    AS BIGINT) FROM d
+        UNION ALL
+        SELECT 'gated_and_discounted',
+               CAST(round(CAST(SUM(CASE WHEN ok = 1
+                                  THEN CAST(round(n_tok / CAST(csize AS DOUBLE), 6)
+                                            AS DECIMAL(28,6)) END) AS DOUBLE), 0)
+                    AS BIGINT) FROM d
+    """
+
+
+@register(
+    "corpus_token_budget_planner",
+    oracle=_token_budget_oracle(),
+    tags=("scaling", "planning", "budget"),
+)
+def corpus_token_budget_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN BUDGET planner: trainable tokens under four policies — raw,
+    quality-gated (text_quality_score's gate), dedup-discounted
+    (corpus_effective_tokens' cluster weights), and both — the one table
+    a data-scaling plan opens with ("we have X raw but Y honest
+    tokens"), composing the quality and dedup planes into scenario
+    arithmetic.  The gap between raw and gated_and_discounted is the
+    overclaim a naive data inventory makes.
+
+    Scale: one pass over documents with the CC labels joined; each
+    scenario is a conditional sum on the same scan."""
+    cc = dedup_connected_components(spark, sf_dir).localCheckpoint()
+    sized = cc.groupBy("component_id").agg(F.count(F.lit(1)).alias("csize"))
+    w = _words()
+    n = F.size(w)
+    n_stop = F.size(F.filter(w, lambda x: x.isin(*_STOPWORDS)))
+    ok = (
+        (n >= 30) & (n <= 2000) & ((n_stop.cast("double") / n) <= 0.5)
+    ).cast("int")
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", n.alias("n_tok"), ok.alias("ok"))
+        .join(cc, "doc_id", "left")
+        .join(sized, "component_id", "left")
+        .select("n_tok", "ok", F.coalesce("csize", F.lit(1)).alias("csize"))
+    )
+    disc = F.round(F.col("n_tok") / F.col("csize").cast("double"), 6).cast(
+        "decimal(28,6)"
+    )
+    def row(label, expr):
+        return d.agg(F.lit(label).alias("scenario"), expr.alias("tokens"))
+    return (
+        row("raw", F.sum("n_tok").cast("bigint"))
+        .unionAll(
+            row(
+                "quality_gated",
+                F.sum(F.when(F.col("ok") == 1, F.col("n_tok"))).cast("bigint"),
+            )
+        )
+        .unionAll(
+            row(
+                "dedup_discounted",
+                F.round(F.sum(disc).cast("double"), 0).cast("bigint"),
+            )
+        )
+        .unionAll(
+            row(
+                "gated_and_discounted",
+                F.round(
+                    F.sum(F.when(F.col("ok") == 1, disc)).cast("double"), 0
+                ).cast("bigint"),
+            )
+        )
+    )
