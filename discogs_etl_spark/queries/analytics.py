@@ -9295,6 +9295,8 @@ def supplier_greedy_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("gain"), F.asc("s"))
             .first()
         )
+        if top is None:  # all parts covered early → emit fewer rounds
+            break
         rows.append((rnd, int(top["s"]), int(top["gain"])))
         newly = sp.where(F.col("s") == int(top["s"])).select("p")
         covered = newly if covered is None else covered.unionAll(newly).distinct()

@@ -5536,8 +5536,10 @@ def corpus_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefixes.
 
     Scale: one (term → min doc) aggregation and one token-count pass;
-    the checkpoint probes are against those two small tables; the OLS is
-    the repo's DECIMAL-moment idiom over 10 points."""
+    each pass computes ALL 10 checkpoints as conditional sums in a
+    single Aggregate (no grid join — a crossJoin-then-filter would
+    materialize 10 copies of the token table before pruning); the OLS
+    is the repo's DECIMAL-moment idiom over 10 points."""
     docs = load(spark, sf_dir, "documents")
     firstseen = (
         docs.select("doc_id", F.explode(_words()).alias("term"))
@@ -5546,22 +5548,40 @@ def corpus_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     toks = docs.select("doc_id", F.size(_words()).alias("n_tok"))
     cuts = [49, 99, 149, 199, 249, 299, 349, 399, 449, 499]
-    grid = load(spark, sf_dir, "documents").sparkSession.createDataFrame(
-        [(c,) for c in cuts], "cut bigint"
+    nt_row = toks.agg(
+        *[
+            F.sum(F.when(F.col("doc_id") <= F.lit(c), F.col("n_tok"))).alias(
+                f"nt_{c}"
+            )
+            for c in cuts
+        ]
     )
-    nt = (
-        grid.crossJoin(toks)
-        .where(F.col("doc_id") <= F.col("cut"))
-        .groupBy("cut")
-        .agg(F.sum("n_tok").alias("n_tokens"))
+    vb_row = firstseen.agg(
+        *[
+            F.count(F.when(F.col("first_doc") <= F.lit(c), F.lit(1))).alias(
+                f"vb_{c}"
+            )
+            for c in cuts
+        ]
     )
-    vb = (
-        grid.crossJoin(firstseen)
-        .where(F.col("first_doc") <= F.col("cut"))
-        .groupBy("cut")
-        .agg(F.count(F.lit(1)).alias("vocab"))
+    pts = (
+        nt_row.crossJoin(vb_row)  # 1 row x 1 row
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.col(f"nt_{c}").alias("n_tokens"),
+                            F.col(f"vb_{c}").alias("vocab"),
+                        )
+                        for c in cuts
+                    ]
+                )
+            ).alias("p")
+        )
+        .select("p.*")
     )
-    ln_pts = nt.join(vb, "cut").select(
+    ln_pts = pts.select(
         F.round(F.log(F.col("n_tokens").cast("double")), 9).alias("x"),
         F.round(F.log(F.col("vocab").cast("double")), 9).alias("y"),
     )
@@ -7052,8 +7072,11 @@ def corpus_token_budget_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic.  The gap between raw and gated_and_discounted is the
     overclaim a naive data inventory makes.
 
-    Scale: one pass over documents with the CC labels joined; each
-    scenario is a conditional sum on the same scan."""
+    Scale: ONE pass over documents with the CC labels joined; all four
+    scenarios are conditional sums inside a single Aggregate, then the
+    1-row result is unpivoted to the 4-row scenario table (a unionAll of
+    four ``d.agg(...)`` branches would re-execute the join pipeline per
+    scenario)."""
     cc = dedup_connected_components(spark, sf_dir).localCheckpoint()
     sized = cc.groupBy("component_id").agg(F.count(F.lit(1)).alias("csize"))
     w = _words()
@@ -7072,28 +7095,28 @@ def corpus_token_budget_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc = F.round(F.col("n_tok") / F.col("csize").cast("double"), 6).cast(
         "decimal(28,6)"
     )
-    def row(label, expr):
-        return d.agg(F.lit(label).alias("scenario"), expr.alias("tokens"))
-    return (
-        row("raw", F.sum("n_tok").cast("bigint"))
-        .unionAll(
-            row(
-                "quality_gated",
-                F.sum(F.when(F.col("ok") == 1, F.col("n_tok"))).cast("bigint"),
-            )
-        )
-        .unionAll(
-            row(
-                "dedup_discounted",
-                F.round(F.sum(disc).cast("double"), 0).cast("bigint"),
-            )
-        )
-        .unionAll(
-            row(
-                "gated_and_discounted",
-                F.round(
-                    F.sum(F.when(F.col("ok") == 1, disc)).cast("double"), 0
-                ).cast("bigint"),
-            )
-        )
+    s = d.agg(
+        F.sum("n_tok").cast("bigint").alias("raw"),
+        F.sum(F.when(F.col("ok") == 1, F.col("n_tok")))
+        .cast("bigint")
+        .alias("quality_gated"),
+        F.round(F.sum(disc).cast("double"), 0)
+        .cast("bigint")
+        .alias("dedup_discounted"),
+        F.round(F.sum(F.when(F.col("ok") == 1, disc)).cast("double"), 0)
+        .cast("bigint")
+        .alias("gated_and_discounted"),
     )
+    scenarios = ["raw", "quality_gated", "dedup_discounted", "gated_and_discounted"]
+    return s.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("scenario"), F.col(k).alias("tokens")
+                    )
+                    for k in scenarios
+                ]
+            )
+        ).alias("p")
+    ).select("p.*")

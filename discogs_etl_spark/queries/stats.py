@@ -3298,13 +3298,18 @@ def p95_rollup_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
                    COUNT(*) - SUM(is_weekend) AS n0
             FROM v
         ),
+        g AS (
+            SELECT value,
+                   SUM(is_weekend) AS k1,
+                   COUNT(*) - SUM(is_weekend) AS k0
+            FROM v GROUP BY value
+        ),
         r AS (
-            SELECT value, is_weekend,
-                   SUM(is_weekend) OVER (ORDER BY value, is_weekend
+            SELECT SUM(k1) OVER (ORDER BY value
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
-                   SUM(1 - is_weekend) OVER (ORDER BY value, is_weekend
+                   SUM(k0) OVER (ORDER BY value
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c0
-            FROM v
+            FROM g
         )
         SELECT CAST(n.n0 AS BIGINT) AS n_weekday,
                CAST(n.n1 AS BIGINT) AS n_weekend,
@@ -3323,17 +3328,19 @@ def p95_rollup_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TWO-SAMPLE Kolmogorov-Smirnov: do weekend and weekday purchase
     values come from the same distribution?  D = max gap between the two
-    empirical CDFs, evaluated at every pooled observation via running
-    per-group counts over ONE sort (the textbook merge formulation),
-    against the 1.36·√((n₀+n₁)/n₀n₁) 95% line.  Distribution-free —
-    catches shape differences (bimodality, tail weight) that the
-    mean-only Welch test (stats_welch_ttest) is blind to; weekday/
-    weekend via the convention-free Monday-epoch modulus.
+    empirical CDFs, evaluated at each DISTINCT pooled value after all
+    ties at that value are consumed (the scipy.ks_2samp definition:
+    per-value group counts aggregated first, then one cumulative sum —
+    stepping row-by-row through cross-group ties would overstate D at
+    intermediate points inside a tied value), against the
+    1.36·√((n₀+n₁)/n₀n₁) 95% line.  Distribution-free — catches shape
+    differences (bimodality, tail weight) that the mean-only Welch test
+    (stats_welch_ttest) is blind to; weekday/weekend via the
+    convention-free Monday-epoch modulus.
 
-    Scale: the pooled sort is the one global ordering (range-partition +
-    offset prefix sums at 100 TB, as with the one-sample KS); ties
-    across groups are sequenced deterministically so both engines step
-    the CDFs identically."""
+    Scale: the per-value pre-aggregation shrinks the global sort to
+    distinct values (range-partition + offset prefix sums at 100 TB, as
+    with the one-sample KS)."""
     is_wknd = (
         (
             F.datediff(
@@ -3355,12 +3362,16 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_weekend").alias("n1"),
         (F.count(F.lit(1)) - F.sum("is_weekend")).alias("n0"),
     )
-    w = Window.orderBy("value", "is_weekend").rowsBetween(
+    g = v.groupBy("value").agg(
+        F.sum("is_weekend").alias("k1"),
+        (F.count(F.lit(1)) - F.sum("is_weekend")).alias("k0"),
+    )
+    w = Window.orderBy("value").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    r = v.select(
-        F.sum("is_weekend").over(w).alias("c1"),
-        F.sum(1 - F.col("is_weekend")).over(w).alias("c0"),
+    r = g.select(
+        F.sum("k1").over(w).alias("c1"),
+        F.sum("k0").over(w).alias("c0"),
     )
     d = F.abs(
         F.col("c0") / F.col("n0").cast("double")

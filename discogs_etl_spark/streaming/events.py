@@ -153,9 +153,11 @@ def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical to the batch GROUP BY date_trunc('hour') (windows are
     [h, h+1) aligned), which is exactly what the oracle checks.
 
-    Scale: state is one row per (hour, event_type) window; the watermark
-    expires windows older than 2 hours, so state size is O(active windows),
-    independent of stream length."""
+    Scale: state is one row per (hour, event_type) window.  The fixture
+    drain runs in COMPLETE output mode (one-shot oracle parity over a
+    finite landing dir), which retains all windows; in the production
+    update/append deployment the 2-hour watermark expires old windows,
+    so state is O(active windows), independent of stream length."""
     events = read_events_stream(spark, sf_dir)
     agg = (
         events.withWatermark("ts", "2 hours")
@@ -747,12 +749,16 @@ def stream_hourly_error_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     error RATE — a ratio of two conditional counts computed inside one
     windowed aggregation (not two streams joined) — the live twin of
     events_error_budget_burn's daily batch meter and the shape every
-    streaming SLO dashboard runs.  The watermark bounds state exactly
-    as in stream_events_hourly; the rate derives in the same projection
-    so no second stateful operator exists.
+    streaming SLO dashboard runs.  The rate derives in the same
+    projection so no second stateful operator exists.
 
-    Scale: one row of state per open hour window; the conditional count
-    is map-side within the window state update."""
+    Scale: the fixture drain below runs in COMPLETE output mode (for
+    one-shot oracle parity over a finite landing dir), where Spark
+    retains all window state and the watermark evicts nothing; a
+    production deployment would run this exact plan in update/append
+    mode, where the 2-hour watermark bounds state to O(open hour
+    windows).  The conditional count is map-side within the window
+    state update either way."""
     events = read_events_stream(spark, sf_dir)
     agg = (
         events.withWatermark("ts", "2 hours")

@@ -449,3 +449,31 @@ def test_range_band_pricing_is_deliberate_bnlj(spark, q):
     plan = _plan(q["join_range_band_pricing"](spark, SF))
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_heaps_law_checkpoints_are_conditional_aggs(spark, q):
+    """The 10 corpus-prefix checkpoints must be conditional sums inside
+    single Aggregates over the token / first-seen tables — never a
+    grid crossJoin that materializes 10 copies of the token table
+    before filtering (the round-3 shape).  The only join left is the
+    1-row x 1-row combine of the two aggregate rows."""
+    plan = _plan(q["corpus_heaps_law_fit"](spark, SF))
+    assert "CartesianProduct" not in plan
+    # the grid table is gone entirely: no scan of an in-memory cut list
+    assert "LocalTableScan" not in plan and "Scan ExistingRDD" not in plan
+    # both checkpoint passes are plain aggregates feeding a keyless
+    # 1x1 combine (BroadcastNestedLoopJoin over two single-row sides);
+    # count tree lines only — the formatted detail repeats the node name
+    assert plan.count("BroadcastNestedLoopJoin Cross") == 1
+    # map-side partial conditional sums: checkpoints computed in one pass
+    assert "partial_sum(CASE WHEN (doc_id" in plan
+
+
+def test_token_budget_planner_single_pass(spark, q):
+    """All four budget scenarios must come from ONE Aggregate over the
+    joined scan (conditional sums + unpivot), not a 4-branch unionAll
+    that re-executes the join pipeline per scenario."""
+    plan = _plan(q["corpus_token_budget_planner"](spark, SF))
+    assert "Union" not in plan
+    # one scan of documents feeds the whole thing
+    assert plan.count("documents.parquet") == 1
