@@ -76,89 +76,72 @@ def _load_all() -> None:
 # registered queries per round, so ``all_specs`` surfaces queries with NO
 # driver-side correctness evidence (or changed since their last green row)
 # ahead of queries whose green rows already stand from a prior round.
-# Round 3: the 3 round-2 reds (TIMESTAMP_NTZ family, fixed this round),
-# the 2 round-1 greens that regressed against the regenerated fixtures
-# (same fix), then every query that has NEVER been in a driver window —
-# the TPC-H tail, the curation ops, star-contraction CC, the Python
-# extension points, and 2 streaming ops.  42 names; the ~8 remaining
-# slots go to queries newly added this round (appended at the end of this
-# tuple as they land).  Names not listed keep registration order after
-# these; unknown names are rejected by a test.
+# Round 4 rotation (r1-r3 evidenced 141/360 unique, all ever-green):
+# 50 names with ZERO driver rows, drawn per the round-3 plan — the
+# BENCHED extension families first (so the headline bench set is 100%
+# driver-evidenced), then everything CHANGED this round, then stratum (a)
+# of the backlog (the round-3 extension pass: graph family, bloom join,
+# streams, stats_* families, retrieval, BPE, sampling, data quality,
+# sketches) in registration order.  Every name passes the local
+# one-session driver replica (tests/test_oracle.py), so rotation is pure
+# evidence collection.  ~3 more rounds at 50/round drains the remaining
+# backlog (stratum (b): second-half dedup variants, recsys/bandit evals,
+# calendars, remaining stats tail).  Names not listed keep registration
+# order after these; unknown names are rejected by a test.
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    # round-2 reds, fixed (NTZ/micros root cause + join-key fix)
-    "range_join_bucketed",
-    "stream_events_hourly",
-    "stream_session_window",
-    # round-1 greens that regressed vs regenerated fixtures, re-fixed
-    "sessionization_events",
-    "window_lag_lead_gap",
-    # never driver-checked: events/window family (also NTZ-fixed)
-    "window_sliding_range_events",
-    "stream_dedup_watermark",
-    "stream_stream_join",
-    "funnel_view_click_purchase",
-    "window_distribution_funcs",
-    # never driver-checked: TPC-H tail
-    "q2_min_cost_supplier",
-    "q6_forecast_revenue",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_parts_supplier_count",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customer",
-    "q20_potential_promotion",
-    "q21_waiting_supplier",
-    "q22_global_sales_opportunity",
-    # never driver-checked: scalar/agg/sort/nested tail
-    "scalar_datetime_extended",
-    "scalar_math_extended",
-    "agg_corr_exact",
-    "sort_nulls_ordering",
-    "nested_struct_roundtrip",
-    # never driver-checked: curation ops
-    "text_repetition_score",
-    "text_redact_pii",
-    "decontaminate_eval_overlap",
-    "corpus_mix_sources",
-    "corpus_shuffle_shards",
-    "boilerplate_prefix_groups",
-    "quality_gate_quantile",
-    # never driver-checked: dedup variants
-    "dedup_ngram_crossdoc",
-    "dedup_fuzzy_keep_one",
-    "dedup_cc_starcontraction",
-    # never driver-checked: Python extension points
-    "mapinarrow_token_stats",
-    "udtf_token_runs",
-    "pandas_udaf_lang_iqr",
-    # ROUND-4 ROTATION NOTE: once CORRECTNESS_r03 lands, replace this
-    # tuple's contents with 50 names from the still-never-driver-checked
-    # set.  That set now has two strata: (a) the round-3 extension pass
-    # frozen out of this window (BM25/PageRank/k-means/BPE/prefix-filter,
-    # the stats_* family, attribution, data_quality_report, sliding/
-    # top-k streams, keywords, assoc rules, mode/deciles/clustering-
-    # coefficient, weighted sampling, bloom join, Benford/DAU-WAU/HHI/
-    # gap), and (b) the ~130 second-half additions (substring/winnowing/
-    # containment/ensemble/SemDeDup/medoid dedup, sketches, survival/
-    # KS/PSI/DiD stats, PCA, sweep-line, calendars, recsys/bandit/probe
-    # evals, streaming error rate, ...).  Every one passes the local
-    # one-session driver simulation (tests/test_oracle.py over the full
-    # registry), so rotation is pure evidence collection, not risk —
-    # prefer stratum (a) first (older code, zero driver rows), then (b)
-    # by registration order; ~5 rounds drains the backlog.
-    # new this round (appended as they land)
-    "xml_ingest_roundtrip",
-    "join_skew_salted",
-    "asof_join_tolerance",
-    "events_retention_cohorts",
-    "window_running_distinct_users",
-    "embedding_quantize_int8",
-    "dedup_cluster_stats",
-    "lang_id_confusion",
+    # benched, never driver-checked — headline set gets full evidence
+    "graph_triangle_count",
+    "graph_pagerank_coorder",
+    "sessions_max_concurrency",
+    "kmeans_embeddings_fixed",
+    "text_search_inverted_topk",
+    "text_search_bm25_topk",
+    "lm_bigram_surprisal",
+    "feature_hashing_vectorize",
+    # changed or added this round — needs fresh evidence
+    "corpus_heaps_law_fit",
+    "corpus_token_budget_planner",
+    "stats_ks_two_sample",
+    "supplier_greedy_cover",
+    "stream_events_lake_roundtrip",
+    "stream_hourly_error_rate",
+    # stratum (a): round-3 extension families, zero driver rows
+    "dedup_jaccard_prefix_filter",
+    "bpe_learn_merges",
+    "join_bloom_runtime_filter",
+    "graph_label_propagation",
+    "graph_clustering_coefficient",
+    "assoc_rules_coorder",
+    "agg_mode_per_user",
+    "agg_equidepth_deciles",
+    "attribution_first_vs_last",
+    "data_quality_report",
+    "data_quality_referential",
+    "stream_sliding_window",
+    "stream_global_topk_users",
+    "stream_static_enrich",
+    "keywords_per_doc",
+    "sample_weighted_per_source",
+    "stats_benford_first_digit",
+    "events_dau_wau_stickiness",
+    "stats_hhi_supplier_concentration",
+    "orders_interpurchase_gap",
+    "stats_welch_ttest",
+    "stats_chi_square_lang_source",
+    "stats_entropy_by_source",
+    "stats_gini_revenue_by_nation",
+    "stats_zipf_slope_by_lang",
+    "stats_ewma_per_user",
+    "stats_mad_by_event_type",
+    "stats_seasonal_adjust_daily",
+    "stats_wilson_ci_daily",
+    "stats_trend_slope_per_user",
+    "orders_cohort_ltv",
+    "stats_cusum_daily_revenue",
+    "skew_report_join_keys",
+    "sketch_countmin_heavy_hitters",
+    "stats_acf_daily_revenue",
+    "xml_datasource_scan",
 )
 
 

@@ -779,3 +779,74 @@ def stream_hourly_error_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_stream_to_table(agg, "stream_hourly_error_rate_sink", "complete")
+
+
+# Deterministic location shared by the streaming file sink and the DuckDB
+# oracle (the oracle is a static SQL string, so the path cannot vary per
+# run) — the streaming twin of etl_roundtrip.ROUNDTRIP_ROOT.
+def _stream_lake_root() -> str:
+    import tempfile
+
+    return os.path.join(tempfile.gettempdir(), "discogs_etl_spark_stream_lake")
+
+
+_STREAM_LAKE_ORACLE = f"""
+    SELECT CAST(year AS INT) AS year,
+           month,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(round(value, 6) AS DECIMAL(28,6))) AS DOUBLE)
+               AS sum_value
+    FROM read_parquet(
+        '{_stream_lake_root()}/lake/events/*/*/*.parquet',
+        hive_partitioning = true)
+    GROUP BY year, month, event_type
+"""
+
+
+@register(
+    "stream_events_lake_roundtrip",
+    oracle=_STREAM_LAKE_ORACLE,
+    tags=("streaming", "lake", "file_sink", "roundtrip"),
+)
+def stream_events_lake_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingestion INTO the partitioned lake, roundtripped: the
+    events stream drains through ``stream_events_to_lake`` (file sink,
+    year=/month= event-time partitions, checkpointed exactly-once
+    manifest), then the WRITTEN lake is read back with partition
+    discovery and aggregated — and the DuckDB oracle reads the very same
+    parquet files.  Two independent readers agreeing on the bytes the
+    streaming sink wrote is the driver-evidenced twin of what
+    ``xml_ingest_roundtrip`` pins for the batch ETL plane; until this
+    query the durable-sink path (run_stream_to_parquet / partitionBy on
+    a stream) lived on local tests alone.
+
+    The lake and checkpoint are wiped first so a stale layout from an
+    older code version can never leak into this run's comparison; a
+    production deployment keeps the checkpoint so each monthly arrival
+    drains incrementally (only new files are processed).
+
+    Scale: the sink appends partition-locally (no shuffle — file-source
+    batches map straight to year/month directories); the read-back
+    aggregation is a partial-agg groupBy on (partition cols, event_type).
+    Values accumulate as 6-dp decimals so both engines sum exactly."""
+    import shutil
+
+    root = _stream_lake_root()
+    shutil.rmtree(root, ignore_errors=True)
+    lake_root = os.path.join(root, "lake")
+    ckpt = os.path.join(root, "ckpt")
+    out = stream_events_to_lake(spark, sf_dir, lake_root, ckpt)
+    back = spark.read.parquet(out)
+    # Spark's partition-type inference reads month=01 as int 1; DuckDB's
+    # hive_partitioning keeps the directory string — re-pad to the
+    # written 2-digit form so both sides agree.
+    month = F.lpad(F.col("month").cast("string"), 2, "0").alias("month")
+    return back.groupBy(
+        F.col("year").cast("int").alias("year"), month, "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round("value", 6).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
