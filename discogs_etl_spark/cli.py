@@ -92,7 +92,12 @@ def _cmd_dedup(args) -> int:
     spark = get_spark(app_name="discogs-etl-dedup")
     df = spark.read.parquet(args.input)
     survivors, report = dedup_corpus(
-        spark, df, id_col=args.id, text_col=args.text, method=args.method
+        spark,
+        df,
+        id_col=args.id,
+        text_col=args.text,
+        method=args.method,
+        max_bucket=args.max_bucket,
     )
     survivors.write.mode("overwrite").parquet(args.output)
     print(report.toJSON().collect()[0])
@@ -194,6 +199,14 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--id", default="doc_id", help="numeric unique id column")
     d.add_argument("--text", default="text", help="content column")
     d.add_argument("--method", default="minhash", choices=["exact", "minhash"])
+    d.add_argument(
+        "--max-bucket",
+        type=int,
+        default=None,
+        help="minhash skew guard: drop LSH buckets with more members than "
+        "this from pair generation (their docs survive; the report counts "
+        "what was skipped)",
+    )
     d.set_defaults(fn=_cmd_dedup)
 
     s = sub.add_parser("search", help="BM25 search over a parquet text corpus")

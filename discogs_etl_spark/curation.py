@@ -30,6 +30,7 @@ def dedup_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     method: str = "minhash",
+    max_bucket: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Deduplicate ``df`` by content.  Returns (survivors, report) —
     survivors keep the input schema; the report is one row with counts.
@@ -37,12 +38,24 @@ def dedup_corpus(
     The id column must be numeric and unique (keep-first = min id); the
     text column is the content key.  NULL-content rows are never treated
     as duplicates of each other (a NULL is not equal to another NULL) —
-    they all survive."""
+    they all survive.
+
+    ``max_bucket`` (minhash only) is the production bucket-skew guard: a
+    boilerplate-heavy real corpus can hash thousands of docs into ONE
+    LSH bucket, whose O(k²) candidate pairs would OOM a single executor.
+    When set, buckets larger than ``max_bucket`` are excluded from pair
+    generation (their docs all SURVIVE — the guard trades recall inside
+    degenerate buckets for bounded memory, never correctness of what it
+    does remove) and the report gains the accounting:
+    n_dropped_buckets / n_rows_in_dropped_buckets.  The registered
+    oracle queries never set it, staying exact."""
     # temp names guaranteed absent from the input schema
     tid, ttxt, trn = "__detl_id", "__detl_text", "__detl_rn"
     while any(c in df.columns for c in (tid, ttxt, trn)):
         tid, ttxt, trn = tid + "_", ttxt + "_", trn + "_"
     norm = df.withColumn(tid, F.col(id_col)).withColumn(ttxt, F.col(text_col))
+    n_dropped_buckets = 0
+    n_rows_in_dropped = 0
     if method == "exact":
         w = Window.partitionBy(F.sha2(ttxt, 256)).orderBy(tid)
         survivors = (
@@ -53,15 +66,27 @@ def dedup_corpus(
     elif method == "minhash":
         from discogs_etl_spark.queries.llm import (
             connected_components_star,
+            minhash_bands_df,
+            minhash_dropped_buckets,
             minhash_pairs_df,
         )
 
+        src = norm.where(F.col(ttxt).isNotNull()).select(
+            F.col(tid).alias("doc_id"), F.col(ttxt).alias("text")
+        )
+        bands = None
+        if max_bucket is not None:
+            # checkpoint the signature pass ONCE; pair generation and the
+            # dropped-bucket accounting both read it
+            bands = minhash_bands_df(src).localCheckpoint()
+            dropped = minhash_dropped_buckets(bands, max_bucket).agg(
+                F.count(F.lit(1)).alias("nb"),
+                F.coalesce(F.sum("n_docs"), F.lit(0)).alias("nd"),
+            ).first()
+            n_dropped_buckets = int(dropped["nb"])
+            n_rows_in_dropped = int(dropped["nd"])
         pairs = (
-            minhash_pairs_df(
-                norm.where(F.col(ttxt).isNotNull()).select(
-                    F.col(tid).alias("doc_id"), F.col(ttxt).alias("text")
-                )
-            )
+            minhash_pairs_df(src, bands=bands, max_bucket=max_bucket)
             .select("doc_a", "doc_b")
             .localCheckpoint()
         )
@@ -80,8 +105,18 @@ def dedup_corpus(
     n_in = df.count()
     n_out = survivors.count()
     report = spark.createDataFrame(
-        [(method, n_in, n_out, n_in - n_out)],
-        "method string, n_input long, n_survivors long, n_removed long",
+        [
+            (
+                method,
+                n_in,
+                n_out,
+                n_in - n_out,
+                n_dropped_buckets,
+                n_rows_in_dropped,
+            )
+        ],
+        "method string, n_input long, n_survivors long, n_removed long, "
+        "n_dropped_buckets long, n_rows_in_dropped_buckets long",
     )
     return survivors, report
 

@@ -146,20 +146,18 @@ def read_lake(spark: SparkSession, root: str, data_type: str) -> DataFrame:
 
     Partition column types match the reference's downstream contract —
     ``year`` int, ``month`` zero-padded string (README.md:89-90 shows
-    ``month varchar, year int64``): type inference would turn month=03
-    into the integer 3, so it's disabled for this read and year is cast
-    back explicitly."""
-    conf_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    prev = spark.conf.get(conf_key, "true")
-    # NOTE: session-global toggle — not safe against a CONCURRENT read on
-    # the same session in the window below; restores the caller's prior
-    # value rather than assuming it was the default.
-    spark.conf.set(conf_key, "false")
-    try:
-        df = spark.read.parquet(lake_path(root, data_type))
-    finally:
-        spark.conf.set(conf_key, prev)
-    return df.withColumn("year", F.col("year").cast("int"))
+    ``month varchar, year int64``): partition-type inference reads
+    month=03 as the integer 3, so both columns are normalized back to
+    the contract types on top of the scan (a pure projection — pruning
+    on year/month still reaches the partition index).  Deriving the
+    types per-column instead of toggling
+    spark.sql.sources.partitionColumnTypeInference.enabled keeps this
+    safe under CONCURRENT reads on one session (the conf toggle was
+    session-global and raced)."""
+    df = spark.read.parquet(lake_path(root, data_type))
+    return df.withColumn("year", F.col("year").cast("int")).withColumn(
+        "month", F.lpad(F.col("month").cast("string"), 2, "0")
+    )
 
 
 def compact_lake(

@@ -40,9 +40,47 @@ def dec(col: Column | str, scale: int = 2, prec: int = 18) -> Column:
     return _c(col).cast(f"decimal({prec},{scale})")
 
 
+# Session conf that turns the silent fixed-point envelope into a loud
+# runtime failure (see module docstring: per-value |x|·10^scale < 2^52 is
+# required for the double→long round-trip to be exact).  Off by default —
+# the guard adds a branch per row — but a deployment validating a new
+# data domain sets it once and any out-of-envelope value kills the job
+# with a clear message instead of silently losing ulps / wrapping.
+FIXED_GUARD_CONF = "spark.discogs_etl_spark.debug.fixedPointGuard"
+_FIXED_MAX = float(2**52)
+
+
+def _fixed_guard_enabled() -> bool:
+    from pyspark.sql import SparkSession
+
+    s = SparkSession.getActiveSession()
+    if s is None:
+        return False
+    return s.conf.get(FIXED_GUARD_CONF, "false").lower() == "true"
+
+
 def fixed(col: Column | str, scale: int = 2) -> Column:
-    """Exact fixed-point representation: round(x·10^scale) as int64."""
-    return F.round(_c(col) * (10**scale)).cast("long")
+    """Exact fixed-point representation: round(x·10^scale) as int64.
+
+    With ``FIXED_GUARD_CONF`` set to true in the session, every value is
+    runtime-checked against the 2^52 exactness envelope (NULLs pass);
+    violations raise instead of silently rounding wrong."""
+    v = F.round(_c(col) * (10**scale))
+    if _fixed_guard_enabled():
+        ok = _c(col).isNull() | (F.abs(v) < F.lit(_FIXED_MAX))
+        guard = F.assert_true(
+            ok,
+            F.lit(
+                f"discogs_etl_spark fixed-point overflow: |x|*10^{scale} "
+                "exceeds 2^52 — the int64 fast path is no longer exact at "
+                "this magnitude; use dec()/sql decimals for this column "
+                f"(guard enabled via {FIXED_GUARD_CONF})"
+            ),
+        )
+        # assert_true returns NULL on success, raises on violation — the
+        # when() forces it to evaluate next to every value
+        v = F.when(guard.isNull(), v)
+    return v.cast("long")
 
 
 def dsum(col: Column | str, scale: int = 2, prec: int = 18) -> Column:

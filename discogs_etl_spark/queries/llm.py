@@ -358,11 +358,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_pairs_df(load(spark, sf_dir, "documents"))
 
 
-def minhash_pairs_df(raw: DataFrame) -> DataFrame:
-    """The MinHash pipeline over ANY (doc_id, text) DataFrame — the
-    registered query binds it to the fixture table; the curation API
-    (discogs_etl_spark.curation.dedup_corpus) binds it to user corpora.
-    Returns verified near-dup pairs (doc_a, doc_b, jaccard)."""
+def minhash_bands_df(raw: DataFrame) -> DataFrame:
+    """LSH bucket memberships (doc_id, band, band_sig) over ANY
+    (doc_id, text) DataFrame — the signature half of the MinHash
+    pipeline, factored out so the curation API can checkpoint it once
+    and share it between pair generation and the bucket-skew report."""
     docs = _with_shingles(raw, "doc_id")
     # Signatures are 100% row-local: one md5 per shingle (staged so the
     # lambda sees a bare column), then 16 universal hashes derived by
@@ -407,16 +407,62 @@ def minhash_pairs_df(raw: DataFrame) -> DataFrame:
     # dropping them HERE (a cheap string compare on the generated column,
     # never pushed below the Generate) matches the oracle's
     # WHERE len(shingles) > 0 without re-evaluating the shingle expression.
-    bands = (
+    return (
         mins.select("doc_id", F.explode(band_structs).alias("bs"))
         .select("doc_id", "bs.band", "bs.band_sig")
         .where(F.col("band_sig") != "")
     )
+
+
+def minhash_dropped_buckets(bands: DataFrame, max_bucket: int) -> DataFrame:
+    """Oversized-bucket accounting for the skew guard: one row per LSH
+    bucket whose membership exceeds ``max_bucket`` (the buckets
+    ``minhash_pairs_df(..., max_bucket=...)`` excludes from pair
+    generation).  Mergeable count aggregation only — safe on any skew."""
+    return (
+        bands.groupBy("band", "band_sig")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") > max_bucket)
+    )
+
+
+def minhash_pairs_df(
+    raw: DataFrame,
+    bands: DataFrame | None = None,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """The MinHash pipeline over ANY (doc_id, text) DataFrame — the
+    registered query binds it to the fixture table; the curation API
+    (discogs_etl_spark.curation.dedup_corpus) binds it to user corpora.
+    Returns verified near-dup pairs (doc_a, doc_b, jaccard).
+
+    ``bands`` lets a caller supply precomputed (checkpointed) bucket
+    memberships.  ``max_bucket`` is the OPT-IN skew guard for production
+    corpora: a degenerate bucket (boilerplate text hashing k docs to one
+    (band, band_sig)) would otherwise collect k ids into one row and emit
+    O(k²) candidate pairs — one hot key OOMing an executor at 100 TB.
+    With the cap, bucket sizes are pre-counted with a MERGEABLE count
+    aggregation (bounded memory on any skew) and oversized buckets are
+    excluded BEFORE collect_list; use minhash_dropped_buckets for the
+    accounting.  Registered oracle queries never set it (exactness)."""
+    if bands is None:
+        bands = minhash_bands_df(raw)
+    if max_bucket is not None:
+        ok = (
+            bands.groupBy("band", "band_sig")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") <= max_bucket)
+            .select("band", "band_sig")
+        )
+        # same shuffle key as the groupBy below — no extra exchange for
+        # the probe side after the join
+        bands = bands.join(ok, ["band", "band_sig"])
     # Candidate pairs via ONE hash aggregation instead of a self-join (a
     # self-join would run the whole signature pipeline twice): group each
     # LSH bucket, then emit its doc-id pairs row-locally.  At 100 TB the
     # per-bucket pair blowup is the usual LSH skew risk — band width is
-    # the knob (wider sigs → smaller buckets).
+    # the knob (wider sigs → smaller buckets), and max_bucket above is
+    # the hard bound the curation entry point opts into.
     cand = (
         bands.groupBy("band", "band_sig")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))

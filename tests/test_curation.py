@@ -46,6 +46,43 @@ def test_minhash_dedup_with_null_texts(spark):
     assert report.first()["n_input"] == base.count() + 2
 
 
+def test_minhash_bucket_skew_guard_bounds_degenerate_buckets(spark):
+    """A boilerplate corpus (many docs with IDENTICAL text) hashes every
+    copy into the same LSH bucket in all 4 bands — uncapped that is one
+    O(k²) pair blowup per band.  With max_bucket set: (1) the oversized
+    buckets are excluded, so all boilerplate docs SURVIVE (bounded work,
+    recall traded inside the degenerate bucket only); (2) genuine small
+    duplicate groups elsewhere still dedup; (3) the report accounts for
+    exactly what was skipped."""
+    boiler = "the standard footer text repeated on every page of this site"
+    uniq = "completely different document number {} with its own words here"
+    rows = [(i, boiler) for i in range(50)]
+    rows += [(100, uniq.format("one")), (101, uniq.format("one"))]  # true dups
+    rows += [(200, uniq.format("two zebra"))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    survivors, report = dedup_corpus(spark, df, method="minhash", max_bucket=10)
+    ids = {r["doc_id"] for r in survivors.collect()}
+    # all 50 boilerplate docs survive (their buckets were dropped) ...
+    assert set(range(50)).issubset(ids)
+    # ... the genuine pair still dedups to its min id, others untouched
+    assert 100 in ids and 101 not in ids and 200 in ids
+    rep = report.first()
+    # identical text -> identical signature -> one oversized bucket per band
+    assert rep["n_dropped_buckets"] == 4
+    assert rep["n_rows_in_dropped_buckets"] == 4 * 50
+    assert rep["n_removed"] == 1
+
+    # uncapped control: the boilerplate group collapses to one survivor
+    # and the report's new accounting stays zero
+    survivors_u, report_u = dedup_corpus(spark, df, method="minhash")
+    ids_u = {r["doc_id"] for r in survivors_u.collect()}
+    assert ids_u == {0, 100, 200}
+    rep_u = report_u.first()
+    assert rep_u["n_dropped_buckets"] == 0
+    assert rep_u["n_rows_in_dropped_buckets"] == 0
+
+
 def test_profile_table_single_scan_any_schema(spark):
     """One row per column, nested columns profiled by JSON identity."""
     from discogs_etl_spark.tables import load

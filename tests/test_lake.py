@@ -54,9 +54,11 @@ def test_lake_roundtrip_and_pruning(spark, tmp_path):
     one_month = back.where(F.col("month") == "03")
     assert one_month.count() == 2
     assert {r["month"] for r in one_month.select("month").collect()} == {"03"}
+    # pruning fires through the month normalization (the lpad evaluates
+    # against the partition index, never the data)
     assert "(month" in _partition_filters(one_month)
-    # pruning also fires through the year cast
-    assert "cast(year" in _partition_filters(back.where(F.col("year") == 2019))
+    # year is inference-typed int, so it prunes directly — no cast needed
+    assert "= 2019" in _partition_filters(back.where(F.col("year") == 2019))
 
     # idempotent monthly re-run: dynamic overwrite replaces only that month
     write_lake(df, root, "release", 2019, "03")
