@@ -8,7 +8,14 @@ line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is forced through the noop sink (full computation of every
 output column, no collect/IO skew) after a shared warmup.
-"""
+
+``--ladder`` (or SPARK_GRAFT_LADDER=1) runs the same set at EVERY scale
+factor listed in SPARK_GRAFT_LADDER_DIRS (default sf0.001,sf0.01,sf0.1)
+in one session and prints one JSON line with per-sf timings plus the
+t(sf_hi)/t(sf_lo) ratio per query — the three-point scaling table that
+says whether each plan's cost tracks data volume (~linear: ratio ≈ sf
+ratio x constant overheads) or blows up super-linearly.  The driver
+contract never sets it."""
 
 from __future__ import annotations
 
@@ -32,11 +39,7 @@ def _sf_from_dir(sf_dir: str) -> float:
         return -1.0
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_spark(app_name="discogs-etl-spark-bench")
-    spark.sparkContext.setLogLevel("ERROR")
-
+def _warmup(spark, sf_dir: str) -> None:
     # Warmup: JVM + parquet reader + codegen paths, for every table the
     # bench set scans (otherwise the alphabetically-first queries absorb
     # the cold-scan cost and timings measure warmup order, not plans).
@@ -74,6 +77,8 @@ def main() -> None:
         "row_number() OVER (PARTITION BY size(w) ORDER BY s) AS rn",
     ).write.format("noop").mode("overwrite").save()
 
+
+def _run_set(spark, sf_dir: str) -> dict[str, float]:
     # Best-of-3 per query: the first execution of a query family still pays
     # residual JIT/codegen the generic warmup can't reach (e.g. the MinHash
     # signature chain), and which query pays it depends on run order, not
@@ -90,7 +95,49 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+    return timings
 
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ladder = "--ladder" in sys.argv[1:] or os.environ.get(
+        "SPARK_GRAFT_LADDER", ""
+    ) in ("1", "true")
+    spark = get_spark(app_name="discogs-etl-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if ladder:
+        dirs = os.environ.get(
+            "SPARK_GRAFT_LADDER_DIRS",
+            "/root/testdata/sf0.001,/root/testdata/sf0.01,/root/testdata/sf0.1",
+        ).split(",")
+        per_sf: dict[str, dict[str, float]] = {}
+        for d in dirs:
+            _warmup(spark, d)
+            per_sf[str(_sf_from_dir(d))] = _run_set(spark, d)
+        sfs = sorted(per_sf, key=float)
+        lo, hi = sfs[0], sfs[-1]
+        ratios = {
+            name: round(per_sf[hi][name] / max(per_sf[lo][name], 1e-9), 2)
+            for name in per_sf[hi]
+        }
+        print(
+            json.dumps(
+                {
+                    "metric": "headline_queries_scaling_ladder",
+                    "unit": "sec",
+                    "sfs": sfs,
+                    "sf_ratio": round(float(hi) / float(lo), 1),
+                    "per_sf": per_sf,
+                    "time_ratio_hi_over_lo": ratios,
+                }
+            )
+        )
+        spark.stop()
+        return
+
+    _warmup(spark, sf_dir)
+    timings = _run_set(spark, sf_dir)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -207,6 +207,57 @@ def xml_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "xml_datasource_stream_scan",
+    oracle=_DATASOURCE_ORACLE,
+    tags=("etl", "xml", "datasource", "streaming"),
+)
+def xml_datasource_stream_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The XML kernel through the STREAM surface of the Python DataSource:
+    ``spark.readStream.format("discogs_xml")`` over a landing DIRECTORY
+    (offsets = the set of dump files seen; each micro-batch parses only
+    new arrivals — the monthly-dump consumption model with exactly-once
+    from the engine's offset log, sources/datasource.py _StreamReader),
+    drained with Trigger.AvailableNow into a memory sink and flattened to
+    the same scalars as the batch twin ``xml_datasource_scan`` — so both
+    halves of the registered source share one VALUES oracle (the §1.2
+    coercion table as literals).  Until this query the stream reader was
+    pytest-only; this is its driver CORRECTNESS row."""
+    from discogs_etl_spark.lake import parse_dump_url
+    from discogs_etl_spark.sources.datasource import register as _register_ds
+
+    _register_ds(spark)
+    # a dedicated landing dir (not the batch dump dir) so the stream scan
+    # exercises directory listing + filename type detection on its own
+    land = os.path.join(ROUNDTRIP_ROOT, "stream_landing")
+    os.makedirs(land, exist_ok=True)
+    path = os.path.join(land, _DUMP_NAME)
+    with gzip.open(path, "wb") as f:
+        f.write(_GOLDEN_RELEASES_XML)
+    info = parse_dump_url(path)
+    stream = spark.readStream.format("discogs_xml").option("path", land).load()
+    flat = stream.select(
+        "id",
+        "title",
+        "status",
+        F.array_join("genres", "|").alias("genres_joined"),
+        F.size("images").cast("int").alias("n_images"),
+        F.try_element_at("formats", F.lit(1)).getField("qty").alias("fmt0_qty"),
+        F.try_element_at("formats", F.lit(2)).getField("qty").alias("fmt1_qty"),
+        F.lit(info["year"]).cast("int").alias("year"),
+        F.lit(info["month"]).alias("month"),
+    )
+    q = (
+        flat.writeStream.format("memory")
+        .queryName("xml_datasource_stream_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("xml_datasource_stream_sink")
+
+
 _GOLDEN_ARTISTS_XML = b"""<artists>
   <artist>
     <id>42</id>

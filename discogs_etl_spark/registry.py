@@ -140,8 +140,8 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "stats_cusum_daily_revenue",
     "skew_report_join_keys",
     "sketch_countmin_heavy_hitters",
-    "stats_acf_daily_revenue",
     "xml_datasource_scan",
+    "xml_datasource_stream_scan",
 )
 
 
