@@ -142,6 +142,28 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "sketch_countmin_heavy_hitters",
     "xml_datasource_scan",
     "xml_datasource_stream_scan",
+    # ROUND-5 ROTATION NOTE: once CORRECTNESS_r04 lands green, replace
+    # this tuple with the next 50 of the 171 still-never-driver-checked
+    # names, by registration order (stratum (a) is drained after r04;
+    # what remains is stratum (b) — the second-half additions).  First
+    # up by registration order: the multimodal family (resize_nn,
+    # audio_frames, phash_dedup, media_summary), window/agg tail
+    # (time_weighted_avg, profile, incremental_agg_merge, histogram,
+    # anomaly_zscore, pareto, null_safe_equality, scd2, markov,
+    # backlog_curve, funnel_time_to_convert, explode_outer, variant,
+    # top_paths, rfm, rolling_median, burst_users, growth_mom,
+    # new_vs_returning, weighted_median, gap_islands,
+    # approx_percentile_eval, rolling_percentile_7d, higher_order_maps,
+    # table_diff, range_band_pricing, try_safe_casts,
+    # duplicate_payments, skyline, link_prediction, business_days,
+    # abc_xyz, bandit_greedy_replay, recsys_holdout_hitrate,
+    # littles_law, fiscal_445, scorecard, topn_others, conformance,
+    # single_source_risk, revenue_bridge, edge_triangle_support,
+    # allocation, wilson_lower_bound, runlength, aging_buckets,
+    # degree_assortativity) — then ~121 remain for r06-r07; plus any
+    # query whose code changed in round 5.  Every candidate is green in
+    # the local one-session driver replica, so rotation stays pure
+    # evidence collection.
 )
 
 

@@ -428,6 +428,41 @@ def char_entropy(docs):
     )
 
 
+def boilerplate_documents(spark, n: int):
+    """Degenerate corpus for the round-4 bucket-skew guard: half the rows
+    carry one of 4 fixed boilerplate texts (every copy of a template
+    lands in the SAME LSH bucket in all 4 bands), half are unique.  At
+    scale n the hot buckets hold ~625·n docs each — uncapped candidate
+    generation would emit O((625·n)²) pairs per bucket, which is exactly
+    the blowup the cap bounds."""
+    base_rows = 5_000 * n
+    tmpl = (
+        "CASE WHEN id % 2 = 0 THEN concat("
+        "'standard site footer text block number ', CAST(id % 4 AS STRING),"
+        "' repeated verbatim on many pages of the crawl with no variation at all')"
+        " ELSE concat('unique document ', CAST(id AS STRING),"
+        " ' with words derived from its own identifier ',"
+        " CAST(id * 7919 % 104729 AS STRING), ' ', CAST(id * 104729 % 7919 AS STRING))"
+        " END"
+    )
+    return (
+        spark.range(base_rows)
+        .repartition(32)
+        .selectExpr("id AS doc_id", f"{tmpl} AS text")
+    )
+
+
+def minhash_pairs_capped(spark, n: int):
+    """The PRODUCTION dedup path under the round-4 skew guard
+    (max_bucket=64): bucket sizes pre-counted with a mergeable
+    aggregation, oversized boilerplate buckets excluded before
+    collect_list.  Wall-clock should track the signature pass (~rows),
+    never the quadratic in-bucket pair count the cap removed."""
+    from discogs_etl_spark.queries.llm import minhash_pairs_df
+
+    return minhash_pairs_df(boilerplate_documents(spark, n), max_bucket=64)
+
+
 def main() -> None:
     scales = [int(a) for a in sys.argv[1:]] or [1, 5, 20]
     spark = get_spark(app_name="stress")
@@ -457,6 +492,7 @@ def main() -> None:
             ("bigram_lm_score", bigram_lm_score(docs)),
             ("winnowing_select", winnowing_select(docs)),
             ("char_entropy", char_entropy(docs)),
+            ("minhash_pairs_capped", minhash_pairs_capped(spark, n)),
         ):
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
