@@ -113,8 +113,20 @@ def main() -> None:
         ).split(",")
         per_sf: dict[str, dict[str, float]] = {}
         for d in dirs:
+            sf = _sf_from_dir(d)
+            key = str(sf)
+            # fail loudly on unparseable or colliding sf names — a silent
+            # key collision would overwrite one run's timings and emit a
+            # corrupt ladder artifact
+            if sf <= 0:
+                raise SystemExit(
+                    f"--ladder: cannot parse a scale factor from {d!r} "
+                    "(expected .../sfN directories)"
+                )
+            if key in per_sf:
+                raise SystemExit(f"--ladder: duplicate scale factor {key} in dirs")
             _warmup(spark, d)
-            per_sf[str(_sf_from_dir(d))] = _run_set(spark, d)
+            per_sf[key] = _run_set(spark, d)
         sfs = sorted(per_sf, key=float)
         lo, hi = sfs[0], sfs[-1]
         ratios = {

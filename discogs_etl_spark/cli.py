@@ -205,7 +205,7 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="minhash skew guard: drop LSH buckets with more members than "
         "this from pair generation (their docs survive; the report counts "
-        "what was skipped)",
+        "skipped buckets and the distinct documents they contained)",
     )
     d.set_defaults(fn=_cmd_dedup)
 

@@ -47,8 +47,11 @@ def dedup_corpus(
     generation (their docs all SURVIVE — the guard trades recall inside
     degenerate buckets for bounded memory, never correctness of what it
     does remove) and the report gains the accounting:
-    n_dropped_buckets / n_rows_in_dropped_buckets.  The registered
-    oracle queries never set it, staying exact."""
+    n_dropped_buckets (per-band LSH buckets skipped) and
+    n_docs_in_dropped_buckets (DISTINCT input documents that had at
+    least one bucket skipped — same unit as n_input/n_survivors, so the
+    recall exposure reads directly).  The registered oracle queries
+    never set it, staying exact."""
     # temp names guaranteed absent from the input schema
     tid, ttxt, trn = "__detl_id", "__detl_text", "__detl_rn"
     while any(c in df.columns for c in (tid, ttxt, trn)):
@@ -67,6 +70,7 @@ def dedup_corpus(
         from discogs_etl_spark.queries.llm import (
             connected_components_star,
             minhash_bands_df,
+            minhash_bucket_counts,
             minhash_dropped_buckets,
             minhash_pairs_df,
         )
@@ -75,18 +79,30 @@ def dedup_corpus(
             F.col(tid).alias("doc_id"), F.col(ttxt).alias("text")
         )
         bands = None
+        counts = None
         if max_bucket is not None:
-            # checkpoint the signature pass ONCE; pair generation and the
-            # dropped-bucket accounting both read it
+            # checkpoint the signature pass ONCE (pair generation and the
+            # accounting both read it), and the bucket-size aggregation
+            # ONCE (the cap filter and the dropped report both read it)
             bands = minhash_bands_df(src).localCheckpoint()
-            dropped = minhash_dropped_buckets(bands, max_bucket).agg(
-                F.count(F.lit(1)).alias("nb"),
-                F.coalesce(F.sum("n_docs"), F.lit(0)).alias("nd"),
-            ).first()
-            n_dropped_buckets = int(dropped["nb"])
-            n_rows_in_dropped = int(dropped["nd"])
+            counts = minhash_bucket_counts(bands).localCheckpoint()
+            dropped = minhash_dropped_buckets(counts, max_bucket)
+            n_dropped_buckets = dropped.count()
+            # DISTINCT documents touching a dropped bucket — the same
+            # unit as n_input/n_survivors (a doc occupies one bucket per
+            # band, so summing bucket sizes would overcount ~4x)
+            n_rows_in_dropped = (
+                bands.join(
+                    dropped.select("band", "band_sig"), ["band", "band_sig"]
+                )
+                .select("doc_id")
+                .distinct()
+                .count()
+            )
         pairs = (
-            minhash_pairs_df(src, bands=bands, max_bucket=max_bucket)
+            minhash_pairs_df(
+                src, bands=bands, max_bucket=max_bucket, bucket_counts=counts
+            )
             .select("doc_a", "doc_b")
             .localCheckpoint()
         )
@@ -116,7 +132,7 @@ def dedup_corpus(
             )
         ],
         "method string, n_input long, n_survivors long, n_removed long, "
-        "n_dropped_buckets long, n_rows_in_dropped_buckets long",
+        "n_dropped_buckets long, n_docs_in_dropped_buckets long",
     )
     return survivors, report
 

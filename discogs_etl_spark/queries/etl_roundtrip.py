@@ -228,8 +228,15 @@ def xml_datasource_stream_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _register_ds(spark)
     # a dedicated landing dir (not the batch dump dir) so the stream scan
-    # exercises directory listing + filename type detection on its own
+    # exercises directory listing + filename type detection on its own.
+    # Wiped first: the stream reader drains the whole DIRECTORY, so a
+    # stale dump left by an older code version (different _DUMP_NAME, an
+    # aborted run) would add rows beyond the pinned VALUES oracle —
+    # same-name rewriting alone doesn't cover directory-based staleness.
+    import shutil
+
     land = os.path.join(ROUNDTRIP_ROOT, "stream_landing")
+    shutil.rmtree(land, ignore_errors=True)
     os.makedirs(land, exist_ok=True)
     path = os.path.join(land, _DUMP_NAME)
     with gzip.open(path, "wb") as f:

@@ -414,22 +414,30 @@ def minhash_bands_df(raw: DataFrame) -> DataFrame:
     )
 
 
-def minhash_dropped_buckets(bands: DataFrame, max_bucket: int) -> DataFrame:
+def minhash_bucket_counts(bands: DataFrame) -> DataFrame:
+    """Per-LSH-bucket membership counts (band, band_sig, n_docs) — the
+    mergeable aggregation (safe on any skew) the cap filter and the
+    dropped-bucket report both derive from.  Callers that need both
+    should compute this ONCE (checkpointed) and pass it to each."""
+    return bands.groupBy("band", "band_sig").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+def minhash_dropped_buckets(bucket_counts: DataFrame, max_bucket: int) -> DataFrame:
     """Oversized-bucket accounting for the skew guard: one row per LSH
     bucket whose membership exceeds ``max_bucket`` (the buckets
     ``minhash_pairs_df(..., max_bucket=...)`` excludes from pair
-    generation).  Mergeable count aggregation only — safe on any skew."""
-    return (
-        bands.groupBy("band", "band_sig")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .where(F.col("n_docs") > max_bucket)
-    )
+    generation).  Takes the ``minhash_bucket_counts`` output so the
+    counts aggregation runs once per corpus, not once per consumer."""
+    return bucket_counts.where(F.col("n_docs") > max_bucket)
 
 
 def minhash_pairs_df(
     raw: DataFrame,
     bands: DataFrame | None = None,
     max_bucket: int | None = None,
+    bucket_counts: DataFrame | None = None,
 ) -> DataFrame:
     """The MinHash pipeline over ANY (doc_id, text) DataFrame — the
     registered query binds it to the fixture table; the curation API
@@ -441,18 +449,23 @@ def minhash_pairs_df(
     corpora: a degenerate bucket (boilerplate text hashing k docs to one
     (band, band_sig)) would otherwise collect k ids into one row and emit
     O(k²) candidate pairs — one hot key OOMing an executor at 100 TB.
-    With the cap, bucket sizes are pre-counted with a MERGEABLE count
-    aggregation (bounded memory on any skew) and oversized buckets are
-    excluded BEFORE collect_list; use minhash_dropped_buckets for the
-    accounting.  Registered oracle queries never set it (exactness)."""
+    With the cap, bucket sizes are pre-counted (``bucket_counts``, or
+    derived here) and oversized buckets are excluded BEFORE collect_list;
+    use minhash_dropped_buckets for the accounting.  Registered oracle
+    queries never set it (exactness)."""
     if bands is None:
         bands = minhash_bands_df(raw)
+        if max_bucket is not None:
+            # the cap filter makes bands BOTH the aggregate input and the
+            # join probe side — without materialization those are two
+            # different subtrees and the whole map-only signature
+            # pipeline (the dominant cost) would execute twice
+            bands = bands.localCheckpoint()
     if max_bucket is not None:
-        ok = (
-            bands.groupBy("band", "band_sig")
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .where(F.col("__n") <= max_bucket)
-            .select("band", "band_sig")
+        if bucket_counts is None:
+            bucket_counts = minhash_bucket_counts(bands)
+        ok = bucket_counts.where(F.col("n_docs") <= max_bucket).select(
+            "band", "band_sig"
         )
         # same shuffle key as the groupBy below — no extra exchange for
         # the probe side after the join

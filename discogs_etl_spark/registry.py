@@ -99,12 +99,16 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "lm_bigram_surprisal",
     "feature_hashing_vectorize",
     # changed or added this round — needs fresh evidence
+    # (dedup_minhash_lsh is r2-green but its builder path was refactored
+    # this round — minhash_bands_df split + cap parameters — so the
+    # rotation rule "changed since last green row" re-windows it)
     "corpus_heaps_law_fit",
     "corpus_token_budget_planner",
     "stats_ks_two_sample",
     "supplier_greedy_cover",
     "stream_events_lake_roundtrip",
     "stream_hourly_error_rate",
+    "dedup_minhash_lsh",
     # stratum (a): round-3 extension families, zero driver rows
     "dedup_jaccard_prefix_filter",
     "bpe_learn_merges",
@@ -137,7 +141,6 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "stats_wilson_ci_daily",
     "stats_trend_slope_per_user",
     "orders_cohort_ltv",
-    "stats_cusum_daily_revenue",
     "skew_report_join_keys",
     "sketch_countmin_heavy_hitters",
     "xml_datasource_scan",

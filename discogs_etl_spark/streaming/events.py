@@ -837,7 +837,15 @@ def stream_events_lake_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     lake_root = os.path.join(root, "lake")
     ckpt = os.path.join(root, "ckpt")
     out = stream_events_to_lake(spark, sf_dir, lake_root, ckpt)
-    back = spark.read.parquet(out)
+    # Read the WRITTEN FILES, not the sink's _spark_metadata manifest:
+    # the DuckDB oracle globs raw parquet, so Spark must see the same
+    # byte set — a retried sink task's orphan file would otherwise be
+    # visible to one reader only.  Globbing leaf files (with basePath
+    # for partition discovery) bypasses the MetadataLogFileIndex that a
+    # root-dir read of a streaming sink would use.
+    back = spark.read.option("basePath", out).parquet(
+        os.path.join(out, "year=*", "month=*", "*.parquet")
+    )
     # Spark's partition-type inference reads month=01 as int 1; DuckDB's
     # hive_partitioning keeps the directory string — re-pad to the
     # written 2-digit form so both sides agree.

@@ -70,7 +70,8 @@ def test_minhash_bucket_skew_guard_bounds_degenerate_buckets(spark):
     rep = report.first()
     # identical text -> identical signature -> one oversized bucket per band
     assert rep["n_dropped_buckets"] == 4
-    assert rep["n_rows_in_dropped_buckets"] == 4 * 50
+    # DISTINCT documents (same unit as n_input), not docs x bands
+    assert rep["n_docs_in_dropped_buckets"] == 50
     assert rep["n_removed"] == 1
 
     # uncapped control: the boilerplate group collapses to one survivor
@@ -80,7 +81,7 @@ def test_minhash_bucket_skew_guard_bounds_degenerate_buckets(spark):
     assert ids_u == {0, 100, 200}
     rep_u = report_u.first()
     assert rep_u["n_dropped_buckets"] == 0
-    assert rep_u["n_rows_in_dropped_buckets"] == 0
+    assert rep_u["n_docs_in_dropped_buckets"] == 0
 
 
 def test_profile_table_single_scan_any_schema(spark):
