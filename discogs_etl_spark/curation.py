@@ -58,7 +58,7 @@ def dedup_corpus(
         tid, ttxt, trn = tid + "_", ttxt + "_", trn + "_"
     norm = df.withColumn(tid, F.col(id_col)).withColumn(ttxt, F.col(text_col))
     n_dropped_buckets = 0
-    n_rows_in_dropped = 0
+    n_docs_in_dropped = 0
     if method == "exact":
         w = Window.partitionBy(F.sha2(ttxt, 256)).orderBy(tid)
         survivors = (
@@ -91,7 +91,7 @@ def dedup_corpus(
             # DISTINCT documents touching a dropped bucket — the same
             # unit as n_input/n_survivors (a doc occupies one bucket per
             # band, so summing bucket sizes would overcount ~4x)
-            n_rows_in_dropped = (
+            n_docs_in_dropped = (
                 bands.join(
                     dropped.select("band", "band_sig"), ["band", "band_sig"]
                 )
@@ -128,7 +128,7 @@ def dedup_corpus(
                 n_out,
                 n_in - n_out,
                 n_dropped_buckets,
-                n_rows_in_dropped,
+                n_docs_in_dropped,
             )
         ],
         "method string, n_input long, n_survivors long, n_removed long, "
