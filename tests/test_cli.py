@@ -70,6 +70,20 @@ def test_cli_dedup_and_profile(spark, tmp_path, capsys):
     report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     # minhash removes at LEAST the exact copies (near-dups may add more)
     assert report["n_removed"] >= base.count()
+    assert report["n_dropped_buckets"] == 0  # uncapped: guard inert
+
+    # the skew-guard flag flows through the CLI: with a 1-doc cap every
+    # duplicate pair's bucket is oversized, so nothing dedups and the
+    # accounting reports the affected documents
+    rc = main(
+        ["dedup", "--input", src, "--output", out, "--method", "minhash",
+         "--max-bucket", "1"]
+    )
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["n_removed"] == 0
+    assert report["n_dropped_buckets"] > 0
+    assert report["n_docs_in_dropped_buckets"] > 0
 
     rc = main(["profile", "--lake", out])
     assert rc == 0
