@@ -46,6 +46,15 @@ def dec(col: Column | str, scale: int = 2, prec: int = 18) -> Column:
 # the guard adds a branch per row — but a deployment validating a new
 # data domain sets it once and any out-of-envelope value kills the job
 # with a clear message instead of silently losing ulps / wrapping.
+#
+# BINDING IS AT PLAN-CONSTRUCTION TIME, not collect time: ``fixed()``
+# resolves this conf from the ACTIVE session while the DataFrame is being
+# BUILT (query builders take the session as an argument, but Column
+# expressions are constructed free-standing).  Set the conf BEFORE
+# constructing queries; a plan built earlier (or built with no active
+# session) does not retroactively grow the guard when the conf flips on
+# later.  Guarded runs should therefore set it in the session factory /
+# spark-submit conf, not mid-session.
 FIXED_GUARD_CONF = "spark.discogs_etl_spark.debug.fixedPointGuard"
 _FIXED_MAX = float(2**52)
 
@@ -62,9 +71,12 @@ def _fixed_guard_enabled() -> bool:
 def fixed(col: Column | str, scale: int = 2) -> Column:
     """Exact fixed-point representation: round(x·10^scale) as int64.
 
-    With ``FIXED_GUARD_CONF`` set to true in the session, every value is
-    runtime-checked against the 2^52 exactness envelope (NULLs pass);
-    violations raise instead of silently rounding wrong."""
+    With ``FIXED_GUARD_CONF`` set to true in the session AT PLAN-BUILD
+    TIME (see the conf comment above), every value is runtime-checked
+    against the 2^52 exactness envelope (NULLs pass); violations raise
+    instead of silently rounding wrong.  Non-finite inputs (NaN, ±Inf)
+    also fail the ``abs(v) < 2^52`` check and raise — previously they
+    silently cast to 0L, which is never what a money sum wants."""
     v = F.round(_c(col) * (10**scale))
     if _fixed_guard_enabled():
         ok = _c(col).isNull() | (F.abs(v) < F.lit(_FIXED_MAX))
@@ -72,8 +84,9 @@ def fixed(col: Column | str, scale: int = 2) -> Column:
             ok,
             F.lit(
                 f"discogs_etl_spark fixed-point overflow: |x|*10^{scale} "
-                "exceeds 2^52 — the int64 fast path is no longer exact at "
-                "this magnitude; use dec()/sql decimals for this column "
+                "exceeds 2^52 or the value is non-finite (NaN/Infinity) — "
+                "the int64 fast path is not exact for this input; use "
+                "dec()/sql decimals for this column "
                 f"(guard enabled via {FIXED_GUARD_CONF})"
             ),
         )

@@ -452,7 +452,14 @@ def minhash_pairs_df(
     With the cap, bucket sizes are pre-counted (``bucket_counts``, or
     derived here) and oversized buckets are excluded BEFORE collect_list;
     use minhash_dropped_buckets for the accounting.  Registered oracle
-    queries never set it (exactness)."""
+    queries never set it (exactness).
+
+    Cost note: a caller that passes ``bands`` WITHOUT ``bucket_counts``
+    under a cap pays one extra aggregation over the bands here (the
+    counts are re-derived); the curation path passes both, computed once
+    over the same checkpointed bands.  When ``bands`` is derived HERE
+    under a cap it is localCheckpointed first (see below), so the
+    signature pipeline still runs exactly once either way."""
     if bands is None:
         bands = minhash_bands_df(raw)
         if max_bucket is not None:
@@ -5561,9 +5568,13 @@ def corpus_jsd_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM grid g
         ),
         ln_pts AS (
+            -- empty checkpoints (a cut below every doc_id) carry no
+            -- information for the log-log OLS: drop them instead of
+            -- feeding ln(NULL)/ln(0) into the moments
             SELECT round(ln(CAST(n_tokens AS DOUBLE)), 9) AS x,
                    round(ln(CAST(vocab AS DOUBLE)), 9) AS y
             FROM pts
+            WHERE COALESCE(n_tokens, 0) > 0 AND vocab > 0
         ),
         s AS (
             SELECT COUNT(*) AS n,
@@ -5640,7 +5651,14 @@ def corpus_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p.*")
     )
-    ln_pts = pts.select(
+    # Empty checkpoints (a cut below every doc_id) yield NULL n_tokens
+    # from the conditional SUM (and vocab 0 from the conditional COUNT);
+    # the pre-rewrite crossJoin+groupBy form dropped such cuts entirely,
+    # so the single-pass form filters them the same way before the logs —
+    # otherwise ln(NULL) points would silently shrink the OLS moments.
+    ln_pts = pts.where(
+        (F.coalesce(F.col("n_tokens"), F.lit(0)) > 0) & (F.col("vocab") > 0)
+    ).select(
         F.round(F.log(F.col("n_tokens").cast("double")), 9).alias("x"),
         F.round(F.log(F.col("vocab").cast("double")), 9).alias("y"),
     )

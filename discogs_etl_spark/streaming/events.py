@@ -784,6 +784,15 @@ def stream_hourly_error_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Deterministic location shared by the streaming file sink and the DuckDB
 # oracle (the oracle is a static SQL string, so the path cannot vary per
 # run) — the streaming twin of etl_roundtrip.ROUNDTRIP_ROOT.
+#
+# SINGLE-RUN ASSUMPTION (same as ROUNDTRIP_ROOT): the roundtrip query
+# rmtree-wipes this root at query start, so two concurrent driver
+# sessions on one machine would clobber each other's lake/checkpoint
+# mid-comparison.  The oracle being a static SQL string is what forces a
+# fixed path; the harness (driver + pytest) runs these queries from one
+# process at a time.  A deployment that ever needs concurrent runs
+# should key the root by an externally-provided run id and rebuild the
+# oracle string accordingly.
 def _stream_lake_root() -> str:
     import tempfile
 
