@@ -117,8 +117,28 @@ def write_lake(
     Dynamic partition overwrite is set PER WRITE (DataFrameWriter
     option), not assumed from the session: on a session without the
     engine's factory conf, static overwrite would truncate every OTHER
-    partition of the lake on a single monthly write."""
+    partition of the lake on a single monthly write.
+
+    DATA/PARTITION NAME COLLISION (master): the master schema carries a
+    DATA column ``year`` (reference schema.py:16, int32 — the release
+    year), which must land IN the parquet files exactly as parsed, while
+    the lake path carries the DUMP-DATE year.  ``partitionBy('year')``
+    would consume (and a ``withColumn`` overwrite would clobber) the data
+    column — so when the frame owns a partition-named column, the write
+    goes straight to the LEAF directory ``.../year=YYYY/month=MM/`` with
+    no partitionBy, exactly the reference's layout (s3.py:40-52 computes
+    the full leaf key and uploads the file there).  Hive-partitioning
+    readers then see the partition value SHADOW the data column (both
+    Spark's scan and DuckDB's read_parquet resolve the collision that
+    way); partition-blind readers of the files see the true data year —
+    same two views the reference's lake exposes.  Per-month idempotency
+    is overwrite-the-leaf, the same semantics dynamic partition
+    overwrite gives the non-colliding entities."""
     path = lake_path(root, data_type)
+    if "year" in df.columns or "month" in df.columns:
+        leaf = os.path.join(path, f"year={int(year)}", f"month={str(month)}")
+        df.write.mode(mode).parquet(leaf)
+        return path
     (
         df.withColumn("year", F.lit(int(year)))
         .withColumn("month", F.lit(str(month)))

@@ -345,3 +345,214 @@ def xml_ingest_roundtrip_artist(spark: SparkSession, sf_dir: str) -> DataFrame:
         "year",
         "month",
     )
+
+
+# Golden master dump — the THIRD schema family, and the one with the two
+# contract points no other entity pins (reference parser.py:54-98,
+# schema.py:3-33): ``videos.embed`` parses the literal string 'true' to a
+# BOOL, and ``year`` is an int32 DATA column (the release year) that
+# collides with the lake's dump-date partition name.  Record 5001
+# exercises embed=true/false, a missing duration→0, and year 1985;
+# record 5002 is the bare husk (missing year/main_release → 0, empty
+# lists).  Master ``id`` is the REQUIRED attribute (parser.py:56) — both
+# records carry it.
+_GOLDEN_MASTERS_XML = b"""<masters>
+  <master id="5001">
+    <main_release>10</main_release>
+    <year>1985</year>
+    <title>Master One</title>
+    <data_quality>Correct</data_quality>
+    <artists><artist><id>7</id><name>Alpha</name><anv>A</anv><join>&amp;</join><role>Main</role><tracks>1-3</tracks></artist></artists>
+    <genres><genre>Rock</genre><genre>Jazz</genre></genres>
+    <styles><style>Punk</style></styles>
+    <images><image height="100" width="200" type="primary" uri="u" uri150="v"/></images>
+    <videos>
+      <video duration="120" embed="true" src="http://v1"><title>V1</title><description>D1</description></video>
+      <video embed="false" src="http://v2"><title>V2</title></video>
+    </videos>
+  </master>
+  <master id="5002">
+    <title>Bare</title>
+  </master>
+</masters>
+"""
+
+_MASTER_DUMP_NAME = "discogs_20240601_masters.xml.gz"
+
+
+def _stage_master_dump() -> str:
+    dump_dir = os.path.join(ROUNDTRIP_ROOT, "dumps")
+    os.makedirs(dump_dir, exist_ok=True)
+    path = os.path.join(dump_dir, _MASTER_DUMP_NAME)
+    with gzip.open(path, "wb") as f:
+        f.write(_GOLDEN_MASTERS_XML)
+    return path
+
+
+# Partition-BLIND read of the written files (hive_partitioning=false +
+# filename) so the oracle sees the DATA year the kernel parsed — the
+# partition-aware view would shadow it (both engines resolve the
+# master-specific year collision in favor of the path value; see
+# lake.write_lake).  The lake LAYOUT is still pinned end-to-end: the
+# partition values are re-derived from each file's own path.
+_MASTER_ROUNDTRIP_ORACLE = f"""
+    SELECT id,
+           CAST(main_release AS BIGINT) AS main_release,
+           title,
+           CAST(year AS INT) AS data_year,
+           data_quality,
+           COALESCE(array_to_string(genres, '|'), '') AS genres_joined,
+           COALESCE(array_to_string(styles, '|'), '') AS styles_joined,
+           artists[1].id AS artist0_id,
+           artists[1].name AS artist0_name,
+           artists[1].anv AS artist0_anv,
+           artists[1]."join" AS artist0_join,
+           CAST(len(videos) AS BIGINT) AS n_videos,
+           CAST(videos[1].duration AS INT) AS vid0_duration,
+           CAST(videos[1].embed AS INT) AS vid0_embed,
+           videos[1].src AS vid0_src,
+           videos[1].title AS vid0_title,
+           CAST(videos[2].duration AS INT) AS vid1_duration,
+           CAST(videos[2].embed AS INT) AS vid1_embed,
+           CAST(regexp_extract(filename, 'year=(\\d+)', 1) AS INT)
+               AS part_year,
+           regexp_extract(filename, 'month=(\\d+)', 1) AS part_month
+    FROM read_parquet(
+        '{_lake_root()}/masters/*/*/*.parquet',
+        hive_partitioning = false, filename = true)
+"""
+
+
+@register(
+    "xml_ingest_roundtrip_master",
+    oracle=_MASTER_ROUNDTRIP_ORACLE,
+    tags=("etl", "xml", "lake", "roundtrip", "master"),
+)
+def xml_ingest_roundtrip_master(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Master-entity roundtrip — the THIRD schema family end-to-end,
+    pinning the two contract points only master carries (reference
+    parser.py:54-98, schema.py:3-33): ``videos.embed == 'true'`` string
+    → BOOL parse (surfaced as INT — the driver hasher rejects bool
+    cells) and the int32 DATA ``year`` surviving the write untouched by
+    the lake's same-named partition (write_lake's leaf-directory path
+    for colliding schemas).  Both sides read the files partition-BLIND
+    and re-derive the partition values from each file's path, so the
+    FILENAME-derived June layout is pinned too."""
+    from discogs_etl_spark.lake import ingest_dump_to_lake, lake_path
+
+    dump = _stage_master_dump()
+    ingest_dump_to_lake(spark, dump, _lake_root())
+    files = os.path.join(lake_path(_lake_root(), "master"), "*", "*", "*.parquet")
+    back = spark.read.parquet(files)
+    art0 = F.try_element_at("artists", F.lit(1))
+    vid0 = F.try_element_at("videos", F.lit(1))
+    vid1 = F.try_element_at("videos", F.lit(2))
+    fpath = F.col("_metadata.file_path")
+    return back.select(
+        "id",
+        F.col("main_release").cast("long").alias("main_release"),
+        "title",
+        F.col("year").cast("int").alias("data_year"),
+        "data_quality",
+        F.array_join("genres", "|").alias("genres_joined"),
+        F.array_join("styles", "|").alias("styles_joined"),
+        art0.getField("id").alias("artist0_id"),
+        art0.getField("name").alias("artist0_name"),
+        art0.getField("anv").alias("artist0_anv"),
+        art0.getField("join").alias("artist0_join"),
+        F.size("videos").cast("long").alias("n_videos"),
+        vid0.getField("duration").cast("int").alias("vid0_duration"),
+        vid0.getField("embed").cast("int").alias("vid0_embed"),
+        vid0.getField("src").alias("vid0_src"),
+        vid0.getField("title").alias("vid0_title"),
+        vid1.getField("duration").cast("int").alias("vid1_duration"),
+        vid1.getField("embed").cast("int").alias("vid1_embed"),
+        F.regexp_extract(fpath, r"year=(\d+)", 1).cast("int").alias("part_year"),
+        F.regexp_extract(fpath, r"month=(\d+)", 1).alias("part_month"),
+    )
+
+
+# Golden label dump — the FOURTH schema family.  The label path is the
+# only one whose streaming repair KEEPS newlines (xml_ingest's
+# _iter_repaired_text: collapse_ws = data_type != 'label'; reference
+# process.py:262-266), so contactinfo/profile carry literal '\\n' through
+# to the lake.  Also pins: element-text id (missing → 0), the
+# width-BEFORE-height image struct (reference schema.py:41-42), and
+# <sublabels><label> children NOT masquerading as label records (the
+# depth guard in iter_records_stream).
+_GOLDEN_LABELS_XML = b"""<labels>
+  <label>
+    <id>301</id>
+    <name>LabelOne</name>
+    <contactinfo>addr line1
+addr line2</contactinfo>
+    <profile>profile line1
+profile line2</profile>
+    <data_quality>Correct</data_quality>
+    <images><image width="30" height="40" type="primary" uri="u" uri150="v"/></images>
+    <urls><url>http://l1</url><url>http://l2</url></urls>
+    <sublabels><label>Sub A</label><label>Sub B</label></sublabels>
+  </label>
+  <label>
+    <name>NoId</name>
+  </label>
+</labels>
+"""
+
+_LABEL_DUMP_NAME = "discogs_20241101_labels.xml.gz"
+
+
+def _stage_label_dump() -> str:
+    dump_dir = os.path.join(ROUNDTRIP_ROOT, "dumps")
+    os.makedirs(dump_dir, exist_ok=True)
+    path = os.path.join(dump_dir, _LABEL_DUMP_NAME)
+    with gzip.open(path, "wb") as f:
+        f.write(_GOLDEN_LABELS_XML)
+    return path
+
+
+_LABEL_ROUNDTRIP_ORACLE = f"""
+    SELECT id, name, contactinfo, profile, data_quality,
+           CAST(images[1].width AS INT) AS img0_width,
+           CAST(images[1].height AS INT) AS img0_height,
+           COALESCE(array_to_string(urls, '|'), '') AS urls_joined,
+           COALESCE(array_to_string(sublabels, '|'), '') AS sublabels_joined,
+           CAST(year AS INT) AS year,
+           month
+    FROM read_parquet(
+        '{_lake_root()}/labels/*/*/*.parquet', hive_partitioning = true)
+"""
+
+
+@register(
+    "xml_ingest_roundtrip_label",
+    oracle=_LABEL_ROUNDTRIP_ORACLE,
+    tags=("etl", "xml", "lake", "roundtrip", "label"),
+)
+def xml_ingest_roundtrip_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-entity roundtrip — the FOURTH schema family end-to-end,
+    completing driver evidence for all four SCHEMAS entries.  Pins the
+    label path's newline PRESERVATION (contactinfo/profile keep '\\n' —
+    every other entity's streaming repair collapses it), the
+    width-first image struct, sublabel text lists (their <label>
+    children must not parse as records), and the November partition
+    deriving from the FILENAME."""
+    from discogs_etl_spark.lake import ingest_dump_to_lake, read_lake
+
+    dump = _stage_label_dump()
+    ingest_dump_to_lake(spark, dump, _lake_root())
+    back = read_lake(spark, _lake_root(), "label")
+    img0 = F.try_element_at("images", F.lit(1))
+    return back.select(
+        "id",
+        "name",
+        "contactinfo",
+        "profile",
+        "data_quality",
+        img0.getField("width").cast("int").alias("img0_width"),
+        img0.getField("height").cast("int").alias("img0_height"),
+        F.array_join("urls", "|").alias("urls_joined"),
+        F.array_join("sublabels", "|").alias("sublabels_joined"),
+        "year",
+        "month",
+    )

@@ -262,3 +262,31 @@ def test_zorder_write_skips_on_both_dimensions(spark, tmp_path):
 
     # and the data survives intact
     assert spark.read.parquet(zpath).count() == orders.count()
+
+
+def test_write_lake_master_year_collision(spark, tmp_path):
+    """A schema owning a partition-named column (master's DATA ``year``,
+    reference schema.py:16) must land IN the files unclobbered: the write
+    goes to the leaf directory, the partition value shadows only in the
+    hive-aware view, and a partition-blind read returns the parsed year."""
+    root = str(tmp_path / "lake")
+    df = spark.createDataFrame(
+        [(1, 1985, "a"), (2, 0, "b")], "id long, year int, title string"
+    )
+    path = write_lake(df, root, "master", 2024, "06")
+
+    # files live under the reference layout leaf
+    blind = spark.read.parquet(path + "/year=2024/month=06")
+    assert dict(blind.dtypes)["year"] == "int"
+    assert {r["year"] for r in blind.select("year").collect()} == {1985, 0}
+
+    # hive-aware read: partition value shadows (same resolution DuckDB's
+    # hive_partitioning=true applies), month still a discovered column
+    back = read_lake(spark, root, "master")
+    assert {r["year"] for r in back.select("year").collect()} == {2024}
+    assert {r["month"] for r in back.select("month").collect()} == {"06"}
+
+    # per-month idempotency: a re-run overwrites the leaf, not the lake
+    write_lake(df, root, "master", 2024, "06")
+    write_lake(df, root, "master", 2024, "07")
+    assert read_lake(spark, root, "master").count() == 4
