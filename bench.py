@@ -78,24 +78,33 @@ def _warmup(spark, sf_dir: str) -> None:
     ).write.format("noop").mode("overwrite").save()
 
 
-def _run_set(spark, sf_dir: str) -> dict[str, float]:
+def _run_set(
+    spark, sf_dir: str
+) -> tuple[dict[str, float], dict[str, list[float]]]:
     # Best-of-3 per query: the first execution of a query family still pays
     # residual JIT/codegen the generic warmup can't reach (e.g. the MinHash
     # signature chain), and which query pays it depends on run order, not
     # plan quality.  The min of three runs is the steady-state number — the
     # one that scales with data volume and is comparable round-over-round
     # (round 2's best-of-2 still let one noisy run through; three runs pin
-    # sub-second queries to ~±10%).
+    # sub-second queries to ~±10%).  The full sorted [min, med, max] per
+    # query is ALSO reported (``spread_sec``): a round-over-round delta
+    # whose magnitude sits inside the previous round's spread is
+    # measurement noise, not a plan change — without the spread on record,
+    # one cold run can masquerade as a regression.
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name, spec in sorted(bench_specs().items()):
-        best = float("inf")
+        runs: list[float] = []
         for _ in range(3):
             t0 = time.perf_counter()
             df = spec.fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
-    return timings
+            runs.append(time.perf_counter() - t0)
+        runs.sort()
+        timings[name] = round(runs[0], 3)
+        spread[name] = [round(t, 3) for t in runs]
+    return timings, spread
 
 
 def main() -> None:
@@ -126,7 +135,7 @@ def main() -> None:
             if key in per_sf:
                 raise SystemExit(f"--ladder: duplicate scale factor {key} in dirs")
             _warmup(spark, d)
-            per_sf[key] = _run_set(spark, d)
+            per_sf[key] = _run_set(spark, d)[0]
         sfs = sorted(per_sf, key=float)
         lo, hi = sfs[0], sfs[-1]
         ratios = {
@@ -149,7 +158,7 @@ def main() -> None:
         return
 
     _warmup(spark, sf_dir)
-    timings = _run_set(spark, sf_dir)
+    timings, spread = _run_set(spark, sf_dir)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -158,6 +167,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # per-query sorted [min, med, max] of the 3 runs behind
+                # each best-of-3 number: the variance bar that separates
+                # run-to-run noise from a real plan regression
+                "spread_sec": spread,
                 "sf": _sf_from_dir(sf_dir),
             }
         )
