@@ -463,8 +463,59 @@ def minhash_pairs_capped(spark, n: int):
     return minhash_pairs_df(boilerplate_documents(spark, n), max_bucket=64)
 
 
+def skew_series_json(scales: list[int]) -> None:
+    """The skew-guard scaling series as ONE JSON line — the recordable
+    form of the round-4 stress prose, folded into SCALE_LADDER.json.
+    Per scale: best-of-3 wall for the CAPPED production dedup path over
+    the degenerate boilerplate corpus, next to best-of-3 for the bare
+    map-only signature pass (minhash_bands_df) over the same corpus —
+    flat capped-vs-signature tracking is the guard's whole claim (cost
+    follows the signature pass, never the quadratic in-bucket pair
+    count the cap removed)."""
+    import json
+
+    from discogs_etl_spark.queries.llm import minhash_bands_df
+
+    spark = get_spark(app_name="stress-skew")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
+    series = {}
+    for n in scales:
+        docs = boilerplate_documents(spark, n)
+        rows = docs.count()
+        timings = {}
+        for name, build in (
+            ("signature_pass", lambda: minhash_bands_df(boilerplate_documents(spark, n))),
+            ("minhash_pairs_capped", lambda: minhash_pairs_capped(spark, n)),
+        ):
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                build().write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
+        series[str(n)] = {"rows": rows, **timings}
+    print(
+        json.dumps(
+            {
+                "metric": "minhash_skew_guard_series",
+                "unit": "sec",
+                "max_bucket": 64,
+                "corpus": "50% boilerplate across 4 templates / 50% unique",
+                "runs": "best-of-3",
+                "per_scale": series,
+            }
+        )
+    )
+    spark.stop()
+
+
 def main() -> None:
-    scales = [int(a) for a in sys.argv[1:]] or [1, 5, 20]
+    args = [a for a in sys.argv[1:] if a != "--skew-json"]
+    scales = [int(a) for a in args] or [1, 5, 20]
+    if "--skew-json" in sys.argv[1:]:
+        skew_series_json(scales)
+        return
     spark = get_spark(app_name="stress")
     spark.sparkContext.setLogLevel("ERROR")
     spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).count()  # warmup
