@@ -76,97 +76,86 @@ def _load_all() -> None:
 # registered queries per round, so ``all_specs`` surfaces queries with NO
 # driver-side correctness evidence (or changed since their last green row)
 # ahead of queries whose green rows already stand from a prior round.
-# Round 4 rotation (r1-r3 evidenced 141/360 unique, all ever-green):
-# 50 names with ZERO driver rows, drawn per the round-3 plan — the
-# BENCHED extension families first (so the headline bench set is 100%
-# driver-evidenced), then everything CHANGED this round, then stratum (a)
-# of the backlog (the round-3 extension pass: graph family, bloom join,
-# streams, stats_* families, retrieval, BPE, sampling, data quality,
-# sketches) in registration order.  Every name passes the local
-# one-session driver replica (tests/test_oracle.py), so rotation is pure
-# evidence collection.  ~3 more rounds at 50/round drains the remaining
-# backlog (stratum (b): second-half dedup variants, recsys/bandit evals,
-# calendars, remaining stats tail).  Names not listed keep registration
+# Round 5 rotation (r1-r4 evidenced 190/362 unique, all ever-green; 172
+# never driver-checked before this round): first everything CHANGED or
+# ADDED in round 5 (the two new lake roundtrips completing all four
+# entity schemas; the two release/artist roundtrips whose write path
+# gained the master year-collision branch; heaps-law's empty-checkpoint
+# filter; the two queries through decode_features' new probe-gated
+# closure), then the next 43 never-driver-checked names in REGISTRATION
+# ORDER — stratum (b), the second-half additions: the multimodal family,
+# then the window/agg/scalar/recsys tail.  Every name passes the local
+# one-session driver replica (tests/test_oracle.py), so rotation stays
+# pure evidence collection.  After r05: 129 never-checked remain (~3
+# rounds at 50/round, r06-r08).  Names not listed keep registration
 # order after these; unknown names are rejected by a test.
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    # benched, never driver-checked — headline set gets full evidence
-    "graph_triangle_count",
-    "graph_pagerank_coorder",
-    "sessions_max_concurrency",
-    "kmeans_embeddings_fixed",
-    "text_search_inverted_topk",
-    "text_search_bm25_topk",
-    "lm_bigram_surprisal",
-    "feature_hashing_vectorize",
-    # changed or added this round — needs fresh evidence
-    # (dedup_minhash_lsh is r2-green but its builder path was refactored
-    # this round — minhash_bands_df split + cap parameters — so the
-    # rotation rule "changed since last green row" re-windows it)
+    # added this round — all four entity schemas now roundtrip the lake
+    "xml_ingest_roundtrip_master",
+    "xml_ingest_roundtrip_label",
+    # changed this round — re-windowed per the rotation rule
+    "xml_ingest_roundtrip",
+    "xml_ingest_roundtrip_artist",
     "corpus_heaps_law_fit",
-    "corpus_token_budget_planner",
-    "stats_ks_two_sample",
-    "supplier_greedy_cover",
-    "stream_events_lake_roundtrip",
-    "stream_hourly_error_rate",
-    "dedup_minhash_lsh",
-    # stratum (a): round-3 extension families, zero driver rows
-    "dedup_jaccard_prefix_filter",
-    "bpe_learn_merges",
-    "join_bloom_runtime_filter",
-    "graph_label_propagation",
-    "graph_clustering_coefficient",
-    "assoc_rules_coorder",
-    "agg_mode_per_user",
-    "agg_equidepth_deciles",
-    "attribution_first_vs_last",
-    "data_quality_report",
-    "data_quality_referential",
-    "stream_sliding_window",
-    "stream_global_topk_users",
-    "stream_static_enrich",
-    "keywords_per_doc",
-    "sample_weighted_per_source",
-    "stats_benford_first_digit",
-    "events_dau_wau_stickiness",
-    "stats_hhi_supplier_concentration",
-    "orders_interpurchase_gap",
-    "stats_welch_ttest",
-    "stats_chi_square_lang_source",
-    "stats_entropy_by_source",
-    "stats_gini_revenue_by_nation",
-    "stats_zipf_slope_by_lang",
-    "stats_ewma_per_user",
-    "stats_mad_by_event_type",
-    "stats_seasonal_adjust_daily",
-    "stats_wilson_ci_daily",
-    "stats_trend_slope_per_user",
-    "orders_cohort_ltv",
-    "skew_report_join_keys",
-    "sketch_countmin_heavy_hitters",
-    "xml_datasource_scan",
-    "xml_datasource_stream_scan",
-    # ROUND-5 ROTATION NOTE: once CORRECTNESS_r04 lands green, replace
-    # this tuple with the next 50 of the 171 still-never-driver-checked
-    # names, by registration order (stratum (a) is drained after r04;
-    # what remains is stratum (b) — the second-half additions).  First
-    # up by registration order: the multimodal family (resize_nn,
-    # audio_frames, phash_dedup, media_summary), window/agg tail
-    # (time_weighted_avg, profile, incremental_agg_merge, histogram,
-    # anomaly_zscore, pareto, null_safe_equality, scd2, markov,
-    # backlog_curve, funnel_time_to_convert, explode_outer, variant,
-    # top_paths, rfm, rolling_median, burst_users, growth_mom,
-    # new_vs_returning, weighted_median, gap_islands,
-    # approx_percentile_eval, rolling_percentile_7d, higher_order_maps,
-    # table_diff, range_band_pricing, try_safe_casts,
-    # duplicate_payments, skyline, link_prediction, business_days,
-    # abc_xyz, bandit_greedy_replay, recsys_holdout_hitrate,
-    # littles_law, fiscal_445, scorecard, topn_others, conformance,
-    # single_source_risk, revenue_bridge, edge_triangle_support,
-    # allocation, wilson_lower_bound, runlength, aging_buckets,
-    # degree_assortativity) — then ~121 remain for r06-r07; plus any
-    # query whose code changed in round 5.  Every candidate is green in
-    # the local one-session driver replica, so rotation stays pure
-    # evidence collection.
+    "multimodal_decode_features",
+    "multimodal_frame_sample",
+    # stratum (b) backlog, registration order — zero driver rows yet
+    "multimodal_resize_nn",
+    "multimodal_audio_frames",
+    "multimodal_phash_dedup",
+    "multimodal_media_summary",
+    "events_time_weighted_avg",
+    "table_profile_orders",
+    "incremental_agg_merge",
+    "histogram_fixed_bins",
+    "events_anomaly_zscore",
+    "pareto_cum_revenue_share",
+    "join_null_safe_equality",
+    "scd2_dimension_intervals",
+    "events_markov_transitions",
+    "orders_backlog_curve",
+    "funnel_time_to_convert",
+    "explode_outer_semantics",
+    "variant_semistructured_events",
+    "events_top_paths",
+    "orders_rfm_segments",
+    "window_rolling_median",
+    "events_burst_users",
+    "growth_mom_by_nation",
+    "users_new_vs_returning",
+    "agg_weighted_median",
+    "window_gap_islands",
+    "agg_approx_percentile_eval",
+    "window_rolling_percentile_7d",
+    "scalar_higher_order_maps",
+    "table_diff_snapshots",
+    "join_range_band_pricing",
+    "scalar_try_safe_casts",
+    "orders_duplicate_payments",
+    "skyline_pareto_frontier",
+    "graph_link_prediction_jaccard",
+    "scalar_business_days_gap",
+    "inventory_abc_xyz_matrix",
+    "bandit_greedy_replay",
+    "recsys_holdout_hitrate",
+    "events_littles_law_report",
+    "orders_fiscal_445_revenue",
+    "supplier_scorecard_composite",
+    "topn_with_others_rollup",
+    "process_conformance_sessions",
+    # ROUND-6 ROTATION NOTE: once CORRECTNESS_r05 lands green, replace
+    # this tuple with the next 50 of the 129 still-never-driver-checked
+    # names by registration order — continuing stratum (b) from
+    # supply_single_source_risk / revenue_bridge_price_volume /
+    # graph_edge_triangle_support / allocation_largest_remainder /
+    # rank_wilson_lower_bound / events_runlength_encode /
+    # orders_open_aging_buckets / graph_degree_assortativity /
+    # customer_wallet_share_deciles / credit_risk_exposure /
+    # audit_sequence_gaps / parts_bundle_detection /
+    # supplier_leadtime_p90 / customers_churned_1997 /
+    # conversion_by_session_depth / orders_otif_rate /
+    # features_target_encoding_loo onward — plus any query whose code
+    # changes in round 6.  ~79 then remain for r07-r08.
 )
 
 
