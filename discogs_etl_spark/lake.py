@@ -180,6 +180,22 @@ def read_lake(spark: SparkSession, root: str, data_type: str) -> DataFrame:
     )
 
 
+def read_lake_partition(
+    spark: SparkSession, root: str, data_type: str, year: int, month: str
+) -> DataFrame:
+    """DATA columns of ONE monthly partition, partition-BLIND: reads the
+    leaf directory directly, so a data column named like a partition
+    (master's ``year``, reference schema.py:16) comes back as the kernel
+    parsed it instead of shadowed by the path value.  For non-colliding
+    entities this equals ``read_lake(...).where(partition).drop(year,
+    month)`` — minus the partition-discovery scan — which is why the
+    lake-maintenance rewrites (compact/upsert) read through HERE: they
+    must rewrite the partition's FILE CONTENT, and the shadowed view
+    would silently swap master's release year for the dump date."""
+    leaf = os.path.join(lake_path(root, data_type), f"year={int(year)}", f"month={month}")
+    return spark.read.parquet(leaf)
+
+
 def compact_lake(
     spark: SparkSession,
     root: str,
@@ -197,7 +213,6 @@ def compact_lake(
 
     Returns the number of partitions rewritten."""
     path = lake_path(root, data_type)
-    part_df = read_lake(spark, root, data_type)
     # Partition list from the DIRECTORY LAYOUT (two levels of listStatus),
     # never a data scan: a groupBy over the lake just to enumerate
     # (year, month) would read every row of a 100 TB table per
@@ -223,10 +238,14 @@ def compact_lake(
         n_files = max(1, int(total_mb // target_file_mb) + (1 if total_mb % target_file_mb else 0))
         if n_files >= len(files):
             continue  # already at or below target granularity
-        month_df = part_df.where((F.col("year") == y) & (F.col("month") == m)).drop(
-            "year", "month"
+        # partition-blind leaf read: rewrites file CONTENT, so master's
+        # data `year` must come from the files, not the shadowing path
+        month_df = read_lake_partition(spark, root, data_type, y, m)
+        # the rewrite reads the very files the overwrite deletes —
+        # materialize before writing (same hazard upsert_lake documents)
+        write_lake(
+            month_df.repartition(n_files).localCheckpoint(), root, data_type, y, m
         )
-        write_lake(month_df.repartition(n_files), root, data_type, y, m)
         rewritten += 1
     return rewritten
 
@@ -281,11 +300,10 @@ def upsert_lake(
     # Hadoop FS, not os.path.isdir: on s3a://hdfs:// the latter is always
     # False, which would silently drop every existing same-month record.
     if fs_exists(spark, part_dir):
-        existing = (
-            read_lake(spark, root, data_type)
-            .where((F.col("year") == int(year)) & (F.col("month") == str(month)))
-            .drop("year", "month")
-        )
+        # partition-blind leaf read: DATA columns exactly as written, so
+        # (a) master's data `year` isn't shadowed by the path value and
+        # (b) unionByName lines up with new_df's full schema
+        existing = read_lake_partition(spark, root, data_type, year, month)
         kept = existing.join(new_df.select(key), on=key, how="left_anti")
         merged = kept.unionByName(new_df)
     else:

@@ -102,16 +102,22 @@ REAL_DECODE_CONF = "spark.discogs_etl_spark.multimodal.realDecode"
 _REAL_DECODE_ENV = "DISCOGS_ETL_SPARK_REAL_DECODE"
 
 
+def _truthy(v: str) -> bool:
+    return v.strip().lower() in ("1", "true", "yes")
+
+
 def real_decode_requested() -> bool:
     import os
 
     env = os.environ.get(_REAL_DECODE_ENV)
     if env is not None:
-        return env.strip().lower() in ("1", "true", "yes")
+        return _truthy(env)
     s = SparkSession.getActiveSession()
     if s is None:
         return False
-    return s.conf.get(REAL_DECODE_CONF, "false").lower() == "true"
+    # same truthy forms as the env var — conf.set(..., '1') must not
+    # silently leave the fake decoder active
+    return _truthy(s.conf.get(REAL_DECODE_CONF, "false"))
 
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
@@ -140,9 +146,16 @@ def decode_png(data: bytes):
     while pos + 8 <= len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         ctype = data[pos + 4 : pos + 8]
+        if pos + 8 + length > len(data):
+            # truncated payload or corrupt chunk length — the error
+            # contract is ValueError for ALL malformed input, never a
+            # struct.error leaking from a short unpack
+            raise ValueError("PNG truncated: chunk extends past end of data")
         body = data[pos + 8 : pos + 8 + length]
         pos += 12 + length  # length + type + data + crc
         if ctype == b"IHDR":
+            if len(body) != 13:
+                raise ValueError("PNG malformed: IHDR must be 13 bytes")
             width, height, depth, color, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )

@@ -79,16 +79,22 @@ def _lake_root() -> str:
     return os.path.join(ROUNDTRIP_ROOT, "lake")
 
 
-def _stage_dump() -> str:
-    """Write the gzipped golden dump to its deterministic path (idempotent:
-    rewrite every time so a stale fixture from an older code version can
-    never leak into this run's lake)."""
+def _stage(name: str, xml: bytes) -> str:
+    """Write one gzipped golden dump to its deterministic path
+    (idempotent: rewrite every time so a stale fixture from an older
+    code version can never leak into this run's lake).  One helper for
+    all four entity dumps — the staging contract must not drift per
+    entity."""
     dump_dir = os.path.join(ROUNDTRIP_ROOT, "dumps")
     os.makedirs(dump_dir, exist_ok=True)
-    path = os.path.join(dump_dir, _DUMP_NAME)
+    path = os.path.join(dump_dir, name)
     with gzip.open(path, "wb") as f:
-        f.write(_GOLDEN_RELEASES_XML)
+        f.write(xml)
     return path
+
+
+def _stage_dump() -> str:
+    return _stage(_DUMP_NAME, _GOLDEN_RELEASES_XML)
 
 
 _ROUNDTRIP_ORACLE = f"""
@@ -288,12 +294,7 @@ _ARTIST_DUMP_NAME = "discogs_20240301_artists.xml.gz"
 
 
 def _stage_artist_dump() -> str:
-    dump_dir = os.path.join(ROUNDTRIP_ROOT, "dumps")
-    os.makedirs(dump_dir, exist_ok=True)
-    path = os.path.join(dump_dir, _ARTIST_DUMP_NAME)
-    with gzip.open(path, "wb") as f:
-        f.write(_GOLDEN_ARTISTS_XML)
-    return path
+    return _stage(_ARTIST_DUMP_NAME, _GOLDEN_ARTISTS_XML)
 
 
 _ARTIST_ROUNDTRIP_ORACLE = f"""
@@ -381,12 +382,7 @@ _MASTER_DUMP_NAME = "discogs_20240601_masters.xml.gz"
 
 
 def _stage_master_dump() -> str:
-    dump_dir = os.path.join(ROUNDTRIP_ROOT, "dumps")
-    os.makedirs(dump_dir, exist_ok=True)
-    path = os.path.join(dump_dir, _MASTER_DUMP_NAME)
-    with gzip.open(path, "wb") as f:
-        f.write(_GOLDEN_MASTERS_XML)
-    return path
+    return _stage(_MASTER_DUMP_NAME, _GOLDEN_MASTERS_XML)
 
 
 # Partition-BLIND read of the written files (hive_partitioning=false +
@@ -503,12 +499,7 @@ _LABEL_DUMP_NAME = "discogs_20241101_labels.xml.gz"
 
 
 def _stage_label_dump() -> str:
-    dump_dir = os.path.join(ROUNDTRIP_ROOT, "dumps")
-    os.makedirs(dump_dir, exist_ok=True)
-    path = os.path.join(dump_dir, _LABEL_DUMP_NAME)
-    with gzip.open(path, "wb") as f:
-        f.write(_GOLDEN_LABELS_XML)
-    return path
+    return _stage(_LABEL_DUMP_NAME, _GOLDEN_LABELS_XML)
 
 
 _LABEL_ROUNDTRIP_ORACLE = f"""
@@ -534,9 +525,12 @@ def xml_ingest_roundtrip_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     completing driver evidence for all four SCHEMAS entries.  Pins the
     label path's newline PRESERVATION (contactinfo/profile keep '\\n' —
     every other entity's streaming repair collapses it), the
-    width-first image struct, sublabel text lists (their <label>
-    children must not parse as records), and the November partition
-    deriving from the FILENAME."""
+    width-first image struct, the sublabels text list riding through
+    the lake, and the November partition deriving from the FILENAME.
+    (That sublabel <label> CHILDREN never parse as records is pinned by
+    the local kernel test test_label_dirty_wrapper_and_sublabels, not
+    here: both sides of this oracle read the same WRITTEN files, so a
+    husk row would appear identically on both and still match.)"""
     from discogs_etl_spark.lake import ingest_dump_to_lake, read_lake
 
     dump = _stage_label_dump()

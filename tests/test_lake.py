@@ -290,3 +290,32 @@ def test_write_lake_master_year_collision(spark, tmp_path):
     write_lake(df, root, "master", 2024, "06")
     write_lake(df, root, "master", 2024, "07")
     assert read_lake(spark, root, "master").count() == 4
+
+
+def test_compact_and_upsert_preserve_master_data_year(spark, tmp_path):
+    """Lake maintenance must rewrite master partitions from the FILES
+    (partition-blind), never the shadowed hive view — compaction and
+    upsert both used to swap the parsed release year for the dump date
+    (or crash on the missing column)."""
+    from discogs_etl_spark.lake import compact_lake, upsert_lake
+
+    root = str(tmp_path / "lake")
+    df = spark.createDataFrame(
+        [(1, 1985, "a"), (2, 0, "b"), (3, 1999, "c"), (4, 2001, "d")],
+        "id long, year int, title string",
+    )
+    # many small files so compaction has something to do
+    write_lake(df.repartition(4), root, "master", 2024, "06")
+    assert compact_lake(spark, root, "master", target_file_mb=1024) == 1
+    blind = spark.read.parquet(root + "/masters/year=2024/month=06")
+    assert {r["year"] for r in blind.select("year").collect()} == {1985, 0, 1999, 2001}
+    assert blind.count() == 4
+
+    # record-level correction: replace id=2, add id=5 — data years intact
+    fix = spark.createDataFrame(
+        [(2, 1972, "b2"), (5, 2010, "e")], "id long, year int, title string"
+    )
+    upsert_lake(spark, fix, root, "master", 2024, "06")
+    after = spark.read.parquet(root + "/masters/year=2024/month=06")
+    got = {(r["id"], r["year"]) for r in after.select("id", "year").collect()}
+    assert got == {(1, 1985), (2, 1972), (3, 1999), (4, 2001), (5, 2010)}
