@@ -319,3 +319,21 @@ def test_compact_and_upsert_preserve_master_data_year(spark, tmp_path):
     after = spark.read.parquet(root + "/masters/year=2024/month=06")
     got = {(r["id"], r["year"]) for r in after.select("id", "year").collect()}
     assert got == {(1, 1985), (2, 1972), (3, 1999), (4, 2001), (5, 2010)}
+
+
+def test_master_lake_prunes_on_shadowed_year(spark, tmp_path):
+    """The hive view of a colliding schema must still PRUNE on year/month:
+    the partition value shadows master's data column in the scan output,
+    and the same partition index drives file skipping — the scale
+    property the leaf-write design banks on."""
+    root = str(tmp_path / "lake")
+    df = spark.createDataFrame(
+        [(1, 1985, "a"), (2, 0, "b")], "id long, year int, title string"
+    )
+    write_lake(df, root, "master", 2024, "06")
+    write_lake(df, root, "master", 2025, "01")
+    back = read_lake(spark, root, "master")
+    one = back.where((F.col("year") == 2025) & (F.col("month") == "01"))
+    assert one.count() == 2
+    filters = _partition_filters(one)
+    assert "(year" in filters and "(month" in filters
