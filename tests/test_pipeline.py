@@ -15,19 +15,23 @@ from discogs_etl_spark.pipeline import (
 )
 from discogs_etl_spark.lake import read_lake
 from discogs_etl_spark.sources.manifest import parse_checksum_manifest
-from tests.test_xml_ingest import ARTIST_XML, RELEASE_XML
+from tests.test_xml_ingest import ARTIST_XML, MASTER_XML, RELEASE_XML
 
 
 def test_backfill_multi_dump(spark, tmp_path):
     # two months of releases (the older 03-01 file must lose to 03-15 within
-    # its month), plus an artists dump — mixed types in one backfill
+    # its month), plus an artists dump and a masters dump (the schema whose
+    # data `year` collides with the partition — the backfill must route it
+    # through write_lake's leaf branch) — mixed types in one backfill
     d1 = tmp_path / "discogs_20190301_releases.xml.gz"
     d2 = tmp_path / "discogs_20190315_releases.xml.gz"
     d3 = tmp_path / "discogs_20190401_releases.xml.gz"
     d4 = tmp_path / "discogs_20190301_artists.xml.gz"
+    d5 = tmp_path / "discogs_20190301_masters.xml.gz"
     for p in (d1, d2, d3):
         p.write_bytes(gzip.compress(RELEASE_XML))
     d4.write_bytes(gzip.compress(ARTIST_XML))
+    d5.write_bytes(gzip.compress(MASTER_XML))
 
     sha = hashlib.sha256(gzip.compress(RELEASE_XML)).hexdigest()
     manifest = "\n".join(
@@ -40,12 +44,12 @@ def test_backfill_multi_dump(spark, tmp_path):
 
     root = str(tmp_path / "lake")
     results = backfill(
-        spark, [str(p) for p in (d1, d2, d3, d4)], root, checksums=checksums
+        spark, [str(p) for p in (d1, d2, d3, d4, d5)], root, checksums=checksums
     )
 
     # latest-per-(month, type): 03-01 releases dropped in favor of 03-15
     names = {r.filename for r in results}
-    assert names == {d2.name, d3.name, d4.name}
+    assert names == {d2.name, d3.name, d4.name, d5.name}
 
     audit = {r["filename"]: r for r in audit_table(spark, results).collect()}
     assert audit[d2.name]["checksum_ok"] is True
@@ -60,6 +64,9 @@ def test_backfill_multi_dump(spark, tmp_path):
     }
     artists = read_lake(spark, root, "artist")
     assert artists.count() > 0
+    # master rode the leaf-write branch: files keep the PARSED data year
+    blind = spark.read.parquet(root + "/masters/year=2019/month=03")
+    assert {r["year"] for r in blind.select("year").collect()} == {1985, 0}
 
 
 def test_backfill_from_urls_end_to_end(spark, tmp_path):
