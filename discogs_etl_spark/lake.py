@@ -173,7 +173,12 @@ def read_lake(spark: SparkSession, root: str, data_type: str) -> DataFrame:
     types per-column instead of toggling
     spark.sql.sources.partitionColumnTypeInference.enabled keeps this
     safe under CONCURRENT reads on one session (the conf toggle was
-    session-global and raced)."""
+    session-global and raced).
+
+    For master, the partition ``year`` SHADOWS the schema's data
+    ``year`` in this view (both Spark and DuckDB resolve the collision
+    that way — see write_lake); consumers needing the parsed release
+    year read partition-blind via read_lake_partition / a leaf glob."""
     df = spark.read.parquet(lake_path(root, data_type))
     return df.withColumn("year", F.col("year").cast("int")).withColumn(
         "month", F.lpad(F.col("month").cast("string"), 2, "0")
