@@ -550,3 +550,77 @@ def xml_ingest_roundtrip_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         "year",
         "month",
     )
+
+
+# Correction dump for the maintenance roundtrip: a re-issued record
+# (5002 gains its year) plus a late addition (5003) — the reference's
+# correction-run scenario upsert_lake implements as parquet-native MERGE.
+_GOLDEN_MASTERS_FIX_XML = b"""<masters>
+  <master id="5002">
+    <year>1990</year>
+    <title>Bare Fixed</title>
+  </master>
+  <master id="5003">
+    <year>2003</year>
+    <title>Late Addition</title>
+  </master>
+</masters>
+"""
+
+
+_MAINTENANCE_ORACLE = """
+    SELECT * FROM (VALUES
+        (CAST(5001 AS BIGINT), 'Master One', CAST(1985 AS INT),
+         CAST(1 AS INT), CAST(2024 AS INT), '06'),
+        (CAST(5002 AS BIGINT), 'Bare Fixed', CAST(1990 AS INT),
+         CAST(1 AS INT), CAST(2024 AS INT), '06'),
+        (CAST(5003 AS BIGINT), 'Late Addition', CAST(2003 AS INT),
+         CAST(1 AS INT), CAST(2024 AS INT), '06')
+    ) AS t(id, title, data_year, n_compacted, part_year, part_month)
+"""
+
+
+@register(
+    "lake_maintenance_roundtrip",
+    oracle=_MAINTENANCE_ORACLE,
+    tags=("etl", "lake", "compaction", "upsert", "maintenance"),
+)
+def lake_maintenance_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAKE MAINTENANCE end-to-end on the collision-bearing entity:
+    many-file master write → compact_lake (partition rewritten from the
+    FILES, so the parsed release years survive — the exact path the
+    round-5 review found silently swapping data years for dump dates
+    when it read the shadowed hive view) → upsert_lake correction run
+    (record-level MERGE: 5002 re-issued with its year, 5003 added) →
+    partition-blind read of the final bytes.
+
+    The oracle is the expected END STATE pinned as SQL VALUES — unlike
+    the written-files roundtrip oracles, a VALUES pin catches
+    maintenance bugs that corrupt BOTH readers' view (lost rows,
+    clobbered years, duplicate keys).  ``n_compacted`` carries
+    compact_lake's return value (1 partition rewritten) so a silently
+    skipped compaction also fails the match.  Partition values are
+    re-derived from each file's path, pinning that maintenance never
+    moved the June leaf."""
+    from discogs_etl_spark.lake import compact_lake, lake_path, upsert_lake, write_lake
+    from discogs_etl_spark.sources.xml_ingest import ingest_xml, ingest_xml_bytes
+
+    root = os.path.join(ROUNDTRIP_ROOT, "maintenance_lake")
+    dump = _stage_master_dump()
+    base = ingest_xml(spark, dump, "master").repartition(4)
+    write_lake(base, root, "master", 2024, "06")
+    n_compacted = compact_lake(spark, root, "master", target_file_mb=1024)
+    fix = ingest_xml_bytes(spark, _GOLDEN_MASTERS_FIX_XML, "master")
+    upsert_lake(spark, fix, root, "master", 2024, "06")
+
+    files = os.path.join(lake_path(root, "master"), "*", "*", "*.parquet")
+    back = spark.read.parquet(files)
+    fpath = F.col("_metadata.file_path")
+    return back.select(
+        "id",
+        "title",
+        F.col("year").cast("int").alias("data_year"),
+        F.lit(n_compacted).cast("int").alias("n_compacted"),
+        F.regexp_extract(fpath, r"year=(\d+)", 1).cast("int").alias("part_year"),
+        F.regexp_extract(fpath, r"month=(\d+)", 1).alias("part_month"),
+    )

@@ -82,17 +82,23 @@ def _load_all() -> None:
 # entity schemas; the two release/artist roundtrips whose write path
 # gained the master year-collision branch; heaps-law's empty-checkpoint
 # filter; the two queries through decode_features' new probe-gated
-# closure), then the next 43 never-driver-checked names in REGISTRATION
-# ORDER — stratum (b), the second-half additions: the multimodal family,
-# then the window/agg/scalar/recsys tail.  Every name passes the local
-# one-session driver replica (tests/test_oracle.py), so rotation stays
-# pure evidence collection.  After r05: 129 never-checked remain (~3
-# rounds at 50/round, r06-r08).  Names not listed keep registration
-# order after these; unknown names are rejected by a test.
+# closure; the maintenance roundtrip driver-evidencing the
+# compact/upsert path the round-5 review found corrupting master's
+# data year), then the next 42 never-driver-checked names in
+# REGISTRATION ORDER — stratum (b), the second-half additions: the
+# multimodal family, then the window/agg/scalar/recsys tail.  Every
+# name passes the local one-session driver replica
+# (tests/test_oracle.py), so rotation stays pure evidence collection.
+# After r05: 130 never-checked remain (~3 rounds at 50/round,
+# r06-r08).  Names not listed keep registration order after these;
+# unknown names are rejected by a test.
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    # added this round — all four entity schemas now roundtrip the lake
+    # added this round — all four entity schemas now roundtrip the lake,
+    # and lake MAINTENANCE (compact + upsert on the collision entity)
+    # earns driver evidence against a VALUES-pinned end state
     "xml_ingest_roundtrip_master",
     "xml_ingest_roundtrip_label",
+    "lake_maintenance_roundtrip",
     # changed this round — re-windowed per the rotation rule
     "xml_ingest_roundtrip",
     "xml_ingest_roundtrip_artist",
@@ -142,10 +148,10 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "orders_fiscal_445_revenue",
     "supplier_scorecard_composite",
     "topn_with_others_rollup",
-    "process_conformance_sessions",
     # ROUND-6 ROTATION NOTE: once CORRECTNESS_r05 lands green, replace
-    # this tuple with the next 50 of the 129 still-never-driver-checked
+    # this tuple with the next 50 of the 130 still-never-driver-checked
     # names by registration order — continuing stratum (b) from
+    # process_conformance_sessions /
     # supply_single_source_risk / revenue_bridge_price_volume /
     # graph_edge_triangle_support / allocation_largest_remainder /
     # rank_wilson_lower_bound / events_runlength_encode /
@@ -155,7 +161,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # supplier_leadtime_p90 / customers_churned_1997 /
     # conversion_by_session_depth / orders_otif_rate /
     # features_target_encoding_loo onward — plus any query whose code
-    # changes in round 6.  ~79 then remain for r07-r08.
+    # changes in round 6.  ~80 then remain for r07-r08.
 )
 
 
