@@ -605,7 +605,15 @@ def lake_maintenance_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from discogs_etl_spark.lake import compact_lake, lake_path, upsert_lake, write_lake
     from discogs_etl_spark.sources.xml_ingest import ingest_xml, ingest_xml_bytes
 
+    # dedicated root, wiped first: compact_lake walks EVERY partition and
+    # the final read globs them all, so a stale leaf left by an older
+    # code version (different month, extra files) would perturb both the
+    # VALUES-pinned row set and n_compacted — same directory-staleness
+    # rule as the stream-scan landing dir.
+    import shutil
+
     root = os.path.join(ROUNDTRIP_ROOT, "maintenance_lake")
+    shutil.rmtree(root, ignore_errors=True)
     dump = _stage_master_dump()
     base = ingest_xml(spark, dump, "master").repartition(4)
     write_lake(base, root, "master", 2024, "06")
