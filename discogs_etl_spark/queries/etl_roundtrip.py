@@ -97,6 +97,23 @@ def _stage_dump() -> str:
     return _stage(_DUMP_NAME, _GOLDEN_RELEASES_XML)
 
 
+def _blind_master_read(spark: SparkSession, root: str) -> DataFrame:
+    """Partition-BLIND scan of a master lake with the partition values
+    re-derived from each file's own path (``part_year``/``part_month``)
+    — the one shared definition of the blind-read contract both
+    master-pinning oracles depend on (leaf glob depth, path regexp,
+    casts); keep it here so the two cannot drift apart."""
+    from discogs_etl_spark.lake import lake_path
+
+    files = os.path.join(lake_path(root, "master"), "*", "*", "*.parquet")
+    fpath = F.col("_metadata.file_path")
+    return spark.read.parquet(files).select(
+        "*",
+        F.regexp_extract(fpath, r"year=(\d+)", 1).cast("int").alias("part_year"),
+        F.regexp_extract(fpath, r"month=(\d+)", 1).alias("part_month"),
+    )
+
+
 _ROUNDTRIP_ORACLE = f"""
     SELECT id, status, title, country, released, notes,
            -- the kernel writes empty lists, never NULL lists (reference
@@ -434,16 +451,14 @@ def xml_ingest_roundtrip_master(spark: SparkSession, sf_dir: str) -> DataFrame:
     for colliding schemas).  Both sides read the files partition-BLIND
     and re-derive the partition values from each file's path, so the
     FILENAME-derived June layout is pinned too."""
-    from discogs_etl_spark.lake import ingest_dump_to_lake, lake_path
+    from discogs_etl_spark.lake import ingest_dump_to_lake
 
     dump = _stage_master_dump()
     ingest_dump_to_lake(spark, dump, _lake_root())
-    files = os.path.join(lake_path(_lake_root(), "master"), "*", "*", "*.parquet")
-    back = spark.read.parquet(files)
+    back = _blind_master_read(spark, _lake_root())
     art0 = F.try_element_at("artists", F.lit(1))
     vid0 = F.try_element_at("videos", F.lit(1))
     vid1 = F.try_element_at("videos", F.lit(2))
-    fpath = F.col("_metadata.file_path")
     return back.select(
         "id",
         F.col("main_release").cast("long").alias("main_release"),
@@ -463,8 +478,8 @@ def xml_ingest_roundtrip_master(spark: SparkSession, sf_dir: str) -> DataFrame:
         vid0.getField("title").alias("vid0_title"),
         vid1.getField("duration").cast("int").alias("vid1_duration"),
         vid1.getField("embed").cast("int").alias("vid1_embed"),
-        F.regexp_extract(fpath, r"year=(\d+)", 1).cast("int").alias("part_year"),
-        F.regexp_extract(fpath, r"month=(\d+)", 1).alias("part_month"),
+        "part_year",
+        "part_month",
     )
 
 
@@ -602,7 +617,7 @@ def lake_maintenance_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     skipped compaction also fails the match.  Partition values are
     re-derived from each file's path, pinning that maintenance never
     moved the June leaf."""
-    from discogs_etl_spark.lake import compact_lake, lake_path, upsert_lake, write_lake
+    from discogs_etl_spark.lake import compact_lake, upsert_lake, write_lake
     from discogs_etl_spark.sources.xml_ingest import ingest_xml, ingest_xml_bytes
 
     # dedicated root, wiped first: compact_lake walks EVERY partition and
@@ -621,14 +636,11 @@ def lake_maintenance_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     fix = ingest_xml_bytes(spark, _GOLDEN_MASTERS_FIX_XML, "master")
     upsert_lake(spark, fix, root, "master", 2024, "06")
 
-    files = os.path.join(lake_path(root, "master"), "*", "*", "*.parquet")
-    back = spark.read.parquet(files)
-    fpath = F.col("_metadata.file_path")
-    return back.select(
+    return _blind_master_read(spark, root).select(
         "id",
         "title",
         F.col("year").cast("int").alias("data_year"),
         F.lit(n_compacted).cast("int").alias("n_compacted"),
-        F.regexp_extract(fpath, r"year=(\d+)", 1).cast("int").alias("part_year"),
-        F.regexp_extract(fpath, r"month=(\d+)", 1).alias("part_month"),
+        "part_year",
+        "part_month",
     )
