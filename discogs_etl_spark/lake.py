@@ -134,14 +134,18 @@ def write_lake(
     same two views the reference's lake exposes.  Per-month idempotency
     is overwrite-the-leaf, the same semantics dynamic partition
     overwrite gives the non-colliding entities."""
+    # canonicalize to the layout contract (month zero-padded string,
+    # README.md:89-90) so an int-month caller cannot fork month=6 and
+    # month=06 leaves of the same partition
+    month = str(month).zfill(2)
     path = lake_path(root, data_type)
     if "year" in df.columns or "month" in df.columns:
-        leaf = os.path.join(path, f"year={int(year)}", f"month={str(month)}")
+        leaf = os.path.join(path, f"year={int(year)}", f"month={month}")
         df.write.mode(mode).parquet(leaf)
         return path
     (
         df.withColumn("year", F.lit(int(year)))
-        .withColumn("month", F.lit(str(month)))
+        .withColumn("month", F.lit(month))
         .write.partitionBy("year", "month")
         .option("partitionOverwriteMode", "dynamic")
         .mode(mode)
@@ -197,7 +201,9 @@ def read_lake_partition(
     lake-maintenance rewrites (compact/upsert) read through HERE: they
     must rewrite the partition's FILE CONTENT, and the shadowed view
     would silently swap master's release year for the dump date."""
-    leaf = os.path.join(lake_path(root, data_type), f"year={int(year)}", f"month={month}")
+    leaf = os.path.join(
+        lake_path(root, data_type), f"year={int(year)}", f"month={str(month).zfill(2)}"
+    )
     return spark.read.parquet(leaf)
 
 
@@ -301,6 +307,7 @@ def upsert_lake(
     monthly-batch cadence guarantees that; a multi-writer deployment
     should move to a transactional table format instead."""
     path = lake_path(root, data_type)
+    month = str(month).zfill(2)  # same canonicalization as write_lake
     part_dir = os.path.join(path, f"year={int(year)}", f"month={month}")
     # Hadoop FS, not os.path.isdir: on s3a://hdfs:// the latter is always
     # False, which would silently drop every existing same-month record.

@@ -337,3 +337,19 @@ def test_master_lake_prunes_on_shadowed_year(spark, tmp_path):
     assert one.count() == 2
     filters = _partition_filters(one)
     assert "(year" in filters and "(month" in filters
+
+
+def test_write_lake_normalizes_int_month(spark, tmp_path):
+    """An int-month caller must land in the canonical zero-padded leaf on
+    BOTH write branches — month=6 and month=06 forking one partition is
+    the layout bug this pins out."""
+    root = str(tmp_path / "lake")
+    plain = spark.createDataFrame([(1, "a")], "id long, title string")
+    write_lake(plain, root, "release", 2024, 6)
+    colliding = spark.createDataFrame([(1, 1985, "a")], "id long, year int, title string")
+    write_lake(colliding, root, "master", 2024, 6)
+    import os as _os
+
+    assert _os.path.isdir(root + "/releases/year=2024/month=06")
+    assert _os.path.isdir(root + "/masters/year=2024/month=06")
+    assert read_lake(spark, root, "release").count() == 1
