@@ -14,7 +14,10 @@ oracle-checkable).  The REAL path is probe-gated per session
 (``spark.discogs_etl_spark.multimodal.realDecode`` conf or the
 ``DISCOGS_ETL_SPARK_REAL_DECODE`` env var — no code edit needed); on it,
 PNG images genuinely decode bytes→pixels via the stdlib ``zlib``+
-``struct`` decoder below (true dimensions, all five scanline filters),
+``struct`` decoder below (true dimensions, all five scanline filters,
+inflate bounded by the IHDR-promised size so a hostile IDAT cannot
+decompression-bomb an executor) and RIFF/WAVE PCM audio parses to true
+sample rate / channels / duration / frame count via ``struct`` alone,
 while formats that need the absent media libraries raise the
 clearly-marked ``NotImplementedError``.  Everything else is real engine code:
 schemas, batch iteration, fan-out row generation, partitioning — and the
@@ -96,7 +99,8 @@ def with_payload(df: DataFrame) -> DataFrame:
 # captured into the mapInPandas closure — executors never probe confs.
 # What "real" buys today with zero extra libraries: PNG images decode
 # bytes→pixels via the stdlib zlib+struct decoder below (true IHDR
-# dimensions, all five scanline filters); other media formats still need
+# dimensions, all five scanline filters) and RIFF/WAVE PCM audio parses
+# to true duration/frames; other media formats still need
 # PIL/ffmpeg/librosa and raise the clearly-marked NotImplementedError.
 REAL_DECODE_CONF = "spark.discogs_etl_spark.multimodal.realDecode"
 _REAL_DECODE_ENV = "DISCOGS_ETL_SPARK_REAL_DECODE"
@@ -173,9 +177,21 @@ def decode_png(data: bytes):
             break
     if width is None or channels is None:
         raise ValueError("PNG missing IHDR")
-    raw = zlib.decompress(bytes(idat))
     stride = width * channels
-    if len(raw) != height * (1 + stride):
+    expected = height * (1 + stride)
+    # Bound the inflate by the size the IHDR promises BEFORE decompressing:
+    # a hostile few-KB IDAT must not be able to expand to gigabytes in
+    # executor memory (decompression bomb).  decompressobj + max_length
+    # stops at expected+1 bytes; anything past expected is malformed.
+    try:
+        dobj = zlib.decompressobj()
+        raw = dobj.decompress(bytes(idat), expected + 1)
+    except zlib.error as exc:
+        # error contract is ValueError for ALL malformed input
+        raise ValueError(f"PNG IDAT inflate failed: {exc}") from exc
+    if len(raw) > expected or dobj.unconsumed_tail:
+        raise ValueError("PNG IDAT inflates past IHDR-promised size")
+    if not dobj.eof or len(raw) != expected:
         raise ValueError("PNG IDAT length does not match dimensions")
     out = np.zeros((height, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
@@ -207,11 +223,68 @@ def decode_png(data: bytes):
     return width, height, out.reshape(height, width, channels)
 
 
+WAV_MAGIC = b"RIFF"
+
+
+def decode_wav(data: bytes):
+    """Stdlib-only RIFF/WAVE PCM header parse: bytes → (sample_rate,
+    channels, n_frames, duration_ms).
+
+    Walks the RIFF chunk list (fmt / data may be preceded by LIST, fact,
+    etc.), reads the PCM format block, and derives frame count from the
+    data chunk length — no librosa/ffmpeg needed.  Supports integer PCM
+    (format tag 1) and IEEE float (tag 3); compressed tags raise the
+    clearly-marked NotImplementedError.  Raises ValueError on malformed
+    input, mirroring decode_png's error contract."""
+    import struct
+
+    if len(data) < 12 or data[:4] != WAV_MAGIC or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV: bad RIFF/WAVE signature")
+    pos = 12
+    fmt = None
+    data_len = None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (length,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body_end = pos + 8 + length
+        if body_end > len(data):
+            raise ValueError("WAV truncated: chunk extends past end of data")
+        if cid == b"fmt ":
+            if length < 16:
+                raise ValueError("WAV malformed: fmt chunk under 16 bytes")
+            tag, channels, sample_rate, _byte_rate, block_align, bits = struct.unpack(
+                "<HHIIHH", data[pos + 8 : pos + 24]
+            )
+            if tag not in (1, 3):  # integer PCM / IEEE float
+                raise NotImplementedError(
+                    f"WAV format tag {tag}: only PCM/float supported without ffmpeg"
+                )
+            if channels == 0 or sample_rate == 0 or block_align == 0:
+                raise ValueError("WAV malformed: zero channels/rate/block align")
+            if block_align != channels * (bits // 8):
+                raise ValueError("WAV malformed: block align disagrees with fmt")
+            fmt = (sample_rate, channels, block_align)
+        elif cid == b"data":
+            data_len = length
+        # chunks are word-aligned: odd lengths carry a pad byte
+        pos = body_end + (length & 1)
+    if fmt is None or data_len is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    sample_rate, channels, block_align = fmt
+    if data_len % block_align:
+        raise ValueError("WAV malformed: data length not a whole frame count")
+    n_frames = data_len // block_align
+    duration_ms = (n_frames * 1000) // sample_rate
+    return sample_rate, channels, n_frames, duration_ms
+
+
 def _decode_one(payload: bytes, media_type: str, real: bool = False) -> dict:
     """The decode kernel.  With ``real=True`` (probe-gated, see
     REAL_DECODE_CONF) PNG image payloads decode bytes→pixels for TRUE
-    dimensions; everything else on the real path still needs the media
-    libraries this container lacks and raises the marked error."""
+    dimensions and RIFF/WAVE PCM audio parses to true duration/frames;
+    everything else on the real path (video, non-PNG images, compressed
+    audio) still needs the media libraries this container lacks and
+    raises the marked error."""
     if real:  # pragma: no cover - exercised directly in tests, not via conf
         if media_type == "image" and payload[:8] == PNG_MAGIC:
             w, ht, _px = decode_png(payload)
@@ -223,9 +296,19 @@ def _decode_one(payload: bytes, media_type: str, real: bool = False) -> dict:
                 "duration_ms": None,
                 "n_frames": None,
             }
+        if media_type == "audio" and payload[:4] == WAV_MAGIC:
+            _rate, _chans, n_frames, duration_ms = decode_wav(payload)
+            return {
+                "byte_len": len(payload),
+                "content_md5": hashlib.md5(payload).hexdigest(),
+                "width": None,
+                "height": None,
+                "duration_ms": duration_ms,
+                "n_frames": n_frames,
+            }
         raise NotImplementedError(
-            "real media decode beyond stdlib PNG requires PIL/ffmpeg/librosa; "
-            "not in this container"
+            "real media decode beyond stdlib PNG/WAV requires "
+            "PIL/ffmpeg/librosa; not in this container"
         )
     h = hashlib.md5(payload).hexdigest()
     is_img, is_aud, is_vid = (
@@ -243,7 +326,7 @@ def _decode_one(payload: bytes, media_type: str, real: bool = False) -> dict:
     }
 
 
-def decode_features(df: DataFrame) -> DataFrame:
+def decode_features(df: DataFrame, real: bool | None = None) -> DataFrame:
     """Arrow-batched decode/feature-extraction over payload bytes.
 
     Scale: mapInPandas keeps whole Arrow batches in flight (no
@@ -252,11 +335,15 @@ def decode_features(df: DataFrame) -> DataFrame:
     Real image decode is CPU-bound, so at 100 TB this stage is sized by
     cores, not by shuffle capacity — exactly what a map-only stage wants.
 
-    The real-decode flag (REAL_DECODE_CONF / env, see the gate above) is
-    resolved HERE, driver-side at plan-build time, and captured into the
-    closure — registered oracle queries never set it, so they stay on the
-    deterministic fake."""
-    real = real_decode_requested()
+    ``real=None`` (the API default) probes the per-session flag
+    (REAL_DECODE_CONF / env, see the gate above) HERE, driver-side at
+    plan-build time, and captures the answer into the closure.
+    Registered oracle queries pass ``real=False`` EXPLICITLY so a
+    deployment-wide ``DISCOGS_ETL_SPARK_REAL_DECODE=1`` export cannot
+    silently flip evidence runs onto the real path (where synthetic
+    non-PNG/WAV payloads raise) and poison the correctness gate."""
+    if real is None:
+        real = real_decode_requested()
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -407,7 +494,7 @@ _SQL_H = "md5(text)"
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload → typed media features via Arrow-batched mapInPandas
     (deterministic stub decoder; see module docstring for the contract)."""
-    return decode_features(with_payload(load(spark, sf_dir, "documents")))
+    return decode_features(with_payload(load(spark, sf_dir, "documents")), real=False)
 
 
 @register(
@@ -568,7 +655,7 @@ def multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-video frame sampling: decode → 1→N frame fan-out, both as
     Arrow-batched map stages."""
-    decoded = decode_features(with_payload(load(spark, sf_dir, "documents")))
+    decoded = decode_features(with_payload(load(spark, sf_dir, "documents")), real=False)
     return sample_frames(decoded.where(F.col("media_type") == "video"))
 
 
@@ -624,7 +711,7 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: hashing rides the Arrow-batched decode (map-only); banding
     fans out ×8; the self-join is an equi-join on (band, sig) buckets;
     Hamming verification touches only bucket collisions."""
-    feats = decode_features(with_payload(load(spark, sf_dir, "documents")))
+    feats = decode_features(with_payload(load(spark, sf_dir, "documents")), real=False)
     img = feats.where(F.col("media_type") == "image").select("doc_id", "content_md5")
     bits = img.selectExpr(
         "doc_id",
@@ -708,7 +795,7 @@ def multimodal_media_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the decode is the Arrow-batched map-only stage; the rollup is
     one 3-key aggregation — inventorying 100 TB of media costs one scan."""
-    feats = decode_features(with_payload(load(spark, sf_dir, "documents")))
+    feats = decode_features(with_payload(load(spark, sf_dir, "documents")), real=False)
     return feats.groupBy("media_type").agg(
         F.count(F.lit(1)).alias("n_assets"),
         F.sum("byte_len").cast("bigint").alias("total_bytes"),

@@ -1,0 +1,112 @@
+"""Derive driver-evidence counts from the CORRECTNESS_r*.json artifacts.
+
+Three rounds running, the hand-typed evidence counts in the registry
+rotation note / SCALE_NOTES were off by one.  This script computes them
+from the ground truth instead: the per-round driver artifacts plus the
+live registry.  The rotation note and SCALE_NOTES must quote this
+output; ``tests/test_registry.py`` asserts the quoted numbers match.
+
+Usage::
+
+    python scripts/evidence_audit.py            # human summary
+    python scripts/evidence_audit.py --json     # machine-readable
+    python scripts/evidence_audit.py --never    # list never-checked names
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import re
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _round_artifacts(repo: Path = REPO) -> list[tuple[int, Path]]:
+    out = []
+    for p in sorted(repo.glob("CORRECTNESS_r*.json")):
+        m = re.match(r"CORRECTNESS_r(\d+)\.json$", p.name)
+        if m:
+            out.append((int(m.group(1)), p))
+    return sorted(out)
+
+
+def _is_green(row: dict) -> bool:
+    # Oracle-backed rows carry all three match flags; rows-only checks
+    # (oracle=None) at minimum carry rows_match.  err must be absent/null.
+    if row.get("err"):
+        return False
+    flags = [v for k, v in row.items() if k.endswith("_match")]
+    return bool(flags) and all(flags)
+
+
+def audit(repo: Path = REPO) -> dict:
+    """Compute evidence stats.  Importable for tests."""
+    rounds = _round_artifacts(repo)
+    per_round: dict[int, dict[str, bool]] = {}
+    for n, path in rounds:
+        data = json.loads(path.read_text())
+        per_round[n] = {name: _is_green(row) for name, row in data.items()}
+
+    checked: set[str] = set()
+    ever_green: set[str] = set()
+    net_new_last = []
+    last_round = max(per_round) if per_round else 0
+    for n in sorted(per_round):
+        names = set(per_round[n])
+        if n == last_round:
+            net_new_last = sorted(names - checked)
+        checked |= names
+        ever_green |= {name for name, ok in per_round[n].items() if ok}
+
+    sys.path.insert(0, str(repo))
+    from discogs_etl_spark import registry
+
+    specs = registry.all_specs()
+    registered = set(specs)
+    never_checked = sorted(registered - checked)
+    # Registration order (module import order), ignoring the rotation
+    # window, so the "next 50" plan is reproducible.
+    reg_order = [n for n in registry._REGISTRY if n in registered]
+    never_in_order = [n for n in reg_order if n not in checked]
+
+    return {
+        "rounds": sorted(per_round),
+        "registered": len(registered),
+        "unique_checked": len(checked),
+        "ever_green": len(ever_green),
+        "never_green": len(checked - ever_green),
+        "never_checked": len(never_checked),
+        "net_new_last_round": len(net_new_last),
+        "net_new_last_round_names": net_new_last,
+        "never_checked_names": never_in_order,
+        "checked_not_registered": sorted(checked - registered),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--json", action="store_true")
+    ap.add_argument("--never", action="store_true", help="list never-checked names in registration order")
+    args = ap.parse_args()
+    stats = audit()
+    if args.json:
+        print(json.dumps({k: v for k, v in stats.items() if not k.endswith("_names")}, indent=2))
+    elif args.never:
+        for name in stats["never_checked_names"]:
+            print(name)
+    else:
+        print(
+            f"rounds={stats['rounds']}  registered={stats['registered']}  "
+            f"unique checked={stats['unique_checked']}  ever-green={stats['ever_green']}  "
+            f"never-green={stats['never_green']}  never-checked={stats['never_checked']}  "
+            f"net-new last round={stats['net_new_last_round']}"
+        )
+        if stats["checked_not_registered"]:
+            print(f"WARNING checked-but-unregistered: {stats['checked_not_registered']}")
+
+
+if __name__ == "__main__":
+    main()

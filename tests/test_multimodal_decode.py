@@ -20,6 +20,7 @@ from discogs_etl_spark.multimodal import (
     _decode_one,
     decode_features,
     decode_png,
+    decode_wav,
     real_decode_requested,
 )
 
@@ -114,8 +115,92 @@ def test_decode_one_real_png_true_dimensions():
 def test_decode_one_real_non_png_still_gated():
     with pytest.raises(NotImplementedError):
         _decode_one(b"\xff\xd8\xff jpeg-ish", "image", real=True)
+    # non-RIFF audio (mp3-ish) stays gated; RIFF/WAVE now decodes for real
     with pytest.raises(NotImplementedError):
-        _decode_one(b"RIFF....WAVE", "audio", real=True)
+        _decode_one(b"ID3\x04 mp3-ish frames", "audio", real=True)
+    with pytest.raises(NotImplementedError):
+        _decode_one(b"\x00\x00\x00\x20ftypisom", "video", real=True)
+
+
+# ---------------------------------------------------------------- WAV ----
+
+
+def _encode_wav(
+    n_frames: int,
+    sample_rate: int = 8000,
+    channels: int = 2,
+    bits: int = 16,
+    tag: int = 1,
+    extra_chunk: bool = False,
+) -> bytes:
+    """Minimal RIFF/WAVE PCM writer (test-only golden encoder)."""
+    block_align = channels * (bits // 8)
+    fmt = struct.pack(
+        "<HHIIHH", tag, channels, sample_rate, sample_rate * block_align, block_align, bits
+    )
+    body = b"WAVE"
+    if extra_chunk:  # odd-length chunk before fmt exercises word-align padding
+        body += b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    body += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    pcm = bytes(n_frames * block_align)
+    body += b"data" + struct.pack("<I", len(pcm)) + pcm
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_decode_wav_golden_header():
+    data = _encode_wav(n_frames=12000, sample_rate=8000, channels=2, bits=16)
+    assert decode_wav(data) == (8000, 2, 12000, 1500)
+    # float PCM tag, mono 8-bit, chunk-walk past an odd-length LIST chunk
+    data = _encode_wav(
+        n_frames=441, sample_rate=44100, channels=1, bits=32, tag=3, extra_chunk=True
+    )
+    assert decode_wav(data) == (44100, 1, 441, 10)
+
+
+def test_decode_wav_rejects_malformed_and_compressed():
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFF....WAVE")  # no fmt/data chunks
+    with pytest.raises(ValueError):
+        decode_wav(b"OggS vorbis-ish")  # not RIFF at all
+    good = _encode_wav(n_frames=10)
+    with pytest.raises(ValueError):
+        decode_wav(good[:-3])  # truncated data chunk
+    mp3_in_riff = bytearray(_encode_wav(n_frames=10, tag=1))
+    mp3_in_riff[20] = 85  # format tag -> MPEG layer 3
+    with pytest.raises(NotImplementedError):
+        decode_wav(bytes(mp3_in_riff))
+
+
+def test_decode_one_real_wav_true_duration():
+    payload = _encode_wav(n_frames=4000, sample_rate=16000, channels=1)
+    feats = _decode_one(payload, "audio", real=True)
+    assert feats["duration_ms"] == 250 and feats["n_frames"] == 4000
+    assert feats["width"] is None and feats["height"] is None
+    fake = _decode_one(payload, "audio", real=False)
+    assert fake["duration_ms"] != 250  # md5-derived, not the true header value
+
+
+# ------------------------------------------------- inflate hardening ----
+
+
+def test_decode_png_inflate_bomb_bounded():
+    # IHDR promises 2x2 RGB but the IDAT inflates to ~10 MB: the decoder
+    # must stop at the promised size + 1 and raise, never materialize it
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    bomb = zlib.compress(bytes(10 * 1024 * 1024), 9)  # ~10 KB compressed
+    data = PNG_MAGIC + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", bomb) + _chunk(b"IEND", b"")
+    with pytest.raises(ValueError):
+        decode_png(data)
+
+
+def test_decode_png_corrupt_idat_raises_valueerror_not_zlib_error():
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    for idat in (b"", b"\xde\xad\xbe\xef not deflate"):
+        data = (
+            PNG_MAGIC + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError):
+            decode_png(data)
 
 
 def test_real_decode_probe_env_wins(monkeypatch):
@@ -123,6 +208,22 @@ def test_real_decode_probe_env_wins(monkeypatch):
     assert real_decode_requested() is True
     monkeypatch.setenv("DISCOGS_ETL_SPARK_REAL_DECODE", "false")
     assert real_decode_requested() is False
+
+
+def test_registered_queries_immune_to_global_real_decode_flag(spark, monkeypatch):
+    """A deployment-wide DISCOGS_ETL_SPARK_REAL_DECODE=1 export must NOT
+    flip the registered oracle queries onto the real path (where the
+    synthetic non-PNG/WAV payloads raise NotImplementedError) — they pin
+    real=False explicitly at plan-build time."""
+    import os
+
+    from discogs_etl_spark.multimodal import multimodal_decode_features
+
+    monkeypatch.setenv("DISCOGS_ETL_SPARK_REAL_DECODE", "1")
+    assert real_decode_requested() is True  # the poison IS armed...
+    rows = multimodal_decode_features(spark, os.environ.get(
+        "SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")).limit(5).collect()
+    assert rows  # ...and the registered query still runs the fake decoder
 
 
 def test_decode_features_real_path_via_conf(spark, monkeypatch):
