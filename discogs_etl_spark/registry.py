@@ -76,92 +76,82 @@ def _load_all() -> None:
 # registered queries per round, so ``all_specs`` surfaces queries with NO
 # driver-side correctness evidence (or changed since their last green row)
 # ahead of queries whose green rows already stand from a prior round.
-# Round 5 rotation (r1-r4 evidenced 190/362 unique, all ever-green; 172
-# never driver-checked before this round): first everything CHANGED or
-# ADDED in round 5 (the two new lake roundtrips completing all four
-# entity schemas; the two release/artist roundtrips whose write path
-# gained the master year-collision branch; heaps-law's empty-checkpoint
-# filter; the two queries through decode_features' new probe-gated
-# closure; the maintenance roundtrip driver-evidencing the
-# compact/upsert path the round-5 review found corrupting master's
-# data year), then the next 42 never-driver-checked names in
-# REGISTRATION ORDER — stratum (b), the second-half additions: the
-# multimodal family, then the window/agg/scalar/recsys tail.  Every
-# name passes the local one-session driver replica
-# (tests/test_oracle.py), so rotation stays pure evidence collection.
-# After r05: 130 never-checked remain (~3 rounds at 50/round,
-# r06-r08).  Names not listed keep registration order after these;
-# unknown names are rejected by a test.
+#
+# Round 6 rotation.  Basis (COMPUTED by scripts/evidence_audit.py — the
+# hand-typed counts were off by one three rounds running, so the note now
+# quotes the audit and tests/test_evidence_audit.py asserts it matches):
+#   evidence_audit: registered=366 unique_checked=236 ever_green=236 \
+#     never_checked=130 net_new_last_round=46
+# Window composition: first the five queries whose CODE changed this
+# round (the new VALUES-pinned label-newline query; the four multimodal
+# queries through decode_features, which now pins real=False explicitly
+# so a global real-decode env export cannot poison evidence runs), then
+# the next 45 never-driver-checked names in REGISTRATION ORDER — the
+# analytics/stats long tail the round-5 note scheduled, from
+# process_conformance_sessions through graph_modularity_lpa.  Every name
+# passes the local one-session driver replica (tests/test_oracle.py), so
+# rotation stays pure evidence collection.  After r06 lands green,
+# never-checked drops 130 -> 84 (~2 rounds at 45-50/round, r07-r08).
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    # added this round — all four entity schemas now roundtrip the lake,
-    # and lake MAINTENANCE (compact + upsert on the collision entity)
-    # earns driver evidence against a VALUES-pinned end state
-    "xml_ingest_roundtrip_master",
-    "xml_ingest_roundtrip_label",
-    "lake_maintenance_roundtrip",
     # changed this round — re-windowed per the rotation rule
-    "xml_ingest_roundtrip",
-    "xml_ingest_roundtrip_artist",
-    "corpus_heaps_law_fit",
+    "xml_ingest_label_values",
     "multimodal_decode_features",
     "multimodal_frame_sample",
-    # stratum (b) backlog, registration order — zero driver rows yet
-    "multimodal_resize_nn",
-    "multimodal_audio_frames",
     "multimodal_phash_dedup",
     "multimodal_media_summary",
-    "events_time_weighted_avg",
-    "table_profile_orders",
-    "incremental_agg_merge",
-    "histogram_fixed_bins",
-    "events_anomaly_zscore",
-    "pareto_cum_revenue_share",
-    "join_null_safe_equality",
-    "scd2_dimension_intervals",
-    "events_markov_transitions",
-    "orders_backlog_curve",
-    "funnel_time_to_convert",
-    "explode_outer_semantics",
-    "variant_semistructured_events",
-    "events_top_paths",
-    "orders_rfm_segments",
-    "window_rolling_median",
-    "events_burst_users",
-    "growth_mom_by_nation",
-    "users_new_vs_returning",
-    "agg_weighted_median",
-    "window_gap_islands",
-    "agg_approx_percentile_eval",
-    "window_rolling_percentile_7d",
-    "scalar_higher_order_maps",
-    "table_diff_snapshots",
-    "join_range_band_pricing",
-    "scalar_try_safe_casts",
-    "orders_duplicate_payments",
-    "skyline_pareto_frontier",
-    "graph_link_prediction_jaccard",
-    "scalar_business_days_gap",
-    "inventory_abc_xyz_matrix",
-    "bandit_greedy_replay",
-    "recsys_holdout_hitrate",
-    "events_littles_law_report",
-    "orders_fiscal_445_revenue",
-    "supplier_scorecard_composite",
-    "topn_with_others_rollup",
-    # ROUND-6 ROTATION NOTE: once CORRECTNESS_r05 lands green, replace
-    # this tuple with the next 50 of the 130 still-never-driver-checked
-    # names by registration order — continuing stratum (b) from
-    # process_conformance_sessions /
-    # supply_single_source_risk / revenue_bridge_price_volume /
-    # graph_edge_triangle_support / allocation_largest_remainder /
-    # rank_wilson_lower_bound / events_runlength_encode /
-    # orders_open_aging_buckets / graph_degree_assortativity /
-    # customer_wallet_share_deciles / credit_risk_exposure /
-    # audit_sequence_gaps / parts_bundle_detection /
-    # supplier_leadtime_p90 / customers_churned_1997 /
-    # conversion_by_session_depth / orders_otif_rate /
-    # features_target_encoding_loo onward — plus any query whose code
-    # changes in round 6.  ~80 then remain for r07-r08.
+    # stratum (b) backlog, registration order — zero driver rows yet
+    "process_conformance_sessions",
+    "supply_single_source_risk",
+    "revenue_bridge_price_volume",
+    "graph_edge_triangle_support",
+    "allocation_largest_remainder",
+    "rank_wilson_lower_bound",
+    "events_runlength_encode",
+    "orders_open_aging_buckets",
+    "graph_degree_assortativity",
+    "customer_wallet_share_deciles",
+    "credit_risk_exposure",
+    "audit_sequence_gaps",
+    "parts_bundle_detection",
+    "supplier_leadtime_p90",
+    "customers_churned_1997",
+    "conversion_by_session_depth",
+    "orders_otif_rate",
+    "features_target_encoding_loo",
+    "parts_price_dispersion",
+    "attribution_shapley_two_channel",
+    "price_endings_audit",
+    "orders_repeat_probability_curve",
+    "relational_division_all_orders_above",
+    "reach_cumulative_users",
+    "nested_agg_avg_of_sums",
+    "participation_inequality_901",
+    "graph_rich_club",
+    "segment_migration_matrix",
+    "pivot_multi_aggregate",
+    "events_transition_latency",
+    "calendar_comparability_eval",
+    "returns_by_basket_size",
+    "activity_comovement_matrix",
+    "inventory_safety_stock",
+    "first_order_value_predictiveness",
+    "activation_latency_percentiles",
+    "discount_response_curve",
+    "graph_edge_formation_rate",
+    "pricing_consistency_audit",
+    "priority_sla_fairness",
+    "path_entropy_by_outcome",
+    "shipping_consolidation_opportunity",
+    "users_activity_bitmask",
+    "users_reactivation_rate",
+    "graph_modularity_lpa",
+    # ROUND-7 ROTATION NOTE: once CORRECTNESS_r06 lands green, replace
+    # this tuple with the next never-driver-checked names by REGISTRATION
+    # ORDER (run `python scripts/evidence_audit.py --never`; the list
+    # continues from embedding_random_projection / similarity_ann_multiprobe
+    # / similarity_ann_multiprobe_recall / vocab_oov_rate /
+    # ngram_next_word_top onward through the similarity/vocab tail) —
+    # plus any query whose code changes in round 7.
 )
 
 
