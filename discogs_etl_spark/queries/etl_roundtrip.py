@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import gzip
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -256,8 +257,6 @@ def xml_datasource_stream_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stale dump left by an older code version (different _DUMP_NAME, an
     # aborted run) would add rows beyond the pinned VALUES oracle —
     # same-name rewriting alone doesn't cover directory-based staleness.
-    import shutil
-
     land = os.path.join(ROUNDTRIP_ROOT, "stream_landing")
     shutil.rmtree(land, ignore_errors=True)
     os.makedirs(land, exist_ok=True)
@@ -677,8 +676,6 @@ def lake_maintenance_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # code version (different month, extra files) would perturb both the
     # VALUES-pinned row set and n_compacted — same directory-staleness
     # rule as the stream-scan landing dir.
-    import shutil
-
     root = os.path.join(ROUNDTRIP_ROOT, "maintenance_lake")
     shutil.rmtree(root, ignore_errors=True)
     dump = _stage_master_dump()

@@ -82,23 +82,30 @@ def _load_all() -> None:
 # quotes the audit and tests/test_evidence_audit.py asserts it matches):
 #   evidence_audit: registered=366 unique_checked=236 ever_green=236 \
 #     never_checked=130 net_new_last_round=46
-# Window composition: first the five queries whose CODE changed this
+# Window composition: first the seven queries whose CODE changed this
 # round (the new VALUES-pinned label-newline query; the four multimodal
 # queries through decode_features, which now pins real=False explicitly
-# so a global real-decode env export cannot poison evidence runs), then
-# the next 45 never-driver-checked names in REGISTRATION ORDER — the
+# so a global real-decode env export cannot poison evidence runs; the
+# two etl_roundtrip queries touched by the shutil import hoist), then
+# the next 43 never-driver-checked names in REGISTRATION ORDER — the
 # analytics/stats long tail the round-5 note scheduled, from
-# process_conformance_sessions through graph_modularity_lpa.  Every name
+# process_conformance_sessions through users_activity_bitmask.  Every name
 # passes the local one-session driver replica (tests/test_oracle.py), so
 # rotation stays pure evidence collection.  After r06 lands green,
-# never-checked drops 130 -> 84 (~2 rounds at 45-50/round, r07-r08).
+# never-checked drops 130 -> 86 (44 of the 50 window names are
+# never-checked: the new label VALUES pin + 43 backlog; ~2 rounds
+# remain, r07-r08).
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    # changed this round — re-windowed per the rotation rule
+    # changed this round — re-windowed per the rotation rule (the last
+    # two changed only textually: the shutil import hoist fixing verdict
+    # r5 nit #3; re-windowed out of caution, the rule is mechanical)
     "xml_ingest_label_values",
     "multimodal_decode_features",
     "multimodal_frame_sample",
     "multimodal_phash_dedup",
     "multimodal_media_summary",
+    "xml_datasource_stream_scan",
+    "lake_maintenance_roundtrip",
     # stratum (b) backlog, registration order — zero driver rows yet
     "process_conformance_sessions",
     "supply_single_source_risk",
@@ -143,12 +150,11 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "path_entropy_by_outcome",
     "shipping_consolidation_opportunity",
     "users_activity_bitmask",
-    "users_reactivation_rate",
-    "graph_modularity_lpa",
     # ROUND-7 ROTATION NOTE: once CORRECTNESS_r06 lands green, replace
     # this tuple with the next never-driver-checked names by REGISTRATION
     # ORDER (run `python scripts/evidence_audit.py --never`; the list
-    # continues from embedding_random_projection / similarity_ann_multiprobe
+    # continues from users_reactivation_rate / graph_modularity_lpa /
+    # embedding_random_projection / similarity_ann_multiprobe
     # / similarity_ann_multiprobe_recall / vocab_oov_rate /
     # ngram_next_word_top onward through the similarity/vocab tail) —
     # plus any query whose code changes in round 7.
