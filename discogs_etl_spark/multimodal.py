@@ -233,8 +233,10 @@ def decode_wav(data: bytes):
     Walks the RIFF chunk list (fmt / data may be preceded by LIST, fact,
     etc.), reads the PCM format block, and derives frame count from the
     data chunk length — no librosa/ffmpeg needed.  Supports integer PCM
-    (format tag 1) and IEEE float (tag 3); compressed tags raise the
-    clearly-marked NotImplementedError.  Raises ValueError on malformed
+    (format tag 1), IEEE float (tag 3), and the WAVE_FORMAT_EXTENSIBLE
+    wrapper around either (tag 0xFFFE — how encoders emit >2-channel and
+    24-bit PCM); compressed tags raise the clearly-marked
+    NotImplementedError.  Raises ValueError on malformed
     input, mirroring decode_png's error contract."""
     import struct
 
@@ -255,6 +257,14 @@ def decode_wav(data: bytes):
             tag, channels, sample_rate, _byte_rate, block_align, bits = struct.unpack(
                 "<HHIIHH", data[pos + 8 : pos + 24]
             )
+            if tag == 0xFFFE:
+                # WAVE_FORMAT_EXTENSIBLE: the real tag is the first two
+                # bytes of the SubFormat GUID (after cbSize, wValidBits,
+                # dwChannelMask) — encoders emit this wrapper for
+                # >2-channel and 24-bit PCM, which parse like plain PCM
+                if length < 40:
+                    raise ValueError("WAV malformed: extensible fmt under 40 bytes")
+                (tag,) = struct.unpack("<H", data[pos + 32 : pos + 34])
             if tag not in (1, 3):  # integer PCM / IEEE float
                 raise NotImplementedError(
                     f"WAV format tag {tag}: only PCM/float supported without ffmpeg"

@@ -15,7 +15,6 @@ Usage::
 from __future__ import annotations
 
 import argparse
-import math
 import os
 import sys
 import time
@@ -28,40 +27,12 @@ TABLES = (
 ).split()
 
 
-def canon_cell(v) -> str:
-    # mirror of tests/test_oracle.canon_cell, minus the pytest dependency;
-    # hazards raise so the script fails loudly like the driver would
-    import datetime
-    import decimal
-
-    import numpy as np
-
-    if v is None:
-        return "∅"
-    if isinstance(v, (bool, np.bool_)):
-        raise AssertionError("boolean result cell — driver-hash unsafe")
-    if isinstance(v, (int, np.integer)):
-        return str(int(v))
-    if isinstance(v, decimal.Decimal):
-        raise AssertionError("Decimal result cell — driver-hash unsafe")
-    if isinstance(v, (float, np.floating)):
-        f = float(v)
-        return "nan" if math.isnan(f) else repr(f)
-    if isinstance(v, datetime.datetime):
-        return v.replace(tzinfo=None).isoformat()
-    if isinstance(v, datetime.date):
-        return v.isoformat()
-    if isinstance(v, (list, tuple, np.ndarray)):
-        raise AssertionError("array result cell — driver-hash unsafe")
-    if isinstance(v, bytes):
-        return v.hex()
-    return str(v)
-
-
-def canon(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = sorted("|".join(canon_cell(r[i]) for i in order) for r in rows)
-    return sorted(cols), out
+# The canonicalizer is IMPORTED from the local oracle replica, not
+# mirrored — a drift between this script and tests/test_oracle.py would
+# recreate exactly the false-green this de-risk exists to prevent.
+# (tests/ is a namespace package from the repo root; importing pulls in
+# the registry load, which the script needs anyway.)
+from tests.test_oracle import canon_rows as canon  # noqa: E402
 
 
 def main() -> int:
@@ -88,6 +59,7 @@ def main() -> int:
         wanted = set(args.names)
         specs = [(n, s) for n, s in specs if n in wanted]
     failures = []
+    total = len(specs)
     for i, (name, spec) in enumerate(specs, 1):
         t0 = time.monotonic()
         try:
@@ -107,9 +79,9 @@ def main() -> int:
             status = f"FAIL: {type(exc).__name__}: {exc}"
             failures.append(name)
             if not args.keep_going:
-                print(f"[{i:2}/50] {name}: {status}", flush=True)
+                print(f"[{i:2}/{total}] {name}: {status}", flush=True)
                 return 1
-        print(f"[{i:2}/50] {name}: {status}  ({time.monotonic() - t0:.2f}s)", flush=True)
+        print(f"[{i:2}/{total}] {name}: {status}  ({time.monotonic() - t0:.2f}s)", flush=True)
     print(f"\nwindow de-risk: {len(specs) - len(failures)}/{len(specs)} green")
     if failures:
         print("failures:", failures)

@@ -4,7 +4,8 @@ Three rounds running, the hand-typed evidence counts in the registry
 rotation note / SCALE_NOTES were off by one.  This script computes them
 from the ground truth instead: the per-round driver artifacts plus the
 live registry.  The rotation note and SCALE_NOTES must quote this
-output; ``tests/test_registry.py`` asserts the quoted numbers match.
+output; ``tests/test_evidence_audit.py`` asserts the quoted numbers
+match.
 
 Usage::
 

@@ -54,20 +54,20 @@ def test_window_backlog_slice_is_never_driver_checked():
 
     stats = _audit()
     never = set(stats["never_checked_names"])
-    # the window is (changed-this-round re-windows) + (never-checked
-    # backlog); every name NOT never-checked must be a documented re-window
-    # sitting at the front of the tuple
-    # sitting in the leading changed-this-round block (new, never-checked
-    # queries may share that block, so "leading" means the first 10 slots)
-    scattered = [
-        i
-        for i, n in enumerate(registry._WINDOW_PRIORITY)
-        if n not in never and i >= 10
-    ]
-    assert not scattered, (
-        "already-evidenced names deep in the window waste evidence slots: "
-        f"positions {scattered}"
-    )
+    # the window is a leading changed-this-round block (re-windows, which
+    # may interleave with NEW never-checked queries) followed by pure
+    # never-checked backlog.  Already-evidenced names must therefore form
+    # one contiguous run starting within the first few slots — an
+    # evidenced name deep in the tuple wastes one of the 50 driver slots.
+    idx = [i for i, n in enumerate(registry._WINDOW_PRIORITY) if n not in never]
+    if idx:
+        assert max(idx) - min(idx) + 1 == len(idx), (
+            f"re-windowed names are not contiguous: positions {idx}"
+        )
+        assert min(idx) <= 5, (
+            f"re-windowed block starts at position {min(idx)} — it must "
+            "lead the tuple (only new changed-code queries may precede it)"
+        )
 
 
 def test_audit_sees_no_unregistered_checked_names():

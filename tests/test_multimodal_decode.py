@@ -132,12 +132,23 @@ def _encode_wav(
     bits: int = 16,
     tag: int = 1,
     extra_chunk: bool = False,
+    extensible: bool = False,
 ) -> bytes:
     """Minimal RIFF/WAVE PCM writer (test-only golden encoder)."""
     block_align = channels * (bits // 8)
-    fmt = struct.pack(
-        "<HHIIHH", tag, channels, sample_rate, sample_rate * block_align, block_align, bits
-    )
+    if extensible:
+        # WAVE_FORMAT_EXTENSIBLE wrapper: real tag rides in the SubFormat
+        # GUID (KSDATAFORMAT_SUBTYPE_PCM/FLOAT share this fixed suffix)
+        guid = struct.pack("<HH", tag, 0) + bytes.fromhex("00001000800000aa00389b71")
+        fmt = struct.pack(
+            "<HHIIHHHHI",
+            0xFFFE, channels, sample_rate, sample_rate * block_align,
+            block_align, bits, 22, bits, (1 << channels) - 1,
+        ) + guid
+    else:
+        fmt = struct.pack(
+            "<HHIIHH", tag, channels, sample_rate, sample_rate * block_align, block_align, bits
+        )
     body = b"WAVE"
     if extra_chunk:  # odd-length chunk before fmt exercises word-align padding
         body += b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
@@ -155,6 +166,16 @@ def test_decode_wav_golden_header():
         n_frames=441, sample_rate=44100, channels=1, bits=32, tag=3, extra_chunk=True
     )
     assert decode_wav(data) == (44100, 1, 441, 10)
+    # WAVE_FORMAT_EXTENSIBLE wrapper around 24-bit 6-channel PCM — the
+    # shape encoders are REQUIRED to emit as extensible per the WAV spec
+    data = _encode_wav(
+        n_frames=4800, sample_rate=48000, channels=6, bits=24, tag=1, extensible=True
+    )
+    assert decode_wav(data) == (48000, 6, 4800, 100)
+    trunc_ext = bytearray(data)
+    trunc_ext[16] = 20  # fmt length claims 20 (< 40) while tag says extensible
+    with pytest.raises(ValueError):
+        decode_wav(bytes(trunc_ext))
 
 
 def test_decode_wav_rejects_malformed_and_compressed():
