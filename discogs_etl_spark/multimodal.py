@@ -16,10 +16,12 @@ oracle-checkable).  The REAL path is probe-gated per session
 PNG images genuinely decode bytes→pixels via the stdlib ``zlib``+
 ``struct`` decoder below (true dimensions, all five scanline filters,
 inflate bounded by the IHDR-promised size so a hostile IDAT cannot
-decompression-bomb an executor) and RIFF/WAVE PCM audio parses to true
+decompression-bomb an executor), RIFF/WAVE PCM audio parses to true
 sample rate / channels / duration / frame count via ``struct`` alone,
-while formats that need the absent media libraries raise the
-clearly-marked ``NotImplementedError``.  Everything else is real engine code:
+and RIFF/AVI video parses its main header to true width / height /
+frames / duration (codec payloads still need ffmpeg), while formats
+that need the absent media libraries raise the clearly-marked
+``NotImplementedError``.  Everything else is real engine code:
 schemas, batch iteration, fan-out row generation, partitioning — and the
 RESIZE stage is a genuine pixel operation (pure-numpy nearest-neighbor
 gather over synthesized-but-deterministic H x W x 3 buffers, verified
@@ -99,8 +101,9 @@ def with_payload(df: DataFrame) -> DataFrame:
 # captured into the mapInPandas closure — executors never probe confs.
 # What "real" buys today with zero extra libraries: PNG images decode
 # bytes→pixels via the stdlib zlib+struct decoder below (true IHDR
-# dimensions, all five scanline filters) and RIFF/WAVE PCM audio parses
-# to true duration/frames; other media formats still need
+# dimensions, all five scanline filters), RIFF/WAVE PCM audio parses to
+# true duration/frames, and RIFF/AVI video parses its main header to
+# true dims/frames/duration; other media formats still need
 # PIL/ffmpeg/librosa and raise the clearly-marked NotImplementedError.
 REAL_DECODE_CONF = "spark.discogs_etl_spark.multimodal.realDecode"
 _REAL_DECODE_ENV = "DISCOGS_ETL_SPARK_REAL_DECODE"
@@ -288,6 +291,51 @@ def decode_wav(data: bytes):
     return sample_rate, channels, n_frames, duration_ms
 
 
+def decode_avi(data: bytes):
+    """Stdlib-only RIFF/AVI main-header parse: bytes → (width, height,
+    n_frames, duration_ms).
+
+    Walks the top-level RIFF chunks to the ``LIST/hdrl`` list and reads
+    the ``avih`` main header (micro-sec per frame, total frames, frame
+    dimensions) — the same chunk-walk discipline as :func:`decode_wav`,
+    since AVI is RIFF too.  Frame DECODE still needs ffmpeg; this parses
+    the container metadata a 100 TB video-curation pass filters on
+    (resolution, duration, frame count) without touching codec bytes.
+    Raises ValueError on malformed input."""
+    import struct
+
+    if len(data) < 12 or data[:4] != WAV_MAGIC or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI: bad RIFF/AVI signature")
+    pos = 12
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (length,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body_end = pos + 8 + length
+        if body_end > len(data):
+            raise ValueError("AVI truncated: chunk extends past end of data")
+        if cid == b"LIST" and data[pos + 8 : pos + 12] == b"hdrl":
+            # walk the header list for the avih main header
+            sub = pos + 12
+            while sub + 8 <= body_end:
+                scid = data[sub : sub + 4]
+                (slen,) = struct.unpack("<I", data[sub + 4 : sub + 8])
+                if sub + 8 + slen > body_end:
+                    raise ValueError("AVI truncated: hdrl child past list end")
+                if scid == b"avih":
+                    if slen < 40:
+                        raise ValueError("AVI malformed: avih under 40 bytes")
+                    fields = struct.unpack("<10I", data[sub + 8 : sub + 48])
+                    usec_per_frame, total_frames = fields[0], fields[4]
+                    width, height = fields[8], fields[9]
+                    if usec_per_frame == 0 or width == 0 or height == 0:
+                        raise ValueError("AVI malformed: zero frame rate or dims")
+                    duration_ms = (total_frames * usec_per_frame) // 1000
+                    return width, height, total_frames, duration_ms
+                sub += 8 + slen + (slen & 1)
+        pos = body_end + (length & 1)
+    raise ValueError("AVI missing LIST/hdrl avih header")
+
+
 def _decode_one(payload: bytes, media_type: str, real: bool = False) -> dict:
     """The decode kernel.  With ``real=True`` (probe-gated, see
     REAL_DECODE_CONF) PNG image payloads decode bytes→pixels for TRUE
@@ -316,8 +364,22 @@ def _decode_one(payload: bytes, media_type: str, real: bool = False) -> dict:
                 "duration_ms": duration_ms,
                 "n_frames": n_frames,
             }
+        if (
+            media_type == "video"
+            and payload[:4] == WAV_MAGIC
+            and payload[8:12] == b"AVI "
+        ):
+            w, ht, n_frames, duration_ms = decode_avi(payload)
+            return {
+                "byte_len": len(payload),
+                "content_md5": hashlib.md5(payload).hexdigest(),
+                "width": w,
+                "height": ht,
+                "duration_ms": duration_ms,
+                "n_frames": n_frames,
+            }
         raise NotImplementedError(
-            "real media decode beyond stdlib PNG/WAV requires "
+            "real media decode beyond stdlib PNG/WAV/AVI-header requires "
             "PIL/ffmpeg/librosa; not in this container"
         )
     h = hashlib.md5(payload).hexdigest()

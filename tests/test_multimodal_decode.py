@@ -201,6 +201,58 @@ def test_decode_one_real_wav_true_duration():
     assert fake["duration_ms"] != 250  # md5-derived, not the true header value
 
 
+# ---------------------------------------------------------------- AVI ----
+
+
+def _encode_avi(
+    width: int, height: int, n_frames: int, usec_per_frame: int
+) -> bytes:
+    """Minimal RIFF/AVI writer: LIST/hdrl with an avih main header (the
+    only chunk decode_avi reads), plus an empty movi list for shape."""
+    avih = struct.pack(
+        "<10I", usec_per_frame, 0, 0, 0, n_frames, 0, 1, 0, width, height
+    ) + bytes(16)  # dwReserved[4]
+    hdrl = b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih
+    movi = b"movi"
+    body = (
+        b"AVI "
+        + b"LIST" + struct.pack("<I", len(hdrl)) + hdrl
+        + b"LIST" + struct.pack("<I", len(movi)) + movi
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_decode_avi_golden_header():
+    from discogs_etl_spark.multimodal import decode_avi
+
+    # 640x480, 300 frames at 33,333 us/frame (~30 fps) -> 9,999 ms
+    data = _encode_avi(640, 480, 300, 33333)
+    assert decode_avi(data) == (640, 480, 300, 9999)
+
+
+def test_decode_avi_rejects_malformed():
+    from discogs_etl_spark.multimodal import decode_avi
+
+    with pytest.raises(ValueError):
+        decode_avi(b"RIFF\x04\x00\x00\x00WAVE")  # RIFF but not AVI
+    good = _encode_avi(320, 240, 10, 40000)
+    with pytest.raises(ValueError):
+        decode_avi(good[:40])  # truncated inside the hdrl list
+    zero_rate = bytearray(good)
+    zero_rate[32:36] = b"\x00\x00\x00\x00"  # dwMicroSecPerFrame = 0
+    with pytest.raises(ValueError):
+        decode_avi(bytes(zero_rate))
+
+
+def test_decode_one_real_avi_true_dimensions():
+    payload = _encode_avi(1920, 1080, 240, 41666)
+    feats = _decode_one(payload, "video", real=True)
+    assert (feats["width"], feats["height"]) == (1920, 1080)
+    assert feats["n_frames"] == 240 and feats["duration_ms"] == 9999
+    fake = _decode_one(payload, "video", real=False)
+    assert (fake["width"], fake["height"]) != (1920, 1080)
+
+
 # ------------------------------------------------- inflate hardening ----
 
 
