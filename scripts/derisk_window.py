@@ -39,6 +39,13 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--keep-going", action="store_true")
     ap.add_argument("--names", nargs="*", help="subset of window names to run")
+    ap.add_argument(
+        "--all",
+        action="store_true",
+        help="run the ENTIRE registry, not just the 50-name window — "
+        "catches plain-session sensitivity in backlog queries BEFORE a "
+        "future rotation windows them",
+    )
     args = ap.parse_args()
 
     import duckdb
@@ -54,7 +61,9 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
         )
 
-    specs = list(all_specs().items())[:50]
+    specs = list(all_specs().items())
+    if not args.all:
+        specs = specs[:50]
     if args.names:
         wanted = set(args.names)
         specs = [(n, s) for n, s in specs if n in wanted]
