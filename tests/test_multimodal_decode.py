@@ -299,6 +299,34 @@ def test_registered_queries_immune_to_global_real_decode_flag(spark, monkeypatch
     assert rows  # ...and the registered query still runs the fake decoder
 
 
+def test_decode_features_real_path_mixed_media_via_conf(spark, monkeypatch):
+    """End-to-end real decode through the Spark stage with all THREE
+    media types in one Arrow batch: PNG pixels, extensible-PCM WAV, and
+    an AVI container header — true header values, not md5-derived."""
+    monkeypatch.delenv("DISCOGS_ETL_SPARK_REAL_DECODE", raising=False)
+    png = _encode_png(_golden_pixels(5, 8, 4), [0, 1, 2, 3, 4])
+    wav = _encode_wav(n_frames=8000, sample_rate=16000, channels=2, extensible=True)
+    avi = _encode_avi(1280, 720, 120, 33333)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(png), "image"),
+            (2, bytearray(wav), "audio"),
+            (3, bytearray(avi), "video"),
+        ],
+        "doc_id long, payload binary, media_type string",
+    )
+    spark.conf.set(REAL_DECODE_CONF, "true")
+    try:
+        rows = {r["doc_id"]: r for r in decode_features(df).collect()}
+    finally:
+        spark.conf.set(REAL_DECODE_CONF, "false")
+    assert (rows[1]["width"], rows[1]["height"]) == (8, 5)
+    assert (rows[2]["duration_ms"], rows[2]["n_frames"]) == (500, 8000)
+    assert rows[2]["width"] is None
+    assert (rows[3]["width"], rows[3]["height"]) == (1280, 720)
+    assert (rows[3]["n_frames"], rows[3]["duration_ms"]) == (120, 3999)
+
+
 def test_decode_features_real_path_via_conf(spark, monkeypatch):
     monkeypatch.delenv("DISCOGS_ETL_SPARK_REAL_DECODE", raising=False)
     px = _golden_pixels(4, 6, 3)
