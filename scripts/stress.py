@@ -510,9 +510,122 @@ def skew_series_json(scales: list[int]) -> None:
     spark.stop()
 
 
+def _synth_media_batches(batches):
+    """Executor-side media synthesis: deterministic REAL container bytes
+    per doc_id — incompressible 64x64 RGB PNGs (filter 0, the realistic
+    inflate+unfilter workload), 16-bit stereo PCM WAVs, and AVI headers.
+    Lives at module top level so Spark can pickle it without closures."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pandas as pd
+
+    def png(rng) -> bytes:
+        h = w = 64
+        px = rng.integers(0, 256, size=(h, w * 3), dtype=np.uint8)
+        raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+        def chunk(ctype, body):
+            return (
+                struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+            )
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b"")
+        )
+
+    def wav(rng) -> bytes:
+        n_frames = int(rng.integers(1000, 3000))
+        fmt = struct.pack("<HHIIHH", 1, 2, 16000, 64000, 4, 16)
+        pcm = rng.integers(0, 256, size=n_frames * 4, dtype=np.uint8).tobytes()
+        body = (
+            b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(pcm)) + pcm
+        )
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    def avi(rng) -> bytes:
+        avih = struct.pack(
+            "<10I", 33333, 0, 0, 0, int(rng.integers(1, 10_000)), 0, 1, 0, 640, 480
+        ) + bytes(16)
+        hdrl = b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih
+        body = b"AVI " + b"LIST" + struct.pack("<I", len(hdrl)) + hdrl
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    kinds = (("image", png), ("audio", wav), ("video", avi))
+    for pdf in batches:
+        rows = []
+        for doc_id in pdf["id"]:
+            rng = np.random.default_rng(int(doc_id))
+            media_type, make = kinds[int(doc_id) % 3]
+            rows.append((int(doc_id), make(rng), media_type))
+        yield pd.DataFrame(rows, columns=["doc_id", "payload", "media_type"])
+
+
+def media_decode_series_json(scales: list[int]) -> None:
+    """REAL-decode throughput series as ONE JSON line: decode_features
+    with real=True over executor-synthesized PNG/WAV/AVI bytes.  The
+    stage is map-only (inherits the scan's partitioning, zero shuffles),
+    so the claim under test is linear rows-vs-wall and payload-MB/s
+    tracking cores, not data size.  Synth is persisted and counted
+    FIRST so the timed pass is decode work, not generation."""
+    import json
+
+    from discogs_etl_spark.multimodal import decode_features
+
+    spark = get_spark(app_name="stress-media")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
+    series = {}
+    for n in scales:
+        synth = (
+            spark.range(n)
+            .repartition(32)
+            .mapInPandas(
+                _synth_media_batches,
+                schema="doc_id long, payload binary, media_type string",
+            )
+            .persist()
+        )
+        rows = synth.count()
+        mb = synth.agg(F.sum(F.length("payload"))).collect()[0][0] / 1e6
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            decode_features(synth, real=True).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.perf_counter() - t0)
+        synth.unpersist()
+        series[str(n)] = {
+            "rows": rows,
+            "payload_mb": round(mb, 1),
+            "wall_s": round(best, 3),
+            "mb_per_s": round(mb / best, 1),
+        }
+    print(
+        json.dumps(
+            {
+                "metric": "real_decode_throughput_series",
+                "unit": "sec",
+                "mix": "1/3 PNG 64x64 RGB (incompressible) + 1/3 PCM WAV + 1/3 AVI header",
+                "runs": "best-of-3 after persisted synth",
+                "per_scale": series,
+            }
+        )
+    )
+    spark.stop()
+
+
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a != "--skew-json"]
+    flags = {"--skew-json", "--media-json"}
+    args = [a for a in sys.argv[1:] if a not in flags]
     scales = [int(a) for a in args] or [1, 5, 20]
+    if "--media-json" in sys.argv[1:]:
+        media_decode_series_json(scales)
+        return
     if "--skew-json" in sys.argv[1:]:
         skew_series_json(scales)
         return
