@@ -186,6 +186,12 @@ def decode_png(data: bytes):
     # a hostile few-KB IDAT must not be able to expand to gigabytes in
     # executor memory (decompression bomb).  decompressobj + max_length
     # stops at expected+1 bytes; anything past expected is malformed.
+    # The IHDR itself is attacker-controlled, so also cap the promise by
+    # what the IDAT bytes could POSSIBLY inflate to (zlib's maximum
+    # expansion is 1032:1) — otherwise a ~2^32 x 2^32 IHDR re-opens a
+    # ~1000x materialization before the length check fires.
+    if expected > len(idat) * 1032 + 1024:
+        raise ValueError("PNG IHDR promises more pixels than IDAT could inflate to")
     try:
         dobj = zlib.decompressobj()
         raw = dobj.decompress(bytes(idat), expected + 1)
@@ -274,7 +280,9 @@ def decode_wav(data: bytes):
                 )
             if channels == 0 or sample_rate == 0 or block_align == 0:
                 raise ValueError("WAV malformed: zero channels/rate/block align")
-            if block_align != channels * (bits // 8):
+            # spec: nBlockAlign = nChannels * ceil(wBitsPerSample / 8) —
+            # floor would reject valid 12-/20-bit EXTENSIBLE PCM
+            if block_align != channels * ((bits + 7) // 8):
                 raise ValueError("WAV malformed: block align disagrees with fmt")
             fmt = (sample_rate, channels, block_align)
         elif cid == b"data":
@@ -354,7 +362,13 @@ def _decode_one(payload: bytes, media_type: str, real: bool = False) -> dict:
                 "duration_ms": None,
                 "n_frames": None,
             }
-        if media_type == "audio" and payload[:4] == WAV_MAGIC:
+        if (
+            media_type == "audio"
+            and payload[:4] == WAV_MAGIC
+            and payload[8:12] == b"WAVE"
+        ):
+            # RIFF alone is not enough: RIFF/RMID etc. must fall through
+            # to the needs-ffmpeg branch, mirroring the video AVI check
             _rate, _chans, n_frames, duration_ms = decode_wav(payload)
             return {
                 "byte_len": len(payload),

@@ -35,6 +35,13 @@ TABLES = (
 from tests.test_oracle import canon_rows as canon  # noqa: E402
 
 
+def _check(cond: bool, msg: str) -> None:
+    # NOT a bare assert: `python -O` strips asserts, which would turn
+    # every comparison below into a vacuous green (ADVICE r6).
+    if not cond:
+        raise AssertionError(msg)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--keep-going", action="store_true")
@@ -80,9 +87,9 @@ def main() -> int:
                 cur = con.execute(spec.oracle)
                 dcols = [d[0] for d in cur.description]
                 dcols, drows = canon(dcols, cur.fetchall())
-                assert scols == dcols, f"schema {scols} != {dcols}"
-                assert len(srows) == len(drows), f"rows {len(srows)} != {len(drows)}"
-                assert srows == drows, "value multiset mismatch"
+                _check(scols == dcols, f"schema {scols} != {dcols}")
+                _check(len(srows) == len(drows), f"rows {len(srows)} != {len(drows)}")
+                _check(srows == drows, "value multiset mismatch")
                 status = f"match ({len(srows)} rows)"
         except Exception as exc:  # noqa: BLE001 - report and continue
             status = f"FAIL: {type(exc).__name__}: {exc}"

@@ -135,7 +135,8 @@ def _encode_wav(
     extensible: bool = False,
 ) -> bytes:
     """Minimal RIFF/WAVE PCM writer (test-only golden encoder)."""
-    block_align = channels * (bits // 8)
+    # spec: nBlockAlign = nChannels * ceil(wBitsPerSample / 8)
+    block_align = channels * ((bits + 7) // 8)
     if extensible:
         # WAVE_FORMAT_EXTENSIBLE wrapper: real tag rides in the SubFormat
         # GUID (KSDATAFORMAT_SUBTYPE_PCM/FLOAT share this fixed suffix)
@@ -264,6 +265,42 @@ def test_decode_png_inflate_bomb_bounded():
     data = PNG_MAGIC + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", bomb) + _chunk(b"IEND", b"")
     with pytest.raises(ValueError):
         decode_png(data)
+
+
+def test_decode_png_hostile_ihdr_promise_capped_by_idat_size():
+    # The converse bomb (ADVICE r6): a tiny IDAT with an IHDR promising
+    # ~2^31 x 2^31 pixels.  The inflate bound derived from the IHDR is
+    # then effectively unbounded, and zlib could legally expand the
+    # input ~1032x before the length check fires.  The decoder must
+    # reject the promise UP FRONT (expected > len(idat) * 1032 + slack)
+    # without materializing anything.
+    ihdr = struct.pack(">IIBBBBB", 2**31 - 1, 2**31 - 1, 8, 2, 0, 0, 0)
+    idat = zlib.compress(bytes(4096), 9)
+    data = PNG_MAGIC + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="IHDR promises more"):
+        decode_png(data)
+
+
+def test_decode_wav_20bit_extensible_block_align_ceil():
+    # 20-bit EXTENSIBLE PCM packs each sample in ceil(20/8)=3 bytes, so
+    # nBlockAlign = channels*3; the floor check (channels*(20//8)=2x)
+    # rejected these valid files (ADVICE r6).
+    data = _encode_wav(
+        n_frames=1000, sample_rate=44100, channels=2, bits=20, tag=1, extensible=True
+    )
+    assert decode_wav(data) == (44100, 2, 1000, 22)
+
+
+def test_decode_one_real_riff_non_wave_audio_env_gates():
+    # RIFF container that is NOT WAVE (e.g. RIFF/RMID midi): must reach
+    # the clearly-marked needs-ffmpeg NotImplementedError, not leak
+    # decode_wav's ValueError (ADVICE r6) — mirroring the AVI gate.
+    rmid = b"RIFF" + struct.pack("<I", 12) + b"RMIDdata" + bytes(4)
+    with pytest.raises(NotImplementedError):
+        _decode_one(rmid, "audio", real=True)
+    # and a true WAVE still takes the real branch
+    feats = _decode_one(_encode_wav(n_frames=80, sample_rate=8000), "audio", real=True)
+    assert feats["duration_ms"] == 10
 
 
 def test_decode_png_corrupt_idat_raises_valueerror_not_zlib_error():
