@@ -4,24 +4,35 @@ The evidence-rotation rule through round 6 was textual: ANY edit to a
 module containing registered queries re-windowed every query in it, so
 an import hoist or comment fix burned driver-evidence slots (verdict r6
 nit #2 counted two such slots).  This script tightens the rule to
-EXECUTABLE-line granularity while keeping it mechanical:
+EXECUTABLE granularity while keeping it mechanical:
 
     a registered query must be re-windowed iff, since the given base
-    rev, the docstring-stripped AST changed for (a) its builder
-    function, (b) any same-module function/class reachable from the
-    builder by name (transitively), or (c) any module-level assignment
-    whose target name is reachable from the builder.
+    rev, a DIRTY name is reachable from its builder function by
+    name-occurrence within its module (transitively).  A name is dirty
+    when (a) its docstring-stripped top-level AST changed, (b) it is
+    imported (``from m import name``) and ``name`` is dirty in the
+    repo-local module ``m``, or (c) it aliases a repo-local module
+    (``import m``) that has ANY dirty name.
 
 Comments never reach the AST; docstrings are stripped before comparing;
-import position is invisible at definition granularity.  Reachability is
-by NAME OCCURRENCE (an over-approximation — a name mentioned under a
-dead branch still counts), so the rule can only over-re-window relative
-to true behavior, never under.
+import statements are keyed by the names they bind, so hoisting or
+reordering them changes nothing.  Name-occurrence reachability is an
+over-approximation (a name mentioned under a dead branch still counts),
+and cross-module dirtiness propagates through the repo-local import
+graph — including imports written inside function bodies — so within
+its stated assumptions the rule over-re-windows, never under.  The
+assumptions, stated: builders resolve their dependencies by ordinary
+imports and module-level names (no importlib/globals()-style dynamic
+dispatch, no behavior smuggled in via data files), which holds for
+every module in this package.  Shared-helper changes are therefore
+LOUD by design: editing ``tables.load`` dirties the ``load`` alias in
+every query module that imports it and flags every builder that
+mentions it — correct, because all of their results could change.
 
 Usage::
 
     python scripts/rewindow_check.py <base-rev>          # names to re-window
-    python scripts/rewindow_check.py <base-rev> --why    # + which defs changed
+    python scripts/rewindow_check.py <base-rev> --why    # + which names are dirty
 """
 
 from __future__ import annotations
@@ -33,6 +44,7 @@ import sys
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
+PACKAGE = "discogs_etl_spark"
 
 
 def _strip_docstrings(tree: ast.AST) -> ast.AST:
@@ -49,44 +61,187 @@ def _strip_docstrings(tree: ast.AST) -> ast.AST:
     return tree
 
 
-def _top_level_defs(src: str) -> dict[str, str]:
-    """Map top-level name -> docstring-stripped AST dump.
+def _flat_name_targets(target: ast.expr):
+    """Yield Name nodes from assignment targets, incl. tuple/list unpacking."""
+    if isinstance(target, ast.Name):
+        yield target
+    elif isinstance(target, (ast.Tuple, ast.List)):
+        for elt in target.elts:
+            yield from _flat_name_targets(elt)
+    elif isinstance(target, ast.Starred):
+        yield from _flat_name_targets(target.value)
 
-    Covers function/class defs and plain/annotated assignments (module
-    constants like regex tables that builders consume at runtime).
+
+class ModuleIndex:
+    """Parse-once index of a module: top-level bindings, the names each
+    binding's body mentions, and every repo-relevant import (module-level
+    or nested under top-level if/try/with — and, for dirtiness
+    propagation, imports written inside function bodies too).
+
+    Later bindings of the same name overwrite earlier ones in BOTH
+    ``defs`` and ``uses``, matching runtime last-binding-wins.
     """
-    tree = _strip_docstrings(ast.parse(src))
-    out: dict[str, str] = {}
-    for node in tree.body:
-        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
-            out[node.name] = ast.dump(node)
-        elif isinstance(node, ast.Assign):
-            for tgt in node.targets:
-                if isinstance(tgt, ast.Name):
-                    out[tgt.id] = ast.dump(node)
-        elif isinstance(node, ast.AnnAssign) and isinstance(node.target, ast.Name):
-            out[node.target.id] = ast.dump(node)
-    return out
+
+    def __init__(self, src: str, relpath: str) -> None:
+        tree = _strip_docstrings(ast.parse(src))
+        self.relpath = relpath
+        self.defs: dict[str, str] = {}  # bound name -> AST dump of its stmt
+        self.uses: dict[str, set[str]] = {}  # bound name -> names mentioned
+        # local alias -> ("module", dotted) | ("member", dotted, member)
+        self.imports: dict[str, tuple] = {}
+        self.star_imports: set[str] = set()  # dotted modules star-imported
+        self._walk_body(tree.body)
+        # Imports inside function bodies bind locally, but for dirtiness
+        # they matter module-wide: record them (they never shadow the
+        # statement-level defs map, only extend the imports map).
+        for node in ast.walk(tree):
+            if isinstance(node, (ast.Import, ast.ImportFrom)):
+                self._record_import(node, bind=False)
+
+    def _bind(self, name: str, node: ast.stmt) -> None:
+        self.defs[name] = ast.dump(node)
+        self.uses[name] = {n.id for n in ast.walk(node) if isinstance(n, ast.Name)}
+
+    def _record_import(self, node: ast.stmt, bind: bool) -> None:
+        if isinstance(node, ast.Import):
+            for alias in node.names:
+                local = alias.asname or alias.name.split(".")[0]
+                self.imports.setdefault(local, ("module", alias.name))
+                if bind:
+                    self._bind(local, node)
+        elif isinstance(node, ast.ImportFrom):
+            mod = self._resolve_from(node)
+            if mod is None:
+                return
+            for alias in node.names:
+                if alias.name == "*":
+                    self.star_imports.add(mod)
+                    continue
+                local = alias.asname or alias.name
+                self.imports.setdefault(local, ("member", mod, alias.name))
+                if bind:
+                    self._bind(local, node)
+
+    def _resolve_from(self, node: ast.ImportFrom) -> str | None:
+        if node.level == 0:
+            return node.module
+        pkg = list(Path(self.relpath).parent.parts)
+        drop = node.level - 1
+        if drop > len(pkg):
+            return None
+        pkg = pkg[: len(pkg) - drop] if drop else pkg
+        return ".".join(pkg + ([node.module] if node.module else []))
+
+    def _walk_body(self, body: list[ast.stmt]) -> None:
+        for node in body:
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+                self._bind(node.name, node)
+            elif isinstance(node, ast.Assign):
+                for tgt in node.targets:
+                    for name in _flat_name_targets(tgt):
+                        self._bind(name.id, node)
+            elif isinstance(node, ast.AnnAssign) and isinstance(node.target, ast.Name):
+                self._bind(node.target.id, node)
+            elif isinstance(node, (ast.Import, ast.ImportFrom)):
+                self._record_import(node, bind=True)
+            elif isinstance(node, (ast.If, ast.Try, ast.While, ast.For, ast.With)):
+                # top-level conditional/guarded defs (try/except ImportError
+                # fallbacks etc.) bind module names too
+                for field in ("body", "orelse", "finalbody"):
+                    self._walk_body(getattr(node, field, []) or [])
+                for handler in getattr(node, "handlers", []) or []:
+                    self._walk_body(handler.body)
+
+    def reachable(self, start: str) -> set[str]:
+        """Transitive same-module name-occurrence closure from a binding."""
+        seen = {start}
+        frontier = [start]
+        while frontier:
+            for used in self.uses.get(frontier.pop(), set()) & set(self.defs):
+                if used not in seen:
+                    seen.add(used)
+                    frontier.append(used)
+        return seen
 
 
-def _names_used(dump_src: str, src: str, def_name: str) -> set[str]:
-    """All identifiers that occur inside the named top-level definition."""
-    tree = ast.parse(src)
-    for node in tree.body:
-        found = (
-            isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef))
-            and node.name == def_name
-        ) or (
-            isinstance(node, ast.Assign)
-            and any(isinstance(t, ast.Name) and t.id == def_name for t in node.targets)
-        ) or (
-            isinstance(node, ast.AnnAssign)
-            and isinstance(node.target, ast.Name)
-            and node.target.id == def_name
-        )
-        if found:
-            return {n.id for n in ast.walk(node) if isinstance(n, ast.Name)}
-    return set()
+def _top_level_defs(src: str, relpath: str = "mod.py") -> dict[str, str]:
+    return ModuleIndex(src, relpath).defs
+
+
+def reachable(src: str, start: str, relpath: str = "mod.py") -> set[str]:
+    return ModuleIndex(src, relpath).reachable(start)
+
+
+def _module_to_relpath(dotted: str, known: set[str]) -> str | None:
+    """Map a dotted module to a repo-local relpath (None if external)."""
+    if not dotted or not dotted.startswith(PACKAGE):
+        return None
+    parts = dotted.split(".")
+    for cand in ("/".join(parts) + ".py", "/".join(parts) + "/__init__.py"):
+        if cand in known:
+            return cand
+    return None
+
+
+class RewindowAnalysis:
+    """Testable core: takes {relpath: (cur_src, base_src|None)} directly."""
+
+    def __init__(self, sources: dict[str, tuple[str, str | None]]) -> None:
+        self.sources = sources
+        self.cur: dict[str, ModuleIndex] = {
+            rel: ModuleIndex(cur, rel) for rel, (cur, _) in sources.items()
+        }
+        self._dirty_memo: dict[str, set[str]] = {}
+
+    def changed_defs(self, rel: str) -> set[str]:
+        cur = self.cur[rel].defs
+        base_src = self.sources[rel][1]
+        if base_src is None:
+            return set(cur)  # new module: everything counts as changed
+        base = ModuleIndex(base_src, rel).defs
+        return {n for n in set(cur) | set(base) if cur.get(n) != base.get(n)}
+
+    def dirty_names(self, rel: str, _visiting: frozenset = frozenset()) -> set[str]:
+        """Names in ``rel`` whose behavior may have changed: own AST diff
+        plus dirtiness imported from other repo-local modules."""
+        if rel in self._dirty_memo:
+            return self._dirty_memo[rel]
+        if rel in _visiting:
+            return self.changed_defs(rel)  # import cycle: own changes only
+        visiting = _visiting | {rel}
+        dirty = set(self.changed_defs(rel))
+        idx = self.cur[rel]
+        known = set(self.sources)
+        for local, spec in idx.imports.items():
+            target = _module_to_relpath(spec[1], known)
+            if target is None or target == rel:
+                continue
+            sub = self.dirty_names(target, visiting)
+            if spec[0] == "module":
+                if sub:
+                    dirty.add(local)  # any attribute access may hit a change
+            elif spec[2] in sub:
+                dirty.add(local)
+        for mod in idx.star_imports:
+            target = _module_to_relpath(mod, known)
+            if target and target != rel:
+                dirty |= self.dirty_names(target, visiting)
+        self._dirty_memo[rel] = dirty
+        return dirty
+
+    def flagged(self, rel: str, fn_name: str) -> set[str]:
+        """Dirty names the builder can reach (empty = no re-window).
+
+        Beyond the def-closure itself, every name MENTIONED by a
+        reachable binding counts: a function-scoped ``from m import f``
+        binds no module-level def, but the builder still calls ``f``.
+        """
+        idx = self.cur[rel]
+        reach = idx.reachable(fn_name)
+        mentioned = set(reach)
+        for n in reach:
+            mentioned |= idx.uses.get(n, set())
+        return mentioned & self.dirty_names(rel)
 
 
 def _git_show(rev: str, relpath: str) -> str | None:
@@ -99,66 +254,35 @@ def _git_show(rev: str, relpath: str) -> str | None:
     return proc.stdout if proc.returncode == 0 else None
 
 
-def changed_defs(rev: str, relpath: str, cur_src: str) -> set[str]:
-    """Top-level names whose docstring-stripped AST differs from base rev."""
-    base_src = _git_show(rev, relpath)
-    cur = _top_level_defs(cur_src)
-    if base_src is None:
-        return set(cur)  # new module: everything counts as changed
-    base = _top_level_defs(base_src)
-    return {
-        name
-        for name in set(cur) | set(base)
-        if cur.get(name) != base.get(name)
-    }
-
-
-def reachable(src: str, start: str) -> set[str]:
-    """Transitive same-module name-occurrence closure from a top-level def."""
-    defs = _top_level_defs(src)
-    seen = {start}
-    frontier = [start]
-    while frontier:
-        name = frontier.pop()
-        if name not in defs:
-            continue
-        for used in _names_used(defs[name], src, name) & set(defs):
-            if used not in seen:
-                seen.add(used)
-                frontier.append(used)
-    return seen
-
-
 def rewindow_names(rev: str) -> dict[str, set[str]]:
-    """query name -> changed defs in its reachable set (empty = no re-window)."""
+    """query name -> dirty names its builder reaches (empty = no re-window)."""
     sys.path.insert(0, str(REPO))
     from discogs_etl_spark import registry
 
-    specs = registry.all_specs()
-    by_module: dict[str, list[tuple[str, str]]] = {}
-    for name, spec in specs.items():
-        mod = sys.modules[spec.fn.__module__]
-        relpath = str(Path(mod.__file__).resolve().relative_to(REPO))
-        fn_name = spec.fn.__qualname__.split(".")[0].split("<locals>")[0]
-        by_module.setdefault(relpath, []).append((name, fn_name))
+    # Index EVERY repo-local module, not just those holding builders:
+    # shared helpers (tables.py, queries/_util.py, ...) propagate
+    # dirtiness into query modules through the import graph.
+    sources: dict[str, tuple[str, str | None]] = {}
+    for f in sorted((REPO / PACKAGE).rglob("*.py")):
+        rel = str(f.relative_to(REPO))
+        sources[rel] = (f.read_text(), _git_show(rev, rel))
+    analysis = RewindowAnalysis(sources)
 
     out: dict[str, set[str]] = {}
-    for relpath, queries in sorted(by_module.items()):
-        cur_src = (REPO / relpath).read_text()
-        changed = changed_defs(rev, relpath, cur_src)
-        if not changed:
-            continue
-        for qname, fn_name in queries:
-            hit = reachable(cur_src, fn_name) & changed
-            if hit:
-                out[qname] = hit
+    for name, spec in registry.all_specs().items():
+        mod = sys.modules[spec.fn.__module__]
+        rel = str(Path(mod.__file__).resolve().relative_to(REPO))
+        fn_name = spec.fn.__qualname__.split(".")[0].split("<locals>")[0]
+        hit = analysis.flagged(rel, fn_name)
+        if hit:
+            out[name] = hit
     return out
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("base_rev", help="git rev to diff against (e.g. the last round-end commit)")
-    ap.add_argument("--why", action="store_true", help="also print which defs changed")
+    ap.add_argument("--why", action="store_true", help="also print which names are dirty")
     args = ap.parse_args()
     hits = rewindow_names(args.base_rev)
     for qname in sorted(hits):

@@ -71,12 +71,11 @@ def test_rotation_note_counts_match_computed_audit():
 
 
 def test_note_basis_covers_all_landed_artifacts():
-    # The note may lag the latest artifact only if someone forgot the
-    # round-start refresh: as_of_round must be at least the newest round
-    # on disk MINUS one is not enough — it must equal the newest landed
-    # round, because the round-start ritual refreshes the note as its
-    # first act.  (The synthetic-future test below covers the window
-    # between the driver landing r{N+1} and the next session starting.)
+    # The note's basis may legitimately trail the newest artifact by ONE
+    # round: the driver lands CORRECTNESS_r{N+1}.json after the round-N
+    # note was committed, and the round-start ritual refreshes the note
+    # as its first act.  A gap of two or more means that ritual was
+    # skipped a full round — that staleness should fail loudly.
     as_of_round, _ = _note_line()
     rounds = [n for n, _ in _mod()._round_artifacts(REPO)]
     assert rounds, "no CORRECTNESS artifacts found"

@@ -1,11 +1,14 @@
-"""The re-window rule is mechanical at FUNCTION granularity (verdict r6 #3).
+"""The re-window rule is mechanical at EXECUTABLE granularity (verdict r6 #3).
 
 Round 6 burned two driver-evidence slots re-windowing queries whose only
 change was an import hoist.  scripts/rewindow_check.py compares
-docstring-stripped ASTs of top-level definitions and flags a query only
-when a definition REACHABLE from its builder changed — so comments,
-docstrings, and import position can never cost a slot, while any
-executable-line change in the call graph always re-windows.
+docstring-stripped ASTs of top-level bindings and flags a query only
+when a DIRTY name is reachable from its builder — where dirtiness also
+propagates across repo-local imports (``from m import f`` is dirty iff
+``f`` changed in ``m``; ``import m`` is dirty iff anything changed in
+``m``), so a shared-helper change (tables.load, queries/_util) can
+never leave stale driver evidence standing, while comments, docstrings,
+and import position can never cost a slot.
 """
 
 from __future__ import annotations
@@ -102,6 +105,157 @@ def test_change_in_unreachable_function_does_not_flag_builder():
     changed = _diff(mod, BASE, UNRELATED_CHANGED)
     assert changed == {"unrelated"}
     assert not changed & mod.reachable(UNRELATED_CHANGED, "builder")
+
+
+def test_last_binding_wins_for_reachability():
+    # X is bound twice; at runtime the SECOND binding (via helper) wins,
+    # so a change to helper must flag the builder even though the first
+    # X binding mentions nothing.
+    mod = _mod()
+    src = """
+def helper():
+    return 1
+
+X = 1
+X = helper()
+
+def builder(spark, sf):
+    return X
+"""
+    changed_src = src.replace("return 1", "return 2")
+    changed = _diff(mod, src, changed_src)
+    assert changed == {"helper"}
+    assert "helper" in mod.reachable(changed_src, "builder")
+
+
+def test_tuple_unpacking_and_guarded_defs_are_tracked():
+    mod = _mod()
+    src = """
+A, B = 1, 2
+try:
+    import nonexistent_thing as nt
+except ImportError:
+    nt = None
+if True:
+    GUARDED = 10
+"""
+    defs = mod._top_level_defs(src)
+    assert {"A", "B", "nt", "GUARDED"} <= set(defs)
+    assert _diff(mod, src, src.replace("1, 2", "1, 3")) == {"A", "B"}
+    assert _diff(mod, src, src.replace("GUARDED = 10", "GUARDED = 11")) == {"GUARDED"}
+
+
+# --------------------------------------------- cross-module dirtiness ----
+
+HELPER_MOD = '''
+def load(spark, sf, table):
+    return spark.read.parquet(sf + "/" + table)
+
+def epoch(col):
+    return col * 1000
+'''
+
+QUERY_MOD = '''
+from discogs_etl_spark.registry import register
+from discogs_etl_spark.tables import load
+
+def q_one(spark, sf):
+    return load(spark, sf, "orders")
+
+def q_two(spark, sf):
+    # function-scoped import: still tracked for dirtiness
+    from discogs_etl_spark.tables import epoch
+    return epoch(5)
+
+def q_three(spark, sf):
+    return 42
+'''
+
+REGISTRY_MOD = '''
+_WINDOW_PRIORITY = ("a", "b")
+
+def register(name):
+    def deco(fn):
+        return fn
+    return deco
+'''
+
+
+def _analysis(mod, helper_base, helper_cur, registry_base=None, registry_cur=None):
+    return mod.RewindowAnalysis(
+        {
+            "discogs_etl_spark/tables.py": (helper_cur, helper_base),
+            "discogs_etl_spark/queries/q.py": (QUERY_MOD, QUERY_MOD),
+            "discogs_etl_spark/registry.py": (
+                registry_cur or REGISTRY_MOD,
+                registry_base or REGISTRY_MOD,
+            ),
+        }
+    )
+
+
+def test_shared_helper_change_flags_importing_builders():
+    # THE under-detection the r7 code review caught: tables.load changes,
+    # query module is textually untouched — q_one (uses load) must flag,
+    # q_three (pure) must not.
+    mod = _mod()
+    changed_helper = HELPER_MOD.replace('sf + "/" + table', 'sf + "//" + table')
+    a = _analysis(mod, HELPER_MOD, changed_helper)
+    assert a.flagged("discogs_etl_spark/queries/q.py", "q_one") == {"load"}
+    assert a.flagged("discogs_etl_spark/queries/q.py", "q_three") == set()
+
+
+def test_function_scoped_import_propagates_dirtiness():
+    mod = _mod()
+    changed_helper = HELPER_MOD.replace("col * 1000", "col * 1_000_000")
+    a = _analysis(mod, HELPER_MOD, changed_helper)
+    assert a.flagged("discogs_etl_spark/queries/q.py", "q_two") == {"epoch"}
+    assert a.flagged("discogs_etl_spark/queries/q.py", "q_one") == set()
+
+
+def test_registry_window_rotation_does_not_flag_queries():
+    # The window tuple changes EVERY round; query modules import only
+    # `register` from registry.py, so rotating the tuple must not dirty
+    # any builder (else every round would re-window everything).
+    mod = _mod()
+    rotated = REGISTRY_MOD.replace('("a", "b")', '("c", "d")')
+    a = _analysis(mod, HELPER_MOD, HELPER_MOD, REGISTRY_MOD, rotated)
+    for fn in ("q_one", "q_two", "q_three"):
+        assert a.flagged("discogs_etl_spark/queries/q.py", fn) == set()
+
+
+def test_whole_module_import_dirty_on_any_change():
+    mod = _mod()
+    src = """
+import discogs_etl_spark.tables as tbl
+
+def q_mod(spark, sf):
+    return tbl.load(spark, sf, "orders")
+"""
+    changed_helper = HELPER_MOD.replace("col * 1000", "col * 999")
+    a = mod.RewindowAnalysis(
+        {
+            "discogs_etl_spark/tables.py": (changed_helper, HELPER_MOD),
+            "discogs_etl_spark/queries/q.py": (src, src),
+        }
+    )
+    # ANY change in a module imported wholesale dirties the alias — the
+    # tool cannot know which attributes get touched, so it over-flags.
+    assert a.flagged("discogs_etl_spark/queries/q.py", "q_mod") == {"tbl"}
+
+
+def test_import_cycle_terminates_with_own_changes():
+    mod = _mod()
+    a_mod = "from discogs_etl_spark.b import g\n\ndef f():\n    return g()\n"
+    b_mod = "from discogs_etl_spark.a import f\n\ndef g():\n    return 1\n"
+    b_changed = b_mod.replace("return 1", "return 2")
+    a = mod.RewindowAnalysis(
+        {
+            "discogs_etl_spark/a.py": (a_mod, a_mod),
+            "discogs_etl_spark/b.py": (b_changed, b_mod),
+        }
+    )
+    assert a.flagged("discogs_etl_spark/a.py", "f") == {"g"}
 
 
 def test_round7_window_leads_with_rewindow_script_output():
