@@ -273,3 +273,64 @@ def test_round7_window_leads_with_rewindow_script_output():
     ):
         reach = mod.reachable(src, fn)
         assert "_decode_one" in reach, f"{fn} no longer reaches _decode_one"
+
+
+# ------------------------------------------ textual-invariance sweep ----
+
+import io
+import tokenize
+
+import pytest
+
+_PKG_MODULES = sorted((REPO / "discogs_etl_spark").rglob("*.py"))
+
+
+def _strip_comments(src: str) -> str:
+    """Remove every comment token, preserving code layout."""
+    out = []
+    last_end = (1, 0)
+    for tok in tokenize.generate_tokens(io.StringIO(src).readline):
+        if tok.type == tokenize.COMMENT:
+            continue
+        (srow, scol), (erow, ecol) = tok.start, tok.end
+        if srow > last_end[0]:
+            out.append("\n" * (srow - last_end[0]))
+            out.append(" " * scol)
+        elif scol > last_end[1]:
+            out.append(" " * (scol - last_end[1]))
+        out.append(tok.string)
+        last_end = tok.end
+    return "".join(out)
+
+
+def _rewrite_docstrings(src: str) -> str:
+    import ast as _ast
+
+    tree = _ast.parse(src)
+    for node in _ast.walk(tree):
+        body = getattr(node, "body", None)
+        if (
+            isinstance(body, list)
+            and body
+            and isinstance(body[0], _ast.Expr)
+            and isinstance(body[0].value, _ast.Constant)
+            and isinstance(body[0].value.value, str)
+        ):
+            body[0].value.value = "REWRITTEN"
+    return _ast.unparse(tree)
+
+
+@pytest.mark.parametrize(
+    "path", _PKG_MODULES, ids=[str(p.relative_to(REPO)) for p in _PKG_MODULES]
+)
+def test_textual_transforms_invisible_to_rule_every_module(path):
+    # Sweep the REAL package: for every module, stripping all comments
+    # and rewriting every docstring must leave the rule's view of the
+    # module bit-identical — the invariant that makes re-windowing
+    # immune to the r6 import-hoist/comment class of slot waste.
+    mod = _mod()
+    src = path.read_text()
+    rel = str(path.relative_to(REPO))
+    base = mod._top_level_defs(src, rel)
+    assert mod._top_level_defs(_strip_comments(src), rel) == base
+    assert mod._top_level_defs(_rewrite_docstrings(src), rel) == base
