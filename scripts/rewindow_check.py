@@ -9,25 +9,32 @@ EXECUTABLE granularity while keeping it mechanical:
     a registered query must be re-windowed iff, since the given base
     rev, a DIRTY name is reachable from its builder function by
     name-occurrence within its module (transitively).  A name is dirty
-    when (a) its docstring-stripped top-level AST changed, (b) it is
-    imported (``from m import name``) and ``name`` is dirty in the
-    repo-local module ``m``, or (c) it aliases a repo-local module
+    when (a) a statement binding OR mutating it changed (docstring-
+    stripped AST), (b) it is imported (``from m import name``) and
+    ``name``'s reachable closure in the repo-local module ``m`` touches
+    a dirty name there (or ``name`` is itself a repo-local submodule
+    with any dirty name), or (c) it aliases a repo-local module
     (``import m``) that has ANY dirty name.
 
 Comments never reach the AST; docstrings are stripped before comparing;
 import statements are keyed by the names they bind, so hoisting or
-reordering them changes nothing.  Name-occurrence reachability is an
-over-approximation (a name mentioned under a dead branch still counts),
-and cross-module dirtiness propagates through the repo-local import
-graph — including imports written inside function bodies — so within
-its stated assumptions the rule over-re-windows, never under.  The
-assumptions, stated: builders resolve their dependencies by ordinary
-imports and module-level names (no importlib/globals()-style dynamic
-dispatch, no behavior smuggled in via data files), which holds for
-every module in this package.  Shared-helper changes are therefore
-LOUD by design: editing ``tables.load`` dirties the ``load`` alias in
-every query module that imports it and flags every builder that
-mentions it — correct, because all of their results could change.
+reordering them changes nothing.  Bindings inside top-level if/try/
+while/for/with accumulate (a name bound in several branches depends on
+all of them), and module-level mutations — ``X[k] = v``, ``X += 1``,
+``X.update(...)`` — accumulate onto the mutated name, so none of those
+edits can hide.  Name-occurrence reachability is an over-approximation
+(a name mentioned under a dead branch still counts), and cross-module
+dirtiness propagates through the repo-local import graph — including
+imports written inside function bodies — so within its stated
+assumptions the rule over-re-windows, never under.  The assumptions,
+stated: builders resolve their dependencies by ordinary imports and
+module-level names — no importlib/``globals()``/``exec`` dynamic
+dispatch, no behavior smuggled in via non-Python data files — which
+holds for every module in this package.  Shared-helper changes are
+therefore LOUD by design: editing anything ``tables.load`` reaches
+dirties the ``load`` alias in every query module that imports it and
+flags every builder that mentions it — correct, because all of their
+results could change.
 
 Usage::
 
@@ -72,41 +79,96 @@ def _flat_name_targets(target: ast.expr):
         yield from _flat_name_targets(target.value)
 
 
+def _root_name(expr: ast.expr) -> str | None:
+    """Root Name of an attribute/subscript chain (None if call-rooted)."""
+    while isinstance(expr, (ast.Attribute, ast.Subscript)):
+        expr = expr.value
+    return expr.id if isinstance(expr, ast.Name) else None
+
+
+def _bound_names(node: ast.stmt) -> set[str]:
+    """Every name a compound statement binds or mutates, at any depth.
+
+    Over-approximates: names bound inside nested function bodies are
+    included too (they can only ADD accumulation to a same-named module
+    binding — the safe direction)."""
+    out: set[str] = set()
+    for sub in ast.walk(node):
+        if isinstance(sub, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+            out.add(sub.name)
+        elif isinstance(sub, ast.Assign):
+            for tgt in sub.targets:
+                for name in _flat_name_targets(tgt):
+                    out.add(name.id)
+                root = _root_name(tgt)
+                if root:
+                    out.add(root)
+        elif isinstance(sub, (ast.AnnAssign, ast.AugAssign)):
+            for name in _flat_name_targets(sub.target):
+                out.add(name.id)
+            root = _root_name(sub.target)
+            if root:
+                out.add(root)
+        elif isinstance(sub, ast.Import):
+            out |= {a.asname or a.name.split(".")[0] for a in sub.names}
+        elif isinstance(sub, ast.ImportFrom):
+            out |= {a.asname or a.name for a in sub.names if a.name != "*"}
+        elif isinstance(sub, (ast.For, ast.AsyncFor)):
+            for name in _flat_name_targets(sub.target):
+                out.add(name.id)
+        elif isinstance(sub, (ast.With, ast.AsyncWith)):
+            for item in sub.items:
+                if item.optional_vars is not None:
+                    for name in _flat_name_targets(item.optional_vars):
+                        out.add(name.id)
+    return out
+
+
 class ModuleIndex:
     """Parse-once index of a module: top-level bindings, the names each
-    binding's body mentions, and every repo-relevant import (module-level
-    or nested under top-level if/try/with — and, for dirtiness
-    propagation, imports written inside function bodies too).
+    binding's statements mention, and every repo-relevant import
+    (module-level or written inside function bodies).
 
-    Later bindings of the same name overwrite earlier ones in BOTH
-    ``defs`` and ``uses``, matching runtime last-binding-wins.
+    Binding semantics mirror runtime where that is safe and over-
+    approximate where it is not: a plain top-level re-assignment to a
+    bare name OVERWRITES (last binding wins, like the interpreter),
+    while branch bindings (if/try/...), augmented assignments, and
+    subscript/attribute/method-call mutations ACCUMULATE onto the name —
+    a change to ANY statement that could have produced the value flags
+    it.
     """
 
     def __init__(self, src: str, relpath: str) -> None:
         tree = _strip_docstrings(ast.parse(src))
         self.relpath = relpath
-        self.defs: dict[str, str] = {}  # bound name -> AST dump of its stmt
+        self.defs: dict[str, str] = {}  # bound name -> AST dump(s)
         self.uses: dict[str, set[str]] = {}  # bound name -> names mentioned
-        # local alias -> ("module", dotted) | ("member", dotted, member)
-        self.imports: dict[str, tuple] = {}
-        self.star_imports: set[str] = set()  # dotted modules star-imported
+        # local alias -> set of ("module", dotted) | ("member", dotted, member)
+        self.imports: dict[str, set[tuple]] = {}
+        self.star_imports: set[str] = set()
         self._walk_body(tree.body)
-        # Imports inside function bodies bind locally, but for dirtiness
-        # they matter module-wide: record them (they never shadow the
-        # statement-level defs map, only extend the imports map).
+        # Imports inside function/compound bodies bind locally, but for
+        # dirtiness they matter module-wide: record them all.
         for node in ast.walk(tree):
             if isinstance(node, (ast.Import, ast.ImportFrom)):
                 self._record_import(node, bind=False)
 
-    def _bind(self, name: str, node: ast.stmt) -> None:
-        self.defs[name] = ast.dump(node)
-        self.uses[name] = {n.id for n in ast.walk(node) if isinstance(n, ast.Name)}
+    def _bind(self, name: str, node: ast.stmt, accumulate: bool = False) -> None:
+        dump = ast.dump(node)
+        names = {n.id for n in ast.walk(node) if isinstance(n, ast.Name)}
+        if accumulate and name in self.defs:
+            if dump not in self.defs[name]:
+                self.defs[name] = self.defs[name] + "\n" + dump
+            self.uses[name] |= names
+        else:
+            self.defs[name] = dump
+            self.uses[name] = names
 
     def _record_import(self, node: ast.stmt, bind: bool) -> None:
         if isinstance(node, ast.Import):
             for alias in node.names:
                 local = alias.asname or alias.name.split(".")[0]
-                self.imports.setdefault(local, ("module", alias.name))
+                self.imports.setdefault(local, set()).add(("module", alias.name))
                 if bind:
                     self._bind(local, node)
         elif isinstance(node, ast.ImportFrom):
@@ -118,7 +180,7 @@ class ModuleIndex:
                     self.star_imports.add(mod)
                     continue
                 local = alias.asname or alias.name
-                self.imports.setdefault(local, ("member", mod, alias.name))
+                self.imports.setdefault(local, set()).add(("member", mod, alias.name))
                 if bind:
                     self._bind(local, node)
 
@@ -140,17 +202,37 @@ class ModuleIndex:
                 for tgt in node.targets:
                     for name in _flat_name_targets(tgt):
                         self._bind(name.id, node)
-            elif isinstance(node, ast.AnnAssign) and isinstance(node.target, ast.Name):
-                self._bind(node.target.id, node)
+                    root = _root_name(tgt)
+                    if root:  # X[k] = v / X.attr = v mutates X
+                        self._bind(root, node, accumulate=True)
+            elif isinstance(node, ast.AnnAssign):
+                if isinstance(node.target, ast.Name):
+                    self._bind(node.target.id, node)
+                else:
+                    root = _root_name(node.target)
+                    if root:
+                        self._bind(root, node, accumulate=True)
+            elif isinstance(node, ast.AugAssign):
+                name = _root_name(node.target)
+                if name:  # X += ... reads AND writes X: accumulate
+                    self._bind(name, node, accumulate=True)
             elif isinstance(node, (ast.Import, ast.ImportFrom)):
                 self._record_import(node, bind=True)
-            elif isinstance(node, (ast.If, ast.Try, ast.While, ast.For, ast.With)):
-                # top-level conditional/guarded defs (try/except ImportError
-                # fallbacks etc.) bind module names too
-                for field in ("body", "orelse", "finalbody"):
-                    self._walk_body(getattr(node, field, []) or [])
-                for handler in getattr(node, "handlers", []) or []:
-                    self._walk_body(handler.body)
+            elif isinstance(node, ast.Expr) and isinstance(node.value, ast.Call):
+                root = _root_name(node.value.func)
+                if root and isinstance(node.value.func, ast.Attribute):
+                    # X.update(...) / X.append(...) — method-call mutation
+                    self._bind(root, node, accumulate=True)
+            elif isinstance(
+                node, (ast.If, ast.Try, ast.While, ast.For, ast.With)
+            ):
+                # A name bound in ANY branch depends on the whole compound
+                # statement (which branch wins is a runtime question), so
+                # bind every name it touches to the full compound dump,
+                # accumulating onto prior bindings — 'LIMIT = 1' followed
+                # by 'if cond: LIMIT = 2' must flag when EITHER edit lands.
+                for name in _bound_names(node):
+                    self._bind(name, node, accumulate=True)
 
     def reachable(self, start: str) -> set[str]:
         """Transitive same-module name-occurrence closure from a binding."""
@@ -162,6 +244,16 @@ class ModuleIndex:
                     seen.add(used)
                     frontier.append(used)
         return seen
+
+    def mentioned_closure(self, start: str) -> set[str]:
+        """reachable() plus every name the reachable bindings mention —
+        covers names that bind nothing at module level (function-scoped
+        imports, builtins shadowed by imports elsewhere, ...)."""
+        reach = self.reachable(start)
+        mentioned = set(reach)
+        for n in reach:
+            mentioned |= self.uses.get(n, set())
+        return mentioned
 
 
 def _top_level_defs(src: str, relpath: str = "mod.py") -> dict[str, str]:
@@ -191,15 +283,21 @@ class RewindowAnalysis:
         self.cur: dict[str, ModuleIndex] = {
             rel: ModuleIndex(cur, rel) for rel, (cur, _) in sources.items()
         }
+        self._changed_memo: dict[str, set[str]] = {}
         self._dirty_memo: dict[str, set[str]] = {}
 
     def changed_defs(self, rel: str) -> set[str]:
+        if rel in self._changed_memo:
+            return self._changed_memo[rel]
         cur = self.cur[rel].defs
         base_src = self.sources[rel][1]
         if base_src is None:
-            return set(cur)  # new module: everything counts as changed
-        base = ModuleIndex(base_src, rel).defs
-        return {n for n in set(cur) | set(base) if cur.get(n) != base.get(n)}
+            out = set(cur)  # new module: everything counts as changed
+        else:
+            base = ModuleIndex(base_src, rel).defs
+            out = {n for n in set(cur) | set(base) if cur.get(n) != base.get(n)}
+        self._changed_memo[rel] = out
+        return out
 
     def dirty_names(self, rel: str, _visiting: frozenset = frozenset()) -> set[str]:
         """Names in ``rel`` whose behavior may have changed: own AST diff
@@ -212,22 +310,44 @@ class RewindowAnalysis:
         dirty = set(self.changed_defs(rel))
         idx = self.cur[rel]
         known = set(self.sources)
-        for local, spec in idx.imports.items():
-            target = _module_to_relpath(spec[1], known)
-            if target is None or target == rel:
-                continue
-            sub = self.dirty_names(target, visiting)
-            if spec[0] == "module":
-                if sub:
-                    dirty.add(local)  # any attribute access may hit a change
-            elif spec[2] in sub:
-                dirty.add(local)
-        for mod in idx.star_imports:
-            target = _module_to_relpath(mod, known)
+        for local, specs in idx.imports.items():
+            for spec in specs:
+                if spec[0] == "module":
+                    target = _module_to_relpath(spec[1], known)
+                    if target and target != rel and self.dirty_names(target, visiting):
+                        dirty.add(local)
+                else:
+                    mod, member = spec[1], spec[2]
+                    # 'from pkg import submodule': the member may itself be
+                    # a repo-local MODULE — any change inside it counts
+                    sub_rel = _module_to_relpath(f"{mod}.{member}", known)
+                    if sub_rel and sub_rel != rel and self.dirty_names(sub_rel, visiting):
+                        dirty.add(local)
+                        continue
+                    target = _module_to_relpath(mod, known)
+                    if target and target != rel and self._name_dirty(
+                        target, member, visiting
+                    ):
+                        dirty.add(local)
+        for smod in idx.star_imports:
+            target = _module_to_relpath(smod, known)
             if target and target != rel:
                 dirty |= self.dirty_names(target, visiting)
-        self._dirty_memo[rel] = dirty
+        # Results computed under cycle truncation are order-dependent —
+        # memoizing them would poison later full evaluations (a real
+        # hazard: curation.py <-> queries/llm.py cycle via function-
+        # scoped imports).  Only cache top-level computations.
+        if not _visiting:
+            self._dirty_memo[rel] = dirty
         return dirty
+
+    def _name_dirty(self, rel: str, name: str, visiting: frozenset) -> bool:
+        """Is ``name`` in module ``rel`` behavior-changed?  Not just its
+        own statement: anything its closure reaches counts — 'from m
+        import load' must flag when load's INTERNAL helper changed."""
+        return bool(
+            self.cur[rel].mentioned_closure(name) & self.dirty_names(rel, visiting)
+        )
 
     def flagged(self, rel: str, fn_name: str) -> set[str]:
         """Dirty names the builder can reach (empty = no re-window).
@@ -236,12 +356,7 @@ class RewindowAnalysis:
         reachable binding counts: a function-scoped ``from m import f``
         binds no module-level def, but the builder still calls ``f``.
         """
-        idx = self.cur[rel]
-        reach = idx.reachable(fn_name)
-        mentioned = set(reach)
-        for n in reach:
-            mentioned |= idx.uses.get(n, set())
-        return mentioned & self.dirty_names(rel)
+        return self.cur[rel].mentioned_closure(fn_name) & self.dirty_names(rel)
 
 
 def _git_show(rev: str, relpath: str) -> str | None:

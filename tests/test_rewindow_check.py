@@ -334,3 +334,154 @@ def test_textual_transforms_invisible_to_rule_every_module(path):
     base = mod._top_level_defs(src, rel)
     assert mod._top_level_defs(_strip_comments(src), rel) == base
     assert mod._top_level_defs(_rewrite_docstrings(src), rel) == base
+
+
+# -------------------------- under-detection regressions (r7 review) ----
+
+
+def test_member_import_flags_on_internal_helper_change():
+    # 'from tables import load' where only load's INTERNAL helper
+    # changed: the member's closure in the source module must be
+    # followed, not just the member's own statement.
+    mod = _mod()
+    helper = """
+def _resolve(sf, table):
+    return sf + "/" + table
+
+def load(spark, sf, table):
+    return spark.read.parquet(_resolve(sf, table))
+"""
+    changed = helper.replace('sf + "/" + table', 'sf + "//" + table')
+    a = mod.RewindowAnalysis(
+        {
+            "discogs_etl_spark/tables.py": (changed, helper),
+            "discogs_etl_spark/queries/q.py": (QUERY_MOD, QUERY_MOD),
+        }
+    )
+    assert a.flagged("discogs_etl_spark/queries/q.py", "q_one") == {"load"}
+    assert a.flagged("discogs_etl_spark/queries/q.py", "q_three") == set()
+
+
+def test_cycle_truncation_is_not_memoized():
+    # A<->B import cycle plus changed module C imported by B: if A is
+    # evaluated FIRST, its recursion into B runs under cycle truncation;
+    # caching that truncated answer would make a later direct
+    # dirty_names(B) return a poisoned empty set.  Results must be
+    # order-independent.
+    mod = _mod()
+    c_mod = "def cf():\n    return 1\n"
+    c_changed = c_mod.replace("return 1", "return 2")
+    a_mod = "from discogs_etl_spark.b import bf\n\ndef af():\n    return bf()\n"
+    b_mod = (
+        "from discogs_etl_spark.a import af\n"
+        "from discogs_etl_spark.c import cf\n\n"
+        "def bf():\n    return cf()\n"
+    )
+    for order in (("a", "b"), ("b", "a")):
+        an = mod.RewindowAnalysis(
+            {
+                "discogs_etl_spark/a.py": (a_mod, a_mod),
+                "discogs_etl_spark/b.py": (b_mod, b_mod),
+                "discogs_etl_spark/c.py": (c_changed, c_mod),
+            }
+        )
+        results = {m: an.flagged(f"discogs_etl_spark/{m}.py", f"{m}f") for m in order}
+        assert results["b"] == {"cf"}, f"order {order}: B lost C's dirtiness"
+        assert results["a"] == {"bf"}, f"order {order}: A lost B's transitive dirtiness"
+
+
+def test_from_package_import_submodule_propagates():
+    # 'from discogs_etl_spark import tables' — the member IS a module;
+    # any change inside it must dirty the alias (registry.py uses this
+    # exact pattern for multimodal/scale/events).
+    mod = _mod()
+    src = """
+from discogs_etl_spark import tables
+
+def q_sub(spark, sf):
+    return tables.load(spark, sf, "orders")
+"""
+    changed_helper = HELPER_MOD.replace("col * 1000", "col * 999")
+    a = mod.RewindowAnalysis(
+        {
+            "discogs_etl_spark/__init__.py": ("", ""),
+            "discogs_etl_spark/tables.py": (changed_helper, HELPER_MOD),
+            "discogs_etl_spark/queries/q.py": (src, src),
+        }
+    )
+    assert a.flagged("discogs_etl_spark/queries/q.py", "q_sub") == {"tables"}
+
+
+def test_same_alias_from_two_modules_unions_sources():
+    # q_a and q_b both bind the local name 'helper' via function-scoped
+    # imports from DIFFERENT modules; a change in either source module
+    # must dirty the alias (first-import-wins dropped the second).
+    mod = _mod()
+    src = """
+def q_a(spark, sf):
+    from discogs_etl_spark.x import helper
+    return helper(1)
+
+def q_b(spark, sf):
+    from discogs_etl_spark.y import helper
+    return helper(2)
+"""
+    x_mod = "def helper(v):\n    return v + 1\n"
+    y_mod = "def helper(v):\n    return v + 2\n"
+    y_changed = y_mod.replace("v + 2", "v + 3")
+    a = mod.RewindowAnalysis(
+        {
+            "discogs_etl_spark/x.py": (x_mod, x_mod),
+            "discogs_etl_spark/y.py": (y_changed, y_mod),
+            "discogs_etl_spark/queries/q.py": (src, src),
+        }
+    )
+    assert a.flagged("discogs_etl_spark/queries/q.py", "q_b") == {"helper"}
+
+
+def test_branch_bindings_accumulate_not_overwrite():
+    # try-branch and except-branch both bind LIMIT; editing EITHER
+    # branch (and editing a preceding plain binding) must flag.
+    mod = _mod()
+    src = """
+LIMIT = 1
+try:
+    LIMIT = compute(100)
+except Exception:
+    LIMIT = 10
+
+def builder(spark, sf):
+    return LIMIT
+"""
+    for mutation in (
+        ("compute(100)", "compute(200)"),  # try branch
+        ("LIMIT = 10", "LIMIT = 11"),  # except branch
+        ("LIMIT = 1", "LIMIT = 2"),  # preceding plain binding
+    ):
+        changed = src.replace(*mutation)
+        assert _diff(mod, src, changed) == {"LIMIT"}, mutation
+        assert "LIMIT" in mod.reachable(changed, "builder")
+
+
+def test_module_level_mutations_are_visible():
+    mod = _mod()
+    src = """
+PATTERNS = {}
+PATTERNS["a"] = "x"
+THRESH = 1
+THRESH += 2
+SUFFIXES = []
+SUFFIXES.append("ing")
+
+def builder(spark, sf):
+    return (PATTERNS, THRESH, SUFFIXES)
+"""
+    for mutation, name in (
+        (('"x"', '"y"'), "PATTERNS"),  # subscript assignment
+        (("THRESH += 2", "THRESH += 3"), "THRESH"),  # augmented assignment
+        (('append("ing")', 'append("ed")'), "SUFFIXES"),  # method-call mutation
+    ):
+        changed = src.replace(*mutation)
+        d = _diff(mod, src, changed)
+        assert name in d, (mutation, d)
+        assert name in mod.reachable(changed, "builder")
