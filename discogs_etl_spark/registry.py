@@ -163,16 +163,18 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "lm_domain_surprisal_ratio",
     "dedup_threshold_sweep",
     "dedup_pair_evidence",
-    # ROUND-8 ROTATION NOTE: once CORRECTNESS_r07 lands green, replace
-    # this tuple with the REMAINING never-driver-checked names by
-    # REGISTRATION ORDER (run `python scripts/evidence_audit.py --never
-    # --max-round 7`; the list continues from chunking_content_defined /
-    # similarity_int8_recall / dedup_impact_by_source onward through the
-    # stats tail, ~40 names — the backlog FINISHES in r8) — plus any
-    # query flagged by `python scripts/rewindow_check.py <base-rev>`
-    # (function-granularity AST diff; comment/docstring/import-only
-    # edits do NOT re-window).  Refresh the audit line above with
-    # `evidence_audit.py --max-round 7` output in the same commit.
+    # ROUND-8 ROTATION NOTE: once CORRECTNESS_r07 lands green, run
+    # `python scripts/round_start.py <r7-end-rev>` — it prints the
+    # refreshed as_of_round=7 audit line, the mechanical re-window flags
+    # (scripts/rewindow_check.py: name-granularity AST diff with
+    # import-graph dirtiness; comment/docstring/import-position edits do
+    # NOT re-window), and the replacement tuple body: flags first, then
+    # the remaining never-driver-checked names in REGISTRATION ORDER
+    # (from chunking_content_defined / similarity_int8_recall /
+    # dedup_impact_by_source onward through the stats tail, ~40 names —
+    # the backlog FINISHES in r8).  Paste all three, refresh
+    # COVERAGE.md's evidence paragraph, and let
+    # tests/test_evidence_audit.py verify the paste in the same commit.
 )
 
 
