@@ -77,7 +77,7 @@ def _load_all() -> None:
 # driver-side correctness evidence (or changed since their last green row)
 # ahead of queries whose green rows already stand from a prior round.
 #
-# Round 7 rotation.  Basis (COMPUTED by scripts/evidence_audit.py over a
+# Round 8 rotation.  Basis (COMPUTED by scripts/evidence_audit.py over a
 # FIXED round range — the note is stamped with the round it describes so
 # the suite stays green after later artifacts land; the round-6 guard
 # compared against the unbounded audit and the driver landing
@@ -85,96 +85,80 @@ def _load_all() -> None:
 # tests/test_evidence_audit.py recomputes audit(max_round=as_of_round)
 # and asserts this line matches, and separately proves the comparison is
 # immune to a synthetic future-round artifact):
-#   evidence_audit as_of_round=6: registered=366 unique_checked=280 ever_green=280 \
-#     never_checked=86 net_new_last_round=44
-# Window composition: first the four multimodal queries, re-windowed
-# because round 7 changed executable lines in their call graph
-# (_decode_one's real-path audio gate now requires RIFF+WAVE before
-# dispatching to decode_wav; decode_wav's block-align check uses the
-# spec's ceil(bits/8); decode_png caps the inflate bound by the zlib
-# max-expansion ratio so a hostile IHDR cannot re-open the bomb) — the
-# registered queries pin real=False so the changed lines are not on
-# their evidence path, but the RE-WINDOW RULE IS MECHANICAL AT FUNCTION
-# GRANULARITY: a query re-windows iff the docstring-stripped AST of any
-# function in its module reachable from its builder changed
-# (scripts/rewindow_check.py computes this against a base rev; textual
-# edits — comments, docstrings, import hoists — no longer re-window,
-# per verdict r6 nit #2).  Then the next 46 never-driver-checked names
-# in REGISTRATION ORDER (evidence_audit --never), the similarity/vocab/
-# dedup-eval tail from users_reactivation_rate through dedup_pair_evidence.
+#   evidence_audit as_of_round=7: registered=366 unique_checked=326 ever_green=326 \
+#     never_checked=40 net_new_last_round=46
+# Window composition: this round FINISHES the evidence backlog — all 40
+# remaining never-driver-checked names (evidence_audit --never
+# --max-round 7) in REGISTRATION ORDER, from chunking_content_defined /
+# similarity_int8_recall / dedup_impact_by_source through the
+# stats/timeseries tail (categorical_drift_dow).  Mechanical re-window
+# flags vs the r7-end rev (bfa3608) were ZERO at round start
+# (scripts/rewindow_check.py: name-granularity docstring-stripped AST
+# diff with import-graph dirtiness; comment/docstring/import-position
+# edits do NOT re-window).  The verdict-r7 task list additionally
+# schedules, in the SAME window if the mechanical flags stay within the
+# 10 spare slots: the TIMESTAMP_NTZ hardening of the 9
+# timestamp-returning queries (SCALE_NOTES r7 TZ audit) and the
+# power-iteration single-scan fold — those edits re-window their
+# queries, which then LEAD this tuple per the flags-first convention.
 # Every name passes the local one-session driver replica
 # (tests/test_oracle.py) and the plain-session derisk_window.py sweep,
-# so rotation stays pure evidence collection.  After r07 lands green,
-# never-checked drops 86 -> 40 (one round remains: r08 finishes the
-# backlog from chunking_content_defined onward).
+# so rotation stays pure evidence collection.  After r08 lands green,
+# never-checked drops 40 -> 0: 366/366 ever-green, the ledger closes.
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    # changed this round — executable lines in the real-decode branch of
-    # _decode_one/decode_wav/decode_png (ADVICE r6 hardening); builders
-    # unchanged but the functions are in their call graph, so the
-    # mechanical rule re-windows them
-    "multimodal_decode_features",
-    "multimodal_frame_sample",
-    "multimodal_phash_dedup",
-    "multimodal_media_summary",
-    # backlog, registration order — zero driver rows yet
-    "users_reactivation_rate",
-    "graph_modularity_lpa",
-    "embedding_random_projection",
-    "similarity_ann_multiprobe",
-    "similarity_ann_multiprobe_recall",
-    "vocab_oov_rate",
-    "ngram_next_word_top",
-    "similarity_sparse_cosine_pairs",
-    "contrastive_pair_mining",
-    "vocab_hapax_rate",
-    "dedup_containment",
-    "quality_percentile_by_lang",
-    "embedding_dispersion_by_label",
-    "dedup_substring_windows",
-    "text_search_phrase",
-    "dedup_semdedup",
-    "privacy_k_anonymity_report",
-    "vocab_coverage_curve",
-    "similarity_matryoshka_recall",
-    "terms_pmi_cooccurrence",
-    "dedup_minhash_eval",
-    "safety_lexicon_filter",
-    "fuzzy_join_levenshtein_blocked",
-    "dedup_provenance_matrix",
-    "dedup_winnowing_fingerprints",
-    "lm_next_word_accuracy",
-    "embedding_power_iteration_pc1",
-    "text_char_entropy",
-    "dedup_doc_duplication_score",
-    "dedup_ensemble_vote",
-    "embedding_triplet_check",
-    "sample_balance_classes",
-    "boilerplate_ngram_discovery",
-    "text_msttr_diversity",
-    "embedding_norm_outliers",
-    "corpus_jsd_sources",
-    "dedup_transitivity_audit",
-    "dedup_medoid_selection",
-    "bpe_compression_eval",
-    "embedding_ncm_probe_accuracy",
-    "dedup_impact_report",
-    "corpus_effective_tokens",
-    "pack_efficiency_curve",
-    "lm_domain_surprisal_ratio",
-    "dedup_threshold_sweep",
-    "dedup_pair_evidence",
-    # ROUND-8 ROTATION NOTE: once CORRECTNESS_r07 lands green, run
-    # `python scripts/round_start.py <r7-end-rev>` — it prints the
-    # refreshed as_of_round=7 audit line, the mechanical re-window flags
-    # (scripts/rewindow_check.py: name-granularity AST diff with
-    # import-graph dirtiness; comment/docstring/import-position edits do
-    # NOT re-window), and the replacement tuple body: flags first, then
-    # the remaining never-driver-checked names in REGISTRATION ORDER
-    # (from chunking_content_defined / similarity_int8_recall /
-    # dedup_impact_by_source onward through the stats tail, ~40 names —
-    # the backlog FINISHES in r8).  Paste all three, refresh
-    # COVERAGE.md's evidence paragraph, and let
-    # tests/test_evidence_audit.py verify the paste in the same commit.
+    # backlog, registration order — zero driver rows yet; the FINAL
+    # never-driver-checked names
+    "chunking_content_defined",
+    "similarity_int8_recall",
+    "dedup_impact_by_source",
+    "text_search_query_likelihood",
+    "retrieval_rank_agreement",
+    "pack_shard_balance_eval",
+    "dedup_bag_of_words_exact",
+    "dedup_granularity_compare",
+    "arrow_udf_char_classes",
+    "pandas_udf_iter_tokens",
+    "stats_cusum_daily_revenue",
+    "stats_acf_daily_revenue",
+    "stats_survival_km_repurchase",
+    "stats_two_proportion_ztest",
+    "timeseries_locf_fill",
+    "events_value_winsorize",
+    "stats_psi_value_drift",
+    "stats_ks_exponential_gaps",
+    "stats_diff_in_diff",
+    "stats_theil_sen_trend",
+    "stats_circular_mean_hour",
+    "retention_halflife_fit",
+    "stats_dispersion_order_size",
+    "events_error_budget_burn",
+    "forecast_snaive_backtest",
+    "spc_pchart_returns",
+    "events_harmonic_peak_hour",
+    "users_discounted_ltv",
+    "price_elasticity_discount",
+    "users_bot_score",
+    "whale_retention_jaccard",
+    "seasonality_strength_dow",
+    "stats_jarque_bera_normality",
+    "changepoint_poisson_binseg",
+    "stats_burstiness_index",
+    "p95_rollup_hazard",
+    "stats_mann_whitney_u",
+    "scan_statistic_errors",
+    "numeric_precision_audit",
+    "categorical_drift_dow",
+    # ROUND-9 ROTATION NOTE: once CORRECTNESS_r08 lands green the
+    # never-checked backlog is EMPTY — from round 9 onward the window is
+    # purely (a) mechanical re-window flags from
+    # `python scripts/round_start.py <r8-end-rev>` (changed-code
+    # queries MUST lead the tuple) and (b) free slots for whatever the
+    # round's verdict schedules (deferred refactors/perf work on
+    # registered modules become affordable again).  Keep the ritual:
+    # refresh this note's as_of_round=8 audit line and COVERAGE.md's
+    # evidence paragraph as the first commit, paste the proposed tuple,
+    # and let tests/test_evidence_audit.py verify the paste in the same
+    # commit.
 )
 
 
