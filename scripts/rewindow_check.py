@@ -53,6 +53,16 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 PACKAGE = "discogs_etl_spark"
 
+# Reserved key for top-level statement forms the index does not model
+# (bare side-effect calls like ``setup()``, ``del X``, module-level
+# ``match``/``assert``/``raise``, ...).  Such a statement could mutate
+# anything in its module, so a change to one dirties the whole module:
+# the sentinel joins every builder's flagged set and propagates through
+# member imports.  The package currently contains none (pinned by
+# tests/test_rewindow_check.py's package invariance sweep), so this is
+# pure hardening against a future module silently weakening the rule.
+UNMODELED = "<unmodeled-top-level>"
+
 
 def _strip_docstrings(tree: ast.AST) -> ast.AST:
     for node in ast.walk(tree):
@@ -141,7 +151,11 @@ class ModuleIndex:
     def __init__(self, src: str, relpath: str) -> None:
         tree = _strip_docstrings(ast.parse(src))
         self.relpath = relpath
-        self.defs: dict[str, str] = {}  # bound name -> AST dump(s)
+        # bound name -> tuple of EXACT statement dumps (accumulation
+        # appends; membership is exact-element, never substring — a new
+        # statement whose dump happens to be a substring of an already
+        # accumulated compound dump must still register as a change)
+        self.defs: dict[str, tuple[str, ...]] = {}
         self.uses: dict[str, set[str]] = {}  # bound name -> names mentioned
         # local alias -> set of ("module", dotted) | ("member", dotted, member)
         self.imports: dict[str, set[tuple]] = {}
@@ -157,11 +171,11 @@ class ModuleIndex:
         dump = ast.dump(node)
         names = {n.id for n in ast.walk(node) if isinstance(n, ast.Name)}
         if accumulate and name in self.defs:
-            if dump not in self.defs[name]:
-                self.defs[name] = self.defs[name] + "\n" + dump
+            if dump not in self.defs[name]:  # exact-element membership
+                self.defs[name] = self.defs[name] + (dump,)
             self.uses[name] |= names
         else:
-            self.defs[name] = dump
+            self.defs[name] = (dump,)
             self.uses[name] = names
 
     def _record_import(self, node: ast.stmt, bind: bool) -> None:
@@ -196,6 +210,11 @@ class ModuleIndex:
 
     def _walk_body(self, body: list[ast.stmt]) -> None:
         for node in body:
+            # Walrus targets bind module-level names from ANY statement
+            # form; accumulate them so `(x := f())` edits cannot hide.
+            for sub in ast.walk(node):
+                if isinstance(sub, ast.NamedExpr) and isinstance(sub.target, ast.Name):
+                    self._bind(sub.target.id, node, accumulate=True)
             if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
                 self._bind(node.name, node)
             elif isinstance(node, ast.Assign):
@@ -218,11 +237,22 @@ class ModuleIndex:
                     self._bind(name, node, accumulate=True)
             elif isinstance(node, (ast.Import, ast.ImportFrom)):
                 self._record_import(node, bind=True)
-            elif isinstance(node, ast.Expr) and isinstance(node.value, ast.Call):
-                root = _root_name(node.value.func)
-                if root and isinstance(node.value.func, ast.Attribute):
+            elif isinstance(node, ast.Expr):
+                if isinstance(node.value, ast.Constant):
+                    pass  # stray literal / stripped docstring remnant: inert
+                elif (
+                    isinstance(node.value, ast.Call)
+                    and isinstance(node.value.func, ast.Attribute)
+                    and _root_name(node.value.func)
+                ):
                     # X.update(...) / X.append(...) — method-call mutation
-                    self._bind(root, node, accumulate=True)
+                    self._bind(_root_name(node.value.func), node, accumulate=True)
+                else:
+                    # Bare Name-rooted call (`setup()`), call on a call
+                    # result, lambda expr, ... — could mutate anything.
+                    self._bind(UNMODELED, node, accumulate=True)
+            elif isinstance(node, ast.Pass):
+                pass
             elif isinstance(
                 node, (ast.If, ast.Try, ast.While, ast.For, ast.With)
             ):
@@ -231,8 +261,18 @@ class ModuleIndex:
                 # bind every name it touches to the full compound dump,
                 # accumulating onto prior bindings — 'LIMIT = 1' followed
                 # by 'if cond: LIMIT = 2' must flag when EITHER edit lands.
-                for name in _bound_names(node):
+                bound = _bound_names(node)
+                for name in bound:
                     self._bind(name, node, accumulate=True)
+                if not bound:
+                    # Binds nothing → exists purely for side effects
+                    # (`if flag: setup()`): module-wide dirt on change.
+                    self._bind(UNMODELED, node, accumulate=True)
+            else:
+                # del X / module-level match / assert / raise / global /
+                # any future statement form: the index cannot attribute
+                # the effect to a name, so attribute it to the module.
+                self._bind(UNMODELED, node, accumulate=True)
 
     def reachable(self, start: str) -> set[str]:
         """Transitive same-module name-occurrence closure from a binding."""
@@ -344,10 +384,13 @@ class RewindowAnalysis:
     def _name_dirty(self, rel: str, name: str, visiting: frozenset) -> bool:
         """Is ``name`` in module ``rel`` behavior-changed?  Not just its
         own statement: anything its closure reaches counts — 'from m
-        import load' must flag when load's INTERNAL helper changed."""
-        return bool(
-            self.cur[rel].mentioned_closure(name) & self.dirty_names(rel, visiting)
-        )
+        import load' must flag when load's INTERNAL helper changed.  A
+        changed UNMODELED statement in ``rel`` could have mutated any
+        name in it, so it dirties every member import too."""
+        dirty = self.dirty_names(rel, visiting)
+        if UNMODELED in dirty:
+            return True
+        return bool(self.cur[rel].mentioned_closure(name) & dirty)
 
     def flagged(self, rel: str, fn_name: str) -> set[str]:
         """Dirty names the builder can reach (empty = no re-window).
@@ -355,8 +398,14 @@ class RewindowAnalysis:
         Beyond the def-closure itself, every name MENTIONED by a
         reachable binding counts: a function-scoped ``from m import f``
         binds no module-level def, but the builder still calls ``f``.
+        A changed UNMODELED top-level statement flags every builder in
+        the module — the index cannot bound its effect.
         """
-        return self.cur[rel].mentioned_closure(fn_name) & self.dirty_names(rel)
+        dirty = self.dirty_names(rel)
+        hit = self.cur[rel].mentioned_closure(fn_name) & dirty
+        if UNMODELED in dirty:
+            hit = hit | {UNMODELED}
+        return hit
 
 
 def _git_show(rev: str, relpath: str) -> str | None:

@@ -50,6 +50,12 @@ def main() -> None:
     rewindow_check = _load("rewindow_check")
 
     rounds = [n for n, _ in evidence_audit._round_artifacts(REPO)]
+    if not rounds:
+        sys.exit(
+            "no CORRECTNESS_r*.json artifacts found — nothing has landed yet, "
+            "so there is no audit basis to stamp; run this after the first "
+            "driver round."
+        )
     newest = max(rounds)
     stats = evidence_audit.audit(REPO, max_round=newest)
 
@@ -62,13 +68,27 @@ def main() -> None:
     )
 
     flags = rewindow_check.rewindow_names(args.base_rev)
+    # Registry convention: names appear in REGISTRATION order, flags
+    # included (the hand-pasted round-7 block and the backlog both use
+    # it) — not alphabetical.
+    from discogs_etl_spark import registry
+
+    registry._load_all()
+    flag_order = [n for n in registry._REGISTRY if n in flags]
+    flag_order += [n for n in flags if n not in registry._REGISTRY]  # paranoia
     print(f"\n# 2. mechanical re-windows vs {args.base_rev} ({len(flags)}):")
-    for name in sorted(flags):
+    for name in flag_order:
         print(f"#   {name}  (dirty: {', '.join(sorted(flags[name]))})")
+    if len(flags) > args.window_size:
+        print(
+            f"# WARNING: {len(flags)} re-window flags exceed the "
+            f"{args.window_size}-slot window — the driver will only check the "
+            f"first {args.window_size}; split the change across rounds."
+        )
 
     backlog = [n for n in stats["never_checked_names"] if n not in flags]
     fill = max(0, args.window_size - len(flags))
-    window = sorted(flags) + backlog[:fill]
+    window = flag_order + backlog[:fill]
     leftover = len(backlog) - fill
     print(
         f"\n# 3. proposed _WINDOW_PRIORITY ({len(window)} names: {len(flags)} "
