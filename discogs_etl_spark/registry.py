@@ -77,7 +77,7 @@ def _load_all() -> None:
 # driver-side correctness evidence (or changed since their last green row)
 # ahead of queries whose green rows already stand from a prior round.
 #
-# Round 8 rotation.  Basis (COMPUTED by scripts/evidence_audit.py over a
+# Round 9 rotation.  Basis (COMPUTED by scripts/evidence_audit.py over a
 # FIXED round range — the note is stamped with the round it describes so
 # the suite stays green after later artifacts land; the round-6 guard
 # compared against the unbounded audit and the driver landing
@@ -85,80 +85,84 @@ def _load_all() -> None:
 # tests/test_evidence_audit.py recomputes audit(max_round=as_of_round)
 # and asserts this line matches, and separately proves the comparison is
 # immune to a synthetic future-round artifact):
-#   evidence_audit as_of_round=7: registered=366 unique_checked=326 ever_green=326 \
-#     never_checked=40 net_new_last_round=46
-# Window composition: this round FINISHES the evidence backlog — all 40
-# remaining never-driver-checked names (evidence_audit --never
-# --max-round 7) in REGISTRATION ORDER, from chunking_content_defined /
-# similarity_int8_recall / dedup_impact_by_source through the
-# stats/timeseries tail (categorical_drift_dow).  Mechanical re-window
-# flags vs the r7-end rev (bfa3608) were ZERO at round start
-# (scripts/rewindow_check.py: name-granularity docstring-stripped AST
-# diff with import-graph dirtiness; comment/docstring/import-position
-# edits do NOT re-window).  The verdict-r7 task list additionally
-# schedules, in the SAME window if the mechanical flags stay within the
-# 10 spare slots: the TIMESTAMP_NTZ hardening of the 9
-# timestamp-returning queries (SCALE_NOTES r7 TZ audit) and the
-# power-iteration single-scan fold — those edits re-window their
-# queries, which then LEAD this tuple per the flags-first convention.
+#   evidence_audit as_of_round=8: registered=366 unique_checked=366 ever_green=366 \
+#     never_checked=0 net_new_last_round=40
+# The never-driver-checked backlog is EMPTY (the ledger closed with
+# CORRECTNESS_r08), so this round adopts the post-backlog window policy
+# the r8 rotation note scheduled: (a) mechanical re-window flags lead
+# (scripts/rewindow_check.py vs the r8-end rev 39b1653 — this round's
+# flags are the verdict-r8 hardening edits: the TIMESTAMP_NTZ cast on
+# the 9 timestamp-returning queries from the SCALE_NOTES r7 TZ audit,
+# plus the embedding_power_iteration_pc1 single-scan fold); then
+# (b) OLDEST-EVIDENCE-FIRST rotation — registered names ordered by
+# last-green round ascending (registration order among ties, computed
+# by evidence_audit's stale_order_names and filled by round_start.py)
+# so driver evidence keeps refreshing instead of going permanently
+# stale.  The fill below is the round-1 cohort (last green = r1).
 # Every name passes the local one-session driver replica
 # (tests/test_oracle.py) and the plain-session derisk_window.py sweep,
-# so rotation stays pure evidence collection.  After r08 lands green,
-# never-checked drops 40 -> 0: 366/366 ever-green, the ledger closes.
+# so rotation stays pure evidence collection.
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    # backlog, registration order — zero driver rows yet; the FINAL
-    # never-driver-checked names
-    "chunking_content_defined",
-    "similarity_int8_recall",
-    "dedup_impact_by_source",
-    "text_search_query_likelihood",
-    "retrieval_rank_agreement",
-    "pack_shard_balance_eval",
-    "dedup_bag_of_words_exact",
-    "dedup_granularity_compare",
-    "arrow_udf_char_classes",
-    "pandas_udf_iter_tokens",
-    "stats_cusum_daily_revenue",
-    "stats_acf_daily_revenue",
-    "stats_survival_km_repurchase",
-    "stats_two_proportion_ztest",
-    "timeseries_locf_fill",
-    "events_value_winsorize",
-    "stats_psi_value_drift",
-    "stats_ks_exponential_gaps",
-    "stats_diff_in_diff",
-    "stats_theil_sen_trend",
-    "stats_circular_mean_hour",
-    "retention_halflife_fit",
-    "stats_dispersion_order_size",
-    "events_error_budget_burn",
-    "forecast_snaive_backtest",
-    "spc_pchart_returns",
-    "events_harmonic_peak_hour",
-    "users_discounted_ltv",
-    "price_elasticity_discount",
-    "users_bot_score",
-    "whale_retention_jaccard",
-    "seasonality_strength_dow",
-    "stats_jarque_bera_normality",
-    "changepoint_poisson_binseg",
-    "stats_burstiness_index",
-    "p95_rollup_hazard",
-    "stats_mann_whitney_u",
-    "scan_statistic_errors",
-    "numeric_precision_audit",
-    "categorical_drift_dow",
-    # ROUND-9 ROTATION NOTE: once CORRECTNESS_r08 lands green the
-    # never-checked backlog is EMPTY — from round 9 onward the window is
-    # purely (a) mechanical re-window flags from
-    # `python scripts/round_start.py <r8-end-rev>` (changed-code
-    # queries MUST lead the tuple) and (b) free slots for whatever the
-    # round's verdict schedules (deferred refactors/perf work on
-    # registered modules become affordable again).  Keep the ritual:
-    # refresh this note's as_of_round=8 audit line and COVERAGE.md's
-    # evidence paragraph as the first commit, paste the proposed tuple,
-    # and let tests/test_evidence_audit.py verify the paste in the same
-    # commit.
+    # mechanical re-windows (changed code this round): TIMESTAMP_NTZ
+    # output hardening (9) + power-iteration single-scan fold (1)
+    "sessionization_events",
+    "events_hourly_agg",
+    "events_runlength_encode",
+    "stream_events_hourly",
+    "stream_session_window",
+    "stream_dedup_watermark",
+    "stream_stream_join",
+    "stream_sliding_window",
+    "stream_hourly_error_rate",
+    "embedding_power_iteration_pc1",
+    # oldest-evidence-first rotation fill (last green: round 1)
+    "q1_pricing_summary",
+    "agg_rollup_lineitem",
+    "agg_cube_orders",
+    "agg_distinct_parts_per_flag",
+    "agg_variance_price",
+    "q3_shipping_priority",
+    "q5_regional_revenue",
+    "join_broadcast_part_agg",
+    "join_left_order_counts",
+    "join_semi_customers_with_orders",
+    "join_anti_customers_without_orders",
+    "join_full_outer_nation_presence",
+    "window_topk_orders_per_customer",
+    "window_rank_dense_rank",
+    "window_running_total_events",
+    "manifest_latest_per_month",
+    "set_union_all_lineitem",
+    "set_intersect_partkeys",
+    "set_except_partkeys",
+    "scalar_string_part",
+    "scalar_date_orders",
+    "scalar_json_events",
+    "scalar_hash_customer",
+    "scalar_array_embeddings",
+    "agg_grouping_sets_events",
+    "pivot_orders_status",
+    "unpivot_part_measures",
+    "join_right_orders_customer",
+    "join_cross_nation_region",
+    "agg_argmax_order_per_customer",
+    "agg_percentiles_price",
+    "explode_tokens_positional",
+    "scalar_url_documents",
+    "scalar_map_events_props",
+    "set_union_distinct_keys",
+    "subquery_correlated_scalar",
+    "subquery_exists_in",
+    "agg_approx_distinct",
+    "scalar_conditional_lineitem",
+    "agg_collect_sorted_genres",
+    # ROUND-10 ROTATION NOTE: keep the post-backlog policy — refresh the
+    # audit line to as_of_round=9 and COVERAGE.md's evidence paragraph
+    # as the first commit, then compose the window with
+    # `python scripts/round_start.py <r9-end-rev>`: mechanical re-window
+    # flags lead, oldest-evidence-first rotation fills (after r09 lands
+    # green the stalest cohort is the remaining round-1 names —
+    # agg_boolean_countif / scalar_higher_order_arrays onward).
 )
 
 

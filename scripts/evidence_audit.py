@@ -76,6 +76,7 @@ def audit(
 
     checked: set[str] = set()
     ever_green: set[str] = set()
+    last_green: dict[str, int] = {}
     net_new_last = []
     last_round = max(per_round) if per_round else 0
     for n in sorted(per_round):
@@ -83,7 +84,10 @@ def audit(
         if n == last_round:
             net_new_last = sorted(names - checked)
         checked |= names
-        ever_green |= {name for name, ok in per_round[n].items() if ok}
+        for name, ok in per_round[n].items():
+            if ok:
+                ever_green.add(name)
+                last_green[name] = n
 
     sys.path.insert(0, str(repo))
     from discogs_etl_spark import registry
@@ -95,6 +99,14 @@ def audit(
     # window, so the "next 50" plan is reproducible.
     reg_order = [n for n in registry._REGISTRY if n in registered]
     never_in_order = [n for n in reg_order if n not in checked]
+    # Post-backlog rotation basis: registered names ordered by how STALE
+    # their driver evidence is — last-green round ascending, registration
+    # order among ties.  Never-checked / never-green names sort first
+    # (last_green absent → round 0).  round_start.py fills the window
+    # from this list once the never-checked backlog is empty, so driver
+    # evidence keeps refreshing oldest-first instead of going static.
+    reg_index = {n: i for i, n in enumerate(reg_order)}
+    stale_order = sorted(reg_order, key=lambda n: (last_green.get(n, 0), reg_index[n]))
 
     return {
         "rounds": sorted(per_round),
@@ -106,6 +118,8 @@ def audit(
         "net_new_last_round": len(net_new_last),
         "net_new_last_round_names": net_new_last,
         "never_checked_names": never_in_order,
+        "stale_order_names": stale_order,
+        "last_green_round": last_green,
         "checked_not_registered": sorted(checked - registered),
     }
 

@@ -86,13 +86,26 @@ def main() -> None:
             f"first {args.window_size}; split the change across rounds."
         )
 
+    # Fill order: mechanical re-windows first, then never-driver-checked
+    # backlog in registration order, then — the post-backlog policy the
+    # r8 rotation note scheduled — oldest-evidence-first rotation
+    # (last-green round ascending) so driver evidence keeps refreshing
+    # instead of going permanently stale once the ledger closes.
     backlog = [n for n in stats["never_checked_names"] if n not in flags]
+    stale = [
+        n
+        for n in stats["stale_order_names"]
+        if n not in flags and n not in set(backlog)
+    ]
     fill = max(0, args.window_size - len(flags))
-    window = flag_order + backlog[:fill]
+    n_backlog = min(fill, len(backlog))
+    rotation = stale[: max(0, fill - n_backlog)]
+    window = flag_order + backlog[:fill] + rotation
     leftover = len(backlog) - fill
     print(
         f"\n# 3. proposed _WINDOW_PRIORITY ({len(window)} names: {len(flags)} "
-        f"re-windows + {min(fill, len(backlog))} backlog; "
+        f"re-windows + {n_backlog} backlog + {len(rotation)} "
+        f"oldest-evidence rotation; "
         f"{max(leftover, 0)} never-checked remain after this window lands):"
     )
     for name in window:
