@@ -777,9 +777,14 @@ def sessionization_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_new").over(wsum).cast("long").alias("session_id"),
     )
     return sess.groupBy("user_id", "session_id").agg(
+        # TIMESTAMP_NTZ output (r7 TZ audit hardening): collected
+        # TimestampType renders through the PYTHON PROCESS timezone;
+        # NTZ collects the session-TZ (UTC-pinned) wall clock as a
+        # naive datetime regardless of process zone — value-identical
+        # on a UTC box, so the oracle hash is unchanged.
         F.count(F.lit(1)).alias("n_events"),
-        F.min("ts").alias("session_start"),
-        F.max("ts").alias("session_end"),
+        F.min("ts").cast("timestamp_ntz").alias("session_start"),
+        F.max("ts").cast("timestamp_ntz").alias("session_end"),
         dsum("value", 6).alias("session_value"),
     )
 
@@ -1031,7 +1036,9 @@ def events_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load(spark, sf_dir, "events")
         .groupBy(
-            F.date_trunc("hour", "ts").alias("hour_start"),
+            # NTZ output: process-TZ-independent collect (r7 TZ audit);
+            # hour bucketing itself stays session-TZ (contract-pinned UTC).
+            F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("hour_start"),
             "event_type",
         )
         .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", 6).alias("sum_value"))
@@ -6753,8 +6760,15 @@ def events_runlength_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.row_number().over(w1) - F.row_number().over(w2)).alias("grp"),
     )
     return (
+        # run_start is NTZ so the collected wall clock is process-TZ
+        # independent (r7 TZ audit hardening); the top-20 ordering is a
+        # monotone cast away from the TimestampType order, so the
+        # TakeOrderedAndProject plan and the oracle hash are unchanged.
         seq.groupBy("user_id", "event_type", "grp")
-        .agg(F.count(F.lit(1)).alias("run_len"), F.min("ts").alias("run_start"))
+        .agg(
+            F.count(F.lit(1)).alias("run_len"),
+            F.min("ts").cast("timestamp_ntz").alias("run_start"),
+        )
         .select("user_id", "event_type", "run_len", "run_start")
         .orderBy(F.desc("run_len"), F.asc("user_id"), F.asc("run_start"))
         .limit(20)

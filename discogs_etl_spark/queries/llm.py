@@ -4851,14 +4851,20 @@ def embedding_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame
         "vec_id",
         F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
     )
-    n = e.select("vec_id").distinct().count()
+    # n rides the SAME aggregate as μ (verdict r8 #4: the old separate
+    # distinct().count() was a second corpus-sized pass for one scalar).
+    # Embeddings are fixed-width (the 64-wide start vector already
+    # assumes it), so every vec contributes one row per pos and the
+    # per-pos row count IS the distinct-vec count the oracle computes.
     mu = e.groupBy("pos").agg(
         F.round(
             F.sum(F.col("v").cast("decimal(28,12)")).cast("double") / F.count(F.lit(1)),
             9,
-        ).alias("mu")
+        ).alias("mu"),
+        F.count(F.lit(1)).alias("n_vec"),
     )
-    cent = e.join(F.broadcast(mu), "pos").select(
+    nv = mu.agg(F.max("n_vec").cast("double").alias("n_corpus"))
+    cent = e.join(F.broadcast(mu.select("pos", "mu")), "pos").select(
         "vec_id", "pos", (F.col("v") - F.col("mu")).alias("cv")
     )
     a, b = cent.alias("a"), cent.alias("b")
@@ -4866,14 +4872,14 @@ def embedding_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame
         a.join(b, "vec_id")
         .groupBy(F.col("a.pos").alias("i"), F.col("b.pos").alias("j"))
         .agg(
-            F.round(
-                F.sum(
-                    F.round(F.col("a.cv") * F.col("b.cv"), 9).cast("decimal(38,9)")
-                ).cast("double")
-                / F.lit(float(n)),
-                9,
-            ).alias("c")
+            F.sum(
+                F.round(F.col("a.cv") * F.col("b.cv"), 9).cast("decimal(38,9)")
+            )
+            .cast("double")
+            .alias("s")
         )
+        .crossJoin(F.broadcast(nv))
+        .select("i", "j", F.round(F.col("s") / F.col("n_corpus"), 9).alias("c"))
         .localCheckpoint()
     )
     spark_sess = spark

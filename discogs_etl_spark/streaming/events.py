@@ -134,6 +134,22 @@ def run_stream_to_parquet(df: DataFrame, path: str, checkpoint: str) -> None:
     q.awaitTermination()
 
 
+def _ntz_out(df: DataFrame, *cols: str) -> DataFrame:
+    """Cast RETURNED timestamp columns to TIMESTAMP_NTZ (r7 TZ audit
+    hardening).  Collected ``TimestampType`` cells render through the
+    PYTHON PROCESS timezone (``datetime.fromtimestamp``), so a non-UTC
+    driver process would shift wall clocks the DuckDB oracle does not
+    shift; ``TimestampNTZType`` collects the session-TZ wall clock as a
+    naive datetime regardless of process zone.  Under the UTC-pinned
+    session the cast is value-identical to what a UTC process collected
+    before, so oracle hashes do not move.  Applied to the DRAINED batch
+    result, after the memory sink — watermarks and event-time windows
+    still see TIMESTAMP inside the streaming plan (Spark requires it)."""
+    for c in cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp_ntz"))
+    return df
+
+
 @register(
     "stream_events_hourly",
     oracle="""
@@ -173,7 +189,8 @@ def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    return run_stream_to_table(agg, "stream_events_hourly_sink", "complete")
+    out = run_stream_to_table(agg, "stream_events_hourly_sink", "complete")
+    return _ntz_out(out, "hour_start")
 
 
 @register(
@@ -229,7 +246,8 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "session_start", "n_events", "session_value")
     )
-    return run_stream_to_table(agg, "stream_session_window_sink", "complete")
+    out = run_stream_to_table(agg, "stream_session_window_sink", "complete")
+    return _ntz_out(out, "session_start")
 
 
 # ---------------------------------------------------------------------------
@@ -365,7 +383,8 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = doubled.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
         ["event_id"]
     )
-    return run_stream_to_table(deduped, "stream_dedup_watermark_sink", "append")
+    out = run_stream_to_table(deduped, "stream_dedup_watermark_sink", "append")
+    return _ntz_out(out, "ts")
 
 
 @register(
@@ -473,7 +492,8 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "view_ts",
         "click_ts",
     )
-    return run_stream_to_table(joined, "stream_stream_join_sink", "append")
+    out = run_stream_to_table(joined, "stream_stream_join_sink", "append")
+    return _ntz_out(out, "view_ts", "click_ts")
 
 
 def stream_upsert_to_lake(
@@ -692,7 +712,8 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    return run_stream_to_table(agg, "stream_sliding_window_sink", "complete")
+    out = run_stream_to_table(agg, "stream_sliding_window_sink", "complete")
+    return _ntz_out(out, "window_start")
 
 
 @register(
@@ -778,7 +799,8 @@ def stream_hourly_error_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("error_rate"),
         )
     )
-    return run_stream_to_table(agg, "stream_hourly_error_rate_sink", "complete")
+    out = run_stream_to_table(agg, "stream_hourly_error_rate_sink", "complete")
+    return _ntz_out(out, "hour_start")
 
 
 # Deterministic location shared by the streaming file sink and the DuckDB
