@@ -157,6 +157,12 @@ def main() -> None:
         spark.stop()
         return
 
+    # Box-load fingerprint bracketing the measured window: two rounds
+    # running, the driver artifact recorded a contended-box reading that
+    # only an out-of-band rerun could adjudicate (BENCH_r07 31.5 s /
+    # BENCH_r08 40.1 s vs a verified ~20-22 s level, SCALE_NOTES r9) —
+    # with loadavg ON the JSON line, a contended reading self-documents.
+    load_before = _loadavg()
     _warmup(spark, sf_dir)
     timings, spread = _run_set(spark, sf_dir)
     total = round(sum(timings.values()), 3)
@@ -172,10 +178,22 @@ def main() -> None:
                 # run-to-run noise from a real plan regression
                 "spread_sec": spread,
                 "sf": _sf_from_dir(sf_dir),
+                # (1m, 5m, 15m) system load average before warmup and
+                # after the last query: readings with loadavg far above
+                # the bench's own parallelism are contention artifacts
+                "loadavg_before": load_before,
+                "loadavg_after": _loadavg(),
             }
         )
     )
     spark.stop()
+
+
+def _loadavg() -> list[float] | None:
+    try:
+        return [round(x, 2) for x in os.getloadavg()]
+    except OSError:  # platform without getloadavg
+        return None
 
 
 if __name__ == "__main__":
