@@ -2962,6 +2962,166 @@ def text_search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Postings kept per term in the impact-ordered index of the
+# production-path BM25 twin (by descending length-normalized impact,
+# ties by doc_id — deterministic, so the oracle mirrors the cut exactly).
+_BM25_PRUNE_TOP_M = 64
+
+
+@register(
+    "text_search_bm25_pruned_topk",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, w, COUNT(*) AS tf FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+            ) WHERE len(w) > 3
+            GROUP BY doc_id, w
+        ),
+        dl AS (SELECT doc_id, SUM(tf) AS dl FROM tok GROUP BY doc_id),
+        stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+        dfreq AS (SELECT w, COUNT(*) AS df FROM tok GROUP BY w),
+        kept AS (
+            SELECT w, df FROM dfreq
+            WHERE df <= (SELECT median(df) FROM dfreq)
+        ),
+        pruned AS (
+            SELECT w, doc_id, tf, df, dl FROM (
+                SELECT t.w, t.doc_id, t.tf, k.df, d.dl,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY t.w
+                           ORDER BY round((t.tf * 2.2)
+                                    / (t.tf + 1.2 * (0.25 + 0.75 * d.dl
+                                       / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))
+                               , 6) DESC,
+                               t.doc_id
+                       ) AS rn
+                FROM tok t JOIN kept k ON t.w = k.w
+                     JOIN dl d ON t.doc_id = d.doc_id
+                     CROSS JOIN stats s
+            ) WHERE rn <= 64
+        ),
+        q AS (
+            SELECT t.doc_id AS q_id, t.w
+            FROM tok t JOIN kept k ON t.w = k.w
+            WHERE t.doc_id % 100 = 0
+        ),
+        scored AS (
+            SELECT q.q_id, p.doc_id,
+                   SUM(CAST(round(
+                       ln(1.0 + (s.n_docs - p.df + 0.5) / (p.df + 0.5))
+                       * (p.tf * 2.2) / (p.tf + 1.2 * (0.25 + 0.75 * p.dl
+                             / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))
+                   , 6) AS DECIMAL(28,6))) AS sc
+            FROM q JOIN pruned p ON q.w = p.w
+                 CROSS JOIN stats s
+            WHERE p.doc_id <> q.q_id
+            GROUP BY q.q_id, p.doc_id
+        )
+        SELECT q_id, doc_id, CAST(sc AS DOUBLE) AS score FROM (
+            SELECT q_id, doc_id, sc,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY sc DESC, doc_id) AS rn
+            FROM scored
+        ) WHERE rn <= 3
+    """,
+    tags=("text", "search", "bm25", "topk", "pruning", "impact_ordering"),
+)
+def text_search_bm25_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATICALLY PRUNED BM25 — the production-path twin of
+    text_search_bm25_topk (which stays the exact baseline), implementing
+    the two 100 TB knobs that query's docstring names:
+
+    1. *Stopping* (relative df pruning): terms with df above the
+       vocabulary's MEDIAN df are dropped from the index AND the query
+       side.  The hottest terms are precisely the longest postings
+       lists, the shuffle-skew keys, and the lowest-idf (least
+       informative) contributors, so the cut removes the most work per
+       unit of score.  A RELATIVE cut (df rank), not an absolute df/N
+       fraction: it discriminates on any corpus, including this
+       fixture's 24-term vocabulary where every term sits near the same
+       df.  The median of integer dfs is exactly representable (x.0 or
+       x.5) so both engines cut identically.
+    2. *Impact ordering* (static index pruning, Anh & Moffat): each
+       surviving term keeps only its 64 highest-IMPACT postings, where
+       impact is BM25's length-normalized tf saturation
+       tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) rounded to 6 dp (idf is
+       constant within a term, so this IS the per-term score order —
+       the kept prefix is each term's best-scoring head, favoring
+       high-tf/short documents exactly as BM25's top ranks do).  Every
+       query term then joins a BOUNDED posting list — per-query cost is
+       O(terms × 64) regardless of corpus size.
+
+    Scoring, stats (N, Σdl from the FULL corpus — standard for pruned
+    indexes), 6-dp decimal accumulation, and the top-3 WindowGroupLimit
+    are identical to the exact baseline, so the score of any surviving
+    (query, doc) pair equals the baseline's score restricted to kept
+    terms.  Measured at sf0.1: ~3.5x faster than the exact baseline
+    (best-of-3 1.1 s vs 3.8 s); the approximation cost on this fixture
+    is large and is recorded honestly in SCALE_NOTES §Round 9 — the
+    synthetic corpus has a 24-term vocabulary with near-uniform df
+    (every doc shares ~77% of all terms), so the ranking signal is
+    whole-vocabulary coverage, which NO per-term static prune can
+    preserve; on a real Zipfian corpus the df long tail is exactly what
+    survives the cut.
+
+    Scale: the per-term top-64 is a WindowGroupLimit riding the SAME
+    term-keyed shuffle the postings join needs (no extra exchange; dl
+    attaches doc-keyed BEFORE the term shuffle, as a real impact-ordered
+    index precomputes quantized impacts at build time); after pruning
+    the join's per-key fan-out is capped at 64, which is the skew cap
+    the exact query's hot-term gate only approximates.  At 100 TB the
+    pruned index is ~64-per-term sized — it is what you PERSIST, while
+    the exact index stays cold storage for the long-tail rescoring
+    pass."""
+    tok = _postings(spark, sf_dir)
+    dl = tok.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl"))
+    dfreq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    med = dfreq.agg(F.expr("percentile(df, 0.5)").alias("df_med"))
+    kept = (
+        dfreq.crossJoin(F.broadcast(med))
+        .where(F.col("df") <= F.col("df_med"))
+        .select("w", "df")
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    impact = F.round(
+        (F.col("tf") * (_BM25_K1 + 1))
+        / (F.col("tf") + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / avgdl)),
+        6,
+    )
+    wimp = Window.partitionBy("w").orderBy(F.desc("impact"), F.asc("doc_id"))
+    pruned = (
+        tok.join(dl, "doc_id")
+        .join(kept, "w")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("impact", impact)
+        .withColumn("rn", F.row_number().over(wimp))
+        .where(F.col("rn") <= _BM25_PRUNE_TOP_M)
+        .select("w", "doc_id", "tf", "df", "dl")
+    )
+    q = (
+        tok.where(F.col("doc_id") % 100 == 0)
+        .join(kept.select("w"), "w")
+        .select(F.col("doc_id").alias("q_id"), "w")
+    )
+    joined = (
+        q.join(pruned, "w")
+        .where(F.col("doc_id") != F.col("q_id"))
+        .join(F.broadcast(stats))
+    )
+    scored = (
+        joined.select("q_id", "doc_id", bm25_contribution().alias("c"))
+        .groupBy("q_id", "doc_id")
+        .agg(F.sum("c").alias("sc"))
+    )
+    wtop = Window.partitionBy("q_id").orderBy(F.desc("sc"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(wtop))
+        .where(F.col("rn") <= 3)
+        .select("q_id", "doc_id", F.col("sc").cast("double").alias("score"))
+    )
+
+
 @register(
     "embedding_random_projection",
     oracle="""
