@@ -55,12 +55,18 @@ PACKAGE = "discogs_etl_spark"
 
 # Reserved key for top-level statement forms the index does not model
 # (bare side-effect calls like ``setup()``, ``del X``, module-level
-# ``match``/``assert``/``raise``, ...).  Such a statement could mutate
-# anything in its module, so a change to one dirties the whole module:
-# the sentinel joins every builder's flagged set and propagates through
-# member imports.  The package currently contains none (pinned by
-# tests/test_rewindow_check.py's package invariance sweep), so this is
-# pure hardening against a future module silently weakening the rule.
+# ``match``/``assert``/``raise``, and compounds containing such
+# statements).  Such a statement could mutate anything in its module,
+# so a change to one dirties the whole module: the sentinel joins every
+# builder's flagged set and propagates through member imports.  The
+# package currently carries UNMODELED statements in exactly TWO
+# modules, neither imported by any query module: __main__.py (the
+# ``raise SystemExit(main())`` entry) and cli.py (the ``__main__``
+# guard's bare ``main()`` call) — pinned by
+# tests/test_rewindow_check.py::test_package_unmodeled_inventory, which
+# fails loudly if a future edit adds an UNMODELED statement anywhere
+# else (or removes these) so the weakened-attribution surface is always
+# known and reviewed.
 UNMODELED = "<unmodeled-top-level>"
 
 
@@ -134,6 +140,67 @@ def _bound_names(node: ast.stmt) -> set[str]:
     return out
 
 
+_COMPOUND_STMTS = (
+    ast.If,
+    ast.Try,
+    ast.While,
+    ast.For,
+    ast.AsyncFor,
+    ast.With,
+    ast.AsyncWith,
+)
+# Statement forms whose module-level effect the index fully attributes
+# to bound names (or that have none).  Break/Continue are pure control
+# flow; nested def/class bodies are deferred (they run on call, and
+# their NAMES are already captured by _bound_names).
+_ATTRIBUTABLE_STMTS = (
+    ast.Assign,
+    ast.AnnAssign,
+    ast.AugAssign,
+    ast.Import,
+    ast.ImportFrom,
+    ast.Pass,
+    ast.Break,
+    ast.Continue,
+    ast.FunctionDef,
+    ast.AsyncFunctionDef,
+    ast.ClassDef,
+)
+
+
+def _compound_bodies(node: ast.stmt) -> list[ast.stmt]:
+    out: list[ast.stmt] = []
+    for attr in ("body", "orelse", "finalbody"):
+        out.extend(getattr(node, attr, None) or [])
+    for handler in getattr(node, "handlers", None) or []:
+        out.extend(handler.body)
+    return out
+
+
+def _has_unattributable(node: ast.stmt) -> bool:
+    """True if a compound statement contains sub-statements whose effect
+    the index cannot pin to a bound name: bare side-effect calls
+    (``if flag: x = 1; setup()``), del/raise/assert, method-call
+    mutations, or any statement form outside the attributable set.
+    Nested function/class bodies are skipped (deferred execution).
+    Without this check, a compound that binds at least one name
+    attributed ALL of its behavior to those names, so builders not
+    reaching them never flagged when only the side-effect line changed
+    — an under-flag (ADVICE r8)."""
+    stack = _compound_bodies(node)
+    while stack:
+        sub = stack.pop()
+        if isinstance(sub, _ATTRIBUTABLE_STMTS):
+            continue
+        if isinstance(sub, ast.Expr) and isinstance(sub.value, ast.Constant):
+            continue  # stray literal / stripped docstring remnant
+        if isinstance(sub, _COMPOUND_STMTS):
+            stack.extend(_compound_bodies(sub))
+            continue
+        return True  # Expr call, Delete, Raise, Assert, match, ...
+    return False
+
+
 class ModuleIndex:
     """Parse-once index of a module: top-level bindings, the names each
     binding's statements mention, and every repo-relevant import
@@ -171,8 +238,12 @@ class ModuleIndex:
         dump = ast.dump(node)
         names = {n.id for n in ast.walk(node) if isinstance(n, ast.Name)}
         if accumulate and name in self.defs:
-            if dump not in self.defs[name]:  # exact-element membership
-                self.defs[name] = self.defs[name] + (dump,)
+            # ALWAYS append, even when an identical dump is already
+            # accumulated: statement MULTIPLICITY is part of behavior
+            # (deleting one of two identical ``X.append(1)`` statements
+            # changes how many times it executes), so deduping here
+            # would under-flag — the one direction the rule forbids.
+            self.defs[name] = self.defs[name] + (dump,)
             self.uses[name] |= names
         else:
             self.defs[name] = (dump,)
@@ -264,9 +335,11 @@ class ModuleIndex:
                 bound = _bound_names(node)
                 for name in bound:
                     self._bind(name, node, accumulate=True)
-                if not bound:
-                    # Binds nothing → exists purely for side effects
-                    # (`if flag: setup()`): module-wide dirt on change.
+                if not bound or _has_unattributable(node):
+                    # Binds nothing (`if flag: setup()`) OR binds names
+                    # but ALSO carries side effects the index cannot
+                    # attribute (`if flag: x = 1; setup()`): module-wide
+                    # dirt on change, never silently folded into x.
                     self._bind(UNMODELED, node, accumulate=True)
             else:
                 # del X / module-level match / assert / raise / global /
@@ -373,6 +446,17 @@ class RewindowAnalysis:
             target = _module_to_relpath(smod, known)
             if target and target != rel:
                 dirty |= self.dirty_names(target, visiting)
+        # An UNMODELED statement whose own dump is unchanged still
+        # changes module behavior when anything it CALLS/MENTIONS is
+        # dirty (`setup()` at top level with an edited setup body runs
+        # the new code at import): the sentinel goes dirty whenever its
+        # mention closure does.
+        if (
+            UNMODELED in idx.defs
+            and UNMODELED not in dirty
+            and idx.mentioned_closure(UNMODELED) & dirty
+        ):
+            dirty.add(UNMODELED)
         # Results computed under cycle truncation are order-dependent —
         # memoizing them would poison later full evaluations (a real
         # hazard: curation.py <-> queries/llm.py cycle via function-
