@@ -5012,16 +5012,27 @@ def embedding_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame
         F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
     )
     # n rides the SAME aggregate as μ (verdict r8 #4: the old separate
-    # distinct().count() was a second corpus-sized pass for one scalar).
-    # Embeddings are fixed-width (the 64-wide start vector already
-    # assumes it), so every vec contributes one row per pos and the
-    # per-pos row count IS the distinct-vec count the oracle computes.
-    mu = e.groupBy("pos").agg(
-        F.round(
-            F.sum(F.col("v").cast("decimal(28,12)")).cast("double") / F.count(F.lit(1)),
-            9,
-        ).alias("mu"),
-        F.count(F.lit(1)).alias("n_vec"),
+    # distinct().count() was a second corpus-sized pass for one scalar),
+    # as a per-pos COUNT(DISTINCT vec_id) — the oracle's exact n even if
+    # a vec_id row were ever duplicated; embeddings are fixed-width (the
+    # 64-wide start vector already assumes it), so every pos sees every
+    # vec and the per-pos distinct count IS the corpus count.  The
+    # 64-row result is localCheckpoint-ed so the μ scan runs ONCE and
+    # both consumers (nv, the centering join) read the materialized
+    # rows — without it Catalyst re-derives each subtree from the scan
+    # (column pruning defeats exchange reuse) and the "fold" would not
+    # exist physically.
+    mu = (
+        e.groupBy("pos")
+        .agg(
+            F.round(
+                F.sum(F.col("v").cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1)),
+                9,
+            ).alias("mu"),
+            F.count_distinct(F.col("vec_id")).alias("n_vec"),
+        )
+        .localCheckpoint()
     )
     nv = mu.agg(F.max("n_vec").cast("double").alias("n_corpus"))
     cent = e.join(F.broadcast(mu.select("pos", "mu")), "pos").select(

@@ -132,7 +132,20 @@ def main() -> None:
     args = ap.parse_args()
     stats = audit(max_round=args.max_round)
     if args.json:
-        print(json.dumps({k: v for k, v in stats.items() if not k.endswith("_names")}, indent=2))
+        # keep the machine-readable summary COMPACT: drop the per-query
+        # collections (the *_names lists and the last_green_round dict),
+        # not just keys matching the _names suffix convention
+        print(
+            json.dumps(
+                {
+                    k: v
+                    for k, v in stats.items()
+                    if not isinstance(v, (dict,))
+                    and not k.endswith("_names")
+                },
+                indent=2,
+            )
+        )
     elif args.never:
         for name in stats["never_checked_names"]:
             print(name)

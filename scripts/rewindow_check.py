@@ -151,8 +151,10 @@ _COMPOUND_STMTS = (
 )
 # Statement forms whose module-level effect the index fully attributes
 # to bound names (or that have none).  Break/Continue are pure control
-# flow; nested def/class bodies are deferred (they run on call, and
-# their NAMES are already captured by _bound_names).
+# flow; nested FUNCTION bodies are deferred (they run on call, and their
+# names are already captured by _bound_names).  ClassDef is NOT here:
+# class bodies execute at definition time, so a bare call inside one is
+# an import-time side effect — _has_unattributable recurses into them.
 _ATTRIBUTABLE_STMTS = (
     ast.Assign,
     ast.AnnAssign,
@@ -164,7 +166,6 @@ _ATTRIBUTABLE_STMTS = (
     ast.Continue,
     ast.FunctionDef,
     ast.AsyncFunctionDef,
-    ast.ClassDef,
 )
 
 
@@ -188,6 +189,8 @@ def _has_unattributable(node: ast.stmt) -> bool:
     reaching them never flagged when only the side-effect line changed
     — an under-flag (ADVICE r8)."""
     stack = _compound_bodies(node)
+    if isinstance(node, ast.ClassDef):
+        stack = list(node.body)
     while stack:
         sub = stack.pop()
         if isinstance(sub, _ATTRIBUTABLE_STMTS):
@@ -196,6 +199,10 @@ def _has_unattributable(node: ast.stmt) -> bool:
             continue  # stray literal / stripped docstring remnant
         if isinstance(sub, _COMPOUND_STMTS):
             stack.extend(_compound_bodies(sub))
+            continue
+        if isinstance(sub, ast.ClassDef):
+            # class bodies run at definition time — import-time effects
+            stack.extend(sub.body)
             continue
         return True  # Expr call, Delete, Raise, Assert, match, ...
     return False
@@ -263,6 +270,14 @@ class ModuleIndex:
             for alias in node.names:
                 if alias.name == "*":
                     self.star_imports.add(mod)
+                    if bind:
+                        # A star import binds an unknowable name set, so
+                        # adding/removing/re-targeting one is a module-
+                        # wide change — without this, DELETING the
+                        # statement changed no def dump and removed the
+                        # propagation edge in the same breath: zero
+                        # flags for a behavior change.
+                        self._bind(UNMODELED, node, accumulate=True)
                     continue
                 local = alias.asname or alias.name
                 self.imports.setdefault(local, set()).add(("member", mod, alias.name))
@@ -286,8 +301,15 @@ class ModuleIndex:
             for sub in ast.walk(node):
                 if isinstance(sub, ast.NamedExpr) and isinstance(sub.target, ast.Name):
                     self._bind(sub.target.id, node, accumulate=True)
-            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
                 self._bind(node.name, node)
+            elif isinstance(node, ast.ClassDef):
+                self._bind(node.name, node)
+                if _has_unattributable(node):
+                    # class bodies execute at definition time: a bare
+                    # call in one is an import-time side effect the
+                    # class name cannot bound.
+                    self._bind(UNMODELED, node, accumulate=True)
             elif isinstance(node, ast.Assign):
                 for tgt in node.targets:
                     for name in _flat_name_targets(tgt):

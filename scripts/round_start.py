@@ -92,10 +92,11 @@ def main() -> None:
     # (last-green round ascending) so driver evidence keeps refreshing
     # instead of going permanently stale once the ledger closes.
     backlog = [n for n in stats["never_checked_names"] if n not in flags]
+    backlog_set = set(backlog)
     stale = [
         n
         for n in stats["stale_order_names"]
-        if n not in flags and n not in set(backlog)
+        if n not in flags and n not in backlog_set
     ]
     fill = max(0, args.window_size - len(flags))
     n_backlog = min(fill, len(backlog))

@@ -612,3 +612,44 @@ def test_package_unmodeled_inventory():
         "discogs_etl_spark/__main__.py": 1,  # raise SystemExit(main())
         "discogs_etl_spark/cli.py": 1,  # __main__ guard's bare main() call
     }, carriers
+
+
+def test_class_body_side_effect_is_unmodeled():
+    # Class bodies execute at DEFINITION time, not on call — a bare
+    # call inside one is an import-time side effect the class name
+    # cannot bound (review r9: ClassDef was wrongly in the
+    # attributable/deferred set).
+    mod = _mod()
+    src = (
+        "Y = {}\n"
+        "def setup(): Y['mode'] = 'fast'\n"
+        "class C:\n    setup()\n"
+        "def builder(spark, sf):\n    return Y\n"
+    )
+    assert mod.UNMODELED in mod._top_level_defs(src)
+    # editing setup's body must flag builder (which mentions only Y)
+    changed = src.replace("'fast'", "'slow'")
+    a = mod.RewindowAnalysis({"discogs_etl_spark/m.py": (changed, src)})
+    assert mod.UNMODELED in a.flagged("discogs_etl_spark/m.py", "builder")
+    # ...same one nesting level down, inside a compound
+    nested = "flag = True\ndef setup(): pass\nif flag:\n    class C:\n        setup()\n"
+    assert mod.UNMODELED in mod._top_level_defs(nested)
+    # a class of plain defs/assigns stays fully attributable
+    clean = "class C:\n    x = 1\n    def m(self):\n        return other()\n"
+    assert mod.UNMODELED not in mod._top_level_defs(clean)
+
+
+def test_star_import_deletion_flags():
+    # Removing `from m import *` used to change no def dump AND remove
+    # the propagation edge in the same breath — zero flags for a
+    # behavior change (review r9).
+    mod = _mod()
+    with_star = "from discogs_etl_spark.tables import *\ndef builder(spark, sf):\n    return helper(1)\n"
+    without = "def builder(spark, sf):\n    return helper(1)\n"
+    a = mod.RewindowAnalysis(
+        {
+            "discogs_etl_spark/tables.py": (UNMODELED_HELPER, UNMODELED_HELPER),
+            "discogs_etl_spark/queries/q.py": (without, with_star),
+        }
+    )
+    assert mod.UNMODELED in a.flagged("discogs_etl_spark/queries/q.py", "builder")
