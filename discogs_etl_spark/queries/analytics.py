@@ -2970,8 +2970,8 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         v.agg(F.count(F.lit(1)).alias("n_viewed"))
-        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_clicked_after")))
-        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchased_after")))
+        .crossJoin(F.broadcast(c.agg(F.count(F.lit(1)).alias("n_clicked_after"))))
+        .crossJoin(F.broadcast(p.agg(F.count(F.lit(1)).alias("n_purchased_after"))))
     )
 
 

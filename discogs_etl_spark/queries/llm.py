@@ -5812,7 +5812,7 @@ def corpus_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     pts = (
-        nt_row.crossJoin(vb_row)  # 1 row x 1 row
+        nt_row.crossJoin(F.broadcast(vb_row))  # 1 row x 1 row
         .select(
             F.explode(
                 F.array(

@@ -122,6 +122,12 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "stream_sliding_window",
     "stream_hourly_error_rate",
     "embedding_power_iteration_pc1",
+    # mechanical re-windows: crossJoin broadcast-hint sweep (the r8
+    # verdict's "every crossJoin broadcasts" claim was false at these
+    # two builders' sites; now hinted and pinned by
+    # tests/test_plans.py::test_every_crossjoin_is_broadcast_hinted)
+    "funnel_view_click_purchase",
+    "corpus_heaps_law_fit",
     # oldest-evidence-first rotation fill (last green: round 1)
     "q1_pricing_summary",
     "agg_rollup_lineitem",
@@ -160,8 +166,6 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "set_union_distinct_keys",
     "subquery_correlated_scalar",
     "subquery_exists_in",
-    "agg_approx_distinct",
-    "scalar_conditional_lineitem",
     # ROUND-10 ROTATION NOTE: keep the post-backlog policy — refresh the
     # audit line to as_of_round=9 and COVERAGE.md's evidence paragraph
     # as the first commit, then compose the window with

@@ -477,3 +477,40 @@ def test_token_budget_planner_single_pass(spark, q):
     assert "Union" not in plan
     # one scan of documents feeds the whole thing
     assert plan.count("documents.parquet") == 1
+
+
+def test_every_crossjoin_is_broadcast_hinted():
+    """Every crossJoin in the package must wrap its argument in
+    F.broadcast(...): each one combines a scalar/tiny aggregate, and the
+    hint makes the BroadcastNestedLoopJoin shape explicit instead of
+    relying on AQE size estimates (the r8 verdict claimed this invariant
+    was grep-verified; three sites falsified it — this test makes the
+    invariant real and keeps it that way)."""
+    import ast
+    from pathlib import Path
+
+    pkg = Path(__file__).resolve().parent.parent / "discogs_etl_spark"
+    offenders = []
+    for f in sorted(pkg.rglob("*.py")):
+        tree = ast.parse(f.read_text())
+        for node in ast.walk(tree):
+            if (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr == "crossJoin"
+            ):
+                arg = node.args[0] if node.args else None
+                hinted = isinstance(arg, ast.Call) and (
+                    (
+                        isinstance(arg.func, ast.Attribute)
+                        and arg.func.attr == "broadcast"
+                    )
+                    or (isinstance(arg.func, ast.Name) and arg.func.id == "broadcast")
+                )
+                if not hinted:
+                    offenders.append(f"{f.relative_to(pkg.parent)}:{node.lineno}")
+    assert not offenders, (
+        f"crossJoin without F.broadcast(...) hint: {offenders} — wrap the "
+        "argument (scalar aggregates broadcast; anything bigger should not "
+        "be a crossJoin)"
+    )
