@@ -3123,6 +3123,215 @@ def text_search_bm25_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_search_bm25_pruned_recall",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, w, COUNT(*) AS tf FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+            ) WHERE len(w) > 3
+            GROUP BY doc_id, w
+        ),
+        dl AS (SELECT doc_id, SUM(tf) AS dl FROM tok GROUP BY doc_id),
+        stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+        dfreq AS (SELECT w, COUNT(*) AS df FROM tok GROUP BY w),
+        q AS (SELECT doc_id AS q_id, w FROM tok WHERE doc_id % 100 = 0),
+        scored_exact AS (
+            SELECT q.q_id, t.doc_id,
+                   SUM(CAST(round(
+                       ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                       * (t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * d.dl
+                             / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))
+                   , 6) AS DECIMAL(28,6))) AS sc
+            FROM q JOIN tok t ON q.w = t.w
+                 JOIN dfreq f ON t.w = f.w
+                 JOIN dl d ON t.doc_id = d.doc_id
+                 CROSS JOIN stats s
+            WHERE t.doc_id <> q.q_id
+            GROUP BY q.q_id, t.doc_id
+        ),
+        top_exact AS (
+            SELECT q_id, doc_id, sc FROM (
+                SELECT q_id, doc_id, sc,
+                       ROW_NUMBER() OVER (PARTITION BY q_id
+                                          ORDER BY sc DESC, doc_id) AS rn
+                FROM scored_exact
+            ) WHERE rn <= 3
+        ),
+        kept AS (
+            SELECT w, df FROM dfreq
+            WHERE df <= (SELECT median(df) FROM dfreq)
+        ),
+        pruned AS (
+            SELECT w, doc_id, tf, df, dl FROM (
+                SELECT t.w, t.doc_id, t.tf, k.df, d.dl,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY t.w
+                           ORDER BY round((t.tf * 2.2)
+                                    / (t.tf + 1.2 * (0.25 + 0.75 * d.dl
+                                       / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))
+                               , 6) DESC,
+                               t.doc_id
+                       ) AS rn
+                FROM tok t JOIN kept k ON t.w = k.w
+                     JOIN dl d ON t.doc_id = d.doc_id
+                     CROSS JOIN stats s
+            ) WHERE rn <= 64
+        ),
+        scored_pruned AS (
+            SELECT q.q_id, p.doc_id,
+                   SUM(CAST(round(
+                       ln(1.0 + (s.n_docs - p.df + 0.5) / (p.df + 0.5))
+                       * (p.tf * 2.2) / (p.tf + 1.2 * (0.25 + 0.75 * p.dl
+                             / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))
+                   , 6) AS DECIMAL(28,6))) AS sc
+            FROM (SELECT t.doc_id AS q_id, t.w
+                  FROM tok t JOIN kept k ON t.w = k.w
+                  WHERE t.doc_id % 100 = 0) q
+                 JOIN pruned p ON q.w = p.w
+                 CROSS JOIN stats s
+            WHERE p.doc_id <> q.q_id
+            GROUP BY q.q_id, p.doc_id
+        ),
+        top_pruned AS (
+            SELECT q_id, doc_id FROM (
+                SELECT q_id, doc_id,
+                       ROW_NUMBER() OVER (PARTITION BY q_id
+                                          ORDER BY sc DESC, doc_id) AS rn
+                FROM scored_pruned
+            ) WHERE rn <= 3
+        )
+        SELECT e.q_id,
+               CAST(COUNT(p.doc_id) AS BIGINT) AS n_overlap,
+               round(CAST(SUM(CASE WHEN p.doc_id IS NOT NULL
+                                   THEN pe.sc ELSE CAST(0 AS DECIMAL(28,6))
+                              END) AS DOUBLE)
+                     / CAST(SUM(e.sc) AS DOUBLE), 6) AS pick_score_share
+        FROM top_exact e
+        LEFT JOIN top_pruned p
+               ON e.q_id = p.q_id AND e.doc_id = p.doc_id
+        LEFT JOIN scored_exact pe
+               ON p.q_id = pe.q_id AND p.doc_id = pe.doc_id
+        GROUP BY e.q_id
+    """,
+    tags=("text", "search", "bm25", "recall", "eval"),
+)
+def text_search_bm25_pruned_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECALL/EFFECTIVENESS EVAL of the statically-pruned BM25 twin
+    against the exact baseline, as a registered, driver-checked number —
+    the honesty loop the similarity plane already has (sign-LSH /
+    Matryoshka / int8 recall evals) closed for lexical retrieval.  Per
+    query: n_overlap = |pruned top-3 ∩ exact top-3| and
+    pick_score_share = exact-BM25 score mass of the overlapping picks /
+    score mass of the true top-3 (0 when disjoint) — both computed from
+    the same exact-decimal score tables both engines share, so the eval
+    itself oracle-hashes exactly even though it MEASURES an
+    approximation.  On this fixture the expected result is honest and
+    bleak (overlap 0 — see SCALE_NOTES §Round 9: a 24-term
+    near-uniform-df vocabulary is static pruning's structural worst
+    case); the eval exists so any future corpus change, threshold
+    retune, or prune-rule fix shows up as a measured recall shift in
+    the driver artifact, not an unquantified claim.
+
+    Scale: both scoring pipelines derive from the one cached postings
+    materialization (_postings); the exact side is the same join shape
+    as text_search_bm25_topk, the pruned side is fan-out-capped at 64
+    per term, and the eval join runs on two k·|queries|-row tops —
+    negligible against either scoring pass."""
+    tok = _postings(spark, sf_dir)
+    dl = tok.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl"))
+    dfreq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    q = tok.where(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("q_id"), "w"
+    )
+    scored_exact = (
+        q.join(tok.join(dfreq, "w").join(dl, "doc_id"), "w")
+        .where(F.col("doc_id") != F.col("q_id"))
+        .join(F.broadcast(stats))
+        .select("q_id", "doc_id", bm25_contribution().alias("c"))
+        .groupBy("q_id", "doc_id")
+        .agg(F.sum("c").alias("sc"))
+        .localCheckpoint()
+    )
+    wtop = Window.partitionBy("q_id").orderBy(F.desc("sc"), F.asc("doc_id"))
+    top_exact = (
+        scored_exact.withColumn("rn", F.row_number().over(wtop))
+        .where(F.col("rn") <= 3)
+        .select("q_id", "doc_id", "sc")
+    )
+    med = dfreq.agg(F.expr("percentile(df, 0.5)").alias("df_med"))
+    kept = (
+        dfreq.crossJoin(F.broadcast(med))
+        .where(F.col("df") <= F.col("df_med"))
+        .select("w", "df")
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    impact = F.round(
+        (F.col("tf") * (_BM25_K1 + 1))
+        / (F.col("tf") + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / avgdl)),
+        6,
+    )
+    wimp = Window.partitionBy("w").orderBy(F.desc("impact"), F.asc("doc_id"))
+    pruned = (
+        tok.join(dl, "doc_id")
+        .join(kept, "w")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("impact", impact)
+        .withColumn("rn", F.row_number().over(wimp))
+        .where(F.col("rn") <= _BM25_PRUNE_TOP_M)
+        .select("w", "doc_id", "tf", "df", "dl")
+    )
+    scored_pruned = (
+        q.join(kept.select("w"), "w")
+        .join(pruned, "w")
+        .where(F.col("doc_id") != F.col("q_id"))
+        .join(F.broadcast(stats))
+        .select("q_id", "doc_id", bm25_contribution().alias("c"))
+        .groupBy("q_id", "doc_id")
+        .agg(F.sum("c").alias("sc"))
+    )
+    top_pruned = (
+        scored_pruned.withColumn("rn", F.row_number().over(wtop))
+        .where(F.col("rn") <= 3)
+        .select(
+            F.col("q_id").alias("p_q_id"), F.col("doc_id").alias("p_doc_id")
+        )
+    )
+    pick_exact_sc = scored_exact.select(
+        F.col("q_id").alias("pe_q_id"),
+        F.col("doc_id").alias("pe_doc_id"),
+        F.col("sc").alias("pe_sc"),
+    )
+    return (
+        top_exact.join(
+            top_pruned,
+            (F.col("q_id") == F.col("p_q_id"))
+            & (F.col("doc_id") == F.col("p_doc_id")),
+            "left",
+        )
+        .join(
+            pick_exact_sc,
+            (F.col("p_q_id") == F.col("pe_q_id"))
+            & (F.col("p_doc_id") == F.col("pe_doc_id")),
+            "left",
+        )
+        .groupBy("q_id")
+        .agg(
+            F.count("p_doc_id").cast("bigint").alias("n_overlap"),
+            F.round(
+                F.sum(
+                    F.coalesce(
+                        F.col("pe_sc"), F.lit(0).cast("decimal(28,6)")
+                    )
+                ).cast("double")
+                / F.sum("sc").cast("double"),
+                6,
+            ).alias("pick_score_share"),
+        )
+    )
+
+
+@register(
     "embedding_random_projection",
     oracle="""
         SELECT vec_id, k.k,

@@ -85,12 +85,13 @@ def _load_all() -> None:
 # tests/test_evidence_audit.py recomputes audit(max_round=as_of_round)
 # and asserts this line matches, and separately proves the comparison is
 # immune to a synthetic future-round artifact):
-#   evidence_audit as_of_round=8: registered=367 unique_checked=366 ever_green=366 \
-#     never_checked=1 net_new_last_round=40
-# (registered=367 / never_checked=1 because this round registers ONE
-# net-new query, text_search_bm25_pruned_topk — the audit counts the
-# live registry against the landed artifacts, so a net-new name is
-# never-checked by definition until CORRECTNESS_r09 lands.)
+#   evidence_audit as_of_round=8: registered=368 unique_checked=366 ever_green=366 \
+#     never_checked=2 net_new_last_round=40
+# (registered=368 / never_checked=2 because this round registers TWO
+# net-new queries — text_search_bm25_pruned_topk and its
+# recall/effectiveness eval text_search_bm25_pruned_recall; the audit
+# counts the live registry against the landed artifacts, so net-new
+# names are never-checked by definition until CORRECTNESS_r09 lands.)
 # The never-driver-checked backlog is EMPTY (the ledger closed with
 # CORRECTNESS_r08), so this round adopts the post-backlog window policy
 # the r8 rotation note scheduled: (a) mechanical re-window flags lead
@@ -108,8 +109,10 @@ def _load_all() -> None:
 # so rotation stays pure evidence collection.
 _WINDOW_PRIORITY: tuple[str, ...] = (
     # net-new this round (never driver-checked): the statically-pruned
-    # production-path BM25 twin (verdict r8 #6)
+    # production-path BM25 twin (verdict r8 #6) and its
+    # recall/effectiveness eval (driver-checked honesty loop)
     "text_search_bm25_pruned_topk",
+    "text_search_bm25_pruned_recall",
     # mechanical re-windows (changed code this round): TIMESTAMP_NTZ
     # output hardening (9) + power-iteration single-scan fold (1)
     "sessionization_events",
@@ -165,7 +168,6 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "scalar_map_events_props",
     "set_union_distinct_keys",
     "subquery_correlated_scalar",
-    "subquery_exists_in",
     # ROUND-10 ROTATION NOTE: keep the post-backlog policy — refresh the
     # audit line to as_of_round=9 and COVERAGE.md's evidence paragraph
     # as the first commit, then compose the window with
