@@ -2968,6 +2968,52 @@ def text_search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_PRUNE_TOP_M = 64
 
 
+def _bm25_side_tables(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """(tok, dl, stats, dfreq) — the BM25 side tables every lexical
+    scorer derives from the one cached postings materialization."""
+    tok = _postings(spark, sf_dir)
+    dl = tok.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl"))
+    dfreq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    return tok, dl, stats, dfreq
+
+
+def _bm25_pruned_index(
+    tok: DataFrame, dl: DataFrame, stats: DataFrame, dfreq: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """THE static prune rule — (kept terms, pruned postings) — shared by
+    the production twin AND its recall eval so a threshold retune or
+    rule change can never drift between the measured thing and the
+    measurement (review r9).  Stopping: drop terms above the
+    vocabulary's median df; impact ordering: keep each surviving term's
+    top-64 postings by length-normalized tf saturation (ties doc_id)."""
+    med = dfreq.agg(F.expr("percentile(df, 0.5)").alias("df_med"))
+    kept = (
+        dfreq.crossJoin(F.broadcast(med))
+        .where(F.col("df") <= F.col("df_med"))
+        .select("w", "df")
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    impact = F.round(
+        (F.col("tf") * (_BM25_K1 + 1))
+        / (F.col("tf") + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / avgdl)),
+        6,
+    )
+    wimp = Window.partitionBy("w").orderBy(F.desc("impact"), F.asc("doc_id"))
+    pruned = (
+        tok.join(dl, "doc_id")
+        .join(kept, "w")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("impact", impact)
+        .withColumn("rn", F.row_number().over(wimp))
+        .where(F.col("rn") <= _BM25_PRUNE_TOP_M)
+        .select("w", "doc_id", "tf", "df", "dl")
+    )
+    return kept, pruned
+
+
 @register(
     "text_search_bm25_pruned_topk",
     oracle="""
@@ -3073,32 +3119,8 @@ def text_search_bm25_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruned index is ~64-per-term sized — it is what you PERSIST, while
     the exact index stays cold storage for the long-tail rescoring
     pass."""
-    tok = _postings(spark, sf_dir)
-    dl = tok.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl"))
-    dfreq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
-    med = dfreq.agg(F.expr("percentile(df, 0.5)").alias("df_med"))
-    kept = (
-        dfreq.crossJoin(F.broadcast(med))
-        .where(F.col("df") <= F.col("df_med"))
-        .select("w", "df")
-    )
-    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
-    impact = F.round(
-        (F.col("tf") * (_BM25_K1 + 1))
-        / (F.col("tf") + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / avgdl)),
-        6,
-    )
-    wimp = Window.partitionBy("w").orderBy(F.desc("impact"), F.asc("doc_id"))
-    pruned = (
-        tok.join(dl, "doc_id")
-        .join(kept, "w")
-        .crossJoin(F.broadcast(stats))
-        .withColumn("impact", impact)
-        .withColumn("rn", F.row_number().over(wimp))
-        .where(F.col("rn") <= _BM25_PRUNE_TOP_M)
-        .select("w", "doc_id", "tf", "df", "dl")
-    )
+    tok, dl, stats, dfreq = _bm25_side_tables(spark, sf_dir)
+    kept, pruned = _bm25_pruned_index(tok, dl, stats, dfreq)
     q = (
         tok.where(F.col("doc_id") % 100 == 0)
         .join(kept.select("w"), "w")
@@ -3202,15 +3224,16 @@ def text_search_bm25_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT e.q_id,
                CAST(COUNT(p.doc_id) AS BIGINT) AS n_overlap,
+               -- an overlapping pick's exact score IS this row's e.sc
+               -- (scored_exact is unique per (q_id, doc_id)); no third
+               -- join needed
                round(CAST(SUM(CASE WHEN p.doc_id IS NOT NULL
-                                   THEN pe.sc ELSE CAST(0 AS DECIMAL(28,6))
+                                   THEN e.sc ELSE CAST(0 AS DECIMAL(28,6))
                               END) AS DOUBLE)
                      / CAST(SUM(e.sc) AS DOUBLE), 6) AS pick_score_share
         FROM top_exact e
         LEFT JOIN top_pruned p
                ON e.q_id = p.q_id AND e.doc_id = p.doc_id
-        LEFT JOIN scored_exact pe
-               ON p.q_id = pe.q_id AND p.doc_id = pe.doc_id
         GROUP BY e.q_id
     """,
     tags=("text", "search", "bm25", "recall", "eval"),
@@ -3237,10 +3260,7 @@ def text_search_bm25_pruned_recall(spark: SparkSession, sf_dir: str) -> DataFram
     as text_search_bm25_topk, the pruned side is fan-out-capped at 64
     per term, and the eval join runs on two k·|queries|-row tops —
     negligible against either scoring pass."""
-    tok = _postings(spark, sf_dir)
-    dl = tok.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl"))
-    dfreq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    tok, dl, stats, dfreq = _bm25_side_tables(spark, sf_dir)
     q = tok.where(F.col("doc_id") % 100 == 0).select(
         F.col("doc_id").alias("q_id"), "w"
     )
@@ -3251,7 +3271,6 @@ def text_search_bm25_pruned_recall(spark: SparkSession, sf_dir: str) -> DataFram
         .select("q_id", "doc_id", bm25_contribution().alias("c"))
         .groupBy("q_id", "doc_id")
         .agg(F.sum("c").alias("sc"))
-        .localCheckpoint()
     )
     wtop = Window.partitionBy("q_id").orderBy(F.desc("sc"), F.asc("doc_id"))
     top_exact = (
@@ -3259,28 +3278,7 @@ def text_search_bm25_pruned_recall(spark: SparkSession, sf_dir: str) -> DataFram
         .where(F.col("rn") <= 3)
         .select("q_id", "doc_id", "sc")
     )
-    med = dfreq.agg(F.expr("percentile(df, 0.5)").alias("df_med"))
-    kept = (
-        dfreq.crossJoin(F.broadcast(med))
-        .where(F.col("df") <= F.col("df_med"))
-        .select("w", "df")
-    )
-    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
-    impact = F.round(
-        (F.col("tf") * (_BM25_K1 + 1))
-        / (F.col("tf") + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / avgdl)),
-        6,
-    )
-    wimp = Window.partitionBy("w").orderBy(F.desc("impact"), F.asc("doc_id"))
-    pruned = (
-        tok.join(dl, "doc_id")
-        .join(kept, "w")
-        .crossJoin(F.broadcast(stats))
-        .withColumn("impact", impact)
-        .withColumn("rn", F.row_number().over(wimp))
-        .where(F.col("rn") <= _BM25_PRUNE_TOP_M)
-        .select("w", "doc_id", "tf", "df", "dl")
-    )
+    kept, pruned = _bm25_pruned_index(tok, dl, stats, dfreq)
     scored_pruned = (
         q.join(kept.select("w"), "w")
         .join(pruned, "w")
@@ -3297,11 +3295,10 @@ def text_search_bm25_pruned_recall(spark: SparkSession, sf_dir: str) -> DataFram
             F.col("q_id").alias("p_q_id"), F.col("doc_id").alias("p_doc_id")
         )
     )
-    pick_exact_sc = scored_exact.select(
-        F.col("q_id").alias("pe_q_id"),
-        F.col("doc_id").alias("pe_doc_id"),
-        F.col("sc").alias("pe_sc"),
-    )
+    # An overlapping pick's exact score IS the top_exact row's own sc
+    # (scored_exact is unique per (q_id, doc_id) and the join keys force
+    # the same pair), so no third join against scored_exact is needed —
+    # credit sc when the pick matched, 0 decimal otherwise (review r9).
     return (
         top_exact.join(
             top_pruned,
@@ -3309,19 +3306,13 @@ def text_search_bm25_pruned_recall(spark: SparkSession, sf_dir: str) -> DataFram
             & (F.col("doc_id") == F.col("p_doc_id")),
             "left",
         )
-        .join(
-            pick_exact_sc,
-            (F.col("p_q_id") == F.col("pe_q_id"))
-            & (F.col("p_doc_id") == F.col("pe_doc_id")),
-            "left",
-        )
         .groupBy("q_id")
         .agg(
             F.count("p_doc_id").cast("bigint").alias("n_overlap"),
             F.round(
                 F.sum(
-                    F.coalesce(
-                        F.col("pe_sc"), F.lit(0).cast("decimal(28,6)")
+                    F.when(F.col("p_doc_id").isNotNull(), F.col("sc")).otherwise(
+                        F.lit(0).cast("decimal(28,6)")
                     )
                 ).cast("double")
                 / F.sum("sc").cast("double"),
