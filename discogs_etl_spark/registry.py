@@ -77,104 +77,92 @@ def _load_all() -> None:
 # driver-side correctness evidence (or changed since their last green row)
 # ahead of queries whose green rows already stand from a prior round.
 #
-# Round 9 rotation.  Basis (COMPUTED by scripts/evidence_audit.py over a
-# FIXED round range — the note is stamped with the round it describes so
-# the suite stays green after later artifacts land; the round-6 guard
+# Round 10 rotation.  Basis (COMPUTED by scripts/evidence_audit.py over
+# a FIXED round range — the note is stamped with the round it describes
+# so the suite stays green after later artifacts land; the round-6 guard
 # compared against the unbounded audit and the driver landing
 # CORRECTNESS_r06.json retroactively broke the build.
 # tests/test_evidence_audit.py recomputes audit(max_round=as_of_round)
 # and asserts this line matches, and separately proves the comparison is
 # immune to a synthetic future-round artifact):
-#   evidence_audit as_of_round=8: registered=368 unique_checked=366 ever_green=366 \
-#     never_checked=2 net_new_last_round=40
-# (registered=368 / never_checked=2 because this round registers TWO
-# net-new queries — text_search_bm25_pruned_topk and its
-# recall/effectiveness eval text_search_bm25_pruned_recall; the audit
-# counts the live registry against the landed artifacts, so net-new
-# names are never-checked by definition until CORRECTNESS_r09 lands.)
-# The never-driver-checked backlog is EMPTY (the ledger closed with
-# CORRECTNESS_r08), so this round adopts the post-backlog window policy
-# the r8 rotation note scheduled: (a) mechanical re-window flags lead
-# (scripts/rewindow_check.py vs the r8-end rev 39b1653 — this round's
-# flags are the verdict-r8 hardening edits: the TIMESTAMP_NTZ cast on
-# the 9 timestamp-returning queries from the SCALE_NOTES r7 TZ audit,
-# plus the embedding_power_iteration_pc1 single-scan fold); then
-# (b) OLDEST-EVIDENCE-FIRST rotation — registered names ordered by
-# last-green round ascending (registration order among ties, computed
-# by evidence_audit's stale_order_names and filled by round_start.py)
-# so driver evidence keeps refreshing instead of going permanently
-# stale.  The fill below is the round-1 cohort (last green = r1).
+#   evidence_audit as_of_round=9: registered=368 unique_checked=368 ever_green=368 \
+#     never_checked=0 net_new_last_round=2
+# The ledger is fully closed (every registered name has driver-green
+# evidence and zero names are latest-round-red), so this round continues
+# the post-backlog window policy: (a) mechanical re-window flags lead
+# (scripts/rewindow_check.py vs the r9-end rev a556500 — ZERO flags at
+# round start; any query whose code changes this round must be inserted
+# at the head), with net-new never-checked names allowed to precede
+# them; then (b) OLDEST-EVIDENCE-FIRST rotation — registered names
+# ordered by last-green round ascending (registration order among ties,
+# computed by evidence_audit's stale_order_names and filled by
+# round_start.py).  The fill below continues the round-1 cohort from
+# where the r9 window stopped (agg_boolean_countif /
+# scalar_higher_order_arrays onward per the r9 note's plan).
 # Every name passes the local one-session driver replica
 # (tests/test_oracle.py) and the plain-session derisk_window.py sweep,
 # so rotation stays pure evidence collection.
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    # net-new this round (never driver-checked): the statically-pruned
-    # production-path BM25 twin (verdict r8 #6) and its
-    # recall/effectiveness eval (driver-checked honesty loop)
-    "text_search_bm25_pruned_topk",
-    "text_search_bm25_pruned_recall",
-    # mechanical re-windows (changed code this round): TIMESTAMP_NTZ
-    # output hardening (9) + power-iteration single-scan fold (1)
-    "sessionization_events",
-    "events_hourly_agg",
-    "events_runlength_encode",
-    "stream_events_hourly",
-    "stream_session_window",
-    "stream_dedup_watermark",
-    "stream_stream_join",
-    "stream_sliding_window",
-    "stream_hourly_error_rate",
-    "embedding_power_iteration_pc1",
-    # mechanical re-windows: crossJoin broadcast-hint sweep (the r8
-    # verdict's "every crossJoin broadcasts" claim was false at these
-    # two builders' sites; now hinted and pinned by
-    # tests/test_plans.py::test_every_crossjoin_is_broadcast_hinted)
-    "funnel_view_click_purchase",
-    "corpus_heaps_law_fit",
-    # oldest-evidence-first rotation fill (last green: round 1)
-    "q1_pricing_summary",
-    "agg_rollup_lineitem",
-    "agg_cube_orders",
-    "agg_distinct_parts_per_flag",
-    "agg_variance_price",
-    "q3_shipping_priority",
-    "q5_regional_revenue",
-    "join_broadcast_part_agg",
-    "join_left_order_counts",
-    "join_semi_customers_with_orders",
-    "join_anti_customers_without_orders",
-    "join_full_outer_nation_presence",
-    "window_topk_orders_per_customer",
-    "window_rank_dense_rank",
-    "window_running_total_events",
-    "manifest_latest_per_month",
-    "set_union_all_lineitem",
-    "set_intersect_partkeys",
-    "set_except_partkeys",
-    "scalar_string_part",
-    "scalar_date_orders",
-    "scalar_json_events",
-    "scalar_hash_customer",
-    "scalar_array_embeddings",
-    "agg_grouping_sets_events",
-    "pivot_orders_status",
-    "unpivot_part_measures",
-    "join_right_orders_customer",
-    "join_cross_nation_region",
-    "agg_argmax_order_per_customer",
-    "agg_percentiles_price",
-    "explode_tokens_positional",
-    "scalar_url_documents",
-    "scalar_map_events_props",
-    "set_union_distinct_keys",
-    "subquery_correlated_scalar",
-    # ROUND-10 ROTATION NOTE: keep the post-backlog policy — refresh the
-    # audit line to as_of_round=9 and COVERAGE.md's evidence paragraph
+    # oldest-evidence-first rotation fill (last green: round 1),
+    # continuing the r9 cohort
+    "subquery_exists_in",
+    "agg_approx_distinct",
+    "scalar_conditional_lineitem",
+    "agg_collect_sorted_genres",
+    "agg_boolean_countif",
+    "scalar_higher_order_arrays",
+    "scalar_levenshtein_fuzzy",
+    "scalar_string_extended",
+    "scalar_null_semantics",
+    "q4_late_order_priority",
+    "q7_nation_trade_flows",
+    "q12_priority_by_flag",
+    "q14_promo_revenue_share",
+    "q19_disjunctive_predicates",
+    "asof_join_events",
+    "dedup_exact",
+    "dedup_exact_hash",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "similarity_topk_bruteforce",
+    "similarity_ann_signlsh",
+    "dedup_embedding_bucketed",
+    "text_stats_by_lang",
+    "text_quality_score",
+    "text_token_count",
+    "text_fingerprint",
+    "lang_id_corpus",
+    "multimodal_binary_meta",
+    "sample_deterministic_split",
+    "text_normalize",
+    "sample_stratified_per_lang",
+    "embedding_centroid_by_label",
+    "embedding_l2_normalize",
+    "dedup_connected_components",
+    "similarity_ivf_topk",
+    "dedup_keep_best",
+    "ngram_bigram_counts",
+    "tfidf_top_terms",
+    "similarity_ann_recall",
+    "corpus_curate_pipeline",
+    "text_chunk_sliding",
+    "pack_sequences_by_budget",
+    "pack_sequences_sharded",
+    "pandas_udf_vector_norm",
+    "applyinpandas_lang_stats",
+    "stream_stateful_user_stats",
+    "window_lag_lead_gap",
+    "q6_forecast_revenue",
+    "window_distribution_funcs",
+    # ROUND-11 ROTATION NOTE: keep the post-backlog policy — refresh the
+    # audit line to as_of_round=10 and COVERAGE.md's evidence paragraph
     # as the first commit, then compose the window with
-    # `python scripts/round_start.py <r9-end-rev>`: mechanical re-window
-    # flags lead, oldest-evidence-first rotation fills (after r09 lands
-    # green the stalest cohort is the remaining round-1 names —
-    # agg_boolean_countif / scalar_higher_order_arrays onward).
+    # `python scripts/round_start.py <r10-end-rev>`: mechanical
+    # re-window flags lead, oldest-evidence-first rotation fills (after
+    # r10 lands green the stalest cohort continues from where this
+    # window stopped — `evidence_audit.py --stale-order` gives the
+    # basis).
 )
 
 
