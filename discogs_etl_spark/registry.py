@@ -85,24 +85,41 @@ def _load_all() -> None:
 # tests/test_evidence_audit.py recomputes audit(max_round=as_of_round)
 # and asserts this line matches, and separately proves the comparison is
 # immune to a synthetic future-round artifact):
-#   evidence_audit as_of_round=9: registered=368 unique_checked=368 ever_green=368 \
-#     never_checked=0 net_new_last_round=2
-# The ledger is fully closed (every registered name has driver-green
-# evidence and zero names are latest-round-red), so this round continues
-# the post-backlog window policy: (a) mechanical re-window flags lead
-# (scripts/rewindow_check.py vs the r9-end rev a556500 — ZERO flags at
-# round start; any query whose code changes this round must be inserted
-# at the head), with net-new never-checked names allowed to precede
-# them; then (b) OLDEST-EVIDENCE-FIRST rotation — registered names
-# ordered by last-green round ascending (registration order among ties,
-# computed by evidence_audit's stale_order_names and filled by
-# round_start.py).  The fill below continues the round-1 cohort from
-# where the r9 window stopped (agg_boolean_countif /
-# scalar_higher_order_arrays onward per the r9 note's plan).
+#   evidence_audit as_of_round=9: registered=369 unique_checked=368 ever_green=368 \
+#     never_checked=1 net_new_last_round=2
+# (registered=369 / never_checked=1 because this round registers ONE
+# net-new query — embedding_power_iteration_pc1_gram, the Gram-matrix
+# one-pass covariance twin from verdict r9 #1; the audit counts the
+# live registry against the landed artifacts, so the net-new name is
+# never-checked by definition until CORRECTNESS_r10 lands.)
+# The ledger is otherwise fully closed (every previously-registered
+# name has driver-green evidence and zero names are latest-round-red),
+# so this round continues the post-backlog window policy: (a)
+# mechanical re-window flags lead (scripts/rewindow_check.py vs the
+# r9-end rev a556500 — one flag: embedding_power_iteration_pc1, whose
+# iteration loop and oracle body moved into the shared helpers
+# _power_iterate/_power_iter_oracle that the Gram twin reuses so the
+# two trajectories cannot drift), with net-new never-checked names
+# allowed to precede them; then (b) OLDEST-EVIDENCE-FIRST rotation —
+# registered names ordered by last-green round ascending (registration
+# order among ties, computed by evidence_audit's stale_order_names and
+# filled by round_start.py).  The fill below continues the round-1
+# cohort from where the r9 window stopped (agg_boolean_countif /
+# scalar_higher_order_arrays onward per the r9 note's plan), trimmed
+# by two tail names to keep the window at the driver's 50 slots.
 # Every name passes the local one-session driver replica
 # (tests/test_oracle.py) and the plain-session derisk_window.py sweep,
 # so rotation stays pure evidence collection.
 _WINDOW_PRIORITY: tuple[str, ...] = (
+    # net-new this round (never driver-checked): the Gram-matrix
+    # one-pass covariance twin (verdict r9 #1) — C = (Σxxᵀ)/n − μμᵀ in
+    # ONE corpus scan (executed-plan FileScans 1 vs the exact
+    # baseline's 3), own DuckDB oracle
+    "embedding_power_iteration_pc1_gram",
+    # mechanical re-window (changed code this round): the exact
+    # baseline now calls the shared _power_iterate/_power_iter_oracle
+    # helpers the twin reuses
+    "embedding_power_iteration_pc1",
     # oldest-evidence-first rotation fill (last green: round 1),
     # continuing the r9 cohort
     "subquery_exists_in",
@@ -153,8 +170,6 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "applyinpandas_lang_stats",
     "stream_stateful_user_stats",
     "window_lag_lead_gap",
-    "q6_forecast_revenue",
-    "window_distribution_funcs",
     # ROUND-11 ROTATION NOTE: keep the post-backlog policy — refresh the
     # audit line to as_of_round=10 and COVERAGE.md's evidence paragraph
     # as the first commit, then compose the window with
