@@ -619,9 +619,61 @@ def media_decode_series_json(scales: list[int]) -> None:
     spark.stop()
 
 
+def bm25_prune_series_json(sfs: list[str]) -> None:
+    """Exact-vs-pruned BM25 wall-time series as ONE JSON line (verdict
+    r9 #4): per sf rung, best-of-3 wall for the exact postings plan
+    (text_search_bm25_topk) next to the statically-pruned production
+    twin (text_search_bm25_pruned_topk — median-df stopping +
+    impact-ordered top-64 postings).  The recordable round-over-round
+    form of the r9 "3.5x" note: the pruned twin's per-term fan-out is
+    capped at 64 postings, so its wall should stay flat-ish while the
+    exact plan's postings expansion grows with the corpus."""
+    import json
+
+    from discogs_etl_spark.registry import all_specs
+
+    spark = get_spark(app_name="stress-bm25")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
+    specs = all_specs()
+    series = {}
+    for sf in sfs:
+        sf_dir = f"/root/testdata/sf{sf}"
+        timings = {}
+        for key, qname in (
+            ("bm25_exact", "text_search_bm25_topk"),
+            ("bm25_pruned", "text_search_bm25_pruned_topk"),
+        ):
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                specs[qname].fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.perf_counter() - t0)
+            timings[key] = round(best, 3)
+        timings["speedup"] = round(timings["bm25_exact"] / timings["bm25_pruned"], 2)
+        series[sf] = timings
+    print(
+        json.dumps(
+            {
+                "metric": "bm25_prune_series",
+                "unit": "sec",
+                "prune": "median-df stopping + impact-ordered top-64 postings",
+                "runs": "best-of-3 (scripts/stress.py --bm25-json, noop sink)",
+                "per_sf": series,
+            }
+        )
+    )
+    spark.stop()
+
+
 def main() -> None:
-    flags = {"--skew-json", "--media-json"}
+    flags = {"--skew-json", "--media-json", "--bm25-json"}
     args = [a for a in sys.argv[1:] if a not in flags]
+    if "--bm25-json" in sys.argv[1:]:
+        bm25_prune_series_json([a for a in args] or ["0.001", "0.01", "0.1"])
+        return
     scales = [int(a) for a in args] or [1, 5, 20]
     if "--media-json" in sys.argv[1:]:
         media_decode_series_json(scales)
