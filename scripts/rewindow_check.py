@@ -194,6 +194,18 @@ def _has_unattributable(node: ast.stmt) -> bool:
     while stack:
         sub = stack.pop()
         if isinstance(sub, _ATTRIBUTABLE_STMTS):
+            # A star import binds names the index cannot enumerate, so a
+            # NESTED one (inside a compound that also binds a modeled
+            # name) must mark the whole statement unattributable — the
+            # top-level star path binds UNMODELED in _handle_import, but
+            # that never runs for sub-statements, so without this check
+            # deleting the nested star line only changed the sibling
+            # binding's dump and builders using star-imported names
+            # never flagged (ADVICE r9).
+            if isinstance(sub, ast.ImportFrom) and any(
+                a.name == "*" for a in sub.names
+            ):
+                return True
             continue
         if isinstance(sub, ast.Expr) and isinstance(sub.value, ast.Constant):
             continue  # stray literal / stripped docstring remnant

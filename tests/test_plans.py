@@ -480,12 +480,20 @@ def test_token_budget_planner_single_pass(spark, q):
 
 
 def test_every_crossjoin_is_broadcast_hinted():
-    """Every crossJoin in the package must wrap its argument in
-    F.broadcast(...): each one combines a scalar/tiny aggregate, and the
-    hint makes the BroadcastNestedLoopJoin shape explicit instead of
+    """Every cartesian-product join in the package must wrap its argument
+    in F.broadcast(...): each one combines a scalar/tiny aggregate, and
+    the hint makes the BroadcastNestedLoopJoin shape explicit instead of
     relying on AQE size estimates (the r8 verdict claimed this invariant
     was grep-verified; three sites falsified it — this test makes the
-    invariant real and keeps it that way)."""
+    invariant real and keeps it that way).  Two forms produce the same
+    cartesian product and both are swept (ADVICE r9): ``.crossJoin(x)``
+    and the keyless ``.join(x)`` with exactly one positional argument
+    and no ``on``/``how`` — the escape hatch the r9 BM25 queries
+    themselves used (hinted, but previously untested).  ``str.join`` is
+    excluded by skipping string-literal receivers (every str.join in the
+    package calls through a literal separator; a future ``sep.join(...)``
+    through a variable would false-positive here and should be rewritten
+    or excluded locally)."""
     import ast
     from pathlib import Path
 
@@ -494,23 +502,32 @@ def test_every_crossjoin_is_broadcast_hinted():
     for f in sorted(pkg.rglob("*.py")):
         tree = ast.parse(f.read_text())
         for node in ast.walk(tree):
-            if (
-                isinstance(node, ast.Call)
-                and isinstance(node.func, ast.Attribute)
-                and node.func.attr == "crossJoin"
-            ):
-                arg = node.args[0] if node.args else None
-                hinted = isinstance(arg, ast.Call) and (
-                    (
-                        isinstance(arg.func, ast.Attribute)
-                        and arg.func.attr == "broadcast"
-                    )
-                    or (isinstance(arg.func, ast.Name) and arg.func.id == "broadcast")
+            if not (isinstance(node, ast.Call) and isinstance(node.func, ast.Attribute)):
+                continue
+            is_cross = node.func.attr == "crossJoin"
+            is_keyless_join = (
+                node.func.attr == "join"
+                and len(node.args) == 1
+                and not node.keywords
+                and not (
+                    isinstance(node.func.value, ast.Constant)
+                    and isinstance(node.func.value.value, str)
                 )
-                if not hinted:
-                    offenders.append(f"{f.relative_to(pkg.parent)}:{node.lineno}")
+            )
+            if not (is_cross or is_keyless_join):
+                continue
+            arg = node.args[0] if node.args else None
+            hinted = isinstance(arg, ast.Call) and (
+                (
+                    isinstance(arg.func, ast.Attribute)
+                    and arg.func.attr == "broadcast"
+                )
+                or (isinstance(arg.func, ast.Name) and arg.func.id == "broadcast")
+            )
+            if not hinted:
+                offenders.append(f"{f.relative_to(pkg.parent)}:{node.lineno}")
     assert not offenders, (
-        f"crossJoin without F.broadcast(...) hint: {offenders} — wrap the "
-        "argument (scalar aggregates broadcast; anything bigger should not "
-        "be a crossJoin)"
+        f"cartesian join without F.broadcast(...) hint: {offenders} — wrap "
+        "the argument (scalar aggregates broadcast; anything bigger should "
+        "not be a cartesian product)"
     )

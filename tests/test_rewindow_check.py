@@ -653,3 +653,38 @@ def test_star_import_deletion_flags():
         }
     )
     assert mod.UNMODELED in a.flagged("discogs_etl_spark/queries/q.py", "builder")
+
+
+def test_nested_star_import_deletion_flags():
+    # A star import nested inside a compound that ALSO binds a modeled
+    # name escaped the top-level fix: ImportFrom is attributable, so
+    # _has_unattributable never indexed UNMODELED for the compound, and
+    # deleting the star line only changed the sibling binding's dump —
+    # builders using star-imported names without mentioning the sibling
+    # never flagged (ADVICE r9).
+    mod = _mod()
+    with_star = (
+        "flag = True\n"
+        "if flag:\n"
+        "    x = 1\n"
+        "    from discogs_etl_spark.tables import *\n"
+        "def builder(spark, sf):\n"
+        "    return helper(1)\n"
+    )
+    without = (
+        "flag = True\n"
+        "if flag:\n"
+        "    x = 1\n"
+        "def builder(spark, sf):\n"
+        "    return helper(1)\n"
+    )
+    # the compound must index as unattributable on BOTH sides so the
+    # star deletion dirties UNMODELED, not just x
+    assert mod.UNMODELED in mod._top_level_defs(with_star)
+    a = mod.RewindowAnalysis(
+        {
+            "discogs_etl_spark/tables.py": (UNMODELED_HELPER, UNMODELED_HELPER),
+            "discogs_etl_spark/queries/q.py": (without, with_star),
+        }
+    )
+    assert mod.UNMODELED in a.flagged("discogs_etl_spark/queries/q.py", "builder")
