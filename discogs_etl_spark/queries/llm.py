@@ -5355,6 +5355,10 @@ def embedding_power_iteration_pc1_gram(spark: SparkSession, sf_dir: str) -> Data
     whole exploded corpus by vec_id for its self-join.  One FileScan,
     no joins until the 64×64 stage (executed-plan scan count recorded
     in SCALE_NOTES r10)."""
+    try:
+        n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):  # e.g. "auto" under some AQE setups
+        n_shuffle = 32
     pairs = (
         load(spark, sf_dir, "embeddings")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("arr"))
@@ -5365,12 +5369,17 @@ def embedding_power_iteration_pc1_gram(spark: SparkSession, sf_dir: str) -> Data
         # sf0.1/local[8]).  This shuffles only n x 64-float rows (the
         # table itself, pre-explode) — strictly fewer bytes than the
         # exact twin's vec_id self-join, which shuffles the n x 64
-        # EXPLODED triples; at 100 TB the scan already yields ample
-        # splits and AQE coalesces the exchange to a no-op-sized plan
-        # stage, so the invariant "no corpus-sized shuffle after the
-        # explode" is what matters: the aggregate emits 4096 rows per
-        # task regardless of corpus size.
-        .repartition(32, "vec_id")
+        # EXPLODED triples.  The partition count is EXPLICIT and sized
+        # from the session's shuffle knob, deliberately: the exchange is
+        # tiny in bytes but every row fans out x4096 in the next stage,
+        # so AQE's byte-based coalescing (which applies to a count-less
+        # repartition-by-column) would fold it back to one task and
+        # undo the parallelism; an explicit count is AQE-exempt and
+        # scales with the cluster's configured parallelism instead of a
+        # hardcoded constant.  The scale invariant is downstream: the
+        # aggregate emits 4096 rows per task regardless of corpus size,
+        # so no corpus-sized shuffle exists after the explode.
+        .repartition(n_shuffle, "vec_id")
         .select("arr", F.posexplode("arr").alias("i", "vi"))
         .select("i", "vi", F.posexplode("arr").alias("j", "vj"))
     )

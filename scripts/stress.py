@@ -672,7 +672,7 @@ def main() -> None:
     flags = {"--skew-json", "--media-json", "--bm25-json"}
     args = [a for a in sys.argv[1:] if a not in flags]
     if "--bm25-json" in sys.argv[1:]:
-        bm25_prune_series_json([a for a in args] or ["0.001", "0.01", "0.1"])
+        bm25_prune_series_json(args or ["0.001", "0.01", "0.1"])
         return
     scales = [int(a) for a in args] or [1, 5, 20]
     if "--media-json" in sys.argv[1:]:

@@ -489,9 +489,11 @@ def test_every_crossjoin_is_broadcast_hinted():
     cartesian product and both are swept (ADVICE r9): ``.crossJoin(x)``
     and the keyless ``.join(x)`` with exactly one positional argument
     and no ``on``/``how`` — the escape hatch the r9 BM25 queries
-    themselves used (hinted, but previously untested).  ``str.join`` is
-    excluded by skipping string-literal receivers (every str.join in the
-    package calls through a literal separator; a future ``sep.join(...)``
+    themselves used (hinted, but previously untested) — plus any
+    ``.join(..., how="cross")`` / ``.join(x, None, "cross")`` spelling
+    whose ``how`` is the literal ``"cross"``.  ``str.join`` is excluded
+    by skipping string-literal receivers (every str.join in the package
+    calls through a literal separator; a future ``sep.join(...)``
     through a variable would false-positive here and should be rewritten
     or excluded locally)."""
     import ast
@@ -505,16 +507,27 @@ def test_every_crossjoin_is_broadcast_hinted():
             if not (isinstance(node, ast.Call) and isinstance(node.func, ast.Attribute)):
                 continue
             is_cross = node.func.attr == "crossJoin"
+            str_receiver = isinstance(node.func.value, ast.Constant) and isinstance(
+                node.func.value.value, str
+            )
             is_keyless_join = (
                 node.func.attr == "join"
                 and len(node.args) == 1
                 and not node.keywords
-                and not (
-                    isinstance(node.func.value, ast.Constant)
-                    and isinstance(node.func.value.value, str)
+                and not str_receiver
+            )
+            how_values = [
+                kw.value for kw in node.keywords if kw.arg == "how"
+            ] + node.args[2:3]
+            is_cross_how_join = (
+                node.func.attr == "join"
+                and not str_receiver
+                and any(
+                    isinstance(h, ast.Constant) and h.value == "cross"
+                    for h in how_values
                 )
             )
-            if not (is_cross or is_keyless_join):
+            if not (is_cross or is_keyless_join or is_cross_how_join):
                 continue
             arg = node.args[0] if node.args else None
             hinted = isinstance(arg, ast.Call) and (
