@@ -5884,10 +5884,14 @@ def recsys_holdout_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter).
 
     Scale: the weighted pair table is the co-order edge build with
-    counts; candidate generation joins context parts against it
-    (posting-list-sized, the OR on (u, v) is two equi-probes unioned by
-    the planner); per-basket scoring and the top-3 window shuffle on
-    basket keys.  Output is 1 row."""
+    counts; candidate generation probes context parts against it as an
+    EXPLICIT union of two hash equi-joins (one per pair side — Catalyst
+    does NOT rewrite an OR-of-equalities join into equi-probes, it
+    nested-loops; the r10 sf0.1 timing sweep measured the OR form at
+    111 s vs ~2 s for this union); per-basket scoring and the top-3
+    window shuffle on basket keys.  The two scalar tallies ride the
+    plan as 1-row aggregates combined by a broadcast cross join —
+    no driver-side counts.  Output is 1 row."""
     op = (
         load(spark, sf_dir, "lineitem")
         .groupBy("l_orderkey")
@@ -5905,19 +5909,24 @@ def recsys_holdout_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("ps", F.size("ps")).alias("holdout"),
         F.slice("ps", 1, F.size("ps") - 1).alias("ctx"),
     )
-    n_baskets = split.count()
     ctxe = split.select(
         "l_orderkey", "holdout", "ctx", F.explode("ctx").alias("cpart")
     )
     w = wpairs.alias("w")
     e = ctxe.alias("e")
-    candidate = F.when(F.col("w.u") == F.col("e.cpart"), F.col("w.v")).otherwise(
-        F.col("w.u")
+    # u < v strictly in the pair table, so no (u, v) row can match a
+    # context part on BOTH sides — the union is exactly the OR join's
+    # row set, built from two hash-joinable equi-conditions.
+    matched_u = e.join(w, F.col("w.u") == F.col("e.cpart")).select(
+        "e.l_orderkey", "e.holdout", "e.ctx", F.col("w.v").alias("candidate"), "w.c"
+    )
+    matched_v = e.join(w, F.col("w.v") == F.col("e.cpart")).select(
+        "e.l_orderkey", "e.holdout", "e.ctx", F.col("w.u").alias("candidate"), "w.c"
     )
     cand = (
-        e.join(w, (F.col("w.u") == F.col("e.cpart")) | (F.col("w.v") == F.col("e.cpart")))
-        .where(~F.array_contains(F.col("e.ctx"), candidate))
-        .select("e.l_orderkey", "e.holdout", candidate.alias("candidate"), "w.c")
+        matched_u.unionByName(matched_v)
+        .where(~F.array_contains(F.col("ctx"), F.col("candidate")))
+        .select("l_orderkey", "holdout", "candidate", "c")
     )
     scoredc = cand.groupBy("l_orderkey", "holdout", "candidate").agg(
         F.sum("c").alias("score")
@@ -5927,16 +5936,17 @@ def recsys_holdout_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
         scoredc.withColumn("rn", F.row_number().over(wtop))
         .where(F.col("rn") <= 3)
     )
-    hits = topk.where(F.col("candidate") == F.col("holdout")).select("l_orderkey").distinct()
-    n_hits = hits.count()
-    return (
-        load(spark, sf_dir, "lineitem")
-        .limit(1)
-        .select(
-            F.lit(n_baskets).cast("bigint").alias("n_baskets"),
-            F.lit(n_hits).cast("bigint").alias("n_hits"),
-            F.round(F.lit(n_hits) / F.lit(float(n_baskets)), 6).alias("hit_rate_at_3"),
-        )
+    nb = split.agg(F.count(F.lit(1)).alias("nb"))
+    nh = (
+        topk.where(F.col("candidate") == F.col("holdout"))
+        .select("l_orderkey")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("nh"))
+    )
+    return nb.crossJoin(F.broadcast(nh)).select(
+        F.col("nb").cast("bigint").alias("n_baskets"),
+        F.col("nh").cast("bigint").alias("n_hits"),
+        F.round(F.col("nh") / F.col("nb").cast("double"), 6).alias("hit_rate_at_3"),
     )
 
 

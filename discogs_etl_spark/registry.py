@@ -96,17 +96,19 @@ def _load_all() -> None:
 # name has driver-green evidence and zero names are latest-round-red),
 # so this round continues the post-backlog window policy: (a)
 # mechanical re-window flags lead (scripts/rewindow_check.py vs the
-# r9-end rev a556500 — one flag: embedding_power_iteration_pc1, whose
+# r9-end rev a556500 — two flags: embedding_power_iteration_pc1, whose
 # iteration loop and oracle body moved into the shared helpers
 # _power_iterate/_power_iter_oracle that the Gram twin reuses so the
-# two trajectories cannot drift), with net-new never-checked names
-# allowed to precede them; then (b) OLDEST-EVIDENCE-FIRST rotation —
+# two trajectories cannot drift, and recsys_holdout_hitrate, whose
+# OR-join was rewritten as a union of hash equi-joins), with net-new
+# never-checked names allowed to precede them; then
+# (b) OLDEST-EVIDENCE-FIRST rotation —
 # registered names ordered by last-green round ascending (registration
 # order among ties, computed by evidence_audit's stale_order_names and
 # filled by round_start.py).  The fill below continues the round-1
 # cohort from where the r9 window stopped (agg_boolean_countif /
 # scalar_higher_order_arrays onward per the r9 note's plan), trimmed
-# by two tail names to keep the window at the driver's 50 slots.
+# by three tail names to keep the window at the driver's 50 slots.
 # Every name passes the local one-session driver replica
 # (tests/test_oracle.py) and the plain-session derisk_window.py sweep,
 # so rotation stays pure evidence collection.
@@ -116,10 +118,15 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # ONE corpus scan (executed-plan FileScans 1 vs the exact
     # baseline's 3), own DuckDB oracle
     "embedding_power_iteration_pc1_gram",
-    # mechanical re-window (changed code this round): the exact
+    # mechanical re-windows (changed code this round): the exact
     # baseline now calls the shared _power_iterate/_power_iter_oracle
-    # helpers the twin reuses
+    # helpers the twin reuses; the recsys eval's OR-of-equalities join
+    # was rewritten as a union of two hash equi-joins (Catalyst
+    # nested-loops an OR join — the r10 sf0.1 timing sweep caught it at
+    # 111 s vs ~2 s; values unchanged, oracle untouched) and its two
+    # driver-side counts now ride the plan as 1-row aggregates
     "embedding_power_iteration_pc1",
+    "recsys_holdout_hitrate",
     # oldest-evidence-first rotation fill (last green: round 1),
     # continuing the r9 cohort
     "subquery_exists_in",
@@ -169,7 +176,6 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "pandas_udf_vector_norm",
     "applyinpandas_lang_stats",
     "stream_stateful_user_stats",
-    "window_lag_lead_gap",
     # ROUND-11 ROTATION NOTE: keep the post-backlog policy — refresh the
     # audit line to as_of_round=10 and COVERAGE.md's evidence paragraph
     # as the first commit, then compose the window with
