@@ -2118,9 +2118,14 @@ def stats_circular_mean_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM pts
         )
         SELECT CAST(n AS BIGINT) AS n_points,
-               round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS decay_slope,
-               round(-ln(2) / ((n * sxy - sx * sy) / (n * sxx - sx * sx)), 4)
-                   AS halflife_weeks
+               round(CASE WHEN (n * sxx - sx * sx) <> 0
+                          THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                     END, 6) AS decay_slope,
+               round(CASE WHEN (n * sxx - sx * sx) <> 0
+                           AND (n * sxy - sx * sy) <> 0
+                          THEN -ln(2) / ((n * sxy - sx * sy)
+                                         / (n * sxx - sx * sx))
+                     END, 4) AS halflife_weeks
         FROM s
     """,
     tags=("stats", "retention", "halflife", "regression"),
@@ -2137,7 +2142,13 @@ def retention_halflife_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the triangle is the retention query's two user-keyed
     reductions; the fit runs over W points (weeks — calendar-bounded);
-    same OLS-with-DECIMAL-moments shape as stats_zipf_slope_by_lang."""
+    same OLS-with-DECIMAL-moments shape as stats_zipf_slope_by_lang.
+    Degenerate series return NULL instead of erroring (r10 sweep
+    catch): a FLAT retention curve is legitimate data and fits b = 0
+    exactly — the half-life is infinite, reported as NULL, not an ANSI
+    DIVIDE_BY_ZERO (Spark 4 errors on double/0 under ANSI); likewise a
+    sub-2-point series has no slope (zero OLS denominator) and both
+    outputs are NULL."""
     firstseen = (
         load(spark, sf_dir, "events")
         .groupBy("user_id")
@@ -2175,14 +2186,18 @@ def retention_halflife_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sxy"),
         F.sum(F.col("w").cast("decimal(18,0)") * F.col("w")).cast("double").alias("sxx"),
     )
-    b = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denom = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    b = F.when(denom != 0, num / denom)  # NULL on a sub-2-point series
     import math
     return s.select(
         F.col("n").cast("bigint").alias("n_points"),
         F.round(b, 6).alias("decay_slope"),
-        F.round(F.lit(-math.log(2)) / b, 4).alias("halflife_weeks"),
+        # b = 0 is reachable with clean data (flat retention): the
+        # half-life is infinite -> NULL, never an ANSI double/0 error
+        F.round(F.when(b != 0, F.lit(-math.log(2)) / b), 4).alias(
+            "halflife_weeks"
+        ),
     )
 
 

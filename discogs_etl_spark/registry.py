@@ -96,11 +96,13 @@ def _load_all() -> None:
 # name has driver-green evidence and zero names are latest-round-red),
 # so this round continues the post-backlog window policy: (a)
 # mechanical re-window flags lead (scripts/rewindow_check.py vs the
-# r9-end rev a556500 — two flags: embedding_power_iteration_pc1, whose
-# iteration loop and oracle body moved into the shared helpers
+# r9-end rev a556500 — three flags: embedding_power_iteration_pc1,
+# whose iteration loop and oracle body moved into the shared helpers
 # _power_iterate/_power_iter_oracle that the Gram twin reuses so the
-# two trajectories cannot drift, and recsys_holdout_hitrate, whose
-# OR-join was rewritten as a union of hash equi-joins), with net-new
+# two trajectories cannot drift; recsys_holdout_hitrate, whose OR-join
+# was rewritten as a union of hash equi-joins; and
+# retention_halflife_fit, whose flat-curve b=0 edge now returns NULL
+# half-life instead of an ANSI double/0 error), with net-new
 # never-checked names allowed to precede them; then
 # (b) OLDEST-EVIDENCE-FIRST rotation —
 # registered names ordered by last-green round ascending (registration
@@ -108,7 +110,7 @@ def _load_all() -> None:
 # filled by round_start.py).  The fill below continues the round-1
 # cohort from where the r9 window stopped (agg_boolean_countif /
 # scalar_higher_order_arrays onward per the r9 note's plan), trimmed
-# by three tail names to keep the window at the driver's 50 slots.
+# by four tail names to keep the window at the driver's 50 slots.
 # Every name passes the local one-session driver replica
 # (tests/test_oracle.py) and the plain-session derisk_window.py sweep,
 # so rotation stays pure evidence collection.
@@ -127,6 +129,11 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # driver-side counts now ride the plan as 1-row aggregates
     "embedding_power_iteration_pc1",
     "recsys_holdout_hitrate",
+    # mechanical re-window: flat retention (b = 0, reachable with clean
+    # data — the whole sf0.001 cohort stays active) now yields NULL
+    # half-life on both engines instead of Spark's ANSI DIVIDE_BY_ZERO;
+    # sub-2-point series yield NULL slope too (r10 timing-sweep catch)
+    "retention_halflife_fit",
     # oldest-evidence-first rotation fill (last green: round 1),
     # continuing the r9 cohort
     "subquery_exists_in",
@@ -175,7 +182,6 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "pack_sequences_sharded",
     "pandas_udf_vector_norm",
     "applyinpandas_lang_stats",
-    "stream_stateful_user_stats",
     # ROUND-11 ROTATION NOTE: keep the post-backlog policy — refresh the
     # audit line to as_of_round=10 and COVERAGE.md's evidence paragraph
     # as the first commit, then compose the window with

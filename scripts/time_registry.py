@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Time EVERY registered query at a given sf — the whole-registry
+scale-tail finder.
+
+The headline bench (bench.py) times 23 queries; the other ~350 had
+never been TIMED at sf0.1 until round 10, only value-checked at
+sf0.01 — and the first run of this sweep caught a genuine scale-killer
+the correctness gates structurally cannot see (an OR-of-equalities
+join in recsys_holdout_hitrate that Catalyst nested-loops: 111 s at
+sf0.1, fixed to 4.6 s as a union of two hash equi-joins).  Run it
+once per round after substantive query changes; anything new in the
+tail that is not a DOCUMENTED deliberate baseline (the weak_count
+all-pairs pair, the exact power-iteration baseline) needs a plan
+audit.
+
+    python scripts/time_registry.py [--sf-dir /root/testdata/sf0.1]
+                                    [--top 20] [--json out.json]
+
+Single run per query (noop sink) — this ranks the tail, it does not
+replace bench.py's best-of-3 discipline for round-over-round levels.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--top", type=int, default=20)
+    ap.add_argument("--json", help="also dump {name: seconds} to this path")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from discogs_etl_spark.registry import all_specs
+    from discogs_etl_spark.session import tune_for_correctness
+
+    spark = SparkSession.builder.master(
+        f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    tune_for_correctness(spark)
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
+
+    specs = all_specs()
+    res: dict[str, float | None] = {}
+    errors = 0
+    for i, (name, spec) in enumerate(specs.items(), 1):
+        t0 = time.perf_counter()
+        try:
+            spec.fn(spark, args.sf_dir).write.format("noop").mode("overwrite").save()
+            res[name] = round(time.perf_counter() - t0, 3)
+            print(f"[{i}/{len(specs)}] {name}: {res[name]:.2f}s", flush=True)
+        except Exception as ex:  # noqa: BLE001 — sweep must finish the tail
+            errors += 1
+            res[name] = None
+            print(
+                f"[{i}/{len(specs)}] {name}: ERROR {type(ex).__name__}: "
+                f"{str(ex)[:160]}",
+                flush=True,
+            )
+
+    if args.json:
+        with open(args.json, "w") as fh:
+            json.dump(res, fh, indent=1, sort_keys=True)
+    ok = {k: v for k, v in res.items() if v is not None}
+    print(f"\nTOTAL {len(res)} queries, {errors} errors, sf_dir={args.sf_dir}")
+    for k, v in sorted(ok.items(), key=lambda kv: -kv[1])[: args.top]:
+        print(f"SLOW {k}: {v:.2f}s")
+    return 1 if errors else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
