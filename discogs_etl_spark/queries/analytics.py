@@ -5864,9 +5864,11 @@ def bandit_greedy_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT (SELECT COUNT(*) FROM split) AS n_baskets,
                CAST(COUNT(DISTINCT CASE WHEN candidate = holdout
                                         THEN l_orderkey END) AS BIGINT) AS n_hits,
-               round(COUNT(DISTINCT CASE WHEN candidate = holdout
-                                         THEN l_orderkey END)
-                     / CAST((SELECT COUNT(*) FROM split) AS DOUBLE), 6)
+               round(CASE WHEN (SELECT COUNT(*) FROM split) <> 0
+                          THEN COUNT(DISTINCT CASE WHEN candidate = holdout
+                                                   THEN l_orderkey END)
+                               / CAST((SELECT COUNT(*) FROM split) AS DOUBLE)
+                     END, 6)
                    AS hit_rate_at_3
         FROM topk
     """,
@@ -5885,13 +5887,16 @@ def recsys_holdout_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the weighted pair table is the co-order edge build with
     counts; candidate generation probes context parts against it as an
-    EXPLICIT union of two hash equi-joins (one per pair side — Catalyst
-    does NOT rewrite an OR-of-equalities join into equi-probes, it
-    nested-loops; the r10 sf0.1 timing sweep measured the OR form at
-    111 s vs ~2 s for this union); per-basket scoring and the top-3
-    window shuffle on basket keys.  The two scalar tallies ride the
-    plan as 1-row aggregates combined by a broadcast cross join —
-    no driver-side counts.  Output is 1 row."""
+    EXPLICIT union of two hash equi-joins (one per pair side) — never
+    an OR-of-equalities join, which Catalyst does NOT decompose into
+    equi-probes but nested-loops (the r10 sf0.1 timing sweep measured
+    the OR form at 111 s vs ~4 s for this union; the
+    mirrored-pair-table single-join alternative measured 1.7× slower —
+    see the inline comment); per-basket scoring and the top-3 window
+    shuffle on basket keys.  The two scalar tallies ride the plan as
+    1-row aggregates combined by a broadcast cross join — no
+    driver-side counts; a zero-basket input yields a NULL rate, not an
+    ANSI 0/0 error.  Output is 1 row."""
     op = (
         load(spark, sf_dir, "lineitem")
         .groupBy("l_orderkey")
@@ -5915,8 +5920,15 @@ def recsys_holdout_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = wpairs.alias("w")
     e = ctxe.alias("e")
     # u < v strictly in the pair table, so no (u, v) row can match a
-    # context part on BOTH sides — the union is exactly the OR join's
-    # row set, built from two hash-joinable equi-conditions.
+    # context part on BOTH sides — the union of two hash equi-joins is
+    # exactly the OR join's row set.  Two probes of the context beat
+    # the mirrored-pair-table single-join alternative here, MEASURED
+    # (best-of-3 at sf0.1: 4.26 s vs 7.03 s): the un-mirrored pair
+    # aggregate stays under the broadcast threshold so both probes are
+    # broadcast hash joins with no context shuffle, while mirroring
+    # doubles the build side past it; and when the pair table outgrows
+    # broadcast at 100 TB, exchange reuse still shuffles the context
+    # ONCE for the two identical join subtrees.
     matched_u = e.join(w, F.col("w.u") == F.col("e.cpart")).select(
         "e.l_orderkey", "e.holdout", "e.ctx", F.col("w.v").alias("candidate"), "w.c"
     )
@@ -5946,7 +5958,11 @@ def recsys_holdout_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nb.crossJoin(F.broadcast(nh)).select(
         F.col("nb").cast("bigint").alias("n_baskets"),
         F.col("nh").cast("bigint").alias("n_hits"),
-        F.round(F.col("nh") / F.col("nb").cast("double"), 6).alias("hit_rate_at_3"),
+        # zero baskets -> NULL rate, not an ANSI 0/0.0 error (the same
+        # degenerate-input discipline as retention_halflife_fit)
+        F.round(
+            F.when(F.col("nb") != 0, F.col("nh") / F.col("nb").cast("double")), 6
+        ).alias("hit_rate_at_3"),
     )
 
 

@@ -38,16 +38,16 @@ def main() -> int:
     ap.add_argument("--json", help="also dump {name: seconds} to this path")
     args = ap.parse_args()
 
-    from pyspark.sql import SparkSession
-
     from discogs_etl_spark.registry import all_specs
-    from discogs_etl_spark.session import tune_for_correctness
+    from discogs_etl_spark.session import get_spark
 
-    spark = SparkSession.builder.master(
-        f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
-    ).getOrCreate()
+    # get_spark, not a hand-rolled builder: the sweep must rank the tail
+    # under the SAME engine settings bench.py runs (broadcast threshold,
+    # driver memory, Arrow, maxPartitionBytes are build-time configs
+    # tune_for_correctness cannot set), or broadcast-vs-sort-merge
+    # differences fabricate/hide scale-killers.
+    spark = get_spark(app_name="time-registry")
     spark.sparkContext.setLogLevel("ERROR")
-    tune_for_correctness(spark)
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
 
     specs = all_specs()

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import math
 
-SF = "/root/testdata/sf0.01"
+from tests.conftest import SF_ORACLE as SF
 
 
 def test_exact_and_gram_pc1_agree(spark):
