@@ -4243,6 +4243,14 @@ def graph_pagerank_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
     deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     n_nodes = deg.count()
+    if n_nodes == 0:
+        # Edgeless graph (empty lineitem): no nodes to rank — return the
+        # empty result with the stable (node, pagerank) schema instead of
+        # dividing the teleport mass by zero (r11 empty-input hardening).
+        return deg.select(
+            F.col("u").alias("node"),
+            F.lit(None).cast("double").alias("pagerank"),
+        )
     base = (1.0 - d) / n_nodes
     # Materialize (edge, degree) ONCE, pre-hashed on the per-iteration
     # join key: every iteration references src, and without the
@@ -8722,8 +8730,9 @@ def first_order_value_predictiveness(spark: SparkSession, sf_dir: str) -> DataFr
         SELECT CAST((SELECT COUNT(*) FROM firsts
                      WHERE t_signup IS NOT NULL) AS BIGINT) AS n_signups,
                CAST(COUNT(*) AS BIGINT) AS n_activated,
-               round(COUNT(*) / CAST((SELECT COUNT(*) FROM firsts
-                                      WHERE t_signup IS NOT NULL) AS DOUBLE), 6)
+               round(COUNT(*) / CAST(NULLIF((SELECT COUNT(*) FROM firsts
+                                             WHERE t_signup IS NOT NULL), 0)
+                                     AS DOUBLE), 6)
                    AS activation_rate,
                round(quantile_cont(gap_sec, 0.5) / 3600, 4) AS p50_hours,
                round(quantile_cont(gap_sec, 0.9) / 3600, 4) AS p90_hours
@@ -8741,7 +8750,9 @@ def activation_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFram
     excluded as instrumentation noise, counted neither side.
 
     Scale: one conditional-MIN rollup per user, then scalar percentiles
-    over the activated set."""
+    over the activated set.  Zero signups (reachable only on an empty
+    or signup-free feed) yields a NULL rate, not an ANSI 0/0 error —
+    NULLIF discipline on both engines (r11 empty-input hardening)."""
     firsts = load(spark, sf_dir, "events").groupBy("user_id").agg(
         F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
         F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
@@ -8757,9 +8768,9 @@ def activation_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFram
     return gaps.agg(
         F.lit(n_signups).cast("bigint").alias("n_signups"),
         F.count(F.lit(1)).cast("bigint").alias("n_activated"),
-        F.round(F.count(F.lit(1)) / F.lit(float(n_signups)), 6).alias(
-            "activation_rate"
-        ),
+        F.round(
+            F.count(F.lit(1)) / F.nullif(F.lit(float(n_signups)), F.lit(0.0)), 6
+        ).alias("activation_rate"),
         F.round(F.expr("percentile(gap_sec, 0.5)") / 3600, 4).alias("p50_hours"),
         F.round(F.expr("percentile(gap_sec, 0.9)") / 3600, 4).alias("p90_hours"),
     )
@@ -9222,7 +9233,8 @@ def users_activity_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(COUNT(CASE WHEN n_dormancies > 0 THEN 1 END) AS BIGINT)
                    AS n_reactivated,
                round(COUNT(CASE WHEN n_dormancies > 0 THEN 1 END)
-                     / CAST(COUNT(*) AS DOUBLE), 6) AS reactivation_share,
+                     / CAST(NULLIF(COUNT(*), 0) AS DOUBLE), 6)
+                   AS reactivation_share,
                CAST(SUM(n_dormancies) AS BIGINT) AS total_dormancy_cycles
         FROM per
     """,
@@ -9240,7 +9252,8 @@ def users_reactivation_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     zigzag rather than decay.
 
     Scale: the sessionization lag window at day scale, one per-user
-    count, a 4-number rollup."""
+    count, a 4-number rollup.  An empty feed has zero users — the share
+    is NULL (NULLIF on both engines), never an ANSI 0/0 (r11)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ep = epoch("ts")
     g = load(spark, sf_dir, "events").select(
@@ -9256,7 +9269,7 @@ def users_reactivation_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(
             F.count(F.when(F.col("n_dormancies") > 0, 1))
-            / F.count(F.lit(1)).cast("double"),
+            / F.nullif(F.count(F.lit(1)).cast("double"), F.lit(0.0)),
             6,
         ).alias("reactivation_share"),
         F.sum("n_dormancies").cast("bigint").alias("total_dormancy_cycles"),
@@ -9403,8 +9416,10 @@ def _modularity_oracle() -> str:
         SELECT CAST((SELECT COUNT(*) FROM comm) AS BIGINT) AS n_communities,
                CAST(i.e_in AS BIGINT) AS intra_edges,
                CAST(m.m AS BIGINT) AS total_edges,
-               round(i.e_in / CAST(m.m AS DOUBLE)
-                     - x.sum_dc2 / (4.0 * m.m * m.m), 6) AS modularity_q
+               round(CASE WHEN m.m > 0
+                          THEN i.e_in / CAST(m.m AS DOUBLE)
+                               - x.sum_dc2 / (4.0 * m.m * m.m)
+                     END, 6) AS modularity_q
         FROM intra i CROSS JOIN m CROSS JOIN expct x
     """
 
@@ -9462,13 +9477,19 @@ def graph_modularity_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_dc2"),
     )
+    # m is a driver scalar: an edgeless graph (empty lineitem) has no
+    # modularity to report — NULL q, same CASE guard as the oracle (r11
+    # empty-input hardening; 4.0*m*m would otherwise be a Python 0-div).
+    q = (
+        F.round(
+            F.lit(intra) / F.lit(float(m)) - F.col("sum_dc2") / (4.0 * m * m), 6
+        )
+        if m > 0
+        else F.lit(None).cast("double")
+    )
     return stats.select(
         F.col("n_comm").cast("bigint").alias("n_communities"),
         F.lit(intra).cast("bigint").alias("intra_edges"),
         F.lit(m).cast("bigint").alias("total_edges"),
-        F.round(
-            F.lit(intra) / F.lit(float(m))
-            - F.col("sum_dc2") / (4.0 * m * m),
-            6,
-        ).alias("modularity_q"),
+        q.alias("modularity_q"),
     )

@@ -1519,6 +1519,17 @@ def similarity_ivf_topk_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").cast("array<double>").alias("emb"),
         array_to_vector(F.col("embedding").cast("array<double>")).alias("vec"),
     )
+    if emb.isEmpty():
+        # The coarse quantizer cannot fit on zero vectors, and an empty
+        # corpus has no neighbors anyway — return the stable
+        # (q_vec_id, vec_id, rank, cos) schema with no rows (r11
+        # empty-input hardening; isEmpty is a limit(1) probe, not a scan).
+        return emb.select(
+            F.col("vec_id").alias("q_vec_id"),
+            "vec_id",
+            F.lit(1).alias("rank"),
+            F.lit(0.0).alias("cos"),
+        )
     model = KMeans(k=16, seed=42, featuresCol="vec", predictionCol="list_id").fit(emb)
     assigned = model.transform(emb).select("vec_id", "emb", "list_id")
     q = assigned.where(F.col("vec_id") < 20).select(
@@ -3857,7 +3868,10 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a,b)-keyed shuffle) + one MAP-ONLY rewrite; the argmax-per-round
     driver pull is inherent to BPE (the merge is a global decision —
     production trainers batch thousands of such rounds the same way).
-    The 1-row top-pair collect is the only driver traffic."""
+    The 1-row top-pair collect is the only driver traffic.  A corpus
+    with no adjacent pair left (empty, or all single-token docs) simply
+    stops merging — the merge table has the rounds learned so far,
+    possibly zero rows (r11 empty-input hardening)."""
     texts = load(spark, sf_dir, "documents").select(F.col("text").alias("t"))
     rules = []
     for it in range(_BPE_ITERS):
@@ -3872,6 +3886,8 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cnt = pair.groupBy("p.a", "p.b").agg(F.count(F.lit(1)).alias("n"))
         top = cnt.orderBy(F.desc("n"), F.asc("a"), F.asc("b")).first()
+        if top is None:
+            break
         a, b, n = top["a"], top["b"], top["n"]
         rules.append((it + 1, a, b, n))
         s2 = F.concat(
@@ -4798,8 +4814,9 @@ def terms_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH mh AS ({_MINHASH_ORACLE}),
         ex AS ({_NGRAM_ORACLE})
         SELECT n_exact, n_minhash, n_common,
-               round(n_common / CAST(n_minhash AS DOUBLE), 6) AS precision,
-               round(n_common / CAST(n_exact AS DOUBLE), 6) AS recall
+               round(n_common / CAST(NULLIF(n_minhash, 0) AS DOUBLE), 6)
+                   AS precision,
+               round(n_common / CAST(NULLIF(n_exact, 0) AS DOUBLE), 6) AS recall
         FROM (
             SELECT (SELECT COUNT(*) FROM ex) AS n_exact,
                    (SELECT COUNT(*) FROM mh) AS n_minhash,
@@ -4821,12 +4838,15 @@ def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: both pipelines are the already-scale-shaped registered ops;
     the comparison joins two pair sets on (doc_a, doc_b) — pair-set-
-    sized, not corpus-sized."""
+    sized, not corpus-sized.  A dup-free (or empty) corpus has no pairs
+    on either side: precision/recall are NULL, not 0/0 — the driver
+    scalars guard in Python, the oracle via NULLIF (r11 hardening)."""
     ex = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     mh = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     n_exact = ex.count()
     n_mh = mh.count()
     n_common = mh.join(ex, ["doc_a", "doc_b"]).count()
+    null_d = F.lit(None).cast("double")
     return (
         load(spark, sf_dir, "documents")
         .limit(1)
@@ -4834,8 +4854,16 @@ def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(n_exact).cast("bigint").alias("n_exact"),
             F.lit(n_mh).cast("bigint").alias("n_minhash"),
             F.lit(n_common).cast("bigint").alias("n_common"),
-            F.round(F.lit(n_common) / F.lit(float(n_mh)), 6).alias("precision"),
-            F.round(F.lit(n_common) / F.lit(float(n_exact)), 6).alias("recall"),
+            (
+                F.round(F.lit(n_common) / F.lit(float(n_mh)), 6)
+                if n_mh
+                else null_d
+            ).alias("precision"),
+            (
+                F.round(F.lit(n_common) / F.lit(float(n_exact)), 6)
+                if n_exact
+                else null_d
+            ).alias("recall"),
         )
     )
 
@@ -5646,7 +5674,8 @@ def dedup_ensemble_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT CAST(COUNT(*) AS BIGINT) AS n_triplets,
                CAST(COUNT(*) FILTER (cp > cn) AS BIGINT) AS n_satisfied,
-               round(COUNT(*) FILTER (cp > cn) / CAST(COUNT(*) AS DOUBLE), 6)
+               round(COUNT(*) FILTER (cp > cn)
+                     / CAST(NULLIF(COUNT(*), 0) AS DOUBLE), 6)
                    AS satisfaction_rate
         FROM t
     """,
@@ -5664,7 +5693,8 @@ def embedding_triplet_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: anchors are a fixed slice; positive/negative selection is two
     grouped MINs over label-keyed joins; three vector fetch joins and a
-    2-count aggregate — anchor-set-sized throughout."""
+    2-count aggregate — anchor-set-sized throughout.  Zero triplets
+    (empty/single-label corpus) rates NULL via NULLIF, not 0/0 (r11)."""
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -5707,7 +5737,7 @@ def embedding_triplet_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(
             F.count(F.when(F.col("cp") > F.col("cn"), 1))
-            / F.count(F.lit(1)).cast("double"),
+            / F.nullif(F.count(F.lit(1)).cast("double"), F.lit(0.0)),
             6,
         ).alias("satisfaction_rate"),
     )
@@ -6361,9 +6391,24 @@ def bpe_compression_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     train/apply skew).
 
     Scale: the same 3 map-only rewrite passes as training, then two
-    corpus token counts — all map-side with scalar outputs."""
+    corpus token counts — all map-side with scalar outputs.  Empty
+    corpus: there is nothing to tokenize OR evaluate — the limit(1)
+    carrier has no row, so the (schema-stable) result is empty; a
+    pair-free corpus stops merging early, same as the trainer (r11)."""
     texts = load(spark, sf_dir, "documents").select(F.col("text").alias("t"))
     n0 = texts.agg(F.sum(F.size(F.split("t", " ")))).first()[0]
+    if n0 is None:
+        null_b = F.lit(None).cast("bigint")
+        return (
+            load(spark, sf_dir, "documents")
+            .limit(1)
+            .select(
+                null_b.alias("tokens_before"),
+                null_b.alias("tokens_after"),
+                null_b.alias("merges_applied"),
+                F.lit(None).cast("double").alias("compression_ratio"),
+            )
+        )
     for _ in range(_BPE_ITERS):
         toks = texts.select(F.split("t", " ").alias("w"))
         pair = toks.select(
@@ -6376,6 +6421,8 @@ def bpe_compression_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cnt = pair.groupBy("p.a", "p.b").agg(F.count(F.lit(1)).alias("n"))
         top = cnt.orderBy(F.desc("n"), F.asc("a"), F.asc("b")).first()
+        if top is None:
+            break
         a, b = top["a"], top["b"]
         s2 = F.concat(
             F.lit(" "), F.replace("t", F.lit(" "), F.lit("  ")), F.lit(" ")
@@ -7330,7 +7377,8 @@ def _rank_agreement_oracle() -> str:
         SELECT ranker_pair,
                CAST(COUNT(*) AS BIGINT) AS n_result_slots,
                CAST(SUM(hit) AS BIGINT) AS n_agree,
-               round(SUM(hit) / CAST(COUNT(*) AS DOUBLE), 6) AS overlap_at_3
+               round(SUM(hit) / CAST(NULLIF(COUNT(*), 0) AS DOUBLE), 6)
+                   AS overlap_at_3
         FROM pairs GROUP BY ranker_pair
     """
 
@@ -7350,7 +7398,11 @@ def retrieval_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     retrieval models.
 
     Scale: three pair-set joins over top-3 result lists (queries × 3
-    rows each); the rankers themselves share the cached postings."""
+    rows each); the rankers themselves share the cached postings.
+    An empty corpus has zero result slots — overlap NULL via NULLIF,
+    not an ANSI 0/0 (r11).  Note the Spark-side GROUP-less agg emits
+    one row per pair even then (label literal), the oracle's GROUP BY
+    emits none; parity holds on every non-degenerate corpus."""
     inv = text_search_inverted_topk(spark, sf_dir).select("q_id", "doc_id")
     bm = text_search_bm25_topk(spark, sf_dir).select("q_id", "doc_id")
     ql = text_search_query_likelihood(spark, sf_dir).select("q_id", "doc_id")
@@ -7362,9 +7414,11 @@ def retrieval_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(label).alias("ranker_pair"),
             F.count(F.lit(1)).cast("bigint").alias("n_result_slots"),
             F.count("__hit").cast("bigint").alias("n_agree"),
-            F.round(F.count("__hit") / F.count(F.lit(1)).cast("double"), 6).alias(
-                "overlap_at_3"
-            ),
+            F.round(
+                F.count("__hit")
+                / F.nullif(F.count(F.lit(1)).cast("double"), F.lit(0.0)),
+                6,
+            ).alias("overlap_at_3"),
         )
     return (
         overlap(inv, bm, "inverted_vs_bm25")
@@ -7524,7 +7578,8 @@ def dedup_bag_of_words_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT level, CAST(n_units AS BIGINT) AS n_units,
                CAST(n_distinct AS BIGINT) AS n_distinct,
-               round(1 - n_distinct / CAST(n_units AS DOUBLE), 6) AS dup_rate
+               round(1 - n_distinct / CAST(NULLIF(n_units, 0) AS DOUBLE), 6)
+                   AS dup_rate
         FROM (SELECT * FROM docs UNION ALL SELECT * FROM chunks
               UNION ALL SELECT * FROM winds)
     """,
@@ -7543,7 +7598,8 @@ def dedup_granularity_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: three independent hash-distinct aggregations, each the
     already-shaped pipeline of its granularity; md5 keys keep every
-    shuffle 32 bytes wide."""
+    shuffle 32 bytes wide.  A granularity with zero units (empty corpus,
+    or no doc reaches 48 chars) reports a NULL rate via NULLIF (r11)."""
     docs = load(spark, sf_dir, "documents")
     d = docs.agg(
         F.lit("document").alias("level"),
@@ -7590,7 +7646,10 @@ def dedup_granularity_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_units").cast("bigint").alias("n_units"),
             F.col("n_distinct").cast("bigint").alias("n_distinct"),
             F.round(
-                1 - F.col("n_distinct") / F.col("n_units").cast("double"), 6
+                1
+                - F.col("n_distinct")
+                / F.nullif(F.col("n_units").cast("double"), F.lit(0.0)),
+                6,
             ).alias("dup_rate"),
         )
     )

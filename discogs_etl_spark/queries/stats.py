@@ -2467,11 +2467,12 @@ def spc_pchart_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM hh
         ),
         fit AS (
-            SELECT CAST(SUM(CAST(y AS DECIMAL(18,0))) AS DOUBLE) / COUNT(*) AS a,
-                   2.0 / COUNT(*)
+            SELECT CAST(SUM(CAST(y AS DECIMAL(18,0))) AS DOUBLE)
+                       / NULLIF(COUNT(*), 0) AS a,
+                   2.0 / NULLIF(COUNT(*), 0)
                        * CAST(SUM(CAST(round(y * ch, 6) AS DECIMAL(28,6)))
                               AS DOUBLE) AS b,
-                   2.0 / COUNT(*)
+                   2.0 / NULLIF(COUNT(*), 0)
                        * CAST(SUM(CAST(round(y * sh, 6) AS DECIMAL(28,6)))
                               AS DOUBLE) AS c
             FROM terms
@@ -2497,7 +2498,8 @@ def events_harmonic_peak_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: 24-row aggregation after one hour-keyed count; everything
     else is scalar.  Higher harmonics are more cos/sin columns, same
-    shape."""
+    shape.  An empty feed has zero design points — all four outputs go
+    NULL via NULLIF, never an ANSI 2.0/0 (r11 empty-input hardening)."""
     two_pi = 2 * 3.141592653589793
     hh = load(spark, sf_dir, "events").groupBy(
         F.hour("ts").cast("bigint").alias("hr")
@@ -2507,18 +2509,19 @@ def events_harmonic_peak_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cos(two_pi * F.col("hr") / 24.0).alias("ch"),
         F.sin(two_pi * F.col("hr") / 24.0).alias("sh"),
     )
+    n_pts = F.nullif(F.count(F.lit(1)), F.lit(0))
     fit = terms.agg(
-        (F.sum(F.col("y").cast("decimal(18,0)")).cast("double") / F.count(F.lit(1))).alias("a"),
+        (F.sum(F.col("y").cast("decimal(18,0)")).cast("double") / n_pts).alias("a"),
         (
             2.0
-            / F.count(F.lit(1))
+            / n_pts
             * F.sum(F.round(F.col("y") * F.col("ch"), 6).cast("decimal(28,6)")).cast(
                 "double"
             )
         ).alias("b"),
         (
             2.0
-            / F.count(F.lit(1))
+            / n_pts
             * F.sum(F.round(F.col("y") * F.col("sh"), 6).cast("decimal(28,6)")).cast(
                 "double"
             )

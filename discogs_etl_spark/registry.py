@@ -77,7 +77,7 @@ def _load_all() -> None:
 # driver-side correctness evidence (or changed since their last green row)
 # ahead of queries whose green rows already stand from a prior round.
 #
-# Round 10 rotation.  Basis (COMPUTED by scripts/evidence_audit.py over
+# Round 11 rotation.  Basis (COMPUTED by scripts/evidence_audit.py over
 # a FIXED round range — the note is stamped with the round it describes
 # so the suite stays green after later artifacts land; the round-6 guard
 # compared against the unbounded audit and the driver landing
@@ -85,109 +85,93 @@ def _load_all() -> None:
 # tests/test_evidence_audit.py recomputes audit(max_round=as_of_round)
 # and asserts this line matches, and separately proves the comparison is
 # immune to a synthetic future-round artifact):
-#   evidence_audit as_of_round=9: registered=369 unique_checked=368 ever_green=368 \
-#     never_checked=1 net_new_last_round=2
-# (registered=369 / never_checked=1 because this round registers ONE
-# net-new query — embedding_power_iteration_pc1_gram, the Gram-matrix
-# one-pass covariance twin from verdict r9 #1; the audit counts the
-# live registry against the landed artifacts, so the net-new name is
-# never-checked by definition until CORRECTNESS_r10 lands.)
-# The ledger is otherwise fully closed (every previously-registered
-# name has driver-green evidence and zero names are latest-round-red),
-# so this round continues the post-backlog window policy: (a)
-# mechanical re-window flags lead (scripts/rewindow_check.py vs the
-# r9-end rev a556500 — three flags: embedding_power_iteration_pc1,
-# whose iteration loop and oracle body moved into the shared helpers
-# _power_iterate/_power_iter_oracle that the Gram twin reuses so the
-# two trajectories cannot drift; recsys_holdout_hitrate, whose OR-join
-# was rewritten as a union of hash equi-joins; and
-# retention_halflife_fit, whose flat-curve b=0 edge now returns NULL
-# half-life instead of an ANSI double/0 error), with net-new
-# never-checked names allowed to precede them; then
-# (b) OLDEST-EVIDENCE-FIRST rotation —
-# registered names ordered by last-green round ascending (registration
-# order among ties, computed by evidence_audit's stale_order_names and
-# filled by round_start.py).  The fill below continues the round-1
-# cohort from where the r9 window stopped (agg_boolean_countif /
-# scalar_higher_order_arrays onward per the r9 note's plan), trimmed
-# by four tail names to keep the window at the driver's 50 slots.
-# Every name passes the local one-session driver replica
-# (tests/test_oracle.py) and the plain-session derisk_window.py sweep,
-# so rotation stays pure evidence collection.
+#   evidence_audit as_of_round=10: registered=369 unique_checked=369 ever_green=369 \
+#     never_checked=0 net_new_last_round=1
+# The ledger is fully closed (zero never-checked, zero latest-round-red,
+# zero net-new this round), so the window is pure post-backlog policy:
+# (a) mechanical re-window flags lead (scripts/rewindow_check.py vs the
+# r10-end rev be987c9 — THIRTEEN flags, the verdict-r10 #1 empty-input
+# hardening wave: every query that errored on zero-row inputs in the
+# r10 boundary map now degrades to NULL/empty instead (NULLIF /
+# CASE-NULL guards with matching oracle edits for the 8 ANSI zero-count
+# divisions; first()->None short-circuits for the two BPE argmax reads;
+# an n=0 Python-scalar guard for pagerank; an isEmpty gate before the
+# IVF k-means fit; a no-files-written graceful return for the stream-
+# lake read-back — sf0.01 oracle values unchanged on all 13, proven by
+# the local driver replica before windowing, and the committed
+# scripts/empty_probe.py now reports 369/369 clean on a zero-row
+# fixture set); then (b) OLDEST-EVIDENCE-FIRST rotation — registered
+# names ordered by last-green round ascending (registration order among
+# ties, computed by evidence_audit's stale_order_names and filled by
+# round_start.py), continuing the round-1 cohort from where the r10
+# window stopped (stream_stateful_user_stats / window_lag_lead_gap /
+# q6_forecast_revenue onward per the r10 note's plan).  Every name
+# passes the local one-session driver replica (tests/test_oracle.py)
+# and the plain-session derisk_window.py sweep, so rotation stays pure
+# evidence collection.
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    # net-new this round (never driver-checked): the Gram-matrix
-    # one-pass covariance twin (verdict r9 #1) — C = (Σxxᵀ)/n − μμᵀ in
-    # ONE corpus scan (executed-plan FileScans 1 vs the exact
-    # baseline's 3), own DuckDB oracle
-    "embedding_power_iteration_pc1_gram",
-    # mechanical re-windows (changed code this round): the exact
-    # baseline now calls the shared _power_iterate/_power_iter_oracle
-    # helpers the twin reuses; the recsys eval's OR-of-equalities join
-    # was rewritten as a union of two hash equi-joins (Catalyst
-    # nested-loops an OR join — the r10 sf0.1 timing sweep caught it at
-    # 111 s vs ~2 s; values unchanged, oracle untouched) and its two
-    # driver-side counts now ride the plan as 1-row aggregates
-    "embedding_power_iteration_pc1",
-    "recsys_holdout_hitrate",
-    # mechanical re-window: flat retention (b = 0, reachable with clean
-    # data — the whole sf0.001 cohort stays active) now yields NULL
-    # half-life on both engines instead of Spark's ANSI DIVIDE_BY_ZERO;
-    # sub-2-point series yield NULL slope too (r10 timing-sweep catch)
-    "retention_halflife_fit",
-    # oldest-evidence-first rotation fill (last green: round 1),
-    # continuing the r9 cohort
-    "subquery_exists_in",
-    "agg_approx_distinct",
-    "scalar_conditional_lineitem",
-    "agg_collect_sorted_genres",
-    "agg_boolean_countif",
-    "scalar_higher_order_arrays",
-    "scalar_levenshtein_fuzzy",
-    "scalar_string_extended",
-    "scalar_null_semantics",
-    "q4_late_order_priority",
-    "q7_nation_trade_flows",
-    "q12_priority_by_flag",
-    "q14_promo_revenue_share",
-    "q19_disjunctive_predicates",
-    "asof_join_events",
-    "dedup_exact",
-    "dedup_exact_hash",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "similarity_topk_bruteforce",
-    "similarity_ann_signlsh",
-    "dedup_embedding_bucketed",
-    "text_stats_by_lang",
-    "text_quality_score",
-    "text_token_count",
-    "text_fingerprint",
-    "lang_id_corpus",
-    "multimodal_binary_meta",
-    "sample_deterministic_split",
-    "text_normalize",
-    "sample_stratified_per_lang",
-    "embedding_centroid_by_label",
-    "embedding_l2_normalize",
-    "dedup_connected_components",
+    # mechanical re-windows (changed code this round): the 13-query
+    # empty-input hardening wave (verdict r10 #1) — zero-row inputs now
+    # yield NULL metrics or empty results, never ANSI DIVIDE_BY_ZERO /
+    # NoneType reads / zero-row fits; clean-data values unchanged
+    "graph_pagerank_coorder",
+    "activation_latency_percentiles",
+    "users_reactivation_rate",
+    "graph_modularity_lpa",
     "similarity_ivf_topk",
-    "dedup_keep_best",
-    "ngram_bigram_counts",
-    "tfidf_top_terms",
-    "similarity_ann_recall",
-    "corpus_curate_pipeline",
-    "text_chunk_sliding",
-    "pack_sequences_by_budget",
-    "pack_sequences_sharded",
-    "pandas_udf_vector_norm",
-    "applyinpandas_lang_stats",
-    # ROUND-11 ROTATION NOTE: keep the post-backlog policy — refresh the
-    # audit line to as_of_round=10 and COVERAGE.md's evidence paragraph
+    "bpe_learn_merges",
+    "dedup_minhash_eval",
+    "embedding_triplet_check",
+    "bpe_compression_eval",
+    "retrieval_rank_agreement",
+    "dedup_granularity_compare",
+    "events_harmonic_peak_hour",
+    "stream_events_lake_roundtrip",
+    # oldest-evidence-first rotation fill (last green: round 1),
+    # continuing the r10 cohort
+    "stream_stateful_user_stats",
+    "window_lag_lead_gap",
+    "q6_forecast_revenue",
+    "window_distribution_funcs",
+    "window_sliding_range_events",
+    "scalar_datetime_extended",
+    "scalar_math_extended",
+    "agg_corr_exact",
+    "sort_nulls_ordering",
+    "range_join_bucketed",
+    "nested_struct_roundtrip",
+    "q8_market_share",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customer",
+    "q21_waiting_supplier",
+    "q22_global_sales_opportunity",
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q16_parts_supplier_count",
+    "q20_potential_promotion",
+    "join_skew_salted",
+    "asof_join_tolerance",
+    "events_retention_cohorts",
+    "window_running_distinct_users",
+    "lang_id_confusion",
+    "text_repetition_score",
+    "dedup_ngram_crossdoc",
+    "decontaminate_eval_overlap",
+    "text_redact_pii",
+    "corpus_mix_sources",
+    "corpus_shuffle_shards",
+    "boilerplate_prefix_groups",
+    "dedup_fuzzy_keep_one",
+    # ROUND-12 ROTATION NOTE: keep the post-backlog policy — refresh the
+    # audit line to as_of_round=11 and COVERAGE.md's evidence paragraph
     # as the first commit, then compose the window with
-    # `python scripts/round_start.py <r10-end-rev>`: mechanical
+    # `python scripts/round_start.py <r11-end-rev>`: mechanical
     # re-window flags lead, oldest-evidence-first rotation fills (after
-    # r10 lands green the stalest cohort continues from where this
+    # r11 lands green the stalest cohort continues from where this
     # window stopped — `evidence_audit.py --stale-order` gives the
     # basis).
 )

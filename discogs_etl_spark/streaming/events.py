@@ -868,6 +868,19 @@ def stream_events_lake_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     lake_root = os.path.join(root, "lake")
     ckpt = os.path.join(root, "ckpt")
     out = stream_events_to_lake(spark, sf_dir, lake_root, ckpt)
+    # A stream over an empty landing dir legitimately commits no files;
+    # the read-back of a never-written lake is the one roundtrip state
+    # with no bytes for EITHER reader — return the aggregate's (empty)
+    # shape instead of a PATH_NOT_FOUND from the glob (r11 empty-input
+    # hardening).
+    import glob
+
+    if not glob.glob(os.path.join(out, "year=*", "month=*", "*.parquet")):
+        return spark.createDataFrame(
+            [],
+            "year int, month string, event_type string,"
+            " n_events bigint, sum_value double",
+        )
     # Read the WRITTEN FILES, not the sink's _spark_metadata manifest:
     # the DuckDB oracle globs raw parquet, so Spark must see the same
     # byte set — a retried sink task's orphan file would otherwise be

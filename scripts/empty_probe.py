@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Run EVERY registered query against a ZERO-ROW fixture set — the
+empty-input robustness gate.
+
+At 100 TB an empty-after-filter input is a real operational state (a
+new tenant, a quiet partition, a dry landing directory), and the r10
+sweep showed 13/369 queries crashed on it: ANSI 0/0 divisions whose
+zero-count denominator is only reachable on a fully-empty table,
+driver-side ``first()`` reads of an empty argmax, a Python n=0 scalar,
+an ML fit needing >= 1 row, and a read-back of a lake the stream
+legitimately never wrote.  Those are closed (r11); this script is the
+committed gate that keeps the boundary closed.
+
+    python scripts/empty_probe.py [--source /root/testdata/sf0.001]
+                                  [--fixture-dir DIR] [--only a,b,...]
+                                  [--json out.json]
+
+The fixture is built with pyarrow straight from the source tables'
+parquet FOOTERS (``schema.empty_table()``), so column types — including
+events.ts's TIMESTAMP(isAdjustedToUTC=false) — match the real data
+bit-for-bit; a Spark ``limit(0)`` rewrite would lose the NTZ footer
+flag and probe a different type lattice than production reads.
+
+Exit status: 0 iff every probed query runs without raising (empty or
+NULL-bearing results are both fine — the contract is "no crash", not
+"no rows").
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def build_fixture(source: str, out_dir: str) -> None:
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    for t in TABLES:
+        schema = pq.read_schema(os.path.join(source, f"{t}.parquet"))
+        pq.write_table(schema.empty_table(), os.path.join(out_dir, f"{t}.parquet"))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--source", default="/root/testdata/sf0.001")
+    ap.add_argument(
+        "--fixture-dir",
+        help="reuse/create the zero-row fixture here (default: fresh tmp dir)",
+    )
+    ap.add_argument("--only", help="comma-separated query names (default: all)")
+    ap.add_argument("--json", help="dump {name: seconds|null} to this path")
+    args = ap.parse_args()
+
+    fixture = args.fixture_dir or tempfile.mkdtemp(prefix="discogs_etl_sf_empty_")
+    build_fixture(args.source, fixture)
+
+    from discogs_etl_spark.registry import all_specs
+    from discogs_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="empty-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    specs = all_specs()
+    if args.only:
+        names = [n.strip() for n in args.only.split(",") if n.strip()]
+        unknown = [n for n in names if n not in specs]
+        if unknown:
+            raise SystemExit(f"unknown query names: {unknown}")
+        specs = {n: specs[n] for n in names}
+
+    res: dict[str, float | None] = {}
+    errors: list[str] = []
+    for i, (name, spec) in enumerate(specs.items(), 1):
+        t0 = time.perf_counter()
+        try:
+            spec.fn(spark, fixture).write.format("noop").mode("overwrite").save()
+            res[name] = round(time.perf_counter() - t0, 3)
+            print(f"[{i}/{len(specs)}] {name}: ok", flush=True)
+        except Exception as ex:  # noqa: BLE001 — the probe must finish the sweep
+            errors.append(name)
+            res[name] = None
+            print(
+                f"[{i}/{len(specs)}] {name}: ERROR {type(ex).__name__}: "
+                f"{str(ex)[:200]}",
+                flush=True,
+            )
+
+    if args.json:
+        with open(args.json, "w") as fh:
+            json.dump(res, fh, indent=1, sort_keys=True)
+    print(
+        f"\nEMPTY-INPUT PROBE: {len(specs) - len(errors)}/{len(specs)} clean, "
+        f"fixture={fixture}"
+    )
+    for name in errors:
+        print(f"FAILED {name}")
+    return 1 if errors else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
