@@ -5386,7 +5386,11 @@ def embedding_power_iteration_pc1_gram(spark: SparkSession, sf_dir: str) -> Data
     try:
         n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
     except (TypeError, ValueError):  # e.g. "auto" under some AQE setups
-        n_shuffle = 32
+        # Fall back to the cluster's actual parallelism, not a constant:
+        # the whole point of the explicit count is that the pre-explode
+        # spread tracks cluster size (a hardcoded 32 would cap the
+        # fan-out stage on a 1000-core cluster).
+        n_shuffle = spark.sparkContext.defaultParallelism
     pairs = (
         load(spark, sf_dir, "embeddings")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("arr"))

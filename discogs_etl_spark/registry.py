@@ -90,17 +90,21 @@ def _load_all() -> None:
 # The ledger is fully closed (zero never-checked, zero latest-round-red,
 # zero net-new this round), so the window is pure post-backlog policy:
 # (a) mechanical re-window flags lead (scripts/rewindow_check.py vs the
-# r10-end rev be987c9 — THIRTEEN flags, the verdict-r10 #1 empty-input
-# hardening wave: every query that errored on zero-row inputs in the
-# r10 boundary map now degrades to NULL/empty instead (NULLIF /
-# CASE-NULL guards with matching oracle edits for the 8 ANSI zero-count
-# divisions; first()->None short-circuits for the two BPE argmax reads;
-# an n=0 Python-scalar guard for pagerank; an isEmpty gate before the
-# IVF k-means fit; a no-files-written graceful return for the stream-
-# lake read-back — sf0.01 oracle values unchanged on all 13, proven by
-# the local driver replica before windowing, and the committed
-# scripts/empty_probe.py now reports 369/369 clean on a zero-row
-# fixture set); then (b) OLDEST-EVIDENCE-FIRST rotation — registered
+# r10-end rev be987c9 — FOURTEEN flags: thirteen are the verdict-r10 #1
+# empty-input hardening wave — every query that errored on zero-row
+# inputs in the r10 boundary map now degrades to NULL/empty instead
+# (NULLIF / CASE-NULL guards with matching oracle edits for the 8 ANSI
+# zero-count divisions; first()->None short-circuits for the two BPE
+# argmax reads; an n=0 Python-scalar guard for pagerank; an isEmpty
+# gate before the IVF k-means fit; a no-files-written graceful return
+# for the stream-lake read-back — sf0.01 oracle values unchanged on all
+# 13, proven by the local driver replica before windowing, and the
+# committed scripts/empty_probe.py now reports 369/369 clean on a
+# zero-row fixture set); the fourteenth is
+# embedding_power_iteration_pc1_gram, whose non-integer shuffle-knob
+# fallback now reads defaultParallelism instead of a constant 32 (r10
+# ADVICE — the pre-explode spread must track cluster size); then (b)
+# OLDEST-EVIDENCE-FIRST rotation — registered
 # names ordered by last-green round ascending (registration order among
 # ties, computed by evidence_audit's stale_order_names and filled by
 # round_start.py), continuing the round-1 cohort from where the r10
@@ -127,6 +131,9 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "dedup_granularity_compare",
     "events_harmonic_peak_hour",
     "stream_events_lake_roundtrip",
+    # mechanical re-window (r10 ADVICE): the gram twin's shuffle-knob
+    # fallback now scales with defaultParallelism instead of a constant
+    "embedding_power_iteration_pc1_gram",
     # oldest-evidence-first rotation fill (last green: round 1),
     # continuing the r10 cohort
     "stream_stateful_user_stats",
@@ -165,7 +172,6 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "corpus_mix_sources",
     "corpus_shuffle_shards",
     "boilerplate_prefix_groups",
-    "dedup_fuzzy_keep_one",
     # ROUND-12 ROTATION NOTE: keep the post-backlog policy — refresh the
     # audit line to as_of_round=11 and COVERAGE.md's evidence paragraph
     # as the first commit, then compose the window with

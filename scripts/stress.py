@@ -640,6 +640,7 @@ def bm25_prune_series_json(sfs: list[str]) -> None:
     for sf in sfs:
         sf_dir = f"/root/testdata/sf{sf}"
         timings = {}
+        raw: dict[str, float] = {}
         for key, qname in (
             ("bm25_exact", "text_search_bm25_topk"),
             ("bm25_pruned", "text_search_bm25_pruned_topk"),
@@ -651,8 +652,11 @@ def bm25_prune_series_json(sfs: list[str]) -> None:
                     "overwrite"
                 ).save()
                 best = min(best, time.perf_counter() - t0)
+            raw[key] = best
             timings[key] = round(best, 3)
-        timings["speedup"] = round(timings["bm25_exact"] / timings["bm25_pruned"], 2)
+        # Ratio from the UNROUNDED walls: a sub-millisecond pruned run
+        # would round to 0.0 and ZeroDivisionError the sweep.
+        timings["speedup"] = round(raw["bm25_exact"] / raw["bm25_pruned"], 2)
         series[sf] = timings
     print(
         json.dumps(

@@ -516,6 +516,20 @@ def test_every_crossjoin_is_broadcast_hinted():
                 and not node.keywords
                 and not str_receiver
             )
+            # .join(x, None) / .join(x, on=None): an explicit null join
+            # condition is a cartesian product too (same planner path as
+            # the keyless spelling) and must carry the broadcast hint.
+            null_on = [
+                kw.value for kw in node.keywords if kw.arg == "on"
+            ] + node.args[1:2]
+            is_null_on_join = (
+                node.func.attr == "join"
+                and not str_receiver
+                and any(
+                    isinstance(h, ast.Constant) and h.value is None
+                    for h in null_on
+                )
+            )
             how_values = [
                 kw.value for kw in node.keywords if kw.arg == "how"
             ] + node.args[2:3]
@@ -527,7 +541,9 @@ def test_every_crossjoin_is_broadcast_hinted():
                     for h in how_values
                 )
             )
-            if not (is_cross or is_keyless_join or is_cross_how_join):
+            if not (
+                is_cross or is_keyless_join or is_cross_how_join or is_null_on_join
+            ):
                 continue
             arg = node.args[0] if node.args else None
             hinted = isinstance(arg, ast.Call) and (
