@@ -672,11 +672,67 @@ def bm25_prune_series_json(sfs: list[str]) -> None:
     spark.stop()
 
 
+def pca_gram_series_json(sfs: list[str]) -> None:
+    """Exact-vs-Gram PC1 wall-time series as ONE JSON line (verdict r10
+    #5, the bm25_prune precedent): per sf rung, best-of-3 wall for the
+    exact centered-covariance power iteration
+    (embedding_power_iteration_pc1 — 3 corpus FileScans: mu subplan +
+    covariance self-join x2) next to the Gram one-pass twin
+    (embedding_power_iteration_pc1_gram — ONE FileScan, map-side
+    partial Gram, 4096-rows-per-task shuffle invariant).  Records the
+    r10 "~2.4x at sf0.1" as a round-over-round series instead of a
+    one-off note."""
+    import json
+
+    from discogs_etl_spark.registry import all_specs
+
+    spark = get_spark(app_name="stress-pca")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
+    specs = all_specs()
+    series = {}
+    for sf in sfs:
+        sf_dir = f"/root/testdata/sf{sf}"
+        timings = {}
+        raw: dict[str, float] = {}
+        for key, qname in (
+            ("pca_exact", "embedding_power_iteration_pc1"),
+            ("pca_gram", "embedding_power_iteration_pc1_gram"),
+        ):
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                specs[qname].fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.perf_counter() - t0)
+            raw[key] = best
+            timings[key] = round(best, 3)
+        # Ratio from the UNROUNDED walls (same guard as the bm25 series).
+        timings["speedup"] = round(raw["pca_exact"] / raw["pca_gram"], 2)
+        series[sf] = timings
+    print(
+        json.dumps(
+            {
+                "metric": "pca_gram_series",
+                "unit": "sec",
+                "twin": "Gram one-pass covariance (1 FileScan) vs exact centered (3)",
+                "runs": "best-of-3 (scripts/stress.py --pca-json, noop sink)",
+                "per_sf": series,
+            }
+        )
+    )
+    spark.stop()
+
+
 def main() -> None:
-    flags = {"--skew-json", "--media-json", "--bm25-json"}
+    flags = {"--skew-json", "--media-json", "--bm25-json", "--pca-json"}
     args = [a for a in sys.argv[1:] if a not in flags]
     if "--bm25-json" in sys.argv[1:]:
         bm25_prune_series_json(args or ["0.001", "0.01", "0.1"])
+        return
+    if "--pca-json" in sys.argv[1:]:
+        pca_gram_series_json(args or ["0.001", "0.01", "0.1"])
         return
     scales = [int(a) for a in args] or [1, 5, 20]
     if "--media-json" in sys.argv[1:]:

@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Round-over-round timing-regression gate over TIMINGS_r{N}.json.
+
+Hash-matching proves ANSWERS; only a timing sweep proves PLANS — the
+r10 sweep caught an OR-equijoin that Catalyst nested-looped (111 s at
+sf0.1) behind ten rounds of green value hashes.  This gate makes that
+catch structural: every round commits `scripts/time_registry.py
+--json TIMINGS_r{N}.json`, and any query whose single-run sf0.1 wall
+exceeds 2x its previous-round entry (above an absolute floor that
+filters scheduling noise on sub-second queries) must be investigated
+before round close.  tests/test_timing_gate.py runs this comparison
+over the two newest committed artifacts, so a silent plan regression
+reddens the suite, not just a judge's spot-check.
+
+    python scripts/timing_compare.py [--prev TIMINGS_rA.json]
+                                     [--cur TIMINGS_rB.json]
+                                     [--ratio 2.0] [--floor-sec 2.0]
+
+With no arguments, compares the two newest TIMINGS_r*.json in the repo
+root.  Exit 1 if any query regresses past the gate or errored (null).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import re
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+# Documented deliberate baselines (SCALE_NOTES): all-pairs exactness
+# shapes and bounded-with-documented-mitigation tails.  They are the
+# slowest entries by design and their walls swing with box contention,
+# so they get a looser ratio — but are still gated (3x would mean the
+# shape itself changed, not the weather).
+BASELINE_TAIL_RATIO = 3.0
+BASELINE_TAIL = frozenset(
+    {
+        "dedup_jaccard_prefix_filter",  # exact all-pairs Jaccard (weak #1)
+        "dedup_embedding_cosine",  # exact all-pairs cosine (weak #2)
+        "embedding_power_iteration_pc1",  # exact PCA baseline (Gram twin is prod)
+        "multimodal_phash_dedup",  # banded pHash, documented tail
+        "dedup_semdedup",  # centroid-bucketed all-pairs-within-cluster
+        "dedup_doc_duplication_score",  # pair-graph rollup over the exact join
+        "stats_theil_sen_slope",  # bounded O(n^2/bucket) robust slope
+    }
+)
+
+
+def compare(
+    prev: dict[str, float | None],
+    cur: dict[str, float | None],
+    ratio: float = 2.0,
+    floor_sec: float = 2.0,
+) -> list[str]:
+    """Return human-readable gate violations (empty = pass)."""
+    problems: list[str] = []
+    for name, t_cur in sorted(cur.items()):
+        if t_cur is None:
+            problems.append(f"{name}: errored in current sweep")
+            continue
+        t_prev = prev.get(name)
+        if t_prev is None:
+            continue  # new query or previously-errored: no basis yet
+        limit = BASELINE_TAIL_RATIO if name in BASELINE_TAIL else ratio
+        # Floor: sub-second queries double on scheduler jitter alone; a
+        # regression that stays under the floor cannot be a scale-killer
+        # at this sf.
+        if t_cur > max(t_prev * limit, floor_sec):
+            problems.append(
+                f"{name}: {t_prev:.2f}s -> {t_cur:.2f}s "
+                f"({t_cur / t_prev:.1f}x, gate {limit:.1f}x)"
+            )
+    return problems
+
+
+def newest_artifacts(root: Path) -> list[Path]:
+    paths = [
+        p
+        for p in root.glob("TIMINGS_r*.json")
+        if re.fullmatch(r"TIMINGS_r\d+\.json", p.name)
+    ]
+    return sorted(paths, key=lambda p: int(re.findall(r"\d+", p.name)[0]))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--prev")
+    ap.add_argument("--cur")
+    ap.add_argument("--ratio", type=float, default=2.0)
+    ap.add_argument("--floor-sec", type=float, default=2.0)
+    args = ap.parse_args()
+
+    if args.prev and args.cur:
+        prev_p, cur_p = Path(args.prev), Path(args.cur)
+    else:
+        arts = newest_artifacts(REPO)
+        if len(arts) < 2:
+            print("fewer than two TIMINGS_r*.json artifacts — nothing to compare")
+            return 0
+        prev_p, cur_p = arts[-2], arts[-1]
+
+    prev = json.loads(prev_p.read_text())
+    cur = json.loads(cur_p.read_text())
+    problems = compare(prev, cur, args.ratio, args.floor_sec)
+    print(f"compare {prev_p.name} -> {cur_p.name}: {len(cur)} queries")
+    for p in problems:
+        print(f"REGRESSION {p}")
+    if not problems:
+        print("gate PASS: no query regressed past the threshold")
+    return 1 if problems else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
