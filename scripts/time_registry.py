@@ -18,6 +18,17 @@ audit.
 
 Single run per query (noop sink) — this ranks the tail, it does not
 replace bench.py's best-of-3 discipline for round-over-round levels.
+
+Instrument discipline (r11, learned the hard way): queries run in
+SORTED-NAME order, not registry order.  The registry leads with the
+round's rotating evidence window, so under registry order each round
+puts DIFFERENT queries in the cold early positions — first parquet
+scan, first shuffle, first python-worker spinup, C2-compiling codegen
+— and the round-over-round compare (scripts/timing_compare.py) then
+flags position artifacts as 2-30x "regressions" (measured: the same
+query 22.7 s at window position 29, 0.91 s mid-sweep, 3.4 s isolated).
+Sorted order pins every query to a stable position; the warmup below
+drains the biggest cold-start costs before the first timed query.
 """
 
 from __future__ import annotations
@@ -48,12 +59,26 @@ def main() -> int:
     # differences fabricate/hide scale-killers.
     spark = get_spark(app_name="time-registry")
     spark.sparkContext.setLogLevel("ERROR")
-    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
+    # Warmup: JVM + codegen, every table's footer/scan path, one real
+    # shuffle, and the Arrow python-worker pool (32 workers spin up on
+    # first use — several seconds that must not land on whichever query
+    # happens to run first).
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    from pyspark.sql import functions as F
+
+    from discogs_etl_spark.tables import TABLE_NAMES, load
+
+    for t in TABLE_NAMES:
+        load(spark, args.sf_dir, t).count()
+    load(spark, args.sf_dir, "events").groupBy("event_type").count().collect()
+    spark.range(100_000).select(
+        F.pandas_udf(lambda s: s * 2, "long")("id")
+    ).write.format("noop").mode("overwrite").save()
 
     specs = all_specs()
     res: dict[str, float | None] = {}
     errors = 0
-    for i, (name, spec) in enumerate(specs.items(), 1):
+    for i, (name, spec) in enumerate(sorted(specs.items()), 1):
         t0 = time.perf_counter()
         try:
             spec.fn(spark, args.sf_dir).write.format("noop").mode("overwrite").save()

@@ -14,7 +14,14 @@ reddens the suite, not just a judge's spot-check.
 
     python scripts/timing_compare.py [--prev TIMINGS_rA.json]
                                      [--cur TIMINGS_rB.json]
-                                     [--ratio 2.0] [--floor-sec 2.0]
+                                     [--ratio 2.0] [--floor-sec 4.0]
+
+The 4 s absolute floor is measured, not guessed: a single cold run of
+a multi-table report query spans 0.6-3.5 s in an otherwise idle
+session (same position, same preceding queries, both sweeps quiet —
+r11 calibration), so any sub-4 s "regression" is within one query's
+own first-run variance.  Real plan regressions — the gate's target —
+are order-of-magnitude (the r10 recsys nested-loop was 24x).
 
 With no arguments, compares the two newest TIMINGS_r*.json in the repo
 root.  Exit 1 if any query regresses past the gate or errored (null).
@@ -43,7 +50,7 @@ BASELINE_TAIL = frozenset(
         "multimodal_phash_dedup",  # banded pHash, documented tail
         "dedup_semdedup",  # centroid-bucketed all-pairs-within-cluster
         "dedup_doc_duplication_score",  # pair-graph rollup over the exact join
-        "stats_theil_sen_slope",  # bounded O(n^2/bucket) robust slope
+        "stats_theil_sen_trend",  # bounded O(n^2/bucket) robust slope
     }
 )
 
@@ -52,7 +59,7 @@ def compare(
     prev: dict[str, float | None],
     cur: dict[str, float | None],
     ratio: float = 2.0,
-    floor_sec: float = 2.0,
+    floor_sec: float = 4.0,
 ) -> list[str]:
     """Return human-readable gate violations (empty = pass)."""
     problems: list[str] = []
@@ -64,9 +71,9 @@ def compare(
         if t_prev is None:
             continue  # new query or previously-errored: no basis yet
         limit = BASELINE_TAIL_RATIO if name in BASELINE_TAIL else ratio
-        # Floor: sub-second queries double on scheduler jitter alone; a
-        # regression that stays under the floor cannot be a scale-killer
-        # at this sf.
+        # Floor: a single cold run varies by up to ~3.5 s on its own
+        # (measured); a regression that stays under the floor cannot be
+        # a scale-killer at this sf.
         if t_cur > max(t_prev * limit, floor_sec):
             problems.append(
                 f"{name}: {t_prev:.2f}s -> {t_cur:.2f}s "
@@ -89,7 +96,7 @@ def main() -> int:
     ap.add_argument("--prev")
     ap.add_argument("--cur")
     ap.add_argument("--ratio", type=float, default=2.0)
-    ap.add_argument("--floor-sec", type=float, default=2.0)
+    ap.add_argument("--floor-sec", type=float, default=4.0)
     args = ap.parse_args()
 
     if args.prev and args.cur:
