@@ -7360,30 +7360,30 @@ def _rank_agreement_oracle() -> str:
     inv = _REGISTRY["text_search_inverted_topk"].oracle
     bm = _REGISTRY["text_search_bm25_topk"].oracle
     ql = _REGISTRY["text_search_query_likelihood"].oracle
+    # One GROUP-less aggregate per ranker pair, unioned — NOT a single
+    # GROUP BY ranker_pair: the Spark side emits one row per pair even
+    # over an empty corpus (label literal in a global agg), and a
+    # grouped oracle would emit none, diverging on exactly the
+    # empty-input class r11 closes.  COUNT(b.doc_id) = SUM(hit) on any
+    # input (non-null iff the left join matched).
+    def arm(label: str, left: str, right: str) -> str:
+        return f"""
+            SELECT '{label}' AS ranker_pair,
+                   CAST(COUNT(*) AS BIGINT) AS n_result_slots,
+                   CAST(COUNT(b.doc_id) AS BIGINT) AS n_agree,
+                   round(COUNT(b.doc_id)
+                         / CAST(NULLIF(COUNT(*), 0) AS DOUBLE), 6)
+                       AS overlap_at_3
+            FROM {left} a LEFT JOIN {right} b
+              ON a.q_id = b.q_id AND a.doc_id = b.doc_id"""
+
     return f"""
-        WITH r_inv AS ({inv}), r_bm AS ({bm}), r_ql AS ({ql}),
-        pairs AS (
-            SELECT 'inverted_vs_bm25' AS ranker_pair, a.q_id, a.doc_id,
-                   CASE WHEN b.doc_id IS NOT NULL THEN 1 ELSE 0 END AS hit
-            FROM r_inv a LEFT JOIN r_bm b
-              ON a.q_id = b.q_id AND a.doc_id = b.doc_id
-            UNION ALL
-            SELECT 'inverted_vs_ql', a.q_id, a.doc_id,
-                   CASE WHEN b.doc_id IS NOT NULL THEN 1 ELSE 0 END
-            FROM r_inv a LEFT JOIN r_ql b
-              ON a.q_id = b.q_id AND a.doc_id = b.doc_id
-            UNION ALL
-            SELECT 'bm25_vs_ql', a.q_id, a.doc_id,
-                   CASE WHEN b.doc_id IS NOT NULL THEN 1 ELSE 0 END
-            FROM r_bm a LEFT JOIN r_ql b
-              ON a.q_id = b.q_id AND a.doc_id = b.doc_id
-        )
-        SELECT ranker_pair,
-               CAST(COUNT(*) AS BIGINT) AS n_result_slots,
-               CAST(SUM(hit) AS BIGINT) AS n_agree,
-               round(SUM(hit) / CAST(NULLIF(COUNT(*), 0) AS DOUBLE), 6)
-                   AS overlap_at_3
-        FROM pairs GROUP BY ranker_pair
+        WITH r_inv AS ({inv}), r_bm AS ({bm}), r_ql AS ({ql})
+        {arm('inverted_vs_bm25', 'r_inv', 'r_bm')}
+        UNION ALL
+        {arm('inverted_vs_ql', 'r_inv', 'r_ql')}
+        UNION ALL
+        {arm('bm25_vs_ql', 'r_bm', 'r_ql')}
     """
 
 
@@ -7404,9 +7404,9 @@ def retrieval_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: three pair-set joins over top-3 result lists (queries × 3
     rows each); the rankers themselves share the cached postings.
     An empty corpus has zero result slots — overlap NULL via NULLIF,
-    not an ANSI 0/0 (r11).  Note the Spark-side GROUP-less agg emits
-    one row per pair even then (label literal), the oracle's GROUP BY
-    emits none; parity holds on every non-degenerate corpus."""
+    not an ANSI 0/0, and BOTH engines still emit one row per ranker
+    pair (GROUP-less aggregates on each side), so parity holds on
+    empty inputs too (r11)."""
     inv = text_search_inverted_topk(spark, sf_dir).select("q_id", "doc_id")
     bm = text_search_bm25_topk(spark, sf_dir).select("q_id", "doc_id")
     ql = text_search_query_likelihood(spark, sf_dir).select("q_id", "doc_id")

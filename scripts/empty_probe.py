@@ -37,25 +37,29 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-TABLES = (
-    "region",
-    "nation",
-    "customer",
-    "supplier",
-    "part",
-    "orders",
-    "lineitem",
-    "events",
-    "documents",
-    "embeddings",
-)
+# The canonical table list — imported, not mirrored: an 11th registered
+# table must appear in the fixture automatically or the probe reports
+# PATH_NOT_FOUND reds instead of testing zero-row behavior.
+from discogs_etl_spark.tables import TABLE_NAMES  # noqa: E402
 
 
 def build_fixture(source: str, out_dir: str) -> None:
     import pyarrow.parquet as pq
 
+    # Refuse to truncate real data: writing zero-row tables over a
+    # directory that already holds rows (or over the source itself)
+    # would destroy the very fixtures every oracle test reads.
+    if os.path.realpath(out_dir) == os.path.realpath(source):
+        raise SystemExit("--fixture-dir must not be the --source directory")
+    for t in TABLE_NAMES:
+        p = os.path.join(out_dir, f"{t}.parquet")
+        if os.path.exists(p) and pq.read_metadata(p).num_rows > 0:
+            raise SystemExit(
+                f"{p} already exists with {pq.read_metadata(p).num_rows} rows — "
+                "refusing to overwrite non-empty parquet with a zero-row table"
+            )
     os.makedirs(out_dir, exist_ok=True)
-    for t in TABLES:
+    for t in TABLE_NAMES:
         schema = pq.read_schema(os.path.join(source, f"{t}.parquet"))
         pq.write_table(schema.empty_table(), os.path.join(out_dir, f"{t}.parquet"))
 

@@ -619,32 +619,34 @@ def media_decode_series_json(scales: list[int]) -> None:
     spark.stop()
 
 
-def bm25_prune_series_json(sfs: list[str]) -> None:
-    """Exact-vs-pruned BM25 wall-time series as ONE JSON line (verdict
-    r9 #4): per sf rung, best-of-3 wall for the exact postings plan
-    (text_search_bm25_topk) next to the statically-pruned production
-    twin (text_search_bm25_pruned_topk — median-df stopping +
-    impact-ordered top-64 postings).  The recordable round-over-round
-    form of the r9 "3.5x" note: the pruned twin's per-term fan-out is
-    capped at 64 postings, so its wall should stay flat-ish while the
-    exact plan's postings expansion grows with the corpus."""
+def _twin_series_json(
+    sfs: list[str],
+    pairs: tuple[tuple[str, str], tuple[str, str]],
+    payload: dict[str, str],
+    app_name: str,
+) -> None:
+    """Shared exact-vs-production-twin wall-time series harness: per sf
+    rung, best-of-3 wall (noop sink) for each (series_key, query_name)
+    pair, plus the exact/twin speedup ratio — ONE methodology for every
+    twin series so the discipline (best-of-3, warmup, unrounded-ratio
+    guard) can never silently diverge between copies.  The speedup is
+    computed from the UNROUNDED walls: a sub-millisecond twin run would
+    round to 0.0 and ZeroDivisionError the sweep."""
     import json
 
     from discogs_etl_spark.registry import all_specs
 
-    spark = get_spark(app_name="stress-bm25")
+    spark = get_spark(app_name=app_name)
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
     specs = all_specs()
+    (exact_key, _), (twin_key, _) = pairs
     series = {}
     for sf in sfs:
         sf_dir = f"/root/testdata/sf{sf}"
         timings = {}
         raw: dict[str, float] = {}
-        for key, qname in (
-            ("bm25_exact", "text_search_bm25_topk"),
-            ("bm25_pruned", "text_search_bm25_pruned_topk"),
-        ):
+        for key, qname in pairs:
             best = float("inf")
             for _ in range(3):
                 t0 = time.perf_counter()
@@ -654,22 +656,35 @@ def bm25_prune_series_json(sfs: list[str]) -> None:
                 best = min(best, time.perf_counter() - t0)
             raw[key] = best
             timings[key] = round(best, 3)
-        # Ratio from the UNROUNDED walls: a sub-millisecond pruned run
-        # would round to 0.0 and ZeroDivisionError the sweep.
-        timings["speedup"] = round(raw["bm25_exact"] / raw["bm25_pruned"], 2)
+        timings["speedup"] = round(raw[exact_key] / raw[twin_key], 2)
         series[sf] = timings
-    print(
-        json.dumps(
-            {
-                "metric": "bm25_prune_series",
-                "unit": "sec",
-                "prune": "median-df stopping + impact-ordered top-64 postings",
-                "runs": "best-of-3 (scripts/stress.py --bm25-json, noop sink)",
-                "per_sf": series,
-            }
-        )
-    )
+    print(json.dumps({**payload, "per_sf": series}))
     spark.stop()
+
+
+def bm25_prune_series_json(sfs: list[str]) -> None:
+    """Exact-vs-pruned BM25 wall-time series as ONE JSON line (verdict
+    r9 #4): per sf rung, best-of-3 wall for the exact postings plan
+    (text_search_bm25_topk) next to the statically-pruned production
+    twin (text_search_bm25_pruned_topk — median-df stopping +
+    impact-ordered top-64 postings).  The recordable round-over-round
+    form of the r9 "3.5x" note: the pruned twin's per-term fan-out is
+    capped at 64 postings, so its wall should stay flat-ish while the
+    exact plan's postings expansion grows with the corpus."""
+    _twin_series_json(
+        sfs,
+        (
+            ("bm25_exact", "text_search_bm25_topk"),
+            ("bm25_pruned", "text_search_bm25_pruned_topk"),
+        ),
+        {
+            "metric": "bm25_prune_series",
+            "unit": "sec",
+            "prune": "median-df stopping + impact-ordered top-64 postings",
+            "runs": "best-of-3 (scripts/stress.py --bm25-json, noop sink)",
+        },
+        "stress-bm25",
+    )
 
 
 def pca_gram_series_json(sfs: list[str]) -> None:
@@ -682,47 +697,20 @@ def pca_gram_series_json(sfs: list[str]) -> None:
     partial Gram, 4096-rows-per-task shuffle invariant).  Records the
     r10 "~2.4x at sf0.1" as a round-over-round series instead of a
     one-off note."""
-    import json
-
-    from discogs_etl_spark.registry import all_specs
-
-    spark = get_spark(app_name="stress-pca")
-    spark.sparkContext.setLogLevel("ERROR")
-    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
-    specs = all_specs()
-    series = {}
-    for sf in sfs:
-        sf_dir = f"/root/testdata/sf{sf}"
-        timings = {}
-        raw: dict[str, float] = {}
-        for key, qname in (
+    _twin_series_json(
+        sfs,
+        (
             ("pca_exact", "embedding_power_iteration_pc1"),
             ("pca_gram", "embedding_power_iteration_pc1_gram"),
-        ):
-            best = float("inf")
-            for _ in range(3):
-                t0 = time.perf_counter()
-                specs[qname].fn(spark, sf_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                best = min(best, time.perf_counter() - t0)
-            raw[key] = best
-            timings[key] = round(best, 3)
-        # Ratio from the UNROUNDED walls (same guard as the bm25 series).
-        timings["speedup"] = round(raw["pca_exact"] / raw["pca_gram"], 2)
-        series[sf] = timings
-    print(
-        json.dumps(
-            {
-                "metric": "pca_gram_series",
-                "unit": "sec",
-                "twin": "Gram one-pass covariance (1 FileScan) vs exact centered (3)",
-                "runs": "best-of-3 (scripts/stress.py --pca-json, noop sink)",
-                "per_sf": series,
-            }
-        )
+        ),
+        {
+            "metric": "pca_gram_series",
+            "unit": "sec",
+            "twin": "Gram one-pass covariance (1 FileScan) vs exact centered (3)",
+            "runs": "best-of-3 (scripts/stress.py --pca-json, noop sink)",
+        },
+        "stress-pca",
     )
-    spark.stop()
 
 
 def main() -> None:

@@ -67,7 +67,8 @@ def test_compare_flags_a_synthetic_regression():
     prev = {"q": 3.0, "tiny": 0.2, "dedup_jaccard_prefix_filter": 100.0}
     cur = {"q": 9.0, "tiny": 0.5, "dedup_jaccard_prefix_filter": 250.0}
     problems = tc.compare(prev, cur)
-    # q: 3x past the 2x gate; tiny: under the 2 s floor, never flagged;
-    # baseline-tail name: 2.5x is inside its documented 3x spread band.
+    # q: 3x past the 2x gate (and above the 4 s floor); tiny: under the
+    # 4 s absolute floor, never flagged; baseline-tail name: 2.5x is
+    # inside its documented 3x spread band.
     assert len(problems) == 1 and problems[0].startswith("q:"), problems
     assert tc.compare({"q": 1.0}, {"q": None}) == ["q: errored in current sweep"]
