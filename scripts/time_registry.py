@@ -94,6 +94,12 @@ def main() -> int:
             )
 
     if args.json:
+        # Load fingerprint (same adjudication mechanism as bench.py's
+        # loadavg stamps — three rounds of bench disputes were settled
+        # by reading the artifact's own fingerprint instead of
+        # re-running under unknown load).  Underscore keys are metadata:
+        # timing_compare.py skips them.
+        res["_loadavg_end"] = list(os.getloadavg())
         with open(args.json, "w") as fh:
             json.dump(res, fh, indent=1, sort_keys=True)
     ok = {k: v for k, v in res.items() if v is not None}

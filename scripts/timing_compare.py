@@ -64,6 +64,8 @@ def compare(
     """Return human-readable gate violations (empty = pass)."""
     problems: list[str] = []
     for name, t_cur in sorted(cur.items()):
+        if name.startswith("_"):
+            continue  # metadata (e.g. _loadavg_end fingerprint), not a query
         if t_cur is None:
             problems.append(f"{name}: errored in current sweep")
             continue

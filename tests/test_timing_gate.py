@@ -65,7 +65,12 @@ def test_current_sweep_has_no_errors_and_covers_registry():
 def test_compare_flags_a_synthetic_regression():
     tc = _load_compare()
     prev = {"q": 3.0, "tiny": 0.2, "dedup_jaccard_prefix_filter": 100.0}
-    cur = {"q": 9.0, "tiny": 0.5, "dedup_jaccard_prefix_filter": 250.0}
+    cur = {
+        "q": 9.0,
+        "tiny": 0.5,
+        "dedup_jaccard_prefix_filter": 250.0,
+        "_loadavg_end": [0.5, 1.0, 1.5],  # metadata keys are skipped
+    }
     problems = tc.compare(prev, cur)
     # q: 3x past the 2x gate (and above the 4 s floor); tiny: under the
     # 4 s absolute floor, never flagged; baseline-tail name: 2.5x is
