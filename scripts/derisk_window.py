@@ -96,6 +96,16 @@ def main() -> int:
         "parity = UTC, the default); pass 'system' to leave the "
         "environment untouched for sensitivity probing",
     )
+    ap.add_argument(
+        "--cores",
+        type=int,
+        default=8,
+        help="local[N] core count — run with --cores 2 (which also sets "
+        "spark.sql.shuffle.partitions=2) for the per-round "
+        "partition-count-invariance check on changed queries "
+        "(--names <flagged...>), replacing the hand-rolled local[2] "
+        "probe previous rounds re-typed",
+    )
     args = ap.parse_args()
 
     if args.tz != "system":
@@ -110,7 +120,13 @@ def main() -> int:
     from discogs_etl_spark.registry import all_specs
     from discogs_etl_spark.session import tune_for_correctness
 
-    spark = SparkSession.builder.master("local[8]").getOrCreate()
+    builder = SparkSession.builder.master(f"local[{args.cores}]")
+    if args.cores <= 2:
+        # The invariance probe wants the SHUFFLE layout to shrink with
+        # the cores, or a 200-partition plan on 2 cores tests nothing
+        # about partition-count sensitivity.
+        builder = builder.config("spark.sql.shuffle.partitions", str(args.cores))
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     if not args.raw:
         # exactly what __spark_entry__.queries() does before each builder

@@ -73,6 +73,14 @@ def main() -> int:
     )
     ap.add_argument("--only", help="comma-separated query names (default: all)")
     ap.add_argument("--json", help="dump {name: seconds|null} to this path")
+    ap.add_argument(
+        "--compare",
+        action="store_true",
+        help="beyond no-crash, VALUE-compare each oracle-backed query "
+        "against DuckDB over the same zero-row fixture and report the "
+        "parity map (match / diverge); divergences are informational — "
+        "the no-crash contract is the gate, parity is the stretch goal",
+    )
     args = ap.parse_args()
 
     fixture = args.fixture_dir or tempfile.mkdtemp(prefix="discogs_etl_sf_empty_")
@@ -84,6 +92,22 @@ def main() -> int:
     spark = get_spark(app_name="empty-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
+    con = canon = None
+    if args.compare:
+        import duckdb
+
+        # The canonicalizer is IMPORTED from the local oracle replica
+        # (same rule as derisk_window.py): a forked copy would drift and
+        # recreate the false-greens it exists to prevent.
+        from tests.test_oracle import canon_rows as canon
+
+        con = duckdb.connect()
+        for t in TABLE_NAMES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{fixture}/{t}.parquet')"
+            )
+
     specs = all_specs()
     if args.only:
         names = [n.strip() for n in args.only.split(",") if n.strip()]
@@ -94,12 +118,49 @@ def main() -> int:
 
     res: dict[str, float | None] = {}
     errors: list[str] = []
+    diverged: list[str] = []
+    matched = rows_only = 0
     for i, (name, spec) in enumerate(specs.items(), 1):
         t0 = time.perf_counter()
         try:
-            spec.fn(spark, fixture).write.format("noop").mode("overwrite").save()
+            sdf = spec.fn(spark, fixture)
+            if con is None or spec.oracle is None:
+                sdf.write.format("noop").mode("overwrite").save()
+                status = "ok" if con is None else "ok (rows-only)"
+                if con is not None:
+                    rows_only += 1
+            else:
+                scols, srows = canon(sdf.columns, sdf.collect())
+                try:
+                    cur = con.execute(spec.oracle)
+                    dcols, drows = canon(
+                        [d[0] for d in cur.description], cur.fetchall()
+                    )
+                except Exception as oex:  # noqa: BLE001 — oracle-side failure
+                    # The Spark side ran clean; an oracle that cannot even
+                    # execute on the empty fixture (e.g. a file-dependent
+                    # oracle globbing parquet the stream legitimately never
+                    # wrote) is a divergence to map, NOT a probe failure —
+                    # the no-crash contract gates the ENGINE, not DuckDB.
+                    diverged.append(name)
+                    res[name] = round(time.perf_counter() - t0, 3)
+                    print(
+                        f"[{i}/{len(specs)}] {name}: ok (DIVERGE: oracle "
+                        f"errored: {type(oex).__name__})",
+                        flush=True,
+                    )
+                    continue
+                if (scols, srows) == (dcols, drows):
+                    matched += 1
+                    status = f"ok (match, {len(srows)} rows)"
+                else:
+                    diverged.append(name)
+                    status = (
+                        f"ok (DIVERGE: spark {len(srows)} rows vs "
+                        f"oracle {len(drows)})"
+                    )
             res[name] = round(time.perf_counter() - t0, 3)
-            print(f"[{i}/{len(specs)}] {name}: ok", flush=True)
+            print(f"[{i}/{len(specs)}] {name}: {status}", flush=True)
         except Exception as ex:  # noqa: BLE001 — the probe must finish the sweep
             errors.append(name)
             res[name] = None
@@ -116,6 +177,13 @@ def main() -> int:
         f"\nEMPTY-INPUT PROBE: {len(specs) - len(errors)}/{len(specs)} clean, "
         f"fixture={fixture}"
     )
+    if args.compare:
+        print(
+            f"EMPTY-INPUT PARITY: {matched} value-match, {len(diverged)} "
+            f"diverge, {rows_only} rows-only, {len(errors)} errors"
+        )
+        for name in diverged:
+            print(f"DIVERGE {name}")
     for name in errors:
         print(f"FAILED {name}")
     return 1 if errors else 0
