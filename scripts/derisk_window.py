@@ -51,9 +51,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("DERISK_SF_DIR", "/root/testdata/sf0.01")
-TABLES = (
-    "region nation customer supplier part orders lineitem events documents embeddings"
-).split()
+# Imported, not mirrored (same rule as empty_probe.py): an 11th
+# registered table must get its DuckDB view automatically or every
+# oracle touching it fails with a catalog error.
+from discogs_etl_spark.tables import TABLE_NAMES as TABLES  # noqa: E402
 
 
 # The canonicalizer is IMPORTED from the local oracle replica, not
@@ -131,6 +132,12 @@ def main() -> int:
     if not args.raw:
         # exactly what __spark_entry__.queries() does before each builder
         tune_for_correctness(spark)
+    if args.cores <= 2:
+        # Re-apply AFTER tune_for_correctness, which resets the shuffle
+        # count to max(cpus, 8) — without this the invariance probe
+        # would claim a 2-partition layout while silently running 32
+        # (caught by the r11 review pass).
+        spark.conf.set("spark.sql.shuffle.partitions", str(args.cores))
     con = duckdb.connect()
     for t in TABLES:
         con.execute(

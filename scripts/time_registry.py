@@ -102,8 +102,13 @@ def main() -> int:
         res["_loadavg_end"] = list(os.getloadavg())
         with open(args.json, "w") as fh:
             json.dump(res, fh, indent=1, sort_keys=True)
-    ok = {k: v for k, v in res.items() if v is not None}
-    print(f"\nTOTAL {len(res)} queries, {errors} errors, sf_dir={args.sf_dir}")
+    # Exclude metadata (underscore keys: the _loadavg_end list would
+    # crash the numeric sort) alongside errored (None) entries.
+    ok = {
+        k: v for k, v in res.items() if v is not None and not k.startswith("_")
+    }
+    n_q = sum(1 for k in res if not k.startswith("_"))
+    print(f"\nTOTAL {n_q} queries, {errors} errors, sf_dir={args.sf_dir}")
     for k, v in sorted(ok.items(), key=lambda kv: -kv[1])[: args.top]:
         print(f"SLOW {k}: {v:.2f}s")
     return 1 if errors else 0

@@ -113,7 +113,8 @@ def main() -> int:
     prev = json.loads(prev_p.read_text())
     cur = json.loads(cur_p.read_text())
     problems = compare(prev, cur, args.ratio, args.floor_sec)
-    print(f"compare {prev_p.name} -> {cur_p.name}: {len(cur)} queries")
+    n_q = sum(1 for k in cur if not k.startswith("_"))
+    print(f"compare {prev_p.name} -> {cur_p.name}: {n_q} queries")
     for p in problems:
         print(f"REGRESSION {p}")
     if not problems:
