@@ -4836,35 +4836,35 @@ def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     knob is bands × rows, and this query is how you tune it.  The
     similarity_ann_recall pattern applied to the dedup plane.
 
-    Scale: both pipelines are the already-scale-shaped registered ops;
-    the comparison joins two pair sets on (doc_a, doc_b) — pair-set-
-    sized, not corpus-sized.  A dup-free (or empty) corpus has no pairs
-    on either side: precision/recall are NULL, not 0/0 — the driver
-    scalars guard in Python, the oracle via NULLIF (r11 hardening)."""
-    ex = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    mh = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    n_exact = ex.count()
-    n_mh = mh.count()
-    n_common = mh.join(ex, ["doc_a", "doc_b"]).count()
-    null_d = F.lit(None).cast("double")
-    return (
-        load(spark, sf_dir, "documents")
-        .limit(1)
-        .select(
-            F.lit(n_exact).cast("bigint").alias("n_exact"),
-            F.lit(n_mh).cast("bigint").alias("n_minhash"),
-            F.lit(n_common).cast("bigint").alias("n_common"),
-            (
-                F.round(F.lit(n_common) / F.lit(float(n_mh)), 6)
-                if n_mh
-                else null_d
-            ).alias("precision"),
-            (
-                F.round(F.lit(n_common) / F.lit(float(n_exact)), 6)
-                if n_exact
-                else null_d
-            ).alias("recall"),
-        )
+    Scale: both pipelines are the already-scale-shaped registered ops,
+    and each executes ONCE — the three counts ride a single full-outer
+    join of the two pair sets as one in-plan aggregate (the r10 recsys
+    discipline: driver-side `.count()` probes re-execute their whole
+    subplan per action, which here ran the exact all-pairs join twice —
+    warm sf0.1 wall ~7 s → ~3.5 s; the cold first run is dominated by
+    building the shared pair-graph cache either way).  The comparison
+    join is
+    (doc_a, doc_b)-keyed and pair-set-sized, not corpus-sized.  A
+    dup-free (or empty) corpus has no pairs on either side:
+    precision/recall are NULL via NULLIF, not 0/0, and both engines
+    emit the same single row (r11 hardening)."""
+    ex = dedup_ngram_jaccard(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("__ex")
+    )
+    mh = dedup_minhash_lsh(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("__mh")
+    )
+    both = F.count(F.when(F.col("__ex").isNotNull() & F.col("__mh").isNotNull(), 1))
+    return ex.join(mh, ["doc_a", "doc_b"], "full").agg(
+        F.count("__ex").cast("bigint").alias("n_exact"),
+        F.count("__mh").cast("bigint").alias("n_minhash"),
+        both.cast("bigint").alias("n_common"),
+        F.round(
+            both / F.nullif(F.count("__mh").cast("double"), F.lit(0.0)), 6
+        ).alias("precision"),
+        F.round(
+            both / F.nullif(F.count("__ex").cast("double"), F.lit(0.0)), 6
+        ).alias("recall"),
     )
 
 
