@@ -18,6 +18,15 @@ audit.
 
 Single run per query (noop sink) — this ranks the tail, it does not
 replace bench.py's best-of-3 discipline for round-over-round levels.
+Exception: with ``--baseline``, queries that would flag against the
+previous round get one verify re-run and the artifact records the MIN
+of the two (those names are listed under the ``_verified_min``
+metadata key — their entries are warm minima, not cold single runs).
+Known residual: a warm re-run can dip a genuine 2-3x cold regression
+under the gate; the 10-100x plan regressions the gate exists for flag
+on both runs regardless.  If a name appears in ``_verified_min``
+round after round, audit its plan by hand — recurring flag-and-clear
+is itself a signal.
 
 Instrument discipline (r11, learned the hard way): queries run in
 SORTED-NAME order, not registry order.  The registry leads with the
@@ -115,10 +124,10 @@ def main() -> int:
         tc = importlib.util.module_from_spec(spec_tc)
         spec_tc.loader.exec_module(tc)
         baseline = json.load(open(args.baseline))
-        flagged = [p.split(":")[0] for p in tc.compare(baseline, res)]
-        for name in flagged:
-            if res.get(name) is None:
-                continue  # errored: a re-run will not change the verdict
+        verified: list[str] = []
+        for name, _prev, t_cur in tc.compare_pairs(baseline, res):
+            if t_cur is None:
+                continue  # errored in the main sweep: re-run can't clear it
             t0 = time.perf_counter()
             try:
                 specs[name].fn(spark, args.sf_dir).write.format("noop").mode(
@@ -131,10 +140,21 @@ def main() -> int:
                     flush=True,
                 )
                 res[name] = min(res[name], second)
+                verified.append(name)
             except Exception as ex:  # noqa: BLE001
-                print(f"VERIFY {name}: ERROR {type(ex).__name__}", flush=True)
-                res[name] = None
-                errors += 1
+                # The main-sweep measurement is valid; a transient
+                # failure on the SECOND run must not convert it into an
+                # artifact-reddening null.  Keep the first value, report.
+                print(
+                    f"VERIFY {name}: re-run ERROR {type(ex).__name__} — "
+                    f"keeping first-run {res[name]:.2f}s",
+                    flush=True,
+                )
+        if verified:
+            # Transparency: these entries are min-of-two (second run
+            # warm), not single cold runs — readers of the artifact and
+            # of the 2-6x variance calibration need to know which.
+            res["_verified_min"] = sorted(verified)
 
     if args.json:
         # Load fingerprint (same adjudication mechanism as bench.py's

@@ -55,19 +55,22 @@ BASELINE_TAIL = frozenset(
 )
 
 
-def compare(
+def compare_pairs(
     prev: dict[str, float | None],
     cur: dict[str, float | None],
     ratio: float = 2.0,
     floor_sec: float = 4.0,
-) -> list[str]:
-    """Return human-readable gate violations (empty = pass)."""
-    problems: list[str] = []
+) -> list[tuple[str, float | None, float | None]]:
+    """Structured gate violations: (name, prev_sec, cur_sec) tuples,
+    cur_sec None = errored.  The machine-readable form callers (the
+    time_registry --baseline verify pass) consume — message-format
+    changes in compare() can never break them."""
+    out: list[tuple[str, float | None, float | None]] = []
     for name, t_cur in sorted(cur.items()):
         if name.startswith("_"):
             continue  # metadata (e.g. _loadavg_end fingerprint), not a query
         if t_cur is None:
-            problems.append(f"{name}: errored in current sweep")
+            out.append((name, prev.get(name), None))
             continue
         t_prev = prev.get(name)
         if t_prev is None:
@@ -77,6 +80,24 @@ def compare(
         # (measured); a regression that stays under the floor cannot be
         # a scale-killer at this sf.
         if t_cur > max(t_prev * limit, floor_sec):
+            out.append((name, t_prev, t_cur))
+    return out
+
+
+def compare(
+    prev: dict[str, float | None],
+    cur: dict[str, float | None],
+    ratio: float = 2.0,
+    floor_sec: float = 4.0,
+) -> list[str]:
+    """Human-readable gate violations (empty = pass), rendered from
+    compare_pairs."""
+    problems: list[str] = []
+    for name, t_prev, t_cur in compare_pairs(prev, cur, ratio, floor_sec):
+        if t_cur is None:
+            problems.append(f"{name}: errored in current sweep")
+        else:
+            limit = BASELINE_TAIL_RATIO if name in BASELINE_TAIL else ratio
             problems.append(
                 f"{name}: {t_prev:.2f}s -> {t_cur:.2f}s "
                 f"({t_cur / t_prev:.1f}x, gate {limit:.1f}x)"

@@ -77,3 +77,7 @@ def test_compare_flags_a_synthetic_regression():
     # inside its documented 3x spread band.
     assert len(problems) == 1 and problems[0].startswith("q:"), problems
     assert tc.compare({"q": 1.0}, {"q": None}) == ["q: errored in current sweep"]
+    # The structured form (what time_registry's --baseline verify pass
+    # consumes) must agree with the rendered form and carry real values.
+    assert tc.compare_pairs(prev, cur) == [("q", 3.0, 9.0)]
+    assert tc.compare_pairs({"q": 1.0}, {"q": None}) == [("q", 1.0, None)]
