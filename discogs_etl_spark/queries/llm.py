@@ -6396,16 +6396,19 @@ def bpe_compression_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the same 3 map-only rewrite passes as training, then two
     corpus token counts — all map-side with scalar outputs.  Empty
-    corpus: there is nothing to tokenize OR evaluate — the limit(1)
-    carrier has no row, so the (schema-stable) result is empty; a
-    pair-free corpus stops merging early, same as the trainer (r11)."""
+    corpus: one all-NULL row, matching the oracle's cross join of two
+    1-row global aggregates (SUM over empty = NULL) — the same shape
+    dedup_minhash_eval and retrieval_rank_agreement settled on in r11;
+    a pair-free corpus stops merging early, same as the trainer.  Both
+    branches carry the scalars on spark.range(1), not a documents
+    limit(1): the counts are already driver-side, so a table scan as a
+    row carrier is a wasted FileScan (and zero rows when empty)."""
     texts = load(spark, sf_dir, "documents").select(F.col("text").alias("t"))
     n0 = texts.agg(F.sum(F.size(F.split("t", " ")))).first()[0]
     if n0 is None:
         null_b = F.lit(None).cast("bigint")
         return (
-            load(spark, sf_dir, "documents")
-            .limit(1)
+            spark.range(1)
             .select(
                 null_b.alias("tokens_before"),
                 null_b.alias("tokens_after"),
@@ -6435,8 +6438,7 @@ def bpe_compression_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         texts = texts.select(F.trim(F.replace(s3, F.lit("  "), F.lit(" "))).alias("t"))
     n3 = texts.agg(F.sum(F.size(F.split("t", " ")))).first()[0]
     return (
-        load(spark, sf_dir, "documents")
-        .limit(1)
+        spark.range(1)
         .select(
             F.lit(int(n0)).cast("bigint").alias("tokens_before"),
             F.lit(int(n3)).cast("bigint").alias("tokens_after"),

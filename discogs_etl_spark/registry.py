@@ -77,109 +77,97 @@ def _load_all() -> None:
 # driver-side correctness evidence (or changed since their last green row)
 # ahead of queries whose green rows already stand from a prior round.
 #
-# Round 11 rotation.  Basis (COMPUTED by scripts/evidence_audit.py over
+# Round 12 rotation.  Basis (COMPUTED by scripts/evidence_audit.py over
 # a FIXED round range — the note is stamped with the round it describes
-# so the suite stays green after later artifacts land; the round-6 guard
-# compared against the unbounded audit and the driver landing
-# CORRECTNESS_r06.json retroactively broke the build.
+# so the suite stays green after later artifacts land;
 # tests/test_evidence_audit.py recomputes audit(max_round=as_of_round)
 # and asserts this line matches, and separately proves the comparison is
 # immune to a synthetic future-round artifact):
-#   evidence_audit as_of_round=10: registered=369 unique_checked=369 ever_green=369 \
-#     never_checked=0 net_new_last_round=1
-# The ledger is fully closed (zero never-checked, zero latest-round-red,
-# zero net-new this round), so the window is pure post-backlog policy:
-# (a) mechanical re-window flags lead (scripts/rewindow_check.py vs the
-# r10-end rev be987c9 — FOURTEEN flags: thirteen are the verdict-r10 #1
-# empty-input hardening wave — every query that errored on zero-row
-# inputs in the r10 boundary map now degrades to NULL/empty instead
-# (NULLIF / CASE-NULL guards with matching oracle edits for the 8 ANSI
-# zero-count divisions; first()->None short-circuits for the two BPE
-# argmax reads; an n=0 Python-scalar guard for pagerank; an isEmpty
-# gate before the IVF k-means fit; a no-files-written graceful return
-# for the stream-lake read-back — sf0.01 oracle values unchanged on all
-# 13, proven by the local driver replica before windowing, and the
-# committed scripts/empty_probe.py now reports 369/369 clean on a
-# zero-row fixture set); the fourteenth is
-# embedding_power_iteration_pc1_gram, whose non-integer shuffle-knob
-# fallback now reads defaultParallelism instead of a constant 32 (r10
-# ADVICE — the pre-explode spread must track cluster size); then (b)
-# OLDEST-EVIDENCE-FIRST rotation — registered
-# names ordered by last-green round ascending (registration order among
-# ties, computed by evidence_audit's stale_order_names and filled by
-# round_start.py), continuing the round-1 cohort from where the r10
-# window stopped (stream_stateful_user_stats / window_lag_lead_gap /
-# q6_forecast_revenue onward per the r10 note's plan).  Every name
-# passes the local one-session driver replica (tests/test_oracle.py)
-# and the plain-session derisk_window.py sweep, so rotation stays pure
-# evidence collection.
+#   evidence_audit as_of_round=11: registered=369 unique_checked=369 ever_green=369 \
+#     never_checked=0 net_new_last_round=0
+# The ledger stays fully closed (zero never-checked, zero
+# latest-round-red, zero net-new), so the window is pure post-backlog
+# policy: (a) mechanical re-window flags lead (scripts/rewindow_check.py
+# vs the r11-end rev 006bf7e — ONE flag: bpe_compression_eval, whose
+# empty-corpus path now emits a single all-NULL row on spark.range(1)
+# to match its oracle's cross join of two 1-row global aggregates
+# (r11 ADVICE; the dedup_minhash_eval / retrieval_rank_agreement
+# precedent), and whose non-empty branch carries its driver-side
+# scalars on spark.range(1) instead of a wasted documents limit(1)
+# FileScan — sf0.01 oracle values unchanged, proven by the local
+# driver replica before windowing); then (b) OLDEST-EVIDENCE-FIRST
+# rotation — registered names ordered by last-green round ascending
+# (registration order among ties, printed by
+# `evidence_audit.py --stale-order` and filled by round_start.py),
+# continuing the round-1 cohort from where the r11 window stopped
+# (dedup_fuzzy_keep_one / quality_gate_quantile /
+# dedup_cc_starcontraction onward per the r11 note's plan).  Every
+# name passes the local one-session driver replica
+# (tests/test_oracle.py) and the plain-session derisk_window.py sweep,
+# so rotation stays pure evidence collection.
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    # mechanical re-windows (changed code this round): the 13-query
-    # empty-input hardening wave (verdict r10 #1) — zero-row inputs now
-    # yield NULL metrics or empty results, never ANSI DIVIDE_BY_ZERO /
-    # NoneType reads / zero-row fits; clean-data values unchanged
-    "graph_pagerank_coorder",
-    "activation_latency_percentiles",
-    "users_reactivation_rate",
-    "graph_modularity_lpa",
-    "similarity_ivf_topk",
-    "bpe_learn_merges",
-    "dedup_minhash_eval",
-    "embedding_triplet_check",
+    # mechanical re-window (changed code this round): empty-corpus
+    # one-row parity + range(1) scalar carrier (r11 ADVICE)
     "bpe_compression_eval",
-    "retrieval_rank_agreement",
-    "dedup_granularity_compare",
-    "events_harmonic_peak_hour",
-    "stream_events_lake_roundtrip",
-    # mechanical re-window (r10 ADVICE): the gram twin's shuffle-knob
-    # fallback now scales with defaultParallelism instead of a constant
-    "embedding_power_iteration_pc1_gram",
     # oldest-evidence-first rotation fill (last green: round 1),
-    # continuing the r10 cohort
-    "stream_stateful_user_stats",
-    "window_lag_lead_gap",
-    "q6_forecast_revenue",
-    "window_distribution_funcs",
-    "window_sliding_range_events",
-    "scalar_datetime_extended",
-    "scalar_math_extended",
-    "agg_corr_exact",
-    "sort_nulls_ordering",
-    "range_join_bucketed",
-    "nested_struct_roundtrip",
-    "q8_market_share",
-    "q10_returned_items",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customer",
-    "q21_waiting_supplier",
-    "q22_global_sales_opportunity",
-    "q2_min_cost_supplier",
-    "q9_product_type_profit",
-    "q11_important_stock",
-    "q16_parts_supplier_count",
-    "q20_potential_promotion",
-    "join_skew_salted",
-    "asof_join_tolerance",
-    "events_retention_cohorts",
-    "window_running_distinct_users",
-    "lang_id_confusion",
-    "text_repetition_score",
-    "dedup_ngram_crossdoc",
-    "decontaminate_eval_overlap",
-    "text_redact_pii",
-    "corpus_mix_sources",
-    "corpus_shuffle_shards",
-    "boilerplate_prefix_groups",
-    # ROUND-12 ROTATION NOTE: keep the post-backlog policy — refresh the
-    # audit line to as_of_round=11 and COVERAGE.md's evidence paragraph
+    # continuing the r11 cohort
+    "dedup_fuzzy_keep_one",
+    "quality_gate_quantile",
+    "dedup_cc_starcontraction",
+    "embedding_quantize_int8",
+    "dedup_cluster_stats",
+    "mapinarrow_token_stats",
+    "udtf_token_runs",
+    "pandas_udaf_lang_iqr",
+    "join_bloom_runtime_filter",
+    "graph_triangle_count",
+    "assoc_rules_coorder",
+    "agg_mode_per_user",
+    "agg_equidepth_deciles",
+    "graph_clustering_coefficient",
+    "attribution_first_vs_last",
+    "sessions_max_concurrency",
+    "graph_label_propagation",
+    "supplier_greedy_cover",
+    "xml_datasource_scan",
+    "dedup_jaccard_prefix_filter",
+    "dedup_minhash_lsh",
+    "sample_weighted_per_source",
+    "kmeans_embeddings_fixed",
+    "text_search_inverted_topk",
+    "text_search_bm25_topk",
+    "keywords_per_doc",
+    "lm_bigram_surprisal",
+    "feature_hashing_vectorize",
+    "corpus_token_budget_planner",
+    "stats_welch_ttest",
+    "stats_chi_square_lang_source",
+    "stats_entropy_by_source",
+    "stats_gini_revenue_by_nation",
+    "stats_zipf_slope_by_lang",
+    "stats_ewma_per_user",
+    "stats_mad_by_event_type",
+    "stats_seasonal_adjust_daily",
+    "stats_wilson_ci_daily",
+    "stats_trend_slope_per_user",
+    "data_quality_report",
+    "stats_benford_first_digit",
+    "events_dau_wau_stickiness",
+    "orders_interpurchase_gap",
+    "stats_hhi_supplier_concentration",
+    "data_quality_referential",
+    "orders_cohort_ltv",
+    "skew_report_join_keys",
+    "sketch_countmin_heavy_hitters",
+    "stats_ks_two_sample",
+    # ROUND-13 ROTATION NOTE: keep the post-backlog policy — refresh the
+    # audit line to as_of_round=12 and COVERAGE.md's evidence paragraph
     # as the first commit, then compose the window with
-    # `python scripts/round_start.py <r11-end-rev>`: mechanical
+    # `python scripts/round_start.py <r12-end-rev>`: mechanical
     # re-window flags lead, oldest-evidence-first rotation fills (after
-    # r11 lands green the stalest cohort continues from where this
-    # window stopped — `evidence_audit.py --stale-order` gives the
-    # basis).
+    # r12 lands green the stalest cohort continues from where this
+    # window stopped — `python scripts/evidence_audit.py --stale-order`
+    # prints the basis).
 )
 
 

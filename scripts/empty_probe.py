@@ -138,10 +138,33 @@ def main() -> int:
                     )
                 except Exception as oex:  # noqa: BLE001 — oracle-side failure
                     # The Spark side ran clean; an oracle that cannot even
-                    # execute on the empty fixture (e.g. a file-dependent
-                    # oracle globbing parquet the stream legitimately never
-                    # wrote) is a divergence to map, NOT a probe failure —
-                    # the no-crash contract gates the ENGINE, not DuckDB.
+                    # execute on the empty fixture is EITHER the known
+                    # file-dependent class or a real divergence.  The known
+                    # class: an oracle globbing parquet the QUERY ITSELF
+                    # writes (stream_events_lake_roundtrip), where a stream
+                    # over zero rows legitimately commits no files — DuckDB
+                    # 1.0 binds read_parquet globs at plan time and has no
+                    # allow-empty option, so no static SQL string can
+                    # survive the state.  "No files for DuckDB" and "zero
+                    # rows from Spark's graceful read-back" are the SAME
+                    # empty lake, so the probe synthesizes the zero-row
+                    # oracle result the glob would have aggregated to and
+                    # value-compares against it (r11 ADVICE).  Any other
+                    # oracle error — or a no-files error while Spark
+                    # returned rows — stays a mapped divergence: the
+                    # no-crash contract gates the ENGINE, not DuckDB.
+                    no_files = "No files found that match the pattern" in str(
+                        oex
+                    )
+                    if no_files and not srows:
+                        matched += 1
+                        res[name] = round(time.perf_counter() - t0, 3)
+                        print(
+                            f"[{i}/{len(specs)}] {name}: ok (match, 0 rows — "
+                            "file-dependent oracle, empty lake)",
+                            flush=True,
+                        )
+                        continue
                     diverged.append(name)
                     res[name] = round(time.perf_counter() - t0, 3)
                     print(

@@ -128,6 +128,13 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--json", action="store_true")
     ap.add_argument("--never", action="store_true", help="list never-checked names in registration order")
+    ap.add_argument(
+        "--stale-order",
+        action="store_true",
+        help="list ALL registered names oldest-evidence-first (last-green "
+        "round ascending, registration order among ties) — the rotation "
+        "basis round_start.py fills the post-backlog window from",
+    )
     ap.add_argument("--max-round", type=int, default=None, help="bound the basis to rounds <= N")
     args = ap.parse_args()
     stats = audit(max_round=args.max_round)
@@ -148,6 +155,9 @@ def main() -> None:
         )
     elif args.never:
         for name in stats["never_checked_names"]:
+            print(name)
+    elif args.stale_order:
+        for name in stats["stale_order_names"]:
             print(name)
     else:
         print(
