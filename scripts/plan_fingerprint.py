@@ -1,0 +1,185 @@
+#!/usr/bin/env python
+"""Executed-plan fingerprints: the machine-checkable plan gate's extractor.
+
+Answers are hash-gated (tests/test_oracle.py) and wall-times are
+ratio-gated (scripts/timing_compare.py), but both catch a Catalyst
+strategy flip only noisily and after the fact — the r10
+recsys_holdout_hitrate nested-loop ran green for nine rounds because
+nothing machine-checked the PHYSICAL plan.  This module normalizes an
+EXECUTED plan (the AQE final plan, not the initial one — runtime
+broadcast conversions are part of the strategy under test) into a small
+dict of node counts that tests/test_plans.py pins per query:
+
+    {"scan_parquet": 1, "scan_rdd": 0, "local_scan": 0,
+     "bhj": 2, "smj": 0, "shj": 0, "bnlj": 0, "cartesian": 0}
+
+* ``scan_parquet`` — FileScan count: a query that promises "one corpus
+  scan" must not silently grow a second scan branch; a checkpointed
+  iteration (pc1 / pc1_gram) must show ZERO parquet scans in its
+  returned plan, else the fold is no longer physically real (the r9
+  lesson: Catalyst re-derives subtrees from the scan unless the
+  materialization actually happened).
+* ``bhj``/``smj``/``shj`` — join strategies on named joins: a dimension
+  join that loses its broadcast (hint dropped, threshold misread)
+  flips bhj -> smj deterministically at the pinned sf/session.
+* ``bnlj``/``cartesian`` — always pinned, almost always to zero; the
+  only nonzero pins are the deliberate broadcast-hinted crossJoins
+  (kmeans centroid assignment and friends), which
+  test_every_crossjoin_is_broadcast_hinted separately proves are
+  hinted.
+
+The fingerprint is taken at a FIXED condition (sf dir + the tuned test
+session: local[8], shuffle.partitions=8, AQE on) — AQE's runtime
+broadcast conversions depend on observed sizes, so the pins are
+statements about the plan AT that condition, exactly the condition the
+suite reruns them under.  UPDATE PATH when a plan legitimately changes:
+rerun this script for the touched names and paste the new dict into
+tests/test_plans.py's PLAN_PINS, with a commit message saying WHY the
+shape moved (a pin update without a rationale is the smell the gate
+exists to produce).
+
+    python scripts/plan_fingerprint.py [--sf /root/testdata/sf0.001]
+                                       [--only a,b,...] [--pins]
+
+``--pins`` prints the ready-to-paste PLAN_PINS body for the gate's
+pinned set (bench headline set + the previously-fixed scale-killers).
+"""
+
+from __future__ import annotations
+
+import argparse
+import contextlib
+import io
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# The gate's pinned set: every bench=True headline query (the 23 the
+# driver times every round) plus the previously-fixed scale-killers —
+# queries whose plan SHAPE was the bug once already:
+#   recsys_holdout_hitrate      r10: OR-of-equalities join nested-looped;
+#                               fixed as a union of two hash equi-joins
+#   dedup_minhash_eval          r11: three driver .count() actions re-ran
+#                               the all-pairs join twice; now ONE plan
+#   embedding_power_iteration_pc1 / _gram
+#                               r9/r10: the covariance fold must be
+#                               physically materialized (zero parquet
+#                               scans in the returned iteration plan)
+SCALE_KILLERS = (
+    "recsys_holdout_hitrate",
+    "dedup_minhash_eval",
+    "embedding_power_iteration_pc1",
+    "embedding_power_iteration_pc1_gram",
+)
+
+# Node-name extraction from the formatted tree section.  Tree lines look
+# like "   +- * BroadcastHashJoin Inner BuildRight (14)" or
+# "ShuffleQueryStage (7), Statistics(...)"; the name is the leading
+# word run (letters/digits/spaces, e.g. "Scan parquet") before the
+# node-id parenthesis or the first detail token.
+_NODE_RE = re.compile(r"^[\s+:|-]*(?:\* )?([A-Za-z][A-Za-z0-9]*(?: [A-Za-z][A-Za-z0-9]*)?)")
+
+_KEYS = {
+    "Scan parquet": "scan_parquet",
+    "Scan ExistingRDD": "scan_rdd",
+    "LocalTableScan": "local_scan",
+    "BroadcastHashJoin": "bhj",
+    "SortMergeJoin": "smj",
+    "ShuffledHashJoin": "shj",
+    "BroadcastNestedLoopJoin": "bnlj",
+    "CartesianProduct": "cartesian",
+}
+
+
+def final_plan_tree(df) -> str:
+    """The formatted explain TREE of the plan that actually ran.
+
+    The caller must have run an action on this very DataFrame first
+    (``df.collect()``): only then does AdaptiveSparkPlan print
+    ``== Final Plan ==`` with the runtime-replanned tree.  The Initial
+    Plan section and the per-node details are sliced away.
+    """
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    tree = buf.getvalue().split("\n\n", 1)[0]
+    if "== Final Plan ==" in tree:
+        tree = tree.split("== Final Plan ==", 1)[1]
+        tree = tree.split("== Initial Plan ==", 1)[0]
+    return tree
+
+
+def fingerprint(df, *, executed: bool = True) -> dict[str, int]:
+    """Normalized node counts of the (executed) physical plan."""
+    if executed:
+        df.collect()
+    counts = dict.fromkeys(_KEYS.values(), 0)
+    for line in final_plan_tree(df).splitlines():
+        m = _NODE_RE.match(line)
+        if not m:
+            continue
+        name = m.group(1).strip()
+        # two-word names first ("Scan parquet" / "Scan ExistingRDD"),
+        # then the bare first word ("BroadcastHashJoin Inner" -> join)
+        key = _KEYS.get(name)
+        if key is None and " " in name:
+            key = _KEYS.get(name.split(" ", 1)[0])
+        if key is not None:
+            counts[key] += 1
+    return counts
+
+
+def pinned_names() -> list[str]:
+    from discogs_etl_spark.registry import all_specs
+
+    specs = all_specs()
+    names = [n for n, s in specs.items() if s.bench]
+    names += [n for n in SCALE_KILLERS if n not in names]
+    return sorted(names)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    ap.add_argument("--only", help="comma-separated query names")
+    ap.add_argument(
+        "--pins",
+        action="store_true",
+        help="print a ready-to-paste PLAN_PINS dict body",
+    )
+    args = ap.parse_args()
+
+    from discogs_etl_spark.registry import all_specs
+    from discogs_etl_spark.session import get_spark
+
+    # EXACTLY the suite's session shape (tests/conftest.py): the pins
+    # are statements about this condition.
+    spark = get_spark(
+        app_name="plan-fingerprint", master="local[8]", shuffle_partitions=8
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    specs = all_specs()
+    names = (
+        [n.strip() for n in args.only.split(",") if n.strip()]
+        if args.only
+        else pinned_names()
+    )
+    unknown = [n for n in names if n not in specs]
+    if unknown:
+        raise SystemExit(f"unknown query names: {unknown}")
+
+    for name in names:
+        fp = fingerprint(specs[name].fn(spark, args.sf))
+        if args.pins:
+            body = ", ".join(f'"{k}": {v}' for k, v in fp.items() if v)
+            print(f'    "{name}": {{{body}}},')
+        else:
+            print(name, fp, flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

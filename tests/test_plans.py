@@ -560,3 +560,117 @@ def test_every_crossjoin_is_broadcast_hinted():
         "the argument (scalar aggregates broadcast; anything bigger should "
         "not be a cartesian product)"
     )
+
+
+# ---------------------------------------------------------------------------
+# Executed-plan fingerprint gate (verdict r11 #1).
+#
+# Answers are hash-gated and wall-times are ratio-gated, but both catch a
+# Catalyst strategy flip only noisily and after the fact — the r10
+# recsys_holdout_hitrate nested-loop ran green for NINE rounds because
+# nothing machine-checked the physical plan.  This sweep pins normalized
+# node counts of the EXECUTED (AQE-final) plan for every headline bench
+# query plus the previously-fixed scale-killers, at the suite's exact
+# session condition (local[8], shuffle.partitions=8, AQE on, 64 MiB
+# broadcast threshold, sf0.001).
+#
+# What each key catches:
+#   scan_parquet  a "one corpus scan" promise growing a second branch, or
+#                 a checkpointed iteration silently re-deriving the corpus
+#                 (pc1/pc1_gram pin ZERO parquet scans: the fold must be
+#                 physically real — the r9 lesson)
+#   bhj/smj/shj   a dimension join losing its broadcast (hint dropped,
+#                 threshold misread) flips bhj -> smj deterministically
+#   bnlj/cartesian  nonzero ONLY for the deliberate broadcast-hinted
+#                 scalar crossJoins (test_every_crossjoin_is_broadcast_hinted
+#                 proves each is hinted); any other value is the r10 bug
+#                 class resurfacing
+#
+# UPDATE PATH when a plan legitimately changes: rerun
+#   python scripts/plan_fingerprint.py --pins --only <name>
+# and paste the new entry here, saying WHY the shape moved in the commit
+# message — a pin update without a rationale is the smell this gate
+# exists to produce.  Zero-valued keys are omitted.
+# ---------------------------------------------------------------------------
+
+PLAN_PINS: dict[str, dict[str, int]] = {
+    "corpus_curate_pipeline": {"scan_parquet": 1},
+    "dedup_cc_starcontraction": {"scan_rdd": 2},
+    "dedup_connected_components": {"scan_rdd": 6, "bhj": 1},
+    "dedup_exact_hash": {"scan_parquet": 1},
+    "dedup_minhash_eval": {"scan_parquet": 5, "bhj": 5, "smj": 1},
+    "dedup_minhash_lsh": {"scan_parquet": 2, "bhj": 2},
+    "embedding_power_iteration_pc1": {"scan_rdd": 3, "bhj": 3, "bnlj": 4},
+    "embedding_power_iteration_pc1_gram": {"scan_rdd": 3, "bhj": 3, "bnlj": 4},
+    "events_hourly_agg": {"scan_parquet": 1},
+    "feature_hashing_vectorize": {"scan_parquet": 1},
+    "flagship_scan_filter_limit": {"scan_parquet": 1},
+    "graph_pagerank_coorder": {"scan_rdd": 3, "bhj": 5},
+    "graph_triangle_count": {"scan_rdd": 3, "bhj": 2},
+    "join_broadcast_part_agg": {"scan_parquet": 2, "bhj": 1},
+    "kmeans_embeddings_fixed": {"scan_parquet": 4, "bnlj": 3},
+    "lm_bigram_surprisal": {"scan_parquet": 3, "bhj": 2},
+    "q1_pricing_summary": {"scan_parquet": 1},
+    "q3_shipping_priority": {"scan_parquet": 3, "bhj": 2},
+    "q5_regional_revenue": {"scan_parquet": 6, "bhj": 5},
+    "recsys_holdout_hitrate": {"scan_parquet": 1, "bhj": 2, "bnlj": 1},
+    "sessions_max_concurrency": {"scan_parquet": 1},
+    "similarity_topk_bruteforce": {"scan_parquet": 2, "bnlj": 1},
+    "sort_topk_orders": {"scan_parquet": 1},
+    "text_chunk_sliding": {"scan_parquet": 1},
+    "text_search_bm25_topk": {"scan_rdd": 5, "bhj": 3, "bnlj": 1},
+    "text_search_inverted_topk": {"scan_rdd": 2, "bhj": 1},
+    "text_stats_by_lang": {"scan_parquet": 1},
+}
+
+
+def _plan_fingerprint_mod():
+    import importlib.util
+    from pathlib import Path
+
+    path = Path(__file__).resolve().parent.parent / "scripts" / "plan_fingerprint.py"
+    spec = importlib.util.spec_from_file_location("plan_fingerprint", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_plan_pins_cover_the_whole_gate_set():
+    """The pinned set is DERIVED (bench set + scale-killers), not
+    hand-typed: registering a new bench=True headline query without
+    pinning its plan fails here, so the gate's coverage cannot silently
+    rot as the headline set evolves."""
+    expected = set(_plan_fingerprint_mod().pinned_names())
+    assert set(PLAN_PINS) == expected, (
+        f"PLAN_PINS out of sync with the gate set: missing "
+        f"{sorted(expected - set(PLAN_PINS))}, stale "
+        f"{sorted(set(PLAN_PINS) - expected)} — rerun "
+        "`python scripts/plan_fingerprint.py --pins`"
+    )
+
+
+@pytest.mark.parametrize("name", sorted(PLAN_PINS))
+def test_executed_plan_fingerprint(spark, q, name):
+    """The gate itself: run the query at sf0.001 and compare the final
+    adaptive plan's node counts against the pin.  A legitimate plan
+    change updates the pin (see the PLAN_PINS comment); an accidental
+    one fails exactly one named test the moment it lands."""
+    # The pins are statements about this condition — if a prior test
+    # leaked one of these confs, fail with the real cause instead of a
+    # mysterious fingerprint diff.
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == str(
+        64 * 1024 * 1024
+    )
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
+    mod = _plan_fingerprint_mod()
+    fp = mod.fingerprint(q[name](spark, SF))
+    got = {k: v for k, v in fp.items() if v}
+    assert got == PLAN_PINS[name], (
+        f"{name}: executed-plan fingerprint drifted.\n"
+        f"  pinned: {PLAN_PINS[name]}\n  actual: {got}\n"
+        "If intentional, rerun `python scripts/plan_fingerprint.py "
+        f"--pins --only {name}` and update PLAN_PINS with a rationale; "
+        "if not, a Catalyst strategy flip or a lost checkpoint/broadcast "
+        "just got caught before it shipped."
+    )
