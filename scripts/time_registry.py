@@ -20,13 +20,15 @@ Single run per query (noop sink) — this ranks the tail, it does not
 replace bench.py's best-of-3 discipline for round-over-round levels.
 Exception: with ``--baseline``, queries that would flag against the
 previous round get one verify re-run and the artifact records the MIN
-of the two (those names are listed under the ``_verified_min``
-metadata key — their entries are warm minima, not cold single runs).
-Known residual: a warm re-run can dip a genuine 2-3x cold regression
-under the gate; the 10-100x plan regressions the gate exists for flag
-on both runs regardless.  If a name appears in ``_verified_min``
-round after round, audit its plan by hand — recurring flag-and-clear
-is itself a signal.
+of the two; the ``_verified_min`` metadata key maps each such name to
+BOTH raw readings ``[first_run, second_run]`` (r11 ADVICE) so a later
+audit can tell variance-cleared (second run ~= honest, first an
+outlier) from warm-masked (second run fast only because everything was
+hot) without re-running.  Known residual: a warm re-run can dip a
+genuine 2-3x cold regression under the gate; the 10-100x plan
+regressions the gate exists for flag on both runs regardless.  If a
+name appears in ``_verified_min`` round after round, audit its plan by
+hand — recurring flag-and-clear is itself a signal.
 
 Instrument discipline (r11, learned the hard way): queries run in
 SORTED-NAME order, not registry order.  The registry leads with the
@@ -124,7 +126,7 @@ def main() -> int:
         tc = importlib.util.module_from_spec(spec_tc)
         spec_tc.loader.exec_module(tc)
         baseline = json.load(open(args.baseline))
-        verified: list[str] = []
+        verified: dict[str, list[float]] = {}
         for name, _prev, t_cur in tc.compare_pairs(baseline, res):
             if t_cur is None:
                 continue  # errored in the main sweep: re-run can't clear it
@@ -139,8 +141,8 @@ def main() -> int:
                     f"(recording min)",
                     flush=True,
                 )
+                verified[name] = [res[name], second]
                 res[name] = min(res[name], second)
-                verified.append(name)
             except Exception as ex:  # noqa: BLE001
                 # The main-sweep measurement is valid; a transient
                 # failure on the SECOND run must not convert it into an
@@ -152,9 +154,11 @@ def main() -> int:
                 )
         if verified:
             # Transparency: these entries are min-of-two (second run
-            # warm), not single cold runs — readers of the artifact and
-            # of the 2-6x variance calibration need to know which.
-            res["_verified_min"] = sorted(verified)
+            # warm), not single cold runs — and BOTH raw readings are
+            # persisted so a later audit can distinguish
+            # variance-cleared from warm-masked without re-running
+            # (r11 ADVICE; json sort_keys orders the names).
+            res["_verified_min"] = verified
 
     if args.json:
         # Load fingerprint (same adjudication mechanism as bench.py's
