@@ -74,6 +74,24 @@ SCALE_KILLERS = (
     "embedding_power_iteration_pc1_gram",
 )
 
+# Second tier: queries whose 100 TB story IS a specific plan shape — the
+# bucketed/salted/as-of join demos and the production twins of the two
+# all-pairs baselines.  Their correctness is hash-gated like everything
+# else; what the pin protects is the CLAIMED strategy (a bucket join
+# that quietly un-buckets, an IVF candidate join that falls back to
+# brute force, a pruned index that loses its broadcast) — the part a
+# reviewer cites and a value hash cannot see.
+SCALE_STORY = (
+    "range_join_bucketed",
+    "join_skew_salted",
+    "agg_salted_skew_safe",
+    "asof_join_events",
+    "asof_join_tolerance",
+    "dedup_embedding_bucketed",
+    "similarity_ivf_topk",
+    "text_search_bm25_pruned_topk",
+)
+
 # Node-name extraction from the formatted tree section.  Tree lines look
 # like "   +- * BroadcastHashJoin Inner BuildRight (14)" or
 # "ShuffleQueryStage (7), Statistics(...)"; the name is the leading
@@ -131,12 +149,46 @@ def fingerprint(df, *, executed: bool = True) -> dict[str, int]:
     return counts
 
 
+def nested_loop_conditions(df, *, executed: bool = False) -> list[str]:
+    """The join condition of every BroadcastNestedLoopJoin /
+    CartesianProduct node in the plan, as formatted-explain detail
+    strings ("None" for a pure cross product).
+
+    The discriminator the full-registry sweep keys on: a condition-less
+    Cross nested loop is the deliberate broadcast-hinted scalar
+    crossJoin pattern (every source-level crossJoin is hint-checked by
+    test_every_crossjoin_is_broadcast_hinted), while a nested loop WITH
+    a condition is a real join Catalyst could not plan as a hash join —
+    the r10 recsys_holdout_hitrate bug class (an OR-of-equalities
+    condition nested-looping), unless it is a documented non-equi band
+    join.
+    """
+    if executed:
+        df.collect()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    out = []
+    for chunk in buf.getvalue().split("\n\n"):
+        head = chunk.split("\n", 1)[0]
+        if not head.startswith("(") or not (
+            "BroadcastNestedLoopJoin" in head or "CartesianProduct" in head
+        ):
+            continue
+        cond = "None"
+        for line in chunk.splitlines():
+            if line.startswith("Join condition:"):
+                cond = line.split(":", 1)[1].strip()
+        out.append(cond)
+    return out
+
+
 def pinned_names() -> list[str]:
     from discogs_etl_spark.registry import all_specs
 
     specs = all_specs()
     names = [n for n, s in specs.items() if s.bench]
-    names += [n for n in SCALE_KILLERS if n not in names]
+    names += [n for n in SCALE_KILLERS + SCALE_STORY if n not in names]
     return sorted(names)
 
 

@@ -1,0 +1,199 @@
+#!/usr/bin/env python
+"""Full-registry conditioned-nested-loop audit — the r10 bug class,
+swept everywhere, every round.
+
+tests/test_plans.py's fingerprint gate pins EXECUTED plans for the
+headline set, and test_every_crossjoin_is_broadcast_hinted proves every
+SOURCE-level crossJoin is broadcast-hinted — but a nested-loop join can
+enter a plan with no crossJoin anywhere in the source: an
+OR-of-equalities join condition (the r10 recsys_holdout_hitrate bug,
+111 s at sf0.1 until rewritten as a union of two hash equi-joins), a
+non-equi band predicate, any condition Catalyst cannot decompose into
+hash-join keys.  This script builds EVERY registered query's plan and
+classifies each BroadcastNestedLoopJoin / CartesianProduct node by its
+join condition:
+
+* ``Join condition: None`` (a pure Cross) — the deliberate
+  broadcast-hinted scalar-aggregate crossJoin pattern; benign, ~90
+  queries carry one, counted but never flagged.
+* a REAL condition — a join that nested-loops per left row; flagged
+  unless the query is in the audited ALLOWED set below with a written
+  size bound.
+
+    python scripts/plan_sweep.py [--sf /root/testdata/sf0.001]
+                                 [--json out.json]
+
+Initial (pre-AQE) plans: nested-loop selection is a static Catalyst
+decision visible before runtime replanning, and not executing the final
+DataFrame keeps the sweep cheap (builders with internal driver actions —
+iterative graph queries, streaming drains — still pay those; the full
+registry takes a few minutes at sf0.001).  Exit 1 iff an UNAUDITED
+conditioned nested loop (or a build error) appears: the fix is a plan
+rewrite (decompose the OR into a union of equi-joins, block or bucket
+the band join) — an ALLOWED entry is only for a build side with a
+written O(1)/tiny bound.
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib.util
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Audited conditioned nested loops: name -> (max allowed count, why the
+# build side is bounded).  "It was green" is not a reason.  Audit basis
+# (r12, first sweep): source inspection of every join below + its
+# TIMINGS_r11 sf0.1 wall; four bound classes appear —
+#   scalar:    the broadcast side is a 1-row/tiny aggregate (a threshold,
+#              a max date, bin edges) and the "condition" is a filter
+#              Catalyst folded into the join
+#   fixed:     the broadcast side is a fixed-size slice (anchor set,
+#              query set) independent of corpus size
+#   calendar:  a self-join over a day/week rollup bounded by the time
+#              span, not the corpus (pairs grow with years^2, not rows)
+#   baseline:  the two DOCUMENTED all-pairs exactness baselines
+#              (timing_compare.BASELINE_TAIL; weak_count=2)
+ALLOWED: dict[str, tuple[int, str]] = {
+    "join_range_band_pricing": (
+        1,
+        "DOCUMENTED non-equi band lookup: broadcast side is the 4-row "
+        "price-band table (test_range_band_pricing_is_deliberate_bnlj "
+        "pins exactly this shape)",
+    ),
+    "contrastive_pair_mining": (1, "fixed: broadcast mini-batch anchor set"),
+    "dedup_embedding_cosine": (
+        1,
+        "baseline: the deliberate all-pairs exact-cosine ground truth "
+        "(BASELINE_TAIL; bucketed twin dedup_embedding_bucketed is the "
+        "production path)",
+    ),
+    "embedding_triplet_check": (
+        2,
+        "fixed: positive/negative selection joins against a fixed anchor "
+        "slice (0.6 s at sf0.1)",
+    ),
+    "q11_important_stock": (1, "scalar: 1-row value-share threshold"),
+    "q22_global_sales_opportunity": (1, "scalar: 1-row avg-acctbal threshold"),
+    "sample_balance_classes": (1, "scalar: 1-row min-class-size m"),
+    "similarity_ann_multiprobe_recall": (
+        2,
+        "fixed: broadcast query set, self-exclusion filter in-condition",
+    ),
+    "similarity_ann_recall": (2, "fixed: broadcast query set, self-exclusion"),
+    "similarity_int8_recall": (2, "fixed: broadcast query set, self-exclusion"),
+    "similarity_ivf_topk": (1, "fixed: broadcast query set, self-exclusion"),
+    "similarity_matryoshka_recall": (
+        2,
+        "fixed: broadcast query set, self-exclusion",
+    ),
+    "similarity_topk_bruteforce": (
+        1,
+        "fixed: broadcast query set, self-exclusion",
+    ),
+    "stats_psi_value_drift": (2, "scalar: broadcast decile-edge table, once per compared side"),
+    "stats_survival_km_repurchase": (
+        1,
+        "scalar: broadcast 1-row censoring max-date; the condition is the "
+        "folded event/censor CASE filter",
+    ),
+    "stats_theil_sen_trend": (
+        1,
+        "calendar: pairwise slopes over the per-user DAILY rollup — pair "
+        "count grows with span^2, not corpus rows (the Theil-Sen "
+        "estimator is pairwise by definition)",
+    ),
+    "text_search_bm25_pruned_recall": (
+        2,
+        "scalar: broadcast 1-row median document frequency",
+    ),
+    "text_search_bm25_pruned_topk": (
+        2,
+        "scalar: broadcast 1-row median document frequency (index build "
+        "and query-side reuse)",
+    ),
+    "users_activity_bitmask": (1, "scalar: broadcast 1-row epoch day d0"),
+    "whale_retention_jaccard": (
+        1,
+        "calendar: week x later-week pairs over the weekly whale rollup — "
+        "bounded by span^2 weeks",
+    ),
+}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    ap.add_argument(
+        "--json",
+        help="dump {name: {cross: n, conditioned: [cond, ...]}} for every "
+        "query with any nested-loop node",
+    )
+    args = ap.parse_args()
+
+    pf_spec = importlib.util.spec_from_file_location(
+        "plan_fingerprint",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "plan_fingerprint.py"),
+    )
+    pf = importlib.util.module_from_spec(pf_spec)
+    pf_spec.loader.exec_module(pf)
+
+    from discogs_etl_spark.registry import all_specs
+    from discogs_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="plan-sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    specs = all_specs()
+    res: dict[str, dict] = {}
+    offenders: list[str] = []
+    errors: list[str] = []
+    n_cross = 0
+    for i, (name, spec) in enumerate(sorted(specs.items()), 1):
+        try:
+            conds = pf.nested_loop_conditions(spec.fn(spark, args.sf))
+        except Exception as ex:  # noqa: BLE001 — sweep must finish
+            errors.append(name)
+            print(f"[{i}/{len(specs)}] {name}: ERROR {type(ex).__name__}", flush=True)
+            continue
+        if not conds:
+            continue
+        conditioned = [c for c in conds if c != "None"]
+        res[name] = {"cross": len(conds) - len(conditioned), "conditioned": conditioned}
+        n_cross += res[name]["cross"]
+        cap = ALLOWED.get(name, (0, ""))[0]
+        if len(conditioned) > cap:
+            offenders.append(name)
+            print(
+                f"[{i}/{len(specs)}] {name}: UNAUDITED conditioned nested "
+                f"loop (allowed={cap}): {conditioned}",
+                flush=True,
+            )
+        elif conditioned:
+            print(
+                f"[{i}/{len(specs)}] {name}: ok ({len(conditioned)} audited "
+                "conditioned nested loop)",
+                flush=True,
+            )
+
+    if args.json:
+        with open(args.json, "w") as fh:
+            json.dump(res, fh, indent=1, sort_keys=True)
+    print(
+        f"\nPLAN SWEEP: {len(specs)} plans; {len(res)} queries carry "
+        f"nested-loop nodes ({n_cross} condition-less hinted crosses, "
+        f"{sum(len(v['conditioned']) for v in res.values())} conditioned — "
+        f"all audited: {not offenders}); {len(errors)} build errors"
+    )
+    for name in offenders:
+        print(f"UNAUDITED {name}")
+    for name in errors:
+        print(f"ERROR {name}")
+    return 1 if (offenders or errors) else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -594,6 +594,18 @@ def test_every_crossjoin_is_broadcast_hinted():
 # ---------------------------------------------------------------------------
 
 PLAN_PINS: dict[str, dict[str, int]] = {
+    # -- second tier (SCALE_STORY): the queries whose 100 TB story IS a
+    #    plan shape — bucket/salt/as-of demos, production twins of the
+    #    all-pairs baselines
+    "agg_salted_skew_safe": {"scan_parquet": 1},
+    "asof_join_events": {"scan_parquet": 1},
+    "asof_join_tolerance": {"scan_parquet": 1},
+    "dedup_embedding_bucketed": {"scan_parquet": 2, "bhj": 1},
+    "join_skew_salted": {"scan_parquet": 2, "bhj": 1},
+    "range_join_bucketed": {"scan_parquet": 2, "bhj": 1},
+    "similarity_ivf_topk": {"scan_parquet": 5, "bhj": 3, "bnlj": 1},
+    "text_search_bm25_pruned_topk": {"scan_rdd": 5, "bhj": 3, "smj": 1, "bnlj": 4},
+    # -- headline bench set + fixed scale-killers
     "corpus_curate_pipeline": {"scan_parquet": 1},
     "dedup_cc_starcontraction": {"scan_rdd": 2},
     "dedup_connected_components": {"scan_rdd": 6, "bhj": 1},
@@ -674,3 +686,24 @@ def test_executed_plan_fingerprint(spark, q, name):
         "if not, a Catalyst strategy flip or a lost checkpoint/broadcast "
         "just got caught before it shipped."
     )
+
+
+def test_plan_sweep_allowed_names_are_registered():
+    """scripts/plan_sweep.py's audited nested-loop allowance must not go
+    stale: every ALLOWED name exists in the registry (a renamed/removed
+    query would otherwise keep a dead allowance a future query could
+    inherit by taking the name)."""
+    import importlib.util
+    from pathlib import Path
+
+    from discogs_etl_spark.registry import all_specs
+
+    path = Path(__file__).resolve().parent.parent / "scripts" / "plan_sweep.py"
+    spec = importlib.util.spec_from_file_location("plan_sweep", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    registered = set(all_specs())
+    stale = sorted(set(mod.ALLOWED) - registered)
+    assert not stale, f"plan_sweep.ALLOWED names not in registry: {stale}"
+    for name, (cap, why) in mod.ALLOWED.items():
+        assert cap >= 1 and why.strip(), f"{name}: empty allowance rationale"
