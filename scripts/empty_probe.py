@@ -147,21 +147,28 @@ def main() -> int:
                     # allow-empty option, so no static SQL string can
                     # survive the state.  "No files for DuckDB" and "zero
                     # rows from Spark's graceful read-back" are the SAME
-                    # empty lake, so the probe synthesizes the zero-row
-                    # oracle result the glob would have aggregated to and
-                    # value-compares against it (r11 ADVICE).  Any other
-                    # oracle error — or a no-files error while Spark
-                    # returned rows — stays a mapped divergence: the
+                    # empty lake, so the probe accepts ROW-SET parity (both
+                    # sides zero rows; r11 ADVICE) — an honest weaker
+                    # check: the oracle's column names cannot be read
+                    # without executing the glob, and the driver's
+                    # CORRECTNESS gate pins them on non-empty data.  Scoped
+                    # tightly: only a grouped aggregate yields zero rows
+                    # over zero files (a GROUP-BY-less global aggregate
+                    # yields ONE row, so Spark's 0 rows would be a REAL
+                    # divergence), and only when Spark returned no rows.
+                    # Everything else stays a mapped divergence: the
                     # no-crash contract gates the ENGINE, not DuckDB.
                     no_files = "No files found that match the pattern" in str(
                         oex
                     )
-                    if no_files and not srows:
+                    grouped = "GROUP BY" in spec.oracle.upper()
+                    if no_files and grouped and not srows:
                         matched += 1
                         res[name] = round(time.perf_counter() - t0, 3)
                         print(
-                            f"[{i}/{len(specs)}] {name}: ok (match, 0 rows — "
-                            "file-dependent oracle, empty lake)",
+                            f"[{i}/{len(specs)}] {name}: ok (row-set match, "
+                            "0 rows — file-dependent grouped oracle, empty "
+                            "lake)",
                             flush=True,
                         )
                         continue

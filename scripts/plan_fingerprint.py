@@ -168,11 +168,27 @@ def nested_loop_conditions(df, *, executed: bool = False) -> list[str]:
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
+    text = buf.getvalue()
+    # Count only nodes that appear in the plan TREE this call is about
+    # (final_plan_tree's slicing): an executed AQE explain lists the
+    # Initial Plan's nodes in the details section too, and counting
+    # those double-reports every nested loop (each node appears once
+    # per plan under its own id).
+    tree = text.split("\n\n", 1)[0]
+    if "== Final Plan ==" in tree:
+        tree = tree.split("== Final Plan ==", 1)[1]
+        tree = tree.split("== Initial Plan ==", 1)[0]
+    tree_ids = set(re.findall(r"\((\d+)\)", tree))
     out = []
-    for chunk in buf.getvalue().split("\n\n"):
+    for chunk in text.split("\n\n"):
         head = chunk.split("\n", 1)[0]
-        if not head.startswith("(") or not (
-            "BroadcastNestedLoopJoin" in head or "CartesianProduct" in head
+        m = re.match(r"\((\d+)\)", head)
+        if (
+            m is None
+            or m.group(1) not in tree_ids
+            or not (
+                "BroadcastNestedLoopJoin" in head or "CartesianProduct" in head
+            )
         ):
             continue
         cond = "None"

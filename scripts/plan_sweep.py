@@ -72,7 +72,7 @@ ALLOWED: dict[str, tuple[int, str]] = {
         "production path)",
     ),
     "embedding_triplet_check": (
-        2,
+        1,
         "fixed: positive/negative selection joins against a fixed anchor "
         "slice (0.6 s at sf0.1)",
     ),
@@ -80,10 +80,10 @@ ALLOWED: dict[str, tuple[int, str]] = {
     "q22_global_sales_opportunity": (1, "scalar: 1-row avg-acctbal threshold"),
     "sample_balance_classes": (1, "scalar: 1-row min-class-size m"),
     "similarity_ann_multiprobe_recall": (
-        2,
+        1,
         "fixed: broadcast query set, self-exclusion filter in-condition",
     ),
-    "similarity_ann_recall": (2, "fixed: broadcast query set, self-exclusion"),
+    "similarity_ann_recall": (1, "fixed: broadcast query set, self-exclusion"),
     "similarity_int8_recall": (2, "fixed: broadcast query set, self-exclusion"),
     "similarity_ivf_topk": (1, "fixed: broadcast query set, self-exclusion"),
     "similarity_matryoshka_recall": (
