@@ -169,18 +169,37 @@ def nested_loop_conditions(df, *, executed: bool = False) -> list[str]:
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
     text = buf.getvalue()
-    # Count only nodes that appear in the plan TREE this call is about
-    # (final_plan_tree's slicing): an executed AQE explain lists the
-    # Initial Plan's nodes in the details section too, and counting
-    # those double-reports every nested loop (each node appears once
-    # per plan under its own id).
-    tree = text.split("\n\n", 1)[0]
-    if "== Final Plan ==" in tree:
-        tree = tree.split("== Final Plan ==", 1)[1]
-        tree = tree.split("== Initial Plan ==", 1)[0]
-    tree_ids = set(re.findall(r"\((\d+)\)", tree))
+    # Count only nodes that appear in the plan TREE this call is about:
+    # wherever an AdaptiveSparkPlan has materialized stages, the explain
+    # prints a == Final Plan == / == Initial Plan == section PAIR
+    # describing the same logical subtree twice, and the details list
+    # both sections' nodes — counting every detail chunk would
+    # double-report each nested loop.  The pair can appear NESTED inside
+    # an otherwise-unexecuted outer tree (a cached inner relation whose
+    # stages the BUILDER's internal actions materialized, e.g.
+    # dedup_impact_report's cached prefix — the outer cross join sits
+    # ABOVE the markers), so section-slicing would lose outer nodes;
+    # instead, REMOVE the duplicated region per intent: the static sweep
+    # (executed=False) drops every Final..Initial region and keeps outer
+    # nodes + the Initial (full static Catalyst) trees; the executed
+    # path drops the Initial remainder and keeps the runtime tree.
+    # Tree-bearing chunks are the main tree (chunk 0) and every
+    # "Subquery:" section — a nested loop inside a scalar subquery is
+    # still a nested loop.
+    chunks = text.split("\n\n")
+    tree_ids: set[str] = set()
+    for idx, chunk in enumerate(chunks):
+        if idx != 0 and not chunk.lstrip().startswith("Subquery:"):
+            continue
+        if executed:
+            tree = re.sub(r"== Initial Plan ==.*", "", chunk, flags=re.S)
+        else:
+            tree = re.sub(
+                r"== Final Plan ==.*?== Initial Plan ==", "", chunk, flags=re.S
+            )
+        tree_ids.update(re.findall(r"\((\d+)\)", tree))
     out = []
-    for chunk in text.split("\n\n"):
+    for chunk in chunks:
         head = chunk.split("\n", 1)[0]
         m = re.match(r"\((\d+)\)", head)
         if (
