@@ -152,16 +152,30 @@ def main() -> int:
                     # check: the oracle's column names cannot be read
                     # without executing the glob, and the driver's
                     # CORRECTNESS gate pins them on non-empty data.  Scoped
-                    # tightly: only a grouped aggregate yields zero rows
-                    # over zero files (a GROUP-BY-less global aggregate
-                    # yields ONE row, so Spark's 0 rows would be a REAL
-                    # divergence), and only when Spark returned no rows.
-                    # Everything else stays a mapped divergence: the
-                    # no-crash contract gates the ENGINE, not DuckDB.
+                    # to oracles with a GROUP BY (a grouped aggregate
+                    # yields zero rows over zero files; a GROUP-BY-less
+                    # global aggregate yields ONE row, so Spark's 0 rows
+                    # would be a REAL divergence) and to Spark returning
+                    # no rows.  The GROUP BY test is SYNTACTIC — a future
+                    # oracle with only a subquery-level GROUP BY under a
+                    # global outer aggregate would slip past it, and a
+                    # pure row-level projection oracle (no aggregate at
+                    # all, legitimately 0 rows) would be reported as a
+                    # spurious divergence; both pollute only this
+                    # informational parity map (exit status keys on
+                    # ERRORS), and the one oracle in the class today
+                    # (stream_events_lake_roundtrip) is a top-level
+                    # grouped aggregate.  Everything else stays a mapped
+                    # divergence: the no-crash contract gates the ENGINE,
+                    # not DuckDB.
+                    import re as _re
+
                     no_files = "No files found that match the pattern" in str(
                         oex
                     )
-                    grouped = "GROUP BY" in spec.oracle.upper()
+                    grouped = bool(
+                        _re.search(r"GROUP\s+BY", spec.oracle, _re.I)
+                    )
                     if no_files and grouped and not srows:
                         matched += 1
                         res[name] = round(time.perf_counter() - t0, 3)

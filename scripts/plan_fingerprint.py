@@ -149,10 +149,10 @@ def fingerprint(df, *, executed: bool = True) -> dict[str, int]:
     return counts
 
 
-def nested_loop_conditions(df, *, executed: bool = False) -> list[str]:
+def nested_loop_conditions(df) -> list[str]:
     """The join condition of every BroadcastNestedLoopJoin /
-    CartesianProduct node in the plan, as formatted-explain detail
-    strings ("None" for a pure cross product).
+    CartesianProduct node in the STATIC physical plan ("None" for a
+    pure cross product).
 
     The discriminator the full-registry sweep keys on: a condition-less
     Cross nested loop is the deliberate broadcast-hinted scalar
@@ -162,58 +162,37 @@ def nested_loop_conditions(df, *, executed: bool = False) -> list[str]:
     the r10 recsys_holdout_hitrate bug class (an OR-of-equalities
     condition nested-looping), unless it is a documented non-equi band
     join.
+
+    Reads ``queryExecution().sparkPlan()`` — the pre-AQE physical plan —
+    NOT the formatted explain: once any AQE stage materializes, the
+    formatted output duplicates each adaptive subtree as a
+    == Final Plan == / == Initial Plan == pair (and a BUILDER's internal
+    actions can pre-materialize cached stages, so even a never-collected
+    DataFrame prints pairs — nested, with sibling cached plans
+    restarting indentation, which defeats textual region-slicing; two
+    review passes each found a leak in a regex approach).  sparkPlan has
+    no adaptive duplication by construction and is cache-state-immune.
+    Nested-loop selection is a static Catalyst decision, so pre-AQE is
+    also the semantically right tree for the sweep.  Scope: plans of
+    CACHED relations and scalar subqueries are not expanded by
+    treeString — acceptable because cache() wraps inputs, not joins, in
+    this codebase, and the r12 formatted-explain cross-check found every
+    registry nested loop in a main tree.
     """
-    if executed:
-        df.collect()
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
-    text = buf.getvalue()
-    # Count only nodes that appear in the plan TREE this call is about:
-    # wherever an AdaptiveSparkPlan has materialized stages, the explain
-    # prints a == Final Plan == / == Initial Plan == section PAIR
-    # describing the same logical subtree twice, and the details list
-    # both sections' nodes — counting every detail chunk would
-    # double-report each nested loop.  The pair can appear NESTED inside
-    # an otherwise-unexecuted outer tree (a cached inner relation whose
-    # stages the BUILDER's internal actions materialized, e.g.
-    # dedup_impact_report's cached prefix — the outer cross join sits
-    # ABOVE the markers), so section-slicing would lose outer nodes;
-    # instead, REMOVE the duplicated region per intent: the static sweep
-    # (executed=False) drops every Final..Initial region and keeps outer
-    # nodes + the Initial (full static Catalyst) trees; the executed
-    # path drops the Initial remainder and keeps the runtime tree.
-    # Tree-bearing chunks are the main tree (chunk 0) and every
-    # "Subquery:" section — a nested loop inside a scalar subquery is
-    # still a nested loop.
-    chunks = text.split("\n\n")
-    tree_ids: set[str] = set()
-    for idx, chunk in enumerate(chunks):
-        if idx != 0 and not chunk.lstrip().startswith("Subquery:"):
-            continue
-        if executed:
-            tree = re.sub(r"== Initial Plan ==.*", "", chunk, flags=re.S)
-        else:
-            tree = re.sub(
-                r"== Final Plan ==.*?== Initial Plan ==", "", chunk, flags=re.S
-            )
-        tree_ids.update(re.findall(r"\((\d+)\)", tree))
+    tree = df._jdf.queryExecution().sparkPlan().treeString()
     out = []
-    for chunk in chunks:
-        head = chunk.split("\n", 1)[0]
-        m = re.match(r"\((\d+)\)", head)
-        if (
-            m is None
-            or m.group(1) not in tree_ids
-            or not (
-                "BroadcastNestedLoopJoin" in head or "CartesianProduct" in head
-            )
-        ):
+    for line in tree.splitlines():
+        node = line.lstrip(" :+-*")
+        if not node.startswith(("BroadcastNestedLoopJoin", "CartesianProduct")):
             continue
-        cond = "None"
-        for line in chunk.splitlines():
-            if line.startswith("Join condition:"):
-                cond = line.split(":", 1)[1].strip()
+        # "BroadcastNestedLoopJoin BuildSide, JoinType[, condition]" —
+        # the condition is the third comma field (maxsplit keeps a
+        # comma-bearing expression whole); "CartesianProduct [condition]".
+        if node.startswith("BroadcastNestedLoopJoin"):
+            parts = node.split(", ", 2)
+            cond = parts[2].strip() if len(parts) > 2 else "None"
+        else:
+            cond = node[len("CartesianProduct"):].strip() or "None"
         out.append(cond)
     return out
 
