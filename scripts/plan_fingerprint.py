@@ -111,18 +111,33 @@ _KEYS = {
 }
 
 
-def final_plan_tree(df) -> str:
-    """The formatted explain TREE of the plan that actually ran.
-
-    The caller must have run an action on this very DataFrame first
-    (``df.collect()``): only then does AdaptiveSparkPlan print
-    ``== Final Plan ==`` with the runtime-replanned tree.  The Initial
-    Plan section and the per-node details are sliced away.
-    """
+def _main_tree(df) -> str:
+    """The formatted explain's main TREE section, unsliced."""
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
-    tree = buf.getvalue().split("\n\n", 1)[0]
+    return buf.getvalue().split("\n\n", 1)[0]
+
+
+def final_plan_tree(df) -> str:
+    """The formatted explain TREE of the plan that actually ran,
+    sliced to the OUTERMOST final section.
+
+    The caller must have run an action on this very DataFrame first
+    (``df.collect()``): only then does AdaptiveSparkPlan print
+    ``== Final Plan ==`` with the runtime-replanned tree.  SCOPE: the
+    slice runs from the first Final marker to the first Initial marker
+    — when a CACHED inner relation's plan is expanded inline (its own
+    nested marker pair), the slice ends at the nested boundary, so the
+    fingerprint covers the outer structure only.  That truncation is
+    made explicit and PINNED via fingerprint()'s ``nested_adaptive``
+    key: a pinned query that starts (or stops) caching changes its pin
+    loudly instead of silently shifting what the other counts mean.  (A
+    duplication-free full executed view would require walking the plan
+    OBJECT — both explain("formatted") and the JVM treeString print
+    every adaptive subtree twice as Final/Initial pairs.)
+    """
+    tree = _main_tree(df)
     if "== Final Plan ==" in tree:
         tree = tree.split("== Final Plan ==", 1)[1]
         tree = tree.split("== Initial Plan ==", 1)[0]
@@ -130,10 +145,17 @@ def final_plan_tree(df) -> str:
 
 
 def fingerprint(df, *, executed: bool = True) -> dict[str, int]:
-    """Normalized node counts of the (executed) physical plan."""
+    """Normalized node counts of the (executed) physical plan, plus
+    ``nested_adaptive``: how many ADDITIONAL adaptive subtrees (cached
+    inner relations) the main tree carries beyond the outer one — the
+    explicit marker that the node counts cover the outer slice only
+    (see final_plan_tree)."""
     if executed:
         df.collect()
     counts = dict.fromkeys(_KEYS.values(), 0)
+    counts["nested_adaptive"] = max(
+        0, _main_tree(df).count("== Final Plan ==") - 1
+    )
     for line in final_plan_tree(df).splitlines():
         m = _NODE_RE.match(line)
         if not m:

@@ -608,7 +608,10 @@ PLAN_PINS: dict[str, dict[str, int]] = {
     # -- headline bench set + fixed scale-killers
     "corpus_curate_pipeline": {"scan_parquet": 1},
     "dedup_cc_starcontraction": {"scan_rdd": 2},
-    "dedup_connected_components": {"scan_rdd": 6, "bhj": 1},
+    # nested_adaptive: the query caches intermediates, so 10 inner
+    # adaptive subtrees sit below the outer slice the other counts
+    # cover — pinned so a caching change moves the pin loudly
+    "dedup_connected_components": {"scan_rdd": 6, "bhj": 1, "nested_adaptive": 10},
     "dedup_exact_hash": {"scan_parquet": 1},
     "dedup_minhash_eval": {"scan_parquet": 5, "bhj": 5, "smj": 1},
     "dedup_minhash_lsh": {"scan_parquet": 2, "bhj": 2},
