@@ -10,14 +10,14 @@ EXECUTED plan (the AQE final plan, not the initial one — runtime
 broadcast conversions are part of the strategy under test) into a small
 dict of node counts that tests/test_plans.py pins per query:
 
-    {"scan_parquet": 1, "scan_rdd": 0, "local_scan": 0,
-     "bhj": 2, "smj": 0, "shj": 0, "bnlj": 0, "cartesian": 0}
+    {"scan_parquet": 1, "scan_rdd": 0, "local_scan": 0, "bhj": 2,
+     "smj": 0, "shj": 0, "bnlj": 0, "cartesian": 0, "cache": 0}
 
-* ``scan_parquet`` — FileScan count: a query that promises "one corpus
-  scan" must not silently grow a second scan branch; a checkpointed
-  iteration (pc1 / pc1_gram) must show ZERO parquet scans in its
-  returned plan, else the fold is no longer physically real (the r9
-  lesson: Catalyst re-derives subtrees from the scan unless the
+* ``scan_parquet`` — FileSourceScan count: a query that promises "one
+  corpus scan" must not silently grow a second scan branch; a
+  checkpointed iteration (pc1 / pc1_gram) must show ZERO parquet scans
+  in its returned plan, else the fold is no longer physically real (the
+  r9 lesson: Catalyst re-derives subtrees from the scan unless the
   materialization actually happened).
 * ``bhj``/``smj``/``shj`` — join strategies on named joins: a dimension
   join that loses its broadcast (hint dropped, threshold misread)
@@ -27,6 +27,8 @@ dict of node counts that tests/test_plans.py pins per query:
   (kmeans centroid assignment and friends), which
   test_every_crossjoin_is_broadcast_hinted separately proves are
   hinted.
+* ``cache`` — InMemoryTableScan count; cached-relation plans are walked
+  too (once per distinct cache), so nothing hides under a cache().
 
 The fingerprint is taken at a FIXED condition (sf dir + the tuned test
 session: local[8], shuffle.partitions=8, AQE on) — AQE's runtime
@@ -48,10 +50,7 @@ pinned set (bench headline set + the previously-fixed scale-killers).
 from __future__ import annotations
 
 import argparse
-import contextlib
-import io
 import os
-import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -92,80 +91,86 @@ SCALE_STORY = (
     "text_search_bm25_pruned_topk",
 )
 
-# Node-name extraction from the formatted tree section.  Tree lines look
-# like "   +- * BroadcastHashJoin Inner BuildRight (14)" or
-# "ShuffleQueryStage (7), Statistics(...)"; the name is the leading
-# word run (letters/digits/spaces, e.g. "Scan parquet") before the
-# node-id parenthesis or the first detail token.
-_NODE_RE = re.compile(r"^[\s+:|-]*(?:\* )?([A-Za-z][A-Za-z0-9]*(?: [A-Za-z][A-Za-z0-9]*)?)")
-
-_KEYS = {
-    "Scan parquet": "scan_parquet",
-    "Scan ExistingRDD": "scan_rdd",
-    "LocalTableScan": "local_scan",
-    "BroadcastHashJoin": "bhj",
-    "SortMergeJoin": "smj",
-    "ShuffledHashJoin": "shj",
-    "BroadcastNestedLoopJoin": "bnlj",
-    "CartesianProduct": "cartesian",
+# Physical-node classification by JVM class name.  The extractor WALKS
+# THE PLAN OBJECTS (py4j) instead of parsing explain strings: three
+# successive review passes each found a leak in a string approach,
+# because EVERY string view — explain("formatted"), sparkPlan
+# .treeString(), executedPlan().treeString() — prints a materialized
+# adaptive subtree twice (== Final Plan == / == Initial Plan == pairs,
+# nested and indentation-restarting under cached relations), and
+# whole-stage-codegen prefixes defeat line parsers.  The object tree has
+# each node exactly once, exposes conditions as expressions (rendered
+# via .sql() — stable, no expr ids), and lets intent pick the plan per
+# AdaptiveSparkPlanExec: initialPlan (static Catalyst strategy,
+# cache-state-immune) or executedPlan (runtime strategy, after an
+# action).
+_CLS_KEYS = {
+    "FileSourceScanExec": "scan_parquet",
+    "RDDScanExec": "scan_rdd",
+    "LocalTableScanExec": "local_scan",
+    "BroadcastHashJoinExec": "bhj",
+    "SortMergeJoinExec": "smj",
+    "ShuffledHashJoinExec": "shj",
+    "BroadcastNestedLoopJoinExec": "bnlj",
+    "CartesianProductExec": "cartesian",
+    "InMemoryTableScanExec": "cache",
 }
 
 
-def _main_tree(df) -> str:
-    """The formatted explain's main TREE section, unsliced."""
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
-    return buf.getvalue().split("\n\n", 1)[0]
+def _walk(jplan, executed: bool, visited: set):
+    """Yield (simpleClassName, node) for every DISTINCT physical node
+    reachable from ``jplan``: through adaptive plans (final if
+    ``executed`` else initial), query stages, cached relations
+    (InMemoryTableScan -> cachedPlan), and children.  ``Reused*``
+    wrappers are skipped (their target is reached through its owner),
+    and a global visited set on SparkPlan.id guarantees a shared
+    subtree (one cached plan scanned from several places) counts once —
+    physically it computes once."""
+    cls = jplan.getClass().getSimpleName()
+    if cls == "AdaptiveSparkPlanExec":
+        child = jplan.executedPlan() if executed else jplan.initialPlan()
+        yield from _walk(child, executed, visited)
+        return
+    if cls.endswith("QueryStageExec"):
+        yield from _walk(jplan.plan(), executed, visited)
+        return
+    if cls.startswith("Reused"):
+        return
+    node_id = jplan.id()
+    if node_id in visited:
+        return
+    visited.add(node_id)
+    yield cls, jplan
+    if cls == "InMemoryTableScanExec":
+        yield from _walk(jplan.relation().cachedPlan(), executed, visited)
+    children = jplan.children()
+    for i in range(children.size()):
+        yield from _walk(children.apply(i), executed, visited)
 
 
-def final_plan_tree(df) -> str:
-    """The formatted explain TREE of the plan that actually ran,
-    sliced to the OUTERMOST final section.
-
-    The caller must have run an action on this very DataFrame first
-    (``df.collect()``): only then does AdaptiveSparkPlan print
-    ``== Final Plan ==`` with the runtime-replanned tree.  SCOPE: the
-    slice runs from the first Final marker to the first Initial marker
-    — when a CACHED inner relation's plan is expanded inline (its own
-    nested marker pair), the slice ends at the nested boundary, so the
-    fingerprint covers the outer structure only.  That truncation is
-    made explicit and PINNED via fingerprint()'s ``nested_adaptive``
-    key: a pinned query that starts (or stops) caching changes its pin
-    loudly instead of silently shifting what the other counts mean.  (A
-    duplication-free full executed view would require walking the plan
-    OBJECT — both explain("formatted") and the JVM treeString print
-    every adaptive subtree twice as Final/Initial pairs.)
-    """
-    tree = _main_tree(df)
-    if "== Final Plan ==" in tree:
-        tree = tree.split("== Final Plan ==", 1)[1]
-        tree = tree.split("== Initial Plan ==", 1)[0]
-    return tree
+def iter_physical_nodes(df, *, executed: bool):
+    """All distinct physical nodes of ``df``'s prepared plan, INCLUDING
+    subquery plans (``subqueriesAll`` — a nested loop inside a scalar
+    subquery is still a nested loop).  ``executed=True`` runs the
+    DataFrame first so every adaptive plan reports its FINAL tree;
+    ``executed=False`` reads initial plans — the static Catalyst
+    strategy, identical whether or not a builder's internal actions
+    pre-materialized cached stages."""
+    if executed:
+        df.collect()
+    root = df._jdf.queryExecution().executedPlan()
+    visited: set = set()
+    yield from _walk(root, executed, visited)
+    subs = root.subqueriesAll()
+    for i in range(subs.size()):
+        yield from _walk(subs.apply(i), executed, visited)
 
 
 def fingerprint(df, *, executed: bool = True) -> dict[str, int]:
-    """Normalized node counts of the (executed) physical plan, plus
-    ``nested_adaptive``: how many ADDITIONAL adaptive subtrees (cached
-    inner relations) the main tree carries beyond the outer one — the
-    explicit marker that the node counts cover the outer slice only
-    (see final_plan_tree)."""
-    if executed:
-        df.collect()
-    counts = dict.fromkeys(_KEYS.values(), 0)
-    counts["nested_adaptive"] = max(
-        0, _main_tree(df).count("== Final Plan ==") - 1
-    )
-    for line in final_plan_tree(df).splitlines():
-        m = _NODE_RE.match(line)
-        if not m:
-            continue
-        name = m.group(1).strip()
-        # two-word names first ("Scan parquet" / "Scan ExistingRDD"),
-        # then the bare first word ("BroadcastHashJoin Inner" -> join)
-        key = _KEYS.get(name)
-        if key is None and " " in name:
-            key = _KEYS.get(name.split(" ", 1)[0])
+    """Normalized node counts of the (executed) physical plan."""
+    counts = dict.fromkeys(_CLS_KEYS.values(), 0)
+    for cls, _node in iter_physical_nodes(df, executed=executed):
+        key = _CLS_KEYS.get(cls)
         if key is not None:
             counts[key] += 1
     return counts
@@ -174,7 +179,7 @@ def fingerprint(df, *, executed: bool = True) -> dict[str, int]:
 def nested_loop_conditions(df) -> list[str]:
     """The join condition of every BroadcastNestedLoopJoin /
     CartesianProduct node in the STATIC physical plan ("None" for a
-    pure cross product).
+    pure cross product), rendered with Expression.sql().
 
     The discriminator the full-registry sweep keys on: a condition-less
     Cross nested loop is the deliberate broadcast-hinted scalar
@@ -183,39 +188,13 @@ def nested_loop_conditions(df) -> list[str]:
     a condition is a real join Catalyst could not plan as a hash join —
     the r10 recsys_holdout_hitrate bug class (an OR-of-equalities
     condition nested-looping), unless it is a documented non-equi band
-    join.
-
-    Reads ``queryExecution().sparkPlan()`` — the pre-AQE physical plan —
-    NOT the formatted explain: once any AQE stage materializes, the
-    formatted output duplicates each adaptive subtree as a
-    == Final Plan == / == Initial Plan == pair (and a BUILDER's internal
-    actions can pre-materialize cached stages, so even a never-collected
-    DataFrame prints pairs — nested, with sibling cached plans
-    restarting indentation, which defeats textual region-slicing; two
-    review passes each found a leak in a regex approach).  sparkPlan has
-    no adaptive duplication by construction and is cache-state-immune.
-    Nested-loop selection is a static Catalyst decision, so pre-AQE is
-    also the semantically right tree for the sweep.  Scope: plans of
-    CACHED relations and scalar subqueries are not expanded by
-    treeString — acceptable because cache() wraps inputs, not joins, in
-    this codebase, and the r12 formatted-explain cross-check found every
-    registry nested loop in a main tree.
-    """
-    tree = df._jdf.queryExecution().sparkPlan().treeString()
+    join."""
     out = []
-    for line in tree.splitlines():
-        node = line.lstrip(" :+-*")
-        if not node.startswith(("BroadcastNestedLoopJoin", "CartesianProduct")):
+    for cls, node in iter_physical_nodes(df, executed=False):
+        if cls not in ("BroadcastNestedLoopJoinExec", "CartesianProductExec"):
             continue
-        # "BroadcastNestedLoopJoin BuildSide, JoinType[, condition]" —
-        # the condition is the third comma field (maxsplit keeps a
-        # comma-bearing expression whole); "CartesianProduct [condition]".
-        if node.startswith("BroadcastNestedLoopJoin"):
-            parts = node.split(", ", 2)
-            cond = parts[2].strip() if len(parts) > 2 else "None"
-        else:
-            cond = node[len("CartesianProduct"):].strip() or "None"
-        out.append(cond)
+        cond = node.condition()
+        out.append(cond.get().sql() if cond.isDefined() else "None")
     return out
 
 

@@ -608,10 +608,10 @@ PLAN_PINS: dict[str, dict[str, int]] = {
     # -- headline bench set + fixed scale-killers
     "corpus_curate_pipeline": {"scan_parquet": 1},
     "dedup_cc_starcontraction": {"scan_rdd": 2},
-    # nested_adaptive: the query caches intermediates, so 10 inner
-    # adaptive subtrees sit below the outer slice the other counts
-    # cover — pinned so a caching change moves the pin loudly
-    "dedup_connected_components": {"scan_rdd": 6, "bhj": 1, "nested_adaptive": 10},
+    # the one caching query in the set: the walker descends into each
+    # of its 3 distinct cached-relation plans, so the counts cover the
+    # WHOLE plan, caches included
+    "dedup_connected_components": {"scan_rdd": 6, "bhj": 1, "cache": 3},
     "dedup_exact_hash": {"scan_parquet": 1},
     "dedup_minhash_eval": {"scan_parquet": 5, "bhj": 5, "smj": 1},
     "dedup_minhash_lsh": {"scan_parquet": 2, "bhj": 2},
