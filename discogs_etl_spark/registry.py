@@ -77,95 +77,87 @@ def _load_all() -> None:
 # driver-side correctness evidence (or changed since their last green row)
 # ahead of queries whose green rows already stand from a prior round.
 #
-# Round 12 rotation.  Basis (COMPUTED by scripts/evidence_audit.py over
+# Round 13 rotation.  Basis (COMPUTED by scripts/evidence_audit.py over
 # a FIXED round range — the note is stamped with the round it describes
 # so the suite stays green after later artifacts land;
 # tests/test_evidence_audit.py recomputes audit(max_round=as_of_round)
 # and asserts this line matches, and separately proves the comparison is
 # immune to a synthetic future-round artifact):
-#   evidence_audit as_of_round=11: registered=369 unique_checked=369 ever_green=369 \
+#   evidence_audit as_of_round=12: registered=369 unique_checked=369 ever_green=369 \
 #     never_checked=0 net_new_last_round=0
 # The ledger stays fully closed (zero never-checked, zero
 # latest-round-red, zero net-new), so the window is pure post-backlog
 # policy: (a) mechanical re-window flags lead (scripts/rewindow_check.py
-# vs the r11-end rev 006bf7e — ONE flag: bpe_compression_eval, whose
-# empty-corpus path now emits a single all-NULL row on spark.range(1)
-# to match its oracle's cross join of two 1-row global aggregates
-# (r11 ADVICE; the dedup_minhash_eval / retrieval_rank_agreement
-# precedent), and whose non-empty branch carries its driver-side
-# scalars on spark.range(1) instead of a wasted documents limit(1)
-# FileScan — sf0.01 oracle values unchanged, proven by the local
-# driver replica before windowing); then (b) OLDEST-EVIDENCE-FIRST
+# vs the r12-end rev b62fd5f — ZERO flags: r13 is a gate-building round,
+# no registered query module changed); then (b) OLDEST-EVIDENCE-FIRST
 # rotation — registered names ordered by last-green round ascending
 # (registration order among ties, printed by
 # `evidence_audit.py --stale-order` and filled by round_start.py),
-# continuing the round-1 cohort from where the r11 window stopped
-# (dedup_fuzzy_keep_one / quality_gate_quantile /
-# dedup_cc_starcontraction onward per the r11 note's plan).  Every
+# continuing the round-1 cohort from where the r12 window stopped
+# (stream_static_enrich / stream_global_topk_users /
+# events_time_weighted_avg onward per the r12 note's plan).  Every
 # name passes the local one-session driver replica
 # (tests/test_oracle.py) and the plain-session derisk_window.py sweep,
 # so rotation stays pure evidence collection.
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    # mechanical re-window (changed code this round): empty-corpus
-    # one-row parity + range(1) scalar carrier (r11 ADVICE)
-    "bpe_compression_eval",
     # oldest-evidence-first rotation fill (last green: round 1),
-    # continuing the r11 cohort
-    "dedup_fuzzy_keep_one",
-    "quality_gate_quantile",
-    "dedup_cc_starcontraction",
-    "embedding_quantize_int8",
-    "dedup_cluster_stats",
-    "mapinarrow_token_stats",
-    "udtf_token_runs",
-    "pandas_udaf_lang_iqr",
-    "join_bloom_runtime_filter",
-    "graph_triangle_count",
-    "assoc_rules_coorder",
-    "agg_mode_per_user",
-    "agg_equidepth_deciles",
-    "graph_clustering_coefficient",
-    "attribution_first_vs_last",
-    "sessions_max_concurrency",
-    "graph_label_propagation",
-    "supplier_greedy_cover",
-    "xml_datasource_scan",
-    "dedup_jaccard_prefix_filter",
-    "dedup_minhash_lsh",
-    "sample_weighted_per_source",
-    "kmeans_embeddings_fixed",
-    "text_search_inverted_topk",
-    "text_search_bm25_topk",
-    "keywords_per_doc",
-    "lm_bigram_surprisal",
-    "feature_hashing_vectorize",
-    "corpus_token_budget_planner",
-    "stats_welch_ttest",
-    "stats_chi_square_lang_source",
-    "stats_entropy_by_source",
-    "stats_gini_revenue_by_nation",
-    "stats_zipf_slope_by_lang",
-    "stats_ewma_per_user",
-    "stats_mad_by_event_type",
-    "stats_seasonal_adjust_daily",
-    "stats_wilson_ci_daily",
-    "stats_trend_slope_per_user",
-    "data_quality_report",
-    "stats_benford_first_digit",
-    "events_dau_wau_stickiness",
-    "orders_interpurchase_gap",
-    "stats_hhi_supplier_concentration",
-    "data_quality_referential",
-    "orders_cohort_ltv",
-    "skew_report_join_keys",
-    "sketch_countmin_heavy_hitters",
-    "stats_ks_two_sample",
-    # ROUND-13 ROTATION NOTE: keep the post-backlog policy — refresh the
-    # audit line to as_of_round=12 and COVERAGE.md's evidence paragraph
+    # continuing the r12 cohort
+    "stream_static_enrich",
+    "stream_global_topk_users",
+    "events_time_weighted_avg",
+    "table_profile_orders",
+    "incremental_agg_merge",
+    "histogram_fixed_bins",
+    "events_anomaly_zscore",
+    "pareto_cum_revenue_share",
+    "join_null_safe_equality",
+    "scd2_dimension_intervals",
+    "events_markov_transitions",
+    "orders_backlog_curve",
+    "funnel_time_to_convert",
+    "explode_outer_semantics",
+    "variant_semistructured_events",
+    "events_top_paths",
+    "orders_rfm_segments",
+    "window_rolling_median",
+    "events_burst_users",
+    "growth_mom_by_nation",
+    "users_new_vs_returning",
+    "agg_weighted_median",
+    "window_gap_islands",
+    "agg_approx_percentile_eval",
+    "window_rolling_percentile_7d",
+    "scalar_higher_order_maps",
+    "table_diff_snapshots",
+    "join_range_band_pricing",
+    "scalar_try_safe_casts",
+    "orders_duplicate_payments",
+    "skyline_pareto_frontier",
+    "graph_link_prediction_jaccard",
+    "scalar_business_days_gap",
+    "inventory_abc_xyz_matrix",
+    "bandit_greedy_replay",
+    "events_littles_law_report",
+    "orders_fiscal_445_revenue",
+    "supplier_scorecard_composite",
+    "topn_with_others_rollup",
+    "xml_ingest_roundtrip",
+    "xml_ingest_roundtrip_artist",
+    "xml_ingest_roundtrip_master",
+    "xml_ingest_roundtrip_label",
+    "process_conformance_sessions",
+    "supply_single_source_risk",
+    "revenue_bridge_price_volume",
+    "graph_edge_triangle_support",
+    "allocation_largest_remainder",
+    "rank_wilson_lower_bound",
+    "orders_open_aging_buckets",
+    # ROUND-14 ROTATION NOTE: keep the post-backlog policy — refresh the
+    # audit line to as_of_round=13 and COVERAGE.md's evidence paragraph
     # as the first commit, then compose the window with
-    # `python scripts/round_start.py <r12-end-rev>`: mechanical
+    # `python scripts/round_start.py <r13-end-rev>`: mechanical
     # re-window flags lead, oldest-evidence-first rotation fills (after
-    # r12 lands green the stalest cohort continues from where this
+    # r13 lands green the stalest cohort continues from where this
     # window stopped — `python scripts/evidence_audit.py --stale-order`
     # prints the basis).
 )
