@@ -81,3 +81,24 @@ def test_compare_flags_a_synthetic_regression():
     # consumes) must agree with the rendered form and carry real values.
     assert tc.compare_pairs(prev, cur) == [("q", 3.0, 9.0)]
     assert tc.compare_pairs({"q": 1.0}, {"q": None}) == [("q", 1.0, None)]
+
+
+def test_cold_start_allowance_bounds_not_blanket():
+    """The COLD_START band (VERDICT r12 #3) clears readings inside the
+    adjudicated cold band but still flags a genuine regression past it —
+    the allowance is a documented cap, not an exemption."""
+    tc = _load_compare()
+    name = "supplier_greedy_cover"
+    cap = tc.COLD_START_MAX_SEC[name]
+    # 2.9 s warm -> 9.5 s cold: the r11/r12 recurring flag, now cleared.
+    assert tc.compare_pairs({name: 2.9}, {name: cap - 0.5}) == []
+    # A real plan regression blows past the cap and flags normally.
+    assert tc.compare_pairs({name: 2.9}, {name: cap + 20.0}) == [
+        (name, 2.9, cap + 20.0)
+    ]
+    # An errored entry is never cleared by the band.
+    assert tc.compare_pairs({name: 2.9}, {name: None}) == [(name, 2.9, None)]
+    # Every allowance names a registered query (no typo-shadowed caps).
+    from discogs_etl_spark.registry import all_specs
+
+    assert set(tc.COLD_START_MAX_SEC) <= set(all_specs())
