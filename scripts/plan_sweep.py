@@ -179,20 +179,41 @@ def main() -> int:
                 flush=True,
             )
 
+    # Stale-allowance audit (r12 ADVICE): an ALLOWED entry whose
+    # conditioned nested loop has disappeared (the query was rewritten
+    # onto hash joins) must be PRUNED the round the plan improves —
+    # otherwise a future reintroduction of a conditioned nested loop in
+    # that query would pass silently under the lingering allowance.
+    unused = sorted(
+        name
+        for name in ALLOWED
+        if not res.get(name, {}).get("conditioned")
+    )
+
     if args.json:
+        # "_allowed" is metadata (underscore-prefixed like TIMINGS'
+        # _loadavg stamp — every consumer skips "_" keys): the ALLOWED
+        # membership snapshot at sweep time, so plansweep_compare can
+        # detect names entering/leaving the audited set across rounds
+        # even though the list itself lives in code, not artifacts.
+        dump = dict(res)
+        dump["_allowed"] = sorted(ALLOWED)
         with open(args.json, "w") as fh:
-            json.dump(res, fh, indent=1, sort_keys=True)
+            json.dump(dump, fh, indent=1, sort_keys=True)
     print(
         f"\nPLAN SWEEP: {len(specs)} plans; {len(res)} queries carry "
         f"nested-loop nodes ({n_cross} condition-less hinted crosses, "
         f"{sum(len(v['conditioned']) for v in res.values())} conditioned — "
-        f"all audited: {not offenders}); {len(errors)} build errors"
+        f"all audited: {not offenders}); {len(errors)} build errors; "
+        f"{len(unused)} stale allowances"
     )
     for name in offenders:
         print(f"UNAUDITED {name}")
     for name in errors:
         print(f"ERROR {name}")
-    return 1 if (offenders or errors) else 0
+    for name in unused:
+        print(f"STALE ALLOWANCE {name}: no conditioned nested loop observed — prune it")
+    return 1 if (offenders or errors or unused) else 0
 
 
 if __name__ == "__main__":

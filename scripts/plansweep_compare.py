@@ -1,0 +1,175 @@
+#!/usr/bin/env python
+"""Round-over-round plan-shape gate over PLANSWEEP_r{N}.json.
+
+plan_sweep.py audits every registered query's nested-loop nodes against
+a static ALLOWED list — but a static list cannot catch a benign
+audited shape GROWING under the same query name (a 1-row scalar cross
+becoming a data-sized nested loop is invisible as long as the name
+stays in ALLOWED and the node count stays under its cap, and even the
+count can legitimately be >1).  This gate makes the sweep round-over-
+round comparable, the way timing_compare made the timing sweep a gate:
+every round commits `scripts/plan_sweep.py --json PLANSWEEP_r{N}.json`
+on final code, and this script diffs the two newest artifacts.
+
+    python scripts/plansweep_compare.py [--prev PLANSWEEP_rA.json]
+                                        [--cur PLANSWEEP_rB.json]
+
+Fails (exit 1) on:
+
+* a NEW conditioned nested-loop node — a query's conditioned count
+  grew vs the prior round (including a query with no prior nested-loop
+  nodes at all);
+* a DISAPPEARED conditioned nested loop — the count shrank, which is
+  an improvement but one that must be adjudicated so the matching
+  ALLOWED allowance is pruned/lowered the same round (plan_sweep's
+  stale-allowance check catches count->0 for ALLOWED names; this
+  catches partial decreases too);
+* CHANGED condition text — same count, different join condition.
+  Conditions are emitted via ``Expression.sql()`` (expr-id-free, so
+  the diff is meaningful, not session noise);
+* ALLOWED-membership change — a name entering or leaving the audited
+  list between the two artifacts' ``_allowed`` snapshots (the list
+  lives in code; the snapshot makes its history visible in artifacts);
+* a conditioned name in the current artifact that is missing from its
+  own ``_allowed`` snapshot (plan_sweep itself also fails this; the
+  re-check means a hand-edited artifact cannot sneak past the gate).
+
+Deliberate changes are acknowledged in ADJUDICATED below, keyed by the
+CURRENT round number so an acknowledgment can never linger past the
+round it describes (the stale-allowance lesson, applied to the gate
+itself).  Each entry carries the rationale the commit message must
+repeat.  tests/test_plansweep_gate.py runs this comparison over the
+two newest committed artifacts, so a silent Catalyst strategy change
+anywhere in the 369-query registry reddens the suite, not just a
+judge's spot-check.
+
+Metadata keys (underscore-prefixed, e.g. ``_allowed``) are skipped as
+query names, mirroring TIMINGS' ``_loadavg_end`` convention.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import re
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+# Acknowledged deliberate plan-shape changes: {cur_round: {query_name:
+# rationale}}.  An entry suppresses this gate's flags for that name in
+# exactly one round-pair comparison (prev=cur_round-1 -> cur=cur_round);
+# the NEXT round's comparison sees the new shape on both sides and needs
+# no entry, so the dict is self-expiring.  "It was green" is not a
+# rationale; cite the commit that changed the plan.
+ADJUDICATED: dict[int, dict[str, str]] = {}
+
+
+def _conds(art: dict, name: str) -> list[str]:
+    return sorted(art.get(name, {}).get("conditioned", []))
+
+
+def compare_sweeps(
+    prev: dict,
+    cur: dict,
+    acks: dict[str, str] | None = None,
+) -> list[str]:
+    """Human-readable gate violations (empty = pass)."""
+    acks = acks or {}
+    problems: list[str] = []
+    names = sorted(
+        k for k in set(prev) | set(cur) if not k.startswith("_")
+    )
+    for name in names:
+        p, c = _conds(prev, name), _conds(cur, name)
+        if p == c:
+            continue
+        if name in acks:
+            continue
+        if len(c) > len(p):
+            problems.append(
+                f"{name}: NEW conditioned nested loop ({len(p)} -> {len(c)}): "
+                f"{[x for x in c if x not in p] or c}"
+            )
+        elif len(c) < len(p):
+            problems.append(
+                f"{name}: conditioned nested loop DISAPPEARED "
+                f"({len(p)} -> {len(c)}) — prune/lower its ALLOWED "
+                "allowance and adjudicate"
+            )
+        else:
+            problems.append(
+                f"{name}: CHANGED condition text: {p} -> {c}"
+            )
+
+    # ALLOWED-membership drift between the snapshots.  The prior-round
+    # artifact may predate the snapshot field (r12 bootstrap); then the
+    # membership diff has no basis and only the current-side integrity
+    # check below applies.
+    cur_allowed = set(cur.get("_allowed", []))
+    if "_allowed" in prev and "_allowed" in cur:
+        prev_allowed = set(prev["_allowed"])
+        for name in sorted(prev_allowed - cur_allowed):
+            if name not in acks:
+                problems.append(f"{name}: LEFT the ALLOWED list — adjudicate")
+        for name in sorted(cur_allowed - prev_allowed):
+            if name not in acks:
+                problems.append(f"{name}: ENTERED the ALLOWED list — adjudicate")
+    if "_allowed" in cur:
+        for name in names:
+            if _conds(cur, name) and name not in cur_allowed:
+                problems.append(
+                    f"{name}: conditioned nested loop outside the artifact's "
+                    "own _allowed snapshot"
+                )
+    return problems
+
+
+def newest_artifacts(root: Path) -> list[Path]:
+    paths = [
+        p
+        for p in root.glob("PLANSWEEP_r*.json")
+        if re.fullmatch(r"PLANSWEEP_r\d+\.json", p.name)
+    ]
+    return sorted(paths, key=lambda p: int(re.findall(r"\d+", p.name)[0]))
+
+
+def _round_of(path: Path) -> int | None:
+    m = re.fullmatch(r"PLANSWEEP_r(\d+)\.json", path.name)
+    return int(m.group(1)) if m else None
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--prev")
+    ap.add_argument("--cur")
+    args = ap.parse_args()
+
+    if args.prev and args.cur:
+        prev_p, cur_p = Path(args.prev), Path(args.cur)
+    else:
+        arts = newest_artifacts(REPO)
+        if len(arts) < 2:
+            print("fewer than two PLANSWEEP_r*.json artifacts — nothing to compare")
+            return 0
+        prev_p, cur_p = arts[-2], arts[-1]
+
+    prev = json.loads(prev_p.read_text())
+    cur = json.loads(cur_p.read_text())
+    cur_round = _round_of(cur_p)
+    acks = ADJUDICATED.get(cur_round, {}) if cur_round is not None else {}
+    problems = compare_sweeps(prev, cur, acks)
+    n_q = sum(1 for k in cur if not k.startswith("_"))
+    print(
+        f"compare {prev_p.name} -> {cur_p.name}: {n_q} queries with "
+        f"nested-loop nodes; {len(acks)} adjudications in scope"
+    )
+    for p in problems:
+        print(f"PLAN CHANGE {p}")
+    if not problems:
+        print("gate PASS: no plan-shape change vs the prior round")
+    return 1 if problems else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
