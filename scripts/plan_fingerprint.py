@@ -91,6 +91,25 @@ SCALE_STORY = (
     "text_search_bm25_pruned_topk",
 )
 
+# Third tier (VERDICT r12 task #4): the expensive non-headline tail —
+# the registry's costliest sf0.1 walls outside the bench set and the
+# documented all-pairs baselines (TIMINGS_r12: phash 20.9 s, theil_sen
+# 11.4 s, semdedup 9.7 s, doc_duplication 8.1 s, pricing_audit 7.8 s,
+# levenshtein 6.5 s).  These are where a silent Catalyst strategy flip
+# costs the most wall-time per round: each one's cost is ACCEPTABLE
+# only under its current shape (banded equi-join, cluster-scoped
+# pairs, blocked compare), and a flip to a broader join multiplies a
+# double-digit wall, so they get the same deterministic pin as the
+# headline set.
+EXPENSIVE_TAIL = (
+    "multimodal_phash_dedup",
+    "stats_theil_sen_trend",
+    "dedup_semdedup",
+    "dedup_doc_duplication_score",
+    "fuzzy_join_levenshtein_blocked",
+    "pricing_consistency_audit",
+)
+
 # Physical-node classification by JVM class name.  The extractor WALKS
 # THE PLAN OBJECTS (py4j) instead of parsing explain strings: three
 # successive review passes each found a leak in a string approach,
@@ -203,7 +222,11 @@ def pinned_names() -> list[str]:
 
     specs = all_specs()
     names = [n for n, s in specs.items() if s.bench]
-    names += [n for n in SCALE_KILLERS + SCALE_STORY if n not in names]
+    names += [
+        n
+        for n in SCALE_KILLERS + SCALE_STORY + EXPENSIVE_TAIL
+        if n not in names
+    ]
     return sorted(names)
 
 

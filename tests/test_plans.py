@@ -605,6 +605,17 @@ PLAN_PINS: dict[str, dict[str, int]] = {
     "range_join_bucketed": {"scan_parquet": 2, "bhj": 1},
     "similarity_ivf_topk": {"scan_parquet": 5, "bhj": 3, "bnlj": 1},
     "text_search_bm25_pruned_topk": {"scan_rdd": 5, "bhj": 3, "smj": 1, "bnlj": 4},
+    # -- third tier (EXPENSIVE_TAIL, verdict r12 #4): the costliest
+    #    non-headline sf0.1 walls — a strategy flip here multiplies a
+    #    double-digit wall, so each one's claimed shape (banded pHash
+    #    equi-join, per-cluster semdedup pairs, blocked Levenshtein,
+    #    broadcast-dim audits, daily-rollup Theil-Sen bnlj) is pinned
+    "dedup_doc_duplication_score": {"scan_parquet": 2, "bhj": 1},
+    "dedup_semdedup": {"scan_parquet": 1, "scan_rdd": 2, "bhj": 3},
+    "fuzzy_join_levenshtein_blocked": {"scan_parquet": 2, "bhj": 1},
+    "multimodal_phash_dedup": {"scan_parquet": 2, "bhj": 1},
+    "pricing_consistency_audit": {"scan_parquet": 2, "bhj": 1},
+    "stats_theil_sen_trend": {"scan_parquet": 1, "bnlj": 1},
     # -- headline bench set + fixed scale-killers
     "corpus_curate_pipeline": {"scan_parquet": 1},
     "dedup_cc_starcontraction": {"scan_rdd": 2},
