@@ -42,6 +42,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # PATH_NOT_FOUND reds instead of testing zero-row behavior.
 from discogs_etl_spark.tables import TABLE_NAMES  # noqa: E402
 
+# Queries whose oracle reads parquet the QUERY ITSELF writes, so on an
+# empty lake the oracle's read_parquet glob finds no files at all
+# (DuckDB binds globs at plan time; no allow-empty option exists) while
+# Spark's side gracefully returns zero rows.  For names here — and ONLY
+# here — the probe accepts zero-rows row-set parity when the oracle
+# errors with the no-files message.  Explicit allowlist, not a SQL-shape
+# heuristic (r12 ADVICE): membership is an argued property of the
+# query's empty-state semantics, not of its oracle's syntax.
+FILE_DEPENDENT_ORACLES = frozenset({"stream_events_lake_roundtrip"})
+
 
 def build_fixture(source: str, out_dir: str) -> None:
     import pyarrow.parquet as pq
@@ -151,32 +161,30 @@ def main() -> int:
                     # sides zero rows; r11 ADVICE) — an honest weaker
                     # check: the oracle's column names cannot be read
                     # without executing the glob, and the driver's
-                    # CORRECTNESS gate pins them on non-empty data.  Scoped
-                    # to oracles with a GROUP BY (a grouped aggregate
-                    # yields zero rows over zero files; a GROUP-BY-less
-                    # global aggregate yields ONE row, so Spark's 0 rows
-                    # would be a REAL divergence) and to Spark returning
-                    # no rows.  The GROUP BY test is SYNTACTIC — a future
-                    # oracle with only a subquery-level GROUP BY under a
-                    # global outer aggregate would slip past it, and a
-                    # pure row-level projection oracle (no aggregate at
-                    # all, legitimately 0 rows) would be reported as a
-                    # spurious divergence; both pollute only this
-                    # informational parity map (exit status keys on
-                    # ERRORS), and the one oracle in the class today
-                    # (stream_events_lake_roundtrip) is a top-level
-                    # grouped aggregate.  Everything else stays a mapped
-                    # divergence: the no-crash contract gates the ENGINE,
-                    # not DuckDB.
-                    import re as _re
-
+                    # CORRECTNESS gate pins them on non-empty data.
+                    # Scoped to the EXPLICIT allowlist below (r12
+                    # ADVICE — the earlier GROUP-BY-regex scope was
+                    # broader than the one query it existed for: a
+                    # global-aggregate oracle expecting 1 row but
+                    # containing a subquery-level GROUP BY would have
+                    # matched, letting a real Spark-0-vs-oracle-1
+                    # divergence print as a match) and to Spark
+                    # returning no rows.  A new query joining this
+                    # class must be added here deliberately, with its
+                    # zero-rows-on-empty-lake semantics argued the way
+                    # stream_events_lake_roundtrip's are: its oracle is
+                    # a top-level GROUPED aggregate, so zero files
+                    # legitimately mean zero rows on both sides.
+                    # Everything else stays a mapped divergence: the
+                    # no-crash contract gates the ENGINE, not DuckDB.
                     no_files = "No files found that match the pattern" in str(
                         oex
                     )
-                    grouped = bool(
-                        _re.search(r"GROUP\s+BY", spec.oracle, _re.I)
-                    )
-                    if no_files and grouped and not srows:
+                    if (
+                        no_files
+                        and name in FILE_DEPENDENT_ORACLES
+                        and not srows
+                    ):
                         matched += 1
                         res[name] = round(time.perf_counter() - t0, 3)
                         print(
