@@ -184,10 +184,13 @@ def main() -> int:
     # onto hash joins) must be PRUNED the round the plan improves —
     # otherwise a future reintroduction of a conditioned nested loop in
     # that query would pass silently under the lingering allowance.
+    # A query that ERRORED was never observed — its allowance is not
+    # stale, and pruning it on an error would delete a live audit entry
+    # (the error itself already fails the sweep).
     unused = sorted(
         name
         for name in ALLOWED
-        if not res.get(name, {}).get("conditioned")
+        if name not in errors and not res.get(name, {}).get("conditioned")
     )
 
     if args.json:

@@ -19,6 +19,12 @@ Fails (exit 1) on:
 * a NEW conditioned nested-loop node — a query's conditioned count
   grew vs the prior round (including a query with no prior nested-loop
   nodes at all);
+* a CHANGED condition-less cross count — plan_sweep treats pure
+  crosses as the benign broadcast-hinted scalar pattern and never
+  flags them, and PLAN_PINS covers only the gate set, so this compare
+  is the one place a hash join constant-folding into a
+  CartesianProduct (or a scalar cross getting re-derived) reddens for
+  the other ~330 queries;
 * a DISAPPEARED conditioned nested loop — the count shrank, which is
   an improvement but one that must be adjudicated so the matching
   ALLOWED allowance is pruned/lowered the same round (plan_sweep's
@@ -50,11 +56,19 @@ query names, mirroring TIMINGS' ``_loadavg_end`` convention.
 from __future__ import annotations
 
 import argparse
+import importlib.util
 import json
-import re
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
+
+# Artifact discovery is timing_compare's (one parser for every
+# per-round {PREFIX}_r{N}.json family — imported, not mirrored).
+_tc_spec = importlib.util.spec_from_file_location(
+    "timing_compare", Path(__file__).resolve().parent / "timing_compare.py"
+)
+_tc = importlib.util.module_from_spec(_tc_spec)
+_tc_spec.loader.exec_module(_tc)
 
 # Acknowledged deliberate plan-shape changes: {cur_round: {query_name:
 # rationale}}.  An entry suppresses this gate's flags for that name in
@@ -67,6 +81,10 @@ ADJUDICATED: dict[int, dict[str, str]] = {}
 
 def _conds(art: dict, name: str) -> list[str]:
     return sorted(art.get(name, {}).get("conditioned", []))
+
+
+def _cross(art: dict, name: str) -> int:
+    return art.get(name, {}).get("cross", 0)
 
 
 def compare_sweeps(
@@ -82,7 +100,8 @@ def compare_sweeps(
     )
     for name in names:
         p, c = _conds(prev, name), _conds(cur, name)
-        if p == c:
+        p_cross, c_cross = _cross(prev, name), _cross(cur, name)
+        if p == c and p_cross == c_cross:
             continue
         if name in acks:
             continue
@@ -97,9 +116,16 @@ def compare_sweeps(
                 f"({len(p)} -> {len(c)}) — prune/lower its ALLOWED "
                 "allowance and adjudicate"
             )
-        else:
+        elif p != c:
             problems.append(
                 f"{name}: CHANGED condition text: {p} -> {c}"
+            )
+        if p_cross != c_cross:
+            problems.append(
+                f"{name}: condition-less cross count changed "
+                f"({p_cross} -> {c_cross}) — a hinted scalar cross was "
+                "added, re-derived, or a join degenerated into a pure "
+                "cartesian; adjudicate"
             )
 
     # ALLOWED-membership drift between the snapshots.  The prior-round
@@ -126,17 +152,11 @@ def compare_sweeps(
 
 
 def newest_artifacts(root: Path) -> list[Path]:
-    paths = [
-        p
-        for p in root.glob("PLANSWEEP_r*.json")
-        if re.fullmatch(r"PLANSWEEP_r\d+\.json", p.name)
-    ]
-    return sorted(paths, key=lambda p: int(re.findall(r"\d+", p.name)[0]))
+    return _tc.newest_artifacts(root, prefix="PLANSWEEP")
 
 
 def _round_of(path: Path) -> int | None:
-    m = re.fullmatch(r"PLANSWEEP_r(\d+)\.json", path.name)
-    return int(m.group(1)) if m else None
+    return _tc.artifact_round(path, prefix="PLANSWEEP")
 
 
 def main() -> int:

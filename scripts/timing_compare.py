@@ -125,13 +125,25 @@ def compare(
     return problems
 
 
-def newest_artifacts(root: Path) -> list[Path]:
+def artifact_round(path: Path, prefix: str = "TIMINGS") -> int | None:
+    """Round number of a per-round artifact filename, or None if the
+    name is not of the ``{prefix}_r{N}.json`` form.  The ONE parser for
+    both discovery-sort and round-keyed lookups (plansweep_compare's
+    ADJUDICATED dict) — two regexes over the same filename is how a
+    sort key and a lookup key drift apart."""
+    m = re.fullmatch(rf"{re.escape(prefix)}_r(\d+)\.json", path.name)
+    return int(m.group(1)) if m else None
+
+
+def newest_artifacts(root: Path, prefix: str = "TIMINGS") -> list[Path]:
+    """Per-round artifacts under ``root``, oldest first.  Shared by the
+    plansweep gate (prefix="PLANSWEEP") — import it, don't mirror it."""
     paths = [
-        p
-        for p in root.glob("TIMINGS_r*.json")
-        if re.fullmatch(r"TIMINGS_r\d+\.json", p.name)
+        (r, p)
+        for p in root.glob(f"{prefix}_r*.json")
+        if (r := artifact_round(p, prefix)) is not None
     ]
-    return sorted(paths, key=lambda p: int(re.findall(r"\d+", p.name)[0]))
+    return [p for _, p in sorted(paths)]
 
 
 def main() -> int:

@@ -65,6 +65,22 @@ def empty_fixture(tmp_path_factory):
     return str(out)
 
 
+def test_file_dependent_oracle_allowlist_names_are_registered():
+    """The probe's FILE_DEPENDENT_ORACLES allowlist (r12 ADVICE) must
+    track the registry: a renamed query would silently demote its probe
+    result from row-set match to an informational DIVERGE while the
+    dead allowlist entry lingered — same guard the timing gate's
+    COLD_START_MAX_SEC names carry."""
+    from discogs_etl_spark.registry import all_specs
+
+    allow = _probe_mod().FILE_DEPENDENT_ORACLES
+    assert allow, "allowlist emptied — drop the mechanism with it"
+    assert set(allow) <= set(all_specs()), (
+        f"unregistered names in FILE_DEPENDENT_ORACLES: "
+        f"{sorted(set(allow) - set(all_specs()))}"
+    )
+
+
 @pytest.mark.parametrize("name", HARDENED)
 def test_hardened_query_survives_zero_row_inputs(spark, name, empty_fixture):
     from discogs_etl_spark.registry import all_specs

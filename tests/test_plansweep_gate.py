@@ -137,7 +137,27 @@ def test_compare_flags_synthetic_changes():
     probs = pc.compare_sweeps({}, rogue)
     assert any("outside the artifact's own _allowed snapshot" in p for p in probs), probs
 
+    # Condition-less cross growth flags too (review finding: plan_sweep
+    # never flags pure crosses and PLAN_PINS covers only the gate set,
+    # so this compare is the registry-wide net for a join degenerating
+    # into a cartesian or a scalar cross getting re-derived).
+    more_cross = {
+        "scalar_q": {"cross": 3, "conditioned": []},
+        "band_q": {"cross": 0, "conditioned": ["(a < b)"]},
+        "_allowed": ["band_q"],
+    }
+    probs = pc.compare_sweeps(base, more_cross)
+    assert probs == [
+        "scalar_q: condition-less cross count changed (1 -> 3) — a "
+        "hinted scalar cross was added, re-derived, or a join "
+        "degenerated into a pure cartesian; adjudicate"
+    ], probs
+    assert pc.compare_sweeps(base, more_cross, {"scalar_q": "split agg"}) == []
+
     # r12 bootstrap: prev artifact without _allowed — membership diff is
-    # skipped, conditioned diffs still apply.
-    old = {"band_q": {"cross": 0, "conditioned": ["(a < b)"]}}
+    # skipped, conditioned/cross diffs still apply.
+    old = {
+        "scalar_q": {"cross": 1, "conditioned": []},
+        "band_q": {"cross": 0, "conditioned": ["(a < b)"]},
+    }
     assert pc.compare_sweeps(old, base) == []
