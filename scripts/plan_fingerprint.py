@@ -195,10 +195,37 @@ def fingerprint(df, *, executed: bool = True) -> dict[str, int]:
     return counts
 
 
-def nested_loop_conditions(df) -> list[str]:
-    """The join condition of every BroadcastNestedLoopJoin /
-    CartesianProduct node in the STATIC physical plan ("None" for a
-    pure cross product), rendered with Expression.sql().
+def _subtree_leaves(jnode) -> list[str]:
+    """Sorted leaf-source descriptors under a physical node — the
+    IDENTITY of a nested-loop node beyond its mere presence (r13
+    review): two condition-less crosses count the same, but a 1-row
+    scalar-aggregate cross over ``range`` and a data-sized pure cross
+    over a parquet table have different leaf sets, so recording them
+    makes a like-for-like count substitution visible round-over-round.
+    Parquet scans name their root paths; other leaf classes reduce to
+    their kind (an RDD scan's string form carries session expr-ids, so
+    only the class is artifact-stable)."""
+    out: list[str] = []
+    for cls, node in _walk(jnode, False, set()):
+        if cls == "FileSourceScanExec":
+            paths = node.relation().location().rootPaths()
+            names = sorted(
+                paths.apply(i).getName() for i in range(paths.size())
+            )
+            out.append("parquet:" + ",".join(names))
+        elif cls == "RDDScanExec":
+            out.append("rdd")
+        elif cls == "LocalTableScanExec":
+            out.append("local")
+        elif cls == "RangeExec":
+            out.append("range")
+    return sorted(out)
+
+
+def nested_loop_nodes(df) -> list[dict]:
+    """Every BroadcastNestedLoopJoin / CartesianProduct node in the
+    STATIC physical plan, as ``{"cond": <Expression.sql() or "None">,
+    "leaves": [<leaf descriptor>, ...]}``.
 
     The discriminator the full-registry sweep keys on: a condition-less
     Cross nested loop is the deliberate broadcast-hinted scalar
@@ -207,14 +234,25 @@ def nested_loop_conditions(df) -> list[str]:
     a condition is a real join Catalyst could not plan as a hash join —
     the r10 recsys_holdout_hitrate bug class (an OR-of-equalities
     condition nested-looping), unless it is a documented non-equi band
-    join."""
+    join.  ``leaves`` gives the condition-less class an identity the
+    bare count lacks."""
     out = []
     for cls, node in iter_physical_nodes(df, executed=False):
         if cls not in ("BroadcastNestedLoopJoinExec", "CartesianProductExec"):
             continue
         cond = node.condition()
-        out.append(cond.get().sql() if cond.isDefined() else "None")
+        out.append(
+            {
+                "cond": cond.get().sql() if cond.isDefined() else "None",
+                "leaves": _subtree_leaves(node),
+            }
+        )
     return out
+
+
+def nested_loop_conditions(df) -> list[str]:
+    """Condition strings only — see nested_loop_nodes."""
+    return [n["cond"] for n in nested_loop_nodes(df)]
 
 
 def pinned_names() -> list[str]:

@@ -154,15 +154,26 @@ def main() -> int:
     n_cross = 0
     for i, (name, spec) in enumerate(sorted(specs.items()), 1):
         try:
-            conds = pf.nested_loop_conditions(spec.fn(spark, args.sf))
+            nodes = pf.nested_loop_nodes(spec.fn(spark, args.sf))
         except Exception as ex:  # noqa: BLE001 — sweep must finish
             errors.append(name)
             print(f"[{i}/{len(specs)}] {name}: ERROR {type(ex).__name__}", flush=True)
             continue
-        if not conds:
+        if not nodes:
             continue
-        conditioned = [c for c in conds if c != "None"]
-        res[name] = {"cross": len(conds) - len(conditioned), "conditioned": conditioned}
+        conditioned = [n["cond"] for n in nodes if n["cond"] != "None"]
+        # cross_leaves: each condition-less node's sorted leaf-source
+        # descriptors — the identity the bare count lacks, so
+        # plansweep_compare can see a scalar cross swapped for a
+        # data-sized one at the SAME count (r13 review).
+        cross_leaves = sorted(
+            n["leaves"] for n in nodes if n["cond"] == "None"
+        )
+        res[name] = {
+            "cross": len(cross_leaves),
+            "cross_leaves": cross_leaves,
+            "conditioned": conditioned,
+        }
         n_cross += res[name]["cross"]
         cap = ALLOWED.get(name, (0, ""))[0]
         if len(conditioned) > cap:
@@ -201,6 +212,13 @@ def main() -> int:
         # even though the list itself lives in code, not artifacts.
         dump = dict(res)
         dump["_allowed"] = sorted(ALLOWED)
+        # Errored names are ABSENT from res, which an artifact consumer
+        # cannot tell apart from "no nested-loop nodes" — record them so
+        # the suite's stale-allowance test and plansweep_compare's
+        # DISAPPEARED flag never instruct pruning a live audit entry
+        # over a build error (r13 review; the sweep's own exit status
+        # already fails on errors, this keeps the artifact honest too).
+        dump["_errors"] = sorted(errors)
         with open(args.json, "w") as fh:
             json.dump(dump, fh, indent=1, sort_keys=True)
     print(

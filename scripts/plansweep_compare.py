@@ -19,12 +19,16 @@ Fails (exit 1) on:
 * a NEW conditioned nested-loop node — a query's conditioned count
   grew vs the prior round (including a query with no prior nested-loop
   nodes at all);
-* a CHANGED condition-less cross count — plan_sweep treats pure
-  crosses as the benign broadcast-hinted scalar pattern and never
-  flags them, and PLAN_PINS covers only the gate set, so this compare
-  is the one place a hash join constant-folding into a
-  CartesianProduct (or a scalar cross getting re-derived) reddens for
-  the other ~330 queries;
+* a CHANGED condition-less cross count or cross BUILD COMPOSITION —
+  plan_sweep treats pure crosses as the benign broadcast-hinted scalar
+  pattern and never flags them, and PLAN_PINS covers only the gate
+  set, so this compare is where a hash join constant-folding into a
+  CartesianProduct, a scalar cross getting re-derived, or a scalar
+  cross being SWAPPED for a data-sized one at the same count reddens
+  for the other ~330 queries.  Each cross's identity is its subtree's
+  leaf-source descriptors (``cross_leaves``); a substitution that
+  preserves both the count and the exact leaf sets remains invisible —
+  that residual is documented here rather than papered over;
 * a DISAPPEARED conditioned nested loop — the count shrank, which is
   an improvement but one that must be adjudicated so the matching
   ALLOWED allowance is pruned/lowered the same round (plan_sweep's
@@ -87,6 +91,13 @@ def _cross(art: dict, name: str) -> int:
     return art.get(name, {}).get("cross", 0)
 
 
+def _cross_leaves(art: dict, name: str):
+    """Sorted leaf-descriptor lists of the condition-less crosses, or
+    None when the artifact predates the field (pre-r13 schema)."""
+    leaves = art.get(name, {}).get("cross_leaves")
+    return sorted(map(tuple, leaves)) if leaves is not None else None
+
+
 def compare_sweeps(
     prev: dict,
     cur: dict,
@@ -98,10 +109,24 @@ def compare_sweeps(
     names = sorted(
         k for k in set(prev) | set(cur) if not k.startswith("_")
     )
+    prev_errors = set(prev.get("_errors", []))
+    cur_errors = set(cur.get("_errors", []))
     for name in names:
+        if name in cur_errors:
+            # A committed artifact should never carry errors (the sweep
+            # exits nonzero), but a hand-committed one must not read as
+            # "this query's nested loops disappeared".
+            problems.append(f"{name}: errored in current sweep — rerun it")
+            continue
+        if name in prev_errors:
+            continue  # never observed last round: no basis to diff
         p, c = _conds(prev, name), _conds(cur, name)
         p_cross, c_cross = _cross(prev, name), _cross(cur, name)
-        if p == c and p_cross == c_cross:
+        p_leaves, c_leaves = _cross_leaves(prev, name), _cross_leaves(cur, name)
+        leaves_changed = (
+            p_leaves is not None and c_leaves is not None and p_leaves != c_leaves
+        )
+        if p == c and p_cross == c_cross and not leaves_changed:
             continue
         if name in acks:
             continue
@@ -126,6 +151,12 @@ def compare_sweeps(
                 f"({p_cross} -> {c_cross}) — a hinted scalar cross was "
                 "added, re-derived, or a join degenerated into a pure "
                 "cartesian; adjudicate"
+            )
+        elif leaves_changed:
+            problems.append(
+                f"{name}: cross build composition changed at the same "
+                f"count: {p_leaves} -> {c_leaves} — a scalar cross was "
+                "swapped for one over different sources; adjudicate"
             )
 
     # ALLOWED-membership drift between the snapshots.  The prior-round

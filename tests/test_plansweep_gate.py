@@ -76,10 +76,15 @@ def test_every_allowance_is_used_in_current_sweep():
     arts = pc.newest_artifacts(REPO)
     assert arts, "no PLANSWEEP_r*.json committed — run scripts/plan_sweep.py --json"
     cur = json.loads(arts[-1].read_text())
+    # An errored query was never OBSERVED — its allowance is not stale
+    # (same rule as plan_sweep's in-process check; the _errors metadata
+    # exists precisely so artifact consumers can tell "errored" from
+    # "no nested-loop nodes").
+    errored = set(cur.get("_errors", []))
     stale = sorted(
         name
         for name in ps.ALLOWED
-        if not cur.get(name, {}).get("conditioned")
+        if name not in errored and not cur.get(name, {}).get("conditioned")
     )
     assert not stale, (
         f"ALLOWED entries with no observed conditioned nested loop in "
@@ -153,6 +158,53 @@ def test_compare_flags_synthetic_changes():
         "degenerated into a pure cartesian; adjudicate"
     ], probs
     assert pc.compare_sweeps(base, more_cross, {"scalar_q": "split agg"}) == []
+
+    # A like-for-like substitution at the SAME count flags through the
+    # cross's leaf identity (r13 review): the scalar range-carried
+    # cross became a cross over a parquet table.
+    swapped_a = {
+        "scalar_q": {
+            "cross": 1,
+            "cross_leaves": [["range"]],
+            "conditioned": [],
+        },
+        "_allowed": [],
+    }
+    swapped_b = {
+        "scalar_q": {
+            "cross": 1,
+            "cross_leaves": [["parquet:documents.parquet"]],
+            "conditioned": [],
+        },
+        "_allowed": [],
+    }
+    probs = pc.compare_sweeps(swapped_a, swapped_b)
+    assert probs == [
+        "scalar_q: cross build composition changed at the same count: "
+        "[('range',)] -> [('parquet:documents.parquet',)] — a scalar "
+        "cross was swapped for one over different sources; adjudicate"
+    ], probs
+    # Pre-r13 artifacts lack cross_leaves: identity compare is skipped,
+    # count compare still applies.
+    pre_r13 = {"scalar_q": {"cross": 1, "conditioned": []}, "_allowed": []}
+    assert pc.compare_sweeps(pre_r13, swapped_b) == []
+
+    # Errored names (hand-committed artifact) flag on the current side
+    # and are skipped as a basis on the previous side — never read as
+    # "its nested loops disappeared".
+    errored_cur = {
+        "scalar_q": {"cross": 1, "conditioned": []},
+        "_allowed": ["band_q"],
+        "_errors": ["band_q"],
+    }
+    probs = pc.compare_sweeps(base, errored_cur)
+    assert probs == ["band_q: errored in current sweep — rerun it"], probs
+    healthy_again = {
+        "band_q": {"cross": 0, "conditioned": ["(a < b)"]},
+        "scalar_q": {"cross": 1, "conditioned": []},
+        "_allowed": ["band_q"],
+    }
+    assert pc.compare_sweeps(errored_cur, healthy_again) == []
 
     # r12 bootstrap: prev artifact without _allowed — membership diff is
     # skipped, conditioned/cross diffs still apply.
