@@ -204,11 +204,39 @@ def _subtree_leaves(jnode) -> list[str]:
     makes a like-for-like count substitution visible round-over-round.
     Parquet scans name their root paths; other leaf classes reduce to
     their kind (an RDD scan's string form carries session expr-ids, so
-    only the class is artifact-stable)."""
+    only the class is artifact-stable).
+
+    Own traversal, NOT ``_walk``: _walk's ``Reused*`` early-return is
+    correct for a global walk (the target is reached through its
+    owner) but wrong for an ISOLATED subtree walk — a cross whose side
+    is a ReusedExchange would contribute zero leaves, truncating the
+    identity exactly where it matters (second r13 review pass).  Here
+    a ``Reused*`` wrapper is followed into the plan it reuses: the
+    identity question is "what sources feed this node", and a reused
+    exchange is fed by the original's sources."""
     out: list[str] = []
-    for cls, node in _walk(jnode, False, set()):
+    stack = [jnode]
+    seen: set = set()
+    while stack:
+        n = stack.pop()
+        cls = n.getClass().getSimpleName()
+        if cls == "AdaptiveSparkPlanExec":
+            stack.append(n.initialPlan())
+            continue
+        if cls.endswith("QueryStageExec"):
+            stack.append(n.plan())
+            continue
+        if cls.startswith("Reused"):
+            # ReusedExchangeExec / ReusedSubqueryExec are leaf wrappers
+            # whose constructor child is the reused plan.
+            stack.append(n.child())
+            continue
+        node_id = n.id()
+        if node_id in seen:
+            continue
+        seen.add(node_id)
         if cls == "FileSourceScanExec":
-            paths = node.relation().location().rootPaths()
+            paths = n.relation().location().rootPaths()
             names = sorted(
                 paths.apply(i).getName() for i in range(paths.size())
             )
@@ -219,6 +247,11 @@ def _subtree_leaves(jnode) -> list[str]:
             out.append("local")
         elif cls == "RangeExec":
             out.append("range")
+        elif cls == "InMemoryTableScanExec":
+            stack.append(n.relation().cachedPlan())
+        children = n.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
     return sorted(out)
 
 
@@ -248,11 +281,6 @@ def nested_loop_nodes(df) -> list[dict]:
             }
         )
     return out
-
-
-def nested_loop_conditions(df) -> list[str]:
-    """Condition strings only — see nested_loop_nodes."""
-    return [n["cond"] for n in nested_loop_nodes(df)]
 
 
 def pinned_names() -> list[str]:

@@ -129,8 +129,10 @@ def main() -> int:
     ap.add_argument("--sf", default="/root/testdata/sf0.001")
     ap.add_argument(
         "--json",
-        help="dump {name: {cross: n, conditioned: [cond, ...]}} for every "
-        "query with any nested-loop node",
+        help="dump {name: {cross: n, cross_leaves: [[leaf, ...], ...], "
+        "conditioned: [cond, ...]}} for every query with any nested-loop "
+        "node, plus _allowed (the ALLOWED snapshot) and _errors "
+        "(build-errored names) metadata keys",
     )
     args = ap.parse_args()
 

@@ -106,11 +106,17 @@ def compare_sweeps(
     """Human-readable gate violations (empty = pass)."""
     acks = acks or {}
     problems: list[str] = []
-    names = sorted(
-        k for k in set(prev) | set(cur) if not k.startswith("_")
-    )
     prev_errors = set(prev.get("_errors", []))
     cur_errors = set(cur.get("_errors", []))
+    # Errored names are ABSENT from the sweep's per-query entries, so
+    # the name universe must include the error sets or an errored query
+    # with no entry on either side would never reach the current-side
+    # error flag below (third r13 review pass, confirmed by execution).
+    names = sorted(
+        k
+        for k in set(prev) | set(cur) | prev_errors | cur_errors
+        if not k.startswith("_")
+    )
     for name in names:
         if name in cur_errors:
             # A committed artifact should never carry errors (the sweep

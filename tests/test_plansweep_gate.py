@@ -205,6 +205,12 @@ def test_compare_flags_synthetic_changes():
         "_allowed": ["band_q"],
     }
     assert pc.compare_sweeps(errored_cur, healthy_again) == []
+    # An errored name with NO per-query entry on either side still flags
+    # (errored names are absent from res by construction, so the name
+    # universe must come from _errors too — third review pass).
+    ghost_error = {"_allowed": [], "_errors": ["new_q"]}
+    probs = pc.compare_sweeps({}, ghost_error)
+    assert probs == ["new_q: errored in current sweep — rerun it"], probs
 
     # r12 bootstrap: prev artifact without _allowed — membership diff is
     # skipped, conditioned/cross diffs still apply.
