@@ -171,10 +171,19 @@ def main() -> int:
         cross_leaves = sorted(
             n["leaves"] for n in nodes if n["cond"] == "None"
         )
+        # conditioned_leaves: [condition, leaves] pairs — condition
+        # TEXT alone is the conditioned class's identity for the
+        # compare gate, but the text survives a build-side source swap
+        # when column names match, so the leaves travel with it (same
+        # rationale as cross_leaves, uniform across both classes).
+        conditioned_leaves = sorted(
+            [n["cond"], n["leaves"]] for n in nodes if n["cond"] != "None"
+        )
         res[name] = {
             "cross": len(cross_leaves),
             "cross_leaves": cross_leaves,
             "conditioned": conditioned,
+            "conditioned_leaves": conditioned_leaves,
         }
         n_cross += res[name]["cross"]
         cap = ALLOWED.get(name, (0, ""))[0]

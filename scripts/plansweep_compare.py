@@ -36,7 +36,10 @@ Fails (exit 1) on:
   catches partial decreases too);
 * CHANGED condition text — same count, different join condition.
   Conditions are emitted via ``Expression.sql()`` (expr-id-free, so
-  the diff is meaningful, not session noise);
+  the diff is meaningful, not session noise) — and because identical
+  text survives a build-side source swap when column names match, the
+  conditioned class also carries leaf identity (``conditioned_leaves``)
+  and flags a composition change under unchanged text;
 * ALLOWED-membership change — a name entering or leaving the audited
   list between the two artifacts' ``_allowed`` snapshots (the list
   lives in code; the snapshot makes its history visible in artifacts);
@@ -98,6 +101,15 @@ def _cross_leaves(art: dict, name: str):
     return sorted(map(tuple, leaves)) if leaves is not None else None
 
 
+def _conditioned_leaves(art: dict, name: str):
+    """Sorted (condition, leaves) pairs of the conditioned nested
+    loops, or None when the artifact predates the field."""
+    pairs = art.get(name, {}).get("conditioned_leaves")
+    if pairs is None:
+        return None
+    return sorted((cond, tuple(leaves)) for cond, leaves in pairs)
+
+
 def compare_sweeps(
     prev: dict,
     cur: dict,
@@ -132,7 +144,14 @@ def compare_sweeps(
         leaves_changed = (
             p_leaves is not None and c_leaves is not None and p_leaves != c_leaves
         )
-        if p == c and p_cross == c_cross and not leaves_changed:
+        p_cl, c_cl = _conditioned_leaves(prev, name), _conditioned_leaves(cur, name)
+        cond_leaves_changed = p_cl is not None and c_cl is not None and p_cl != c_cl
+        if (
+            p == c
+            and p_cross == c_cross
+            and not leaves_changed
+            and not cond_leaves_changed
+        ):
             continue
         if name in acks:
             continue
@@ -150,6 +169,14 @@ def compare_sweeps(
         elif p != c:
             problems.append(
                 f"{name}: CHANGED condition text: {p} -> {c}"
+            )
+        elif cond_leaves_changed:
+            # Same condition text, different build composition — the
+            # text survives a source swap when column names match, so
+            # the conditioned class carries leaf identity too.
+            problems.append(
+                f"{name}: conditioned build composition changed under "
+                f"identical condition text: {p_cl} -> {c_cl} — adjudicate"
             )
         if p_cross != c_cross:
             problems.append(

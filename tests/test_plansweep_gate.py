@@ -189,6 +189,40 @@ def test_compare_flags_synthetic_changes():
     pre_r13 = {"scalar_q": {"cross": 1, "conditioned": []}, "_allowed": []}
     assert pc.compare_sweeps(pre_r13, swapped_b) == []
 
+    # Conditioned nodes carry leaf identity too: identical condition
+    # text over a swapped build side flags (the text survives a source
+    # swap when column names match).
+    cond_a = {
+        "band_q": {
+            "cross": 0,
+            "conditioned": ["(a < b)"],
+            "conditioned_leaves": [["(a < b)", ["parquet:part.parquet"]]],
+        },
+        "_allowed": ["band_q"],
+    }
+    cond_b = {
+        "band_q": {
+            "cross": 0,
+            "conditioned": ["(a < b)"],
+            "conditioned_leaves": [["(a < b)", ["parquet:orders.parquet"]]],
+        },
+        "_allowed": ["band_q"],
+    }
+    probs = pc.compare_sweeps(cond_a, cond_b)
+    assert probs == [
+        "band_q: conditioned build composition changed under identical "
+        "condition text: [('(a < b)', ('parquet:part.parquet',))] -> "
+        "[('(a < b)', ('parquet:orders.parquet',))] — adjudicate"
+    ], probs
+    assert pc.compare_sweeps(cond_a, cond_a) == []
+    # Pre-schema fallback: a prior artifact without conditioned_leaves
+    # compares by text only.
+    cond_old = {
+        "band_q": {"cross": 0, "conditioned": ["(a < b)"]},
+        "_allowed": ["band_q"],
+    }
+    assert pc.compare_sweeps(cond_old, cond_b) == []
+
     # Errored names (hand-committed artifact) flag on the current side
     # and are skipped as a basis on the previous side — never read as
     # "its nested loops disappeared".
