@@ -92,6 +92,30 @@ def test_every_allowance_is_used_in_current_sweep():
     )
 
 
+def test_current_sweep_is_internally_consistent():
+    """The artifact's redundant views of the same nodes must agree:
+    cross == len(cross_leaves) and the conditioned text list must equal
+    the texts inside conditioned_leaves — the compare reads different
+    views for different flags, so a hand-edited artifact that desyncs
+    them would show different truths to different checks."""
+    pc = _load("plansweep_compare")
+    arts = pc.newest_artifacts(REPO)
+    assert arts, "no PLANSWEEP_r*.json committed — run scripts/plan_sweep.py --json"
+    cur = json.loads(arts[-1].read_text())
+    for name, entry in cur.items():
+        if name.startswith("_"):
+            continue
+        if "cross_leaves" in entry:
+            assert entry["cross"] == len(entry["cross_leaves"]), name
+        if "conditioned_leaves" in entry:
+            assert sorted(entry["conditioned"]) == sorted(
+                pair[0] for pair in entry["conditioned_leaves"]
+            ), name
+        assert entry.get("cross", 0) or entry.get("conditioned"), (
+            f"{name}: entry with no nested-loop nodes at all should be absent"
+        )
+
+
 def test_compare_flags_synthetic_changes():
     pc = _load("plansweep_compare")
     base = {
