@@ -14,8 +14,10 @@ classifies each BroadcastNestedLoopJoin / CartesianProduct node by its
 join condition:
 
 * ``Join condition: None`` (a pure Cross) — the deliberate
-  broadcast-hinted scalar-aggregate crossJoin pattern; benign, ~90
-  queries carry one, counted but never flagged.
+  broadcast-hinted scalar-aggregate crossJoin pattern; benign (83
+  nodes across 47 queries as of r13), counted and identified by
+  subtree leaf sources but never flagged here — growth and
+  substitution are plansweep_compare's round-over-round job.
 * a REAL condition — a join that nested-loops per left row; flagged
   unless the query is in the audited ALLOWED set below with a written
   size bound.
