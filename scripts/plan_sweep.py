@@ -132,7 +132,8 @@ def main() -> int:
     ap.add_argument(
         "--json",
         help="dump {name: {cross: n, cross_leaves: [[leaf, ...], ...], "
-        "conditioned: [cond, ...]}} for every query with any nested-loop "
+        "conditioned: [cond, ...], conditioned_leaves: [[cond, "
+        "[leaf, ...]], ...]}} for every query with any nested-loop "
         "node, plus _allowed (the ALLOWED snapshot) and _errors "
         "(build-errored names) metadata keys",
     )

@@ -87,7 +87,16 @@ ADJUDICATED: dict[int, dict[str, str]] = {}
 
 
 def _conds(art: dict, name: str) -> list[str]:
-    return sorted(art.get(name, {}).get("conditioned", []))
+    """Condition texts, derived from conditioned_leaves when the
+    artifact carries it (one source of truth — a hand-edit desyncing
+    the redundant 'conditioned' key then cannot show this gate a
+    different set of texts than the leaves view), falling back to the
+    bare 'conditioned' key for pre-r13 artifacts."""
+    entry = art.get(name, {})
+    pairs = entry.get("conditioned_leaves")
+    if pairs is not None:
+        return sorted(cond for cond, _leaves in pairs)
+    return sorted(entry.get("conditioned", []))
 
 
 def _cross(art: dict, name: str) -> int:
@@ -146,6 +155,25 @@ def compare_sweeps(
         )
         p_cl, c_cl = _conditioned_leaves(prev, name), _conditioned_leaves(cur, name)
         cond_leaves_changed = p_cl is not None and c_cl is not None and p_cl != c_cl
+        # Only the PREVIOUS side may legitimately predate the leaf
+        # schema (the r12 bootstrap); a current entry missing a field
+        # its predecessor carried is a generator regression or a
+        # hand-edit that would otherwise silently disable the identity
+        # gates for that query (fourth r13 review pass).
+        schema_lost = [
+            field
+            for field, p_has, c_has in (
+                ("cross_leaves", p_leaves is not None, c_leaves is not None),
+                ("conditioned_leaves", p_cl is not None, c_cl is not None),
+            )
+            if p_has and not c_has and name in cur
+        ]
+        if schema_lost:
+            problems.append(
+                f"{name}: current artifact dropped {schema_lost} — "
+                "generator regression or hand-edit; regenerate the sweep"
+            )
+            continue
         if (
             p == c
             and p_cross == c_cross
