@@ -77,90 +77,109 @@ def _load_all() -> None:
 # driver-side correctness evidence (or changed since their last green row)
 # ahead of queries whose green rows already stand from a prior round.
 #
-# Round 13 rotation.  Basis (COMPUTED by scripts/evidence_audit.py over
+# Round 14 rotation.  Basis (COMPUTED by scripts/evidence_audit.py over
 # a FIXED round range — the note is stamped with the round it describes
 # so the suite stays green after later artifacts land;
 # tests/test_evidence_audit.py recomputes audit(max_round=as_of_round)
 # and asserts this line matches, and separately proves the comparison is
 # immune to a synthetic future-round artifact):
-#   evidence_audit as_of_round=12: registered=369 unique_checked=369 ever_green=369 \
+#   evidence_audit as_of_round=13: registered=369 unique_checked=369 ever_green=369 \
 #     never_checked=0 net_new_last_round=0
 # The ledger stays fully closed (zero never-checked, zero
 # latest-round-red, zero net-new), so the window is pure post-backlog
 # policy: (a) mechanical re-window flags lead (scripts/rewindow_check.py
-# vs the r12-end rev b62fd5f — ZERO flags: r13 is a gate-building round,
-# no registered query module changed); then (b) OLDEST-EVIDENCE-FIRST
-# rotation — registered names ordered by last-green round ascending
-# (registration order among ties, printed by
+# vs the r13-end rev 6efeba3 — ZERO flags: r14 is a gate-hardening
+# round, no registered query module changed); then (b)
+# OLDEST-EVIDENCE-FIRST rotation — registered names ordered by
+# last-green round ascending (registration order among ties, printed by
 # `evidence_audit.py --stale-order` and filled by round_start.py),
-# continuing the round-1 cohort from where the r12 window stopped
-# (stream_static_enrich / stream_global_topk_users /
-# events_time_weighted_avg onward per the r12 note's plan).  Every
-# name passes the local one-session driver replica
-# (tests/test_oracle.py) and the plain-session derisk_window.py sweep,
-# so rotation stays pure evidence collection.
+# continuing the round-1 cohort from where the r13 window stopped
+# (graph_degree_assortativity / customer_wallet_share_deciles /
+# credit_risk_exposure onward per the r13 note's plan).  Every name
+# passes the local one-session driver replica (tests/test_oracle.py)
+# and the plain-session derisk_window.py sweep, so rotation stays pure
+# evidence collection.
+#
+# EVIDENCE-FRESHNESS SLO (machine-enforced since round 14 by
+# tests/test_evidence_freshness.py, driven by
+# scripts/evidence_audit.py just like the timing/plansweep gates):
+# no registered query's last driver-green round may be older than
+# MAX_EVIDENCE_AGE_ROUNDS = 8 rounds behind the newest landed
+# CORRECTNESS artifact.  Rationale: the driver re-checks 50 names per
+# round, so a correctly-rotated 369-name registry revisits every name
+# within ceil(369 / 50) = 8 rounds; evidence older than that means a
+# window was skipped or mis-composed (rotation not oldest-first), which
+# previously reddened nothing.  The test also asserts the CURRENT
+# tuple is a prefix-faithful oldest-evidence-first slice, so a
+# mis-rotated tuple fails BEFORE its round lands, not 8 rounds later.
 _WINDOW_PRIORITY: tuple[str, ...] = (
     # oldest-evidence-first rotation fill (last green: round 1),
-    # continuing the r12 cohort
-    "stream_static_enrich",
-    "stream_global_topk_users",
-    "events_time_weighted_avg",
-    "table_profile_orders",
-    "incremental_agg_merge",
-    "histogram_fixed_bins",
-    "events_anomaly_zscore",
-    "pareto_cum_revenue_share",
-    "join_null_safe_equality",
-    "scd2_dimension_intervals",
-    "events_markov_transitions",
-    "orders_backlog_curve",
-    "funnel_time_to_convert",
-    "explode_outer_semantics",
-    "variant_semistructured_events",
-    "events_top_paths",
-    "orders_rfm_segments",
-    "window_rolling_median",
-    "events_burst_users",
-    "growth_mom_by_nation",
-    "users_new_vs_returning",
-    "agg_weighted_median",
-    "window_gap_islands",
-    "agg_approx_percentile_eval",
-    "window_rolling_percentile_7d",
-    "scalar_higher_order_maps",
-    "table_diff_snapshots",
-    "join_range_band_pricing",
-    "scalar_try_safe_casts",
-    "orders_duplicate_payments",
-    "skyline_pareto_frontier",
-    "graph_link_prediction_jaccard",
-    "scalar_business_days_gap",
-    "inventory_abc_xyz_matrix",
-    "bandit_greedy_replay",
-    "events_littles_law_report",
-    "orders_fiscal_445_revenue",
-    "supplier_scorecard_composite",
-    "topn_with_others_rollup",
-    "xml_ingest_roundtrip",
-    "xml_ingest_roundtrip_artist",
-    "xml_ingest_roundtrip_master",
-    "xml_ingest_roundtrip_label",
-    "process_conformance_sessions",
-    "supply_single_source_risk",
-    "revenue_bridge_price_volume",
-    "graph_edge_triangle_support",
-    "allocation_largest_remainder",
-    "rank_wilson_lower_bound",
-    "orders_open_aging_buckets",
-    # ROUND-14 ROTATION NOTE: keep the post-backlog policy — refresh the
-    # audit line to as_of_round=13 and COVERAGE.md's evidence paragraph
+    # continuing the r13 cohort
+    "graph_degree_assortativity",
+    "customer_wallet_share_deciles",
+    "credit_risk_exposure",
+    "audit_sequence_gaps",
+    "parts_bundle_detection",
+    "supplier_leadtime_p90",
+    "customers_churned_1997",
+    "conversion_by_session_depth",
+    "orders_otif_rate",
+    "features_target_encoding_loo",
+    "parts_price_dispersion",
+    "attribution_shapley_two_channel",
+    "price_endings_audit",
+    "orders_repeat_probability_curve",
+    "relational_division_all_orders_above",
+    "reach_cumulative_users",
+    "nested_agg_avg_of_sums",
+    "participation_inequality_901",
+    "graph_rich_club",
+    "segment_migration_matrix",
+    "pivot_multi_aggregate",
+    "events_transition_latency",
+    "calendar_comparability_eval",
+    "returns_by_basket_size",
+    "activity_comovement_matrix",
+    "inventory_safety_stock",
+    "first_order_value_predictiveness",
+    "discount_response_curve",
+    "graph_edge_formation_rate",
+    "pricing_consistency_audit",
+    "priority_sla_fairness",
+    "path_entropy_by_outcome",
+    "shipping_consolidation_opportunity",
+    "users_activity_bitmask",
+    "xml_datasource_stream_scan",
+    "xml_ingest_label_values",
+    "lake_maintenance_roundtrip",
+    "embedding_random_projection",
+    "similarity_ann_multiprobe",
+    "similarity_ann_multiprobe_recall",
+    "vocab_oov_rate",
+    "ngram_next_word_top",
+    "similarity_sparse_cosine_pairs",
+    "contrastive_pair_mining",
+    "vocab_hapax_rate",
+    "dedup_containment",
+    "quality_percentile_by_lang",
+    "embedding_dispersion_by_label",
+    "dedup_substring_windows",
+    "text_search_phrase",
+    # ROUND-15 ROTATION NOTE: keep the post-backlog policy — refresh the
+    # audit line to as_of_round=14 and COVERAGE.md's evidence paragraph
     # as the first commit, then compose the window with
-    # `python scripts/round_start.py <r13-end-rev>`: mechanical
+    # `python scripts/round_start.py <r14-end-rev>`: mechanical
     # re-window flags lead, oldest-evidence-first rotation fills (after
-    # r13 lands green the stalest cohort continues from where this
+    # r14 lands green the stalest cohort continues from where this
     # window stopped — `python scripts/evidence_audit.py --stale-order`
-    # prints the basis).
+    # prints the basis).  tests/test_evidence_freshness.py now reddens
+    # a skipped or mis-composed rotation automatically.
 )
+
+# Evidence-freshness bound enforced by tests/test_evidence_freshness.py.
+# 369 names / 50 driver checks per round => every name re-verified
+# within ceil(369/50) = 8 rounds under correct oldest-first rotation.
+MAX_EVIDENCE_AGE_ROUNDS = 8
 
 
 def all_specs() -> dict[str, QuerySpec]:
