@@ -113,8 +113,9 @@ def _load_all() -> None:
 # tuple is a prefix-faithful oldest-evidence-first slice, so a
 # mis-rotated tuple fails BEFORE its round lands, not 8 rounds later.
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    # oldest-evidence-first rotation fill (last green: round 1),
-    # continuing the r13 cohort
+    # oldest-evidence-first rotation fill (last green: round 6 for the
+    # first 37 names, round 7 for the rest), continuing from the name
+    # after the r13 window's end per evidence_audit --stale-order
     "graph_degree_assortativity",
     "customer_wallet_share_deciles",
     "credit_risk_exposure",

@@ -124,6 +124,59 @@ def audit(
     }
 
 
+# Evidence-freshness enforcement (verdict r13 task #1).  The rotation
+# that keeps the ledger trustworthy was convention until round 14; these
+# helpers make it a suite gate (tests/test_evidence_freshness.py), the
+# same script-owned-logic/thin-test pattern as timing_compare/plan_sweep.
+
+# A window legitimately leads with mechanically re-windowed names
+# (rewindow_check.py flags) before the oldest-evidence-first fill.  The
+# largest flag block on record is 14 (round 11's empty-input hardening);
+# cap it at half the window so a tuple of 50 arbitrary fresh names can
+# never masquerade as "all flags".  If a round genuinely re-windows more
+# than 25 registered queries, raise this WITH the rationale in the
+# commit message.
+MAX_FLAG_BLOCK = 25
+
+
+def stale_names(stats: dict, bound: int) -> list[str]:
+    """Registered names whose last driver-green round trails the newest
+    landed artifact by MORE than ``bound`` rounds.
+
+    Never-checked names are exempt here: they carry no last-green round
+    by definition, and the window-composition check forces them to the
+    front of the rotation (they sort as round 0 in stale order), so they
+    cannot hide.  An empty return means the freshness SLO holds.
+    """
+    newest = max(stats["rounds"], default=0)
+    last_green = stats["last_green_round"]
+    return sorted(
+        n
+        for n in stats["stale_order_names"]
+        if n in last_green and newest - last_green[n] > bound
+    )
+
+
+def window_flag_split(
+    window: tuple[str, ...] | list[str],
+    stale_order: list[str],
+    max_flag_block: int = MAX_FLAG_BLOCK,
+) -> int | None:
+    """Smallest ``k`` such that ``window[k:]`` is exactly the
+    oldest-evidence-first fill over ``stale_order`` after excluding the
+    leading ``k`` flag names — or ``None`` if no ``k <= max_flag_block``
+    satisfies it (the tuple is mis-rotated: out of order, skips a stale
+    name, or contains fresh names beyond the allowed flag block).
+    """
+    w = list(window)
+    for k in range(0, min(len(w), max_flag_block) + 1):
+        flags = set(w[:k])
+        fill = [n for n in stale_order if n not in flags][: len(w) - k]
+        if w[k:] == fill:
+            return k
+    return None
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--json", action="store_true")

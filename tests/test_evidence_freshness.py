@@ -1,0 +1,163 @@
+"""Evidence freshness is MACHINE-ENFORCED, not ritual (verdict r13 #1).
+
+Hash, wall-time, and plan shape have suite gates; until round 14 the
+50-name evidence rotation was the last convention-only gate — a skipped
+or mis-composed window reddened nothing, and the ledger could silently
+go stale.  Two properties close that:
+
+1. STALENESS SLO — no registered query's last driver-green round may
+   trail the newest landed CORRECTNESS artifact by more than
+   ``registry.MAX_EVIDENCE_AGE_ROUNDS`` rounds.  The bound is derived,
+   not chosen: the driver re-checks 50 names per round, so a correctly
+   rotated registry revisits every name within ceil(registered/50)
+   rounds (369/50 -> 8).  A dedicated test pins the constant to that
+   formula so registry growth forces a conscious update.
+
+2. WINDOW COMPOSITION — the CURRENT ``_WINDOW_PRIORITY`` tuple must be
+   a leading flag block (mechanical re-windows, capped at
+   ``evidence_audit.MAX_FLAG_BLOCK``) followed by the byte-exact
+   oldest-evidence-first fill from ``stale_order_names``.  This fails a
+   mis-rotated tuple BEFORE its round lands, not 8 rounds later when
+   the SLO finally trips.
+
+Both are driven by scripts/evidence_audit.py (same script-owns-logic /
+thin-test pattern as the timing and plansweep gates), over the note's
+fixed ``as_of_round`` basis for composition (later artifacts cannot
+perturb it) and the unbounded basis for the SLO (freshness is about
+the present).
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import math
+import re
+from pathlib import Path
+
+from discogs_etl_spark import registry
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _mod():
+    spec = importlib.util.spec_from_file_location(
+        "evidence_audit", REPO / "scripts" / "evidence_audit.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _as_of_round() -> int:
+    src = (REPO / "discogs_etl_spark" / "registry.py").read_text()
+    m = re.search(r"evidence_audit as_of_round=(\d+):", src)
+    assert m, "registry rotation note lost its audit line"
+    return int(m.group(1))
+
+
+def test_staleness_bound_is_derived_from_registry_size():
+    stats = _mod().audit(REPO)
+    expected = math.ceil(stats["registered"] / 50)
+    assert registry.MAX_EVIDENCE_AGE_ROUNDS == expected, (
+        f"MAX_EVIDENCE_AGE_ROUNDS={registry.MAX_EVIDENCE_AGE_ROUNDS} but "
+        f"{stats['registered']} names / 50 driver checks per round needs "
+        f"ceil = {expected} — update the constant and its rationale in "
+        "registry.py together"
+    )
+
+
+def test_no_registered_query_evidence_exceeds_slo():
+    mod = _mod()
+    stats = mod.audit(REPO)  # unbounded: freshness is about the present
+    stale = mod.stale_names(stats, registry.MAX_EVIDENCE_AGE_ROUNDS)
+    assert stale == [], (
+        f"{len(stale)} queries' driver evidence is older than "
+        f"{registry.MAX_EVIDENCE_AGE_ROUNDS} rounds: {stale[:10]} — a "
+        "rotation window was skipped or mis-composed; put these names at "
+        "the front of _WINDOW_PRIORITY"
+    )
+
+
+def test_staleness_check_flags_ancient_evidence(tmp_path):
+    # Prove the SLO test CAN fail: rebuild the artifact set with one real
+    # registered name stripped from every round after its first green, so
+    # its last-green round goes ancient, and assert stale_names names it.
+    mod = _mod()
+    rounds = mod._round_artifacts(REPO)
+    # any name green in the EARLIEST artifact works as the victim — its
+    # first green is old enough to exceed the bound once later rows go
+    earliest = json.loads(rounds[0][1].read_text())
+    registered = set(registry.all_specs())
+    victim = next(
+        n for n, row in earliest.items() if n in registered and mod._is_green(row)
+    )
+    first_green = None
+    for n, p in rounds:
+        data = json.loads(p.read_text())
+        if victim in data and first_green is None and mod._is_green(data[victim]):
+            first_green = n
+        elif first_green is not None:
+            data.pop(victim, None)
+        (tmp_path / p.name).write_text(json.dumps(data))
+    assert first_green is not None, f"{victim} never green in real artifacts"
+    stats = mod.audit(REPO, artifacts_dir=tmp_path)
+    newest = max(stats["rounds"])
+    assert newest - first_green > registry.MAX_EVIDENCE_AGE_ROUNDS, (
+        "pick a victim whose first green round is old enough for this test"
+    )
+    stale = mod.stale_names(stats, registry.MAX_EVIDENCE_AGE_ROUNDS)
+    assert victim in stale, "stale_names failed to flag ancient evidence"
+
+
+def test_window_is_oldest_evidence_first_slice():
+    mod = _mod()
+    stats = mod.audit(REPO, max_round=_as_of_round())
+    k = mod.window_flag_split(registry._WINDOW_PRIORITY, stats["stale_order_names"])
+    assert k is not None, (
+        "_WINDOW_PRIORITY is not a flag-block + oldest-evidence-first "
+        "slice of evidence_audit --stale-order — recompose it with "
+        "scripts/round_start.py"
+    )
+
+
+def test_mis_rotated_tuples_are_rejected():
+    mod = _mod()
+    stats = mod.audit(REPO, max_round=_as_of_round())
+    order = stats["stale_order_names"]
+    window = list(registry._WINDOW_PRIORITY)
+    split = mod.window_flag_split
+
+    # (a) two rotation names swapped out of stale order
+    swapped = list(window)
+    swapped[30], swapped[40] = swapped[40], swapped[30]
+    assert split(swapped, order) is None
+
+    # (b) the stalest name skipped (the window shifted by one) — the
+    # exact failure mode of a skipped/mis-started rotation
+    shifted = [n for n in order if n not in window][:1]
+    assert shifted, "registry smaller than the window?"
+    skipped = window[1:] + shifted
+    assert split(skipped, order) is None
+
+    # (c) a fresh name smuggled into the tail
+    freshest = order[-1]
+    assert freshest not in window
+    smuggled = window[:-1] + [freshest]
+    assert split(smuggled, order) is None
+
+    # (d) 50 arbitrary fresh names cannot masquerade as "all flags"
+    fresh = [n for n in reversed(order) if n not in window][:50]
+    assert split(fresh, order) is None
+
+
+def test_flag_block_composition_is_accepted():
+    # A tuple led by re-window flags drawn from DEEP in the stale order
+    # (i.e. names that are NOT the stalest) must still validate, with the
+    # split landing exactly past the flag block.
+    mod = _mod()
+    stats = mod.audit(REPO, max_round=_as_of_round())
+    order = stats["stale_order_names"]
+    flags = order[200:203]
+    fill = [n for n in order if n not in set(flags)][:47]
+    assert mod.window_flag_split(flags + fill, order) == 3
