@@ -31,6 +31,19 @@ from discogs_etl_spark.session import get_spark
 from discogs_etl_spark.tables import load
 
 
+# 1-min loadavg threshold above which a bench reading self-flags as
+# load-contaminated (the box runs the bench alone; any standing load ≥1
+# core at start is foreign work competing for the same CPUs).
+LOAD_CONTAMINATION_1M = 1.0
+
+
+def _contaminated(load_before: list[float] | None) -> bool:
+    """True when the pre-warmup 1-min loadavg says foreign work held
+    cores during the measured window (unknown loadavg = not flagged —
+    the stamp asserts contamination, never cleanliness)."""
+    return bool(load_before and load_before[0] > LOAD_CONTAMINATION_1M)
+
+
 def _sf_from_dir(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -183,6 +196,15 @@ def main() -> None:
                 # the bench's own parallelism are contention artifacts
                 "loadavg_before": load_before,
                 "loadavg_after": _loadavg(),
+                # Self-flag contaminated readings (verdict r13 task #3):
+                # BENCH_r13 shipped a 25.30 s artifact captured at
+                # loadavg 2.6 and nothing in it said "don't trust this"
+                # — adjudication took a judge re-run.  A 1-min loadavg
+                # above 1.0 at start means OTHER work held cores while
+                # the bench warmed up; the reading is an upper bound,
+                # not a level, and the round-close note must quote this
+                # field.
+                "load_contaminated": _contaminated(load_before),
             }
         )
     )

@@ -195,16 +195,32 @@ def fingerprint(df, *, executed: bool = True) -> dict[str, int]:
     return counts
 
 
-def _subtree_leaves(jnode) -> list[str]:
-    """Sorted leaf-source descriptors under a physical node — the
+def _subtree_identity(jnode) -> tuple[list[str], list[str]]:
+    """``(leaves, shape)`` of the subtree under a physical node — the
     IDENTITY of a nested-loop node beyond its mere presence (r13
     review): two condition-less crosses count the same, but a 1-row
     scalar-aggregate cross over ``range`` and a data-sized pure cross
     over a parquet table have different leaf sets, so recording them
     makes a like-for-like count substitution visible round-over-round.
-    Parquet scans name their root paths; other leaf classes reduce to
-    their kind (an RDD scan's string form carries session expr-ids, so
-    only the class is artifact-stable).
+
+    ``leaves`` — sorted leaf-source descriptors.  Parquet scans name
+    their root paths; other known leaf classes reduce to their kind (an
+    RDD scan's string form carries session expr-ids, so only the class
+    is artifact-stable); a zero-children node of an UNRECOGNIZED class
+    (e.g. a DSv2 BatchScanExec) still contributes ``other:<ClassName>``
+    so unknown sources carry identity instead of silently dropping out
+    of the leaf set (r13 ADVICE — a swap between two unrecognized
+    source kinds must not be invisible).
+
+    ``shape`` — the subtree's node-class MULTISET, rendered as sorted
+    ``"ClassName:count"`` strings over every distinct physical node
+    (wrapper kinds — Adaptive/QueryStage/Reused — excluded; class
+    names only, so the rendering is expr-id-free and artifact-stable).
+    This is the r13 residual's closure (verdict r13 task #2): a
+    condition-less cross substitution that preserves BOTH the count
+    and the exact leaf sets still differs in the operators BETWEEN
+    the leaves and the cross — a scalar aggregate feeding a broadcast
+    is a different class multiset than a projection feeding one.
 
     Own traversal, NOT ``_walk``: _walk's ``Reused*`` early-return is
     correct for a global walk (the target is reached through its
@@ -215,6 +231,7 @@ def _subtree_leaves(jnode) -> list[str]:
     identity question is "what sources feed this node", and a reused
     exchange is fed by the original's sources."""
     out: list[str] = []
+    cls_counts: dict[str, int] = {}
     stack = [jnode]
     seen: set = set()
     while stack:
@@ -235,6 +252,8 @@ def _subtree_leaves(jnode) -> list[str]:
         if node_id in seen:
             continue
         seen.add(node_id)
+        cls_counts[cls] = cls_counts.get(cls, 0) + 1
+        children = n.children()
         if cls == "FileSourceScanExec":
             paths = n.relation().location().rootPaths()
             names = sorted(
@@ -249,16 +268,18 @@ def _subtree_leaves(jnode) -> list[str]:
             out.append("range")
         elif cls == "InMemoryTableScanExec":
             stack.append(n.relation().cachedPlan())
-        children = n.children()
+        elif children.size() == 0:
+            out.append(f"other:{cls}")
         for i in range(children.size()):
             stack.append(children.apply(i))
-    return sorted(out)
+    shape = sorted(f"{c}:{k}" for c, k in cls_counts.items())
+    return sorted(out), shape
 
 
 def nested_loop_nodes(df) -> list[dict]:
     """Every BroadcastNestedLoopJoin / CartesianProduct node in the
     STATIC physical plan, as ``{"cond": <Expression.sql() or "None">,
-    "leaves": [<leaf descriptor>, ...]}``.
+    "leaves": [<leaf descriptor>, ...], "shape": ["Cls:count", ...]}``.
 
     The discriminator the full-registry sweep keys on: a condition-less
     Cross nested loop is the deliberate broadcast-hinted scalar
@@ -268,16 +289,19 @@ def nested_loop_nodes(df) -> list[dict]:
     the r10 recsys_holdout_hitrate bug class (an OR-of-equalities
     condition nested-looping), unless it is a documented non-equi band
     join.  ``leaves`` gives the condition-less class an identity the
-    bare count lacks."""
+    bare count lacks; ``shape`` (the subtree node-class multiset) makes
+    even a same-count same-leaves substitution visible."""
     out = []
     for cls, node in iter_physical_nodes(df, executed=False):
         if cls not in ("BroadcastNestedLoopJoinExec", "CartesianProductExec"):
             continue
         cond = node.condition()
+        leaves, shape = _subtree_identity(node)
         out.append(
             {
                 "cond": cond.get().sql() if cond.isDefined() else "None",
-                "leaves": _subtree_leaves(node),
+                "leaves": leaves,
+                "shape": shape,
             }
         )
     return out

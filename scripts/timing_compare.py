@@ -72,6 +72,17 @@ COLD_START_MAX_SEC: dict[str, float] = {
     "supplier_greedy_cover": 10.0,
 }
 
+# The cold band is not a blank check (r13 ADVICE): clearing any sub-cap
+# reading regardless of the prior round would let a PERSISTENT sub-cap
+# wall (1.6-2.0 s warm band -> ~9.9 s, a 5-6x slowdown) pass silently
+# every round.  A cleared reading must also be within this ratio of
+# the prior-round entry — sized to the adjudicated cold/warm spread
+# with headroom (the audited worst case is 9.5 s cold over a 2.9 s
+# committed prior = 3.3x, cleared; the advisory's 9.9 s over a 1.6-2.0 s
+# warm prior is 5-6x, flags and goes through the normal
+# time_registry --baseline re-run adjudication).
+COLD_START_CLEARED_RATIO = 4.0
+
 
 def compare_pairs(
     prev: dict[str, float | None],
@@ -94,7 +105,10 @@ def compare_pairs(
         if t_prev is None:
             continue  # new query or previously-errored: no basis yet
         limit = BASELINE_TAIL_RATIO if name in BASELINE_TAIL else ratio
-        if t_cur <= COLD_START_MAX_SEC.get(name, 0.0):
+        if (
+            t_cur <= COLD_START_MAX_SEC.get(name, 0.0)
+            and t_cur <= t_prev * COLD_START_CLEARED_RATIO
+        ):
             continue  # inside the name's adjudicated cold-start band
         # Floor: a single cold run varies by up to ~3.5 s on its own
         # (measured); a regression that stays under the floor cannot be

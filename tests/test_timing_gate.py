@@ -96,6 +96,14 @@ def test_cold_start_allowance_bounds_not_blanket():
     assert tc.compare_pairs({name: 2.9}, {name: cap + 20.0}) == [
         (name, 2.9, cap + 20.0)
     ]
+    # r13 ADVICE: the band covers cold-start VARIANCE, not any sub-cap
+    # wall — a sub-cap reading more than COLD_START_CLEARED_RATIO over
+    # the prior round (the 1.8 s warm -> 9.9 s persistent-slowdown
+    # scenario) flags despite being under the cap.
+    assert tc.compare_pairs({name: 1.8}, {name: 9.9}) == [(name, 1.8, 9.9)]
+    assert 9.9 <= cap and 9.9 > 1.8 * tc.COLD_START_CLEARED_RATIO
+    # ...while the audited cold spread over a committed prior clears.
+    assert 9.5 <= 2.9 * tc.COLD_START_CLEARED_RATIO
     # An errored entry is never cleared by the band.
     assert tc.compare_pairs({name: 2.9}, {name: None}) == [(name, 2.9, None)]
     # Every allowance names a registered query (no typo-shadowed caps).
