@@ -112,6 +112,15 @@ def _load_all() -> None:
 # previously reddened nothing.  The test also asserts the CURRENT
 # tuple is a prefix-faithful oldest-evidence-first slice, so a
 # mis-rotated tuple fails BEFORE its round lands, not 8 rounds later.
+# The ceil(369/50) derivation assumes full-window rotation, while the
+# composition gate sanctions up to MAX_FLAG_BLOCK=25 re-window slots
+# per round — that tension is reconciled at COMPOSITION time, not by
+# widening the bound: the freshness test also requires every
+# SLO-endangered name (evidence_audit.endangered_names — would exceed
+# the bound once the next artifact lands) to appear in the current
+# window, so a flag block large enough to starve the rotation reddens
+# the round it is composed, forcing a conscious split or a documented
+# bound change rather than a silent SLO trip several rounds later.
 _WINDOW_PRIORITY: tuple[str, ...] = (
     # oldest-evidence-first rotation fill (last green: round 6 for the
     # first 37 names, round 7 for the rest), continuing from the name

@@ -143,10 +143,16 @@ def stale_names(stats: dict, bound: int) -> list[str]:
     """Registered names whose last driver-green round trails the newest
     landed artifact by MORE than ``bound`` rounds.
 
-    Never-checked names are exempt here: they carry no last-green round
-    by definition, and the window-composition check forces them to the
-    front of the rotation (they sort as round 0 in stale order), so they
-    cannot hide.  An empty return means the freshness SLO holds.
+    Names WITHOUT a last-green round are exempt here, which covers two
+    distinct populations (r14 review): never-CHECKED names carry no
+    evidence by definition and the window-composition check forces them
+    to the front of the rotation (they sort as round 0 in stale order),
+    so they cannot hide; never-GREEN names (checked, red on every
+    attempt) are a DEFECT, not a freshness problem, and are gated
+    separately by ``test_every_registered_query_has_green_evidence``
+    (ever_green == registered on the unbounded basis) so they cannot
+    ride this exemption either.  An empty return means the freshness
+    SLO holds.
     """
     newest = max(stats["rounds"], default=0)
     last_green = stats["last_green_round"]
@@ -154,6 +160,33 @@ def stale_names(stats: dict, bound: int) -> list[str]:
         n
         for n in stats["stale_order_names"]
         if n in last_green and newest - last_green[n] > bound
+    )
+
+
+def endangered_names(stats: dict, bound: int) -> list[str]:
+    """Names whose evidence will EXCEED ``bound`` once the next round's
+    artifact lands unless this round's window re-checks them — i.e. the
+    names the CURRENT window must contain for the staleness SLO to be
+    satisfiable at all.
+
+    This is what reconciles the SLO with the flag block (r14 review):
+    the SLO's ``ceil(registered / 50)`` derivation assumes every window
+    slot rotates, but up to ``MAX_FLAG_BLOCK`` slots may legitimately
+    re-check fresh names after a re-window.  Requiring endangered ⊆
+    window turns that tension into a composition-time error — a flag
+    block so large it would push a name past the SLO reddens THIS round
+    (split the change, or consciously raise the bound), instead of the
+    SLO tripping rounds later with every intervening window "valid".
+    Endangered names are by construction the head of ``stale_order``,
+    so a window composed per ``window_flag_split`` only misses them
+    when the flag block crowds them out.
+    """
+    newest = max(stats["rounds"], default=0)
+    last_green = stats["last_green_round"]
+    return sorted(
+        n
+        for n in stats["stale_order_names"]
+        if n in last_green and (newest + 1) - last_green[n] > bound
     )
 
 
@@ -167,12 +200,29 @@ def window_flag_split(
     leading ``k`` flag names — or ``None`` if no ``k <= max_flag_block``
     satisfies it (the tuple is mis-rotated: out of order, skips a stale
     name, or contains fresh names beyond the allowed flag block).
+
+    Two honest limits (r14 review), both bounded rather than closed:
+
+    * The flag block itself is TRUST-based — its names come from
+      ``rewindow_check`` against a base rev this static check cannot
+      reproduce, so up to ``max_flag_block`` leading names are accepted
+      unverified.  The damage is bounded, not eliminated: the fill
+      still rotates ``len(window) - k`` genuinely-oldest names, and the
+      companion endangered-names check (``endangered_names``) rejects
+      any window whose flag block crowds out a name the staleness SLO
+      needs this round.
+    * A match is only accepted when the fill is NON-EMPTY (or there is
+      genuinely nothing to fill from): without that, any window no
+      longer than ``max_flag_block`` would validate vacuously —
+      ``k = len(window)`` makes both sides of the comparison empty.
     """
     w = list(window)
     for k in range(0, min(len(w), max_flag_block) + 1):
         flags = set(w[:k])
         fill = [n for n in stale_order if n not in flags][: len(w) - k]
         if w[k:] == fill:
+            if not fill and any(n not in flags for n in stale_order):
+                continue  # vacuous: whole window absorbed as "flags"
             return k
     return None
 

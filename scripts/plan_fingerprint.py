@@ -215,12 +215,25 @@ def _subtree_identity(jnode) -> tuple[list[str], list[str]]:
     ``shape`` — the subtree's node-class MULTISET, rendered as sorted
     ``"ClassName:count"`` strings over every distinct physical node
     (wrapper kinds — Adaptive/QueryStage/Reused — excluded; class
-    names only, so the rendering is expr-id-free and artifact-stable).
+    names only, so the rendering is expr-id-free and artifact-stable),
+    plus ONE trailing ``"tree:<skeleton>"`` entry carrying the ORDERED
+    class-name tree (``Cls(child,child)`` nesting, same wrapper rules).
     This is the r13 residual's closure (verdict r13 task #2): a
     condition-less cross substitution that preserves BOTH the count
     and the exact leaf sets still differs in the operators BETWEEN
     the leaves and the cross — a scalar aggregate feeding a broadcast
-    is a different class multiset than a projection feeding one.
+    is a different class multiset than a projection feeding one.  The
+    skeleton (r14 review) closes the multiset's own blind spot: a
+    rearrangement that PRESERVES the class multiset — an operator
+    moved from the build side to the stream side, or sibling operators
+    exchanged between branches — changes the ordered tree even though
+    every count is identical.  Remaining residual, documented rather
+    than papered over: expression TEXT inside non-nested-loop
+    operators is not compared (a changed filter predicate under an
+    unchanged skeleton is invisible here) — condition text is compared
+    only on the nested-loop nodes themselves, and value regressions
+    from changed expressions are the correctness gate's jurisdiction,
+    not the plan gate's.
 
     Own traversal, NOT ``_walk``: _walk's ``Reused*`` early-return is
     correct for a global walk (the target is reached through its
@@ -273,7 +286,41 @@ def _subtree_identity(jnode) -> tuple[list[str], list[str]]:
         for i in range(children.size()):
             stack.append(children.apply(i))
     shape = sorted(f"{c}:{k}" for c, k in cls_counts.items())
+    shape.append("tree:" + _skeleton(jnode))
     return sorted(out), shape
+
+
+def _skeleton(jnode) -> str:
+    """Ordered class-name rendering of a physical subtree —
+    ``Cls(child,child)`` — with the same wrapper rules as the multiset
+    walk (Adaptive → initialPlan, QueryStage → plan, Reused* followed
+    into the reused plan, InMemoryTableScan → cachedPlan).  Child order
+    is constructor order, which is deterministic for a given plan; only
+    class simple names appear, so the string is expr-id-free and
+    artifact-stable (verified byte-identical across fresh sessions,
+    same standard as the rest of the sweep schema).  Unlike the
+    multiset walk there is no node-id dedup: a subtree reached through
+    two Reused wrappers renders at both sites, which is exactly the
+    ordered identity we want, and physical plans are acyclic so the
+    recursion terminates."""
+    n = jnode
+    while True:
+        cls = n.getClass().getSimpleName()
+        if cls == "AdaptiveSparkPlanExec":
+            n = n.initialPlan()
+        elif cls.endswith("QueryStageExec"):
+            n = n.plan()
+        elif cls.startswith("Reused"):
+            n = n.child()
+        else:
+            break
+    if cls == "InMemoryTableScanExec":
+        return f"{cls}({_skeleton(n.relation().cachedPlan())})"
+    children = n.children()
+    if children.size() == 0:
+        return cls
+    inner = ",".join(_skeleton(children.apply(i)) for i in range(children.size()))
+    return f"{cls}({inner})"
 
 
 def nested_loop_nodes(df) -> list[dict]:
@@ -289,8 +336,10 @@ def nested_loop_nodes(df) -> list[dict]:
     the r10 recsys_holdout_hitrate bug class (an OR-of-equalities
     condition nested-looping), unless it is a documented non-equi band
     join.  ``leaves`` gives the condition-less class an identity the
-    bare count lacks; ``shape`` (the subtree node-class multiset) makes
-    even a same-count same-leaves substitution visible."""
+    bare count lacks; ``shape`` (the subtree node-class multiset plus
+    a trailing ordered-skeleton entry) makes even a same-count
+    same-leaves substitution or a multiset-preserving rearrangement
+    visible."""
     out = []
     for cls, node in iter_physical_nodes(df, executed=False):
         if cls not in ("BroadcastNestedLoopJoinExec", "CartesianProductExec"):

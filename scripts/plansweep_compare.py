@@ -27,10 +27,16 @@ Fails (exit 1) on:
   cross being SWAPPED for a data-sized one at the same count reddens
   for the other ~330 queries.  Each cross's identity is its subtree's
   leaf-source descriptors (``cross_leaves``) AND its subtree
-  node-class multiset (``cross_shapes`` — leaves paired with shape so
-  the pairing survives sorting): a substitution preserving both the
-  count and the exact leaf sets still moves the operators BETWEEN the
-  leaves and the cross, closing the r13 residual (verdict r13 #2);
+  node-class multiset plus ordered skeleton (``cross_shapes`` — leaves
+  paired with shape so the pairing survives sorting): a substitution
+  preserving both the count and the exact leaf sets still moves the
+  operators BETWEEN the leaves and the cross, closing the r13 residual
+  (verdict r13 #2), and the skeleton entry closes the multiset's own
+  blind spot (r14 review) — a multiset-preserving rearrangement such
+  as an operator moved between the build and stream sides.  Remaining
+  documented residual: expression text inside non-nested-loop
+  operators is not compared (condition text is compared only on the
+  nested-loop nodes themselves);
 * a DISAPPEARED conditioned nested loop — the count shrank, which is
   an improvement but one that must be adjudicated so the matching
   ALLOWED allowance is pruned/lowered the same round (plan_sweep's

@@ -10,12 +10,20 @@ re-windows that burned driver-evidence slots):
 2. the queries the mechanical AST rule says must re-window
    (scripts/rewindow_check.py against the given base rev), and
 3. the proposed 50-name ``_WINDOW_PRIORITY`` body: flagged re-windows
-   first, then never-driver-checked backlog in registration order.
+   first, then the byte-exact oldest-evidence-first fill from
+   ``evidence_audit --stale-order`` — the EXACT composition the
+   freshness gate (``evidence_audit.window_flag_split``) verifies.
+   Never-checked and never-green names need no separate block: both
+   carry no last-green round, so stale order already puts them first
+   (r14 review: a separate backlog block ordered them differently
+   from the gate's expectation whenever never-green names existed).
 
 Paste the outputs into discogs_etl_spark/registry.py (note + tuple) and
 COVERAGE.md's evidence paragraph, then run
-``pytest tests/test_evidence_audit.py tests/test_registry_window.py``
-— those tests verify the paste, so a typo cannot survive.
+``pytest tests/test_evidence_audit.py tests/test_registry_window.py
+tests/test_evidence_freshness.py`` — those tests verify the paste
+(including the freshness gate's composition and endangered-name
+checks), so a typo cannot survive.
 
 Usage::
 
@@ -79,6 +87,14 @@ def main() -> None:
     print(f"\n# 2. mechanical re-windows vs {args.base_rev} ({len(flags)}):")
     for name in flag_order:
         print(f"#   {name}  (dirty: {', '.join(sorted(flags[name]))})")
+    if len(flags) > evidence_audit.MAX_FLAG_BLOCK:
+        print(
+            f"# WARNING: {len(flags)} re-window flags exceed "
+            f"MAX_FLAG_BLOCK={evidence_audit.MAX_FLAG_BLOCK} — the "
+            "composition gate (evidence_audit.window_flag_split) will "
+            "reject this window; split the change across rounds or raise "
+            "the cap WITH rationale in the commit message."
+        )
     if len(flags) > args.window_size:
         print(
             f"# WARNING: {len(flags)} re-window flags exceed the "
@@ -86,31 +102,36 @@ def main() -> None:
             f"first {args.window_size}; split the change across rounds."
         )
 
-    # Fill order: mechanical re-windows first, then never-driver-checked
-    # backlog in registration order, then — the post-backlog policy the
-    # r8 rotation note scheduled — oldest-evidence-first rotation
-    # (last-green round ascending) so driver evidence keeps refreshing
-    # instead of going permanently stale once the ledger closes.
-    backlog = [n for n in stats["never_checked_names"] if n not in flags]
-    backlog_set = set(backlog)
-    stale = [
-        n
-        for n in stats["stale_order_names"]
-        if n not in flags and n not in backlog_set
-    ]
+    # Fill order: mechanical re-windows first, then the BYTE-EXACT
+    # oldest-evidence-first slice of stale_order — the same composition
+    # evidence_audit.window_flag_split verifies (r14 review: composing
+    # here with a separate never-checked backlog block diverged from the
+    # gate whenever never-GREEN names existed, since both populations
+    # sort at last-green 0 interleaved by registration order).
+    rotation = [n for n in stats["stale_order_names"] if n not in flags]
     fill = max(0, args.window_size - len(flags))
-    n_backlog = min(fill, len(backlog))
-    rotation = stale[: max(0, fill - n_backlog)]
-    window = flag_order + backlog[:fill] + rotation
-    leftover = len(backlog) - fill
+    window = flag_order + rotation[:fill]
     print(
         f"\n# 3. proposed _WINDOW_PRIORITY ({len(window)} names: {len(flags)} "
-        f"re-windows + {n_backlog} backlog + {len(rotation)} "
-        f"oldest-evidence rotation; "
-        f"{max(leftover, 0)} never-checked remain after this window lands):"
+        f"re-windows + {min(fill, len(rotation))} oldest-evidence fill):"
     )
     for name in window:
         print(f'    "{name}",')
+
+    # SLO guard (r14 review): names that will exceed the staleness bound
+    # once the NEXT artifact lands must be in THIS window — a flag block
+    # big enough to crowd them out should redden now, not rounds later.
+    endangered = evidence_audit.endangered_names(
+        stats, registry.MAX_EVIDENCE_AGE_ROUNDS
+    )
+    missing = [n for n in endangered if n not in set(window)]
+    if missing:
+        print(
+            f"\n# WARNING: {len(missing)} SLO-endangered names are NOT in "
+            f"this window (flag block crowded them out): {missing} — "
+            "tests/test_evidence_freshness.py will fail; split the "
+            "re-window across rounds."
+        )
 
     if stats["never_green"]:
         print(f"\n# WARNING: {stats['never_green']} checked-but-never-green queries!")

@@ -81,6 +81,20 @@ COLD_START_MAX_SEC: dict[str, float] = {
 # committed prior = 3.3x, cleared; the advisory's 9.9 s over a 1.6-2.0 s
 # warm prior is 5-6x, flags and goes through the normal
 # time_registry --baseline re-run adjudication).
+#
+# Accepted cost (r14 review): a LEGITIMATE cold start over an unusually
+# warm committed prior (< cap/4 ≈ 2.4 s; supplier_greedy_cover's
+# committed in-sweep readings have been 2.6-5.1 s, so this is rare) is
+# indistinguishable at the transition round from the persistent-wall
+# case — both are a single high reading over a warm prior.  The cap
+# deliberately flags both: the consequence is one AUTOMATIC in-sweep
+# re-run (time_registry --baseline records the min), not an artifact
+# flag or a hand adjudication — the re-run is exactly the experiment
+# that disambiguates them (cold start re-runs warm, a wall re-runs
+# high and the flag stands).  A recurring _verified_min entry for a
+# COLD_START_MAX_SEC name is therefore expected occasionally and
+# pre-adjudicated; the hand-audit signal ("recurring flag-and-clear")
+# applies to names WITHOUT a documented band.
 COLD_START_CLEARED_RATIO = 4.0
 
 

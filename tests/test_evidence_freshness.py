@@ -161,3 +161,69 @@ def test_flag_block_composition_is_accepted():
     flags = order[200:203]
     fill = [n for n in order if n not in set(flags)][:47]
     assert mod.window_flag_split(flags + fill, order) == 3
+
+
+def test_short_window_cannot_validate_vacuously():
+    # r14 review: without the non-empty-fill requirement, ANY window of
+    # length <= MAX_FLAG_BLOCK validated — k = len(window) made both
+    # sides of the tail comparison empty.  A garbage 25-name window must
+    # be rejected; a legitimate short window (flags + a real stale fill)
+    # must still pass.
+    mod = _mod()
+    stats = mod.audit(REPO, max_round=_as_of_round())
+    order = stats["stale_order_names"]
+    garbage = [n for n in reversed(order)][:25]  # 25 freshest names
+    assert mod.window_flag_split(garbage, order) is None
+    short_valid = order[200:203] + [n for n in order if n not in order[200:203]][:10]
+    assert mod.window_flag_split(short_valid, order) == 3
+
+
+def test_every_registered_query_has_green_evidence():
+    # Companion gate to the staleness SLO (r14 review): stale_names
+    # exempts names with no last-green round, which is correct for
+    # never-CHECKED names (the composition gate forces them to the
+    # front) but would also hide a never-GREEN name — checked, red on
+    # every attempt — forever.  Never-green is a DEFECT and gets its own
+    # unbounded assertion, so the exemption cannot be ridden.
+    stats = _mod().audit(REPO)  # unbounded: about the present ledger
+    assert stats["ever_green"] == stats["registered"], (
+        f"{stats['registered'] - stats['ever_green']} registered queries "
+        "have NEVER passed a driver check — these are defects the "
+        "staleness SLO deliberately does not cover; fix them, do not "
+        "wait for rotation"
+    )
+
+
+def test_endangered_names_are_in_current_window():
+    # Reconciles the SLO bound (derived from full-window rotation) with
+    # the sanctioned flag block (r14 review): any name that would exceed
+    # the staleness bound once the NEXT artifact lands must be in THIS
+    # window, so a flag block large enough to starve the rotation
+    # reddens at composition time instead of tripping the SLO rounds
+    # later with every intervening window "valid".
+    mod = _mod()
+    stats = mod.audit(REPO)  # unbounded: the next artifact lands on top
+    endangered = mod.endangered_names(stats, registry.MAX_EVIDENCE_AGE_ROUNDS)
+    window = set(registry._WINDOW_PRIORITY)
+    missing = [n for n in endangered if n not in window]
+    assert missing == [], (
+        f"{len(missing)} names will violate the freshness SLO next round "
+        f"but are not in _WINDOW_PRIORITY: {missing[:10]} — the flag "
+        "block crowded out the stalest names; split the re-window"
+    )
+
+
+def test_endangered_names_flags_crowded_out_slo_names():
+    # Prove the endangered gate CAN fail: with the bound shrunk so the
+    # current stalest cohort is one round from violating, the stalest
+    # name must be reported endangered.
+    mod = _mod()
+    stats = mod.audit(REPO)
+    newest = max(stats["rounds"])
+    oldest_name = stats["stale_order_names"][0]
+    oldest_round = stats["last_green_round"][oldest_name]
+    tight = newest - oldest_round  # (newest+1) - oldest_round > tight
+    endangered = mod.endangered_names(stats, tight)
+    assert oldest_name in endangered
+    # and with the real bound satisfied by the current window, nothing
+    # endangered may be missing (covered live by the gate test above)

@@ -724,3 +724,32 @@ def test_plan_sweep_allowed_names_are_registered():
     assert not stale, f"plan_sweep.ALLOWED names not in registry: {stale}"
     for name, (cap, why) in mod.ALLOWED.items():
         assert cap >= 1 and why.strip(), f"{name}: empty allowance rationale"
+
+
+def test_subtree_skeleton_sees_multiset_preserving_rearrangement(spark):
+    """The ordered-skeleton entry in a nested-loop node's shape closes
+    the class-multiset blind spot (r14 review): a filter moved from one
+    side of a cross to the other preserves every ``Cls:count`` entry
+    AND the leaf sets, so only the ordered tree distinguishes the two
+    plans — a substitution the compare gate must see."""
+    from pyspark.sql import functions as F
+
+    pf = _plan_fingerprint_mod()
+    a = spark.range(10).select(F.col("id").alias("a"))
+    b = spark.range(10).select(F.col("id").alias("b"))
+    left_filtered = a.filter("a > 3").hint("broadcast").crossJoin(b)
+    right_filtered = a.hint("broadcast").crossJoin(b.filter("b > 3"))
+    n1 = pf.nested_loop_nodes(left_filtered)
+    n2 = pf.nested_loop_nodes(right_filtered)
+    assert len(n1) == len(n2) == 1
+    s1, s2 = n1[0]["shape"], n2[0]["shape"]
+    tree1 = [e for e in s1 if e.startswith("tree:")]
+    tree2 = [e for e in s2 if e.startswith("tree:")]
+    assert len(tree1) == len(tree2) == 1, "exactly one skeleton entry"
+    # identical multisets (same classes, same counts, same leaves) ...
+    assert [e for e in s1 if not e.startswith("tree:")] == [
+        e for e in s2 if not e.startswith("tree:")
+    ]
+    assert n1[0]["leaves"] == n2[0]["leaves"]
+    # ... but the ordered tree tells them apart
+    assert tree1 != tree2
