@@ -1,0 +1,301 @@
+#!/usr/bin/env python
+"""Registry-wide SCALING EXPONENTS — the gate fixed-sf timing cannot be.
+
+Every existing wall-time instrument compares rounds at a FIXED scale
+factor, so a query whose cost grows super-linearly in the data — the
+canonical 100 TB killer: a small-constant quadratic that reads seconds
+at sf0.1 and would read hours at 1000x — passes the timing gate forever
+as long as it is STABLE round-over-round.  The plan gates catch the
+structural spellings of quadratic work (nested loops, cartesians), but
+not data-driven blowups with innocent plans: an equi-join whose MATCH
+cardinality grows as n^2 (fixed bucket space), an explode whose fan-out
+scales, a skewed groupBy whose hot key concentrates super-linearly.
+
+This script consumes two whole-registry timing sweeps
+(scripts/time_registry.py --json) taken at different scale factors and
+fits each query's measured growth exponent
+
+    alpha = log(t_hi / t_lo) / log(data_hi / data_lo)
+
+where the DATA ratio is the query's own input growth, not the sf label:
+the synthetic tables scale unevenly (TPC-H planes 10x per decade, but
+documents 500 -> 5,000 and embeddings 500 -> 2,000 over sf0.01 -> 0.1),
+so each query's ratio is computed from the total rows of the tables its
+registered DuckDB oracle references, read from the parquet footers of
+the two sweep directories.  Using the raw sf ratio instead depresses
+embeddings-plane exponents by log(10)/log(4) ~ 1.7x — measured: the
+deliberately-quadratic all-pairs cosine baseline reads alpha 1.21
+against sf labels but 2.01 against its true 4x data growth.
+
+alpha ~ 0 is overhead-bound, ~1 linear, >ALPHA_FLAG with a material
+high-sf wall flags unless the name is a documented deliberate baseline
+(the all-pairs exactness pair, alpha ~ 1.5-2 BY DESIGN: they calibrate
+the recall evals of their bucketed production twins).
+
+Instrument limits, stated rather than papered over:
+
+* Single-run readings: one cold outlier at either sf perturbs alpha.
+  The material floor (t_hi >= MATERIAL_SEC) and the flag threshold
+  (ALPHA_FLAG, comfortably above linear + shuffle-log noise) absorb
+  ordinary variance; a flag still deserves a re-run before adjudication.
+* MEASURED growth, not asymptotic class: a query whose quadratic term
+  has a small constant can read sub-threshold while linear stages still
+  dominate.  Known instance, documented in ANALYTIC_SUPERLINEAR:
+  multimodal_phash_dedup's banding is pigeonhole-forced to 4-bit bands
+  over a 32-bit hash (16 buckets/band), so its candidate set is
+  Theta(n^2/16) — 7 k pairs at sf0.01, 695 k at sf0.1 — yet decode
+  still dominates the wall (alpha 1.08 measured).  The artifact records
+  every alpha precisely so this tail is visible before it is the wall.
+* Queries whose inputs do not scale with sf (VALUES oracles, fixture
+  XML, region/nation-only) are classed ``fixed-input`` and exempt — the
+  exponent of a constant-size input is meaningless.
+* Exponents are a property of the QUERY CODE, so the artifact is
+  refreshed when queries change (the rewindow ritual lists exactly
+  which) or are added (the registry-coverage test reddens until the new
+  name is measured), not per-round.
+
+Usage::
+
+    python scripts/time_registry.py --sf-dir /root/testdata/sf0.01 --json lo.json
+    python scripts/time_registry.py --sf-dir /root/testdata/sf0.1  --json hi.json
+    python scripts/scale_exponents.py --lo lo.json --hi hi.json \\
+        --lo-dir /root/testdata/sf0.01 --hi-dir /root/testdata/sf0.1 \\
+        --json SCALE_EXPONENTS.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLE_NAMES = (
+    "region nation customer supplier part orders lineitem "
+    "events documents embeddings"
+).split()
+
+# Flag threshold on the fitted exponent.  Linear work is alpha = 1;
+# sort/shuffle adds log factors (~1.05-1.1 over a decade); partition
+# step effects and single-run variance add more.  1.35 sits above all
+# of that (largest observed non-baseline: 1.08) and well below the
+# 1.5-2.0 of the genuinely quadratic baselines, so a flag means "much
+# closer to quadratic than linear", not "noisy reading".
+ALPHA_FLAG = 1.35
+
+# Gate only where the high-sf reading is material: below this the
+# exponent is recorded (visibility) but not acted on — single-run noise
+# on sub-second walls swamps the fit, and the structural plan gates own
+# the algorithmic question there.
+MATERIAL_SEC = 2.0
+
+# Readings below this floor are clamped before the ratio: at small sf a
+# query's wall is dominated by fixed per-query overhead (plan, submit,
+# noop-sink commit), and dividing by an 0.08 s reading fabricates
+# exponents.
+FLOOR_SEC = 0.15
+
+# Inputs must grow at least this much between the sweeps for a fit to
+# mean anything; below it the query is classed fixed-input.
+MIN_DATA_RATIO = 2.0
+
+# Deliberate super-linear baselines — each must ALSO be flagged by the
+# current artifact (a stale allowance fails the suite test, the same
+# rule the plan-sweep ALLOWED list lives under).  Rationale per name:
+SUPERLINEAR_BASELINES: dict[str, str] = {
+    # all-pairs exact cosine, O(n^2) BY DESIGN: the exactness baseline
+    # that calibrates the recall evals of the LSH/IVF/bucketed
+    # production twins (queries/llm.py:595); measured alpha ~2.0 over
+    # the embeddings plane's 4x growth.
+    "dedup_embedding_cosine": "all-pairs exact cosine recall baseline",
+    # all-pairs exact Jaccard with prefix pruning, super-linear BY
+    # DESIGN for the same reason (queries/llm.py:217).
+    "dedup_jaccard_prefix_filter": "all-pairs exact Jaccard recall baseline",
+}
+
+# Known-by-analysis super-linear queries whose MEASURED alpha is still
+# sub-threshold because a linear stage dominates at the tested scales —
+# documented so the instrument's blind spot is on the record, with the
+# remedy that unlocks the next order of magnitude.
+ANALYTIC_SUPERLINEAR: dict[str, str] = {
+    "multimodal_phash_dedup": (
+        "banded pHash candidate set is Theta(n^2/16): hamming<=7 over a "
+        "32-bit hash pigeonholes to 8 bands x 4 bits = 16 buckets/band, "
+        "a FIXED signature space; remedy at the next magnitude is a "
+        "64-bit hash (8-bit bands, 256 buckets) plus exact-hash "
+        "pre-grouping, an oracle-changing rewrite staged for a rotation "
+        "flag slot"
+    ),
+}
+
+
+def classify(alpha: float, t_hi: float) -> str:
+    if t_hi < MATERIAL_SEC:
+        return "immaterial"
+    if alpha > ALPHA_FLAG:
+        return "superlinear"
+    if alpha > 0.5:
+        return "linearish"
+    return "overhead-bound"
+
+
+def table_rows(sf_dir: str) -> dict[str, int]:
+    """Row counts per table from the parquet footers (no scan)."""
+    import pyarrow.parquet as pq
+
+    return {
+        t: pq.ParquetFile(os.path.join(sf_dir, f"{t}.parquet")).metadata.num_rows
+        for t in TABLE_NAMES
+    }
+
+
+def oracle_tables(sql: str | None) -> list[str]:
+    """Input tables a registered oracle references, by word-boundary
+    match — the ten registered names are distinctive enough that a
+    match means a read (CTE/aliases can only shadow them by reusing the
+    exact name, which the registry style forbids)."""
+    if not sql:
+        return []
+    return [t for t in TABLE_NAMES if re.search(rf"\b{t}\b", sql)]
+
+
+def data_ratio(tables: list[str], rows_lo: dict, rows_hi: dict) -> float | None:
+    """Total-row growth of the query's inputs between the sweeps; None
+    when the query reads nothing that scales (fixed-input)."""
+    lo = sum(rows_lo[t] for t in tables)
+    hi = sum(rows_hi[t] for t in tables)
+    if lo <= 0 or hi / lo < MIN_DATA_RATIO:
+        return None
+    return hi / lo
+
+
+def exponents(
+    lo: dict[str, float | None],
+    hi: dict[str, float | None],
+    oracles: dict[str, str | None],
+    rows_lo: dict[str, int],
+    rows_hi: dict[str, int],
+) -> dict[str, dict]:
+    """Per-query {t_lo, t_hi, ratio, alpha, class} over the names in
+    BOTH sweeps (meta keys excluded)."""
+    out: dict[str, dict] = {}
+    for name in sorted(set(lo) & set(hi)):
+        if name.startswith("_"):
+            continue
+        t_lo, t_hi = lo[name], hi[name]
+        row: dict = {"t_lo": t_lo, "t_hi": t_hi}
+        if t_lo is None or t_hi is None:
+            out[name] = {**row, "ratio": None, "alpha": None, "class": "error"}
+            continue
+        ratio = data_ratio(oracle_tables(oracles.get(name)), rows_lo, rows_hi)
+        if ratio is None:
+            out[name] = {**row, "ratio": None, "alpha": None, "class": "fixed-input"}
+            continue
+        alpha = round(
+            math.log(max(t_hi, FLOOR_SEC) / max(t_lo, FLOOR_SEC)) / math.log(ratio),
+            3,
+        )
+        out[name] = {
+            **row,
+            "ratio": round(ratio, 2),
+            "alpha": alpha,
+            "class": classify(alpha, t_hi),
+        }
+    return out
+
+
+def flagged(table: dict[str, dict]) -> list[str]:
+    """Names whose measured growth is super-linear AND material."""
+    return sorted(n for n, row in table.items() if row["class"] == "superlinear")
+
+
+def undocumented_flags(table: dict[str, dict]) -> list[str]:
+    return [n for n in flagged(table) if n not in SUPERLINEAR_BASELINES]
+
+
+def stale_allowances(table: dict[str, dict]) -> list[str]:
+    """Allowlisted names the current artifact does NOT flag — prune them
+    (the query got fixed or the baseline was removed) so the allowlist
+    can only shrink honestly."""
+    f = set(flagged(table))
+    return sorted(n for n in SUPERLINEAR_BASELINES if n in table and n not in f)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--lo", required=True, help="time_registry JSON at the LOW sf")
+    ap.add_argument("--hi", required=True, help="time_registry JSON at the HIGH sf")
+    ap.add_argument("--lo-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--hi-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--json", help="write the exponents artifact here")
+    ap.add_argument("--top", type=int, default=15)
+    args = ap.parse_args()
+
+    from discogs_etl_spark.registry import all_specs
+
+    oracles = {n: s.oracle for n, s in all_specs().items()}
+    rows_lo, rows_hi = table_rows(args.lo_dir), table_rows(args.hi_dir)
+    lo, hi = json.load(open(args.lo)), json.load(open(args.hi))
+    table = exponents(lo, hi, oracles, rows_lo, rows_hi)
+
+    ranked = sorted(
+        (r["alpha"], n) for n, r in table.items() if r["alpha"] is not None
+    )
+    print(f"exponents over {len(table)} queries ({args.lo} -> {args.hi}):")
+    for alpha, name in ranked[-args.top:][::-1]:
+        r = table[name]
+        mark = " *" if r["class"] == "superlinear" else ""
+        print(
+            f"  alpha={alpha:5.2f}  {name}  ({r['t_lo']:.2f}s -> "
+            f"{r['t_hi']:.2f}s over {r['ratio']}x data){mark}"
+        )
+    n_fixed = sum(1 for r in table.values() if r["class"] == "fixed-input")
+    print(f"({n_fixed} fixed-input queries exempt — inputs do not scale with sf)")
+
+    bad = undocumented_flags(table)
+    stale = stale_allowances(table)
+    if args.json:
+        artifact = {
+            "_meta": {
+                "lo_source": args.lo,
+                "hi_source": args.hi,
+                "lo_rows": rows_lo,
+                "hi_rows": rows_hi,
+                "alpha_flag": ALPHA_FLAG,
+                "material_sec": MATERIAL_SEC,
+                "floor_sec": FLOOR_SEC,
+                "min_data_ratio": MIN_DATA_RATIO,
+            },
+            **table,
+        }
+        with open(args.json, "w") as f:
+            json.dump(artifact, f, indent=1, sort_keys=True)
+            f.write("\n")
+        print(f"wrote {args.json}")
+
+    for n in stale:
+        print(
+            f"STALE ALLOWANCE: {n} is in SUPERLINEAR_BASELINES but not "
+            "flagged by this artifact — prune it"
+        )
+    if bad:
+        for n in bad:
+            r = table[n]
+            print(
+                f"SUPERLINEAR: {n} alpha={r['alpha']} ({r['t_lo']}s -> "
+                f"{r['t_hi']}s over {r['ratio']}x data) — not a documented "
+                "baseline; audit the plan and the match cardinality"
+            )
+        return 1
+    if stale:
+        return 1
+    print("gate PASS: every material super-linear query is a documented baseline")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
