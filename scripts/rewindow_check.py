@@ -561,6 +561,106 @@ def rewindow_names(rev: str) -> dict[str, set[str]]:
     return out
 
 
+# --- Code-closure fingerprints (r14) -------------------------------
+#
+# The scaling-exponent artifact (SCALE_EXPONENTS.json) is keyed to
+# query CODE, not rounds: a rewrite that introduces an accidental
+# quadratic must redden the suite until the affected names are
+# re-measured.  These helpers hash each builder's reachable code
+# closure in the CURRENT tree, mirroring the dirtiness-propagation
+# rules above (own-module mention closure; member imports pull the
+# member's closure in the target module; module/star imports and
+# UNMODELED statements pull the whole target module; import cycles
+# truncate to own-module parts, like dirty_names) — so the fingerprint
+# changes exactly when this script would flag the query against the
+# fingerprinted revision, comments and docstrings excluded.
+
+
+def _fp_module_parts(idxs, known, rel, visiting, out) -> None:
+    if rel in visiting:
+        return
+    visiting = visiting | {rel}
+    idx = idxs[rel]
+    for n, dumps in idx.defs.items():
+        out.add((rel, n, dumps))
+    for specs in idx.imports.values():
+        for spec in specs:
+            _fp_import_parts(idxs, known, rel, spec, visiting, out)
+    for smod in idx.star_imports:
+        t = _module_to_relpath(smod, known)
+        if t and t != rel:
+            _fp_module_parts(idxs, known, t, visiting, out)
+
+
+def _fp_import_parts(idxs, known, rel, spec, visiting, out) -> None:
+    if spec[0] == "module":
+        t = _module_to_relpath(spec[1], known)
+        if t and t != rel:
+            _fp_module_parts(idxs, known, t, visiting, out)
+        return
+    mod, member = spec[1], spec[2]
+    sub = _module_to_relpath(f"{mod}.{member}", known)
+    if sub and sub != rel:
+        _fp_module_parts(idxs, known, sub, visiting, out)
+        return
+    t = _module_to_relpath(mod, known)
+    if t and t != rel:
+        _fp_member_parts(idxs, known, t, member, visiting, out)
+
+
+def _fp_member_parts(idxs, known, rel, name, visiting, out) -> None:
+    idx = idxs[rel]
+    if UNMODELED in idx.defs:
+        # an unmodeled top-level statement can mutate anything in its
+        # module, so the whole module is part of every member's identity
+        _fp_module_parts(idxs, known, rel, visiting, out)
+        return
+    closure = idx.mentioned_closure(name)
+    for n in sorted(closure):
+        if n in idx.defs:
+            out.add((rel, n, idx.defs[n]))
+    if rel in visiting:
+        return  # import cycle: own-module parts only (dirty_names rule)
+    visiting = visiting | {rel}
+    for n in sorted(closure):
+        for spec in idx.imports.get(n, ()):
+            _fp_import_parts(idxs, known, rel, spec, visiting, out)
+    for smod in idx.star_imports:
+        t = _module_to_relpath(smod, known)
+        if t and t != rel:
+            _fp_module_parts(idxs, known, t, visiting, out)
+
+
+def current_fingerprints() -> dict[str, str]:
+    """query name -> 16-hex sha256 of the builder's reachable code
+    closure in the CURRENT working tree.  Deterministic (sorted parts,
+    docstring-stripped AST dumps, repo-relative paths); stable across
+    sessions and machines for the same tree."""
+    import hashlib
+
+    sys.path.insert(0, str(REPO))
+    from discogs_etl_spark import registry
+
+    idxs: dict[str, ModuleIndex] = {}
+    for f in sorted((REPO / PACKAGE).rglob("*.py")):
+        rel = str(f.relative_to(REPO))
+        idxs[rel] = ModuleIndex(f.read_text(), rel)
+    known = set(idxs)
+
+    out: dict[str, str] = {}
+    for name, spec in registry.all_specs().items():
+        mod = sys.modules[spec.fn.__module__]
+        rel = str(Path(mod.__file__).resolve().relative_to(REPO))
+        fn_name = spec.fn.__qualname__.split(".")[0].split("<locals>")[0]
+        parts: set = set()
+        _fp_member_parts(idxs, known, rel, fn_name, frozenset(), parts)
+        blob = "\n".join(
+            f"{r}::{n}::{'||'.join(dumps)}" for r, n, dumps in sorted(parts)
+        )
+        out[name] = hashlib.sha256(blob.encode()).hexdigest()[:16]
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("base_rev", help="git rev to diff against (e.g. the last round-end commit)")

@@ -32,6 +32,20 @@ high-sf wall flags unless the name is a documented deliberate baseline
 (the all-pairs exactness pair, alpha ~ 1.5-2 BY DESIGN: they calibrate
 the recall evals of their bucketed production twins).
 
+The committed artifact is MACHINE-TIED to query code: ``_meta`` carries
+a per-query code-closure fingerprint (rewindow_check's AST machinery —
+comments/docstrings excluded, import closure included), and the suite
+test recomputes fingerprints against the working tree, so a rewritten
+query reddens until its rows are re-measured.  The targeted-refresh
+path avoids re-sweeping all 369 names::
+
+    python scripts/time_registry.py --sf-dir /root/testdata/sf0.01 \\
+        --only q1,q2 --json lo_patch.json
+    python scripts/time_registry.py --sf-dir /root/testdata/sf0.1 \\
+        --only q1,q2 --json hi_patch.json
+    python scripts/scale_exponents.py --lo lo_patch.json \\
+        --hi hi_patch.json --patch SCALE_EXPONENTS.json
+
 Instrument limits, stated rather than papered over:
 
 * Single-run readings: one cold outlier at either sf perturbs alpha.
@@ -46,26 +60,28 @@ Instrument limits, stated rather than papered over:
   Theta(n^2/16) — 7 k pairs at sf0.01, 695 k at sf0.1 — yet decode
   still dominates the wall (alpha 1.08 measured).  The artifact records
   every alpha precisely so this tail is visible before it is the wall.
+* MIXED-PLANE DILUTION: the data ratio sums rows across every table a
+  query references, so a query quadratic in a slow-growing plane that
+  also reads a fast-growing one fits a diluted alpha (quadratic in
+  embeddings' 4x while scanning lineitem's 10x: wall 16x over summed
+  ~10x = alpha 1.21, under the flag).  No such mixed-plane query exists
+  today; rows whose referenced tables grow at materially different
+  rates (>1.5x apart) carry ``"mixed": true`` so one appearing is
+  visible and can be adjudicated per-plane.
+* A fit whose LOW reading sat under the overhead floor with a MATERIAL
+  high reading cannot be graded (the clamp deflates a true quadratic
+  below the flag: t_lo 0.03 s clamped to 0.15 s turns alpha 2.0 into
+  1.30) — such rows class ``needs-midpoint`` and FAIL the gate until a
+  mid-sf reading resolves them.
 * Queries whose inputs do not scale with sf (VALUES oracles, fixture
   XML, region/nation-only) are classed ``fixed-input`` and exempt — the
   exponent of a constant-size input is meaningless.
-* Exponents are a property of the QUERY CODE, so the artifact is
-  refreshed when queries change (the rewindow ritual lists exactly
-  which) or are added (the registry-coverage test reddens until the new
-  name is measured), not per-round.
-
-Usage::
-
-    python scripts/time_registry.py --sf-dir /root/testdata/sf0.01 --json lo.json
-    python scripts/time_registry.py --sf-dir /root/testdata/sf0.1  --json hi.json
-    python scripts/scale_exponents.py --lo lo.json --hi hi.json \\
-        --lo-dir /root/testdata/sf0.01 --hi-dir /root/testdata/sf0.1 \\
-        --json SCALE_EXPONENTS.json
 """
 
 from __future__ import annotations
 
 import argparse
+import importlib.util
 import json
 import math
 import os
@@ -74,10 +90,10 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-TABLE_NAMES = (
-    "region nation customer supplier part orders lineitem "
-    "events documents embeddings"
-).split()
+# One source of truth for the synthetic planes (r14 review: a
+# hand-copied list would silently exempt a future plane from the gate —
+# unmatched oracle tables class as fixed-input).
+from discogs_etl_spark.tables import TABLE_NAMES  # noqa: E402
 
 # Flag threshold on the fitted exponent.  Linear work is alpha = 1;
 # sort/shuffle adds log factors (~1.05-1.1 over a decade); partition
@@ -96,12 +112,25 @@ MATERIAL_SEC = 2.0
 # Readings below this floor are clamped before the ratio: at small sf a
 # query's wall is dominated by fixed per-query overhead (plan, submit,
 # noop-sink commit), and dividing by an 0.08 s reading fabricates
-# exponents.
+# exponents.  A clamped LOW fit with a MATERIAL high reading cannot be
+# graded and classes needs-midpoint (gate failure) instead.
 FLOOR_SEC = 0.15
 
 # Inputs must grow at least this much between the sweeps for a fit to
 # mean anything; below it the query is classed fixed-input.
 MIN_DATA_RATIO = 2.0
+
+# Referenced tables growing at rates more than this factor apart mark
+# the row "mixed" (dilution visibility — see the docstring limit).
+MIXED_RATIO_SPREAD = 1.5
+
+# Oracles that read files derived from a scaling table rather than the
+# table itself — word-matching the SQL cannot see through the path
+# literal, so the input plane is declared here explicitly.
+EXTRA_TABLES: dict[str, list[str]] = {
+    # writes a lake from events, then reads it back via read_parquet
+    "stream_events_lake_roundtrip": ["events"],
+}
 
 # Deliberate super-linear baselines — each must ALSO be flagged by the
 # current artifact (a stale allowance fails the suite test, the same
@@ -133,9 +162,11 @@ ANALYTIC_SUPERLINEAR: dict[str, str] = {
 }
 
 
-def classify(alpha: float, t_hi: float) -> str:
+def classify(alpha: float, t_lo: float, t_hi: float) -> str:
     if t_hi < MATERIAL_SEC:
         return "immaterial"
+    if t_lo < FLOOR_SEC:
+        return "needs-midpoint"  # clamped denominator: fit ungradable
     if alpha > ALPHA_FLAG:
         return "superlinear"
     if alpha > 0.5:
@@ -153,24 +184,35 @@ def table_rows(sf_dir: str) -> dict[str, int]:
     }
 
 
-def oracle_tables(sql: str | None) -> list[str]:
+def oracle_tables(name: str, sql: str | None) -> list[str]:
     """Input tables a registered oracle references, by word-boundary
-    match — the ten registered names are distinctive enough that a
-    match means a read (CTE/aliases can only shadow them by reusing the
-    exact name, which the registry style forbids)."""
+    match with single-quoted string literals stripped first (a path or
+    LIKE pattern containing a table name is not a read — r14 review);
+    file-dependent oracles declare their plane in EXTRA_TABLES."""
+    if name in EXTRA_TABLES:
+        return EXTRA_TABLES[name]
     if not sql:
         return []
-    return [t for t in TABLE_NAMES if re.search(rf"\b{t}\b", sql)]
+    stripped = re.sub(r"'[^']*'", "''", sql)
+    return [t for t in TABLE_NAMES if re.search(rf"\b{t}\b", stripped)]
 
 
-def data_ratio(tables: list[str], rows_lo: dict, rows_hi: dict) -> float | None:
-    """Total-row growth of the query's inputs between the sweeps; None
-    when the query reads nothing that scales (fixed-input)."""
+def data_ratio(
+    tables: list[str], rows_lo: dict, rows_hi: dict
+) -> tuple[float | None, bool]:
+    """(total-row growth of the query's inputs, mixed-plane marker);
+    ratio None when the query reads nothing that scales (fixed-input)."""
     lo = sum(rows_lo[t] for t in tables)
     hi = sum(rows_hi[t] for t in tables)
     if lo <= 0 or hi / lo < MIN_DATA_RATIO:
-        return None
-    return hi / lo
+        return None, False
+    per = [
+        rows_hi[t] / rows_lo[t]
+        for t in tables
+        if rows_lo[t] > 0 and rows_hi[t] / rows_lo[t] >= MIN_DATA_RATIO
+    ]
+    mixed = bool(per) and max(per) / min(per) > MIXED_RATIO_SPREAD
+    return hi / lo, mixed
 
 
 def exponents(
@@ -191,7 +233,9 @@ def exponents(
         if t_lo is None or t_hi is None:
             out[name] = {**row, "ratio": None, "alpha": None, "class": "error"}
             continue
-        ratio = data_ratio(oracle_tables(oracles.get(name)), rows_lo, rows_hi)
+        ratio, mixed = data_ratio(
+            oracle_tables(name, oracles.get(name)), rows_lo, rows_hi
+        )
         if ratio is None:
             out[name] = {**row, "ratio": None, "alpha": None, "class": "fixed-input"}
             continue
@@ -203,8 +247,10 @@ def exponents(
             **row,
             "ratio": round(ratio, 2),
             "alpha": alpha,
-            "class": classify(alpha, t_hi),
+            "class": classify(alpha, t_lo, t_hi),
         }
+        if mixed:
+            out[name]["mixed"] = True
     return out
 
 
@@ -217,12 +263,62 @@ def undocumented_flags(table: dict[str, dict]) -> list[str]:
     return [n for n in flagged(table) if n not in SUPERLINEAR_BASELINES]
 
 
+def ungradable(table: dict[str, dict]) -> list[str]:
+    """error rows (a crash during a sweep is the strongest possible
+    super-linear signal, not a pass — r14 review) plus clamped-low fits
+    with material high readings: both FAIL the gate until resolved."""
+    return sorted(
+        n for n, row in table.items() if row["class"] in ("error", "needs-midpoint")
+    )
+
+
 def stale_allowances(table: dict[str, dict]) -> list[str]:
     """Allowlisted names the current artifact does NOT flag — prune them
     (the query got fixed or the baseline was removed) so the allowlist
     can only shrink honestly."""
     f = set(flagged(table))
     return sorted(n for n in SUPERLINEAR_BASELINES if n in table and n not in f)
+
+
+def current_fingerprints() -> dict[str, str]:
+    spec = importlib.util.spec_from_file_location(
+        "rewindow_check",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "rewindow_check.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.current_fingerprints()
+
+
+def stale_fingerprints(artifact: dict, current: dict[str, str]) -> list[str]:
+    """Names whose measured rows predate their current code (fingerprint
+    mismatch or never fingerprinted) — re-measure via the targeted
+    refresh path.  Names present in ``current`` but absent from the
+    artifact are the coverage test's job, not this one's."""
+    stamped = artifact.get("_meta", {}).get("code_fingerprints", {})
+    return sorted(
+        n
+        for n in current
+        if n in artifact and stamped.get(n) != current[n]
+    )
+
+
+def _check_provenance(label: str, sweep: dict, sf_dir: str, rows: dict) -> None:
+    """A sweep that stamps its sf_dir/table rows must match the dir the
+    exponents are being fit against; unstamped sweeps (pre-r14) get a
+    printed bootstrap note instead of silent trust."""
+    if "_table_rows" not in sweep:
+        print(
+            f"note: {label} sweep carries no provenance stamp (pre-r14 "
+            f"time_registry) — pairing with {sf_dir} is unverified"
+        )
+        return
+    if sweep["_table_rows"] != rows:
+        sys.exit(
+            f"{label} sweep was taken against different data than {sf_dir} "
+            f"(stamped rows {sweep['_table_rows']} != footer rows {rows}) — "
+            "mismatched sweep/dir pairing fabricates exponents"
+        )
 
 
 def main() -> int:
@@ -232,6 +328,13 @@ def main() -> int:
     ap.add_argument("--lo-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--hi-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--json", help="write the exponents artifact here")
+    ap.add_argument(
+        "--patch",
+        help="existing artifact: replace ONLY the rows for names present "
+        "in both --lo and --hi (targeted refresh after a query change), "
+        "restamping just those names' code fingerprints — untouched "
+        "names keep their old stamps so unrefreshed changes still redden",
+    )
     ap.add_argument("--top", type=int, default=15)
     args = ap.parse_args()
 
@@ -240,13 +343,27 @@ def main() -> int:
     oracles = {n: s.oracle for n, s in all_specs().items()}
     rows_lo, rows_hi = table_rows(args.lo_dir), table_rows(args.hi_dir)
     lo, hi = json.load(open(args.lo)), json.load(open(args.hi))
+    _check_provenance("--lo", lo, args.lo_dir, rows_lo)
+    _check_provenance("--hi", hi, args.hi_dir, rows_hi)
     table = exponents(lo, hi, oracles, rows_lo, rows_hi)
+
+    if args.patch:
+        artifact = json.loads(open(args.patch).read())
+        fps = current_fingerprints()
+        for name, row in table.items():
+            artifact[name] = row
+            artifact["_meta"]["code_fingerprints"][name] = fps[name]
+        with open(args.patch, "w") as f:
+            json.dump(artifact, f, indent=1, sort_keys=True)
+            f.write("\n")
+        print(f"patched {len(table)} rows into {args.patch}")
+        table = {n: r for n, r in artifact.items() if not n.startswith("_")}
 
     ranked = sorted(
         (r["alpha"], n) for n, r in table.items() if r["alpha"] is not None
     )
     print(f"exponents over {len(table)} queries ({args.lo} -> {args.hi}):")
-    for alpha, name in ranked[-args.top:][::-1]:
+    for alpha, name in ranked[-args.top :][::-1]:
         r = table[name]
         mark = " *" if r["class"] == "superlinear" else ""
         print(
@@ -254,9 +371,13 @@ def main() -> int:
             f"{r['t_hi']:.2f}s over {r['ratio']}x data){mark}"
         )
     n_fixed = sum(1 for r in table.values() if r["class"] == "fixed-input")
+    n_mixed = sum(1 for r in table.values() if r.get("mixed"))
     print(f"({n_fixed} fixed-input queries exempt — inputs do not scale with sf)")
+    if n_mixed:
+        print(f"({n_mixed} mixed-plane rows — dilution limit applies, see docstring)")
 
     bad = undocumented_flags(table)
+    ungr = ungradable(table)
     stale = stale_allowances(table)
     if args.json:
         artifact = {
@@ -269,6 +390,7 @@ def main() -> int:
                 "material_sec": MATERIAL_SEC,
                 "floor_sec": FLOOR_SEC,
                 "min_data_ratio": MIN_DATA_RATIO,
+                "code_fingerprints": current_fingerprints(),
             },
             **table,
         }
@@ -282,6 +404,17 @@ def main() -> int:
             f"STALE ALLOWANCE: {n} is in SUPERLINEAR_BASELINES but not "
             "flagged by this artifact — prune it"
         )
+    for n in ungr:
+        r = table[n]
+        why = (
+            "errored during a sweep — a crash at scale is the strongest "
+            "super-linear signal, not a pass"
+            if r["class"] == "error"
+            else f"low reading {r['t_lo']}s sat under the {FLOOR_SEC}s "
+            "overhead floor with a material high reading — the clamp "
+            "would deflate a true quadratic; take a mid-sf reading"
+        )
+        print(f"UNGRADABLE: {n} ({r['class']}): {why}")
     if bad:
         for n in bad:
             r = table[n]
@@ -290,8 +423,7 @@ def main() -> int:
                 f"{r['t_hi']}s over {r['ratio']}x data) — not a documented "
                 "baseline; audit the plan and the match cardinality"
             )
-        return 1
-    if stale:
+    if bad or ungr or stale:
         return 1
     print("gate PASS: every material super-linear query is a documented baseline")
     return 0

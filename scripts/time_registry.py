@@ -59,6 +59,12 @@ def main() -> int:
     ap.add_argument("--top", type=int, default=20)
     ap.add_argument("--json", help="also dump {name: seconds} to this path")
     ap.add_argument(
+        "--only",
+        help="comma-separated query names — the targeted-refresh path "
+        "for the scaling-exponent artifact (changed queries only, "
+        "instead of a full 369-query sweep at both sfs)",
+    )
+    ap.add_argument(
         "--baseline",
         help="previous round's TIMINGS_r{N}.json: any query whose single "
         "run would flag against it under the timing_compare gate is "
@@ -97,6 +103,12 @@ def main() -> int:
     ).write.format("noop").mode("overwrite").save()
 
     specs = all_specs()
+    if args.only:
+        wanted = {n.strip() for n in args.only.split(",") if n.strip()}
+        unknown = sorted(wanted - set(specs))
+        if unknown:
+            sys.exit(f"--only names not registered: {unknown}")
+        specs = {n: s for n, s in specs.items() if n in wanted}
     res: dict[str, float | None] = {}
     errors = 0
     for i, (name, spec) in enumerate(sorted(specs.items()), 1):
@@ -167,6 +179,19 @@ def main() -> int:
         # re-running under unknown load).  Underscore keys are metadata:
         # timing_compare.py skips them.
         res["_loadavg_end"] = list(os.getloadavg())
+        # Provenance (r14 review): the scaling-exponent instrument pairs
+        # two of these artifacts from DIFFERENT sf dirs — without a
+        # stamp, a mismatched pair (or a stale sweep from another data
+        # build) produces silently-wrong exponents.  Row counts come
+        # from the parquet footers, so a consumer can verify the pairing
+        # against the dirs it thinks it is using.
+        import pyarrow.parquet as pq
+
+        res["_sf_dir"] = args.sf_dir
+        res["_table_rows"] = {
+            t: pq.ParquetFile(os.path.join(args.sf_dir, f"{t}.parquet")).metadata.num_rows
+            for t in TABLE_NAMES
+        }
         with open(args.json, "w") as fh:
             json.dump(res, fh, indent=1, sort_keys=True)
     # Exclude metadata (underscore keys: the _loadavg_end list would

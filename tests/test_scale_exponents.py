@@ -13,15 +13,19 @@ SCALE_EXPONENTS.json is gated here:
 * every registered query is measured (adding a query reddens until the
   artifact is refreshed with the new name),
 * every material super-linear reading is a DOCUMENTED baseline (the
-  all-pairs exactness pair that calibrates the recall evals), and
+  all-pairs exactness pair that calibrates the recall evals),
 * every documented baseline is still actually flagged (a stale
   allowance reddens, so the allowlist can only shrink honestly — the
-  plan-sweep ALLOWED rule).
-
-The artifact is refreshed when queries change (the rewindow ritual
-lists which) or are added, not per-round: exponents are a property of
-the query code, and the per-round fixed-sf timing gate already covers
-drift of the code that exists.
+  plan-sweep ALLOWED rule),
+* no row is UNGRADABLE (errored in a sweep — a crash at scale is the
+  strongest super-linear signal, not a pass — or fit through the
+  overhead-floor clamp with a material high reading, which would
+  deflate a true quadratic below the flag), and
+* the artifact is MACHINE-TIED to query code: its per-query
+  code-closure fingerprints (rewindow_check AST machinery) must match
+  the working tree, so a rewritten query reddens until re-measured via
+  the targeted refresh path (time_registry --only + scale_exponents
+  --patch).
 """
 
 from __future__ import annotations
@@ -31,33 +35,42 @@ import json
 from pathlib import Path
 
 from discogs_etl_spark import registry
+from discogs_etl_spark.tables import TABLE_NAMES
 
 REPO = Path(__file__).resolve().parent.parent
 ARTIFACT = REPO / "SCALE_EXPONENTS.json"
 
 
-def _mod():
+def _load(name: str):
     spec = importlib.util.spec_from_file_location(
-        "scale_exponents", REPO / "scripts" / "scale_exponents.py"
+        name, REPO / "scripts" / f"{name}.py"
     )
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     return mod
 
 
+def _mod():
+    return _load("scale_exponents")
+
+
 def _artifact() -> dict:
     return json.loads(ARTIFACT.read_text())
 
 
+def _rows(artifact: dict) -> dict:
+    return {n: r for n, r in artifact.items() if not n.startswith("_")}
+
+
 def test_artifact_covers_every_registered_query():
-    art = _artifact()
-    measured = {n for n in art if not n.startswith("_")}
+    measured = set(_rows(_artifact()))
     registered = set(registry.all_specs())
     missing = sorted(registered - measured)
     assert missing == [], (
         f"{len(missing)} registered queries have no scaling-exponent "
         f"measurement: {missing[:10]} — refresh SCALE_EXPONENTS.json "
-        "(two time_registry sweeps + scripts/scale_exponents.py --json)"
+        "(two time_registry sweeps + scripts/scale_exponents.py --json, "
+        "or the targeted --only/--patch path)"
     )
     stray = sorted(measured - registered)
     assert stray == [], f"artifact names unregistered queries: {stray[:10]}"
@@ -65,8 +78,7 @@ def test_artifact_covers_every_registered_query():
 
 def test_no_undocumented_superlinear_growth():
     mod = _mod()
-    art = {n: r for n, r in _artifact().items() if not n.startswith("_")}
-    bad = mod.undocumented_flags(art)
+    bad = mod.undocumented_flags(_rows(_artifact()))
     assert bad == [], (
         f"material super-linear growth without a documented baseline "
         f"rationale: {bad} — audit the plan and match cardinality; if "
@@ -74,10 +86,19 @@ def test_no_undocumented_superlinear_growth():
     )
 
 
+def test_no_ungradable_rows():
+    mod = _mod()
+    ungr = mod.ungradable(_rows(_artifact()))
+    assert ungr == [], (
+        f"ungradable exponent rows: {ungr} — errored sweeps or "
+        "floor-clamped fits with material walls cannot pass silently; "
+        "re-measure (error) or take a mid-sf reading (needs-midpoint)"
+    )
+
+
 def test_no_stale_superlinear_allowances():
     mod = _mod()
-    art = {n: r for n, r in _artifact().items() if not n.startswith("_")}
-    stale = mod.stale_allowances(art)
+    stale = mod.stale_allowances(_rows(_artifact()))
     assert stale == [], (
         f"SUPERLINEAR_BASELINES entries no longer flagged by the "
         f"artifact: {stale} — the query was fixed or re-measured; prune "
@@ -88,8 +109,12 @@ def test_no_stale_superlinear_allowances():
 def test_allowlists_are_registered_queries():
     mod = _mod()
     registered = set(registry.all_specs())
-    for name in list(mod.SUPERLINEAR_BASELINES) + list(mod.ANALYTIC_SUPERLINEAR):
+    for name in list(mod.SUPERLINEAR_BASELINES) + list(mod.ANALYTIC_SUPERLINEAR) + list(
+        mod.EXTRA_TABLES
+    ):
         assert name in registered, f"allowlist names unregistered query {name}"
+    for name, tables in mod.EXTRA_TABLES.items():
+        assert set(tables) <= set(TABLE_NAMES), (name, tables)
 
 
 def test_artifact_meta_matches_script_constants():
@@ -104,32 +129,73 @@ def test_artifact_meta_matches_script_constants():
     assert meta["min_data_ratio"] == mod.MIN_DATA_RATIO
 
 
+def test_table_names_are_the_engine_registry():
+    # One source of truth: a new synthetic plane added to tables.py must
+    # be matchable here, or its queries would silently class fixed-input
+    # and escape the gate forever.
+    assert tuple(_mod().TABLE_NAMES) == tuple(TABLE_NAMES)
+
+
+def test_code_fingerprints_match_working_tree():
+    # The machine tie to code: a rewritten query (or a change to any
+    # helper its builder reaches, per the rewindow closure rules) must
+    # redden here until its rows are re-measured.  Comments/docstrings
+    # are excluded by construction, so annotation-only edits don't
+    # force a re-sweep.
+    mod = _mod()
+    stale = mod.stale_fingerprints(_artifact(), mod.current_fingerprints())
+    assert stale == [], (
+        f"{len(stale)} queries' exponent rows predate their current "
+        f"code: {stale[:10]} — refresh via time_registry --only "
+        "'<names>' at both sfs + scale_exponents --patch "
+        "SCALE_EXPONENTS.json"
+    )
+
+
+def test_stale_fingerprint_detection_can_fire():
+    mod = _mod()
+    current = mod.current_fingerprints()
+    victim = sorted(current)[0]
+    art = _artifact()
+    # mutated stamp -> stale; missing stamp -> stale; matching -> clean
+    art["_meta"]["code_fingerprints"][victim] = "0" * 16
+    assert victim in mod.stale_fingerprints(art, current)
+    del art["_meta"]["code_fingerprints"][victim]
+    assert victim in mod.stale_fingerprints(art, current)
+
+
 def test_exponent_math_and_gate_can_fail():
     mod = _mod()
-    rows_lo = {t: 100 for t in mod.TABLE_NAMES}
-    rows_hi = {t: 1000 for t in mod.TABLE_NAMES}
-    lo = {"quad": 2.0, "lin": 2.0, "fixed": 2.0, "broken": None}
-    hi = {"quad": 200.0, "lin": 20.0, "fixed": 2.0, "broken": 3.0}
+    rows_lo = {t: 100 for t in TABLE_NAMES}
+    rows_hi = {t: 1000 for t in TABLE_NAMES}
+    lo = {"quad": 2.0, "lin": 2.0, "fixed": 2.0, "broken": None, "clamped": 0.03}
+    hi = {"quad": 200.0, "lin": 20.0, "fixed": 2.0, "broken": 3.0, "clamped": 3.0}
     oracles = {
         "quad": "SELECT * FROM lineitem",
         "lin": "SELECT * FROM orders",
         "fixed": "SELECT 1",  # no scaling input
         "broken": "SELECT * FROM part",
+        "clamped": "SELECT * FROM events",
     }
     table = mod.exponents(lo, hi, oracles, rows_lo, rows_hi)
     assert table["quad"]["alpha"] == 2.0 and table["quad"]["class"] == "superlinear"
     assert table["lin"]["alpha"] == 1.0 and table["lin"]["class"] == "linearish"
     assert table["fixed"]["class"] == "fixed-input"
     assert table["broken"]["class"] == "error"
+    # the floor clamp would have fit alpha = log(3/0.15)/log(10) = 1.30
+    # < ALPHA_FLAG — exactly the deflated-quadratic hole; it must be
+    # ungradable, not silently linearish
+    assert table["clamped"]["class"] == "needs-midpoint"
     assert mod.undocumented_flags(table) == ["quad"]
+    assert mod.ungradable(table) == ["broken", "clamped"]
 
 
 def test_immaterial_readings_are_recorded_not_gated():
     # A sub-floor wall with a steep exponent is visibility, not a flag:
     # single-run noise owns that region (documented instrument limit).
     mod = _mod()
-    rows_lo = {t: 100 for t in mod.TABLE_NAMES}
-    rows_hi = {t: 1000 for t in mod.TABLE_NAMES}
+    rows_lo = {t: 100 for t in TABLE_NAMES}
+    rows_hi = {t: 1000 for t in TABLE_NAMES}
     table = mod.exponents(
         {"small": 0.02}, {"small": 1.5}, {"small": "SELECT * FROM events"},
         rows_lo, rows_hi,
@@ -137,23 +203,62 @@ def test_immaterial_readings_are_recorded_not_gated():
     assert table["small"]["class"] == "immaterial"
     assert table["small"]["alpha"] == 1.0  # floor-clamped fit still recorded
     assert mod.undocumented_flags(table) == []
+    assert mod.ungradable(table) == []
 
 
-def test_oracle_table_extraction_is_word_bounded():
+def test_oracle_table_extraction_is_word_bounded_and_literal_blind():
     mod = _mod()
     assert mod.oracle_tables(
-        "SELECT o_orderkey FROM orders JOIN lineitem ON o_orderkey = l_orderkey"
+        "q", "SELECT o_orderkey FROM orders JOIN lineitem ON o_orderkey = l_orderkey"
     ) == ["orders", "lineitem"]
     # column prefixes and substrings must not match
-    assert mod.oracle_tables("SELECT o_orderkey, l_partkey FROM foo") == []
-    assert mod.oracle_tables(None) == []
+    assert mod.oracle_tables("q", "SELECT o_orderkey, l_partkey FROM foo") == []
+    # table names inside string literals are not reads (r14 review): a
+    # LIKE pattern or a path literal must not add rows to the ratio
+    assert mod.oracle_tables("q", "SELECT * FROM foo WHERE note LIKE '%part%'") == []
+    assert (
+        mod.oracle_tables("q", "SELECT * FROM read_parquet('/lake/events/*')") == []
+    )
+    # ... unless the query declares its plane explicitly
+    assert mod.oracle_tables("stream_events_lake_roundtrip", "SELECT 1") == ["events"]
+    assert mod.oracle_tables("q", None) == []
+
+
+def test_mixed_plane_rows_are_marked():
+    mod = _mod()
+    rows_lo = {t: 100 for t in TABLE_NAMES}
+    rows_hi = {t: 1000 for t in TABLE_NAMES}
+    rows_hi["embeddings"] = 400  # 4x vs everyone else's 10x
+    table = mod.exponents(
+        {"mix": 2.0},
+        {"mix": 20.0},
+        {"mix": "SELECT * FROM lineitem JOIN embeddings ON 1=1"},
+        rows_lo,
+        rows_hi,
+    )
+    assert table["mix"].get("mixed") is True
+    # single-plane rows carry no marker
+    table2 = mod.exponents(
+        {"one": 2.0}, {"one": 20.0}, {"one": "SELECT * FROM lineitem"},
+        rows_lo, rows_hi,
+    )
+    assert "mixed" not in table2["one"]
+
+
+def test_no_mixed_plane_rows_in_current_artifact():
+    # The dilution limit is documented but currently unexercised: no
+    # registered oracle spans planes with materially different growth.
+    # If one appears, this reddens so the row gets a per-plane look
+    # (and this pin a conscious update), instead of a silently diluted
+    # alpha.
+    mixed = [n for n, r in _rows(_artifact()).items() if r.get("mixed")]
+    assert mixed == [], f"mixed-plane rows appeared: {mixed} — see dilution limit"
 
 
 def test_known_plane_ratios_in_artifact():
     # The per-table data ratio is the instrument's load-bearing
-    # correction: the
-    # quadratic cosine baseline reads alpha ~2 only against embeddings'
-    # true 4x growth (1.21 against the raw sf labels).  Pin the planes.
+    # correction: the quadratic cosine baseline reads alpha ~2 only
+    # against embeddings' true 4x growth (1.21 against raw sf labels).
     meta = _artifact()["_meta"]
     assert meta["hi_rows"]["lineitem"] / meta["lo_rows"]["lineitem"] == 10.0
     assert meta["hi_rows"]["documents"] / meta["lo_rows"]["documents"] == 10.0
