@@ -577,12 +577,17 @@ def rewindow_names(rev: str) -> dict[str, set[str]]:
 
 
 def _fp_module_parts(idxs, known, rel, visiting, out) -> None:
-    if rel in visiting:
-        return
-    visiting = visiting | {rel}
+    # Own defs are ALWAYS part of the identity, even on cycle re-entry:
+    # dirty_names' truncation returns changed_defs(rel) — any own-def
+    # change dirties a module-granularity alias — so a fingerprint that
+    # added nothing here would stay unchanged where rewindow flags
+    # (r14 review: module-style re-entry into a member-visited module).
     idx = idxs[rel]
     for n, dumps in idx.defs.items():
         out.add((rel, n, dumps))
+    if rel in visiting:
+        return  # cycle: own defs only (dirty_names rule)
+    visiting = visiting | {rel}
     for specs in idx.imports.values():
         for spec in specs:
             _fp_import_parts(idxs, known, rel, spec, visiting, out)

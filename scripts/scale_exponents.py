@@ -124,6 +124,15 @@ MIN_DATA_RATIO = 2.0
 # the row "mixed" (dilution visibility — see the docstring limit).
 MIXED_RATIO_SPREAD = 1.5
 
+# Tables at or below this growth are STATIC DIMENSIONS (region/nation
+# style, constant by design) and sit out the mixed-spread check — a
+# lineitem x nation join is not "mixed", it is a fact table with a
+# constant dim.  Anything above it that still scales (even under
+# MIN_DATA_RATIO, e.g. a hypothetical 1.9x plane) DOES join the spread
+# check (r14 review: cutting at MIN_DATA_RATIO let a genuinely scaling
+# slow plane escape the marker the docstring promises).
+STATIC_DIM_RATIO = 1.25
+
 # Oracles that read files derived from a scaling table rather than the
 # table itself — word-matching the SQL cannot see through the path
 # literal, so the input plane is declared here explicitly.
@@ -209,7 +218,7 @@ def data_ratio(
     per = [
         rows_hi[t] / rows_lo[t]
         for t in tables
-        if rows_lo[t] > 0 and rows_hi[t] / rows_lo[t] >= MIN_DATA_RATIO
+        if rows_lo[t] > 0 and rows_hi[t] / rows_lo[t] > STATIC_DIM_RATIO
     ]
     mixed = bool(per) and max(per) / min(per) > MIXED_RATIO_SPREAD
     return hi / lo, mixed
@@ -290,6 +299,44 @@ def current_fingerprints() -> dict[str, str]:
     return mod.current_fingerprints()
 
 
+def resolve_fingerprints(
+    names, lo: dict, hi: dict, fit_time: dict[str, str]
+) -> tuple[dict[str, str], list[str], bool]:
+    """(per-name fingerprint to stamp, names whose two sweeps measured
+    DIFFERENT code, whether the fit-time fallback was used).
+
+    The stamp must describe the code the sweeps MEASURED, not whichever
+    tree later runs the fit (r14 review: an edit between sweep and fit
+    would get a fresh stamp on stale readings).  Sweeps since r14 carry
+    ``_code_fingerprints`` taken at sweep time; when both sides stamp a
+    name they must AGREE — a disagreement means the code changed
+    between the two sweeps and the row is not a measurement of any one
+    implementation (re-sweep those names).  Pre-stamp sweeps fall back
+    to fit-time fingerprints with a printed bootstrap note.
+    """
+    lo_fps = lo.get("_code_fingerprints")
+    hi_fps = hi.get("_code_fingerprints")
+    out: dict[str, str] = {}
+    mismatched: list[str] = []
+    fallback = False
+    for name in names:
+        a = lo_fps.get(name) if lo_fps is not None else None
+        b = hi_fps.get(name) if hi_fps is not None else None
+        if a is not None and b is not None:
+            if a == b:
+                out[name] = a
+            else:
+                mismatched.append(name)  # no stamp: stays stale until re-swept
+        else:
+            stamped = a if a is not None else b
+            if stamped is not None:
+                out[name] = stamped
+            elif name in fit_time:
+                out[name] = fit_time[name]
+                fallback = True
+    return out, sorted(mismatched), fallback
+
+
 def stale_fingerprints(artifact: dict, current: dict[str, str]) -> list[str]:
     """Names whose measured rows predate their current code (fingerprint
     mismatch or never fingerprinted) — re-measure via the targeted
@@ -337,6 +384,11 @@ def main() -> int:
     )
     ap.add_argument("--top", type=int, default=15)
     args = ap.parse_args()
+    if args.patch and args.json:
+        # A combined run would rebuild the FULL artifact with fresh
+        # stamps for every name, defeating --patch's "untouched names
+        # keep their old stamps so unrefreshed changes still redden".
+        ap.error("--patch and --json are mutually exclusive")
 
     from discogs_etl_spark.registry import all_specs
 
@@ -345,14 +397,44 @@ def main() -> int:
     lo, hi = json.load(open(args.lo)), json.load(open(args.hi))
     _check_provenance("--lo", lo, args.lo_dir, rows_lo)
     _check_provenance("--hi", hi, args.hi_dir, rows_hi)
+    for label, sweep in (("--lo", lo), ("--hi", hi)):
+        if "_only" in sweep and args.json:
+            print(
+                f"note: {label} is a PARTIAL sweep (--only "
+                f"{len(sweep['_only'])} names) — a full artifact built "
+                "from it will fail the registry-coverage test; use "
+                "--patch for targeted refreshes"
+            )
     table = exponents(lo, hi, oracles, rows_lo, rows_hi)
+
+    fit_time = current_fingerprints()
+    fps, sweep_mismatch, fp_fallback = resolve_fingerprints(
+        sorted(table), lo, hi, fit_time
+    )
+    if fp_fallback:
+        print(
+            "note: fingerprints fell back to the fit-time tree for "
+            "pre-stamp sweeps (r14 bootstrap) — sweeps taken since stamp "
+            "their own"
+        )
 
     if args.patch:
         artifact = json.loads(open(args.patch).read())
-        fps = current_fingerprints()
+        unregistered = sorted(set(table) - set(fit_time))
+        if unregistered:
+            sys.exit(
+                f"sweeps time names that are no longer registered: "
+                f"{unregistered} — re-sweep with --only over current names"
+            )
+        stamps = artifact.setdefault("_meta", {}).setdefault(
+            "code_fingerprints", {}
+        )
         for name, row in table.items():
             artifact[name] = row
-            artifact["_meta"]["code_fingerprints"][name] = fps[name]
+            if name in fps:
+                stamps[name] = fps[name]
+            else:
+                stamps.pop(name, None)  # mismatched sweeps: stays stale
         with open(args.patch, "w") as f:
             json.dump(artifact, f, indent=1, sort_keys=True)
             f.write("\n")
@@ -390,7 +472,9 @@ def main() -> int:
                 "material_sec": MATERIAL_SEC,
                 "floor_sec": FLOOR_SEC,
                 "min_data_ratio": MIN_DATA_RATIO,
-                "code_fingerprints": current_fingerprints(),
+                "mixed_ratio_spread": MIXED_RATIO_SPREAD,
+                "static_dim_ratio": STATIC_DIM_RATIO,
+                "code_fingerprints": fps,
             },
             **table,
         }
@@ -398,6 +482,12 @@ def main() -> int:
             json.dump(artifact, f, indent=1, sort_keys=True)
             f.write("\n")
         print(f"wrote {args.json}")
+    for n in sweep_mismatch:
+        print(
+            f"SWEEP MISMATCH: {n} was measured under DIFFERENT code in the "
+            "two sweeps (sweep-time fingerprints disagree) — the row fits "
+            "no single implementation; re-sweep it at both sfs"
+        )
 
     for n in stale:
         print(
@@ -423,7 +513,7 @@ def main() -> int:
                 f"{r['t_hi']}s over {r['ratio']}x data) — not a documented "
                 "baseline; audit the plan and the match cardinality"
             )
-    if bad or ungr or stale:
+    if bad or ungr or stale or sweep_mismatch:
         return 1
     print("gate PASS: every material super-linear query is a documented baseline")
     return 0

@@ -192,6 +192,30 @@ def main() -> int:
             t: pq.ParquetFile(os.path.join(args.sf_dir, f"{t}.parquet")).metadata.num_rows
             for t in TABLE_NAMES
         }
+        # Code provenance (r14 review): fingerprints must describe the
+        # tree the sweep MEASURED, not whichever tree later fits the
+        # exponents — an edit between sweep and fit would otherwise get
+        # a fresh stamp on stale readings.  Only the swept names are
+        # stamped, so a --only partial sweep cannot certify names it
+        # never timed.
+        import importlib.util as _ilu
+
+        _spec = _ilu.spec_from_file_location(
+            "rewindow_check",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "rewindow_check.py"),
+        )
+        _rw = _ilu.module_from_spec(_spec)
+        _spec.loader.exec_module(_rw)
+        _fps = _rw.current_fingerprints()
+        res["_code_fingerprints"] = {
+            n: _fps[n] for n in res if not n.startswith("_") and n in _fps
+        }
+        if args.only:
+            # Loud partial-sweep marker (r14 review): a subset sweep in
+            # the full-sweep schema would silently un-gate every absent
+            # name in timing_compare ("new query: no basis yet") if used
+            # as a round baseline.
+            res["_only"] = sorted(wanted)
         with open(args.json, "w") as fh:
             json.dump(res, fh, indent=1, sort_keys=True)
     # Exclude metadata (underscore keys: the _loadavg_end list would

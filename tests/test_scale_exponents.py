@@ -266,3 +266,56 @@ def test_known_plane_ratios_in_artifact():
     art = _artifact()
     assert art["dedup_embedding_cosine"]["ratio"] == 4.0
     assert art["dedup_embedding_cosine"]["alpha"] > 1.8  # quadratic by design
+
+
+def test_artifact_meta_pins_mixed_constants():
+    mod = _mod()
+    meta = _artifact()["_meta"]
+    assert meta["mixed_ratio_spread"] == mod.MIXED_RATIO_SPREAD
+    assert meta["static_dim_ratio"] == mod.STATIC_DIM_RATIO
+
+
+def test_static_dims_do_not_mark_mixed_but_slow_planes_do():
+    # region/nation-style constant dims sit out the spread check (a
+    # fact x dim join is not "mixed"), while a genuinely scaling plane
+    # below MIN_DATA_RATIO (e.g. 1.9x) must still join it — the r14
+    # review's escape: cutting at MIN_DATA_RATIO let a slow plane's
+    # dilution go unmarked.
+    mod = _mod()
+    rows_lo = {t: 100 for t in TABLE_NAMES}
+    rows_hi = {t: 1000 for t in TABLE_NAMES}
+    rows_hi["nation"] = 100  # static dim, 1.0x
+    rows_hi["embeddings"] = 190  # scaling, 1.9x
+    t1 = mod.exponents(
+        {"fact_dim": 2.0}, {"fact_dim": 20.0},
+        {"fact_dim": "SELECT * FROM lineitem JOIN nation ON 1=1"},
+        rows_lo, rows_hi,
+    )
+    assert "mixed" not in t1["fact_dim"]
+    t2 = mod.exponents(
+        {"slow": 2.0}, {"slow": 20.0},
+        {"slow": "SELECT * FROM lineitem JOIN embeddings ON 1=1"},
+        rows_lo, rows_hi,
+    )
+    assert t2["slow"].get("mixed") is True
+
+
+def test_fingerprints_resolve_from_sweep_stamps_not_fit_time():
+    # The stamp must describe the code the sweeps MEASURED (r14 review:
+    # an edit between sweep and fit would get a fresh stamp on stale
+    # readings).  Agreeing sweep stamps win over fit-time; disagreeing
+    # stamps yield NO stamp (stays stale until re-swept); unstamped
+    # legacy sweeps fall back to fit-time.
+    mod = _mod()
+    fit = {"a": "fit_a", "b": "fit_b", "c": "fit_c"}
+    lo = {"_code_fingerprints": {"a": "sweep_a", "b": "old_b"}}
+    hi = {"_code_fingerprints": {"a": "sweep_a", "b": "new_b"}}
+    fps, mismatched, fallback = mod.resolve_fingerprints(
+        ["a", "b", "c"], lo, hi, fit
+    )
+    assert fps["a"] == "sweep_a"  # agreement: sweep stamp, not fit_a
+    assert "b" not in fps and mismatched == ["b"]
+    assert fps["c"] == "fit_c" and fallback is True  # unstamped name
+    # fully legacy sweeps: all fallback, no mismatches
+    fps2, mm2, fb2 = mod.resolve_fingerprints(["a"], {}, {}, fit)
+    assert fps2 == {"a": "fit_a"} and mm2 == [] and fb2 is True
