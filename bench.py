@@ -36,12 +36,26 @@ from discogs_etl_spark.tables import load
 # core at start is foreign work competing for the same CPUs).
 LOAD_CONTAMINATION_1M = 1.0
 
+# 1-min loadavg threshold at bench END.  The bench's own parallelism
+# inflates this legitimately (measured ≤1.7 on a quiet box at sf0.1,
+# local[32]); readings past this margin mean foreign work arrived
+# MID-RUN — the r14-review hole: a clean start plus a job landing 10 s
+# into the window shipped load_contaminated: false (the BENCH_r13
+# failure mode, reproduced for late arrivals).
+LOAD_CONTAMINATION_AFTER_1M = 2.5
 
-def _contaminated(load_before: list[float] | None) -> bool:
-    """True when the pre-warmup 1-min loadavg says foreign work held
-    cores during the measured window (unknown loadavg = not flagged —
-    the stamp asserts contamination, never cleanliness)."""
-    return bool(load_before and load_before[0] > LOAD_CONTAMINATION_1M)
+
+def _contaminated(
+    load_before: list[float] | None,
+    load_after: list[float] | None = None,
+) -> bool:
+    """True when loadavg says foreign work held cores during the
+    measured window — standing load at START, or end-of-run load beyond
+    the bench's own measured contribution (unknown loadavg = not
+    flagged — the stamp asserts contamination, never cleanliness)."""
+    if load_before and load_before[0] > LOAD_CONTAMINATION_1M:
+        return True
+    return bool(load_after and load_after[0] > LOAD_CONTAMINATION_AFTER_1M)
 
 
 def _sf_from_dir(sf_dir: str) -> float:
@@ -195,16 +209,18 @@ def main() -> None:
                 # after the last query: readings with loadavg far above
                 # the bench's own parallelism are contention artifacts
                 "loadavg_before": load_before,
-                "loadavg_after": _loadavg(),
+                "loadavg_after": (load_after := _loadavg()),
                 # Self-flag contaminated readings (verdict r13 task #3):
                 # BENCH_r13 shipped a 25.30 s artifact captured at
                 # loadavg 2.6 and nothing in it said "don't trust this"
                 # — adjudication took a judge re-run.  A 1-min loadavg
                 # above 1.0 at start means OTHER work held cores while
-                # the bench warmed up; the reading is an upper bound,
+                # the bench warmed up; past 2.5 at END (the bench's own
+                # contribution measured ≤1.7 quiet) foreign work arrived
+                # mid-run.  Either way the reading is an upper bound,
                 # not a level, and the round-close note must quote this
                 # field.
-                "load_contaminated": _contaminated(load_before),
+                "load_contaminated": _contaminated(load_before, load_after),
             }
         )
     )

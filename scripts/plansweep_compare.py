@@ -77,6 +77,7 @@ from __future__ import annotations
 
 import argparse
 import importlib.util
+from collections import Counter
 import json
 from pathlib import Path
 
@@ -252,6 +253,34 @@ def compare_sweeps(
                 f"({len(p)} -> {len(c)}) — prune/lower its ALLOWED "
                 "allowance and adjudicate"
             )
+        if len(c) != len(p):
+            # A count-change ack must not mask a CONCURRENT change to
+            # the surviving nodes (r14 review, confirmed by execution:
+            # prev ['(a < b)', '(c < d)'] -> cur ['(a <= b)'] under a
+            # 'disappeared' ack returned zero problems, silently
+            # accepting the a<b -> a<=b rewrite).  Multiset surplus:
+            # appeared+vanished beyond the count delta means something
+            # ALSO changed in place, which carries its own flag kind.
+            pc_t, cc_t = Counter(p), Counter(c)
+            text_surplus = (
+                sum((cc_t - pc_t).values()) + sum((pc_t - cc_t).values())
+            ) - abs(len(c) - len(p))
+            if text_surplus > 0 and (name, "cond_text") not in acks:
+                problems.append(
+                    f"{name}: condition text ALSO changed alongside the "
+                    f"count change: {p} -> {c}"
+                )
+            elif text_surplus == 0 and p_cds is not None and c_cds is not None:
+                pc_s, cc_s = Counter(p_cds), Counter(c_cds)
+                comp_surplus = (
+                    sum((cc_s - pc_s).values()) + sum((pc_s - cc_s).values())
+                ) - abs(len(c) - len(p))
+                if comp_surplus > 0 and (name, "cond_composition") not in acks:
+                    problems.append(
+                        f"{name}: conditioned build composition ALSO "
+                        f"changed alongside the count change: "
+                        f"{p_cds} -> {c_cds} — adjudicate"
+                    )
         elif len(c) == len(p) and p != c and (name, "cond_text") not in acks:
             problems.append(
                 f"{name}: CHANGED condition text: {p} -> {c}"
@@ -279,6 +308,20 @@ def compare_sweeps(
                     "added, re-derived, or a join degenerated into a pure "
                     "cartesian; adjudicate"
                 )
+            # Same masking closure as the conditioned family: an acked
+            # count change must not hide a concurrent substitution among
+            # the SURVIVING crosses.
+            if p_cs is not None and c_cs is not None:
+                pc_x, cc_x = Counter(p_cs), Counter(c_cs)
+                x_surplus = (
+                    sum((cc_x - pc_x).values()) + sum((pc_x - cc_x).values())
+                ) - abs((p_cross or 0) - (c_cross or 0))
+                if x_surplus > 0 and (name, "cross_composition") not in acks:
+                    problems.append(
+                        f"{name}: cross build composition ALSO changed "
+                        f"alongside the count change: {p_cs} -> {c_cs} — "
+                        "adjudicate"
+                    )
         elif (leaves_changed or shapes_changed) and (
             name,
             "cross_composition",

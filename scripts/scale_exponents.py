@@ -195,14 +195,20 @@ def table_rows(sf_dir: str) -> dict[str, int]:
 
 def oracle_tables(name: str, sql: str | None) -> list[str]:
     """Input tables a registered oracle references, by word-boundary
-    match with single-quoted string literals stripped first (a path or
-    LIKE pattern containing a table name is not a read — r14 review);
-    file-dependent oracles declare their plane in EXTRA_TABLES."""
+    match with single-quoted string literals AND SQL comments stripped
+    first (a path, LIKE pattern, or '-- per-part revenue ...' comment
+    containing a table name is not a read — r14 review; the comment
+    case was live in supply_single_source_risk, harmless only because
+    all TPC-H planes grow alike); file-dependent oracles declare their
+    plane in EXTRA_TABLES.  Literals strip before comments so a '--'
+    inside a string cannot eat the rest of the line."""
     if name in EXTRA_TABLES:
         return EXTRA_TABLES[name]
     if not sql:
         return []
     stripped = re.sub(r"'[^']*'", "''", sql)
+    stripped = re.sub(r"--[^\n]*", "", stripped)
+    stripped = re.sub(r"/\*.*?\*/", "", stripped, flags=re.S)
     return [t for t in TABLE_NAMES if re.search(rf"\b{t}\b", stripped)]
 
 
@@ -301,9 +307,9 @@ def current_fingerprints() -> dict[str, str]:
 
 def resolve_fingerprints(
     names, lo: dict, hi: dict, fit_time: dict[str, str]
-) -> tuple[dict[str, str], list[str], bool]:
+) -> tuple[dict[str, str], list[str], set[str]]:
     """(per-name fingerprint to stamp, names whose two sweeps measured
-    DIFFERENT code, whether the fit-time fallback was used).
+    DIFFERENT code, bootstrap-note keys for the caller to print).
 
     The stamp must describe the code the sweeps MEASURED, not whichever
     tree later runs the fit (r14 review: an edit between sweep and fit
@@ -311,14 +317,19 @@ def resolve_fingerprints(
     ``_code_fingerprints`` taken at sweep time; when both sides stamp a
     name they must AGREE — a disagreement means the code changed
     between the two sweeps and the row is not a measurement of any one
-    implementation (re-sweep those names).  Pre-stamp sweeps fall back
-    to fit-time fingerprints with a printed bootstrap note.
+    implementation (re-sweep those names).  A ONE-SIDED stamp (legacy
+    sweep paired with a new one) is accepted — it at least ties to one
+    measured tree — but reported as an unverified pairing, since an
+    edit between the two sweeps would be undetectable (r14 review: the
+    silent acceptance reproduced the chimera the mismatch check
+    exists to catch).  Fully pre-stamp sweeps fall back to fit-time
+    fingerprints, also with a note.
     """
     lo_fps = lo.get("_code_fingerprints")
     hi_fps = hi.get("_code_fingerprints")
     out: dict[str, str] = {}
     mismatched: list[str] = []
-    fallback = False
+    notes: set[str] = set()
     for name in names:
         a = lo_fps.get(name) if lo_fps is not None else None
         b = hi_fps.get(name) if hi_fps is not None else None
@@ -331,10 +342,11 @@ def resolve_fingerprints(
             stamped = a if a is not None else b
             if stamped is not None:
                 out[name] = stamped
+                notes.add("one-sided")
             elif name in fit_time:
                 out[name] = fit_time[name]
-                fallback = True
-    return out, sorted(mismatched), fallback
+                notes.add("fit-time")
+    return out, sorted(mismatched), notes
 
 
 def stale_fingerprints(artifact: dict, current: dict[str, str]) -> list[str]:
@@ -408,14 +420,21 @@ def main() -> int:
     table = exponents(lo, hi, oracles, rows_lo, rows_hi)
 
     fit_time = current_fingerprints()
-    fps, sweep_mismatch, fp_fallback = resolve_fingerprints(
+    fps, sweep_mismatch, fp_notes = resolve_fingerprints(
         sorted(table), lo, hi, fit_time
     )
-    if fp_fallback:
+    if "fit-time" in fp_notes:
         print(
             "note: fingerprints fell back to the fit-time tree for "
             "pre-stamp sweeps (r14 bootstrap) — sweeps taken since stamp "
             "their own"
+        )
+    if "one-sided" in fp_notes:
+        print(
+            "note: some rows carry a ONE-SIDED sweep stamp (one sweep "
+            "predates code stamps) — a code change between the two "
+            "sweeps would be undetectable for them; prefer re-sweeping "
+            "both sides on stamped time_registry"
         )
 
     if args.patch:

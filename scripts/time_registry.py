@@ -53,6 +53,18 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _load_script(name: str):
+    """Load a sibling script module by path (scripts/ is not a package)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        name, os.path.join(os.path.dirname(os.path.abspath(__file__)), f"{name}.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
@@ -183,30 +195,19 @@ def main() -> int:
         # two of these artifacts from DIFFERENT sf dirs — without a
         # stamp, a mismatched pair (or a stale sweep from another data
         # build) produces silently-wrong exponents.  Row counts come
-        # from the parquet footers, so a consumer can verify the pairing
-        # against the dirs it thinks it is using.
-        import pyarrow.parquet as pq
-
+        # from the parquet footers via scale_exponents.table_rows — the
+        # SAME implementation _check_provenance compares against, so the
+        # stamp format and the consumer's read cannot drift apart
+        # (r14 review: an inline copy could).
         res["_sf_dir"] = args.sf_dir
-        res["_table_rows"] = {
-            t: pq.ParquetFile(os.path.join(args.sf_dir, f"{t}.parquet")).metadata.num_rows
-            for t in TABLE_NAMES
-        }
+        res["_table_rows"] = _load_script("scale_exponents").table_rows(args.sf_dir)
         # Code provenance (r14 review): fingerprints must describe the
         # tree the sweep MEASURED, not whichever tree later fits the
         # exponents — an edit between sweep and fit would otherwise get
         # a fresh stamp on stale readings.  Only the swept names are
         # stamped, so a --only partial sweep cannot certify names it
         # never timed.
-        import importlib.util as _ilu
-
-        _spec = _ilu.spec_from_file_location(
-            "rewindow_check",
-            os.path.join(os.path.dirname(os.path.abspath(__file__)), "rewindow_check.py"),
-        )
-        _rw = _ilu.module_from_spec(_spec)
-        _spec.loader.exec_module(_rw)
-        _fps = _rw.current_fingerprints()
+        _fps = _load_script("rewindow_check").current_fingerprints()
         res["_code_fingerprints"] = {
             n: _fps[n] for n in res if not n.startswith("_") and n in _fps
         }

@@ -193,6 +193,19 @@ def main() -> int:
 
     prev = json.loads(prev_p.read_text())
     cur = json.loads(cur_p.read_text())
+    # A --only partial sweep must never serve as a round artifact: every
+    # absent name would silently lose its basis next round ("new query:
+    # no basis yet") — the exact un-gating the _only stamp exists to
+    # make loud (r14 review: the stamp was written but nothing read it).
+    for label, sweep, path in (("prev", prev, prev_p), ("cur", cur, cur_p)):
+        if "_only" in sweep:
+            print(
+                f"REFUSED: {path.name} ({label}) is a PARTIAL sweep "
+                f"(--only {len(sweep['_only'])} names) — partial sweeps "
+                "are for scale_exponents --patch, not round baselines; "
+                "re-run time_registry without --only"
+            )
+            return 1
     problems = compare(prev, cur, args.ratio, args.floor_sec)
     n_q = sum(1 for k in cur if not k.startswith("_"))
     print(f"compare {prev_p.name} -> {cur_p.name}: {n_q} queries")

@@ -38,3 +38,17 @@ def test_unknown_loadavg_never_flags():
     b = _bench()
     assert not b._contaminated(None)
     assert not b._contaminated([])
+
+
+def test_mid_run_contention_flags_via_after_loadavg():
+    # r14 review: a clean start plus foreign work arriving mid-run
+    # shipped load_contaminated: false — the BENCH_r13 failure mode for
+    # late arrivals.  The END loadavg gates past the bench's own
+    # measured contribution; at-or-under the margin stays clean (the
+    # bench itself pushes the 1-min average toward ~1.7 on a quiet box).
+    b = _bench()
+    t = b.LOAD_CONTAMINATION_AFTER_1M
+    assert not b._contaminated([0.1, 0.1, 0.1], [t, 5.0, 5.0])  # at cap
+    assert b._contaminated([0.1, 0.1, 0.1], [t + 0.01, 0.0, 0.0])
+    assert not b._contaminated([0.1, 0.1, 0.1], None)  # unknown end load
+    assert not b._contaminated([0.1, 0.1, 0.1], [])

@@ -310,12 +310,21 @@ def test_fingerprints_resolve_from_sweep_stamps_not_fit_time():
     fit = {"a": "fit_a", "b": "fit_b", "c": "fit_c"}
     lo = {"_code_fingerprints": {"a": "sweep_a", "b": "old_b"}}
     hi = {"_code_fingerprints": {"a": "sweep_a", "b": "new_b"}}
-    fps, mismatched, fallback = mod.resolve_fingerprints(
+    fps, mismatched, notes = mod.resolve_fingerprints(
         ["a", "b", "c"], lo, hi, fit
     )
     assert fps["a"] == "sweep_a"  # agreement: sweep stamp, not fit_a
     assert "b" not in fps and mismatched == ["b"]
-    assert fps["c"] == "fit_c" and fallback is True  # unstamped name
+    # 'c' is unstamped in BOTH stamped sweeps -> one-sided cannot apply;
+    # fit-time fallback is used and reported
+    assert fps["c"] == "fit_c" and "fit-time" in notes
     # fully legacy sweeps: all fallback, no mismatches
-    fps2, mm2, fb2 = mod.resolve_fingerprints(["a"], {}, {}, fit)
-    assert fps2 == {"a": "fit_a"} and mm2 == [] and fb2 is True
+    fps2, mm2, n2 = mod.resolve_fingerprints(["a"], {}, {}, fit)
+    assert fps2 == {"a": "fit_a"} and mm2 == [] and n2 == {"fit-time"}
+    # one legacy + one stamped sweep: the single stamp is used but the
+    # unverified pairing is reported (a between-sweep edit would be
+    # invisible for these rows)
+    fps3, mm3, n3 = mod.resolve_fingerprints(
+        ["a"], {"_code_fingerprints": {"a": "sweep_a"}}, {}, fit
+    )
+    assert fps3 == {"a": "sweep_a"} and mm3 == [] and n3 == {"one-sided"}

@@ -49,6 +49,13 @@ def test_current_sweep_has_no_errors_and_covers_registry():
     arts = tc.newest_artifacts(REPO)
     assert arts, "no TIMINGS_r*.json committed — run scripts/time_registry.py"
     cur = json.loads(arts[-1].read_text())
+    # A --only partial sweep committed as the round artifact would
+    # silently un-gate every absent name next round; time_registry
+    # stamps _only and both the compare CLI and this test refuse it.
+    assert "_only" not in cur, (
+        f"{arts[-1].name} is a PARTIAL sweep (--only) — partial sweeps "
+        "feed scale_exponents --patch, never the round baseline"
+    )
     errored = sorted(n for n, v in cur.items() if v is None)
     assert not errored, f"queries errored in {arts[-1].name}: {errored}"
     from discogs_etl_spark.registry import all_specs
