@@ -77,28 +77,29 @@ def _load_all() -> None:
 # driver-side correctness evidence (or changed since their last green row)
 # ahead of queries whose green rows already stand from a prior round.
 #
-# Round 14 rotation.  Basis (COMPUTED by scripts/evidence_audit.py over
+# Round 15 rotation.  Basis (COMPUTED by scripts/evidence_audit.py over
 # a FIXED round range — the note is stamped with the round it describes
 # so the suite stays green after later artifacts land;
 # tests/test_evidence_audit.py recomputes audit(max_round=as_of_round)
 # and asserts this line matches, and separately proves the comparison is
 # immune to a synthetic future-round artifact):
-#   evidence_audit as_of_round=13: registered=369 unique_checked=369 ever_green=369 \
+#   evidence_audit as_of_round=14: registered=369 unique_checked=369 ever_green=369 \
 #     never_checked=0 net_new_last_round=0
 # The ledger stays fully closed (zero never-checked, zero
 # latest-round-red, zero net-new), so the window is pure post-backlog
 # policy: (a) mechanical re-window flags lead (scripts/rewindow_check.py
-# vs the r13-end rev 6efeba3 — ZERO flags: r14 is a gate-hardening
-# round, no registered query module changed); then (b)
+# vs the r14-end rev d93fc1b — ZERO flags at composition time); then (b)
 # OLDEST-EVIDENCE-FIRST rotation — registered names ordered by
 # last-green round ascending (registration order among ties, printed by
 # `evidence_audit.py --stale-order` and filled by round_start.py),
-# continuing the round-1 cohort from where the r13 window stopped
-# (graph_degree_assortativity / customer_wallet_share_deciles /
-# credit_risk_exposure onward per the r13 note's plan).  Every name
-# passes the local one-session driver replica (tests/test_oracle.py)
-# and the plain-session derisk_window.py sweep, so rotation stays pure
-# evidence collection.
+# continuing the round-6/7 cohort from where the r14 window stopped
+# (dedup_semdedup / privacy_k_anonymity_report / vocab_coverage_curve
+# onward per the r14 note's plan).  The rotation slot for
+# multimodal_phash_dedup doubles as the driver re-check for this
+# round's oracle-changing banding rewrite (VERDICT r14 task #1).
+# Every name passes the local one-session driver replica
+# (tests/test_oracle.py) and the plain-session derisk_window.py sweep,
+# so rotation stays pure evidence collection.
 #
 # EVIDENCE-FRESHNESS SLO (machine-enforced since round 14 by
 # tests/test_evidence_freshness.py, driven by
@@ -122,68 +123,68 @@ def _load_all() -> None:
 # the round it is composed, forcing a conscious split or a documented
 # bound change rather than a silent SLO trip several rounds later.
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    # oldest-evidence-first rotation fill (last green: round 6 for the
-    # first 37 names, round 7 for the rest), continuing from the name
-    # after the r13 window's end per evidence_audit --stale-order
-    "graph_degree_assortativity",
-    "customer_wallet_share_deciles",
-    "credit_risk_exposure",
-    "audit_sequence_gaps",
-    "parts_bundle_detection",
-    "supplier_leadtime_p90",
-    "customers_churned_1997",
-    "conversion_by_session_depth",
-    "orders_otif_rate",
-    "features_target_encoding_loo",
-    "parts_price_dispersion",
-    "attribution_shapley_two_channel",
-    "price_endings_audit",
-    "orders_repeat_probability_curve",
-    "relational_division_all_orders_above",
-    "reach_cumulative_users",
-    "nested_agg_avg_of_sums",
-    "participation_inequality_901",
-    "graph_rich_club",
-    "segment_migration_matrix",
-    "pivot_multi_aggregate",
-    "events_transition_latency",
-    "calendar_comparability_eval",
-    "returns_by_basket_size",
-    "activity_comovement_matrix",
-    "inventory_safety_stock",
-    "first_order_value_predictiveness",
-    "discount_response_curve",
-    "graph_edge_formation_rate",
-    "pricing_consistency_audit",
-    "priority_sla_fairness",
-    "path_entropy_by_outcome",
-    "shipping_consolidation_opportunity",
-    "users_activity_bitmask",
-    "xml_datasource_stream_scan",
-    "xml_ingest_label_values",
-    "lake_maintenance_roundtrip",
-    "embedding_random_projection",
-    "similarity_ann_multiprobe",
-    "similarity_ann_multiprobe_recall",
-    "vocab_oov_rate",
-    "ngram_next_word_top",
-    "similarity_sparse_cosine_pairs",
-    "contrastive_pair_mining",
-    "vocab_hapax_rate",
-    "dedup_containment",
-    "quality_percentile_by_lang",
-    "embedding_dispersion_by_label",
-    "dedup_substring_windows",
-    "text_search_phrase",
-    # ROUND-15 ROTATION NOTE: keep the post-backlog policy — refresh the
-    # audit line to as_of_round=14 and COVERAGE.md's evidence paragraph
+    # oldest-evidence-first rotation fill (last green: round 6/7),
+    # continuing from the name after the r14 window's end per
+    # evidence_audit --stale-order
+    "dedup_semdedup",
+    "privacy_k_anonymity_report",
+    "vocab_coverage_curve",
+    "similarity_matryoshka_recall",
+    "terms_pmi_cooccurrence",
+    "safety_lexicon_filter",
+    "fuzzy_join_levenshtein_blocked",
+    "dedup_provenance_matrix",
+    "dedup_winnowing_fingerprints",
+    "lm_next_word_accuracy",
+    "text_char_entropy",
+    "dedup_doc_duplication_score",
+    "dedup_ensemble_vote",
+    "sample_balance_classes",
+    "boilerplate_ngram_discovery",
+    "text_msttr_diversity",
+    "embedding_norm_outliers",
+    "corpus_jsd_sources",
+    "dedup_transitivity_audit",
+    "dedup_medoid_selection",
+    "embedding_ncm_probe_accuracy",
+    "dedup_impact_report",
+    "corpus_effective_tokens",
+    "pack_efficiency_curve",
+    "lm_domain_surprisal_ratio",
+    "dedup_threshold_sweep",
+    "dedup_pair_evidence",
+    "multimodal_decode_features",
+    "multimodal_resize_nn",
+    "multimodal_audio_frames",
+    "multimodal_frame_sample",
+    "multimodal_phash_dedup",
+    "multimodal_media_summary",
+    "agg_salted_skew_safe",
+    "flagship_scan_filter_limit",
+    "scan_project_filter",
+    "sort_topk_orders",
+    "chunking_content_defined",
+    "similarity_int8_recall",
+    "dedup_impact_by_source",
+    "text_search_query_likelihood",
+    "pack_shard_balance_eval",
+    "dedup_bag_of_words_exact",
+    "arrow_udf_char_classes",
+    "pandas_udf_iter_tokens",
+    "stats_cusum_daily_revenue",
+    "stats_acf_daily_revenue",
+    "stats_survival_km_repurchase",
+    "stats_two_proportion_ztest",
+    "timeseries_locf_fill",
+    # ROUND-16 ROTATION NOTE: keep the post-backlog policy — refresh the
+    # audit line to as_of_round=15 and COVERAGE.md's evidence paragraph
     # as the first commit, then compose the window with
-    # `python scripts/round_start.py <r14-end-rev>`: mechanical
+    # `python scripts/round_start.py <r15-end-rev>`: mechanical
     # re-window flags lead, oldest-evidence-first rotation fills (after
-    # r14 lands green the stalest cohort continues from where this
+    # r15 lands green the stalest cohort continues from where this
     # window stopped — `python scripts/evidence_audit.py --stale-order`
-    # prints the basis).  tests/test_evidence_freshness.py now reddens
-    # a skipped or mis-composed rotation automatically.
+    # prints the basis).  tests/test_evidence_freshness.py reddens a
+    # skipped or mis-composed rotation automatically.
 )
 
 # Evidence-freshness bound enforced by tests/test_evidence_freshness.py.
