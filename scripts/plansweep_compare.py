@@ -270,8 +270,21 @@ def compare_sweeps(
                     f"{name}: condition text ALSO changed alongside the "
                     f"count change: {p} -> {c}"
                 )
-            elif text_surplus == 0 and p_cds is not None and c_cds is not None:
-                pc_s, cc_s = Counter(p_cds), Counter(c_cds)
+            # Composition surplus is checked INDEPENDENTLY of the text
+            # comparison (r15 ADVICE: the elif let an acked cond_text
+            # change mask a concurrent build-composition change).  When
+            # the text multiset moved, the full (cond, leaves, shape)
+            # triples differ trivially, so the basis drops to the
+            # TEXT-STRIPPED (leaves, shape) pairs — a same-sources text
+            # rewrite stays a pure cond_text flag while a concurrent
+            # source/shape swap still carries its own kind.
+            if p_cds is not None and c_cds is not None:
+                if text_surplus == 0:
+                    basis_p, basis_c = p_cds, c_cds
+                else:
+                    basis_p = [t[1:] for t in p_cds]
+                    basis_c = [t[1:] for t in c_cds]
+                pc_s, cc_s = Counter(basis_p), Counter(basis_c)
                 comp_surplus = (
                     sum((cc_s - pc_s).values()) + sum((pc_s - cc_s).values())
                 ) - abs(len(c) - len(p))
@@ -281,25 +294,60 @@ def compare_sweeps(
                         f"changed alongside the count change: "
                         f"{p_cds} -> {c_cds} — adjudicate"
                     )
-        elif len(c) == len(p) and p != c and (name, "cond_text") not in acks:
-            problems.append(
-                f"{name}: CHANGED condition text: {p} -> {c}"
-            )
-        elif (
-            len(c) == len(p)
-            and p == c
-            and (cond_leaves_changed or cond_shapes_changed)
-            and (name, "cond_composition") not in acks
-        ):
-            # Same condition text, different build composition — the
-            # text survives a source swap when column names match, so
-            # the conditioned class carries leaf identity, and the
-            # subtree shape catches a swap that preserves the leaves.
-            what = (p_cl, c_cl) if cond_leaves_changed else (p_cds, c_cds)
-            problems.append(
-                f"{name}: conditioned build composition changed under "
-                f"identical condition text: {what[0]} -> {what[1]} — adjudicate"
-            )
+        else:
+            if p != c and (name, "cond_text") not in acks:
+                problems.append(
+                    f"{name}: CHANGED condition text: {p} -> {c}"
+                )
+            # Same independence at EQUAL counts (r15 ADVICE): with
+            # p != c the old elif chain never reached the composition
+            # branch, so a cond_text ack hid a simultaneous source
+            # swap.  Identical text keeps the stronger full-descriptor
+            # comparison (it also sees re-pairing of text to sources);
+            # changed text compares text-stripped descriptors.
+            if p == c:
+                # Same condition text, different build composition — the
+                # text survives a source swap when column names match, so
+                # the conditioned class carries leaf identity, and the
+                # subtree shape catches a swap that preserves the leaves.
+                if (cond_leaves_changed or cond_shapes_changed) and (
+                    name,
+                    "cond_composition",
+                ) not in acks:
+                    what = (
+                        (p_cl, c_cl) if cond_leaves_changed else (p_cds, c_cds)
+                    )
+                    problems.append(
+                        f"{name}: conditioned build composition changed "
+                        f"under identical condition text: "
+                        f"{what[0]} -> {what[1]} — adjudicate"
+                    )
+            else:
+                s_cl = (
+                    (sorted(t[1:] for t in p_cl), sorted(t[1:] for t in c_cl))
+                    if p_cl is not None and c_cl is not None
+                    else None
+                )
+                s_cds = (
+                    (sorted(t[1:] for t in p_cds), sorted(t[1:] for t in c_cds))
+                    if p_cds is not None and c_cds is not None
+                    else None
+                )
+                comp_changed = bool(
+                    (s_cl is not None and s_cl[0] != s_cl[1])
+                    or (s_cds is not None and s_cds[0] != s_cds[1])
+                )
+                if comp_changed and (name, "cond_composition") not in acks:
+                    what = (
+                        s_cl
+                        if s_cl is not None and s_cl[0] != s_cl[1]
+                        else s_cds
+                    )
+                    problems.append(
+                        f"{name}: conditioned build composition ALSO "
+                        f"changed alongside the condition text: "
+                        f"{what[0]} -> {what[1]} — adjudicate"
+                    )
         if p_cross != c_cross:
             if (name, "cross_count") not in acks:
                 problems.append(
