@@ -193,6 +193,48 @@ def table_rows(sf_dir: str) -> dict[str, int]:
     }
 
 
+def _strip_sql(sql: str) -> str:
+    """Drop string-literal contents and comments in ONE quote-aware
+    pass.  The earlier two-regex version stripped literals before
+    comments, so an unpaired apostrophe inside a ``--`` comment (e.g.
+    "Spark's") paired with a later REAL quote and swallowed the SQL
+    between them — table reads vanished and the query was misclassified
+    as fixed-input, exempting it from the exponent gate (r15 ADVICE).
+    A scanner has no ordering problem: a quote inside a comment never
+    opens a literal, and ``--`` / ``/*`` inside a literal never opens
+    a comment.  ``''`` escapes inside literals are honoured."""
+    out: list[str] = []
+    i, n = 0, len(sql)
+    in_str = False
+    while i < n:
+        ch = sql[i]
+        if in_str:
+            if ch == "'":
+                if i + 1 < n and sql[i + 1] == "'":  # '' escape
+                    i += 2
+                    continue
+                in_str = False
+                out.append("'")
+            i += 1
+            continue
+        if ch == "'":
+            in_str = True
+            out.append("'")  # keep delimiters, drop contents
+            i += 1
+            continue
+        if ch == "-" and sql.startswith("--", i):
+            j = sql.find("\n", i)
+            i = n if j == -1 else j  # keep the newline itself
+            continue
+        if ch == "/" and sql.startswith("/*", i):
+            j = sql.find("*/", i)
+            i = n if j == -1 else j + 2
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
 def oracle_tables(name: str, sql: str | None) -> list[str]:
     """Input tables a registered oracle references, by word-boundary
     match with single-quoted string literals AND SQL comments stripped
@@ -200,15 +242,14 @@ def oracle_tables(name: str, sql: str | None) -> list[str]:
     containing a table name is not a read — r14 review; the comment
     case was live in supply_single_source_risk, harmless only because
     all TPC-H planes grow alike); file-dependent oracles declare their
-    plane in EXTRA_TABLES.  Literals strip before comments so a '--'
-    inside a string cannot eat the rest of the line."""
+    plane in EXTRA_TABLES.  Stripping is a single quote-state-aware
+    scan (``_strip_sql``) so an apostrophe inside a comment cannot
+    swallow table references (r15 ADVICE)."""
     if name in EXTRA_TABLES:
         return EXTRA_TABLES[name]
     if not sql:
         return []
-    stripped = re.sub(r"'[^']*'", "''", sql)
-    stripped = re.sub(r"--[^\n]*", "", stripped)
-    stripped = re.sub(r"/\*.*?\*/", "", stripped, flags=re.S)
+    stripped = _strip_sql(sql)
     return [t for t in TABLE_NAMES if re.search(rf"\b{t}\b", stripped)]
 
 

@@ -328,3 +328,30 @@ def test_fingerprints_resolve_from_sweep_stamps_not_fit_time():
         ["a"], {"_code_fingerprints": {"a": "sweep_a"}}, {}, fit
     )
     assert fps3 == {"a": "sweep_a"} and mm3 == [] and n3 == {"one-sided"}
+
+
+def test_oracle_table_extraction_survives_apostrophe_in_comment():
+    """r15 ADVICE, confirmed by execution against the old two-regex
+    order: an unpaired apostrophe in a -- comment (e.g. "Spark's")
+    paired with a later REAL quote and swallowed the SQL between —
+    table reads vanished and the query read as fixed-input, exempting
+    it from the exponent gate.  The quote-aware scanner must keep the
+    reads visible."""
+    mod = _mod()
+    sql = (
+        "SELECT l_orderkey  -- Spark's rounding differs here\n"
+        "FROM lineitem WHERE l_comment NOT LIKE '%fast%'"
+    )
+    assert mod.oracle_tables("q", sql) == ["lineitem"]
+    # apostrophe in a block comment, same trap
+    assert mod.oracle_tables(
+        "q", "SELECT 1 /* DuckDB's default */ FROM orders"
+    ) == ["orders"]
+    # literals still blind: a '' escape must not flip the quote state
+    assert mod.oracle_tables(
+        "q", "SELECT * FROM foo WHERE note = 'it''s part of orders'"
+    ) == []
+    # and a -- inside a literal must not eat the rest of the line
+    assert mod.oracle_tables(
+        "q", "SELECT * FROM foo WHERE tag = '--x' UNION SELECT * FROM nation"
+    ) == ["nation"]
