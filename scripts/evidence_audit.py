@@ -121,6 +121,12 @@ def audit(
         "stale_order_names": stale_order,
         "last_green_round": last_green,
         "checked_not_registered": sorted(checked - registered),
+        # Direct intersection, not a count comparison (r15 ADVICE): the
+        # ever_green COUNT can equal the registered COUNT while a
+        # registered name is never-green, if a green unregistered name
+        # pads it — don't make correctness depend on the separate
+        # checked_not_registered gate.
+        "registered_never_green_names": sorted(registered - ever_green),
     }
 
 

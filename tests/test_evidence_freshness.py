@@ -186,12 +186,47 @@ def test_every_registered_query_has_green_evidence():
     # every attempt — forever.  Never-green is a DEFECT and gets its own
     # unbounded assertion, so the exemption cannot be ridden.
     stats = _mod().audit(REPO)  # unbounded: about the present ledger
-    assert stats["ever_green"] == stats["registered"], (
-        f"{stats['registered'] - stats['ever_green']} registered queries "
-        "have NEVER passed a driver check — these are defects the "
-        "staleness SLO deliberately does not cover; fix them, do not "
-        "wait for rotation"
+    # Assert the NAME SET, not a count comparison (r15 ADVICE): the
+    # counts can coincide while a registered name is never-green if a
+    # green unregistered name pads ever_green — correctness must not
+    # lean on the separate checked_not_registered gate.
+    assert stats["registered_never_green_names"] == [], (
+        f"registered queries that have NEVER passed a driver check: "
+        f"{stats['registered_never_green_names'][:10]} — these are "
+        "defects the staleness SLO deliberately does not cover; fix "
+        "them, do not wait for rotation"
     )
+
+
+def test_registered_never_green_is_a_true_intersection(tmp_path):
+    # Prove the fixed gate CAN fail where the old count comparison
+    # could not: one registered name never green + one green
+    # UNREGISTERED name keeps the counts equal, but the set names the
+    # defect.
+    mod = _mod()
+    rounds = mod._round_artifacts(REPO)
+    registered = set(registry.all_specs())
+    earliest = json.loads(rounds[0][1].read_text())
+    victim = next(
+        n for n, row in earliest.items() if n in registered and mod._is_green(row)
+    )
+    for n, p in rounds:
+        data = json.loads(p.read_text())
+        if victim in data:
+            data[victim] = {"err": "synthetic never-green"}
+            data["ghost_unregistered_query"] = {
+                "rows_match": True,
+                "schema_match": True,
+                "hash_match": True,
+                "err": None,
+            }
+        (tmp_path / p.name).write_text(json.dumps(data))
+    stats = mod.audit(REPO, artifacts_dir=tmp_path)
+    assert stats["ever_green"] == stats["registered"], (
+        "synthetic ledger should reproduce the count coincidence the "
+        "set assertion exists to break"
+    )
+    assert stats["registered_never_green_names"] == [victim]
 
 
 def test_endangered_names_are_in_current_window():
