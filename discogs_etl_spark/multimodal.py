@@ -747,99 +747,202 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_phash_dedup",
-    oracle=f"""
+    oracle=r"""
         WITH img AS (
-            SELECT doc_id, {_SQL_H} AS h FROM documents WHERE doc_id % 3 = 0
+            SELECT doc_id,
+                   list_transform(
+                       list_filter(string_split_regex(text, '\s+'),
+                                   t -> t <> ''),
+                       t -> md5(t)) AS digs
+            FROM documents WHERE doc_id % 3 = 0
         ),
         bits AS (
             SELECT doc_id,
-                   array_to_string(list_transform(range(1, 33),
-                       i -> CASE WHEN h[i:i] >= '8' THEN '1' ELSE '0' END), '')
-                       AS bits
+                   array_to_string(list_transform(range(1, 65), j ->
+                       CASE WHEN COALESCE(list_sum(list_transform(digs, d ->
+                                CASE WHEN (('0x' ||
+                                        d[((j + 3) // 4):((j + 3) // 4)])::BIGINT
+                                           >> (3 - ((j - 1) % 4))) & 1 = 1
+                                     THEN 1 ELSE -1 END)), 0) > 0
+                            THEN '1' ELSE '0' END), '') AS bits
             FROM img
         ),
+        exact_pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(0 AS BIGINT) AS hamming
+            FROM bits a JOIN bits b
+              ON a.bits = b.bits AND a.doc_id < b.doc_id
+        ),
+        reps AS (
+            SELECT bits, MIN(doc_id) AS rep FROM bits GROUP BY bits
+        ),
         banded AS (
-            SELECT doc_id, bits, b.b AS band,
-                   substr(bits, (b.b - 1) * 4 + 1, 4) AS sig
-            FROM bits, (SELECT unnest(range(1, 9)) AS b) b
+            SELECT rep, bits, b.b AS band,
+                   substr(bits, (b.b - 1) * 8 + 1, 8) AS sig
+            FROM reps, (SELECT unnest(range(1, 9)) AS b) b
         ),
         cand AS (
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            SELECT DISTINCT a.rep AS rep_a, b.rep AS rep_b,
                    a.bits AS ba, b.bits AS bb
             FROM banded a JOIN banded b
-              ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+              ON a.band = b.band AND a.sig = b.sig AND a.rep < b.rep
+        ),
+        near AS (
+            SELECT ba, bb,
+                   CAST(list_sum(list_transform(range(1, 65),
+                        i -> CASE WHEN ba[i:i] = bb[i:i] THEN 0 ELSE 1 END))
+                        AS BIGINT) AS hamming
+            FROM cand
+        ),
+        near_pairs AS (
+            SELECT CASE WHEN ma.doc_id < mb.doc_id
+                        THEN ma.doc_id ELSE mb.doc_id END AS doc_a,
+                   CASE WHEN ma.doc_id < mb.doc_id
+                        THEN mb.doc_id ELSE ma.doc_id END AS doc_b,
+                   n.hamming
+            FROM near n
+            JOIN bits ma ON ma.bits = n.ba
+            JOIN bits mb ON mb.bits = n.bb
+            WHERE n.hamming <= 7
         )
-        SELECT doc_a, doc_b,
-               CAST(list_sum(list_transform(range(1, 33),
-                    i -> CASE WHEN ba[i:i] = bb[i:i] THEN 0 ELSE 1 END))
-                    AS BIGINT) AS hamming
-        FROM cand
-        WHERE list_sum(list_transform(range(1, 33),
-                  i -> CASE WHEN ba[i:i] = bb[i:i] THEN 0 ELSE 1 END)) <= 7
+        SELECT doc_a, doc_b, hamming FROM exact_pairs
+        UNION ALL
+        SELECT doc_a, doc_b, hamming FROM near_pairs
     """,
     tags=("multimodal", "dedup", "phash", "lsh"),
 )
 def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perceptual-hash near-dup detection over the IMAGE slice: a 32-bit
-    aHash is derived per image from the decode stage's content digest
-    (with a real decoder this is the mean-threshold bit per downsampled
-    cell — same shape, different bit source), then pairs within Hamming
-    distance ≤ 7 are found by BANDED bucketing: 8 bands × 4 bits, so any
-    pair ≤ 7 differing bits MUST agree on at least one band (pigeonhole)
-    — zero false negatives, no all-pairs compare.  The dedup_simhash /
-    MinHash band trick applied to the multimodal plane.
+    """Perceptual-hash near-dup detection over the IMAGE slice: a 64-BIT
+    perceptual hash is computed per image INSIDE the Arrow-batched
+    decode stage (the deterministic stand-in is a simhash over the
+    payload's tokens — mean-threshold over per-token digest bits, so
+    near-duplicate payloads land at small Hamming distance exactly the
+    way near-duplicate images do under a real mean-threshold aHash/DCT
+    pHash; PIL + DCT plugs into the same mapInPandas slot), then pairs
+    within Hamming distance ≤ 7 are found by EXACT-HASH PRE-GROUPING +
+    BANDED bucketing over the distinct hashes: 8 bands × 8 bits, so any
+    distinct-hash pair with ≤ 7 differing bits MUST agree on at least
+    one band (pigeonhole) — zero false negatives, no all-pairs compare.
 
-    With the container's deterministic fake decoder, distinct payloads
-    hash independently, so surviving pairs are exact-duplicate images
-    (hamming 0) — honest, and the banding machinery is fully exercised;
-    a real pHash makes near-misses land in the ≤ 7 ring too.
+    This is the r14-staged rewrite of the banding quadratic
+    (VERDICT r14 task #1 / ANALYTIC_SUPERLINEAR): the old 4-bit bands
+    over a 32-bit hash pigeonholed to a FIXED 16 buckets per band, so
+    the candidate set was Θ(n²/16) no matter how the data grew (7 k
+    pairs at sf0.01 → 695 k at sf0.1).  8-bit bands give 256 buckets
+    per band (16× fewer random collisions), and pre-grouping means the
+    banded self-join runs over DISTINCT hashes only — duplicate-heavy
+    corpora (the common case at 100 TB) pay the join once per unique
+    image, with exact-duplicate pairs recovered by a linear equi-join
+    on the full 64-bit signature.  The old hash also made the fixture
+    result pure 32-bit birthday noise (16 random collisions at sf0.01);
+    the content-structured hash makes the planted near-dup documents
+    the signal — the ≤ 7 ring, the banding, and the expansion all carry
+    real values now.  Output-sized work (a corpus whose duplicate
+    clusters are huge has inherently quadratic PAIR OUTPUT) is the only
+    remaining super-linear term, which no pair-emitting dedup can avoid.
 
-    Scale: hashing rides the Arrow-batched decode (map-only); banding
-    fans out ×8; the self-join is an equi-join on (band, sig) buckets;
-    Hamming verification touches only bucket collisions."""
-    feats = decode_features(with_payload(load(spark, sf_dir, "documents")), real=False)
-    img = feats.where(F.col("media_type") == "image").select("doc_id", "content_md5")
-    bits = img.selectExpr(
-        "doc_id",
-        "array_join(transform(sequence(1, 32),"
-        " i -> IF(substring(content_md5, i, 1) >= '8', '1', '0')), '') AS bits",
+    Scale: hashing is map-only Arrow-batched numpy (one matrix op per
+    doc), sized by cores like any decode, and the hash travels as ONE
+    packed BIGINT — every join key, the candidate distinct, and the
+    Hamming verify (``bit_count(hv_a ^ hv_b)``, a single JVM popcount
+    intrinsic) are integer ops, not 64-char string work.  ``hv`` is
+    localCheckpointed so the hash stage runs ONCE though four subplans
+    read it; banding fans out ×8 over distinct hashes; every join is an
+    equi-join (full-hash or (band, sig)); the member expansion is two
+    equi-joins sized by the result.  Residual skew note: a corpus slice
+    whose docs share heavy common-token structure concentrates band
+    signatures (content-correlated hashes are LSH's worst case), which
+    inflates the candidate set within hot (band, sig) buckets — the
+    registered query verifies them all (exactness for the oracle); a
+    production corpus would cap bucket width exactly like the MinHash
+    path's ``max_bucket`` skew guard (queries/llm.py) and account the
+    dropped buckets."""
+    img = with_payload(load(spark, sf_dir, "documents")).where(
+        F.col("media_type") == "image"
     )
-    banded = bits.select(
-        "doc_id",
-        "bits",
+
+    def phash64(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        shifts = np.arange(63, -1, -1, dtype=np.uint64)
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                toks = bytes(payload).decode("utf-8").split()
+                if toks:
+                    v = np.array(
+                        [
+                            int(hashlib.md5(t.encode()).hexdigest()[:16], 16)
+                            for t in toks
+                        ],
+                        dtype=np.uint64,
+                    )
+                    bitmat = (v[:, None] >> shifts[None, :]) & np.uint64(1)
+                    acc = (2 * bitmat.astype(np.int64) - 1).sum(axis=0)
+                else:
+                    acc = np.zeros(64, dtype=np.int64)
+                hv = int(((acc > 0).astype(np.uint64) << shifts).sum(
+                    dtype=np.uint64
+                ))
+                if hv >= 1 << 63:  # two's-complement into BIGINT
+                    hv -= 1 << 64
+                rows.append((int(doc_id), hv))
+            yield pd.DataFrame(rows, columns=["doc_id", "hv"])
+
+    hashes = img.mapInPandas(
+        phash64, schema="doc_id long, hv long"
+    ).localCheckpoint()  # hash stage runs once; 4 subplans below read it
+    xa, xb = hashes.alias("xa"), hashes.alias("xb")
+    exact_pairs = xa.join(
+        xb,
+        (F.col("xa.hv") == F.col("xb.hv"))
+        & (F.col("xa.doc_id") < F.col("xb.doc_id")),
+    ).select(
+        F.col("xa.doc_id").alias("doc_a"),
+        F.col("xb.doc_id").alias("doc_b"),
+        F.lit(0).cast("bigint").alias("hamming"),
+    )
+    reps = hashes.groupBy("hv").agg(F.min("doc_id").alias("rep"))
+    # band b's signature is byte b of the hash (arithmetic shiftright's
+    # sign fill is stripped by the & 255)
+    banded = reps.select(
+        "rep",
+        "hv",
         F.explode(
             F.expr(
                 "transform(sequence(1, 8), b -> struct(b AS band,"
-                " substring(bits, (b - 1) * 4 + 1, 4) AS sig))"
+                " shiftright(hv, (8 - b) * 8) & 255 AS sig))"
             )
         ).alias("e"),
-    ).select("doc_id", "bits", "e.band", "e.sig")
+    ).select("rep", "hv", "e.band", "e.sig")
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.rep") < F.col("b.rep")),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.bits").alias("ba"),
-            F.col("b.bits").alias("bb"),
+            F.col("a.hv").alias("va"),
+            F.col("b.hv").alias("vb"),
         )
         .distinct()
     )
-    ham = F.expr(
-        "aggregate(transform(sequence(1, 32),"
-        " i -> IF(substring(ba, i, 1) = substring(bb, i, 1), 0, 1)),"
-        " 0, (acc, v) -> acc + v)"
+    near = cand.withColumn(
+        "hamming", F.expr("bit_count(va ^ vb)").cast("bigint")
+    ).where(F.col("hamming") <= 7)
+    ma, mb = hashes.alias("ma"), hashes.alias("mb")
+    near_pairs = (
+        near.join(ma, F.col("ma.hv") == F.col("va"))
+        .join(mb, F.col("mb.hv") == F.col("vb"))
+        .select(
+            F.least(F.col("ma.doc_id"), F.col("mb.doc_id")).alias("doc_a"),
+            F.greatest(F.col("ma.doc_id"), F.col("mb.doc_id")).alias("doc_b"),
+            "hamming",
+        )
     )
-    return (
-        cand.withColumn("hamming", ham.cast("bigint"))
-        .where(F.col("hamming") <= 7)
-        .select("doc_a", "doc_b", "hamming")
-    )
+    return exact_pairs.unionByName(near_pairs)
 
 
 @register(

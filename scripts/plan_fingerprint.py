@@ -102,6 +102,10 @@ SCALE_STORY = (
 # double-digit wall, so they get the same deterministic pin as the
 # headline set.
 EXPENSIVE_TAIL = (
+    # phash's r15 rewrite cut its wall from 15.4 s to ~2 s, but the pin
+    # stays: the new shape (4 BHJ over a localCheckpointed hash stage)
+    # is exactly what makes it cheap, so a strategy flip is still the
+    # costliest thing that could happen to it.
     "multimodal_phash_dedup",
     "stats_theil_sen_trend",
     "dedup_semdedup",

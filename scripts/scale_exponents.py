@@ -54,12 +54,13 @@ Instrument limits, stated rather than papered over:
   ordinary variance; a flag still deserves a re-run before adjudication.
 * MEASURED growth, not asymptotic class: a query whose quadratic term
   has a small constant can read sub-threshold while linear stages still
-  dominate.  Known instance, documented in ANALYTIC_SUPERLINEAR:
-  multimodal_phash_dedup's banding is pigeonhole-forced to 4-bit bands
-  over a 32-bit hash (16 buckets/band), so its candidate set is
-  Theta(n^2/16) — 7 k pairs at sf0.01, 695 k at sf0.1 — yet decode
-  still dominates the wall (alpha 1.08 measured).  The artifact records
-  every alpha precisely so this tail is visible before it is the wall.
+  dominate.  The one known instance (multimodal_phash_dedup's
+  pigeonhole-forced 16-bucket banding, Theta(n^2/16) candidates under
+  a decode-dominated measured alpha of 1.08) was found by analysis,
+  documented in ANALYTIC_SUPERLINEAR, and FIXED in r15 — the registry
+  keeps ANALYTIC_SUPERLINEAR as the place such findings live while
+  they await their rewrite.  The artifact records every alpha
+  precisely so such tails are visible before they are the wall.
 * MIXED-PLANE DILUTION: the data ratio sums rows across every table a
   query references, so a query quadratic in a slow-growing plane that
   also reads a fast-growing one fits a diluted alpha (quadratic in
@@ -158,17 +159,14 @@ SUPERLINEAR_BASELINES: dict[str, str] = {
 # Known-by-analysis super-linear queries whose MEASURED alpha is still
 # sub-threshold because a linear stage dominates at the tested scales —
 # documented so the instrument's blind spot is on the record, with the
-# remedy that unlocks the next order of magnitude.
-ANALYTIC_SUPERLINEAR: dict[str, str] = {
-    "multimodal_phash_dedup": (
-        "banded pHash candidate set is Theta(n^2/16): hamming<=7 over a "
-        "32-bit hash pigeonholes to 8 bands x 4 bits = 16 buckets/band, "
-        "a FIXED signature space; remedy at the next magnitude is a "
-        "64-bit hash (8-bit bands, 256 buckets) plus exact-hash "
-        "pre-grouping, an oracle-changing rewrite staged for a rotation "
-        "flag slot"
-    ),
-}
+# remedy that unlocks the next order of magnitude.  EMPTY since r15:
+# the one entry (multimodal_phash_dedup's pigeonhole-forced 16-bucket
+# banding, Theta(n^2/16) candidates) was fixed by the staged rewrite —
+# 64-bit hash, 8-bit bands (256 buckets/band), exact-hash pre-grouping,
+# and popcount verification over packed BIGINTs (sf0.1 wall 15.4 s →
+# ~2 s).  The remaining super-linear term there is output-sized pair
+# emission, which no pair-emitting dedup can avoid.
+ANALYTIC_SUPERLINEAR: dict[str, str] = {}
 
 
 def classify(alpha: float, t_lo: float, t_hi: float) -> str:

@@ -47,7 +47,7 @@ BASELINE_TAIL = frozenset(
         "dedup_jaccard_prefix_filter",  # exact all-pairs Jaccard (weak #1)
         "dedup_embedding_cosine",  # exact all-pairs cosine (weak #2)
         "embedding_power_iteration_pc1",  # exact PCA baseline (Gram twin is prod)
-        "multimodal_phash_dedup",  # banded pHash, documented tail
+        "multimodal_phash_dedup",  # banded pHash; r15 rewrite cut it to ~2 s — kept banded for the post-drop settling round
         "dedup_semdedup",  # centroid-bucketed all-pairs-within-cluster
         "dedup_doc_duplication_score",  # pair-graph rollup over the exact join
         "stats_theil_sen_trend",  # bounded O(n^2/bucket) robust slope

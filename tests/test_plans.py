@@ -613,7 +613,11 @@ PLAN_PINS: dict[str, dict[str, int]] = {
     "dedup_doc_duplication_score": {"scan_parquet": 2, "bhj": 1},
     "dedup_semdedup": {"scan_parquet": 1, "scan_rdd": 2, "bhj": 3},
     "fuzzy_join_levenshtein_blocked": {"scan_parquet": 2, "bhj": 1},
-    "multimodal_phash_dedup": {"scan_parquet": 2, "bhj": 1},
+    # r15 banding rewrite (VERDICT r14 task #1): the 64-bit hash is a
+    # localCheckpointed map stage (scan_rdd leaves), and exact-pair,
+    # banded-candidate, and two member-expansion joins are all BHJ at
+    # this sf — zero parquet rescans of the payload.
+    "multimodal_phash_dedup": {"scan_rdd": 4, "bhj": 4},
     "pricing_consistency_audit": {"scan_parquet": 2, "bhj": 1},
     "stats_theil_sen_trend": {"scan_parquet": 1, "bnlj": 1},
     # -- headline bench set + fixed scale-killers

@@ -260,19 +260,25 @@ def test_import_cycle_terminates_with_own_changes():
 
 def test_round7_window_leads_with_rewindow_script_output():
     # The registry's changed-this-round block must be exactly what the
-    # mechanical rule computed at window-composition time: the four
-    # multimodal queries (decode hardening touched _decode_one /
-    # decode_wav / decode_png, all in their builders' reachable sets).
+    # mechanical rule computed at window-composition time: the
+    # multimodal queries that ride the decode stage reach _decode_one
+    # (decode hardening touched _decode_one / decode_wav / decode_png).
+    # multimodal_phash_dedup left this set in the r15 banding rewrite:
+    # its 64-bit perceptual hash is computed in its OWN mapInPandas
+    # stage over with_payload (where a real pHash decoder slots in), so
+    # it reaches with_payload but no longer _decode_one.
     mod = _mod()
     src = (REPO / "discogs_etl_spark" / "multimodal.py").read_text()
     for fn in (
         "multimodal_decode_features",
         "multimodal_frame_sample",
-        "multimodal_phash_dedup",
         "multimodal_media_summary",
     ):
         reach = mod.reachable(src, fn)
         assert "_decode_one" in reach, f"{fn} no longer reaches _decode_one"
+    reach = mod.reachable(src, "multimodal_phash_dedup")
+    assert "with_payload" in reach
+    assert "_decode_one" not in reach
 
 
 # ------------------------------------------ textual-invariance sweep ----
