@@ -360,6 +360,42 @@ def nested_loop_nodes(df) -> list[dict]:
     return out
 
 
+def _seq_sql(jseq) -> list[str]:
+    """Render a Scala Seq[Expression] via .sql() (stable, no expr ids)."""
+    return [jseq.apply(i).sql() for i in range(jseq.size())]
+
+
+def condition_texts(df) -> list[str]:
+    """Sorted descriptors of every Filter condition and every hash-join
+    key set (+ residual condition) in the STATIC plan — the expression
+    surface plansweep_compare was blind to on non-nested-loop operators
+    (r14 verdict residual / r15 task #5).  Nested-loop nodes are
+    EXCLUDED here: their condition text already has its own identity,
+    diff, and ack kinds.
+
+    Captured only for the PLAN_PINS gate set (the sweep calls this for
+    ``pinned_names()`` queries), so the cost is bounded and the gate
+    covers exactly the plans whose shape is already pinned: a predicate
+    rewrite there (a loosened filter, a dropped join key, a changed
+    residual) flags round-over-round even though the node counts and
+    join strategies are identical."""
+    out: list[str] = []
+    for cls, node in iter_physical_nodes(df, executed=False):
+        if cls == "FilterExec":
+            out.append(f"filter:{node.condition().sql()}")
+        elif cls in (
+            "BroadcastHashJoinExec",
+            "SortMergeJoinExec",
+            "ShuffledHashJoinExec",
+        ):
+            lk = ",".join(sorted(_seq_sql(node.leftKeys())))
+            rk = ",".join(sorted(_seq_sql(node.rightKeys())))
+            cond = node.condition()
+            residual = cond.get().sql() if cond.isDefined() else ""
+            out.append(f"join:[{lk}]=[{rk}]:{residual}")
+    return sorted(out)
+
+
 def pinned_names() -> list[str]:
     from discogs_etl_spark.registry import all_specs
 

@@ -158,10 +158,21 @@ def main() -> int:
     res: dict[str, dict] = {}
     offenders: list[str] = []
     errors: list[str] = []
+    # Expression-text capture for the PLAN_PINS gate set (r15 task #5):
+    # Filter conditions and hash-join key sets/residuals, the surface
+    # the nested-loop fields are blind to.  Bounded to the pinned
+    # queries — the plans whose shape is already pinned — and carried
+    # as artifact metadata so per-query entries keep their
+    # nodes-present invariant.
+    pinned = set(pf.pinned_names())
+    pinned_conditions: dict[str, list[str]] = {}
     n_cross = 0
     for i, (name, spec) in enumerate(sorted(specs.items()), 1):
         try:
-            nodes = pf.nested_loop_nodes(spec.fn(spark, args.sf))
+            df = spec.fn(spark, args.sf)
+            nodes = pf.nested_loop_nodes(df)
+            if name in pinned:
+                pinned_conditions[name] = pf.condition_texts(df)
         except Exception as ex:  # noqa: BLE001 — sweep must finish
             errors.append(name)
             print(f"[{i}/{len(specs)}] {name}: ERROR {type(ex).__name__}", flush=True)
@@ -253,6 +264,13 @@ def main() -> int:
         # over a build error (r13 review; the sweep's own exit status
         # already fails on errors, this keeps the artifact honest too).
         dump["_errors"] = sorted(errors)
+        # Expression texts for the PLAN_PINS gate set (r15 task #5):
+        # plansweep_compare diffs these per name under the
+        # "pinned_cond" ack kind, closing the non-nested-loop
+        # expression blindness on exactly the pinned plans.
+        dump["_pinned_conditions"] = {
+            k: v for k, v in sorted(pinned_conditions.items())
+        }
         with open(args.json, "w") as fh:
             json.dump(dump, fh, indent=1, sort_keys=True)
     print(

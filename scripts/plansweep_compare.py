@@ -120,6 +120,7 @@ ACK_KINDS = frozenset(
         "cross_composition",
         "allowed_left",
         "allowed_entered",
+        "pinned_cond",
     }
 )
 
@@ -401,6 +402,38 @@ def compare_sweeps(
                 problems.append(
                     f"{name}: conditioned nested loop outside the artifact's "
                     "own _allowed snapshot"
+                )
+
+    # PLAN_PINS expression-text diff (r15 task #5): Filter conditions
+    # and hash-join key sets/residuals for the pinned gate set, the
+    # surface the nested-loop fields cannot see.  Only diffed when BOTH
+    # artifacts carry the field (the r14 artifact predates it — one
+    # bootstrap round, same as every other schema addition); a name
+    # present on one side only is a pin-set membership change, flagged
+    # under the same kind so it cannot slip in silently.
+    if "_pinned_conditions" in prev and "_pinned_conditions" in cur:
+        p_pc, c_pc = prev["_pinned_conditions"], cur["_pinned_conditions"]
+        for name in sorted(set(p_pc) | set(c_pc)):
+            if name in cur_errors or name in prev_errors:
+                continue
+            if (name, "pinned_cond") in acks:
+                continue
+            if name not in c_pc:
+                problems.append(
+                    f"{name}: LEFT the pinned expression-capture set — "
+                    "adjudicate (pin removed or sweep regression)"
+                )
+            elif name not in p_pc:
+                problems.append(
+                    f"{name}: ENTERED the pinned expression-capture set — "
+                    "adjudicate (new pin)"
+                )
+            elif p_pc[name] != c_pc[name]:
+                gone = [t for t in p_pc[name] if t not in c_pc[name]]
+                new = [t for t in c_pc[name] if t not in p_pc[name]]
+                problems.append(
+                    f"{name}: pinned plan expression text changed — "
+                    f"removed {gone} added {new} — adjudicate"
                 )
     return problems
 
