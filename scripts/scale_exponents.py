@@ -200,10 +200,15 @@ def _strip_sql(sql: str) -> str:
     as fixed-input, exempting it from the exponent gate (r15 ADVICE).
     A scanner has no ordering problem: a quote inside a comment never
     opens a literal, and ``--`` / ``/*`` inside a literal never opens
-    a comment.  ``''`` escapes inside literals are honoured."""
+    a comment.  ``''`` escapes inside literals are honoured.
+    Double-quoted identifiers are a third region (second review pass):
+    their CONTENTS are kept (a quoted table name is still a read) but
+    ``'`` / ``--`` / ``/*`` inside them are inert, so an identifier
+    like ``"a--b"`` cannot open a comment and swallow later reads."""
     out: list[str] = []
     i, n = 0, len(sql)
     in_str = False
+    in_ident = False
     while i < n:
         ch = sql[i]
         if in_str:
@@ -215,9 +220,24 @@ def _strip_sql(sql: str) -> str:
                 out.append("'")
             i += 1
             continue
+        if in_ident:
+            if ch == '"':
+                if i + 1 < n and sql[i + 1] == '"':  # "" escape
+                    out.append('""')
+                    i += 2
+                    continue
+                in_ident = False
+            out.append(ch)
+            i += 1
+            continue
         if ch == "'":
             in_str = True
             out.append("'")  # keep delimiters, drop contents
+            i += 1
+            continue
+        if ch == '"':
+            in_ident = True
+            out.append(ch)
             i += 1
             continue
         if ch == "-" and sql.startswith("--", i):

@@ -355,3 +355,28 @@ def test_oracle_table_extraction_survives_apostrophe_in_comment():
     assert mod.oracle_tables(
         "q", "SELECT * FROM foo WHERE tag = '--x' UNION SELECT * FROM nation"
     ) == ["nation"]
+
+
+def test_oracle_table_extraction_handles_quoted_identifiers():
+    """Second review pass on the r15 scanner: a double-quoted
+    identifier is a third region — its contents survive (a quoted
+    table name is still a read) and comment/literal starters inside it
+    are inert, so "a--b" cannot open a comment and swallow later
+    reads."""
+    mod = _mod()
+    # -- inside a quoted identifier must not eat the rest of the line
+    assert mod.oracle_tables(
+        "q", 'SELECT "a--b" FROM orders'
+    ) == ["orders"]
+    # apostrophe inside a quoted identifier must not open a literal
+    assert mod.oracle_tables(
+        "q", "SELECT \"it's\" FROM nation JOIN region ON 1=1"
+    ) == ["region", "nation"] or mod.oracle_tables(
+        "q", "SELECT \"it's\" FROM nation JOIN region ON 1=1"
+    ) == ["nation", "region"]
+    # a quoted TABLE name still counts as a read
+    assert mod.oracle_tables("q", 'SELECT 1 FROM "lineitem"') == ["lineitem"]
+    # "" escape inside the identifier keeps the region closed correctly
+    assert mod.oracle_tables(
+        "q", 'SELECT "x""--y" FROM part'
+    ) == ["part"]
