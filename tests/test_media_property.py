@@ -128,3 +128,60 @@ def test_png_inflate_bound_holds_for_any_claimed_geometry(w, h, payload_kb):
     )
     with pytest.raises(ValueError):
         decode_png(data)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    hv=st.integers(min_value=0, max_value=2**64 - 1),
+    flips=st.sets(st.integers(min_value=0, max_value=63), max_size=7),
+)
+def test_phash_banding_pigeonhole_has_zero_false_negatives(hv, flips):
+    """The r15 phash rewrite's correctness hinge: with 8 bands of 8
+    bits, ANY pair of 64-bit hashes within Hamming distance <= 7 MUST
+    agree on at least one band — flipping at most 7 bits cannot touch
+    all 8 disjoint bytes.  This is the property that lets the banded
+    equi-join replace the all-pairs compare with zero recall loss.
+    The band extraction mirrors the query's expression
+    (shiftright(hv, (8-b)*8) & 255 on the two's-complement BIGINT)."""
+    other = hv
+    for bit in flips:
+        other ^= 1 << bit
+
+    def signed(v):  # the BIGINT the Spark column carries
+        return v - (1 << 64) if v >= 1 << 63 else v
+
+    def bands(v):
+        s = signed(v)
+        # arithmetic shift on negatives, & 255 strips the sign fill —
+        # byte-for-byte what the registered query computes
+        return [(s >> (8 - b) * 8) & 255 for b in range(1, 9)]
+
+    assert bin(hv ^ other).count("1") <= 7
+    assert any(a == b for a, b in zip(bands(hv), bands(other))), (
+        f"hamming-{bin(hv ^ other).count('1')} pair shares no band: "
+        f"{hv:#x} vs {other:#x}"
+    )
+    # and the Hamming verify the join applies is exact popcount
+    assert bin(hv ^ other).count("1") == len(flips)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    hv=st.integers(min_value=0, max_value=2**64 - 1),
+    flips=st.sets(st.integers(min_value=0, max_value=63), min_size=8, max_size=8),
+)
+def test_phash_banding_eight_flips_can_escape(hv, flips):
+    """The guarantee is TIGHT: 8 flips, one per band, share no band —
+    pinning that the threshold 7 is the maximum the 8-band scheme
+    supports (a silent threshold bump without a band change would be a
+    recall bug the pigeonhole test above cannot see)."""
+    if sorted(b // 8 for b in flips) != list(range(8)):
+        return  # only the one-flip-per-band worst case demonstrates escape
+    other = hv
+    for bit in flips:
+        other ^= 1 << bit
+
+    def bands(v):
+        return [(v >> (8 - b) * 8) & 0xFF for b in range(1, 9)]
+
+    assert all(a != b for a, b in zip(bands(hv), bands(other)))
