@@ -411,6 +411,16 @@ def compare_sweeps(
     # bootstrap round, same as every other schema addition); a name
     # present on one side only is a pin-set membership change, flagged
     # under the same kind so it cannot slip in silently.
+    if "_pinned_conditions" in prev and "_pinned_conditions" not in cur:
+        # Same integrity rule as the per-query leaf/shape fields: a
+        # current artifact DROPPING the field would silently disable
+        # this gate — flag it, not ack-suppressible (fourth r15 review
+        # pass; generator regression or hand-edit, regenerate the sweep).
+        problems.append(
+            "_pinned_conditions: current artifact dropped the pinned "
+            "expression capture — generator regression or hand-edit; "
+            "regenerate the sweep"
+        )
     if "_pinned_conditions" in prev and "_pinned_conditions" in cur:
         p_pc, c_pc = prev["_pinned_conditions"], cur["_pinned_conditions"]
         for name in sorted(set(p_pc) | set(c_pc)):
