@@ -83,6 +83,12 @@ def spark_hazards() -> dict[str, list[str]]:
 
 
 if __name__ == "__main__":
+    # argparse for --help parity with the other scripts (r15 review: a
+    # bare --help previously launched a full Spark session).
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.parse_args()
     issues: dict[str, list[str]] = {}
     for src in (duck_hazards, spark_hazards):
         for k, v in src().items():
