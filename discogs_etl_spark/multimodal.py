@@ -860,6 +860,17 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     img = with_payload(load(spark, sf_dir, "documents")).where(
         F.col("media_type") == "image"
     )
+    # hash stage runs once; four subplans in the pair pipeline read it
+    hashes = phash_hashes(img).localCheckpoint()
+    return phash_near_dup_pairs(hashes)
+
+
+def phash_hashes(payloads: DataFrame) -> DataFrame:
+    """(doc_id, hv): 64-bit perceptual hash per payload, packed into ONE
+    BIGINT (two's complement) inside an Arrow-batched map stage.  The
+    deterministic stand-in is a simhash over whitespace tokens — a real
+    deployment swaps the body for PIL-decode + 8×8 DCT mean-threshold,
+    same signature, same downstream pipeline."""
 
     def phash64(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -889,9 +900,63 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append((int(doc_id), hv))
             yield pd.DataFrame(rows, columns=["doc_id", "hv"])
 
-    hashes = img.mapInPandas(
-        phash64, schema="doc_id long, hv long"
-    ).localCheckpoint()  # hash stage runs once; 4 subplans below read it
+    return payloads.mapInPandas(phash64, schema="doc_id long, hv long")
+
+
+def phash_bucket_counts(hashes: DataFrame) -> DataFrame:
+    """(band, sig, n_hashes): width of every (band, sig) bucket over the
+    DISTINCT hashes — the skew-accounting input for ``max_bucket`` (and
+    the observability query a production run logs before capping)."""
+    reps = hashes.groupBy("hv").agg(F.min("doc_id").alias("rep"))
+    return (
+        _phash_banded(reps)
+        .groupBy("band", "sig")
+        .agg(F.count(F.lit(1)).alias("n_hashes"))
+    )
+
+
+def phash_dropped_buckets(bucket_counts: DataFrame, max_bucket: int) -> DataFrame:
+    """The buckets a capped run excludes — same accounting contract as
+    ``minhash_dropped_buckets`` (queries/llm.py): dedup under a cap must
+    REPORT what it skipped, not silently under-recall."""
+    return bucket_counts.where(F.col("n_hashes") > max_bucket)
+
+
+def _phash_banded(reps: DataFrame) -> DataFrame:
+    # band b's signature is byte b of the hash (arithmetic shiftright's
+    # sign fill is stripped by the & 255)
+    return reps.select(
+        "rep",
+        "hv",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, 8), b -> struct(b AS band,"
+                " shiftright(hv, (8 - b) * 8) & 255 AS sig))"
+            )
+        ).alias("e"),
+    ).select("rep", "hv", "e.band", "e.sig")
+
+
+def phash_near_dup_pairs(
+    hashes: DataFrame, *, max_bucket: int | None = None
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) for every pair within Hamming ≤ 7 of the
+    64-bit hashes: exact-hash pre-grouping + 8×8-bit banded candidates +
+    popcount verify — the pipeline the registered query runs.
+
+    ``max_bucket`` is the OPT-IN production skew guard, the exact
+    pattern of the MinHash path's cap (queries/llm.py): a hot
+    (band, sig) bucket — content-correlated hashes are LSH's worst
+    case — otherwise generates O(width²) candidate pairs on one key,
+    OOMing an executor at 100 TB.  Under the cap, bucket widths are
+    counted over DISTINCT hashes and oversized buckets are excluded
+    from BOTH sides of the band join BEFORE candidate generation; a
+    near pair survives if ANY of its shared bands stays under the cap.
+    EXACT-duplicate pairs are never affected (the full-hash equi-join
+    bypasses banding).  Use ``phash_dropped_buckets`` to account the
+    exclusions.  The registered oracle query passes None: exactness.
+    Callers should ``localCheckpoint()`` ``hashes`` first — four
+    subplans read it."""
     xa, xb = hashes.alias("xa"), hashes.alias("xb")
     exact_pairs = xa.join(
         xb,
@@ -903,18 +968,16 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("bigint").alias("hamming"),
     )
     reps = hashes.groupBy("hv").agg(F.min("doc_id").alias("rep"))
-    # band b's signature is byte b of the hash (arithmetic shiftright's
-    # sign fill is stripped by the & 255)
-    banded = reps.select(
-        "rep",
-        "hv",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, 8), b -> struct(b AS band,"
-                " shiftright(hv, (8 - b) * 8) & 255 AS sig))"
-            )
-        ).alias("e"),
-    ).select("rep", "hv", "e.band", "e.sig")
+    banded = _phash_banded(reps)
+    if max_bucket is not None:
+        ok = (
+            banded.groupBy("band", "sig")
+            .agg(F.count(F.lit(1)).alias("n_hashes"))
+            .where(F.col("n_hashes") <= max_bucket)
+            .select("band", "sig")
+        )
+        # same shuffle key as the join below — no extra exchange
+        banded = banded.join(ok, ["band", "sig"])
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(

@@ -380,3 +380,48 @@ def test_decode_features_real_path_via_conf(spark, monkeypatch):
     # and the default (conf off) stays on the deterministic fake
     fake_row = decode_features(df).collect()[0]
     assert (fake_row["width"], fake_row["height"]) != (6, 4)
+
+
+def test_phash_max_bucket_skew_guard(spark):
+    """The production skew guard (r15): a hot (band, sig) bucket is
+    excluded from candidate generation under max_bucket, a near pair in
+    a cold bucket survives, an EXACT-duplicate pair is never affected
+    (the full-hash equi-join bypasses banding), and the dropped-bucket
+    accounting names exactly the excluded bucket — the same contract as
+    the MinHash max_bucket guard."""
+    from discogs_etl_spark.multimodal import (
+        phash_bucket_counts,
+        phash_dropped_buckets,
+        phash_near_dup_pairs,
+    )
+
+    rows = []
+    # six hashes sharing band 1 (top byte 0xAB) but mutually far apart:
+    # a hot bucket of width 6
+    for i in range(6):
+        hv = (0xAB << 56) | (i * 0x0101010101010101 & ((1 << 56) - 1))
+        rows.append((i, hv - (1 << 64) if hv >= 1 << 63 else hv))
+    rows.append((100, 0x1234567890ABCDEF))  # cold near pair, hamming 1
+    rows.append((101, 0x1234567890ABCDEE))
+    rows.append((200, 0x0F0F0F0F0F0F0F0F))  # exact-duplicate pair
+    rows.append((201, 0x0F0F0F0F0F0F0F0F))
+    hashes = spark.createDataFrame(rows, "doc_id long, hv long").localCheckpoint()
+
+    uncapped = sorted(
+        map(tuple, phash_near_dup_pairs(hashes).toPandas().values.tolist())
+    )
+    assert (100, 101, 1) in uncapped and (200, 201, 0) in uncapped
+    assert sum(1 for a, b, h in uncapped if a < 100) == 7  # hot-bucket pairs
+
+    capped = sorted(
+        map(
+            tuple,
+            phash_near_dup_pairs(hashes, max_bucket=3).toPandas().values.tolist(),
+        )
+    )
+    assert capped == [(100, 101, 1), (200, 201, 0)], capped
+
+    dropped = phash_dropped_buckets(
+        phash_bucket_counts(hashes), 3
+    ).toPandas().values.tolist()
+    assert dropped == [[1, 0xAB, 6]], dropped
