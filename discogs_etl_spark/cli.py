@@ -87,18 +87,27 @@ def _cmd_profile(args) -> int:
 
 
 def _cmd_dedup(args) -> int:
-    from discogs_etl_spark.curation import dedup_corpus
+    from discogs_etl_spark.curation import dedup_corpus, dedup_media
 
     spark = get_spark(app_name="discogs-etl-dedup")
     df = spark.read.parquet(args.input)
-    survivors, report = dedup_corpus(
-        spark,
-        df,
-        id_col=args.id,
-        text_col=args.text,
-        method=args.method,
-        max_bucket=args.max_bucket,
-    )
+    if args.method == "phash":
+        survivors, report = dedup_media(
+            spark,
+            df,
+            id_col=args.id,
+            payload_col=args.text,
+            max_bucket=args.max_bucket,
+        )
+    else:
+        survivors, report = dedup_corpus(
+            spark,
+            df,
+            id_col=args.id,
+            text_col=args.text,
+            method=args.method,
+            max_bucket=args.max_bucket,
+        )
     survivors.write.mode("overwrite").parquet(args.output)
     print(report.toJSON().collect()[0])
     return 0
@@ -193,19 +202,27 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--type", choices=sorted(_PLURAL_TO_TYPE.values()))
     p.set_defaults(fn=_cmd_profile)
 
-    d = sub.add_parser("dedup", help="deduplicate a parquet corpus (exact or minhash)")
+    d = sub.add_parser(
+        "dedup",
+        help="deduplicate a parquet corpus (exact or minhash text dedup, "
+        "or phash media dedup over a binary column)",
+    )
     d.add_argument("--input", required=True, help="input parquet path")
     d.add_argument("--output", required=True, help="output parquet path (survivors)")
     d.add_argument("--id", default="doc_id", help="numeric unique id column")
-    d.add_argument("--text", default="text", help="content column")
-    d.add_argument("--method", default="minhash", choices=["exact", "minhash"])
+    d.add_argument(
+        "--text",
+        default="text",
+        help="content column (the binary payload column for --method phash)",
+    )
+    d.add_argument("--method", default="minhash", choices=["exact", "minhash", "phash"])
     d.add_argument(
         "--max-bucket",
         type=int,
         default=None,
-        help="minhash skew guard: drop LSH buckets with more members than "
-        "this from pair generation (their docs survive; the report counts "
-        "skipped buckets and the distinct documents they contained)",
+        help="LSH skew guard (minhash/phash): drop buckets with more members "
+        "than this from pair generation (their docs survive; the report "
+        "counts skipped buckets and the distinct documents they contained)",
     )
     d.set_defaults(fn=_cmd_dedup)
 

@@ -11,7 +11,13 @@ Methods:
   component (dedup_fuzzy_keep_one shape, with the O(log n) CC variant
   as the default because corpus topology is unknown).
 
-Both return the SURVIVING rows with their original schema plus a
+``dedup_media`` is the same contract for OPAQUE-BINARY media columns:
+64-bit perceptual hash → exact-hash pre-grouping + banded Hamming ≤ 7
+pairs (multimodal.phash_near_dup_pairs, the multimodal_phash_dedup
+code path) → connected components → keep min-id, with the same
+``max_bucket`` skew guard and dropped-bucket accounting.
+
+All return the SURVIVING rows with their original schema plus a
 one-row accounting frame; exactness/recall semantics are identical to
 the oracle-checked queries (same code paths).
 """
@@ -124,6 +130,98 @@ def dedup_corpus(
         [
             (
                 method,
+                n_in,
+                n_out,
+                n_in - n_out,
+                n_dropped_buckets,
+                n_docs_in_dropped,
+            )
+        ],
+        "method string, n_input long, n_survivors long, n_removed long, "
+        "n_dropped_buckets long, n_docs_in_dropped_buckets long",
+    )
+    return survivors, report
+
+
+def dedup_media(
+    spark: SparkSession,
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    max_bucket: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Deduplicate a MEDIA table by perceptual content — the
+    ``dedup_corpus`` contract for opaque-binary columns.  Returns
+    (survivors, report); survivors keep the input schema.
+
+    Pipeline = the oracle-checked ``multimodal_phash_dedup`` path:
+    64-bit perceptual hash per payload (Arrow-batched map stage;
+    ``multimodal.phash_hashes`` — swap its body for PIL+DCT in a real
+    deployment), exact-hash pre-grouping + 8×8-bit banded candidates,
+    popcount Hamming ≤ 7 pairs, large-star/small-star connected
+    components, keep min-id per component.  NULL payloads are never
+    duplicates of each other and all survive.
+
+    ``max_bucket`` is the banded-LSH skew guard
+    (``phash_near_dup_pairs``): oversized (band, sig) buckets are
+    excluded from NEAR-pair generation (exact byte/hash duplicates are
+    still removed — the full-hash equi-join bypasses banding) and the
+    report gains n_dropped_buckets plus n_docs_in_dropped_buckets
+    (DISTINCT input docs whose hash sat in at least one skipped bucket
+    — the recall exposure in input-row units)."""
+    from discogs_etl_spark.multimodal import (
+        _phash_banded,
+        phash_bucket_counts,
+        phash_dropped_buckets,
+        phash_hashes,
+        phash_near_dup_pairs,
+    )
+    from discogs_etl_spark.queries.llm import connected_components_star
+
+    tid, tpay = "__detl_id", "__detl_payload"
+    while any(c in df.columns for c in (tid, tpay)):
+        tid, tpay = tid + "_", tpay + "_"
+    norm = df.withColumn(tid, F.col(id_col)).withColumn(tpay, F.col(payload_col))
+    src = norm.where(F.col(tpay).isNotNull()).select(
+        F.col(tid).alias("doc_id"), F.col(tpay).alias("payload")
+    )
+    # one hash pass; pairs, accounting, and (under a cap) the bucket
+    # filter all read it
+    hashes = phash_hashes(src).localCheckpoint()
+    n_dropped_buckets = 0
+    n_docs_in_dropped = 0
+    if max_bucket is not None:
+        counts = phash_bucket_counts(hashes).localCheckpoint()
+        dropped = phash_dropped_buckets(counts, max_bucket)
+        n_dropped_buckets = dropped.count()
+        reps = hashes.groupBy("hv").agg(F.min("doc_id").alias("rep"))
+        dropped_hvs = (
+            _phash_banded(reps)
+            .join(dropped.select("band", "sig"), ["band", "sig"])
+            .select("hv")
+            .distinct()
+        )
+        n_docs_in_dropped = (
+            hashes.join(dropped_hvs, "hv").select("doc_id").distinct().count()
+        )
+    pairs = (
+        phash_near_dup_pairs(hashes, max_bucket=max_bucket)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    comp = connected_components_star(spark, pairs)
+    losers = comp.where(F.col("doc_id") != F.col("component_id")).select(
+        F.col("doc_id").alias("__detl_loser")
+    )
+    survivors = norm.join(
+        losers, norm[tid] == losers["__detl_loser"], "left_anti"
+    ).drop(tid, tpay)
+    n_in = df.count()
+    n_out = survivors.count()
+    report = spark.createDataFrame(
+        [
+            (
+                "phash",
                 n_in,
                 n_out,
                 n_in - n_out,

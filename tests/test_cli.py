@@ -199,3 +199,36 @@ def test_validate_rules_edge_cases(spark):
         validate_table(spark, df, [])
     with _pytest.raises(ValueError, match="malformed rule"):
         validate_table(spark, df, ["not_null"])
+
+
+def test_cli_dedup_phash_media(spark, tmp_path, capsys):
+    """The phash method routes the dedup verb through dedup_media: a
+    binary payload corpus with exact byte-duplicates collapses
+    keep-first, and the report carries the phash method tag."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from discogs_etl_spark.cli import main
+    from discogs_etl_spark.multimodal import with_payload
+    from discogs_etl_spark.tables import load
+
+    src = str(tmp_path / "media.parquet")
+    out = str(tmp_path / "deduped_media.parquet")
+    base = with_payload(
+        load(spark, "/root/testdata/sf0.001", "documents")
+    ).select("doc_id", "payload")
+    dup = base.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "payload")
+    base.unionByName(dup).write.mode("overwrite").parquet(src)
+
+    rc = main(
+        ["dedup", "--input", src, "--output", out,
+         "--method", "phash", "--text", "payload"]
+    )
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["method"] == "phash"
+    # every doc's byte-exact copy is removed (hamming-0 exact path), and
+    # near-dups inside the original corpus may remove more
+    assert report["n_removed"] >= base.count()
+    assert spark.read.parquet(out).count() == report["n_survivors"]

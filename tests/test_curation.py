@@ -268,3 +268,53 @@ def test_validate_table_matches_python_reference(spark):
         )
 
     check()
+
+
+def test_dedup_media_phash_pipeline(spark):
+    """dedup_media = the dedup_corpus contract for opaque-binary media:
+    the oracle-checked phash pipeline (64-bit hash, pre-grouping,
+    banded hamming<=7, CC keep-first), fixture-pinned on the sf0.001
+    image slice, with the max_bucket skew guard's accounting."""
+    import pyspark.sql.functions as F
+
+    from discogs_etl_spark.curation import dedup_media
+    from discogs_etl_spark.multimodal import with_payload
+    from discogs_etl_spark.tables import load
+
+    media = with_payload(load(spark, "/root/testdata/sf0.001", "documents")).where(
+        F.col("media_type") == "image"
+    )
+    surv, rep = dedup_media(spark, media)
+    r = rep.collect()[0]
+    assert (r.method, r.n_input, r.n_survivors, r.n_removed) == (
+        "phash", 167, 142, 25,
+    )
+    assert (r.n_dropped_buckets, r.n_docs_in_dropped_buckets) == (0, 0)
+    assert surv.schema == media.schema  # survivors keep the input schema
+    # keep-first: every removed id is larger than some surviving id it
+    # paired with — spot-invariant: the global min doc_id always survives
+    assert surv.agg(F.min("doc_id")).collect()[0][0] == media.agg(
+        F.min("doc_id")
+    ).collect()[0][0]
+
+    # the skew guard trades near-dup recall inside hot buckets for
+    # bounded memory and REPORTS the exposure
+    surv2, rep2 = dedup_media(spark, media, max_bucket=3)
+    r2 = rep2.collect()[0]
+    assert r2.n_removed <= r.n_removed  # cap only reduces pair output
+    assert r2.n_dropped_buckets > 0
+    assert 0 < r2.n_docs_in_dropped_buckets <= r2.n_input
+
+    # EXACT byte-duplicates are removed even under an extreme cap (the
+    # full-hash equi-join bypasses banding), and NULL payloads survive
+    rows = [
+        (1, bytearray(b"alpha beta gamma")),
+        (2, bytearray(b"alpha beta gamma")),  # exact dup of 1
+        (3, None),
+        (4, None),  # NULLs are never duplicates of each other
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    surv3, rep3 = dedup_media(spark, df, max_bucket=1)
+    r3 = rep3.collect()[0]
+    assert r3.n_input == 4 and r3.n_survivors == 3 and r3.n_removed == 1
+    assert sorted(x.doc_id for x in surv3.collect()) == [1, 3, 4]
