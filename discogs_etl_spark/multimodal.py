@@ -879,11 +879,19 @@ def phash_hashes(payloads: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                toks = bytes(payload).decode("utf-8").split()
+                # tokenize the RAW BYTES (ninth r15 review pass: a
+                # .decode("utf-8") here crashed dedup_media on real
+                # binary payloads — a PNG is not UTF-8).  bytes.split()
+                # splits on exactly the ASCII whitespace class RE2's
+                # \s matches, so this is also byte-for-byte the
+                # registered oracle's string_split_regex(text, '\s+')
+                # tokenization (str.split() would ALSO split on
+                # unicode spaces the oracle does not).
+                toks = bytes(payload).split()
                 if toks:
                     v = np.array(
                         [
-                            int(hashlib.md5(t.encode()).hexdigest()[:16], 16)
+                            int(hashlib.md5(t).hexdigest()[:16], 16)
                             for t in toks
                         ],
                         dtype=np.uint64,

@@ -425,3 +425,26 @@ def test_phash_max_bucket_skew_guard(spark):
         phash_bucket_counts(hashes), 3
     ).toPandas().values.tolist()
     assert dropped == [[1, 0xAB, 6]], dropped
+
+
+def test_phash_hashes_accepts_raw_binary_payloads(spark):
+    """Ninth r15 review pass, crash reproduced before the fix: the hash
+    stage decoded payloads as UTF-8, so a REAL media payload (a PNG is
+    not UTF-8) killed dedup_media's executor tasks.  Tokenization now
+    splits the raw bytes — which is also exactly the oracle's RE2 \\s+
+    class (str.split() would additionally split unicode spaces the
+    oracle does not).  Byte-identical binary payloads still collapse to
+    one hash (the exact-duplicate path)."""
+    from discogs_etl_spark.multimodal import phash_hashes
+
+    rows = [
+        (1, bytearray(b"\x89PNG\r\n\x1a\n\xff\xfe raw binary")),
+        (2, bytearray(b"\x89PNG\r\n\x1a\n\xff\xfe raw binary")),
+        (3, bytearray(b"\x89PNG\r\n\x1a\n\x00\x01 other binary")),
+        (4, bytearray(b"")),  # empty payload: all-zero hash, no crash
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r.hv for r in phash_hashes(df).collect()}
+    assert got[1] == got[2]          # byte-dups share the hash
+    assert got[1] != got[3]
+    assert got[4] == 0               # empty payload -> all-zero bits
