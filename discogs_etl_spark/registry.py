@@ -77,26 +77,27 @@ def _load_all() -> None:
 # driver-side correctness evidence (or changed since their last green row)
 # ahead of queries whose green rows already stand from a prior round.
 #
-# Round 15 rotation.  Basis (COMPUTED by scripts/evidence_audit.py over
+# Round 16 rotation.  Basis (COMPUTED by scripts/evidence_audit.py over
 # a FIXED round range — the note is stamped with the round it describes
 # so the suite stays green after later artifacts land;
 # tests/test_evidence_audit.py recomputes audit(max_round=as_of_round)
 # and asserts this line matches, and separately proves the comparison is
 # immune to a synthetic future-round artifact):
-#   evidence_audit as_of_round=14: registered=369 unique_checked=369 ever_green=369 \
+#   evidence_audit as_of_round=15: registered=369 unique_checked=369 ever_green=369 \
 #     never_checked=0 net_new_last_round=0
 # The ledger stays fully closed (zero never-checked, zero
 # latest-round-red, zero net-new), so the window is pure post-backlog
 # policy: (a) mechanical re-window flags lead (scripts/rewindow_check.py
-# vs the r14-end rev d93fc1b — ZERO flags at composition time); then (b)
-# OLDEST-EVIDENCE-FIRST rotation — registered names ordered by
-# last-green round ascending (registration order among ties, printed by
-# `evidence_audit.py --stale-order` and filled by round_start.py),
-# continuing the round-6/7 cohort from where the r14 window stopped
-# (dedup_semdedup / privacy_k_anonymity_report / vocab_coverage_curve
-# onward per the r14 note's plan).  The rotation slot for
-# multimodal_phash_dedup doubles as the driver re-check for this
-# round's oracle-changing banding rewrite (VERDICT r14 task #1).
+# vs the r15-end rev 431d27a — ZERO flags at composition time; any new
+# or oracle-changed query this round lands prepends itself here in the
+# SAME commit that changes it, and never-checked names sort to the head
+# of the rotation basis anyway); then (b) OLDEST-EVIDENCE-FIRST rotation
+# — registered names ordered by last-green round ascending (registration
+# order among ties, printed by `evidence_audit.py --stale-order` and
+# filled by round_start.py), continuing into the round-8 cohort
+# (events_value_winsorize / stats_psi_value_drift / ... — the stalest
+# evidence on the ledger is now round 8, 23 names) and on through the
+# round-9 cohort from where the r15 window stopped.
 # Every name passes the local one-session driver replica
 # (tests/test_oracle.py) and the plain-session derisk_window.py sweep,
 # so rotation stays pure evidence collection.
@@ -123,65 +124,65 @@ def _load_all() -> None:
 # the round it is composed, forcing a conscious split or a documented
 # bound change rather than a silent SLO trip several rounds later.
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    # oldest-evidence-first rotation fill (last green: round 6/7),
-    # continuing from the name after the r14 window's end per
+    # oldest-evidence-first rotation fill (last green: rounds 8-9),
+    # continuing from the name after the r15 window's end per
     # evidence_audit --stale-order
-    "dedup_semdedup",
-    "privacy_k_anonymity_report",
-    "vocab_coverage_curve",
-    "similarity_matryoshka_recall",
-    "terms_pmi_cooccurrence",
-    "safety_lexicon_filter",
-    "fuzzy_join_levenshtein_blocked",
-    "dedup_provenance_matrix",
-    "dedup_winnowing_fingerprints",
-    "lm_next_word_accuracy",
-    "text_char_entropy",
-    "dedup_doc_duplication_score",
-    "dedup_ensemble_vote",
-    "sample_balance_classes",
-    "boilerplate_ngram_discovery",
-    "text_msttr_diversity",
-    "embedding_norm_outliers",
-    "corpus_jsd_sources",
-    "dedup_transitivity_audit",
-    "dedup_medoid_selection",
-    "embedding_ncm_probe_accuracy",
-    "dedup_impact_report",
-    "corpus_effective_tokens",
-    "pack_efficiency_curve",
-    "lm_domain_surprisal_ratio",
-    "dedup_threshold_sweep",
-    "dedup_pair_evidence",
-    "multimodal_decode_features",
-    "multimodal_resize_nn",
-    "multimodal_audio_frames",
-    "multimodal_frame_sample",
-    "multimodal_phash_dedup",
-    "multimodal_media_summary",
-    "agg_salted_skew_safe",
-    "flagship_scan_filter_limit",
-    "scan_project_filter",
-    "sort_topk_orders",
-    "chunking_content_defined",
-    "similarity_int8_recall",
-    "dedup_impact_by_source",
-    "text_search_query_likelihood",
-    "pack_shard_balance_eval",
-    "dedup_bag_of_words_exact",
-    "arrow_udf_char_classes",
-    "pandas_udf_iter_tokens",
-    "stats_cusum_daily_revenue",
-    "stats_acf_daily_revenue",
-    "stats_survival_km_repurchase",
-    "stats_two_proportion_ztest",
-    "timeseries_locf_fill",
-    # ROUND-16 ROTATION NOTE: keep the post-backlog policy — refresh the
-    # audit line to as_of_round=15 and COVERAGE.md's evidence paragraph
+    "events_value_winsorize",
+    "stats_psi_value_drift",
+    "stats_ks_exponential_gaps",
+    "stats_diff_in_diff",
+    "stats_theil_sen_trend",
+    "stats_circular_mean_hour",
+    "stats_dispersion_order_size",
+    "events_error_budget_burn",
+    "forecast_snaive_backtest",
+    "spc_pchart_returns",
+    "users_discounted_ltv",
+    "price_elasticity_discount",
+    "users_bot_score",
+    "whale_retention_jaccard",
+    "seasonality_strength_dow",
+    "stats_jarque_bera_normality",
+    "changepoint_poisson_binseg",
+    "stats_burstiness_index",
+    "p95_rollup_hazard",
+    "stats_mann_whitney_u",
+    "scan_statistic_errors",
+    "numeric_precision_audit",
+    "categorical_drift_dow",
+    "q1_pricing_summary",
+    "agg_rollup_lineitem",
+    "agg_cube_orders",
+    "agg_distinct_parts_per_flag",
+    "agg_variance_price",
+    "q3_shipping_priority",
+    "q5_regional_revenue",
+    "join_broadcast_part_agg",
+    "join_left_order_counts",
+    "join_semi_customers_with_orders",
+    "join_anti_customers_without_orders",
+    "join_full_outer_nation_presence",
+    "window_topk_orders_per_customer",
+    "window_rank_dense_rank",
+    "window_running_total_events",
+    "sessionization_events",
+    "manifest_latest_per_month",
+    "set_union_all_lineitem",
+    "set_intersect_partkeys",
+    "set_except_partkeys",
+    "scalar_string_part",
+    "scalar_date_orders",
+    "scalar_json_events",
+    "scalar_hash_customer",
+    "scalar_array_embeddings",
+    "events_hourly_agg",
+    "agg_grouping_sets_events",
+    # ROUND-17 ROTATION NOTE: keep the post-backlog policy — refresh the
+    # audit line to as_of_round=16 and COVERAGE.md's evidence paragraph
     # as the first commit, then compose the window with
-    # `python scripts/round_start.py <r15-end-rev>`: mechanical
+    # `python scripts/round_start.py <r16-end-rev>`: mechanical
     # re-window flags lead, oldest-evidence-first rotation fills (after
-    # r15 lands green the stalest cohort continues from where this
+    # r16 lands green the stalest cohort continues from where this
     # window stopped — `python scripts/evidence_audit.py --stale-order`
     # prints the basis).  tests/test_evidence_freshness.py reddens a
     # skipped or mis-composed rotation automatically.
