@@ -178,6 +178,22 @@ def dedup_media(
     )
     from discogs_etl_spark.queries.llm import connected_components_star
 
+    # validate the payload column DRIVER-SIDE (r15 ADVICE #3): the CLI's
+    # --method phash reuses --text (default 'text'), so pointing it at a
+    # string column is an easy misconfiguration that used to surface as
+    # bytes(payload) raising TypeError inside executor tasks.  Strings
+    # are accepted by casting to binary (Spark's string->binary cast is
+    # the UTF-8 bytes, which for the fixtures is exactly with_payload's
+    # encode(text, 'UTF-8')); anything else fails here with a clear
+    # message instead of a distributed stack trace.
+    pay_type = df.schema[payload_col].dataType
+    if isinstance(pay_type, T.StringType):
+        df = df.withColumn(payload_col, F.col(payload_col).cast("binary"))
+    elif not isinstance(pay_type, T.BinaryType):
+        raise ValueError(
+            f"dedup_media payload column {payload_col!r} must be binary "
+            f"(or string, which is UTF-8-encoded); got {pay_type.simpleString()}"
+        )
     tid, tpay = "__detl_id", "__detl_payload"
     while any(c in df.columns for c in (tid, tpay)):
         tid, tpay = tid + "_", tpay + "_"

@@ -42,6 +42,7 @@ Fake-decode contract (mirrored exactly by the DuckDB oracles):
 from __future__ import annotations
 
 import hashlib
+import re
 import zlib
 from collections.abc import Iterator
 
@@ -881,13 +882,17 @@ def phash_hashes(payloads: DataFrame) -> DataFrame:
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 # tokenize the RAW BYTES (ninth r15 review pass: a
                 # .decode("utf-8") here crashed dedup_media on real
-                # binary payloads — a PNG is not UTF-8).  bytes.split()
-                # splits on exactly the ASCII whitespace class RE2's
-                # \s matches, so this is also byte-for-byte the
-                # registered oracle's string_split_regex(text, '\s+')
-                # tokenization (str.split() would ALSO split on
-                # unicode spaces the oracle does not).
-                toks = bytes(payload).split()
+                # binary payloads — a PNG is not UTF-8).  The delimiter
+                # set is spelled out because no stdlib split matches the
+                # oracle exactly: RE2's \s (DuckDB string_split_regex
+                # '\s+') is [\t\n\f\r ] WITHOUT vertical tab, while
+                # bytes.split() also splits on \v (0x0b) and str.split()
+                # additionally on unicode spaces (r15 ADVICE #1).
+                toks = [
+                    t
+                    for t in re.split(rb"[\t\n\f\r ]+", bytes(payload))
+                    if t
+                ]
                 if toks:
                     v = np.array(
                         [

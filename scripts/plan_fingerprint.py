@@ -378,7 +378,14 @@ def condition_texts(df) -> list[str]:
     covers exactly the plans whose shape is already pinned: a predicate
     rewrite there (a loosened filter, a dropped join key, a changed
     residual) flags round-over-round even though the node counts and
-    join strategies are identical."""
+    join strategies are identical.
+
+    Join keys are captured as jointly-sorted ``left=right`` PAIRS, not
+    independently-sorted key lists (r15 ADVICE #2): sorting leftKeys
+    and rightKeys separately destroys positional pairing, so a rewrite
+    that re-pairs the equi-join (left key i now equated to a DIFFERENT
+    right key) yielded an identical descriptor — the exact
+    dropped/changed-join-key class this capture exists to catch."""
     out: list[str] = []
     for cls, node in iter_physical_nodes(df, executed=False):
         if cls == "FilterExec":
@@ -388,11 +395,17 @@ def condition_texts(df) -> list[str]:
             "SortMergeJoinExec",
             "ShuffledHashJoinExec",
         ):
-            lk = ",".join(sorted(_seq_sql(node.leftKeys())))
-            rk = ",".join(sorted(_seq_sql(node.rightKeys())))
+            pairs = ",".join(
+                sorted(
+                    f"{l}={r}"
+                    for l, r in zip(
+                        _seq_sql(node.leftKeys()), _seq_sql(node.rightKeys())
+                    )
+                )
+            )
             cond = node.condition()
             residual = cond.get().sql() if cond.isDefined() else ""
-            out.append(f"join:[{lk}]=[{rk}]:{residual}")
+            out.append(f"join:[{pairs}]:{residual}")
     return sorted(out)
 
 

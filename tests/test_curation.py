@@ -318,3 +318,31 @@ def test_dedup_media_phash_pipeline(spark):
     r3 = rep3.collect()[0]
     assert r3.n_input == 4 and r3.n_survivors == 3 and r3.n_removed == 1
     assert sorted(x.doc_id for x in surv3.collect()) == [1, 3, 4]
+
+
+def test_dedup_media_payload_column_validation(spark):
+    """r15 ADVICE #3: a STRING payload column (the CLI's --text default
+    pointed at text) used to crash executor-side with
+    TypeError('string argument without an encoding'); now it is cast to
+    its UTF-8 bytes driver-side — same result as the binary twin — and
+    a non-binary non-string column fails fast with a clear error."""
+    import pytest
+
+    from discogs_etl_spark.curation import dedup_media
+
+    rows = [(1, "alpha beta"), (2, "alpha beta"), (3, "unrelated text")]
+    s = spark.createDataFrame(rows, "doc_id long, payload string")
+    b = spark.createDataFrame(
+        [(i, bytearray(t.encode())) for i, t in rows],
+        "doc_id long, payload binary",
+    )
+    surv_s, rep_s = dedup_media(spark, s)
+    surv_b, rep_b = dedup_media(spark, b)
+    assert sorted(x.doc_id for x in surv_s.collect()) == sorted(
+        x.doc_id for x in surv_b.collect()
+    ) == [1, 3]
+    assert rep_s.collect()[0].n_removed == rep_b.collect()[0].n_removed == 1
+
+    bad = spark.createDataFrame([(1, 2)], "doc_id long, payload long")
+    with pytest.raises(ValueError, match="payload.*must be binary"):
+        dedup_media(spark, bad)

@@ -431,10 +431,11 @@ def test_phash_hashes_accepts_raw_binary_payloads(spark):
     """Ninth r15 review pass, crash reproduced before the fix: the hash
     stage decoded payloads as UTF-8, so a REAL media payload (a PNG is
     not UTF-8) killed dedup_media's executor tasks.  Tokenization now
-    splits the raw bytes — which is also exactly the oracle's RE2 \\s+
-    class (str.split() would additionally split unicode spaces the
-    oracle does not).  Byte-identical binary payloads still collapse to
-    one hash (the exact-duplicate path)."""
+    splits the raw bytes on the explicit RE2 \\s class [\\t\\n\\f\\r ]
+    (str.split() would additionally split unicode spaces the oracle
+    does not; bytes.split() would additionally split \\v — r15 ADVICE
+    #1).  Byte-identical binary payloads still collapse to one hash
+    (the exact-duplicate path)."""
     from discogs_etl_spark.multimodal import phash_hashes
 
     rows = [
@@ -448,3 +449,25 @@ def test_phash_hashes_accepts_raw_binary_payloads(spark):
     assert got[1] == got[2]          # byte-dups share the hash
     assert got[1] != got[3]
     assert got[4] == 0               # empty payload -> all-zero bits
+
+
+def test_phash_tokenizer_matches_re2_whitespace_class(spark):
+    """r15 ADVICE #1: the oracle's string_split_regex(text, '\\s+') is
+    RE2 \\s = [\\t\\n\\f\\r ], which does NOT split on vertical tab —
+    bytes.split() did.  Pin the divergence shut relationally: \\v stays
+    INSIDE a token (so 'a\\vb' hashes unlike 'a b'), while \\t and
+    space are interchangeable delimiters and leading/trailing/repeated
+    delimiters produce no empty tokens."""
+    from discogs_etl_spark.multimodal import phash_hashes
+
+    rows = [
+        (1, bytearray(b"a\x0bb c")),       # \v is NOT a delimiter
+        (2, bytearray(b"a\x0bb\tc")),      # \t and space are equivalent
+        (3, bytearray(b"a b c")),          # would equal 1 under bytes.split()
+        (4, bytearray(b"  a\x0bb \n c ")), # empty tokens filtered
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r.hv for r in phash_hashes(df).collect()}
+    assert got[1] == got[2]
+    assert got[1] != got[3]
+    assert got[4] == got[1]

@@ -665,6 +665,26 @@ def _plan_fingerprint_mod():
     return mod
 
 
+def test_condition_texts_capture_join_key_pairing(spark):
+    """r15 ADVICE #2: sorting a hash join's leftKeys and rightKeys
+    INDEPENDENTLY destroys positional pairing, so a rewrite that
+    re-pairs the equi-join (x=u,y=v -> x=v,y=u — same key SETS, a
+    different join) produced an identical descriptor and the pinned
+    expression gate missed exactly the dropped/changed-join-key class
+    it exists to catch.  Keys are now captured as jointly-sorted
+    left=right pairs: a re-pairing differs, while the same pairing
+    written in either conjunct order is byte-identical."""
+    mod = _plan_fingerprint_mod()
+    a = spark.range(8).select(F.col("id").alias("x"), (F.col("id") + 1).alias("y"))
+    b = spark.range(8).select(F.col("id").alias("u"), (F.col("id") + 1).alias("v"))
+    paired = mod.condition_texts(a.join(b, (a.x == b.u) & (a.y == b.v)))
+    repaired = mod.condition_texts(a.join(b, (a.x == b.v) & (a.y == b.u)))
+    reordered = mod.condition_texts(a.join(b, (a.y == b.v) & (a.x == b.u)))
+    assert any(t.startswith("join:") for t in paired)  # hash join captured
+    assert paired != repaired
+    assert paired == reordered
+
+
 def test_plan_pins_cover_the_whole_gate_set():
     """The pinned set is DERIVED (bench set + scale-killers), not
     hand-typed: registering a new bench=True headline query without
