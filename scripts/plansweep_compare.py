@@ -105,7 +105,47 @@ _tc_spec.loader.exec_module(_tc)
 # acknowledgeable — that is artifact integrity, not a plan change.
 # "It was green" is not a rationale; cite the commit that changed the
 # plan.
-ADJUDICATED: dict[int, dict[tuple[str, str], str]] = {}
+ADJUDICATED: dict[int, dict[tuple[str, str], str]] = {
+    16: {
+        (n, "pinned_cond"): (
+            "capture FORMAT change, not a plan change: condition_texts "
+            "records hash-join keys as jointly-sorted left=right pairs "
+            "since commit 2d88b86 (r15 ADVICE #2 — independent key-list "
+            "sorting missed re-paired join keys).  Verified mechanical "
+            "before adjudicating: every r16 pinned text projected back "
+            "to the r15 format compares byte-exact against "
+            "PLANSWEEP_r15 across all 41 pinned names (16 identical, "
+            "these 25 format-only, zero real diffs)."
+        )
+        for n in (
+            "dedup_connected_components",
+            "dedup_doc_duplication_score",
+            "dedup_embedding_bucketed",
+            "dedup_minhash_eval",
+            "dedup_minhash_lsh",
+            "dedup_semdedup",
+            "embedding_power_iteration_pc1",
+            "embedding_power_iteration_pc1_gram",
+            "fuzzy_join_levenshtein_blocked",
+            "graph_pagerank_coorder",
+            "graph_triangle_count",
+            "join_broadcast_part_agg",
+            "join_skew_salted",
+            "lm_bigram_surprisal",
+            "multimodal_phash_dedup",
+            "pricing_consistency_audit",
+            "q3_shipping_priority",
+            "q5_regional_revenue",
+            "range_join_bucketed",
+            "recsys_holdout_hitrate",
+            "sessions_max_concurrency",
+            "similarity_ivf_topk",
+            "text_search_bm25_pruned_topk",
+            "text_search_bm25_topk",
+            "text_search_inverted_topk",
+        )
+    }
+}
 
 # The flag kinds an ADJUDICATED entry may name (kept beside the dict so
 # a typo'd kind is caught by the suite's validity test, not silently
