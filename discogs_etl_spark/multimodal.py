@@ -746,10 +746,15 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(decoded.where(F.col("media_type") == "video"))
 
 
-@register(
-    "multimodal_phash_dedup",
-    oracle=r"""
-        WITH img AS (
+# The DuckDB twin of the phash pipeline, shared by four oracles (the
+# uncapped dedup, the capped pairs, the dropped-bucket accounting, and
+# the dedup_media roundtrip): tokenize -> per-token md5 -> simhash bits
+# (the exact mean-threshold the Arrow stage computes, bit-for-bit) ->
+# exact-duplicate pairs + distinct-hash reps + 8x8-bit banding.  Kept
+# as a fragment so the four oracle texts cannot drift apart; the
+# composed multimodal_phash_dedup oracle is byte-identical to the text
+# that was driver-green in r15 (the factoring is a no-op to the oracle).
+_PHASH_GRAPH_SQL = r"""img AS (
             SELECT doc_id,
                    list_transform(
                        list_filter(string_split_regex(text, '\s+'),
@@ -781,11 +786,17 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT rep, bits, b.b AS band,
                    substr(bits, (b.b - 1) * 8 + 1, 8) AS sig
             FROM reps, (SELECT unnest(range(1, 9)) AS b) b
-        ),
+        )"""
+
+
+def _phash_pairs_sql(banded_src: str = "banded") -> str:
+    """cand -> near -> near_pairs CTE tail over ``banded_src`` (the full
+    ``banded`` view, or its bucket-capped subset for the capped twin)."""
+    return f""",
         cand AS (
             SELECT DISTINCT a.rep AS rep_a, b.rep AS rep_b,
                    a.bits AS ba, b.bits AS bb
-            FROM banded a JOIN banded b
+            FROM {banded_src} a JOIN {banded_src} b
               ON a.band = b.band AND a.sig = b.sig AND a.rep < b.rep
         ),
         near AS (
@@ -805,7 +816,21 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             JOIN bits ma ON ma.bits = n.ba
             JOIN bits mb ON mb.bits = n.bb
             WHERE n.hamming <= 7
-        )
+        )"""
+
+
+# Fixed cap for the two registered capped-path queries.  16 is small
+# enough to drop real buckets at every fixture sf (the sf0.01 image
+# slice has 14 buckets wider than 16, the widest 48) while keeping the
+# survivor pair set non-trivial, so BOTH effects of the guard — pairs
+# lost to exclusion and pairs kept — carry driver evidence.
+_PHASH_MAX_BUCKET = 16
+
+
+@register(
+    "multimodal_phash_dedup",
+    oracle=f"""
+        WITH {_PHASH_GRAPH_SQL}{_phash_pairs_sql()}
         SELECT doc_a, doc_b, hamming FROM exact_pairs
         UNION ALL
         SELECT doc_a, doc_b, hamming FROM near_pairs
@@ -1019,6 +1044,166 @@ def phash_near_dup_pairs(
         )
     )
     return exact_pairs.unionByName(near_pairs)
+
+
+@register(
+    "multimodal_phash_capped_pairs",
+    oracle=f"""
+        WITH {_PHASH_GRAPH_SQL},
+        widths AS (
+            SELECT band, sig, COUNT(*) AS n_hashes
+            FROM banded GROUP BY band, sig
+        ),
+        banded_ok AS (
+            SELECT bd.rep, bd.bits, bd.band, bd.sig
+            FROM banded bd
+            JOIN widths w ON w.band = bd.band AND w.sig = bd.sig
+            WHERE w.n_hashes <= {_PHASH_MAX_BUCKET}
+        ){_phash_pairs_sql("banded_ok")}
+        SELECT doc_a, doc_b, hamming FROM exact_pairs
+        UNION ALL
+        SELECT doc_a, doc_b, hamming FROM near_pairs
+    """,
+    tags=("multimodal", "dedup", "phash", "lsh", "skew"),
+)
+def multimodal_phash_capped_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The phash pipeline's ``max_bucket`` skew guard under DRIVER
+    evidence (r15 verdict task #2): same hash stage and banding as
+    ``multimodal_phash_dedup``, but (band, sig) buckets wider than
+    16 (``_PHASH_MAX_BUCKET``) DISTINCT hashes are excluded from BOTH sides of the band join
+    BEFORE candidate generation (``phash_near_dup_pairs(max_bucket=)``).
+    The oracle recomputes the identical bucket widths over the
+    distinct-hash reps in SQL and filters the banded view the same way,
+    so the cap's exact semantics — a near pair survives iff ANY of its
+    shared bands stays under the cap; EXACT-duplicate pairs always
+    survive because the full-hash equi-join bypasses banding — are
+    verified value-for-value cross-engine, not just unit-pinned.
+
+    Scale: this is the 100 TB production configuration of the phash
+    dedup (content-correlated hashes concentrate buckets — LSH's worst
+    case — and an uncapped hot bucket generates O(width²) candidates on
+    one key).  The cap filter joins on the SAME (band, sig) key as the
+    band self-join, so AQE plans it without an extra exchange; the
+    fixed cap of 16 drops real buckets at every fixture sf, so the
+    driver row exercises both the exclusion and the survivors."""
+    img = with_payload(load(spark, sf_dir, "documents")).where(
+        F.col("media_type") == "image"
+    )
+    hashes = phash_hashes(img).localCheckpoint()
+    return phash_near_dup_pairs(hashes, max_bucket=_PHASH_MAX_BUCKET)
+
+
+@register(
+    "multimodal_phash_dropped_buckets",
+    oracle=f"""
+        WITH {_PHASH_GRAPH_SQL},
+        banded_int AS (
+            SELECT CAST(band AS BIGINT) AS band,
+                   CAST(list_sum(list_transform(range(1, 9), j ->
+                        CASE WHEN substr(sig, CAST(j AS INT), 1) = '1'
+                             THEN 1 << (8 - j) ELSE 0 END)) AS BIGINT) AS sig
+            FROM banded
+        )
+        SELECT band, sig, COUNT(*) AS n_hashes
+        FROM banded_int GROUP BY band, sig
+        HAVING COUNT(*) > {_PHASH_MAX_BUCKET}
+    """,
+    tags=("multimodal", "dedup", "phash", "lsh", "skew", "accounting"),
+)
+def multimodal_phash_dropped_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capped phash run's ACCOUNTING query under driver evidence:
+    every (band, sig) bucket ``multimodal_phash_capped_pairs`` excludes,
+    with its width over DISTINCT hashes (``phash_bucket_counts`` ->
+    ``phash_dropped_buckets`` — dedup under a cap must REPORT what it
+    skipped, not silently under-recall).  The oracle recomputes each
+    band signature as an integer from the bit-string twin (band b =
+    byte b of the hash, MSB first — the same ``shiftright(hv,
+    (8-b)*8) & 255`` byte the Spark side extracts from the packed
+    BIGINT), so the bucket identities and widths match cross-engine.
+
+    Scale: one map-side-combining aggregation over the banded reps
+    (8 rows per distinct hash) — the observability pass a production
+    run logs before choosing a cap."""
+    img = with_payload(load(spark, sf_dir, "documents")).where(
+        F.col("media_type") == "image"
+    )
+    hashes = phash_hashes(img)
+    return phash_dropped_buckets(
+        phash_bucket_counts(hashes), _PHASH_MAX_BUCKET
+    ).select(
+        F.col("band").cast("bigint").alias("band"),
+        F.col("sig").cast("bigint").alias("sig"),
+        "n_hashes",
+    )
+
+
+@register(
+    "curation_dedup_media",
+    oracle=f"""
+        WITH RECURSIVE {_PHASH_GRAPH_SQL}{_phash_pairs_sql()},
+        pairs AS (
+            SELECT doc_a, doc_b FROM exact_pairs
+            UNION ALL
+            SELECT doc_a, doc_b FROM near_pairs
+        ),
+        edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+                  UNION SELECT doc_b, doc_a FROM pairs),
+        nodes AS (SELECT DISTINCT u AS node FROM edges),
+        reach(node, lbl) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.node
+        ),
+        comp AS (SELECT node AS doc_id, MIN(lbl) AS component_id
+                 FROM reach GROUP BY node),
+        losers AS (SELECT doc_id FROM comp WHERE doc_id <> component_id),
+        allimg AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+        surv AS (SELECT doc_id FROM allimg
+                 WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+        report AS (
+            SELECT 'phash' AS method,
+                   (SELECT COUNT(*) FROM allimg) AS n_input,
+                   (SELECT COUNT(*) FROM surv) AS n_survivors,
+                   (SELECT COUNT(*) FROM allimg)
+                       - (SELECT COUNT(*) FROM surv) AS n_removed,
+                   CAST(0 AS BIGINT) AS n_dropped_buckets,
+                   CAST(0 AS BIGINT) AS n_docs_in_dropped_buckets
+        )
+        SELECT s.doc_id, r.method, r.n_input, r.n_survivors, r.n_removed,
+               r.n_dropped_buckets, r.n_docs_in_dropped_buckets
+        FROM surv s, report r
+    """,
+    tags=("multimodal", "dedup", "phash", "curation", "roundtrip", "graph"),
+)
+def curation_dedup_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END driver evidence for the user-facing ``dedup_media``
+    API (r15 verdict task #1): the full curation pipeline — phash ->
+    exact-hash pre-grouping -> banded Hamming <= 7 pairs ->
+    large-star/small-star connected components -> keep min-id — run
+    through ``curation.dedup_media`` itself (the function the CLI's
+    ``dedup --method phash`` calls) over the image slice, returning the
+    SURVIVOR set with the one-row report broadcast onto every survivor
+    so the keep-set, the counts, and the uncapped run's zero
+    skew-accounting are all value-hashed in one result.
+
+    The oracle composes the two already-proven oracle fragments: the
+    phash pair graph (``multimodal_phash_dedup``'s SQL twin) and the
+    recursive-CTE transitive closure (``dedup_connected_components``'s
+    pattern), then recomputes survivors = all image docs minus
+    component non-minima, cross-joined with the recomputed report row.
+
+    Scale: composition of oracle-checked stages — no new shuffle
+    shapes; the report attach is a broadcast of ONE row (the registered
+    query's only cross join, hinted)."""
+    from discogs_etl_spark.curation import dedup_media
+
+    img = (
+        with_payload(load(spark, sf_dir, "documents"))
+        .where(F.col("media_type") == "image")
+        .select("doc_id", "payload")
+    )
+    survivors, report = dedup_media(spark, img)
+    return survivors.select("doc_id").crossJoin(F.broadcast(report))
 
 
 @register(

@@ -125,8 +125,17 @@ def audit(
         # ever_green COUNT can equal the registered COUNT while a
         # registered name is never-green, if a green unregistered name
         # pads it — don't make correctness depend on the separate
-        # checked_not_registered gate.
-        "registered_never_green_names": sorted(registered - ever_green),
+        # checked_not_registered gate.  Never-green means CHECKED and
+        # red on every attempt (a defect); never-CHECKED names are a
+        # separate population the window-composition gate forces to the
+        # front of the rotation — stale_names' docstring has always
+        # drawn this distinction, but the set here was computed as
+        # registered - ever_green, which also swept up names registered
+        # mid-round before their first driver window (found in r16, the
+        # first round to register new queries after this gate landed).
+        "registered_never_green_names": sorted(
+            (registered & checked) - ever_green
+        ),
     }
 
 
