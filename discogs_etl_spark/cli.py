@@ -98,6 +98,9 @@ def _cmd_dedup(args) -> int:
             id_col=args.id,
             payload_col=args.text,
             max_bucket=args.max_bucket,
+            # --real-decode forces pixels; otherwise fall through to the
+            # per-session probe gate (None), same as the library default
+            real=True if args.real_decode else None,
         )
     else:
         survivors, report = dedup_corpus(
@@ -216,6 +219,13 @@ def main(argv: list[str] | None = None) -> int:
         help="content column (the binary payload column for --method phash)",
     )
     d.add_argument("--method", default="minhash", choices=["exact", "minhash", "phash"])
+    d.add_argument(
+        "--real-decode",
+        action="store_true",
+        help="phash only: hash DECODED PIXELS (stdlib PNG decode -> 8x8 "
+        "mean-threshold aHash) instead of the deterministic byte-token "
+        "stand-in; payloads must be supported PNGs",
+    )
     d.add_argument(
         "--max-bucket",
         type=int,

@@ -149,6 +149,7 @@ def dedup_media(
     id_col: str = "doc_id",
     payload_col: str = "payload",
     max_bucket: int | None = None,
+    real: bool | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Deduplicate a MEDIA table by perceptual content — the
     ``dedup_corpus`` contract for opaque-binary columns.  Returns
@@ -156,8 +157,11 @@ def dedup_media(
 
     Pipeline = the oracle-checked ``multimodal_phash_dedup`` path:
     64-bit perceptual hash per payload (Arrow-batched map stage;
-    ``multimodal.phash_hashes`` — swap its body for PIL+DCT in a real
-    deployment), exact-hash pre-grouping + 8×8-bit banded candidates,
+    ``multimodal.phash_hashes`` — ``real=True`` runs the in-repo
+    ``ahash64_png`` pixel aHash, ``real=None`` probes the per-session
+    real-decode gate, ``real=False`` pins the deterministic stand-in
+    the registered oracle query uses), exact-hash pre-grouping +
+    8×8-bit banded candidates,
     popcount Hamming ≤ 7 pairs, large-star/small-star connected
     components, keep min-id per component.  NULL payloads are never
     duplicates of each other and all survive.
@@ -203,7 +207,7 @@ def dedup_media(
     )
     # one hash pass; pairs, accounting, and (under a cap) the bucket
     # filter all read it
-    hashes = phash_hashes(src).localCheckpoint()
+    hashes = phash_hashes(src, real=real).localCheckpoint()
     n_dropped_buckets = 0
     n_docs_in_dropped = 0
     if max_bucket is not None:

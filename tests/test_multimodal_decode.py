@@ -451,6 +451,69 @@ def test_phash_hashes_accepts_raw_binary_payloads(spark):
     assert got[4] == 0               # empty payload -> all-zero bits
 
 
+def test_ahash64_png_golden_buffers():
+    """The REAL perceptual hash (r15 verdict task #5): decoded pixels ->
+    8x8 NN sample -> mean threshold -> the SAME MSB-first row-major
+    BIGINT packing as the deterministic stand-in.  Golden values are
+    hand-derived: a left-dark/right-bright 16x16 image samples to rows
+    of 00001111 (0x0F per byte); top-bright/bottom-dark sets exactly
+    bits 63..32 (negative in two's complement); a constant image has no
+    pixel above the mean (hv = 0)."""
+    import numpy as np
+
+    from discogs_etl_spark.multimodal import ahash64_png
+
+    lr = np.full((16, 16, 3), 10, dtype=np.uint8)
+    lr[:, 8:, :] = 240
+    assert ahash64_png(_encode_png(lr, [0])) == 0x0F0F0F0F0F0F0F0F
+
+    tb = np.full((16, 16, 1), 10, dtype=np.uint8)
+    tb[:8, :, :] = 240
+    assert ahash64_png(_encode_png(tb, [0])) == 0xFFFFFFFF00000000 - (1 << 64)
+
+    flat = np.full((16, 16, 3), 77, dtype=np.uint8)
+    assert ahash64_png(_encode_png(flat, [0])) == 0
+
+    # alpha is excluded from the grayscale: RGBA with arbitrary alpha
+    # hashes identically to its RGB projection
+    rgba = np.dstack([lr, np.arange(256, dtype=np.uint8).reshape(16, 16)])
+    assert ahash64_png(_encode_png(rgba, [0])) == 0x0F0F0F0F0F0F0F0F
+
+    # near-duplicate: flipping ONE sampled cell moves Hamming by exactly 1
+    near = lr.copy()
+    near[0, 0, :] = 240  # grid cell (0,0) samples pixel (0,0) for 16x16
+    a, b = ahash64_png(_encode_png(lr, [0])), ahash64_png(_encode_png(near, [0]))
+    assert bin((a ^ b) & ((1 << 64) - 1)).count("1") == 1
+
+    with pytest.raises(ValueError):
+        ahash64_png(b"not a png at all")
+
+
+def test_phash_hashes_real_path_end_to_end(spark):
+    """real=True routes the SAME Arrow-batched map stage through
+    ahash64_png, and the whole dedup_media pipeline runs unchanged on
+    pixel hashes: byte-identical PNGs collapse (exact-dup removal) while
+    a structurally different image survives.  The executor-side values
+    equal the driver-side ahash64_png of the same bytes."""
+    import numpy as np
+
+    from discogs_etl_spark.curation import dedup_media
+    from discogs_etl_spark.multimodal import ahash64_png, phash_hashes
+
+    lr = np.full((16, 16, 3), 10, dtype=np.uint8)
+    lr[:, 8:, :] = 240
+    tb = np.full((16, 16, 3), 10, dtype=np.uint8)
+    tb[:8, :, :] = 240
+    p1, p2 = _encode_png(lr, [0]), _encode_png(tb, [0])
+    rows = [(1, bytearray(p1)), (2, bytearray(p1)), (3, bytearray(p2))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r.hv for r in phash_hashes(df, real=True).collect()}
+    assert got == {1: ahash64_png(p1), 2: ahash64_png(p1), 3: ahash64_png(p2)}
+    surv, rep = dedup_media(spark, df, real=True)
+    assert sorted(x.doc_id for x in surv.collect()) == [1, 3]
+    assert rep.collect()[0].n_removed == 1
+
+
 def test_phash_tokenizer_matches_re2_whitespace_class(spark):
     """r15 ADVICE #1: the oracle's string_split_regex(text, '\\s+') is
     RE2 \\s = [\\t\\n\\f\\r ], which does NOT split on vertical tab —
