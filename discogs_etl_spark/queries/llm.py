@@ -298,8 +298,12 @@ _SQL_BANDS = "\n        UNION ALL ".join(
     for b in range(_MINHASH_SEEDS // _MINHASH_BAND_ROWS)
 )
 
-_MINHASH_ORACLE = f"""
-    WITH shl AS (
+# Shared MinHash-oracle fragments (shingle -> base hash -> signatures ->
+# banded bucket memberships; the candidate join; the exact-Jaccard
+# verify tail).  Factored so the capped twins below cannot drift from
+# the uncapped pipeline's SQL; the composed _MINHASH_ORACLE stays
+# byte-identical to its long-green text.
+_MINHASH_PRE_SQL = f"""shl AS (
         SELECT doc_id, {_SQL_TRIGRAMS} AS shingles FROM documents
     ),
     hs AS (
@@ -315,13 +319,20 @@ _MINHASH_ORACLE = f"""
     ),
     bands AS (
         {_SQL_BANDS}
-    ),
+    )"""
+
+
+def _minhash_cand_sql(bands_src: str = "bands") -> str:
+    return f""",
     cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a
-        JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+        FROM {bands_src} a
+        JOIN {bands_src} b ON a.band = b.band AND a.band_sig = b.band_sig
                      AND a.doc_id < b.doc_id
-    )
+    )"""
+
+
+_MINHASH_VERIFY_SQL = f"""
     SELECT doc_a, doc_b, jaccard
     FROM (
         SELECT c.doc_a, c.doc_b,
@@ -334,6 +345,9 @@ _MINHASH_ORACLE = f"""
     )
     WHERE jaccard >= {_MINHASH_VERIFY}
 """
+
+_MINHASH_ORACLE = f"""
+    WITH {_MINHASH_PRE_SQL}{_minhash_cand_sql()}{_MINHASH_VERIFY_SQL}"""
 
 
 @register(
@@ -525,6 +539,81 @@ def minhash_pairs_df(
     return (
         pairs.select("doc_a", "doc_b", jacc.alias("jaccard"))
         .where(F.col("jaccard") >= _MINHASH_VERIFY)
+    )
+
+
+# Fixed cap for the two registered capped-path queries (driver evidence
+# for the production skew guard, mirroring the phash pair in
+# multimodal.py).  2 is the widest cap that still drops buckets at
+# every fixture sf (sf0.01 has 3 width-3 buckets and 1 width-4; sf0.1
+# has 104 buckets wider than 2, the widest 12) while leaving the
+# width-2 buckets' pairs as survivors, so both effects of the guard
+# carry driver rows.
+_MINHASH_MAX_BUCKET = 2
+
+
+@register(
+    "dedup_minhash_capped_pairs",
+    oracle=f"""
+        WITH {_MINHASH_PRE_SQL},
+    bwidths AS (
+        SELECT band, band_sig, COUNT(*) AS n_docs
+        FROM bands GROUP BY band, band_sig
+    ),
+    bands_ok AS (
+        SELECT bd.doc_id, bd.band, bd.band_sig
+        FROM bands bd
+        JOIN bwidths w ON w.band = bd.band AND w.band_sig = bd.band_sig
+        WHERE w.n_docs <= {_MINHASH_MAX_BUCKET}
+    ){_minhash_cand_sql("bands_ok")}{_MINHASH_VERIFY_SQL}""",
+    tags=("dedup", "minhash", "lsh", "skew"),
+)
+def dedup_minhash_capped_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash ``max_bucket`` skew guard under DRIVER evidence: the
+    exact pipeline of ``dedup_minhash_lsh`` but with LSH buckets wider
+    than 2 docs excluded from candidate generation BEFORE collect_list
+    (``minhash_pairs_df(max_bucket=)`` — the guard the curation API's
+    ``dedup_corpus`` opts into on real corpora).  The oracle recomputes
+    the identical bucket widths over the banded memberships in SQL and
+    filters both join sides the same way, so the cap's semantics — a
+    pair survives iff SOME shared bucket stays under the cap — are
+    value-checked cross-engine, completing the local-only evidence the
+    guard has carried since its round.
+
+    Scale: this is the 100 TB configuration — a boilerplate-heavy
+    corpus hashes thousands of docs into one (band, band_sig), whose
+    O(k²) in-bucket pair emission would OOM one executor; the width
+    filter joins on the same key as the bucket groupBy, so no extra
+    exchange."""
+    return minhash_pairs_df(
+        load(spark, sf_dir, "documents"), max_bucket=_MINHASH_MAX_BUCKET
+    )
+
+
+@register(
+    "dedup_minhash_dropped_buckets",
+    oracle=f"""
+        WITH {_MINHASH_PRE_SQL}
+    SELECT CAST(band AS BIGINT) AS band, band_sig, COUNT(*) AS n_docs
+    FROM bands GROUP BY band, band_sig
+    HAVING COUNT(*) > {_MINHASH_MAX_BUCKET}
+    """,
+    tags=("dedup", "minhash", "lsh", "skew", "accounting"),
+)
+def dedup_minhash_dropped_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capped MinHash run's ACCOUNTING under driver evidence: every
+    (band, band_sig) bucket the cap excludes, with its doc membership
+    count (``minhash_bucket_counts`` -> ``minhash_dropped_buckets`` —
+    the report ``dedup_corpus(max_bucket=)`` folds into its accounting
+    columns).  The oracle recomputes the widths over the banded
+    memberships and applies the same > cap filter.
+
+    Scale: one mergeable aggregation over the band memberships (4 rows
+    per doc) — safe on any skew, and the observability pass a
+    production run logs before choosing its cap."""
+    bands = minhash_bands_df(load(spark, sf_dir, "documents"))
+    return minhash_dropped_buckets(
+        minhash_bucket_counts(bands), _MINHASH_MAX_BUCKET
     )
 
 

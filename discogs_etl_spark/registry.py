@@ -83,8 +83,8 @@ def _load_all() -> None:
 # tests/test_evidence_audit.py recomputes audit(max_round=as_of_round)
 # and asserts this line matches, and separately proves the comparison is
 # immune to a synthetic future-round artifact):
-#   evidence_audit as_of_round=15: registered=372 unique_checked=369 ever_green=369 \
-#     never_checked=3 net_new_last_round=0
+#   evidence_audit as_of_round=15: registered=374 unique_checked=369 ever_green=369 \
+#     never_checked=5 net_new_last_round=0
 # The ledger stays fully closed (zero never-checked, zero
 # latest-round-red, zero net-new), so the window is pure post-backlog
 # policy: (a) mechanical re-window flags lead (scripts/rewindow_check.py
@@ -124,15 +124,19 @@ def _load_all() -> None:
 # the round it is composed, forcing a conscious split or a documented
 # bound change rather than a silent SLO trip several rounds later.
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    # mechanical flag block (4): the three queries REGISTERED this round
+    # mechanical flag block (6): the five queries REGISTERED this round
     # (never-checked — r15 verdict tasks #1-#2: dedup_media end-to-end,
-    # the phash max_bucket capped path, and its dropped-bucket
-    # accounting) plus the one rewindow_check flag vs 431d27a
-    # (multimodal_phash_dedup — its hash stage's tokenizer changed to
-    # the explicit RE2 whitespace class, r15 ADVICE #1)
+    # the phash max_bucket capped path and its dropped-bucket
+    # accounting, plus the MinHash capped twins giving the OTHER LSH
+    # path's skew guard its first driver evidence) plus the one
+    # rewindow_check flag vs 431d27a (multimodal_phash_dedup — its hash
+    # stage's tokenizer changed to the explicit RE2 whitespace class,
+    # r15 ADVICE #1)
     "curation_dedup_media",
     "multimodal_phash_capped_pairs",
     "multimodal_phash_dropped_buckets",
+    "dedup_minhash_capped_pairs",
+    "dedup_minhash_dropped_buckets",
     "multimodal_phash_dedup",
     # oldest-evidence-first rotation fill (last green: rounds 8-9),
     # continuing from the name after the r15 window's end per
@@ -181,8 +185,6 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "set_intersect_partkeys",
     "set_except_partkeys",
     "scalar_string_part",
-    "scalar_date_orders",
-    "scalar_json_events",
     # ROUND-17 ROTATION NOTE: keep the post-backlog policy — refresh the
     # audit line to as_of_round=16 and COVERAGE.md's evidence paragraph
     # as the first commit, then compose the window with
