@@ -232,3 +232,47 @@ def test_cli_dedup_phash_media(spark, tmp_path, capsys):
     # near-dups inside the original corpus may remove more
     assert report["n_removed"] >= base.count()
     assert spark.read.parquet(out).count() == report["n_survivors"]
+
+
+def test_cli_dedup_phash_real_decode(spark, tmp_path, capsys):
+    """--real-decode hashes DECODED PIXELS: two byte-distinct PNGs of
+    the same image content (different row filters -> different IDAT
+    bytes) collapse under the pixel aHash, while the byte-token
+    stand-in (no flag) sees distinct payloads and keeps both."""
+    import json
+
+    import numpy as np
+
+    from discogs_etl_spark.cli import main
+    from tests.test_multimodal_decode import _encode_png
+
+    px = np.full((16, 16, 3), 10, dtype=np.uint8)
+    px[:, 8:, :] = 240
+    p_filter0 = _encode_png(px, [0])
+    p_filter2 = _encode_png(px, [2])  # same pixels, different bytes
+    assert p_filter0 != p_filter2
+    src = str(tmp_path / "png_media.parquet")
+    spark.createDataFrame(
+        [(1, bytearray(p_filter0)), (2, bytearray(p_filter2))],
+        "doc_id long, payload binary",
+    ).write.mode("overwrite").parquet(src)
+
+    out_real = str(tmp_path / "real.parquet")
+    rc = main(
+        ["dedup", "--input", src, "--output", out_real,
+         "--method", "phash", "--text", "payload", "--real-decode"]
+    )
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert (report["n_survivors"], report["n_removed"]) == (1, 1)
+
+    out_fake = str(tmp_path / "fake.parquet")
+    rc = main(
+        ["dedup", "--input", src, "--output", out_fake,
+         "--method", "phash", "--text", "payload"]
+    )
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # byte-token stand-in: filter-2 bytes tokenize differently, and the
+    # two hashes land far apart -> both survive
+    assert report["n_survivors"] == 2
