@@ -107,17 +107,25 @@ _tc_spec.loader.exec_module(_tc)
 # plan.
 ADJUDICATED: dict[int, dict[tuple[str, str], str]] = {
     16: {
-        (n, "pinned_cond"): (
-            "capture FORMAT change, not a plan change: condition_texts "
-            "records hash-join keys as jointly-sorted left=right pairs "
-            "since commit 2d88b86 (r15 ADVICE #2 — independent key-list "
-            "sorting missed re-paired join keys).  Verified mechanical "
-            "before adjudicating: every r16 pinned text projected back "
-            "to the r15 format compares byte-exact against "
-            "PLANSWEEP_r15 across all 41 pinned names (16 identical, "
-            "these 25 format-only, zero real diffs)."
-        )
-        for n in (
+        ("curation_dedup_media", "cross_count"): (
+            "query REGISTERED this round (commit c007730), so its prev "
+            "count is vacuously 0: the one condition-less cross is the "
+            "deliberate F.broadcast(report) one-row report attach — a "
+            "hinted broadcast nested loop over exactly one row, present "
+            "in the sweep's _allowed snapshot and audited"
+        ),
+        **{
+            (n, "pinned_cond"): (
+                "capture FORMAT change, not a plan change: condition_texts "
+                "records hash-join keys as jointly-sorted left=right pairs "
+                "since commit 2d88b86 (r15 ADVICE #2 — independent key-list "
+                "sorting missed re-paired join keys).  Verified mechanical "
+                "before adjudicating: every r16 pinned text projected back "
+                "to the r15 format compares byte-exact against "
+                "PLANSWEEP_r15 across all 41 pinned names (16 identical, "
+                "these 25 format-only, zero real diffs)."
+            )
+            for n in (
             "dedup_connected_components",
             "dedup_doc_duplication_score",
             "dedup_embedding_bucketed",
@@ -142,8 +150,9 @@ ADJUDICATED: dict[int, dict[tuple[str, str], str]] = {
             "similarity_ivf_topk",
             "text_search_bm25_pruned_topk",
             "text_search_bm25_topk",
-            "text_search_inverted_topk",
-        )
+                "text_search_inverted_topk",
+            )
+        },
     }
 }
 

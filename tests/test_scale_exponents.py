@@ -265,7 +265,16 @@ def test_known_plane_ratios_in_artifact():
     assert meta["hi_rows"]["embeddings"] / meta["lo_rows"]["embeddings"] == 4.0
     art = _artifact()
     assert art["dedup_embedding_cosine"]["ratio"] == 4.0
-    assert art["dedup_embedding_cosine"]["alpha"] > 1.8  # quadratic by design
+    # Quadratic-by-design positive control.  The threshold is 1.6, not
+    # 2.0: the lo-side reading carries the per-session fixed overhead
+    # (and at sf0.01 the all-pairs work is only a few seconds, so that
+    # overhead compresses the fit substantially — measured quiet-box
+    # alphas for this row span 1.71-2.00 across r15/r16 sweeps on
+    # unchanged code).  1.6 still separates the control cleanly from
+    # the largest material NON-baseline alpha on record (1.13): a
+    # control that "failed" to 1.13-land would mean the instrument
+    # stopped seeing quadratics, which is what this asserts against.
+    assert art["dedup_embedding_cosine"]["alpha"] > 1.6  # quadratic by design
 
 
 def test_artifact_meta_pins_mixed_constants():
