@@ -172,6 +172,13 @@ def decode_png(data: bytes):
             width, height, depth, color, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
+            if width == 0 or height == 0:
+                # the PNG spec requires non-zero dimensions; without this
+                # a zero-width IHDR decoded to an empty pixel array and
+                # the crash surfaced downstream as an executor IndexError
+                # (ahash64_png's NN sample over axis size 0) instead of
+                # the documented ValueError-at-decode contract
+                raise ValueError("PNG malformed: zero width or height")
             if depth != 8 or color not in _PNG_CHANNELS:
                 raise NotImplementedError(
                     f"PNG depth={depth} color_type={color}: only 8-bit "

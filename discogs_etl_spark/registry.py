@@ -124,23 +124,38 @@ def _load_all() -> None:
 # the round it is composed, forcing a conscious split or a documented
 # bound change rather than a silent SLO trip several rounds later.
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    # mechanical flag block (6): the five queries REGISTERED this round
-    # (never-checked — r15 verdict tasks #1-#2: dedup_media end-to-end,
-    # the phash max_bucket capped path and its dropped-bucket
-    # accounting, plus the MinHash capped twins giving the OTHER LSH
-    # path's skew guard its first driver evidence) plus the one
-    # rewindow_check flag vs 431d27a (multimodal_phash_dedup — its hash
-    # stage's tokenizer changed to the explicit RE2 whitespace class,
-    # r15 ADVICE #1)
-    "curation_dedup_media",
+    # mechanical flag block (20, rewindow_check vs 431d27a; the five
+    # never-checked names registered this round lead so the evidenced
+    # re-window flags + rotation fill stay one contiguous run): the five
+    # new queries (r15 verdict tasks #1-#2 plus the MinHash capped
+    # twins), the phash family (tokenizer fix r15-ADVICE #1, real-aHash
+    # plumbing, zero-dimension-PNG ValueError fix reach their
+    # hash/decode stages), the decode family (decode_png edit), and the
+    # MinHash/CC/impact family (the capped-twin factoring of
+    # _MINHASH_ORACLE into shared fragments — composed oracles
+    # byte-identical, but the rule is executable-granularity and
+    # over-re-windows by design)
     "multimodal_phash_capped_pairs",
     "multimodal_phash_dropped_buckets",
+    "curation_dedup_media",
     "dedup_minhash_capped_pairs",
     "dedup_minhash_dropped_buckets",
+    "dedup_connected_components",
+    "dedup_minhash_eval",
+    "dedup_minhash_lsh",
+    "dedup_fuzzy_keep_one",
+    "dedup_cc_starcontraction",
+    "dedup_cluster_stats",
+    "corpus_token_budget_planner",
+    "multimodal_decode_features",
+    "multimodal_frame_sample",
     "multimodal_phash_dedup",
-    # oldest-evidence-first rotation fill (last green: rounds 8-9),
-    # continuing from the name after the r15 window's end per
-    # evidence_audit --stale-order
+    "multimodal_media_summary",
+    "dedup_medoid_selection",
+    "dedup_impact_report",
+    "corpus_effective_tokens",
+    "dedup_impact_by_source",
+    # oldest-evidence-first rotation fill (last green: rounds 8-9)
     "events_value_winsorize",
     "stats_psi_value_drift",
     "stats_ks_exponential_gaps",
@@ -171,20 +186,6 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "agg_variance_price",
     "q3_shipping_priority",
     "q5_regional_revenue",
-    "join_broadcast_part_agg",
-    "join_left_order_counts",
-    "join_semi_customers_with_orders",
-    "join_anti_customers_without_orders",
-    "join_full_outer_nation_presence",
-    "window_topk_orders_per_customer",
-    "window_rank_dense_rank",
-    "window_running_total_events",
-    "sessionization_events",
-    "manifest_latest_per_month",
-    "set_union_all_lineitem",
-    "set_intersect_partkeys",
-    "set_except_partkeys",
-    "scalar_string_part",
     # ROUND-17 ROTATION NOTE: keep the post-backlog policy — refresh the
     # audit line to as_of_round=16 and COVERAGE.md's evidence paragraph
     # as the first commit, then compose the window with

@@ -489,6 +489,32 @@ def test_ahash64_png_golden_buffers():
         ahash64_png(b"not a png at all")
 
 
+def test_decode_png_rejects_zero_dimensions():
+    """A zero-width/height IHDR is malformed per the PNG spec — found by
+    an adversarial probe this round: decode_png accepted it, returned an
+    empty pixel array, and the crash surfaced downstream as an executor
+    IndexError (ahash64_png's NN sample over an axis of size 0) instead
+    of the documented ValueError-at-decode contract."""
+    import struct
+    import zlib
+
+    from discogs_etl_spark.multimodal import PNG_MAGIC, ahash64_png, decode_png
+    from tests.test_multimodal_decode import _chunk
+
+    for w, h in ((0, 4), (4, 0), (0, 0)):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        data = (
+            PNG_MAGIC
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(b"\x00" * 16))
+            + _chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="zero width or height"):
+            decode_png(data)
+        with pytest.raises(ValueError, match="zero width or height"):
+            ahash64_png(data)
+
+
 def test_phash_hashes_real_path_end_to_end(spark):
     """real=True routes the SAME Arrow-batched map stage through
     ahash64_png, and the whole dedup_media pipeline runs unchanged on
