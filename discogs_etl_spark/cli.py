@@ -89,6 +89,11 @@ def _cmd_profile(args) -> int:
 def _cmd_dedup(args) -> int:
     from discogs_etl_spark.curation import dedup_corpus, dedup_media
 
+    if args.real_decode and args.method != "phash":
+        # fail loud rather than silently ignore a decode request the
+        # text methods cannot honor
+        print("--real-decode only applies to --method phash", file=sys.stderr)
+        return 2
     spark = get_spark(app_name="discogs-etl-dedup")
     df = spark.read.parquet(args.input)
     if args.method == "phash":

@@ -276,3 +276,11 @@ def test_cli_dedup_phash_real_decode(spark, tmp_path, capsys):
     # byte-token stand-in: filter-2 bytes tokenize differently, and the
     # two hashes land far apart -> both survive
     assert report["n_survivors"] == 2
+
+    # --real-decode with a text method fails loud, not silently ignored
+    rc = main(
+        ["dedup", "--input", src, "--output", out_fake,
+         "--method", "minhash", "--real-decode"]
+    )
+    assert rc == 2
+    assert "only applies to --method phash" in capsys.readouterr().err
