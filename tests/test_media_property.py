@@ -36,6 +36,25 @@ def test_png_roundtrip_any_shape_any_filters(h, w, ch, filters, seed):
 
 
 @settings(max_examples=60, deadline=None)
+@given(h=_dims, w=_dims, ch=st.sampled_from([1, 2, 3, 4]), filters=_filters, seed=st.integers(0, 2**31 - 1))
+def test_ahash_total_on_any_valid_png(h, w, ch, filters, seed):
+    """The real perceptual hash is TOTAL over valid 8-bit PNGs of any
+    shape (the NN index map (i*H)//8 is in range even for 1-pixel
+    axes), always lands in BIGINT range, and is invariant to the alpha
+    channel (gray+alpha hashes like gray, RGBA like RGB) — alpha is
+    excluded from the grayscale by construction."""
+    from discogs_etl_spark.multimodal import ahash64_png
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+    hv = ahash64_png(_encode_png(px, filters))
+    assert -(1 << 63) <= hv < (1 << 63)
+    if ch in (2, 4):
+        color = px[:, :, : ch - 1]
+        assert ahash64_png(_encode_png(color, filters)) == hv
+
+
+@settings(max_examples=60, deadline=None)
 @given(
     n_frames=st.integers(min_value=0, max_value=20_000),
     rate=st.integers(min_value=1, max_value=384_000),
