@@ -77,27 +77,30 @@ def _load_all() -> None:
 # driver-side correctness evidence (or changed since their last green row)
 # ahead of queries whose green rows already stand from a prior round.
 #
-# Round 16 rotation.  Basis (COMPUTED by scripts/evidence_audit.py over
+# Round 17 rotation.  Basis (COMPUTED by scripts/evidence_audit.py over
 # a FIXED round range — the note is stamped with the round it describes
 # so the suite stays green after later artifacts land;
 # tests/test_evidence_audit.py recomputes audit(max_round=as_of_round)
 # and asserts this line matches, and separately proves the comparison is
 # immune to a synthetic future-round artifact):
-#   evidence_audit as_of_round=15: registered=374 unique_checked=369 ever_green=369 \
-#     never_checked=5 net_new_last_round=0
-# The ledger stays fully closed (zero never-checked, zero
-# latest-round-red, zero net-new), so the window is pure post-backlog
-# policy: (a) mechanical re-window flags lead (scripts/rewindow_check.py
-# vs the r15-end rev 431d27a — ZERO flags at composition time; any new
-# or oracle-changed query this round lands prepends itself here in the
-# SAME commit that changes it, and never-checked names sort to the head
-# of the rotation basis anyway); then (b) OLDEST-EVIDENCE-FIRST rotation
+#   evidence_audit as_of_round=16: registered=375 unique_checked=374 ever_green=374 \
+#     never_checked=1 net_new_last_round=5
+# The one never-checked name is curation_dedup_corpus, REGISTERED THIS
+# ROUND in this same commit (r16 verdict task #1 — the end-to-end text
+# curation API with the skew cap engaged); it sorts to the head of the
+# rotation basis and leads the flag block below.  Policy unchanged:
+# (a) mechanical re-window flags lead (scripts/rewindow_check.py vs the
+# r16-end rev 95d70dc — 2 flags at composition time: the new query plus
+# dedup_minhash_capped_pairs, whose oracle text moved into the shared
+# _MINHASH_CAPPED_ORACLE constant the new query embeds — composed SQL
+# byte-identical, but the rule is executable-granularity and
+# over-re-windows by design); then (b) OLDEST-EVIDENCE-FIRST rotation
 # — registered names ordered by last-green round ascending (registration
 # order among ties, printed by `evidence_audit.py --stale-order` and
-# filled by round_start.py), continuing into the round-8 cohort
-# (events_value_winsorize / stats_psi_value_drift / ... — the stalest
-# evidence on the ledger is now round 8, 23 names) and on through the
-# round-9 cohort from where the r15 window stopped.
+# filled by round_start.py), continuing into the round-9 cohort
+# (join_broadcast_part_agg / join_left_order_counts / ... — the stalest
+# evidence on the ledger after r16 re-greened the round-8 cohort) from
+# where the r16 window stopped.
 # Every name passes the local one-session driver replica
 # (tests/test_oracle.py) and the plain-session derisk_window.py sweep,
 # so rotation stays pure evidence collection.
@@ -124,77 +127,73 @@ def _load_all() -> None:
 # the round it is composed, forcing a conscious split or a documented
 # bound change rather than a silent SLO trip several rounds later.
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    # mechanical flag block (20, rewindow_check vs 431d27a; the five
-    # never-checked names registered this round lead so the evidenced
-    # re-window flags + rotation fill stay one contiguous run): the five
-    # new queries (r15 verdict tasks #1-#2 plus the MinHash capped
-    # twins), the phash family (tokenizer fix r15-ADVICE #1, real-aHash
-    # plumbing, zero-dimension-PNG ValueError fix reach their
-    # hash/decode stages), the decode family (decode_png edit), and the
-    # MinHash/CC/impact family (the capped-twin factoring of
-    # _MINHASH_ORACLE into shared fragments — composed oracles
-    # byte-identical, but the rule is executable-granularity and
-    # over-re-windows by design)
-    "multimodal_phash_capped_pairs",
-    "multimodal_phash_dropped_buckets",
-    "curation_dedup_media",
+    # mechanical flag block (2, rewindow_check vs 95d70dc): the
+    # never-checked curation_dedup_corpus (registered this round, same
+    # commit) leads, then dedup_minhash_capped_pairs (its oracle text
+    # factored into _MINHASH_CAPPED_ORACLE — byte-identical composition,
+    # re-windowed at executable granularity by design)
+    "curation_dedup_corpus",
     "dedup_minhash_capped_pairs",
-    "dedup_minhash_dropped_buckets",
-    "dedup_connected_components",
-    "dedup_minhash_eval",
-    "dedup_minhash_lsh",
-    "dedup_fuzzy_keep_one",
-    "dedup_cc_starcontraction",
-    "dedup_cluster_stats",
-    "corpus_token_budget_planner",
-    "multimodal_decode_features",
-    "multimodal_frame_sample",
-    "multimodal_phash_dedup",
-    "multimodal_media_summary",
-    "dedup_medoid_selection",
-    "dedup_impact_report",
-    "corpus_effective_tokens",
-    "dedup_impact_by_source",
-    # oldest-evidence-first rotation fill (last green: rounds 8-9)
-    "events_value_winsorize",
-    "stats_psi_value_drift",
-    "stats_ks_exponential_gaps",
-    "stats_diff_in_diff",
-    "stats_theil_sen_trend",
-    "stats_circular_mean_hour",
-    "stats_dispersion_order_size",
-    "events_error_budget_burn",
-    "forecast_snaive_backtest",
-    "spc_pchart_returns",
-    "users_discounted_ltv",
-    "price_elasticity_discount",
-    "users_bot_score",
-    "whale_retention_jaccard",
-    "seasonality_strength_dow",
-    "stats_jarque_bera_normality",
-    "changepoint_poisson_binseg",
-    "stats_burstiness_index",
-    "p95_rollup_hazard",
-    "stats_mann_whitney_u",
-    "scan_statistic_errors",
-    "numeric_precision_audit",
-    "categorical_drift_dow",
-    "q1_pricing_summary",
-    "agg_rollup_lineitem",
-    "agg_cube_orders",
-    "agg_distinct_parts_per_flag",
-    "agg_variance_price",
-    "q3_shipping_priority",
-    "q5_regional_revenue",
-    # ROUND-17 ROTATION NOTE: keep the post-backlog policy — refresh the
-    # audit line to as_of_round=16 and COVERAGE.md's evidence paragraph
+    # oldest-evidence-first rotation fill (last green: round 9, the
+    # join/window/scalar/set/stream cohort — r16 re-greened round 8)
+    "join_broadcast_part_agg",
+    "join_left_order_counts",
+    "join_semi_customers_with_orders",
+    "join_anti_customers_without_orders",
+    "join_full_outer_nation_presence",
+    "window_topk_orders_per_customer",
+    "window_rank_dense_rank",
+    "window_running_total_events",
+    "sessionization_events",
+    "manifest_latest_per_month",
+    "set_union_all_lineitem",
+    "set_intersect_partkeys",
+    "set_except_partkeys",
+    "scalar_string_part",
+    "scalar_date_orders",
+    "scalar_json_events",
+    "scalar_hash_customer",
+    "scalar_array_embeddings",
+    "events_hourly_agg",
+    "agg_grouping_sets_events",
+    "pivot_orders_status",
+    "unpivot_part_measures",
+    "join_right_orders_customer",
+    "join_cross_nation_region",
+    "agg_argmax_order_per_customer",
+    "agg_percentiles_price",
+    "explode_tokens_positional",
+    "scalar_url_documents",
+    "scalar_map_events_props",
+    "set_union_distinct_keys",
+    "subquery_correlated_scalar",
+    "funnel_view_click_purchase",
+    "events_runlength_encode",
+    "text_search_bm25_pruned_topk",
+    "text_search_bm25_pruned_recall",
+    "corpus_heaps_law_fit",
+    "stream_events_hourly",
+    "stream_session_window",
+    "stream_dedup_watermark",
+    "stream_stream_join",
+    "stream_sliding_window",
+    "stream_hourly_error_rate",
+    "agg_approx_distinct",
+    "scalar_conditional_lineitem",
+    "agg_collect_sorted_genres",
+    "subquery_exists_in",
+    "agg_boolean_countif",
+    "scalar_higher_order_arrays",
+    # ROUND-18 ROTATION NOTE: keep the post-backlog policy — refresh the
+    # audit line to as_of_round=17 and COVERAGE.md's evidence paragraph
     # as the first commit, then compose the window with
-    # `python scripts/round_start.py <r16-end-rev>`: mechanical
+    # `python scripts/round_start.py <r17-end-rev>`: mechanical
     # re-window flags lead, oldest-evidence-first rotation fills (after
-    # r16 lands green the stalest cohort continues from where this
-    # window stopped — `python scripts/evidence_audit.py --stale-order`
-    # prints the basis).  tests/test_evidence_freshness.py reddens a
-    # skipped or mis-composed rotation automatically.
+    # r17 lands green the stalest cohort continues from
+    # scalar_levenshtein_fuzzy / scalar_string_extended onward —
+    # `python scripts/evidence_audit.py --stale-order` prints the
+    # basis).  tests/test_evidence_freshness.py reddens a skipped or
+    # mis-composed rotation automatically.
 )
 
 # Evidence-freshness bound enforced by tests/test_evidence_freshness.py.
