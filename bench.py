@@ -27,7 +27,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from discogs_etl_spark.registry import bench_specs
-from discogs_etl_spark.session import get_spark
+from discogs_etl_spark.session import get_spark, host_fingerprint
 from discogs_etl_spark.tables import load
 
 
@@ -221,6 +221,12 @@ def main() -> None:
                 # not a level, and the round-close note must quote this
                 # field.
                 "load_contaminated": _contaminated(load_before, load_after),
+                # Hardware identity (r16 verdict task #3): round 16's
+                # quiet readings sat above the documented band purely
+                # from host drift (80 vs 32 reported CPUs) and the
+                # artifact couldn't prove it — now band comparisons can
+                # check the host first.
+                "host": host_fingerprint(),
             }
         )
     )

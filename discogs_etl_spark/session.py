@@ -22,7 +22,28 @@ import os
 
 from pyspark.sql import SparkSession
 
-__all__ = ["get_spark", "tune_for_correctness"]
+__all__ = ["get_spark", "host_fingerprint", "tune_for_correctness"]
+
+
+def host_fingerprint() -> dict:
+    """Hardware identity of the box a perf reading was taken on —
+    stamped into bench.py and scripts/time_registry.py artifacts
+    (r16 verdict task #3).  Round 16's quiet bench sat 15-50% above
+    the documented band purely because the host changed under the
+    artifacts (80 reported CPUs where prior sessions saw 32), and
+    nothing on record could PROVE drift vs regression; with the
+    fingerprint stamped, timing_compare prints a host-changed warning
+    (informational, never a gate) and the round notes can cite it."""
+    model = None
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.lower().startswith("model name"):
+                    model = line.split(":", 1)[1].strip()
+                    break
+    except OSError:
+        pass
+    return {"cpu_count": os.cpu_count(), "cpu_model": model}
 
 
 def _cpus() -> int:

@@ -191,6 +191,13 @@ def main() -> int:
         # re-running under unknown load).  Underscore keys are metadata:
         # timing_compare.py skips them.
         res["_loadavg_end"] = list(os.getloadavg())
+        # Hardware identity (r16 verdict task #3): the r16 band dispute
+        # was host drift (80 vs 32 reported CPUs) that the artifacts
+        # could not prove; timing_compare warns (never gates) when the
+        # fingerprint changes between compared sweeps.
+        from discogs_etl_spark.session import host_fingerprint
+
+        res["_host"] = host_fingerprint()
         # Provenance (r14 review): the scaling-exponent instrument pairs
         # two of these artifacts from DIFFERENT sf dirs — without a
         # stamp, a mismatched pair (or a stale sweep from another data

@@ -206,6 +206,21 @@ def main() -> int:
                 "re-run time_registry without --only"
             )
             return 1
+    # Host-changed warning (r16 verdict task #3) — INFORMATIONAL, never
+    # a gate: a different box legitimately shifts every absolute number
+    # (r16: +15-50% uniform from a CPU-count change), so when the
+    # fingerprints differ the 2x gate below still runs but a band-level
+    # reading of the totals should not be trusted without this context.
+    h_prev, h_cur = prev.get("_host"), cur.get("_host")
+    if h_prev is not None and h_cur is not None and h_prev != h_cur:
+        print(f"WARNING host changed between sweeps: {h_prev} -> {h_cur}")
+    elif h_prev is None or h_cur is None:
+        print(
+            "note: host fingerprint absent from "
+            + ("both artifacts" if h_prev is None and h_cur is None
+               else (prev_p.name if h_prev is None else cur_p.name))
+            + " (pre-r17 sweep) — host drift not provable for this pair"
+        )
     problems = compare(prev, cur, args.ratio, args.floor_sec)
     n_q = sum(1 for k in cur if not k.startswith("_"))
     print(f"compare {prev_p.name} -> {cur_p.name}: {n_q} queries")

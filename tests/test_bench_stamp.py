@@ -40,6 +40,64 @@ def test_unknown_loadavg_never_flags():
     assert not b._contaminated([])
 
 
+def test_host_fingerprint_shape():
+    # r16 verdict task #3: perf artifacts must carry the hardware
+    # identity (the r16 band dispute was host drift — 80 vs 32 reported
+    # CPUs — that no artifact could prove).  The fingerprint must be
+    # JSON-serializable, carry a positive cpu_count on Linux, and be
+    # stable within a process (same box -> same stamp).
+    import json
+
+    from discogs_etl_spark.session import host_fingerprint
+
+    fp = host_fingerprint()
+    assert set(fp) == {"cpu_count", "cpu_model"}
+    assert isinstance(fp["cpu_count"], int) and fp["cpu_count"] >= 1
+    assert fp["cpu_model"] is None or (
+        isinstance(fp["cpu_model"], str) and fp["cpu_model"]
+    )
+    json.dumps(fp)
+    assert fp == host_fingerprint()
+
+
+def test_timing_compare_host_warning_is_not_a_gate(tmp_path, capsys):
+    # The host-changed message is informational: two sweeps with
+    # different _host stamps but identical timings must still PASS.
+    import importlib.util as iu
+    import json
+
+    spec = iu.spec_from_file_location(
+        "timing_compare", REPO / "scripts" / "timing_compare.py"
+    )
+    tc = iu.module_from_spec(spec)
+    spec.loader.exec_module(tc)
+    prev = {"q": 1.0, "_host": {"cpu_count": 32, "cpu_model": "A"}}
+    cur = {"q": 1.0, "_host": {"cpu_count": 80, "cpu_model": "B"}}
+    p, c = tmp_path / "TIMINGS_r98.json", tmp_path / "TIMINGS_r99.json"
+    p.write_text(json.dumps(prev))
+    c.write_text(json.dumps(cur))
+    import sys
+
+    argv = sys.argv
+    sys.argv = ["timing_compare.py", "--prev", str(p), "--cur", str(c)]
+    try:
+        rc = tc.main()
+    finally:
+        sys.argv = argv
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "WARNING host changed" in out
+    # same-host pair: no warning
+    c.write_text(json.dumps({"q": 1.0, "_host": prev["_host"]}))
+    sys.argv = ["timing_compare.py", "--prev", str(p), "--cur", str(c)]
+    try:
+        rc = tc.main()
+    finally:
+        sys.argv = argv
+    assert rc == 0
+    assert "WARNING host changed" not in capsys.readouterr().out
+
+
 def test_mid_run_contention_flags_via_after_loadavg():
     # r14 review: a clean start plus foreign work arriving mid-run
     # shipped load_contaminated: false — the BENCH_r13 failure mode for
