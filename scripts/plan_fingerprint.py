@@ -89,6 +89,14 @@ SCALE_STORY = (
     "dedup_embedding_bucketed",
     "similarity_ivf_topk",
     "text_search_bm25_pruned_topk",
+    # r17 (VERDICT r16 task #7): the LSH skew guards' whole story is the
+    # width-filter join on the bucket key BEFORE candidate generation —
+    # a rewrite that silently drops the filter reverts to uncapped
+    # O(width²) pair emission while values stay plausible at fixture
+    # scale, so the shape (and the filter's condition text, via
+    # condition_texts) must redden the plan gate, not just the value gate.
+    "dedup_minhash_capped_pairs",
+    "multimodal_phash_capped_pairs",
 )
 
 # Third tier (VERDICT r12 task #4): the expensive non-headline tail —

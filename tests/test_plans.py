@@ -601,6 +601,18 @@ PLAN_PINS: dict[str, dict[str, int]] = {
     "asof_join_events": {"scan_parquet": 1},
     "asof_join_tolerance": {"scan_parquet": 1},
     "dedup_embedding_bucketed": {"scan_parquet": 2, "bhj": 1},
+    # r17 (VERDICT r16 task #7): the LSH skew guards — the width filter
+    # must join on the bucket key BEFORE candidate generation.  MinHash:
+    # localCheckpointed bands (scan_rdd x2: aggregate input + join
+    # probe), BHJ for the width filter + the two verify text joins, one
+    # parquet scan for the verify text.  phash: localCheckpointed hash
+    # stage (scan_rdd x5 across exact/banded/member-expansion branches),
+    # BHJ x6 = r16's uncapped 4 + the width-filter join on (band, sig)
+    # on BOTH sides' candidate generation.  A dropped width filter
+    # reverts to uncapped O(width²) emission and shows here as a lost
+    # join/scan before the value gate could notice at fixture scale.
+    "dedup_minhash_capped_pairs": {"scan_parquet": 1, "scan_rdd": 2, "bhj": 3},
+    "multimodal_phash_capped_pairs": {"scan_rdd": 5, "bhj": 6},
     "join_skew_salted": {"scan_parquet": 2, "bhj": 1},
     "range_join_bucketed": {"scan_parquet": 2, "bhj": 1},
     "similarity_ivf_topk": {"scan_parquet": 5, "bhj": 3, "bnlj": 1},
