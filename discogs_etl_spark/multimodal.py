@@ -838,6 +838,22 @@ def _phash_pairs_sql(banded_src: str = "banded") -> str:
 # lost to exclusion and pairs kept — carry driver evidence.
 _PHASH_MAX_BUCKET = 16
 
+# The capped banding's width filter, factored (r17) so the capped-pairs
+# oracle and the capped end-to-end API oracle below share ONE text —
+# the composed multimodal_phash_capped_pairs oracle stays byte-identical
+# to its r16-green inline form.
+_PHASH_WIDTHS_SQL = f""",
+        widths AS (
+            SELECT band, sig, COUNT(*) AS n_hashes
+            FROM banded GROUP BY band, sig
+        ),
+        banded_ok AS (
+            SELECT bd.rep, bd.bits, bd.band, bd.sig
+            FROM banded bd
+            JOIN widths w ON w.band = bd.band AND w.sig = bd.sig
+            WHERE w.n_hashes <= {_PHASH_MAX_BUCKET}
+        )"""
+
 
 @register(
     "multimodal_phash_dedup",
@@ -1097,17 +1113,7 @@ def phash_near_dup_pairs(
 @register(
     "multimodal_phash_capped_pairs",
     oracle=f"""
-        WITH {_PHASH_GRAPH_SQL},
-        widths AS (
-            SELECT band, sig, COUNT(*) AS n_hashes
-            FROM banded GROUP BY band, sig
-        ),
-        banded_ok AS (
-            SELECT bd.rep, bd.bits, bd.band, bd.sig
-            FROM banded bd
-            JOIN widths w ON w.band = bd.band AND w.sig = bd.sig
-            WHERE w.n_hashes <= {_PHASH_MAX_BUCKET}
-        ){_phash_pairs_sql("banded_ok")}
+        WITH {_PHASH_GRAPH_SQL}{_PHASH_WIDTHS_SQL}{_phash_pairs_sql("banded_ok")}
         SELECT doc_a, doc_b, hamming FROM exact_pairs
         UNION ALL
         SELECT doc_a, doc_b, hamming FROM near_pairs
@@ -1251,6 +1257,89 @@ def curation_dedup_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "payload")
     )
     survivors, report = dedup_media(spark, img, real=False)
+    return survivors.select("doc_id").crossJoin(F.broadcast(report))
+
+
+@register(
+    "curation_dedup_media_capped",
+    oracle=f"""
+        WITH RECURSIVE {_PHASH_GRAPH_SQL}{_PHASH_WIDTHS_SQL}{_phash_pairs_sql("banded_ok")},
+        pairs AS (
+            SELECT doc_a, doc_b FROM exact_pairs
+            UNION ALL
+            SELECT doc_a, doc_b FROM near_pairs
+        ),
+        edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+                  UNION SELECT doc_b, doc_a FROM pairs),
+        nodes AS (SELECT DISTINCT u AS node FROM edges),
+        reach(node, lbl) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.node
+        ),
+        comp AS (SELECT node AS doc_id, MIN(lbl) AS component_id
+                 FROM reach GROUP BY node),
+        losers AS (SELECT doc_id FROM comp WHERE doc_id <> component_id),
+        allimg AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+        surv AS (SELECT doc_id FROM allimg
+                 WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+        dropped AS (SELECT band, sig FROM widths
+                    WHERE n_hashes > {_PHASH_MAX_BUCKET}),
+        dropped_bits AS (
+            SELECT DISTINCT bd.bits FROM banded bd
+            JOIN dropped d ON d.band = bd.band AND d.sig = bd.sig
+        ),
+        report AS (
+            SELECT 'phash' AS method,
+                   (SELECT COUNT(*) FROM allimg) AS n_input,
+                   (SELECT COUNT(*) FROM surv) AS n_survivors,
+                   (SELECT COUNT(*) FROM allimg)
+                       - (SELECT COUNT(*) FROM surv) AS n_removed,
+                   (SELECT COUNT(*) FROM dropped) AS n_dropped_buckets,
+                   (SELECT COUNT(DISTINCT b.doc_id)
+                    FROM bits b JOIN dropped_bits db ON db.bits = b.bits)
+                       AS n_docs_in_dropped_buckets
+        )
+        SELECT s.doc_id, r.method, r.n_input, r.n_survivors, r.n_removed,
+               r.n_dropped_buckets, r.n_docs_in_dropped_buckets
+        FROM surv s, report r
+    """,
+    tags=("multimodal", "dedup", "phash", "curation", "roundtrip", "graph", "skew"),
+)
+def curation_dedup_media_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MEDIA curation API under its PRODUCTION configuration — the
+    other half of the r16 residual ``curation_dedup_corpus`` closes for
+    text: ``curation.dedup_media`` with the bucket-skew cap ENGAGED
+    (``max_bucket=_PHASH_MAX_BUCKET``), so the API-level accounting
+    columns (n_dropped_buckets, n_docs_in_dropped_buckets) carry
+    NONZERO driver-checked values for the first time (the r16
+    ``curation_dedup_media`` row runs uncapped and pins them at zero).
+    Survivors differ from the uncapped run exactly where near-pair
+    recall is traded inside over-wide buckets; exact-duplicate removal
+    is unaffected (the full-hash equi-join bypasses banding).
+
+    The oracle composes the capped pair graph
+    (``multimodal_phash_capped_pairs``' fragments — the shared
+    ``_PHASH_WIDTHS_SQL`` width filter over ``_PHASH_GRAPH_SQL``'s
+    banded reps), the recursive-CTE closure, and the accounting
+    recomputed in SQL: dropped buckets over distinct-hash widths, and
+    exposed docs = DISTINCT doc_ids whose hash sat in at least one
+    dropped bucket.
+
+    Scale: identical stages to ``curation_dedup_media`` plus the
+    width-filter join on the same (band, sig) key as candidate
+    generation — the configuration a 100 TB media corpus actually runs,
+    now value-checked end-to-end cross-engine."""
+    from discogs_etl_spark.curation import dedup_media
+
+    img = (
+        with_payload(load(spark, sf_dir, "documents"))
+        .where(F.col("media_type") == "image")
+        .select("doc_id", "payload")
+    )
+    survivors, report = dedup_media(
+        spark, img, max_bucket=_PHASH_MAX_BUCKET, real=False
+    )
     return survivors.select("doc_id").crossJoin(F.broadcast(report))
 
 
