@@ -106,6 +106,31 @@ _tc_spec.loader.exec_module(_tc)
 # "It was green" is not a rationale; cite the commit that changed the
 # plan.
 ADJUDICATED: dict[int, dict[tuple[str, str], str]] = {
+    17: {
+        ("curation_dedup_corpus", "cross_count"): (
+            "query REGISTERED this round (commit f6b1059), so its prev "
+            "count is vacuously 0: the one condition-less cross is the "
+            "deliberate F.broadcast(report) one-row report attach — the "
+            "same audited shape as r16's curation_dedup_media"
+        ),
+        ("curation_dedup_media_capped", "cross_count"): (
+            "query REGISTERED this round (commit c1bab7f), so its prev "
+            "count is vacuously 0: the one condition-less cross is the "
+            "deliberate F.broadcast(report) one-row report attach — the "
+            "same audited shape as r16's curation_dedup_media"
+        ),
+        ("dedup_minhash_capped_pairs", "pinned_cond"): (
+            "ENTERED the pinned expression-capture set by design (commit "
+            "3f1fe78, VERDICT r16 task #7): the LSH skew guards' width "
+            "filter joins are now plan-pinned so a dropped filter reddens "
+            "the plan gate — a NEW pin has no prev capture by definition"
+        ),
+        ("multimodal_phash_capped_pairs", "pinned_cond"): (
+            "ENTERED the pinned expression-capture set by design (commit "
+            "3f1fe78, VERDICT r16 task #7): same rationale as its MinHash "
+            "twin — the n_hashes <= 16 width filter is now captured"
+        ),
+    },
     16: {
         ("curation_dedup_media", "cross_count"): (
             "query REGISTERED this round (commit c007730), so its prev "
