@@ -3453,6 +3453,56 @@ def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "curation_profile_table",
+    oracle="""
+        SELECT 'vec_id' AS col, COUNT(*) AS n_rows,
+               CAST(SUM(CASE WHEN vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_nulls,
+               CAST(MIN(vec_id) AS VARCHAR) AS min_str,
+               CAST(MAX(vec_id) AS VARCHAR) AS max_str
+        FROM embeddings
+        UNION ALL
+        SELECT 'embedding', COUNT(*),
+               CAST(SUM(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               NULL, NULL
+        FROM embeddings
+        UNION ALL
+        SELECT 'label', COUNT(*),
+               CAST(SUM(CASE WHEN label IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(MIN(label) AS VARCHAR), CAST(MAX(label) AS VARCHAR)
+        FROM embeddings
+    """,
+    tags=("profile", "quality", "curation", "roundtrip"),
+)
+def curation_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END driver evidence for the user-facing ``profile_table``
+    API — the generic one-scan profiler behind the CLI's ``profile``
+    command, run ITSELF over the embeddings table (chosen because its
+    FLOAT[] column exercises the non-orderable branch: distinct counting
+    switches to a to_json proxy and min/max are NULLed, the part
+    ``table_profile_orders``' fixed-column exact sibling never touches).
+    The wide-aggregate → stack unpivot, the null accounting, and the
+    stringified min/max all value-hash cross-engine.
+
+    ``n_distinct_approx`` is deliberately PROJECTED OUT of the driver
+    row: it is a HyperLogLog sketch value, and sketch internals are
+    engine-specific (the repo's standing rule — see
+    agg_approx_distinct's self-verifying form); dropping the column
+    lets Catalyst prune the HLL aggregates entirely, and the sketch
+    behavior stays pinned by the local suite (tests/test_curation.py).
+
+    Scale: ONE wide aggregation pass over any schema — every per-column
+    statistic is a mergeable term, so profiling 100 TB costs one scan
+    with map-side partial aggregation and no Expand blowup."""
+    from discogs_etl_spark.curation import profile_table
+
+    emb = load(spark, sf_dir, "embeddings")
+    return profile_table(emb).select(
+        "col", "n_rows", "n_nulls", "min_str", "max_str"
+    )
+
+
+@register(
     "incremental_agg_merge",
     oracle="""
         SELECT o_orderstatus,

@@ -3159,6 +3159,75 @@ def text_search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Fixed free-text query for the end-to-end search-API driver row: five
+# high-frequency fixture-vocabulary terms (each >3 chars, present at
+# every sf), exercising multi-term accumulation and the len-gate.
+_SEARCH_CORPUS_QUERY = "hash join merge column filter"
+
+
+@register(
+    "curation_search_corpus",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, w, COUNT(*) AS tf FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+            ) WHERE len(w) > 3
+            GROUP BY doc_id, w
+        ),
+        dl AS (SELECT doc_id, SUM(tf) AS dl FROM tok GROUP BY doc_id),
+        stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+        hits AS (
+            SELECT * FROM tok
+            WHERE w IN ('column', 'filter', 'hash', 'join', 'merge')
+        ),
+        dfreq AS (SELECT w, COUNT(*) AS df FROM hits GROUP BY w),
+        scored AS (
+            SELECT h.doc_id,
+                   SUM(CAST(round(
+                       ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                       * (h.tf * 2.2) / (h.tf + 1.2 * (0.25 + 0.75 * d.dl
+                             / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))
+                   , 6) AS DECIMAL(28,6))) AS sc
+            FROM hits h JOIN dfreq f ON h.w = f.w
+                 JOIN dl d ON h.doc_id = d.doc_id
+                 CROSS JOIN stats s
+            GROUP BY h.doc_id
+        )
+        SELECT doc_id, CAST(sc AS DOUBLE) AS score FROM (
+            SELECT doc_id, sc FROM scored
+            ORDER BY sc DESC, doc_id
+            LIMIT 10
+        )
+    """,
+    tags=("text", "search", "bm25", "curation", "roundtrip"),
+)
+def curation_search_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END driver evidence for the user-facing ``search_corpus``
+    API — the same evidence closure the dedup APIs got
+    (curation_dedup_corpus / curation_dedup_media_capped): the function
+    behind the CLI's ``search`` command runs ITSELF over the documents
+    corpus with a fixed free-text query (five fixture-vocabulary terms),
+    returning its top-10 (doc_id, score).  ``text_search_bm25_topk``
+    proves the scoring math over the fixture query set; this row proves
+    the API's OWN composition — free-text term extraction (>3-char
+    gate, sorted dedup), its one-checkpoint postings build, hit-scoped
+    df, and the global top-k — none of which the shared
+    ``bm25_contribution`` column could pin by itself.
+
+    The oracle recomputes the identical pipeline in SQL with the same
+    literal term set and the repo's exact-accumulation rule (per-term
+    contribution rounded to 6 dp, summed as DECIMAL(28,6), ties broken
+    by doc_id), so the top-10 hashes exactly.
+
+    Scale: the query terms are a literal in-filter pushed into the
+    postings aggregation (only matching terms' postings shuffle);
+    corpus stats broadcast; top-k is a TakeOrderedAndProject."""
+    from discogs_etl_spark.curation import search_corpus
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return search_corpus(spark, docs, _SEARCH_CORPUS_QUERY, k=10)
+
+
 # Postings kept per term in the impact-ordered index of the
 # production-path BM25 twin (by descending length-normalized impact,
 # ties by doc_id — deterministic, so the oracle mirrors the cut exactly).

@@ -83,22 +83,26 @@ def _load_all() -> None:
 # tests/test_evidence_audit.py recomputes audit(max_round=as_of_round)
 # and asserts this line matches, and separately proves the comparison is
 # immune to a synthetic future-round artifact):
-#   evidence_audit as_of_round=16: registered=376 unique_checked=374 ever_green=374 \
-#     never_checked=2 net_new_last_round=5
-# The two never-checked names are curation_dedup_corpus and
-# curation_dedup_media_capped, REGISTERED THIS ROUND in the commits that
+#   evidence_audit as_of_round=16: registered=378 unique_checked=374 ever_green=374 \
+#     never_checked=4 net_new_last_round=5
+# The four never-checked names are curation_dedup_corpus,
+# curation_dedup_media_capped, curation_profile_table, and
+# curation_search_corpus, REGISTERED THIS ROUND in the commits that
 # composed this window (r16 verdict task #1 — the end-to-end text
 # curation API with the skew cap engaged — plus the media API's capped
-# twin closing the other half of r16 residual #1); they sort to the
-# head of the rotation basis and lead the flag block below.  Policy
-# unchanged: (a) mechanical re-window flags lead (scripts/
-# rewindow_check.py vs the r16-end rev 95d70dc — 4 flags at composition
-# time: the two new queries plus dedup_minhash_capped_pairs and
-# multimodal_phash_capped_pairs, whose oracle texts moved into the
-# shared _MINHASH_CAPPED_ORACLE / _PHASH_WIDTHS_SQL fragments the new
-# queries embed — composed SQL byte-identical, but the rule is
-# executable-granularity and over-re-windows by design); then
-# (b) OLDEST-EVIDENCE-FIRST rotation
+# twin closing the other half of r16 residual #1, plus the same
+# API-evidence closure for the remaining two user-facing curation
+# surfaces, search_corpus and profile_table, whose siblings
+# validate_table and cluster_corpus already run inside registered
+# queries); they sort to the head of the rotation basis and lead the
+# flag block below.  Policy unchanged: (a) mechanical re-window flags
+# lead (scripts/rewindow_check.py vs the r16-end rev 95d70dc — 6 flags
+# at composition time: the four new queries plus
+# dedup_minhash_capped_pairs and multimodal_phash_capped_pairs, whose
+# oracle texts moved into the shared _MINHASH_CAPPED_ORACLE /
+# _PHASH_WIDTHS_SQL fragments the capped API oracles embed — composed
+# SQL byte-identical, but the rule is executable-granularity and
+# over-re-windows by design); then (b) OLDEST-EVIDENCE-FIRST rotation
 # — registered names ordered by last-green round ascending (registration
 # order among ties, printed by `evidence_audit.py --stale-order` and
 # filled by round_start.py), continuing into the round-9 cohort
@@ -131,14 +135,16 @@ def _load_all() -> None:
 # the round it is composed, forcing a conscious split or a documented
 # bound change rather than a silent SLO trip several rounds later.
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    # mechanical flag block (4, rewindow_check vs 95d70dc): the two
+    # mechanical flag block (6, rewindow_check vs 95d70dc): the four
     # never-checked queries registered this round lead, then the two
     # capped-pairs queries whose oracle texts were factored into shared
-    # fragments (_MINHASH_CAPPED_ORACLE / _PHASH_WIDTHS_SQL) the new
-    # end-to-end oracles embed — byte-identical compositions,
-    # re-windowed at executable granularity by design
+    # fragments (_MINHASH_CAPPED_ORACLE / _PHASH_WIDTHS_SQL) the capped
+    # API oracles embed — byte-identical compositions, re-windowed at
+    # executable granularity by design
     "curation_dedup_corpus",
     "curation_dedup_media_capped",
+    "curation_profile_table",
+    "curation_search_corpus",
     "dedup_minhash_capped_pairs",
     "multimodal_phash_capped_pairs",
     # oldest-evidence-first rotation fill (last green: round 9, the
@@ -187,16 +193,14 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "stream_hourly_error_rate",
     "agg_approx_distinct",
     "scalar_conditional_lineitem",
-    "agg_collect_sorted_genres",
-    "subquery_exists_in",
     # ROUND-18 ROTATION NOTE: keep the post-backlog policy — refresh the
     # audit line to as_of_round=17 and COVERAGE.md's evidence paragraph
     # as the first commit, then compose the window with
     # `python scripts/round_start.py <r17-end-rev>`: mechanical
     # re-window flags lead, oldest-evidence-first rotation fills (after
     # r17 lands green the stalest cohort continues from
-    # agg_boolean_countif / scalar_higher_order_arrays /
-    # scalar_levenshtein_fuzzy onward — `python scripts/
+    # agg_collect_sorted_genres / subquery_exists_in /
+    # agg_boolean_countif onward — `python scripts/
     # evidence_audit.py --stale-order` prints the basis).
     # tests/test_evidence_freshness.py reddens a skipped or
     # mis-composed rotation automatically.

@@ -113,6 +113,13 @@ ADJUDICATED: dict[int, dict[tuple[str, str], str]] = {
             "deliberate F.broadcast(report) one-row report attach — the "
             "same audited shape as r16's curation_dedup_media"
         ),
+        ("curation_search_corpus", "cross_count"): (
+            "query REGISTERED this round, so its prev count is vacuously "
+            "0: the one condition-less cross is search_corpus's "
+            "deliberate F.broadcast(stats) 1-row corpus-stats attach "
+            "(curation.py) — the same audited shape as the registered "
+            "BM25 queries that share bm25_contribution"
+        ),
         ("curation_dedup_media_capped", "cross_count"): (
             "query REGISTERED this round (commit c1bab7f), so its prev "
             "count is vacuously 0: the one condition-less cross is the "
