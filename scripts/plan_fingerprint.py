@@ -417,6 +417,37 @@ def condition_texts(df) -> list[str]:
     return sorted(out)
 
 
+def aggregate_texts(df) -> list[str]:
+    """Sorted descriptors of every aggregate node's grouping keys and
+    aggregate expressions in the STATIC plan — closes the remaining
+    pinned-expression blindness (r16 verdict residual #5: expression
+    text outside Filter/hash-join nodes was uncompared): a pinned query
+    whose node counts, filter conditions, and join keys are all
+    identical can still silently change WHAT it aggregates (sum -> avg,
+    a lost count-distinct, a regrouped key).  Captured only for the
+    PLAN_PINS gate set, like ``condition_texts``, and diffed
+    round-over-round by plansweep_compare under the ``pinned_agg`` ack
+    kind.
+
+    Rendering notes (probed on Spark 4.1): ``.sql()`` on grouping and
+    aggregate expressions is expr-id-free and deterministic across plan
+    builds; partial and final stages of one logical aggregate render
+    IDENTICAL texts (mode is not part of ``.sql()``), so a lost
+    map-side partial aggregation shows as a multiset-count change, not
+    a text change — both redden."""
+    out: list[str] = []
+    for cls, node in iter_physical_nodes(df, executed=False):
+        if cls in (
+            "HashAggregateExec",
+            "SortAggregateExec",
+            "ObjectHashAggregateExec",
+        ):
+            keys = ",".join(sorted(_seq_sql(node.groupingExpressions())))
+            aggs = ",".join(sorted(_seq_sql(node.aggregateExpressions())))
+            out.append(f"agg:[{keys}]:[{aggs}]")
+    return sorted(out)
+
+
 def pinned_names() -> list[str]:
     from discogs_etl_spark.registry import all_specs
 

@@ -166,6 +166,10 @@ def main() -> int:
     # nodes-present invariant.
     pinned = set(pf.pinned_names())
     pinned_conditions: dict[str, list[str]] = {}
+    # Aggregate-expression capture (r17, closing r16 verdict residual
+    # #5): grouping keys + aggregate expressions for the same pinned
+    # set, diffed by plansweep_compare under the "pinned_agg" kind.
+    pinned_aggregates: dict[str, list[str]] = {}
     n_cross = 0
     for i, (name, spec) in enumerate(sorted(specs.items()), 1):
         try:
@@ -173,6 +177,7 @@ def main() -> int:
             nodes = pf.nested_loop_nodes(df)
             if name in pinned:
                 pinned_conditions[name] = pf.condition_texts(df)
+                pinned_aggregates[name] = pf.aggregate_texts(df)
         except Exception as ex:  # noqa: BLE001 — sweep must finish
             errors.append(name)
             print(f"[{i}/{len(specs)}] {name}: ERROR {type(ex).__name__}", flush=True)
@@ -270,6 +275,11 @@ def main() -> int:
         # expression blindness on exactly the pinned plans.
         dump["_pinned_conditions"] = {
             k: v for k, v in sorted(pinned_conditions.items())
+        }
+        # Aggregate expression texts for the same pinned set (r17) —
+        # diffed under the "pinned_agg" ack kind.
+        dump["_pinned_aggregates"] = {
+            k: v for k, v in sorted(pinned_aggregates.items())
         }
         with open(args.json, "w") as fh:
             json.dump(dump, fh, indent=1, sort_keys=True)

@@ -202,6 +202,7 @@ ACK_KINDS = frozenset(
         "allowed_left",
         "allowed_entered",
         "pinned_cond",
+        "pinned_agg",
     }
 )
 
@@ -524,6 +525,47 @@ def compare_sweeps(
                 new = [t for t in c_pc[name] if t not in p_pc[name]]
                 problems.append(
                     f"{name}: pinned plan expression text changed — "
+                    f"removed {gone} added {new} — adjudicate"
+                )
+
+    # PLAN_PINS aggregate-expression diff (r17, closing r16 verdict
+    # residual #5): grouping keys + aggregate expressions for the
+    # pinned set — a pinned plan with identical node counts, filters,
+    # and join keys can still silently change WHAT it aggregates
+    # (sum -> avg, a lost count-distinct, a regrouped key).  The
+    # multiset also carries the partial/final node counts, so a lost
+    # map-side partial aggregation reddens as a count change.  Same
+    # bootstrap/integrity rules as _pinned_conditions: only diffed when
+    # BOTH artifacts carry the field (r17 artifacts are the first);
+    # a current artifact DROPPING it flags non-ack-suppressibly.
+    if "_pinned_aggregates" in prev and "_pinned_aggregates" not in cur:
+        problems.append(
+            "_pinned_aggregates: current artifact dropped the pinned "
+            "aggregate capture — generator regression or hand-edit; "
+            "regenerate the sweep"
+        )
+    if "_pinned_aggregates" in prev and "_pinned_aggregates" in cur:
+        p_pa, c_pa = prev["_pinned_aggregates"], cur["_pinned_aggregates"]
+        for name in sorted(set(p_pa) | set(c_pa)):
+            if name in cur_errors or name in prev_errors:
+                continue
+            if (name, "pinned_agg") in acks:
+                continue
+            if name not in c_pa:
+                problems.append(
+                    f"{name}: LEFT the pinned aggregate-capture set — "
+                    "adjudicate (pin removed or sweep regression)"
+                )
+            elif name not in p_pa:
+                problems.append(
+                    f"{name}: ENTERED the pinned aggregate-capture set — "
+                    "adjudicate (new pin)"
+                )
+            elif p_pa[name] != c_pa[name]:
+                gone = [t for t in p_pa[name] if t not in c_pa[name]]
+                new = [t for t in c_pa[name] if t not in p_pa[name]]
+                problems.append(
+                    f"{name}: pinned aggregate expressions changed — "
                     f"removed {gone} added {new} — adjudicate"
                 )
     return problems
