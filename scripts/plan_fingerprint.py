@@ -448,6 +448,59 @@ def aggregate_texts(df) -> list[str]:
     return sorted(out)
 
 
+def window_sort_texts(df) -> list[str]:
+    """Sorted descriptors of every Window / WindowGroupLimit / Sort /
+    TakeOrderedAndProject node in the STATIC plan — the last slice of
+    the r16 pinned-expression blindness (residual #5): with filters,
+    join keys, and aggregates captured, a pinned plan could still
+    silently change its window functions (rank -> row_number, a
+    re-partitioned OVER clause, a dropped frame bound), its sort keys
+    or direction/null ordering, or a top-k limit.  Captured only for
+    the PLAN_PINS gate set, like ``condition_texts``, and diffed
+    round-over-round by plansweep_compare under the ``pinned_window``
+    ack kind.
+
+    Descriptor shapes (order spec kept in ORDER — it is positional
+    semantics; partition spec and window expressions sorted — they are
+    sets):
+
+    - ``win:[partition]:[order]:[window exprs]``
+    - ``wgl:[partition]:[order]:[rank fn]:limit`` — the rank-based
+      group-limit pushdown; losing it reverts a top-k-per-group to a
+      full window sort.
+    - ``sort:[order]:global`` — ``global=False`` is a per-partition
+      sort (e.g. SMJ input); a global becoming local changes result
+      order semantics.
+    - ``topk:[order]:limit``
+
+    Rendering notes (probed on Spark 4.1 across the full pin set, two
+    independent plan builds each): ``.sql()`` on SortOrder renders
+    ``key ASC NULLS FIRST``-style text with no expr ids; window
+    expressions render the full OVER clause including frame bounds;
+    generated intermediate names (``_w0``) number deterministically
+    per-query."""
+    out: list[str] = []
+    for cls, node in iter_physical_nodes(df, executed=False):
+        if cls == "WindowExec":
+            part = ",".join(sorted(_seq_sql(node.partitionSpec())))
+            order = ",".join(_seq_sql(node.orderSpec()))
+            exprs = ",".join(sorted(_seq_sql(node.windowExpression())))
+            out.append(f"win:[{part}]:[{order}]:[{exprs}]")
+        elif cls == "WindowGroupLimitExec":
+            part = ",".join(sorted(_seq_sql(node.partitionSpec())))
+            order = ",".join(_seq_sql(node.orderSpec()))
+            rank = node.rankLikeFunction().sql()
+            out.append(f"wgl:[{part}]:[{order}]:[{rank}]:{node.limit()}")
+        elif cls == "SortExec":
+            order = ",".join(_seq_sql(node.sortOrder()))
+            # `global` is a Python keyword — getattr for the accessor.
+            out.append(f"sort:[{order}]:{getattr(node, 'global')()}")
+        elif cls == "TakeOrderedAndProjectExec":
+            order = ",".join(_seq_sql(node.sortOrder()))
+            out.append(f"topk:[{order}]:{node.limit()}")
+    return sorted(out)
+
+
 def pinned_names() -> list[str]:
     from discogs_etl_spark.registry import all_specs
 

@@ -170,6 +170,9 @@ def main() -> int:
     # #5): grouping keys + aggregate expressions for the same pinned
     # set, diffed by plansweep_compare under the "pinned_agg" kind.
     pinned_aggregates: dict[str, list[str]] = {}
+    # Window/sort/top-k capture (r17, same residual — the last
+    # uncompared expression surface): diffed under "pinned_window".
+    pinned_windows: dict[str, list[str]] = {}
     n_cross = 0
     for i, (name, spec) in enumerate(sorted(specs.items()), 1):
         try:
@@ -178,6 +181,7 @@ def main() -> int:
             if name in pinned:
                 pinned_conditions[name] = pf.condition_texts(df)
                 pinned_aggregates[name] = pf.aggregate_texts(df)
+                pinned_windows[name] = pf.window_sort_texts(df)
         except Exception as ex:  # noqa: BLE001 — sweep must finish
             errors.append(name)
             print(f"[{i}/{len(specs)}] {name}: ERROR {type(ex).__name__}", flush=True)
@@ -280,6 +284,11 @@ def main() -> int:
         # diffed under the "pinned_agg" ack kind.
         dump["_pinned_aggregates"] = {
             k: v for k, v in sorted(pinned_aggregates.items())
+        }
+        # Window/sort/top-k texts for the same pinned set (r17) —
+        # diffed under the "pinned_window" ack kind.
+        dump["_pinned_windows"] = {
+            k: v for k, v in sorted(pinned_windows.items())
         }
         with open(args.json, "w") as fh:
             json.dump(dump, fh, indent=1, sort_keys=True)

@@ -203,6 +203,7 @@ ACK_KINDS = frozenset(
         "allowed_entered",
         "pinned_cond",
         "pinned_agg",
+        "pinned_window",
     }
 )
 
@@ -528,44 +529,54 @@ def compare_sweeps(
                     f"removed {gone} added {new} — adjudicate"
                 )
 
-    # PLAN_PINS aggregate-expression diff (r17, closing r16 verdict
-    # residual #5): grouping keys + aggregate expressions for the
-    # pinned set — a pinned plan with identical node counts, filters,
-    # and join keys can still silently change WHAT it aggregates
-    # (sum -> avg, a lost count-distinct, a regrouped key).  The
-    # multiset also carries the partial/final node counts, so a lost
-    # map-side partial aggregation reddens as a count change.  Same
-    # bootstrap/integrity rules as _pinned_conditions: only diffed when
-    # BOTH artifacts carry the field (r17 artifacts are the first);
-    # a current artifact DROPPING it flags non-ack-suppressibly.
-    if "_pinned_aggregates" in prev and "_pinned_aggregates" not in cur:
-        problems.append(
-            "_pinned_aggregates: current artifact dropped the pinned "
-            "aggregate capture — generator regression or hand-edit; "
-            "regenerate the sweep"
-        )
-    if "_pinned_aggregates" in prev and "_pinned_aggregates" in cur:
-        p_pa, c_pa = prev["_pinned_aggregates"], cur["_pinned_aggregates"]
+    # PLAN_PINS expression-capture diffs (r17, closing r16 verdict
+    # residual #5): with filter conditions and join keys already
+    # captured (_pinned_conditions), a pinned plan with identical node
+    # counts could still silently change WHAT it aggregates (sum ->
+    # avg, a lost count-distinct, a regrouped key — _pinned_aggregates
+    # under the "pinned_agg" kind), or its window functions / sort
+    # keys / top-k limits (rank -> row_number, a re-partitioned OVER
+    # clause, a changed null ordering, a lost rank-limit pushdown —
+    # _pinned_windows under "pinned_window").  The multisets also
+    # carry node counts, so a lost map-side partial aggregation or a
+    # dropped per-partition sort reddens as a count change.  Same
+    # bootstrap/integrity rules as _pinned_conditions: only diffed
+    # when BOTH artifacts carry the field (r17 artifacts are the
+    # first); a current artifact DROPPING a field flags
+    # non-ack-suppressibly.
+    for field, kind, label in (
+        ("_pinned_aggregates", "pinned_agg", "aggregate"),
+        ("_pinned_windows", "pinned_window", "window/sort"),
+    ):
+        if field in prev and field not in cur:
+            problems.append(
+                f"{field}: current artifact dropped the pinned "
+                f"{label} capture — generator regression or "
+                "hand-edit; regenerate the sweep"
+            )
+        if field not in prev or field not in cur:
+            continue
+        p_pa, c_pa = prev[field], cur[field]
         for name in sorted(set(p_pa) | set(c_pa)):
             if name in cur_errors or name in prev_errors:
                 continue
-            if (name, "pinned_agg") in acks:
+            if (name, kind) in acks:
                 continue
             if name not in c_pa:
                 problems.append(
-                    f"{name}: LEFT the pinned aggregate-capture set — "
+                    f"{name}: LEFT the pinned {label}-capture set — "
                     "adjudicate (pin removed or sweep regression)"
                 )
             elif name not in p_pa:
                 problems.append(
-                    f"{name}: ENTERED the pinned aggregate-capture set — "
+                    f"{name}: ENTERED the pinned {label}-capture set — "
                     "adjudicate (new pin)"
                 )
             elif p_pa[name] != c_pa[name]:
                 gone = [t for t in p_pa[name] if t not in c_pa[name]]
                 new = [t for t in c_pa[name] if t not in p_pa[name]]
                 problems.append(
-                    f"{name}: pinned aggregate expressions changed — "
+                    f"{name}: pinned {label} expressions changed — "
                     f"removed {gone} added {new} — adjudicate"
                 )
     return problems
