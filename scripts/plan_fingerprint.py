@@ -122,6 +122,24 @@ EXPENSIVE_TAIL = (
     "pricing_consistency_audit",
 )
 
+# Fourth tier (r17): the user-facing curation API compositions — the
+# queries that run `curation.dedup_corpus` / `dedup_media` /
+# `search_corpus` / `profile_table` END TO END.  Their stages are
+# individually pinned above (minhash/phash capped pairs, BM25, CC),
+# but the API composes them across module boundaries, so a regression
+# in the GLUE (a lost broadcast on the report attach, a re-shuffled
+# survivor join, a dropped width filter at the API call site) is
+# invisible to the stage pins while multiplying the cost of the exact
+# entry points a reference user calls.  `curation_dedup_media_capped`
+# is also the costliest non-baseline tail this round (16.7 s sf0.1).
+API_SURFACE = (
+    "curation_dedup_corpus",
+    "curation_dedup_media",
+    "curation_dedup_media_capped",
+    "curation_search_corpus",
+    "curation_profile_table",
+)
+
 # Physical-node classification by JVM class name.  The extractor WALKS
 # THE PLAN OBJECTS (py4j) instead of parsing explain strings: three
 # successive review passes each found a leak in a string approach,
@@ -508,7 +526,7 @@ def pinned_names() -> list[str]:
     names = [n for n, s in specs.items() if s.bench]
     names += [
         n
-        for n in SCALE_KILLERS + SCALE_STORY + EXPENSIVE_TAIL
+        for n in SCALE_KILLERS + SCALE_STORY + EXPENSIVE_TAIL + API_SURFACE
         if n not in names
     ]
     return sorted(names)

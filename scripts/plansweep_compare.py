@@ -137,6 +137,25 @@ ADJUDICATED: dict[int, dict[tuple[str, str], str]] = {
             "3f1fe78, VERDICT r16 task #7): same rationale as its MinHash "
             "twin — the n_hashes <= 16 width filter is now captured"
         ),
+        **{
+            (n, "pinned_cond"): (
+                "ENTERED the pinned expression-capture set by design "
+                "(r17 API_SURFACE tier): the user-facing curation API "
+                "compositions are now plan-pinned end-to-end — their "
+                "stages were already pinned, but a regression in the "
+                "composition glue (a lost report broadcast, a "
+                "re-shuffled survivor join, a dropped width filter at "
+                "the API call site) was invisible to the stage pins.  "
+                "A NEW pin has no prev capture by definition."
+            )
+            for n in (
+                "curation_dedup_corpus",
+                "curation_dedup_media",
+                "curation_dedup_media_capped",
+                "curation_search_corpus",
+                "curation_profile_table",
+            )
+        },
     },
     16: {
         ("curation_dedup_media", "cross_count"): (

@@ -632,6 +632,21 @@ PLAN_PINS: dict[str, dict[str, int]] = {
     "multimodal_phash_dedup": {"scan_rdd": 4, "bhj": 4},
     "pricing_consistency_audit": {"scan_parquet": 2, "bhj": 1},
     "stats_theil_sen_trend": {"scan_parquet": 1, "bnlj": 1},
+    # -- fourth tier (API_SURFACE, r17): the user-facing curation API
+    #    compositions end-to-end.  The dedup APIs share one shape: one
+    #    parquet payload scan, a localCheckpointed hash/signature stage
+    #    (scan_rdd x3 across pair generation and member expansion), one
+    #    BHJ survivor join, and the audited one-row broadcast report
+    #    attach (bnlj).  search_corpus is the checkpointed-postings BM25
+    #    composition (scan_rdd x4) with the hit-scoped df join + 1-row
+    #    corpus-stats attach; profile_table is deliberately a SINGLE
+    #    parquet scan — a second scan would mean the one-pass profile
+    #    regressed to per-column rescans.
+    "curation_dedup_corpus": {"scan_parquet": 1, "scan_rdd": 3, "bhj": 1, "bnlj": 1},
+    "curation_dedup_media": {"scan_parquet": 1, "scan_rdd": 3, "bhj": 1, "bnlj": 1},
+    "curation_dedup_media_capped": {"scan_parquet": 1, "scan_rdd": 3, "bhj": 1, "bnlj": 1},
+    "curation_search_corpus": {"scan_rdd": 4, "bhj": 2, "bnlj": 1},
+    "curation_profile_table": {"scan_parquet": 1},
     # -- headline bench set + fixed scale-killers
     "corpus_curate_pipeline": {"scan_parquet": 1},
     "dedup_cc_starcontraction": {"scan_rdd": 2},
