@@ -210,14 +210,21 @@ def dedup_media(
     hashes = phash_hashes(src, real=real).localCheckpoint()
     n_dropped_buckets = 0
     n_docs_in_dropped = 0
+    banded = None
+    counts = None
     if max_bucket is not None:
-        counts = phash_bucket_counts(hashes).localCheckpoint()
+        # checkpoint the banding explode ONCE (the width aggregation,
+        # the exposure accounting, and capped pair generation all read
+        # it) and the bucket-size aggregation ONCE (the cap filter and
+        # the dropped report both read it) — the dedup_corpus minhash
+        # pattern; without the reuse each ran twice per API call
+        reps = hashes.groupBy("hv").agg(F.min("doc_id").alias("rep"))
+        banded = _phash_banded(reps).localCheckpoint()
+        counts = phash_bucket_counts(hashes, banded=banded).localCheckpoint()
         dropped = phash_dropped_buckets(counts, max_bucket)
         n_dropped_buckets = dropped.count()
-        reps = hashes.groupBy("hv").agg(F.min("doc_id").alias("rep"))
         dropped_hvs = (
-            _phash_banded(reps)
-            .join(dropped.select("band", "sig"), ["band", "sig"])
+            banded.join(dropped.select("band", "sig"), ["band", "sig"])
             .select("hv")
             .distinct()
         )
@@ -225,7 +232,9 @@ def dedup_media(
             hashes.join(dropped_hvs, "hv").select("doc_id").distinct().count()
         )
     pairs = (
-        phash_near_dup_pairs(hashes, max_bucket=max_bucket)
+        phash_near_dup_pairs(
+            hashes, max_bucket=max_bucket, banded=banded, bucket_counts=counts
+        )
         .select("doc_a", "doc_b")
         .localCheckpoint()
     )

@@ -1005,15 +1005,23 @@ def phash_hashes(payloads: DataFrame, real: bool | None = None) -> DataFrame:
     return payloads.mapInPandas(phash64, schema="doc_id long, hv long")
 
 
-def phash_bucket_counts(hashes: DataFrame) -> DataFrame:
+def phash_bucket_counts(
+    hashes: DataFrame, *, banded: DataFrame | None = None
+) -> DataFrame:
     """(band, sig, n_hashes): width of every (band, sig) bucket over the
     DISTINCT hashes — the skew-accounting input for ``max_bucket`` (and
-    the observability query a production run logs before capping)."""
-    reps = hashes.groupBy("hv").agg(F.min("doc_id").alias("rep"))
-    return (
-        _phash_banded(reps)
-        .groupBy("band", "sig")
-        .agg(F.count(F.lit(1)).alias("n_hashes"))
+    the observability query a production run logs before capping).
+
+    ``banded`` optionally reuses an already-computed (ideally
+    checkpointed) ``_phash_banded`` stage — the ``minhash_bucket_counts
+    (bands)`` pattern — so a caller that also needs the banded reps for
+    exposure accounting (``curation.dedup_media``) shuffles the explode
+    output once instead of rebuilding reps + banding here."""
+    if banded is None:
+        reps = hashes.groupBy("hv").agg(F.min("doc_id").alias("rep"))
+        banded = _phash_banded(reps)
+    return banded.groupBy("band", "sig").agg(
+        F.count(F.lit(1)).alias("n_hashes")
     )
 
 
@@ -1040,7 +1048,11 @@ def _phash_banded(reps: DataFrame) -> DataFrame:
 
 
 def phash_near_dup_pairs(
-    hashes: DataFrame, *, max_bucket: int | None = None
+    hashes: DataFrame,
+    *,
+    max_bucket: int | None = None,
+    banded: DataFrame | None = None,
+    bucket_counts: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, hamming) for every pair within Hamming ≤ 7 of the
     64-bit hashes: exact-hash pre-grouping + 8×8-bit banded candidates +
@@ -1058,7 +1070,15 @@ def phash_near_dup_pairs(
     bypasses banding).  Use ``phash_dropped_buckets`` to account the
     exclusions.  The registered oracle query passes None: exactness.
     Callers should ``localCheckpoint()`` ``hashes`` first — four
-    subplans read it."""
+    subplans read it.
+
+    ``banded`` / ``bucket_counts`` optionally reuse already-computed
+    (ideally checkpointed) ``_phash_banded`` / ``phash_bucket_counts``
+    stages — the ``minhash_pairs_df(bands=, bucket_counts=)`` pattern:
+    ``curation.dedup_media`` under a cap needs both for its accounting
+    columns, and without the reuse the banding explode+shuffle and the
+    width aggregation each ran twice (pairs + accounting) per API
+    call."""
     xa, xb = hashes.alias("xa"), hashes.alias("xb")
     exact_pairs = xa.join(
         xb,
@@ -1069,14 +1089,19 @@ def phash_near_dup_pairs(
         F.col("xb.doc_id").alias("doc_b"),
         F.lit(0).cast("bigint").alias("hamming"),
     )
-    reps = hashes.groupBy("hv").agg(F.min("doc_id").alias("rep"))
-    banded = _phash_banded(reps)
+    if banded is None:
+        reps = hashes.groupBy("hv").agg(F.min("doc_id").alias("rep"))
+        banded = _phash_banded(reps)
     if max_bucket is not None:
-        ok = (
-            banded.groupBy("band", "sig")
-            .agg(F.count(F.lit(1)).alias("n_hashes"))
-            .where(F.col("n_hashes") <= max_bucket)
-            .select("band", "sig")
+        widths = (
+            bucket_counts
+            if bucket_counts is not None
+            else banded.groupBy("band", "sig").agg(
+                F.count(F.lit(1)).alias("n_hashes")
+            )
+        )
+        ok = widths.where(F.col("n_hashes") <= max_bucket).select(
+            "band", "sig"
         )
         # same shuffle key as the join below — no extra exchange
         banded = banded.join(ok, ["band", "sig"])

@@ -96,13 +96,15 @@ def _load_all() -> None:
 # validate_table and cluster_corpus already run inside registered
 # queries); they sort to the head of the rotation basis and lead the
 # flag block below.  Policy unchanged: (a) mechanical re-window flags
-# lead (scripts/rewindow_check.py vs the r16-end rev 95d70dc — 6 flags
-# at composition time: the four new queries plus
+# lead (scripts/rewindow_check.py vs the r16-end rev 95d70dc — 9 flags
+# at final composition time: the four new queries, plus
 # dedup_minhash_capped_pairs and multimodal_phash_capped_pairs, whose
 # oracle texts moved into the shared _MINHASH_CAPPED_ORACLE /
 # _PHASH_WIDTHS_SQL fragments the capped API oracles embed — composed
 # SQL byte-identical, but the rule is executable-granularity and
-# over-re-windows by design); then (b) OLDEST-EVIDENCE-FIRST rotation
+# over-re-windows by design — plus the three phash-family names the
+# late-round banded/bucket_counts reuse refactor dirtied); then (b)
+# OLDEST-EVIDENCE-FIRST rotation
 # — registered names ordered by last-green round ascending (registration
 # order among ties, printed by `evidence_audit.py --stale-order` and
 # filled by round_start.py), continuing into the round-9 cohort
@@ -135,18 +137,26 @@ def _load_all() -> None:
 # the round it is composed, forcing a conscious split or a documented
 # bound change rather than a silent SLO trip several rounds later.
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    # mechanical flag block (6, rewindow_check vs 95d70dc): the four
-    # never-checked queries registered this round lead, then the two
-    # capped-pairs queries whose oracle texts were factored into shared
-    # fragments (_MINHASH_CAPPED_ORACLE / _PHASH_WIDTHS_SQL) the capped
-    # API oracles embed — byte-identical compositions, re-windowed at
-    # executable granularity by design
+    # mechanical flag block (9, rewindow_check vs 95d70dc): the four
+    # never-checked queries registered this round LEAD (stale-order
+    # head first, the r16 precedent), then the five remaining flags —
+    # the two capped-pairs queries whose oracle texts were factored
+    # into shared fragments (_MINHASH_CAPPED_ORACLE / _PHASH_WIDTHS_SQL)
+    # the capped API oracles embed (byte-identical compositions,
+    # re-windowed at executable granularity by design) and the three
+    # phash-family names (multimodal_phash_dedup / _dropped_buckets /
+    # curation_dedup_media) dirtied by the banded/bucket_counts reuse
+    # refactor (phash_near_dup_pairs gained the minhash-pattern
+    # precomputed-stage params; dedup_media checkpoints banding once)
     "curation_dedup_corpus",
     "curation_dedup_media_capped",
     "curation_profile_table",
     "curation_search_corpus",
+    "curation_dedup_media",
     "dedup_minhash_capped_pairs",
     "multimodal_phash_capped_pairs",
+    "multimodal_phash_dedup",
+    "multimodal_phash_dropped_buckets",
     # oldest-evidence-first rotation fill (last green: round 9, the
     # join/window/scalar/set/stream cohort — r16 re-greened round 8)
     "join_broadcast_part_agg",
@@ -190,9 +200,6 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "stream_dedup_watermark",
     "stream_stream_join",
     "stream_sliding_window",
-    "stream_hourly_error_rate",
-    "agg_approx_distinct",
-    "scalar_conditional_lineitem",
     # ROUND-18 ROTATION NOTE: keep the post-backlog policy — refresh the
     # audit line to as_of_round=17 and COVERAGE.md's evidence paragraph
     # as the first commit, then compose the window with
