@@ -804,3 +804,38 @@ def test_subtree_skeleton_sees_multiset_preserving_rearrangement(spark):
     assert n1[0]["leaves"] == n2[0]["leaves"]
     # ... but the ordered tree tells them apart
     assert tree1 != tree2
+
+
+def test_pinned_expression_captures_stable_across_sessions(spark, q):
+    """Cross-SESSION determinism of the three pinned expression
+    captures (conditions, aggregates, window/sort): recompute them
+    live in THIS JVM session for three representative pins and compare
+    byte-for-byte against the committed PLANSWEEP artifact, which a
+    PRIOR session generated.  ``.sql()`` rendering was probed
+    deterministic across plan builds within one session; this is the
+    stronger property the round-over-round plansweep_compare diff
+    actually relies on — a session-dependent fragment (an expr-id leak,
+    a nondeterministically numbered ``_groupingexpression``/``_w0``)
+    would flag every pin in the NEXT round's compare, and should fail
+    here instead.  Full-pin-set version executed at r17 close: 48/48
+    byte-identical.  Skips cleanly on artifacts predating the capture
+    fields (the compare gate's bootstrap rule)."""
+    import json
+    from pathlib import Path
+
+    arts = sorted(Path(__file__).resolve().parent.parent.glob("PLANSWEEP_r*.json"))
+    assert arts, "no PLANSWEEP_r*.json committed"
+    art = json.loads(arts[-1].read_text())
+    if "_pinned_windows" not in art:
+        pytest.skip("newest artifact predates the expression captures")
+    mod = _plan_fingerprint_mod()
+    # one join/filter-heavy, one aggregate-heavy, one window/sort-heavy
+    for name in (
+        "dedup_minhash_capped_pairs",
+        "q1_pricing_summary",
+        "sessions_max_concurrency",
+    ):
+        df = q[name](spark, SF)
+        assert mod.condition_texts(df) == art["_pinned_conditions"][name], name
+        assert mod.aggregate_texts(df) == art["_pinned_aggregates"][name], name
+        assert mod.window_sort_texts(df) == art["_pinned_windows"][name], name
