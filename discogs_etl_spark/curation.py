@@ -220,7 +220,7 @@ def dedup_media(
         # pattern; without the reuse each ran twice per API call
         reps = hashes.groupBy("hv").agg(F.min("doc_id").alias("rep"))
         banded = _phash_banded(reps).localCheckpoint()
-        counts = phash_bucket_counts(hashes, banded=banded).localCheckpoint()
+        counts = phash_bucket_counts(banded=banded).localCheckpoint()
         dropped = phash_dropped_buckets(counts, max_bucket)
         n_dropped_buckets = dropped.count()
         dropped_hvs = (

@@ -1006,17 +1006,24 @@ def phash_hashes(payloads: DataFrame, real: bool | None = None) -> DataFrame:
 
 
 def phash_bucket_counts(
-    hashes: DataFrame, *, banded: DataFrame | None = None
+    hashes: DataFrame | None = None, *, banded: DataFrame | None = None
 ) -> DataFrame:
     """(band, sig, n_hashes): width of every (band, sig) bucket over the
     DISTINCT hashes — the skew-accounting input for ``max_bucket`` (and
     the observability query a production run logs before capping).
 
-    ``banded`` optionally reuses an already-computed (ideally
-    checkpointed) ``_phash_banded`` stage — the ``minhash_bucket_counts
-    (bands)`` pattern — so a caller that also needs the banded reps for
-    exposure accounting (``curation.dedup_media``) shuffles the explode
-    output once instead of rebuilding reps + banding here."""
+    Pass EITHER ``hashes`` (reps + banding are derived here) OR
+    ``banded``, an already-computed (ideally checkpointed)
+    ``_phash_banded`` stage — the ``minhash_bucket_counts(bands)``
+    pattern — so a caller that also needs the banded reps for exposure
+    accounting (``curation.dedup_media``) shuffles the explode output
+    once instead of rebuilding reps + banding here.  Exactly one input
+    is required: accepting both would silently ignore ``hashes``, an
+    inconsistency hazard when the two disagree."""
+    if (hashes is None) == (banded is None):
+        raise ValueError(
+            "phash_bucket_counts: pass exactly one of hashes / banded"
+        )
     if banded is None:
         reps = hashes.groupBy("hv").agg(F.min("doc_id").alias("rep"))
         banded = _phash_banded(reps)

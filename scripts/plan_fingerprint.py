@@ -412,27 +412,7 @@ def condition_texts(df) -> list[str]:
     that re-pairs the equi-join (left key i now equated to a DIFFERENT
     right key) yielded an identical descriptor — the exact
     dropped/changed-join-key class this capture exists to catch."""
-    out: list[str] = []
-    for cls, node in iter_physical_nodes(df, executed=False):
-        if cls == "FilterExec":
-            out.append(f"filter:{node.condition().sql()}")
-        elif cls in (
-            "BroadcastHashJoinExec",
-            "SortMergeJoinExec",
-            "ShuffledHashJoinExec",
-        ):
-            pairs = ",".join(
-                sorted(
-                    f"{l}={r}"
-                    for l, r in zip(
-                        _seq_sql(node.leftKeys()), _seq_sql(node.rightKeys())
-                    )
-                )
-            )
-            cond = node.condition()
-            residual = cond.get().sql() if cond.isDefined() else ""
-            out.append(f"join:[{pairs}]:{residual}")
-    return sorted(out)
+    return pinned_captures(df)[0]
 
 
 def aggregate_texts(df) -> list[str]:
@@ -453,17 +433,7 @@ def aggregate_texts(df) -> list[str]:
     IDENTICAL texts (mode is not part of ``.sql()``), so a lost
     map-side partial aggregation shows as a multiset-count change, not
     a text change — both redden."""
-    out: list[str] = []
-    for cls, node in iter_physical_nodes(df, executed=False):
-        if cls in (
-            "HashAggregateExec",
-            "SortAggregateExec",
-            "ObjectHashAggregateExec",
-        ):
-            keys = ",".join(sorted(_seq_sql(node.groupingExpressions())))
-            aggs = ",".join(sorted(_seq_sql(node.aggregateExpressions())))
-            out.append(f"agg:[{keys}]:[{aggs}]")
-    return sorted(out)
+    return pinned_captures(df)[1]
 
 
 def window_sort_texts(df) -> list[str]:
@@ -497,26 +467,62 @@ def window_sort_texts(df) -> list[str]:
     expressions render the full OVER clause including frame bounds;
     generated intermediate names (``_w0``) number deterministically
     per-query."""
-    out: list[str] = []
+    return pinned_captures(df)[2]
+
+
+def pinned_captures(df) -> tuple[list[str], list[str], list[str]]:
+    """One STATIC-plan walk producing all three pinned capture lists
+    ``(condition_texts, aggregate_texts, window_sort_texts)`` —
+    ``iter_physical_nodes`` is py4j-roundtrip-heavy, so the sweep calls
+    this once per pinned query instead of three separate traversals."""
+    conds: list[str] = []
+    aggs: list[str] = []
+    wins: list[str] = []
     for cls, node in iter_physical_nodes(df, executed=False):
-        if cls == "WindowExec":
+        if cls == "FilterExec":
+            conds.append(f"filter:{node.condition().sql()}")
+        elif cls in (
+            "BroadcastHashJoinExec",
+            "SortMergeJoinExec",
+            "ShuffledHashJoinExec",
+        ):
+            pairs = ",".join(
+                sorted(
+                    f"{l}={r}"
+                    for l, r in zip(
+                        _seq_sql(node.leftKeys()), _seq_sql(node.rightKeys())
+                    )
+                )
+            )
+            cond = node.condition()
+            residual = cond.get().sql() if cond.isDefined() else ""
+            conds.append(f"join:[{pairs}]:{residual}")
+        elif cls in (
+            "HashAggregateExec",
+            "SortAggregateExec",
+            "ObjectHashAggregateExec",
+        ):
+            keys = ",".join(sorted(_seq_sql(node.groupingExpressions())))
+            exprs = ",".join(sorted(_seq_sql(node.aggregateExpressions())))
+            aggs.append(f"agg:[{keys}]:[{exprs}]")
+        elif cls == "WindowExec":
             part = ",".join(sorted(_seq_sql(node.partitionSpec())))
             order = ",".join(_seq_sql(node.orderSpec()))
             exprs = ",".join(sorted(_seq_sql(node.windowExpression())))
-            out.append(f"win:[{part}]:[{order}]:[{exprs}]")
+            wins.append(f"win:[{part}]:[{order}]:[{exprs}]")
         elif cls == "WindowGroupLimitExec":
             part = ",".join(sorted(_seq_sql(node.partitionSpec())))
             order = ",".join(_seq_sql(node.orderSpec()))
             rank = node.rankLikeFunction().sql()
-            out.append(f"wgl:[{part}]:[{order}]:[{rank}]:{node.limit()}")
+            wins.append(f"wgl:[{part}]:[{order}]:[{rank}]:{node.limit()}")
         elif cls == "SortExec":
             order = ",".join(_seq_sql(node.sortOrder()))
             # `global` is a Python keyword — getattr for the accessor.
-            out.append(f"sort:[{order}]:{getattr(node, 'global')()}")
+            wins.append(f"sort:[{order}]:{getattr(node, 'global')()}")
         elif cls == "TakeOrderedAndProjectExec":
             order = ",".join(_seq_sql(node.sortOrder()))
-            out.append(f"topk:[{order}]:{node.limit()}")
-    return sorted(out)
+            wins.append(f"topk:[{order}]:{node.limit()}")
+    return sorted(conds), sorted(aggs), sorted(wins)
 
 
 def pinned_names() -> list[str]:

@@ -179,9 +179,13 @@ def main() -> int:
             df = spec.fn(spark, args.sf)
             nodes = pf.nested_loop_nodes(df)
             if name in pinned:
-                pinned_conditions[name] = pf.condition_texts(df)
-                pinned_aggregates[name] = pf.aggregate_texts(df)
-                pinned_windows[name] = pf.window_sort_texts(df)
+                # one walk for all three captures — iter_physical_nodes
+                # is py4j-roundtrip-heavy
+                (
+                    pinned_conditions[name],
+                    pinned_aggregates[name],
+                    pinned_windows[name],
+                ) = pf.pinned_captures(df)
         except Exception as ex:  # noqa: BLE001 — sweep must finish
             errors.append(name)
             print(f"[{i}/{len(specs)}] {name}: ERROR {type(ex).__name__}", flush=True)

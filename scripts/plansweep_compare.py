@@ -506,6 +506,20 @@ def compare_sweeps(
                     "own _allowed snapshot"
                 )
 
+    def _multiset_delta(
+        prev_list: list[str], cur_list: list[str]
+    ) -> tuple[list[str], list[str]]:
+        """Counter-based (removed, added) for capture-text lists — a
+        pure COUNT change (e.g. a lost map-side partial aggregation:
+        two identical texts becoming one) must name the descriptor and
+        delta, not print 'removed [] added []' (set-membership diffing
+        hid exactly the count-change case the captures advertise
+        catching)."""
+        p, c = Counter(prev_list), Counter(cur_list)
+        gone = [f"{t} (x{n})" if n > 1 else t for t, n in sorted((p - c).items())]
+        new = [f"{t} (x{n})" if n > 1 else t for t, n in sorted((c - p).items())]
+        return gone, new
+
     # PLAN_PINS expression-text diff (r15 task #5): Filter conditions
     # and hash-join key sets/residuals for the pinned gate set, the
     # surface the nested-loop fields cannot see.  Only diffed when BOTH
@@ -541,8 +555,7 @@ def compare_sweeps(
                     "adjudicate (new pin)"
                 )
             elif p_pc[name] != c_pc[name]:
-                gone = [t for t in p_pc[name] if t not in c_pc[name]]
-                new = [t for t in c_pc[name] if t not in p_pc[name]]
+                gone, new = _multiset_delta(p_pc[name], c_pc[name])
                 problems.append(
                     f"{name}: pinned plan expression text changed — "
                     f"removed {gone} added {new} — adjudicate"
@@ -592,8 +605,7 @@ def compare_sweeps(
                     "adjudicate (new pin)"
                 )
             elif p_pa[name] != c_pa[name]:
-                gone = [t for t in p_pa[name] if t not in c_pa[name]]
-                new = [t for t in c_pa[name] if t not in p_pa[name]]
+                gone, new = _multiset_delta(p_pa[name], c_pa[name])
                 problems.append(
                     f"{name}: pinned {label} expressions changed — "
                     f"removed {gone} added {new} — adjudicate"

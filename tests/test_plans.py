@@ -820,10 +820,19 @@ def test_pinned_expression_captures_stable_across_sessions(spark, q):
     here instead.  Full-pin-set version executed at r17 close: 48/48
     byte-identical.  Skips cleanly on artifacts predating the capture
     fields (the compare gate's bootstrap rule)."""
+    import importlib.util
     import json
     from pathlib import Path
 
-    arts = sorted(Path(__file__).resolve().parent.parent.glob("PLANSWEEP_r*.json"))
+    # the shared round-number-parsing discovery, NOT a lexicographic
+    # glob sort (which would pick r99 over r100 across a digit boundary)
+    repo = Path(__file__).resolve().parent.parent
+    spec = importlib.util.spec_from_file_location(
+        "plansweep_compare", repo / "scripts" / "plansweep_compare.py"
+    )
+    pc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(pc)
+    arts = pc.newest_artifacts(repo)
     assert arts, "no PLANSWEEP_r*.json committed"
     art = json.loads(arts[-1].read_text())
     if "_pinned_windows" not in art:
