@@ -51,6 +51,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -470,14 +471,45 @@ def window_sort_texts(df) -> list[str]:
     return pinned_captures(df)[2]
 
 
-def pinned_captures(df) -> tuple[list[str], list[str], list[str]]:
-    """One STATIC-plan walk producing all three pinned capture lists
-    ``(condition_texts, aggregate_texts, window_sort_texts)`` —
-    ``iter_physical_nodes`` is py4j-roundtrip-heavy, so the sweep calls
-    this once per pinned query instead of three separate traversals."""
+def projection_texts(df) -> list[str]:
+    """Sorted descriptors of every Project / Generate / Expand / bare
+    Limit node in the STATIC plan — the LAST uncompared
+    expression-bearing classes in a pinned plan (the precisely-stated
+    residual after the r17 aggregate and window/sort captures): a
+    changed projection arithmetic, a swapped generator, a regrouped
+    Expand, or a changed bare ``.limit(n)`` under identical node counts
+    was still invisible to the plan gate.  Captured only for the
+    PLAN_PINS gate set and diffed under the ``pinned_proj`` ack kind.
+
+    Descriptor shapes (project lists kept in ORDER — output column
+    order is semantics):
+
+    - ``proj:[expr AS name, ...]``
+    - ``gen:[generator sql]:outer`` (outer=True keeps empty-generator
+      rows — losing it silently drops rows)
+    - ``expand:n:[proj0; proj1; ...]`` (grouping-set/cube lattices)
+    - ``limit:Class:n`` for CollectLimit / GlobalLimit / LocalLimit
+      (TakeOrderedAndProject limits live in the window/sort capture)
+
+    Rendering probed on this Spark build: ``.sql()`` on project-list
+    expressions (including generated ``_groupingexpression`` aliases
+    and CASE chains) is expr-id-free and deterministic across plan
+    builds and JVM sessions."""
+    return pinned_captures(df)[3]
+
+
+def pinned_captures(
+    df,
+) -> tuple[list[str], list[str], list[str], list[str]]:
+    """One STATIC-plan walk producing all four pinned capture lists
+    ``(condition_texts, aggregate_texts, window_sort_texts,
+    projection_texts)`` — ``iter_physical_nodes`` is
+    py4j-roundtrip-heavy, so the sweep calls this once per pinned query
+    instead of four separate traversals."""
     conds: list[str] = []
     aggs: list[str] = []
     wins: list[str] = []
+    projs: list[str] = []
     for cls, node in iter_physical_nodes(df, executed=False):
         if cls == "FilterExec":
             conds.append(f"filter:{node.condition().sql()}")
@@ -522,7 +554,30 @@ def pinned_captures(df) -> tuple[list[str], list[str], list[str]]:
         elif cls == "TakeOrderedAndProjectExec":
             order = ",".join(_seq_sql(node.sortOrder()))
             wins.append(f"topk:[{order}]:{node.limit()}")
-    return sorted(conds), sorted(aggs), sorted(wins)
+        elif cls == "ProjectExec":
+            # CommonExpressionRef aliases (_common_expr_N) number from a
+            # SESSION-global counter, so the same plan renders different
+            # N across builds (probed: dedup_minhash_eval flipped
+            # _common_expr_0 -> _common_expr_2 on rebuild).  Normalize
+            # the counter; the CSE STRUCTURE still shows as text shape.
+            text = ",".join(_seq_sql(node.projectList()))
+            text = re.sub(r"_common_expr_\d+", "_common_expr_#", text)
+            projs.append(f"proj:[{text}]")
+        elif cls == "GenerateExec":
+            projs.append(f"gen:[{node.generator().sql()}]:{node.outer()}")
+        elif cls == "ExpandExec":
+            ps = node.projections()
+            rows = "; ".join(
+                ",".join(_seq_sql(ps.apply(i))) for i in range(ps.size())
+            )
+            projs.append(f"expand:{ps.size()}:[{rows}]")
+        elif cls in (
+            "CollectLimitExec",
+            "GlobalLimitExec",
+            "LocalLimitExec",
+        ):
+            projs.append(f"limit:{cls[:-4]}:{node.limit()}")
+    return sorted(conds), sorted(aggs), sorted(wins), sorted(projs)
 
 
 def pinned_names() -> list[str]:

@@ -170,9 +170,12 @@ def main() -> int:
     # #5): grouping keys + aggregate expressions for the same pinned
     # set, diffed by plansweep_compare under the "pinned_agg" kind.
     pinned_aggregates: dict[str, list[str]] = {}
-    # Window/sort/top-k capture (r17, same residual — the last
-    # uncompared expression surface): diffed under "pinned_window".
+    # Window/sort/top-k capture (r17, same residual): diffed under
+    # "pinned_window".
     pinned_windows: dict[str, list[str]] = {}
+    # Project/Generate/Expand/bare-limit capture (r17, closing the
+    # residual's remainder): diffed under "pinned_proj".
+    pinned_projections: dict[str, list[str]] = {}
     n_cross = 0
     for i, (name, spec) in enumerate(sorted(specs.items()), 1):
         try:
@@ -185,6 +188,7 @@ def main() -> int:
                     pinned_conditions[name],
                     pinned_aggregates[name],
                     pinned_windows[name],
+                    pinned_projections[name],
                 ) = pf.pinned_captures(df)
         except Exception as ex:  # noqa: BLE001 — sweep must finish
             errors.append(name)
@@ -293,6 +297,11 @@ def main() -> int:
         # diffed under the "pinned_window" ack kind.
         dump["_pinned_windows"] = {
             k: v for k, v in sorted(pinned_windows.items())
+        }
+        # Project/Generate/Expand/bare-limit texts (r17) — diffed
+        # under the "pinned_proj" ack kind.
+        dump["_pinned_projections"] = {
+            k: v for k, v in sorted(pinned_projections.items())
         }
         with open(args.json, "w") as fh:
             json.dump(dump, fh, indent=1, sort_keys=True)

@@ -223,6 +223,7 @@ ACK_KINDS = frozenset(
         "pinned_cond",
         "pinned_agg",
         "pinned_window",
+        "pinned_proj",
     }
 )
 
@@ -579,6 +580,7 @@ def compare_sweeps(
     for field, kind, label in (
         ("_pinned_aggregates", "pinned_agg", "aggregate"),
         ("_pinned_windows", "pinned_window", "window/sort"),
+        ("_pinned_projections", "pinned_proj", "projection/limit"),
     ):
         if field in prev and field not in cur:
             problems.append(

@@ -838,13 +838,20 @@ def test_pinned_expression_captures_stable_across_sessions(spark, q):
     if "_pinned_windows" not in art:
         pytest.skip("newest artifact predates the expression captures")
     mod = _plan_fingerprint_mod()
-    # one join/filter-heavy, one aggregate-heavy, one window/sort-heavy
+    # one join/filter-heavy, one aggregate-heavy, one window/sort-heavy,
+    # and the CSE-heavy pin whose _common_expr_N aliases exposed the one
+    # session-counter nondeterminism the projection capture normalizes
     for name in (
         "dedup_minhash_capped_pairs",
         "q1_pricing_summary",
         "sessions_max_concurrency",
+        "dedup_minhash_eval",
     ):
         df = q[name](spark, SF)
         assert mod.condition_texts(df) == art["_pinned_conditions"][name], name
         assert mod.aggregate_texts(df) == art["_pinned_aggregates"][name], name
         assert mod.window_sort_texts(df) == art["_pinned_windows"][name], name
+        if "_pinned_projections" in art:
+            assert (
+                mod.projection_texts(df) == art["_pinned_projections"][name]
+            ), name
