@@ -1085,7 +1085,16 @@ def phash_near_dup_pairs(
     ``curation.dedup_media`` under a cap needs both for its accounting
     columns, and without the reuse the banding explode+shuffle and the
     width aggregation each ran twice (pairs + accounting) per API
-    call."""
+    call.  Both MUST derive from the same ``hashes`` frame — the exact
+    inconsistency hazard ``phash_bucket_counts``'s exactly-one-input
+    guard documents — and ``bucket_counts`` is only consulted under a
+    cap, so passing it without ``max_bucket`` is rejected rather than
+    silently ignored."""
+    if bucket_counts is not None and max_bucket is None:
+        raise ValueError(
+            "phash_near_dup_pairs: bucket_counts is only used under"
+            " max_bucket — passing it uncapped would be silently ignored"
+        )
     xa, xb = hashes.alias("xa"), hashes.alias("xb")
     exact_pairs = xa.join(
         xb,

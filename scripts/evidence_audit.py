@@ -95,9 +95,14 @@ def audit(
     specs = registry.all_specs()
     registered = set(specs)
     never_checked = sorted(registered - checked)
-    # Registration order (module import order), ignoring the rotation
-    # window, so the "next 50" plan is reproducible.
-    reg_order = [n for n in registry._REGISTRY if n in registered]
+    # CANONICAL registration order (import-order-independent, see
+    # registry.registration_order), ignoring the rotation window, so
+    # the "next 50" plan is reproducible in any process — including a
+    # pytest session whose earlier tests imported query modules in a
+    # different order than _load_all (that pollution flipped the
+    # round-10 tie cohort's order in r18 and falsely reddened the
+    # window-composition gate).
+    reg_order = [n for n in registry.registration_order() if n in registered]
     never_in_order = [n for n in reg_order if n not in checked]
     # Post-backlog rotation basis: registered names ordered by how STALE
     # their driver evidence is — last-green round ascending, registration

@@ -379,7 +379,7 @@ def nested_loop_nodes(df) -> list[dict]:
         leaves, shape = _subtree_identity(node)
         out.append(
             {
-                "cond": cond.get().sql() if cond.isDefined() else "None",
+                "cond": _norm_sql(cond.get().sql()) if cond.isDefined() else "None",
                 "leaves": leaves,
                 "shape": shape,
             }
@@ -387,9 +387,21 @@ def nested_loop_nodes(df) -> list[dict]:
     return out
 
 
+def _norm_sql(text: str) -> str:
+    """Normalize session-dependent generated aliases in a rendered
+    expression.  CommonExpressionRef aliases (``_common_expr_N``) number
+    from a SESSION-global counter, so the same plan renders different N
+    across builds; the regex collapses the counter wherever it appears —
+    filters, aggregates, windows, generators — not just project lists
+    (r17 ADVICE: a CSE ref surfacing inside any other captured text
+    would otherwise make that capture session-dependent)."""
+    return re.sub(r"_common_expr_\d+", "_common_expr_#", text)
+
+
 def _seq_sql(jseq) -> list[str]:
-    """Render a Scala Seq[Expression] via .sql() (stable, no expr ids)."""
-    return [jseq.apply(i).sql() for i in range(jseq.size())]
+    """Render a Scala Seq[Expression] via .sql() (stable, no expr ids;
+    session-global generated aliases normalized by _norm_sql)."""
+    return [_norm_sql(jseq.apply(i).sql()) for i in range(jseq.size())]
 
 
 def condition_texts(df) -> list[str]:
@@ -512,7 +524,7 @@ def pinned_captures(
     projs: list[str] = []
     for cls, node in iter_physical_nodes(df, executed=False):
         if cls == "FilterExec":
-            conds.append(f"filter:{node.condition().sql()}")
+            conds.append(f"filter:{_norm_sql(node.condition().sql())}")
         elif cls in (
             "BroadcastHashJoinExec",
             "SortMergeJoinExec",
@@ -527,7 +539,7 @@ def pinned_captures(
                 )
             )
             cond = node.condition()
-            residual = cond.get().sql() if cond.isDefined() else ""
+            residual = _norm_sql(cond.get().sql()) if cond.isDefined() else ""
             conds.append(f"join:[{pairs}]:{residual}")
         elif cls in (
             "HashAggregateExec",
@@ -545,7 +557,7 @@ def pinned_captures(
         elif cls == "WindowGroupLimitExec":
             part = ",".join(sorted(_seq_sql(node.partitionSpec())))
             order = ",".join(_seq_sql(node.orderSpec()))
-            rank = node.rankLikeFunction().sql()
+            rank = _norm_sql(node.rankLikeFunction().sql())
             wins.append(f"wgl:[{part}]:[{order}]:[{rank}]:{node.limit()}")
         elif cls == "SortExec":
             order = ",".join(_seq_sql(node.sortOrder()))
@@ -555,16 +567,16 @@ def pinned_captures(
             order = ",".join(_seq_sql(node.sortOrder()))
             wins.append(f"topk:[{order}]:{node.limit()}")
         elif cls == "ProjectExec":
-            # CommonExpressionRef aliases (_common_expr_N) number from a
-            # SESSION-global counter, so the same plan renders different
-            # N across builds (probed: dedup_minhash_eval flipped
-            # _common_expr_0 -> _common_expr_2 on rebuild).  Normalize
-            # the counter; the CSE STRUCTURE still shows as text shape.
+            # _common_expr_N normalization happens inside _seq_sql
+            # (probed: dedup_minhash_eval flipped _common_expr_0 ->
+            # _common_expr_2 on rebuild); the CSE STRUCTURE still shows
+            # as text shape.
             text = ",".join(_seq_sql(node.projectList()))
-            text = re.sub(r"_common_expr_\d+", "_common_expr_#", text)
             projs.append(f"proj:[{text}]")
         elif cls == "GenerateExec":
-            projs.append(f"gen:[{node.generator().sql()}]:{node.outer()}")
+            projs.append(
+                f"gen:[{_norm_sql(node.generator().sql())}]:{node.outer()}"
+            )
         elif cls == "ExpandExec":
             ps = node.projections()
             rows = "; ".join(

@@ -81,8 +81,7 @@ def main() -> None:
     # it) — not alphabetical.
     from discogs_etl_spark import registry
 
-    registry._load_all()
-    flag_order = [n for n in registry._REGISTRY if n in flags]
+    flag_order = [n for n in registry.registration_order() if n in flags]
     flag_order += [n for n in flags if n not in registry._REGISTRY]  # paranoia
     print(f"\n# 2. mechanical re-windows vs {args.base_rev} ({len(flags)}):")
     for name in flag_order:

@@ -273,3 +273,55 @@ def test_endangered_names_flags_crowded_out_slo_names():
     assert oldest_name in endangered
     # and with the real bound satisfied by the current window, nothing
     # endangered may be missing (covered live by the gate test above)
+
+
+def test_rotation_basis_is_import_order_independent():
+    """r18 regression: the stale-order tie-break is CANONICAL
+    registration order (registry.registration_order), not _REGISTRY
+    insertion order.  A pytest session that imports curation (whose
+    transitive imports register the llm block before analytics) before
+    _load_all used to flip the round-10 tie cohort and falsely redden
+    the window-composition gate.  Pin both halves: (a) a subprocess
+    that imports curation FIRST still computes split == 0 against the
+    committed window; (b) canonical order is invariant under _REGISTRY
+    dict order by construction (key = module rank + in-module seq)."""
+    import subprocess
+    import sys
+
+    code = (
+        "import sys, pathlib; sys.path.insert(0, %r);"
+        "import discogs_etl_spark.curation;"  # pollute import order first
+        "from discogs_etl_spark import registry;"
+        "import importlib.util;"
+        "spec = importlib.util.spec_from_file_location('ea', %r);"
+        "mod = importlib.util.module_from_spec(spec); spec.loader.exec_module(mod);"
+        "stats = mod.audit(pathlib.Path(%r), max_round=%d);"
+        "k = mod.window_flag_split(registry._WINDOW_PRIORITY, stats['stale_order_names']);"
+        "assert k is not None, 'window split reddened under polluted import order';"
+        "co = registry.registration_order();"
+        "assert sorted(co) == sorted(registry._REGISTRY), 'registration_order lost names';"
+        "print('ok', k)"
+    ) % (str(REPO), str(REPO / "scripts" / "evidence_audit.py"), str(REPO), _as_of_round())
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=600
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert out.stdout.startswith("ok"), out.stdout
+
+
+def test_every_product_module_has_a_canonical_rank():
+    # If a new query module joins _load_all without a _MODULE_RANK
+    # entry, its names fall into the unknown-module bucket and the
+    # canonical order silently diverges from the clean-process
+    # insertion order — catch the drift at registration granularity.
+    registry._load_all()
+    unranked = sorted(
+        {
+            spec.fn.__module__
+            for spec in registry._REGISTRY.values()
+            if spec.fn.__module__ not in registry._MODULE_RANK
+        }
+    )
+    assert unranked == [], (
+        f"query modules missing from registry._MODULE_RANK: {unranked}"
+    )
