@@ -139,6 +139,13 @@ API_SURFACE = (
     "curation_dedup_media_capped",
     "curation_search_corpus",
     "curation_profile_table",
+    # r18: the backfill CLI verb's composition.  The RETURNED plan is
+    # the audit report (one local-results scan — the ingest jobs are
+    # actions inside pipeline.backfill, invisible to the returned
+    # DataFrame), so the pin is thin by construction; what it guards is
+    # the report staying driver-local (a rewrite that turns the audit
+    # into a distributed join against the lake would grow scans here).
+    "backfill_audit_table",
 )
 
 # Physical-node classification by JVM class name.  The extractor WALKS

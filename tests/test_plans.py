@@ -647,6 +647,11 @@ PLAN_PINS: dict[str, dict[str, int]] = {
     "curation_dedup_media_capped": {"scan_parquet": 1, "scan_rdd": 3, "bhj": 1, "bnlj": 1},
     "curation_search_corpus": {"scan_rdd": 4, "bhj": 2, "bnlj": 1},
     "curation_profile_table": {"scan_parquet": 1},
+    # r18: the backfill CLI verb's audit report — driver-local results
+    # scan only (the ingest jobs are actions inside pipeline.backfill,
+    # not part of the returned plan); a distributed join against the
+    # lake appearing here would mean the audit's shape regressed.
+    "backfill_audit_table": {"scan_rdd": 1},
     # -- headline bench set + fixed scale-killers
     "corpus_curate_pipeline": {"scan_parquet": 1},
     "dedup_cc_starcontraction": {"scan_rdd": 2},
