@@ -106,6 +106,21 @@ _tc_spec.loader.exec_module(_tc)
 # "It was green" is not a rationale; cite the commit that changed the
 # plan.
 ADJUDICATED: dict[int, dict[tuple[str, str], str]] = {
+    18: {
+        **{
+            ("backfill_audit_table", kind): (
+                "ENTERED all four pinned expression-capture tiers by "
+                "design (commit b4cb4a2, the r17-end mid-build commit "
+                "that registered the query and pinned its API_SURFACE "
+                "plan shape): the backfill CLI verb's audit composition "
+                "is a driver-local results scan, and pinning its "
+                "expressions makes a distributed join appearing in that "
+                "plan redden the gate.  A NEW pin has no prev capture "
+                "by definition — the r17 API_SURFACE precedent."
+            )
+            for kind in ("pinned_cond", "pinned_agg", "pinned_window", "pinned_proj")
+        },
+    },
     17: {
         ("curation_dedup_corpus", "cross_count"): (
             "query REGISTERED this round (commit f6b1059), so its prev "
