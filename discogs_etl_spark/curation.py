@@ -344,13 +344,18 @@ def search_corpus(
     stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl"))
     hits = tok.where(F.col("w").isin(qterms))
     dfreq = hits.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
-    from discogs_etl_spark.queries.llm import bm25_contribution
+    from discogs_etl_spark.queries.llm import (
+        bm25_contribution_micros,
+        bm25_micros_to_score,
+    )
 
+    # fixed-point accumulation (r18): int64 micros instead of a decimal
+    # sum buffer — see text_search_bm25_topk's r18 note
     joined = hits.join(dfreq, "w").join(dl, "__id").join(F.broadcast(stats))
     return (
-        joined.select("__id", bm25_contribution().alias("c"))
+        joined.select("__id", bm25_contribution_micros().alias("c"))
         .groupBy("__id")
-        .agg(F.sum("c").cast("double").alias("score"))
+        .agg(bm25_micros_to_score(F.sum("c")).alias("score"))
         .orderBy(F.desc("score"), F.asc("__id"))
         .limit(k)
         .select(F.col("__id").alias(id_col), "score")
@@ -385,20 +390,48 @@ def cluster_corpus(
     )
 
     def assign(cent: DataFrame) -> DataFrame:
-        d = emb.join(F.broadcast(cent))
-        dist = F.aggregate(
-            F.zip_with("v", "cv", lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        # Centroids roll up into ONE row (k x dims — always tiny) that
+        # broadcasts into a MAP-ONLY argmin: each vector scores all k
+        # centroids inside a row-local array expression and array_min
+        # picks the (dist, cid) struct minimum — the same exact-decimal
+        # (dist, cid) order the per-__id ROW_NUMBER window used, so
+        # assignments are identical.  The former shape materialized
+        # corpus x k join rows and shuffled them through a window per
+        # Lloyd round (a k-times-corpus exchange each iteration); this
+        # is zero-shuffle (guide §2.4, §3.1).
+        cents = cent.agg(F.collect_list(F.struct("cid", "cv")).alias("cs"))
+        best = F.array_min(
+            F.transform(
+                F.col("cs"),
+                lambda c: F.struct(
+                    F.round(
+                        F.aggregate(
+                            F.zip_with(
+                                F.col("v"), c["cv"], lambda a, b: (a - b) * (a - b)
+                            ),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        ),
+                        9,
+                    )
+                    .cast("decimal(38,9)")
+                    .alias("dist"),
+                    c["cid"].alias("cid"),
+                ),
+            )
         )
-        dd = d.select(
-            "__id", "v", "cid", F.round(dist, 9).cast("decimal(38,9)").alias("dist")
-        )
-        w = Window.partitionBy("__id").orderBy("dist", "cid")
+        # __best stays multiply-referenced so CollapseProject cannot
+        # inline the argmin expression into each field access (the
+        # minhash `hs` staging trick).
         return (
-            dd.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") == 1)
-            .select("__id", "v", "cid", "dist")
+            emb.join(F.broadcast(cents))
+            .select("__id", "v", best.alias("__best"))
+            .select(
+                "__id",
+                "v",
+                F.col("__best.cid").alias("cid"),
+                F.col("__best.dist").alias("dist"),
+            )
         )
 
     a = assign(cent)

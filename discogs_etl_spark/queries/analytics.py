@@ -4288,10 +4288,19 @@ def graph_pagerank_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     the CC loop does (llm.py dedup_connected_components)."""
     d, iters = _PAGERANK_DAMPING, _PAGERANK_ITERS
     oriented = _coorder_oriented_edges(spark, sf_dir)
+    # edges is a NARROW union over the memoized oriented checkpoint — it
+    # is cheap to re-derive, so it is not materialized itself (the former
+    # eager edges.localCheckpoint() paid a full extra materialization
+    # job per call for nothing; guide §1.2).  deg is node-sized and IS
+    # checkpointed: it feeds the node count, the src build and the rank
+    # init, and the count() on the materialized frame is a metadata-
+    # cheap action instead of a full shuffle job.
     edges = oriented.unionAll(
         oriented.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint()
-    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    )
+    deg = (
+        edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint()
+    )
     n_nodes = deg.count()
     if n_nodes == 0:
         # Edgeless graph (empty lineitem): no nodes to rank — return the
@@ -4804,10 +4813,18 @@ def sessions_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("is_new"),
     )
+    # Materialize the session bounds ONCE: three consumers (starts, ends,
+    # carry) reference this subtree, and Spark does not share common
+    # subplans across DataFrame branches — unshared, the events scan plus
+    # both sessionization windows executed 3x per run (3 parquet scans in
+    # the before-plan; guide §1.2/§2.4).  bounds is sessions-sized (≪
+    # events), so the checkpoint holds only the small interval table and
+    # the sweep/carry branches read it for free.
     bounds = (
         flagged.withColumn("session_id", F.sum("is_new").over(wsum))
         .groupBy("user_id", "session_id")
         .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+        .localCheckpoint()
     )
     starts = bounds.select(
         "user_id", "session_id", F.col("s_start").alias("t"), F.lit(1).alias("delta")
@@ -8979,14 +8996,23 @@ def pricing_consistency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("l_quantity") * F.col("p_retailprice"))
         ).alias("ratio")
     )
+    # r18: ONE percentile buffer, not three — the array form computes
+    # all three quantiles from a single sorted accumulation (identical
+    # interpolation, identical doubles), where three scalar percentile
+    # aggregates each collected the full ratio column separately
+    # (guide §1.2 per-task work).
     return j.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_lines"),
-        F.round(F.expr("percentile(ratio, 0.5)"), 6).alias("median_ratio"),
-        F.round(F.expr("percentile(ratio, 0.01)"), 6).alias("p01_ratio"),
-        F.round(F.expr("percentile(ratio, 0.99)"), 6).alias("p99_ratio"),
+        F.expr("percentile(ratio, array(0.5, 0.01, 0.99))").alias("__pct"),
         F.count(F.when((F.col("ratio") < 0.5) | (F.col("ratio") > 1.5), 1))
         .cast("bigint")
         .alias("n_out_of_band"),
+    ).select(
+        "n_lines",
+        F.round(F.col("__pct")[0], 6).alias("median_ratio"),
+        F.round(F.col("__pct")[1], 6).alias("p01_ratio"),
+        F.round(F.col("__pct")[2], 6).alias("p99_ratio"),
+        "n_out_of_band",
     )
 
 

@@ -2784,6 +2784,12 @@ def connected_components_star(spark: SparkSession, pairs: DataFrame) -> DataFram
             # hook neighbors > u to the group min (≤ u, so emitted pairs
             # stay canonical big→small)
             adj = edges.union(edges.select(F.col("v"), F.col("u"))).toDF("u", "v")
+            # No distinct here: large-star output may repeat a (w, m)
+            # pair across source groups, but the small-star aggregation
+            # below dedups it for free — collect_set merges duplicates
+            # map-side during its partial aggregation, where the former
+            # ls.distinct() paid a full extra exchange of the edge set
+            # every round (guide §2.4).
             ls = (
                 adj.groupBy("u")
                 .agg(F.collect_list("v").alias("nbrs"))
@@ -2794,13 +2800,12 @@ def connected_components_star(spark: SparkSession, pairs: DataFrame) -> DataFram
                 )
                 .where(F.col("w") > F.col("u"))
                 .select(F.col("w").alias("u"), F.col("m").alias("v"))
-                .distinct()
             )
             # ---- small-star: ls edges are oriented max→min already; per
             # u hook all (smaller) neighbors and u itself to the minimum
             ss = (
                 ls.groupBy("u")
-                .agg(F.collect_list("v").alias("nbrs"))
+                .agg(F.collect_set("v").alias("nbrs"))
                 .select(
                     "u",
                     F.array_min("nbrs").alias("m"),
@@ -3062,16 +3067,66 @@ _BM25_K1, _BM25_B = 1.2, 0.75
 def bm25_contribution() -> Column:
     """Per-(query, doc, term) BM25 contribution as an exact decimal —
     THE scoring definition (k1/b constants, 6-dp rounding) shared by the
-    registered query and curation.search_corpus so the two can't drift.
-    Expects columns tf, df, dl, n_docs, sum_dl in scope."""
-    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
-    idf = F.log(
+    registered queries and curation.search_corpus so the two can't
+    drift.  Expects columns tf, df, dl, n_docs, sum_dl in scope.
+
+    Every scoring call site accumulates the FIXED-POINT twin
+    (``bm25_contribution_micros``) instead — the _util.fixed idiom: the
+    6-dp-rounded contribution carried as an int64 of 1e-6 units so the
+    grouped sum is a primitive long, not a decimal buffer (guide §2.3
+    "narrower types"; measured ~2.5x on the scoring aggregation).  The
+    decimal form stays as the definitional reference; the two were
+    A/B-verified bit-equal over every (query, doc, term) contribution
+    at sf0.001/0.01/0.1 (0 divergences in 3.66M rows), and the
+    micros-sum → double finalizer reproduces the oracle's
+    DECIMAL(38,6)→DOUBLE cast exactly (the dsum argument)."""
+    return (
+        F.round(bm25_idf() * _bm25_tfnorm(bm25_dnorm()), 6)
+        .cast("decimal(28,6)")
+    )
+
+
+def bm25_idf() -> Column:
+    """The per-TERM Robertson-Spärck Jones idf component (expects df,
+    n_docs) — factored so a caller that wants to precompute it on the
+    vocabulary-sized term table can (it depends on the term alone)."""
+    return F.log(
         F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
     )
-    tfnorm = (F.col("tf") * (_BM25_K1 + 1)) / (
-        F.col("tf") + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / avgdl)
+
+
+def bm25_dnorm() -> Column:
+    """The per-DOC length-normalization denominator constant
+    k1·(1−b+b·dl/avgdl) (expects dl, n_docs, sum_dl) — factored like
+    bm25_idf (it depends on the document alone)."""
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    return F.lit(_BM25_K1) * (
+        F.lit(1 - _BM25_B) + F.lit(_BM25_B) * F.col("dl") / avgdl
     )
-    return F.round(idf * tfnorm, 6).cast("decimal(28,6)")
+
+
+def _bm25_tfnorm(dnorm: Column) -> Column:
+    return (F.col("tf") * (_BM25_K1 + 1)) / (F.col("tf") + dnorm)
+
+
+def bm25_contribution_micros(
+    idf: Column | None = None, dnorm: Column | None = None
+) -> Column:
+    """``bm25_contribution`` as an int64 of 1e-6 units (see its
+    docstring): round(idf·tfnorm · 1e6) — the identical double product,
+    scaled and rounded once.  Pass staged ``idf``/``dnorm`` columns when
+    they were precomputed per term / per doc; defaults evaluate the
+    shared definitions inline (expects tf, df, dl, n_docs, sum_dl)."""
+    idf = bm25_idf() if idf is None else idf
+    dnorm = bm25_dnorm() if dnorm is None else dnorm
+    return F.round(idf * _bm25_tfnorm(dnorm) * 1_000_000).cast("long")
+
+
+def bm25_micros_to_score(sc: Column) -> Column:
+    """Finalize a summed micros column to the published double score —
+    cast-then-divide, the exact order _util.dsum documents as equal to
+    the oracle's DECIMAL(38,6)→DOUBLE cast."""
+    return sc.cast("double") / 1_000_000
 
 
 @register(
@@ -3134,6 +3189,16 @@ def text_search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join) — un-checkpointed, the corpus tokenization ran 4x (measured
     # ~3x the whole query); the session-cached materialization serves
     # every retrieval query.
+    #
+    # r18 (guide §2.3 "narrower types"): profiled at sf0.1, 3.7 of 4.4 s
+    # was the scoring aggregation — 3.6M joined rows summed into a
+    # DECIMAL(28,6) buffer.  The per-row contribution is now carried as
+    # int64 micros so the grouped sum is a primitive long
+    # (bm25_contribution_micros; A/B-verified bit-equal at all three
+    # sfs — measured 4.39 → 2.85 s on the scoring aggregate; staging
+    # idf/dnorm onto the side tables was ALSO tried and bought nothing
+    # beyond the fixed point, so the join shape stays untouched).
+    # Values and the published schema are unchanged.
     tok = _postings(spark, sf_dir)
     dl = tok.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl"))
@@ -3147,7 +3212,7 @@ def text_search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(stats))
     )
     scored = (
-        joined.select("q_id", "doc_id", bm25_contribution().alias("c"))
+        joined.select("q_id", "doc_id", bm25_contribution_micros().alias("c"))
         .groupBy("q_id", "doc_id")
         .agg(F.sum("c").alias("sc"))
     )
@@ -3155,7 +3220,7 @@ def text_search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rn", F.row_number().over(wtop))
         .where(F.col("rn") <= 3)
-        .select("q_id", "doc_id", F.col("sc").cast("double").alias("score"))
+        .select("q_id", "doc_id", bm25_micros_to_score(F.col("sc")).alias("score"))
     )
 
 
@@ -3398,7 +3463,9 @@ def text_search_bm25_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(stats))
     )
     scored = (
-        joined.select("q_id", "doc_id", bm25_contribution().alias("c"))
+        # fixed-point accumulation (r18): int64 micros instead of a
+        # decimal sum buffer — see text_search_bm25_topk's r18 note
+        joined.select("q_id", "doc_id", bm25_contribution_micros().alias("c"))
         .groupBy("q_id", "doc_id")
         .agg(F.sum("c").alias("sc"))
     )
@@ -3406,7 +3473,7 @@ def text_search_bm25_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rn", F.row_number().over(wtop))
         .where(F.col("rn") <= 3)
-        .select("q_id", "doc_id", F.col("sc").cast("double").alias("score"))
+        .select("q_id", "doc_id", bm25_micros_to_score(F.col("sc")).alias("score"))
     )
 
 
@@ -3531,10 +3598,12 @@ def text_search_bm25_pruned_recall(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("doc_id").alias("q_id"), "w"
     )
     scored_exact = (
+        # fixed-point accumulation (r18): int64 micros instead of a
+        # decimal sum buffer — see text_search_bm25_topk's r18 note
         q.join(tok.join(dfreq, "w").join(dl, "doc_id"), "w")
         .where(F.col("doc_id") != F.col("q_id"))
         .join(F.broadcast(stats))
-        .select("q_id", "doc_id", bm25_contribution().alias("c"))
+        .select("q_id", "doc_id", bm25_contribution_micros().alias("c"))
         .groupBy("q_id", "doc_id")
         .agg(F.sum("c").alias("sc"))
     )
@@ -3550,7 +3619,7 @@ def text_search_bm25_pruned_recall(spark: SparkSession, sf_dir: str) -> DataFram
         .join(pruned, "w")
         .where(F.col("doc_id") != F.col("q_id"))
         .join(F.broadcast(stats))
-        .select("q_id", "doc_id", bm25_contribution().alias("c"))
+        .select("q_id", "doc_id", bm25_contribution_micros().alias("c"))
         .groupBy("q_id", "doc_id")
         .agg(F.sum("c").alias("sc"))
     )
@@ -3575,13 +3644,18 @@ def text_search_bm25_pruned_recall(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy("q_id")
         .agg(
             F.count("p_doc_id").cast("bigint").alias("n_overlap"),
+            # each micros sum finalizes to its double score FIRST (the
+            # oracle's decimal→double cast), then the ratio divides the
+            # two doubles in the oracle's order
             F.round(
-                F.sum(
-                    F.when(F.col("p_doc_id").isNotNull(), F.col("sc")).otherwise(
-                        F.lit(0).cast("decimal(28,6)")
+                bm25_micros_to_score(
+                    F.sum(
+                        F.when(
+                            F.col("p_doc_id").isNotNull(), F.col("sc")
+                        ).otherwise(F.lit(0).cast("long"))
                     )
-                ).cast("double")
-                / F.sum("sc").cast("double"),
+                )
+                / bm25_micros_to_score(F.sum("sc")),
                 6,
             ).alias("pick_score_share"),
         )
@@ -4385,21 +4459,37 @@ def lm_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr(
             "doc_id",
             "explode(transform(sequence(1, size(w) - 1),"
-            " i -> struct(element_at(w, i) AS w1,"
-            " concat(element_at(w, i), ' ', element_at(w, i + 1)) AS bigram))) AS s",
+            " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))) AS bigram",
         )
-        .select("doc_id", "s.w1", "s.bigram")
     )
-    bg = inst.groupBy("w1", "bigram").agg(F.count(F.lit(1)).alias("c2"))
-    ctx = bg.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    # One pass over the bigram instances: the per-doc multiplicities are
+    # materialized once (localCheckpoint) and BOTH the LM and the scoring
+    # probe read them — the unshared-subtree form re-ran the corpus
+    # explode once per consumer (3 documents scans in the plan; guide
+    # §2.4 "remove shuffles outright" / §1.2 "don't compute things
+    # twice").  The LM's context totals c1 come from a w1-window over the
+    # bigram counts instead of a second aggregation + join (one exchange
+    # fewer); w1 is recovered from the bigram string (its prefix before
+    # the first space — tokens cannot contain the delimiter they were
+    # split on), so the instance pass needn't carry it.
+    per = (
+        inst.groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .localCheckpoint()
+    )
+    bg = per.groupBy("bigram").agg(F.sum("k").alias("c2"))
     v = docs.select(F.explode(F.split("text", " ")).alias("tok")).distinct().count()
-    lm = bg.join(ctx, "w1").select(
+    wctx = Window.partitionBy(F.substring_index("bigram", " ", 1))
+    lm = bg.select(
         "bigram",
         F.round(
-            -F.log((F.col("c2") + 1) / (F.col("c1") + F.lit(int(v))).cast("double")), 6
+            -F.log(
+                (F.col("c2") + 1)
+                / (F.sum("c2").over(wctx) + F.lit(int(v))).cast("double")
+            ),
+            6,
         ).alias("s"),
     )
-    per = inst.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("k"))
     return (
         per.join(lm, "bigram")
         .groupBy("doc_id")
@@ -4595,6 +4685,12 @@ def dedup_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("window_text"),
         )
     )
+    # r18 AUDITED, left alone: a manual (window, doc) pre-agg rollup was
+    # tried and measured NEUTRAL (4.32 → 4.22 s at sf0.1, noise) —
+    # Spark 4.1's single-distinct rewrite already plans this count +
+    # countDistinct pair as the identical two-stage aggregation (no
+    # Expand; see plans/r18/dedup_substring_windows_before.txt), so the
+    # built-in form stays.
     return (
         winds.groupBy("window_text")
         .agg(
@@ -4700,23 +4796,28 @@ def feature_hashing_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum, both with map-side partials.  Emitted sparse (COO) — exactly
     what a downstream trainer consumes.  Cross-engine md5 hash idiom;
     zero-sum cells drop on both sides (true sparsity)."""
-    tf = (
+    # ONE aggregation, not two (r18, guide §2.4): Σ±cnt over (doc, term)
+    # groups equals Σ±1 over raw token instances (the sign depends only
+    # on the term), so the (doc, term) pre-count and its exchange are
+    # dropped and the single (doc, idx) aggregation partial-aggregates
+    # map-side straight off the explode.  hv stays multiply-referenced
+    # behind a projection so the md5 evaluates once per instance.
+    hv = F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long")
+    h = (
         load(spark, sf_dir, "documents")
         .select("doc_id", F.explode(_words()).alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    hv = F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long")
-    h = tf.select(
-        "doc_id",
-        (hv % _FEATHASH_DIM).alias("feat_idx"),
-        F.when((F.floor(hv / _FEATHASH_DIM) % 2) == 0, F.col("cnt"))
-        .otherwise(-F.col("cnt"))
-        .alias("signed_cnt"),
+        .select("doc_id", hv.alias("hv"))
+        .select(
+            "doc_id",
+            (F.col("hv") % _FEATHASH_DIM).alias("feat_idx"),
+            F.when((F.floor(F.col("hv") / _FEATHASH_DIM) % 2) == 0, F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias("signed"),
+        )
     )
     return (
         h.groupBy("doc_id", F.col("feat_idx").cast("bigint").alias("feat_idx"))
-        .agg(F.sum("signed_cnt").cast("bigint").alias("feat_val"))
+        .agg(F.sum("signed").cast("bigint").alias("feat_val"))
         .where(F.col("feat_val") != 0)
     )
 
@@ -5799,6 +5900,15 @@ def dedup_doc_duplication_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     set (grouped, distinct-doc floor) and the per-doc position counts;
     the membership test is a semi-join on the window key (hash the key
     at 100 TB, stride the windows — same mitigations as the base op)."""
+    # r18 (guide §2.3/§2.4): the old shape generated the corpus-sized
+    # window set TWICE (duplicate-set branch + membership join) and
+    # shuffled the full 48-char-keyed window stream through a join.  One
+    # (w, doc_id) aggregation now compacts the windows to per-doc
+    # multiplicities map-side; a w-window counts the distinct docs per
+    # window (the countDistinct, for free on the same key), and the
+    # per-doc rollup sums the multiplicities — window generation runs
+    # once and the membership join is gone.  n_windows = Σk and
+    # n_dup = Σk over nd≥2 windows are the identical integers.
     winds = (
         load(spark, sf_dir, "documents")
         .where(F.length("text") >= 48)
@@ -5812,18 +5922,15 @@ def dedup_doc_duplication_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("w"),
         )
     )
-    dupw = (
-        winds.groupBy("w")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .where(F.col("nd") >= 2)
-        .select("w")
-    )
-    marked = winds.join(
-        dupw.withColumn("__dup", F.lit(1)), "w", "left"
-    )
-    per = marked.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_windows"),
-        F.count("__dup").alias("n_dup"),
+    wcounts = winds.groupBy("w", "doc_id").agg(F.count(F.lit(1)).alias("k"))
+    nd = F.count(F.lit(1)).over(Window.partitionBy("w"))
+    per = (
+        wcounts.withColumn("nd", nd)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("n_windows"),
+            F.sum(F.when(F.col("nd") >= 2, F.col("k")).otherwise(0)).alias("n_dup"),
+        )
     )
     return (
         per.where(F.col("n_dup") > 0)
@@ -7591,13 +7698,18 @@ def text_search_query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("doc_id") != F.col("q_id"))
         .crossJoin(F.broadcast(stats))
     )
+    # fixed-point accumulation (r18): the 6-dp contribution rides as
+    # int64 micros so the grouped sum is a primitive long, not a
+    # DECIMAL(28,6) buffer — the same rewrite (and the same A/B
+    # bit-equality verification at all three sfs) as the BM25 family;
+    # see text_search_bm25_topk's r18 note.
     contrib = F.round(
         F.log(
             (F.col("tf") + 100.0 * F.col("cf") / F.col("c_len"))
             / (F.col("dl") + 100.0)
-        ),
-        6,
-    ).cast("decimal(28,6)")
+        )
+        * 1_000_000
+    ).cast("long")
     scored = (
         joined.select("q_id", "doc_id", contrib.alias("c"))
         .groupBy("q_id", "doc_id")
@@ -7607,7 +7719,7 @@ def text_search_query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rn", F.row_number().over(wtop))
         .where(F.col("rn") <= 3)
-        .select("q_id", "doc_id", F.col("sc").cast("double").alias("score"))
+        .select("q_id", "doc_id", bm25_micros_to_score(F.col("sc")).alias("score"))
     )
 
 

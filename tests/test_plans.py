@@ -622,7 +622,12 @@ PLAN_PINS: dict[str, dict[str, int]] = {
     #    double-digit wall, so each one's claimed shape (banded pHash
     #    equi-join, per-cluster semdedup pairs, blocked Levenshtein,
     #    broadcast-dim audits, daily-rollup Theil-Sen bnlj) is pinned
-    "dedup_doc_duplication_score": {"scan_parquet": 2, "bhj": 1},
+    # r18: window generation runs ONCE — the (w, doc_id) multiplicity
+    # aggregation + a w-partitioned count window replaced the
+    # duplicate-set branch + membership join (second documents scan and
+    # the broadcast join gone; identical Σk integers, oracle-verified
+    # at all three sfs).
+    "dedup_doc_duplication_score": {"scan_parquet": 1},
     "dedup_semdedup": {"scan_parquet": 1, "scan_rdd": 2, "bhj": 3},
     "fuzzy_join_levenshtein_blocked": {"scan_parquet": 2, "bhj": 1},
     # r15 banding rewrite (VERDICT r14 task #1): the 64-bit hash is a
@@ -671,12 +676,19 @@ PLAN_PINS: dict[str, dict[str, int]] = {
     "graph_triangle_count": {"scan_rdd": 3, "bhj": 2},
     "join_broadcast_part_agg": {"scan_parquet": 2, "bhj": 1},
     "kmeans_embeddings_fixed": {"scan_parquet": 4, "bnlj": 3},
-    "lm_bigram_surprisal": {"scan_parquet": 3, "bhj": 2},
+    # r18: the bigram-instance counts are materialized once (2 checkpoint
+    # reads: LM side + scoring probe) and the context totals come from a
+    # w1-window over the bigram counts instead of a second agg + join —
+    # 3 documents scans and one broadcast join gone from the plan.
+    "lm_bigram_surprisal": {"scan_rdd": 2, "bhj": 1},
     "q1_pricing_summary": {"scan_parquet": 1},
     "q3_shipping_priority": {"scan_parquet": 3, "bhj": 2},
     "q5_regional_revenue": {"scan_parquet": 6, "bhj": 5},
     "recsys_holdout_hitrate": {"scan_parquet": 1, "bhj": 2, "bnlj": 1},
-    "sessions_max_concurrency": {"scan_parquet": 1},
+    # r18: session bounds are materialized once (the sweep and carry
+    # branches read the checkpoint) instead of re-running the events scan
+    # + sessionization windows per consumer.
+    "sessions_max_concurrency": {"scan_rdd": 2},
     "similarity_topk_bruteforce": {"scan_parquet": 2, "bnlj": 1},
     "sort_topk_orders": {"scan_parquet": 1},
     "text_chunk_sliding": {"scan_parquet": 1},
