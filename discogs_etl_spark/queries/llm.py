@@ -84,16 +84,37 @@ _SQL_TRIGRAMS = (
 )
 
 
-def _dot(a: Column, b: Column) -> Column:
+# Fixture embedding width (TESTDATA.md: fixed 64-wide vectors; the
+# power-iteration start vector and the Matryoshka slices already assume
+# it).  Passing it to _dot/_cosine unrolls the fold — see _dot.
+_EMB_DIM = 64
+
+
+def _dot(a: Column, b: Column, w: int | None = None) -> Column:
     """In-order double dot product — same accumulation order as DuckDB's
-    list_dot_product, so results are bit-identical."""
+    list_dot_product, so results are bit-identical.
+
+    When the fixed array width ``w`` is known (every embeddings column:
+    _EMB_DIM), the fold is UNROLLED into a flat left-associated Add
+    chain — term-for-term the identical double sequence (same 0.0 seed,
+    same per-element products, same accumulation order → bit-identical),
+    but compiled by expression codegen instead of interpreted per
+    element: ``aggregate``'s lambda evaluation walks an interpreted
+    closure per array cell, measured 5-7x slower than the compiled
+    chain on the pair-join hot paths (guide §1.2 per-task work;
+    OPTIMIZATION_r18.md batch 3)."""
+    if w is not None:
+        acc: Column = F.lit(0.0)
+        for i in range(w):
+            acc = acc + (a[i] * b[i])
+        return acc
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
     )
 
 
-def _cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+def _cosine(a: Column, b: Column, w: int | None = None) -> Column:
+    return _dot(a, b, w) / (F.sqrt(_dot(a, a, w)) * F.sqrt(_dot(b, b, w)))
 
 
 _SQL_COS = (
@@ -784,17 +805,25 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: all-pairs is O(n²) — correct but only viable per-bucket; the
     production path routes through similarity_ann_signlsh-style bucketing
     first.  Kept as the exact semantics definition."""
+    # Pair-loop shape, tuned per guide §1.2 "per-task work" with values
+    # bit-identical (A/B: 0 divergences over every pair at sf0.1):
+    # - norms hoisted to one sqrt-dot per VECTOR instead of two per PAIR
+    #   (sqrt(dot(x,x)) is a pure function of the array, so the hoisted
+    #   double is the same double);
+    # - the cheap vec_a < vec_b conjunct leads the join condition so the
+    #   64-dim dot short-circuits for the mirrored half of the cross;
+    # - unrolled dot (see _dot) + the hugeMethodLimit fallback keep the
+    #   pair predicate JIT-compiled.  75 -> ~10 s at sf0.1.
     emb = load(spark, sf_dir, "embeddings")
     a = emb.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").cast("array<double>").alias("ea")
-    )
+    ).withColumn("na", F.sqrt(_dot(F.col("ea"), F.col("ea"), _EMB_DIM)))
     b = emb.select(
         F.col("vec_id").alias("vec_b"), F.col("embedding").cast("array<double>").alias("eb")
-    )
-    cos = _cosine(F.col("ea"), F.col("eb"))
+    ).withColumn("nb", F.sqrt(_dot(F.col("eb"), F.col("eb"), _EMB_DIM)))
+    cos = _dot(F.col("ea"), F.col("eb"), _EMB_DIM) / (F.col("na") * F.col("nb"))
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .where(cos >= 0.42)
+        a.join(b, (F.col("vec_a") < F.col("vec_b")) & (cos >= 0.42))
         .select("vec_a", "vec_b", F.round(cos, 6).alias("cos"))
     )
 
@@ -965,18 +994,27 @@ def dedup_embedding_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").cast("array<double>").alias("emb"),
         _sign_bucket(F.col("embedding")).alias("bucket"),
     )
+    # Norms hoisted per VECTOR + cheap conjuncts first, as in
+    # dedup_embedding_cosine — bit-identical values.  The dot stays the
+    # higher-order fold here: the bucketed residual evaluates only
+    # ~n²/256 pairs, too few to amortize the unrolled chain's per-stage
+    # compile cost (measured +1.3 s for no per-pair win at sf0.1).
     a = emb.select(
         F.col("bucket"), F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea")
-    )
+    ).withColumn("na", F.sqrt(_dot(F.col("ea"), F.col("ea"))))
     b = emb.select(
         F.col("bucket").alias("bucket_b"),
         F.col("vec_id").alias("vec_b"),
         F.col("emb").alias("eb"),
-    )
-    cos = _cosine(F.col("ea"), F.col("eb"))
+    ).withColumn("nb", F.sqrt(_dot(F.col("eb"), F.col("eb"))))
+    cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     return (
-        a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("vec_a") < F.col("vec_b")))
-        .where(cos >= 0.42)
+        a.join(
+            b,
+            (F.col("bucket") == F.col("bucket_b"))
+            & (F.col("vec_a") < F.col("vec_b"))
+            & (cos >= 0.42),
+        )
         .select("vec_a", "vec_b", F.round(cos, 6).alias("cos"))
     )
 
@@ -1541,9 +1579,7 @@ def embedding_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     per element.  Output is posexploded to scalar cells for the driver's
     hasher; the array-valued form is the same plan minus the explode."""
     emb = F.col("emb")
-    dot = F.aggregate(
-        F.zip_with(emb, emb, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
-    )
+    dot = _dot(emb, emb)
     return (
         load(spark, sf_dir, "embeddings")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
@@ -4880,18 +4916,30 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "cluster")
         .localCheckpoint()
     )
-    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    # Within-cluster pair loop tuned like dedup_embedding_cosine: the
+    # norm is computed once per VECTOR (on the corpus-sized v, before
+    # both pair sides), the cheap conjuncts lead, the dot is unrolled —
+    # bit-identical cosine doubles, ~3x less per-pair arithmetic in the
+    # O(Σ cluster²) stage that dominates this query.
+    v = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"), _EMB_DIM)))
     x = asn.join(v, "vec_id").select(
-        F.col("vec_id").alias("vec_a"), "cluster", F.col("v").alias("va")
+        F.col("vec_id").alias("vec_a"), "cluster", F.col("v").alias("va"),
+        F.col("nrm").alias("nra"),
     )
     y = asn.join(v, "vec_id").select(
         F.col("vec_id").alias("vec_b"), F.col("cluster").alias("cl_b"),
-        F.col("v").alias("vb"),
+        F.col("v").alias("vb"), F.col("nrm").alias("nrb"),
     )
-    cos = _cosine(F.col("va"), F.col("vb"))
+    cos = _dot(F.col("va"), F.col("vb"), _EMB_DIM) / (F.col("nra") * F.col("nrb"))
     return (
-        x.join(y, (F.col("cluster") == F.col("cl_b")) & (F.col("vec_a") < F.col("vec_b")))
-        .where(cos >= 0.42)
+        x.join(
+            y,
+            (F.col("cluster") == F.col("cl_b"))
+            & (F.col("vec_a") < F.col("vec_b"))
+            & (cos >= 0.42),
+        )
         .select("cluster", "vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
     )
 

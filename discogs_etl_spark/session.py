@@ -88,6 +88,17 @@ def get_spark(
             "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
         )
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # HotSpot never JIT-compiles methods over 8000 bytecodes
+        # (-XX:-DontCompileHugeMethods is the non-default), so a
+        # whole-stage-codegen method past that limit runs in the bytecode
+        # INTERPRETER forever.  Spark's default only falls back past
+        # 65535 (the JVM hard limit); aligning the fallback with the JIT
+        # threshold makes big fused stages (the unrolled 64-dim dot
+        # products) drop back to split per-expression codegen, which JITs.
+        # Measured on the cosine pair family: the fused-but-unJITtable
+        # plan runs 7x slower than the fallback (guide §1.2 step 3 — a
+        # config that fixes a structural compilation problem).
+        .config("spark.sql.codegen.hugeMethodLimit", "8000")
         # zstd over the default snappy: ~30% smaller lake files for ~equal
         # read CPU — at 100 TB stored that's the cheaper default.
         .config("spark.sql.parquet.compression.codec", "zstd")
@@ -113,4 +124,8 @@ def tune_for_correctness(spark: SparkSession) -> SparkSession:
     # correctness SFs that is pure scheduling overhead (notably for
     # stateful streaming, where state partitioning follows this number).
     spark.conf.set("spark.sql.shuffle.partitions", str(max(_cpus(), 8)))
+    # Align the whole-stage-codegen fallback with HotSpot's 8000-bytecode
+    # JIT ceiling (see get_spark) — runtime-mutable, value-neutral: it
+    # changes WHICH compiled form runs, never what it computes.
+    spark.conf.set("spark.sql.codegen.hugeMethodLimit", "8000")
     return spark

@@ -207,6 +207,81 @@ ADJUDICATED: dict[int, dict[tuple[str, str], str]] = {
                 "curation_search_corpus",
             )
         },
+        ("dedup_embedding_cosine", "cond_text"): (
+            _R18_OPT
+            + "Batch-3 per-pair tuning (commit: cosine-family unroll): the "
+            "pair predicate's 3 interpreted aggregate-fold dot products "
+            "became ONE unrolled left-associated Add chain over hoisted "
+            "per-vector norms (na*nb), and the cheap vec_a<vec_b conjunct "
+            "now leads so the dot short-circuits for the mirrored half. "
+            "Same 0.0 seed, same per-element products, same in-order "
+            "accumulation → bit-identical doubles (A/B 0 divergences over "
+            "every pair at sf0.1).  83.7 → ~9 s isolated."
+        ),
+        ("dedup_embedding_cosine", "cond_composition"): (
+            _R18_OPT
+            + "Same rewrite: each BNLJ input gained one Project computing "
+            "the hoisted sqrt-dot norm per vector (ProjectExec 2→4 in the "
+            "build subtree); sources and join node unchanged."
+        ),
+        **{
+            ("dedup_embedding_bucketed", kind): (
+                _R18_OPT
+                + "Norms hoisted to one sqrt-dot per VECTOR (new na/nb "
+                "projections below the bucket join) and the residual "
+                "condition reordered cheap-conjunct-first with the dot "
+                "over na*nb — bit-identical cosine doubles; the dot "
+                "stays the fold (within-bucket pair count too small to "
+                "amortize an unrolled chain's compile cost)."
+            )
+            for kind in ("pinned_cond", "pinned_proj")
+        },
+        **{
+            ("dedup_semdedup", kind): (
+                _R18_OPT
+                + "Batch-3 per-pair tuning: norm hoisted to one unrolled "
+                "sqrt-dot per vector on the corpus-sized v (before both "
+                "pair sides), unrolled in-order dot over nra*nrb in the "
+                "within-cluster residual, cheap conjuncts first — "
+                "bit-identical cosine doubles (oracle-exact at all three "
+                "sfs).  12.2 → 7.0 s isolated."
+            )
+            for kind in ("pinned_cond", "pinned_proj")
+        },
+        **{
+            ("dedup_doc_duplication_score", kind): (
+                _R18_OPT
+                + "Batch-2 rewrite (landed in commit 3c9fb3f; sweep "
+                "artifact lagged it — this entry closes the lag): the "
+                "corpus-sized 48-char window stream is generated ONCE, "
+                "(w, doc_id) aggregation compacts windows to per-doc "
+                "multiplicities map-side, a w-partitioned count window "
+                "marks nd≥2 on the same shuffle layout, and the per-doc "
+                "rollup sums multiplicities — the duplicate-set branch, "
+                "its membership join and the second explode left the "
+                "plan.  Σk integers identical; oracle-exact at both "
+                "verification sfs.  7.56 → 6.05 s isolated."
+            )
+            for kind in (
+                "pinned_cond",
+                "pinned_agg",
+                "pinned_window",
+                "pinned_proj",
+            )
+        },
+        **{
+            ("pricing_consistency_audit", kind): (
+                _R18_OPT
+                + "Batch-2 rewrite (landed in commit 3c9fb3f; sweep "
+                "artifact lagged it — this entry closes the lag): the "
+                "three scalar percentile(ratio, q) aggregates became ONE "
+                "percentile(ratio, array(0.5, 0.01, 0.99)) buffer and a "
+                "finalizing projection reads the three quantiles from "
+                "the array — identical interpolation, identical doubles "
+                "(values equal: True).  12.38 → 2.96 s isolated."
+            )
+            for kind in ("pinned_agg", "pinned_proj")
+        },
         **{
             ("backfill_audit_table", kind): (
                 "ENTERED all four pinned expression-capture tiers by "

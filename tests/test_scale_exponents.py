@@ -265,16 +265,19 @@ def test_known_plane_ratios_in_artifact():
     assert meta["hi_rows"]["embeddings"] / meta["lo_rows"]["embeddings"] == 4.0
     art = _artifact()
     assert art["dedup_embedding_cosine"]["ratio"] == 4.0
-    # Quadratic-by-design positive control.  The threshold is 1.6, not
-    # 2.0: the lo-side reading carries the per-session fixed overhead
-    # (and at sf0.01 the all-pairs work is only a few seconds, so that
-    # overhead compresses the fit substantially — measured quiet-box
-    # alphas for this row span 1.71-2.00 across r15/r16 sweeps on
-    # unchanged code).  1.6 still separates the control cleanly from
-    # the largest material NON-baseline alpha on record (1.13): a
-    # control that "failed" to 1.13-land would mean the instrument
-    # stopped seeing quadratics, which is what this asserts against.
-    assert art["dedup_embedding_cosine"]["alpha"] > 1.6  # quadratic by design
+    # Quadratic-by-design positive control.  Since r18 the control is
+    # the Jaccard all-pairs baseline: the r18 optimization round cut
+    # the cosine baseline's per-pair constant ~9x (values
+    # bit-identical), leaving its fixture-scale readings
+    # overhead-bound (alpha ~0.9 — see ANALYTIC_SUPERLINEAR for the
+    # analytic record); the prefix-filter Jaccard baseline still does
+    # material quadratic work at both fixture scales.  The threshold
+    # is 1.3: its quiet-box alpha reads 1.4-1.5 (r16/r17 sweeps), and
+    # 1.3 still separates the control cleanly from the largest
+    # material NON-baseline alpha on record (1.13) — a control that
+    # "failed" to 1.13-land would mean the instrument stopped seeing
+    # quadratics, which is what this asserts against.
+    assert art["dedup_jaccard_prefix_filter"]["alpha"] > 1.3  # quadratic by design
 
 
 def test_artifact_meta_pins_mixed_constants():
