@@ -5694,23 +5694,28 @@ def _power_iterate(spark: SparkSession, cov: DataFrame, iters: int = 3) -> DataF
 )
 def embedding_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top PRINCIPAL COMPONENT by power iteration, fully relational: the
-    64×64 covariance matrix is one self-join aggregation over centered
-    (vec, dim, value) triples, then 3 fixed matvec+normalize rounds from
-    a uniform start — PCA's workhorse eigensolver expressed as joins, no
-    BLAS, every step DECIMAL-rounded so both engines walk the identical
-    trajectory (the k-means exactness discipline applied to linear
-    algebra).  Output: the 64 loadings plus the final Rayleigh norm (the
-    dominant eigenvalue estimate — the "explained variance" numerator).
+    64×64 covariance matrix is one dim-pair aggregation over row-locally
+    CENTERED vectors, then 3 fixed matvec+normalize rounds from a
+    uniform start — PCA's workhorse eigensolver expressed as relational
+    ops, no BLAS, every step DECIMAL-rounded so both engines walk the
+    identical trajectory (the k-means exactness discipline applied to
+    linear algebra).  Output: the 64 loadings plus the final Rayleigh
+    norm (the dominant eigenvalue estimate — the "explained variance"
+    numerator).
 
-    Scale: covariance is the only corpus-sized stage — (vec_id-keyed
-    self-join, dims² cells out, map-side partials); at 100 TB use the
-    registered Gram-matrix twin ``embedding_power_iteration_pc1_gram``
-    (Σxxᵀ/n − μμᵀ, ONE corpus scan, shuffle bounded at dims² rows per
-    task).  This exact centered form stays as the numerically-gentler
-    baseline (centered products avoid the Gram form's cancellation when
-    μ ≫ σ).  The iteration itself touches 64²-sized tables —
-    broadcast-trivial regardless of corpus.  More components = deflate
-    and repeat (or Lanczos)."""
+    Scale: two corpus scans (μ, then centered products), NO corpus-sized
+    shuffle — since r18 the centered products use the Gram twin's
+    map-side shape (broadcast μ array, row-local centering, dim-pair
+    explode collapsed by partial aggregation to 4096-row buffers per
+    task); before r18 this was a vec_id-keyed self-join that shuffled
+    the exploded corpus twice for the same bit-identical cells.  The
+    twin ``embedding_power_iteration_pc1_gram`` remains the ONE-scan
+    form (Σxxᵀ/n − μμᵀ); this exact centered form stays as the
+    numerically-gentler baseline (centered products avoid the Gram
+    form's cancellation when μ ≫ σ) and its oracle is unchanged.  The
+    iteration itself touches 64²-sized tables — broadcast-trivial
+    regardless of corpus.  More components = deflate and repeat (or
+    Lanczos)."""
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
@@ -5739,17 +5744,47 @@ def embedding_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame
         .localCheckpoint()
     )
     nv = mu.agg(F.max("n_vec").cast("double").alias("n_corpus"))
-    cent = e.join(F.broadcast(mu.select("pos", "mu")), "pos").select(
-        "vec_id", "pos", (F.col("v") - F.col("mu")).alias("cv")
+    # Covariance via the GRAM TWIN'S physical shape over CENTERED arrays
+    # (r18 optimization; guide §2.3/§2.4): μ rolls up into one 64-wide
+    # broadcast array, each vector centers ROW-LOCALLY
+    # (transform-with-index — the same (v - mu) double the old per-pos
+    # centering join produced), and the dim-pair double-posexplode feeds
+    # ONE (i, j) aggregate whose ×4096 fan-out never leaves the map side
+    # (4096-row partial buffers per task).  The old shape shuffled the
+    # whole exploded corpus TWICE through a vec_id self-join to form the
+    # same products.  Every per-(vec, i, j) term is round(cv_i·cv_j, 9)
+    # exactly as before and the DECIMAL(38,9) sum is exact and
+    # order-independent, so the covariance cells are bit-identical —
+    # oracle unchanged (verified at all three sfs).  19.3 → ~4 s sf0.1.
+    mu_row = mu.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mu"))),
+            lambda s: s.mu,
+        ).alias("mus")
     )
-    a, b = cent.alias("a"), cent.alias("b")
+    try:
+        n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        n_shuffle = spark.sparkContext.defaultParallelism
+    carr = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("arr"))
+        # spread the compact rows before the ×4096 explode — the gram
+        # twin's scale rationale verbatim (AQE-exempt explicit count).
+        .repartition(n_shuffle, "vec_id")
+        .crossJoin(F.broadcast(mu_row))
+        .select(
+            F.transform(
+                "arr", lambda x, i: x - F.element_at(F.col("mus"), i + 1)
+            ).alias("carr")
+        )
+    )
     cov = (
-        a.join(b, "vec_id")
-        .groupBy(F.col("a.pos").alias("i"), F.col("b.pos").alias("j"))
+        carr.select("carr", F.posexplode("carr").alias("i", "vi"))
+        .select("i", "vi", F.posexplode("carr").alias("j", "vj"))
+        .groupBy("i", "j")
         .agg(
-            F.sum(
-                F.round(F.col("a.cv") * F.col("b.cv"), 9).cast("decimal(38,9)")
-            )
+            F.sum(F.round(F.col("vi") * F.col("vj"), 9).cast("decimal(38,9)"))
             .cast("double")
             .alias("s")
         )
