@@ -5357,10 +5357,21 @@ def fuzzy_join_levenshtein_blocked(spark: SparkSession, sf_dir: str) -> DataFram
         "doc_id", "text", F.substring("text", 1, 16).alias("blk")
     )
     a, b = d.alias("a"), d.alias("b")
-    lev = F.levenshtein(F.col("a.text"), F.col("b.text"))
+    # Banded Levenshtein (r18, guide §1.2 per-task work): the 3-arg
+    # threshold form computes only the |i−j| ≤ k diagonal band and bails
+    # the moment every band cell exceeds k — O(k·n) per candidate pair
+    # instead of the full O(n²) matrix, returning -1 past the threshold
+    # and the EXACT distance within it.  Every emitted pair's lev_dist
+    # is the same exact distance as before (≤ 5 ⇔ banded ≥ 0), so the
+    # oracle is untouched.
+    lev = F.levenshtein(F.col("a.text"), F.col("b.text"), 5)
     return (
-        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .where(lev <= 5)
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (lev >= 0),
+        )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
@@ -5931,6 +5942,10 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = ch.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
     tot = cnt.groupBy("doc_id").agg(F.sum("c").alias("t"))
     p = F.col("c") / F.col("t").cast("double")
+    # r18 audit note: a per-doc window total (replacing tot + the join)
+    # was TRIED and measured 15% slower at sf0.1 — the doc-sized tot is
+    # a broadcast build here, so the join costs no exchange while the
+    # window pays a (doc, bg)-stream sort.  Kept as-is.
     return (
         cnt.join(tot, "doc_id")
         .groupBy("doc_id")
@@ -7496,34 +7511,41 @@ def chunking_content_defined(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc, the substring-window budget); chunk assembly is one
     doc-partitioned LEAD; chunk identity ships as md5, so the
     cross-corpus shuffle carries 32-byte keys, not text."""
-    pos = load(spark, sf_dir, "documents").select(
+    # Chunk assembly is ROW-LOCAL since r18 (guide §2.3/§2.4): the cut
+    # list for a document is already computed inside one row, so the
+    # next-cut lookup is an index into the same array — the old shape
+    # exploded the cuts, unioned the i=1 row, and ran distinct + a
+    # per-doc LEAD window, shuffling the FULL TEXT once per cut row
+    # through both exchanges ("shuffle keys and metadata instead of
+    # payloads").  The cut set is identical ({1} ∪ {content cuts > 1} —
+    # the old distinct existed only to drop a computed i=1 colliding
+    # with the union'd literal; filtering x > 1 at the source removes
+    # the same row earlier), the next-cut/final-bound arithmetic is the
+    # LEAD's coalesce verbatim, and the ≥16 filter and md5 are
+    # untouched, so the emitted (chunk_hash, chunk_len) multiset is
+    # unchanged.  Only 32-byte hashes + lengths reach the one remaining
+    # exchange.  The cuts array is staged behind a projection so the
+    # transform lambda doesn't recompute it per element (the _SHINGLES
+    # rule).
+    staged = load(spark, sf_dir, "documents").selectExpr(
         "doc_id",
         "text",
-        F.explode(
-            F.expr(
-                "filter(transform(sequence(1, length(text) - 7), i -> "
-                "IF(CAST(conv(substring(md5(substring(text, i, 8)), 1, 8), 16, 10)"
-                " AS BIGINT) % 64 = 0, i, -1)), x -> x > 0)"
-            )
-        ).alias("i"),
+        "concat(array(1), filter(transform(sequence(1, length(text) - 7), i -> "
+        "IF(CAST(conv(substring(md5(substring(text, i, 8)), 1, 8), 16, 10)"
+        " AS BIGINT) % 64 = 0, i, -1)), x -> x > 1)) AS cuts",
     )
-    cuts = pos.select("doc_id", "text", "i").unionAll(
-        load(spark, sf_dir, "documents").select(
-            "doc_id", "text", F.lit(1).alias("i")
-        )
-    ).distinct()
-    w = Window.partitionBy("doc_id").orderBy("i")
-    bounds = cuts.withColumn("nxt", F.lead("i").over(w))
-    chunk_end = F.coalesce(F.col("nxt"), F.length("text") + 1)
-    # substring with COLUMN offsets needs the SQL form (the F.substring
-    # builder only takes literal ints).
     chunks = (
-        bounds.withColumn("chunk_len", chunk_end - F.col("i"))
-        .where(F.col("chunk_len") >= 16)
+        staged.selectExpr(
+            "doc_id",
+            "text",
+            "explode(filter(transform(cuts, (c, ix) -> struct(c AS i, "
+            "coalesce(get(cuts, ix + 1), length(text) + 1) - c AS chunk_len)), "
+            "s -> s.chunk_len >= 16)) AS s",
+        )
         .selectExpr(
             "doc_id",
-            "md5(substring(text, i, chunk_len)) AS chunk_hash",
-            "chunk_len",
+            "md5(substring(text, s.i, s.chunk_len)) AS chunk_hash",
+            "s.chunk_len AS chunk_len",
         )
     )
     return (

@@ -282,6 +282,42 @@ ADJUDICATED: dict[int, dict[tuple[str, str], str]] = {
             )
             for kind in ("pinned_agg", "pinned_proj")
         },
+        ("stats_theil_sen_trend", "cond_composition"): (
+            _R18_OPT
+            + "Batch-5: `daily` is localCheckpoint-ed, so both pair-join "
+            "sides of the (b.d > a.d) BNLJ read the checkpoint RDD "
+            "instead of re-deriving the orders aggregation (sources "
+            "parquet→rdd; the .count() action stopped re-running the "
+            "aggregation too).  13.8 → ~4 s isolated."
+        ),
+        **{
+            ("stats_theil_sen_trend", kind): (
+                _R18_OPT
+                + "Batch-5: the median is now sort+rank — a global-order "
+                "row_number/count window and a min(CASE WHEN rk = "
+                "floor/ceil(pos)+1) aggregate reproducing "
+                "Percentile.getPercentile's interpolation VERBATIM "
+                "(A/B bit-equal at all three sfs) — because the exact "
+                "percentile buffer hashed ~2.9M mostly-unique doubles "
+                "per partial (10-16 s of the query's 13.8 s).  The "
+                "checkpoint also moved the datediff grouping captures "
+                "inside the checkpoint build."
+            )
+            for kind in ("pinned_cond", "pinned_agg", "pinned_window", "pinned_proj")
+        },
+        **{
+            ("fuzzy_join_levenshtein_blocked", kind): (
+                _R18_OPT
+                + "Batch-5: 3-arg banded levenshtein(a, b, 5) — computes "
+                "only the |i−j| ≤ 5 diagonal band (O(k·n) per candidate "
+                "pair instead of O(n²)) and returns the EXACT distance "
+                "within the threshold, so every emitted pair and "
+                "lev_dist is unchanged (A/B equal at sf0.01 + sf0.1); "
+                "the ≤5 filter became lev >= 0 in the join residual.  "
+                "7.5 → 0.8 s isolated."
+            )
+            for kind in ("pinned_cond", "pinned_proj")
+        },
         **{
             ("backfill_audit_table", kind): (
                 "ENTERED all four pinned expression-capture tiers by "

@@ -636,7 +636,11 @@ PLAN_PINS: dict[str, dict[str, int]] = {
     # this sf — zero parquet rescans of the payload.
     "multimodal_phash_dedup": {"scan_rdd": 4, "bhj": 4},
     "pricing_consistency_audit": {"scan_parquet": 2, "bhj": 1},
-    "stats_theil_sen_trend": {"scan_parquet": 1, "bnlj": 1},
+    # r18: daily is localCheckpoint-ed (scan_parquet -> scan_rdd, and the
+    # count action no longer re-derives the orders aggregation), so both
+    # pair-join sides read the checkpoint RDD; the median is sort+rank
+    # (no percentile buffer), same single BNLJ pair join.
+    "stats_theil_sen_trend": {"scan_rdd": 2, "bnlj": 1},
     # -- fourth tier (API_SURFACE, r17): the user-facing curation API
     #    compositions end-to-end.  The dedup APIs share one shape: one
     #    parquet payload scan, a localCheckpointed hash/signature stage
