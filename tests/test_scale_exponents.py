@@ -272,12 +272,15 @@ def test_known_plane_ratios_in_artifact():
     # overhead-bound (alpha ~0.9 — see ANALYTIC_SUPERLINEAR for the
     # analytic record); the prefix-filter Jaccard baseline still does
     # material quadratic work at both fixture scales.  The threshold
-    # is 1.3: its quiet-box alpha reads 1.4-1.5 (r16/r17 sweeps), and
-    # 1.3 still separates the control cleanly from the largest
+    # is 1.2: the measured alpha band across methodologies is
+    # 1.27-1.46 (r16/r17 full sweeps read 1.41-1.46; r18 measured the
+    # lo side at 4.7-9.8 s across cold/warm/noisy sessions — session
+    # fixed overhead on the ~5 s lo reading compresses the fit), and
+    # 1.2 still separates the control cleanly from the largest
     # material NON-baseline alpha on record (1.13) — a control that
     # "failed" to 1.13-land would mean the instrument stopped seeing
     # quadratics, which is what this asserts against.
-    assert art["dedup_jaccard_prefix_filter"]["alpha"] > 1.3  # quadratic by design
+    assert art["dedup_jaccard_prefix_filter"]["alpha"] > 1.2  # quadratic by design
 
 
 def test_artifact_meta_pins_mixed_constants():
