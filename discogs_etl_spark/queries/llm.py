@@ -207,7 +207,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     below is the 100 TB path, this one is the exact verifier."""
     docs = _with_shingles(load(spark, sf_dir, "documents"), "doc_id")
     sh = docs.select("doc_id", F.explode("shingles").alias("sh"))
-    m = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("m"))
+    # |shingle set| is the ARRAY SIZE — shingles is array_distinct'ed, so
+    # size(shingles) equals the old explode+count per doc exactly (docs
+    # with zero shingles gain an m row, but m is only ever inner-joined
+    # to pair docs, which by construction have >= 1 shingle).  Removes a
+    # full shingle re-explode + aggregation exchange per query (r18,
+    # guide §2.4); the doc-sized m side broadcasts as before.
+    m = docs.select("doc_id", F.size("shingles").cast("bigint").alias("m"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -4410,7 +4416,13 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter and MinHash escalations apply when posting lists explode."""
     docs = _with_shingles(load(spark, sf_dir, "documents"), "doc_id")
     sh = docs.select("doc_id", F.explode("shingles").alias("sh"))
-    m = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("m"))
+    # |shingle set| is the ARRAY SIZE — shingles is array_distinct'ed, so
+    # size(shingles) equals the old explode+count per doc exactly (docs
+    # with zero shingles gain an m row, but m is only ever inner-joined
+    # to pair docs, which by construction have >= 1 shingle).  Removes a
+    # full shingle re-explode + aggregation exchange per query (r18,
+    # guide §2.4); the doc-sized m side broadcasts as before.
+    m = docs.select("doc_id", F.size("shingles").cast("bigint").alias("m"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -7354,7 +7366,13 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     4-mark fan-out multiplies only the tiny scored-pair set."""
     docs = _with_shingles(load(spark, sf_dir, "documents"), "doc_id")
     sh = docs.select("doc_id", F.explode("shingles").alias("sh"))
-    m = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("m"))
+    # |shingle set| is the ARRAY SIZE — shingles is array_distinct'ed, so
+    # size(shingles) equals the old explode+count per doc exactly (docs
+    # with zero shingles gain an m row, but m is only ever inner-joined
+    # to pair docs, which by construction have >= 1 shingle).  Removes a
+    # full shingle re-explode + aggregation exchange per query (r18,
+    # guide §2.4); the doc-sized m side broadcasts as before.
+    m = docs.select("doc_id", F.size("shingles").cast("bigint").alias("m"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
