@@ -2,9 +2,14 @@
 """Headline-query benchmark.
 
 Runs the registry's bench set at ``$SPARK_GRAFT_SF_DIR`` (default
-/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
-line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``.  The LAST stdout
+line is the compact contract JSON: {"metric": ..., "value": total_sec,
+"unit": "sec", "queries": {name: sec}, "sf": ...} — sized to survive a
+2000-char stdout-tail capture.  A preceding detail line carries the
+per-query [min, med, max] spread, loadavg bracket and host fingerprint
+(same fields as before r19; they moved off the contract line because
+the driver's tail capture truncated the old single fat line mid-JSON
+and round-over-round perf comparison came back empty).
 
 Each query is forced through the noop sink (full computation of every
 output column, no collect/IO skew) after a shared warmup.
@@ -193,6 +198,35 @@ def main() -> None:
     _warmup(spark, sf_dir)
     timings, spread = _run_set(spark, sf_dir)
     total = round(sum(timings.values()), 3)
+    load_after = _loadavg()
+    # Two stdout lines, DETAIL FIRST and the compact contract line LAST.
+    # The r18 driver's 2000-char stdout-tail capture truncated the old
+    # single fat line mid-JSON (BENCH_r17 parsed: null, so PERF_r18 had
+    # n_common=0 and no round-over-round geomean).  The contract fields
+    # (metric/value/unit/queries/sf) are unchanged and all still on the
+    # final line — the variance/host evidence just moved one line up.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_detail",
+                # per-query sorted [min, med, max] of the 3 runs behind
+                # each best-of-3 number: the variance bar that separates
+                # run-to-run noise from a real plan regression
+                "spread_sec": spread,
+                # (1m, 5m, 15m) system load average before warmup and
+                # after the last query: readings with loadavg far above
+                # the bench's own parallelism are contention artifacts
+                "loadavg_before": load_before,
+                "loadavg_after": load_after,
+                # Hardware identity (r16 verdict task #3): round 16's
+                # quiet readings sat above the documented band purely
+                # from host drift (80 vs 32 reported CPUs) and the
+                # artifact couldn't prove it — now band comparisons can
+                # check the host first.
+                "host": host_fingerprint(),
+            }
+        )
+    )
     print(
         json.dumps(
             {
@@ -200,16 +234,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                # per-query sorted [min, med, max] of the 3 runs behind
-                # each best-of-3 number: the variance bar that separates
-                # run-to-run noise from a real plan regression
-                "spread_sec": spread,
                 "sf": _sf_from_dir(sf_dir),
-                # (1m, 5m, 15m) system load average before warmup and
-                # after the last query: readings with loadavg far above
-                # the bench's own parallelism are contention artifacts
-                "loadavg_before": load_before,
-                "loadavg_after": (load_after := _loadavg()),
                 # Self-flag contaminated readings (verdict r13 task #3):
                 # BENCH_r13 shipped a 25.30 s artifact captured at
                 # loadavg 2.6 and nothing in it said "don't trust this"
@@ -221,12 +246,6 @@ def main() -> None:
                 # not a level, and the round-close note must quote this
                 # field.
                 "load_contaminated": _contaminated(load_before, load_after),
-                # Hardware identity (r16 verdict task #3): round 16's
-                # quiet readings sat above the documented band purely
-                # from host drift (80 vs 32 reported CPUs) and the
-                # artifact couldn't prove it — now band comparisons can
-                # check the host first.
-                "host": host_fingerprint(),
             }
         )
     )

@@ -128,36 +128,32 @@ def _load_all() -> None:
 # driver-side correctness evidence (or changed since their last green row)
 # ahead of queries whose green rows already stand from a prior round.
 #
-# Round 18 rotation.  Basis (COMPUTED by scripts/evidence_audit.py over
+# Round 19 rotation.  Basis (COMPUTED by scripts/evidence_audit.py over
 # a FIXED round range — the note is stamped with the round it describes
 # so the suite stays green after later artifacts land;
 # tests/test_evidence_audit.py recomputes audit(max_round=as_of_round)
 # and asserts this line matches, and separately proves the comparison is
 # immune to a synthetic future-round artifact):
-#   evidence_audit as_of_round=17: registered=379 unique_checked=378 ever_green=378 \
-#     never_checked=1 net_new_last_round=4
-# The ledger closed at 378/378/378 in round 17 (the four curation API
-# queries registered there all went green on first check); the one
-# never-checked name is backfill_audit_table, REGISTERED THIS ROUND in
-# the commit that composed this window (r17 verdict task #5 — the
-# `backfill` CLI verb's composition end-to-end with a literal-pinned
-# checksum audit).  Policy unchanged: (a) mechanical re-window flags
-# lead (scripts/rewindow_check.py vs the r17-end rev 77241e0 — 5 flags
-# at composition time: the new query, plus the four phash/media names
-# dirtied by the r17-ADVICE consistency guard on phash_near_dup_pairs;
-# never-checked names first, the r16/r17 precedent); then (b)
+#   evidence_audit as_of_round=18: registered=379 unique_checked=379 ever_green=379 \
+#     never_checked=0 net_new_last_round=1
+# The ledger is fully closed: 379/379/379 after round 18
+# (backfill_audit_table, the one name never checked before r18, went
+# green on first check).  Policy unchanged: (a) mechanical re-window
+# flags lead (scripts/rewindow_check.py vs the r18-end rev 78e1ae9 —
+# ZERO flags at composition time: r18's late size(shingles) rewrite
+# landed BEFORE that rev, and this optimization round's own rewrites
+# land after composition, covered by the oracle gate + the targeted
+# scale-exponent refresh rather than window slots); then (b)
 # OLDEST-EVIDENCE-FIRST rotation — registered names ordered by
 # last-green round ascending (registration order among ties, printed by
 # `evidence_audit.py --stale-order` and filled by round_start.py).  The
-# fill LEADS with stream_hourly_error_rate (last green round 9 — the
-# single name the r17 9-flag block crowded out of the rotation, and the
-# name whose SLO breach test_endangered_names_are_in_current_window
-# flagged the moment CORRECTNESS_r17.json landed; r17 verdict task #1),
-# then continues through the round-10 cohort (agg_approx_distinct /
-# scalar_conditional_lineitem / agg_collect_sorted_genres /
-# subquery_exists_in / agg_boolean_countif / scalar_higher_order_arrays
-# / q12_priority_by_flag ...) and into the round-11 cohort from where
-# the r17 window stopped.
+# fill LEADS with the three names the r18 45-name fill stopped short of
+# (pandas_udf_vector_norm / applyinpandas_lang_stats /
+# retention_halflife_fit — exactly the trio
+# test_endangered_names_are_in_current_window flagged the moment
+# CORRECTNESS_r18.json landed), then continues through the round-11
+# cohort (window_lag_lead_gap / q6_forecast_revenue ...) and the
+# round-12 TPC-H backlog into the round-13 cohort.
 # Every name passes the local one-session driver replica
 # (tests/test_oracle.py) and the plain-session derisk_window.py sweep,
 # so rotation stays pure evidence collection.
@@ -184,81 +180,71 @@ def _load_all() -> None:
 # the round it is composed, forcing a conscious split or a documented
 # bound change rather than a silent SLO trip several rounds later.
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    # mechanical flag block (5, rewindow_check vs the r17-end rev
-    # 77241e0): backfill_audit_table LEADS (never-checked — registered
-    # this round as the r17 verdict task #5 closure: the `backfill`
-    # CLI verb's composition end-to-end, the one user-facing verb whose
-    # glue had only local tests; never-checked names sort to the
-    # stale-order head, the r16/r17 precedent), then the four
-    # phash/media names dirtied by the r17-ADVICE consistency guard on
-    # phash_near_dup_pairs (reject bucket_counts without max_bucket —
-    # the AST change re-windows every caller at executable granularity
-    # by design, byte-identical compositions or not).
-    "backfill_audit_table",
-    "multimodal_phash_dedup",
-    "multimodal_phash_capped_pairs",
-    "curation_dedup_media",
-    "curation_dedup_media_capped",
-    # oldest-evidence-first rotation fill (45 names): leads with
-    # stream_hourly_error_rate (last green round 9 — the single name
-    # r17's 9-flag block crowded out; the freshness SLO guard reddened
-    # on it when CORRECTNESS_r17.json landed), then the round-10
-    # cohort, then continues into the round-11 cohort from where the
-    # r17 window stopped.
-    "stream_hourly_error_rate",
-    "agg_approx_distinct",
-    "scalar_conditional_lineitem",
-    "agg_collect_sorted_genres",
-    "subquery_exists_in",
-    "agg_boolean_countif",
-    "scalar_higher_order_arrays",
-    "scalar_levenshtein_fuzzy",
-    "scalar_string_extended",
-    "scalar_null_semantics",
-    "q4_late_order_priority",
-    "q7_nation_trade_flows",
-    "q12_priority_by_flag",
-    "q14_promo_revenue_share",
-    "q19_disjunctive_predicates",
-    "asof_join_events",
-    "recsys_holdout_hitrate",
-    "dedup_exact",
-    "dedup_exact_hash",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "similarity_topk_bruteforce",
-    "similarity_ann_signlsh",
-    "dedup_embedding_bucketed",
-    "text_stats_by_lang",
-    "text_quality_score",
-    "text_token_count",
-    "text_fingerprint",
-    "lang_id_corpus",
-    "multimodal_binary_meta",
-    "sample_deterministic_split",
-    "text_normalize",
-    "sample_stratified_per_lang",
-    "embedding_centroid_by_label",
-    "embedding_l2_normalize",
-    "dedup_keep_best",
-    "ngram_bigram_counts",
-    "tfidf_top_terms",
-    "similarity_ann_recall",
-    "corpus_curate_pipeline",
-    "text_chunk_sliding",
-    "pack_sequences_by_budget",
-    "pack_sequences_sharded",
-    "embedding_power_iteration_pc1",
-    # ROUND-19 ROTATION NOTE: keep the post-backlog policy — refresh the
-    # audit line to as_of_round=18 and COVERAGE.md's evidence paragraph
-    # as the first commit, then compose the window with
-    # `python scripts/round_start.py <r18-end-rev>`: mechanical
+    # mechanical flag block: EMPTY this round (rewindow_check vs the
+    # r18-end rev 78e1ae9 printed zero flags at composition time — the
+    # late r18 size(shingles) rewrite is inside that rev).  The whole
+    # window is the oldest-evidence-first rotation fill (50 names):
+    # leads with the three names the r18 fill stopped short of
+    # (pandas_udf_vector_norm / applyinpandas_lang_stats /
+    # retention_halflife_fit — the SLO-endangered trio), then the
+    # round-11 cohort, the round-12 TPC-H backlog, and into round 13.
+    "pandas_udf_vector_norm",
+    "applyinpandas_lang_stats",
+    "retention_halflife_fit",
+    "window_lag_lead_gap",
+    "q6_forecast_revenue",
+    "window_distribution_funcs",
+    "window_sliding_range_events",
+    "scalar_datetime_extended",
+    "scalar_math_extended",
+    "agg_corr_exact",
+    "sort_nulls_ordering",
+    "range_join_bucketed",
+    "nested_struct_roundtrip",
+    "q8_market_share",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customer",
+    "q21_waiting_supplier",
+    "q22_global_sales_opportunity",
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q16_parts_supplier_count",
+    "q20_potential_promotion",
+    "join_skew_salted",
+    "asof_join_tolerance",
+    "events_retention_cohorts",
+    "window_running_distinct_users",
+    "graph_pagerank_coorder",
+    "activation_latency_percentiles",
+    "users_reactivation_rate",
+    "graph_modularity_lpa",
+    "lang_id_confusion",
+    "similarity_ivf_topk",
+    "text_repetition_score",
+    "dedup_ngram_crossdoc",
+    "decontaminate_eval_overlap",
+    "text_redact_pii",
+    "corpus_mix_sources",
+    "corpus_shuffle_shards",
+    "boilerplate_prefix_groups",
+    "bpe_learn_merges",
+    "embedding_power_iteration_pc1_gram",
+    "embedding_triplet_check",
+    "retrieval_rank_agreement",
+    "dedup_granularity_compare",
+    "events_harmonic_peak_hour",
+    "stream_stateful_user_stats",
+    # ROUND-20 ROTATION NOTE: keep the policy — refresh the audit line
+    # to as_of_round=19 and COVERAGE.md's evidence paragraph as the
+    # first commit, then compose the window with
+    # `python scripts/round_start.py <r19-end-rev>`: mechanical
     # re-window flags lead (never-checked names first), oldest-evidence
-    # -first rotation fills (after r18 lands green the stalest cohort
-    # continues from pandas_udf_vector_norm / applyinpandas_lang_stats
-    # / retention_halflife_fit onward — `python scripts/
-    # evidence_audit.py --stale-order` prints the basis).
+    # -first rotation fills (`python scripts/evidence_audit.py
+    # --stale-order` prints the basis).
     # tests/test_evidence_freshness.py reddens a skipped or
     # mis-composed rotation automatically.
 )

@@ -430,7 +430,41 @@ ADJUDICATED: dict[int, dict[tuple[str, str], str]] = {
                 "text_search_inverted_topk",
             )
         },
-    }
+    },
+    19: {
+        # The r18 end-of-round snapshot (78e1ae9) replaced the
+        # exact-jaccard denominator's explode+count with size(shingles)
+        # in dedup_ngram_jaccard/dedup_containment/dedup_threshold_sweep
+        # AFTER the last r18 sweep regen — the stale-artifact red tree
+        # the r18 verdict flagged as item 1.  PLANSWEEP_r19 captures the
+        # rewrite; these entries adjudicate it with fresh evidence:
+        # oracle-exact at sf0.001/0.01/0.1 re-verified THIS round
+        # (scripts/oracle_check.py, OPTIMIZATION_r19.md "Inherited
+        # state").  The m-side is semantically identical — shingles is
+        # array_distinct'ed so size(shingles) equals the old per-doc
+        # explode+count, and m only ever inner-joins pair docs (>= 1
+        # shingle by construction).
+        ("dedup_threshold_sweep", "cross_composition"): (
+            "size(shingles) rewrite: the scalar-marks cross's build "
+            "subtree lost the m-side explode+aggregation (Generate 4->2, "
+            "HashAggregate 6->2, ShuffleExchange 3->1); same sources, "
+            "same 4-row broadcast marks attach.  Oracle-exact at all "
+            "three fixture sfs (r19 re-verification)."
+        ),
+        **{
+            ("dedup_minhash_eval", kind): (
+                "size(shingles) rewrite propagating through the composed "
+                "exact-jaccard pipeline: the per-doc count aggregates "
+                "(agg:[doc_id]:[count(1)] x4) and their explode inputs "
+                "left the plan; the new captures are the direct "
+                "size(shingles) projections and the not-null filter now "
+                "wrapping the shingle expression instead of the "
+                "aggregated count.  Oracle-exact at all three fixture "
+                "sfs (r19 re-verification)."
+            )
+            for kind in ("pinned_cond", "pinned_agg", "pinned_proj")
+        },
+    },
 }
 
 # The flag kinds an ADJUDICATED entry may name (kept beside the dict so
