@@ -252,54 +252,157 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the exact-similarity-join scale fix the full inverted-index
     self-join lacks: the index drops every doc's frequent tail, so the
     hot-shingle posting lists that blow up the naive join (the weakness
-    dedup_ngram_jaccard documents) mostly never enter it.  Measured at
-    sf0.01: 3,300 candidate pairs vs 11,533 full-index — and the gap
-    widens with document length and corpus skew; MinHash LSH remains the
-    approximate alternative when even prefixes are too many.
+    dedup_ngram_jaccard documents) mostly never enter it.  MinHash LSH
+    remains the approximate alternative when even prefixes are too many.
+
+    r19 rewrite (182.8 -> ~8 s at sf0.1, values byte-identical —
+    oracle-exact at all three fixture sfs; OPTIMIZATION_r19.md):
+
+    * The old verify tail re-split and re-shingled BOTH texts per
+      candidate PAIR — at sf0.1 the synthetic corpus is adversarial for
+      prefix filtering (648k candidates from 5k docs, 256 true pairs),
+      so that was ~1.3M shingle-chain evaluations, 142 of the 183 s.
+      Shingle arrays are now computed ONCE per doc (a localCheckpoint
+      shared by the index build and the verify) and attached to pairs
+      by two doc-keyed joins (guide §2.3: move decisions to a
+      lightweight proxy, attach the heavy column once).
+    * PPJoin's other two exact filters now prune candidates before the
+      verify, in INTEGER form so t = 3/10 never touches a double
+      boundary: length (10*Lb >= 3*La and symmetric; J >= t requires
+      t*La <= Lb) and positional (13*(1 + min(La-pa, Lb-pb)) >=
+      3*(La+Lb); overlap from match positions (pa, pb) onward is at
+      most 1 + min of the remaining suffixes, and J >= t requires
+      overlap >= t/(1+t)*(La+Lb)).  648k -> 325k candidates, no false
+      negatives (both bounds are necessary conditions).
+    * The candidate self-join became posting-list pair generation: one
+      collect_list per prefix shingle + position-ordered in-list pairs,
+      so the window/frequency prefix pipeline runs ONCE, not once per
+      join side (guide §2.4; posting lists are doc-count bounded here,
+      see dedup_ngram_jaccard's scale note for the hot-shingle story).
+    * The scored pairs are localCheckpoint'ed (3 longs/row) before the
+      threshold filter: Catalyst otherwise pushes the filter into the
+      attach join's condition and evaluates the array_intersect TWICE
+      per candidate (condition + projection) — measured ~3 s of the
+      residual.
 
     Scale: global frequency is one shingle-keyed count; rare-first
-    ranking is a doc-partitioned window; the candidate join runs over
-    PREFIX postings only; verification re-shingles just the candidate
-    pairs (the MinHash pipeline's verify shape)."""
-    t = 0.3
+    ranking is a doc-partitioned window; candidates come from PREFIX
+    postings only; verification touches only candidate pairs."""
+    t = 0.3  # exact rational 3/10 — the integer filters below assume it
     raw = load(spark, sf_dir, "documents")
     docs = _with_shingles(raw, "doc_id")
-    ex = docs.select("doc_id", F.explode("shingles").alias("sh"))
+    sized = (
+        docs.select("doc_id", "shingles", F.size("shingles").alias("L"))
+        .where(F.col("L") > 0)
+        .localCheckpoint()
+    )
+    ex = sized.select("doc_id", "L", F.explode("shingles").alias("sh"))
     freq = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("gf"))
-    sizes = docs.select("doc_id", F.size("shingles").alias("L")).where(F.col("L") > 0)
     w = Window.partitionBy("doc_id").orderBy(F.asc("gf"), F.asc("sh"))
     prefix = (
         ex.join(freq, "sh")
         .withColumn("rn", F.row_number().over(w))
-        .join(sizes, "doc_id")
         .where(F.col("rn") <= F.col("L") - F.ceil(F.lit(t) * F.col("L")) + 1)
-        .select("doc_id", "sh")
+        .select("sh", F.struct("doc_id", "L", "rn").alias("p"))
     )
-    a, b = prefix.alias("a"), prefix.alias("b")
+    # posting-list pair generation: sort_array orders each list by
+    # doc_id (first struct field), so in-list (i, j>i) pairs satisfy
+    # doc_a < doc_b by construction
+    posts = (
+        prefix.groupBy("sh")
+        .agg(F.sort_array(F.collect_list("p")).alias("ps"))
+        .where(F.size("ps") >= 2)
+    )
     cand = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        posts.select(F.posexplode("ps").alias("i", "a"), "ps")
+        .select("a", F.explode(F.expr("slice(ps, i + 2, size(ps) - i - 1)")).alias("b"))
+        .where("10 * b.L >= 3 * a.L AND 10 * a.L >= 3 * b.L")
+        .where("13 * (1 + least(a.L - a.rn, b.L - b.rn)) >= 3 * (a.L + b.L)")
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    ta = raw.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("__ta"))
-    tb = raw.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("__tb"))
-    pairs = (
-        cand.join(ta, "doc_a")
-        .join(tb, "doc_b")
-        .selectExpr("doc_a", "doc_b", "split(__ta, ' ') AS wa", "split(__tb, ' ') AS wb")
-        .selectExpr(
-            "doc_a",
-            "doc_b",
-            _SHINGLES_SQL.format(w="wa") + " AS sha",
-            _SHINGLES_SQL.format(w="wb") + " AS shb",
-        )
-    )
+    sha = sized.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sha"))
+    shb = sized.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("shb"))
+    pairs = cand.join(F.broadcast(sha), "doc_a").join(F.broadcast(shb), "doc_b")
     n_common = F.size(F.array_intersect("sha", "shb"))
     jacc = F.round(
         n_common.cast("double") / (F.size("sha") + F.size("shb") - n_common), 6
     )
-    return pairs.select("doc_a", "doc_b", jacc.alias("jaccard")).where(
-        F.col("jaccard") >= t
+    scored = pairs.select("doc_a", "doc_b", jacc.alias("jaccard")).localCheckpoint()
+    return scored.where(F.col("jaccard") >= t)
+
+
+# Per-pair md5 chain depth for the exponent gate's positive control
+# below.  8 rounds puts the LO-sf reading well above the gate's 0.15 s
+# overhead-floor clamp and the measured alpha at ~1.55 (ratio ~8.5 over
+# the embeddings plane's 4x growth) — comfortably past the 1.35 flag
+# with margin, per the calibration measurements in OPTIMIZATION_r19.md.
+_GATE_CONTROL_MD5_ROUNDS = 8
+
+
+@register(
+    "gate_control_quadratic_join",
+    oracle=f"""
+        WITH p AS (
+            SELECT ('0x' || substr(
+                       {"md5(" * 8}a.vec_id || '|' || b.vec_id{")" * 8},
+                       1, 12))::BIGINT AS h
+            FROM embeddings a
+            JOIN embeddings b
+              ON (a.vec_id % 1) = (b.vec_id % 1) AND a.vec_id < b.vec_id
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(CASE WHEN h % 97 < 13 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_sampled,
+               CAST(SUM(h % 1000003) AS BIGINT) AS checksum
+        FROM p
+    """,
+    tags=("gate", "control", "quadratic", "instrument"),
+)
+def gate_control_quadratic_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE EXPONENT GATE'S QUADRATIC POSITIVE CONTROL — deliberately
+    super-linear; DO NOT OPTIMIZE.  scripts/scale_exponents.py's flag
+    threshold is only trustworthy while at least one registered query
+    provably trips it; this query exists to be that proof, replacing
+    dedup_jaccard_prefix_filter whose r19 rewrite (182.8 -> ~8 s)
+    dropped its measured alpha below the flag, exactly as the r18
+    cosine rewrite had de-flagged the previous control.
+
+    Shape: the gate's own documented blind-spot class — an EQUI-join
+    with an innocent plan whose MATCH cardinality grows as n² because
+    the key space is fixed (here the degenerate 1-bucket key
+    vec_id % 1; production spellings are status codes, tenant ids,
+    truncated hash buckets).  No nested loop, no cartesian — the plan
+    gates cannot see it; only measured growth can.  Per-pair work is a
+    fixture-pinned 8-round md5 chain over the pair ids, reduced to
+    three order-independent integer aggregates, so the result is
+    non-factorable (no marginal-sum shortcut exists) and every pair
+    must actually be enumerated and hashed.
+
+    Calibration (r19, min-of-5 quiet, local[32]): 0.76 s at sf0.01
+    (125k pairs) -> 6.5 s at sf0.1 (2M pairs), alpha ~1.55 against the
+    embeddings plane's 4x growth — above ALPHA_FLAG = 1.35 with ~0.2
+    margin, material at the high sf, above the overhead floor at the
+    low sf.  Any rewrite that accelerates this query defeats the
+    gate's calibration and reddens tests/test_scale_exponents.py's
+    stale-allowance check; the correct response to that red is a NEW
+    measured control, never a silent allowance edit."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", (F.col("vec_id") % F.lit(1)).alias("bkt")
+    )
+    a = e.select(F.col("vec_id").alias("ida"), "bkt")
+    b = e.select(F.col("vec_id").alias("idb"), "bkt")
+    pairs = a.join(b, "bkt").where(F.col("ida") < F.col("idb"))
+    s = F.concat(F.col("ida").cast("string"), F.lit("|"), F.col("idb").cast("string"))
+    for _ in range(_GATE_CONTROL_MD5_ROUNDS):
+        s = F.md5(s)
+    h = F.conv(F.substring(s, 1, 12), 16, 10).cast("long")
+    return pairs.select(h.alias("h")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when(F.col("h") % 97 < 13, 1).otherwise(0))
+        .cast("long")
+        .alias("n_sampled"),
+        F.sum(F.col("h") % 1000003).cast("long").alias("checksum"),
     )
 
 

@@ -134,16 +134,21 @@ def _load_all() -> None:
 # tests/test_evidence_audit.py recomputes audit(max_round=as_of_round)
 # and asserts this line matches, and separately proves the comparison is
 # immune to a synthetic future-round artifact):
-#   evidence_audit as_of_round=18: registered=379 unique_checked=379 ever_green=379 \
-#     never_checked=0 net_new_last_round=1
-# The ledger is fully closed: 379/379/379 after round 18
-# (backfill_audit_table, the one name never checked before r18, went
-# green on first check).  Policy unchanged: (a) mechanical re-window
-# flags lead (scripts/rewindow_check.py vs the r18-end rev 78e1ae9 —
-# ZERO flags at composition time: r18's late size(shingles) rewrite
-# landed BEFORE that rev, and this optimization round's own rewrites
-# land after composition, covered by the oracle gate + the targeted
-# scale-exponent refresh rather than window slots); then (b)
+#   evidence_audit as_of_round=18: registered=380 unique_checked=379 ever_green=379 \
+#     never_checked=1 net_new_last_round=1
+# The 379-name r18 ledger closed fully (backfill_audit_table, the one
+# name never checked before r18, went green on first check); the one
+# never-checked name on the 380-query registry is
+# gate_control_quadratic_join, REGISTERED THIS ROUND as the exponent
+# gate's dedicated quadratic positive control (the r19 prefix-filter
+# optimization de-flagged the previous control — see
+# scripts/scale_exponents.py SUPERLINEAR_BASELINES).  Policy unchanged:
+# (a) mechanical re-window flags lead (scripts/rewindow_check.py vs the
+# r18-end rev 78e1ae9 — ONE flag at composition time: the new control
+# query, never-checked names first, the r16-r18 precedent; this
+# optimization round's OTHER rewrites land after composition, covered
+# by the oracle gate + the targeted scale-exponent refresh rather than
+# window slots); then (b)
 # OLDEST-EVIDENCE-FIRST rotation — registered names ordered by
 # last-green round ascending (registration order among ties, printed by
 # `evidence_audit.py --stale-order` and filled by round_start.py).  The
@@ -180,14 +185,16 @@ def _load_all() -> None:
 # the round it is composed, forcing a conscious split or a documented
 # bound change rather than a silent SLO trip several rounds later.
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    # mechanical flag block: EMPTY this round (rewindow_check vs the
-    # r18-end rev 78e1ae9 printed zero flags at composition time — the
-    # late r18 size(shingles) rewrite is inside that rev).  The whole
-    # window is the oldest-evidence-first rotation fill (50 names):
-    # leads with the three names the r18 fill stopped short of
-    # (pandas_udf_vector_norm / applyinpandas_lang_stats /
-    # retention_halflife_fit — the SLO-endangered trio), then the
-    # round-11 cohort, the round-12 TPC-H backlog, and into round 13.
+    # mechanical flag block (1): gate_control_quadratic_join LEADS —
+    # registered this round as the exponent gate's dedicated quadratic
+    # positive control (never-checked names sort to the stale-order
+    # head, the r16-r18 precedent).  Then the oldest-evidence-first
+    # rotation fill (49 names): leads with the three names the r18
+    # fill stopped short of (pandas_udf_vector_norm /
+    # applyinpandas_lang_stats / retention_halflife_fit — the
+    # SLO-endangered trio), then the round-11 cohort, the round-12
+    # TPC-H backlog, and into round 13.
+    "gate_control_quadratic_join",
     "pandas_udf_vector_norm",
     "applyinpandas_lang_stats",
     "retention_halflife_fit",
@@ -237,7 +244,6 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "retrieval_rank_agreement",
     "dedup_granularity_compare",
     "events_harmonic_peak_hour",
-    "stream_stateful_user_stats",
     # ROUND-20 ROTATION NOTE: keep the policy — refresh the audit line
     # to as_of_round=19 and COVERAGE.md's evidence paragraph as the
     # first commit, then compose the window with

@@ -138,6 +138,47 @@ def main() -> int:
                 flush=True,
             )
 
+    # CALIBRATION CONTROLS are measured min-of-3, not single-run (r19).
+    # The scale-exponent gate's positive control must read its true
+    # compute at BOTH sfs or the fitted alpha rides cold-start noise:
+    # a single cold run adds ~1 s of codegen/JIT to the LO reading
+    # (measured: 1.77 s cold vs 0.76 s min-of-5 for
+    # gate_control_quadratic_join at sf0.01), which alone deflates a
+    # true alpha ~1.55 to ~0.94 — under the flag the control exists to
+    # trip, failing the stale-allowance test spuriously.  Same
+    # discipline as --baseline's verify re-run, applied to the names
+    # whose READINGS are load-bearing for the instrument itself; raw
+    # runs are persisted under ``_control_runs`` for audit.
+    se = _load_script("scale_exponents")
+    control_runs: dict[str, list[float]] = {}
+    for name in sorted(set(se.SUPERLINEAR_BASELINES) & set(specs)):
+        if res.get(name) is None:
+            continue
+        runs = [res[name]]
+        for _ in range(2):
+            t0 = time.perf_counter()
+            try:
+                specs[name].fn(spark, args.sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                runs.append(round(time.perf_counter() - t0, 3))
+            except Exception as ex:  # noqa: BLE001 — keep prior readings
+                print(
+                    f"CONTROL {name}: re-run ERROR {type(ex).__name__} — "
+                    f"keeping {min(runs):.2f}s",
+                    flush=True,
+                )
+                break
+        control_runs[name] = runs
+        res[name] = min(runs)
+        print(
+            f"CONTROL {name}: runs {['%.2f' % r for r in runs]} "
+            f"(recording min {res[name]:.2f}s)",
+            flush=True,
+        )
+    if control_runs:
+        res["_control_runs"] = control_runs
+
     if args.baseline:
         import importlib.util
 

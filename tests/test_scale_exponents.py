@@ -265,22 +265,25 @@ def test_known_plane_ratios_in_artifact():
     assert meta["hi_rows"]["embeddings"] / meta["lo_rows"]["embeddings"] == 4.0
     art = _artifact()
     assert art["dedup_embedding_cosine"]["ratio"] == 4.0
-    # Quadratic-by-design positive control.  Since r18 the control is
-    # the Jaccard all-pairs baseline: the r18 optimization round cut
-    # the cosine baseline's per-pair constant ~9x (values
-    # bit-identical), leaving its fixture-scale readings
-    # overhead-bound (alpha ~0.9 — see ANALYTIC_SUPERLINEAR for the
-    # analytic record); the prefix-filter Jaccard baseline still does
-    # material quadratic work at both fixture scales.  The threshold
-    # is 1.2: the measured alpha band across methodologies is
-    # 1.27-1.46 (r16/r17 full sweeps read 1.41-1.46; r18 measured the
-    # lo side at 4.7-9.8 s across cold/warm/noisy sessions — session
-    # fixed overhead on the ~5 s lo reading compresses the fit), and
-    # 1.2 still separates the control cleanly from the largest
-    # material NON-baseline alpha on record (1.13) — a control that
-    # "failed" to 1.13-land would mean the instrument stopped seeing
+    # Quadratic-by-design positive control.  Since r19 the control is
+    # the DEDICATED instrument gate_control_quadratic_join: both
+    # previous controls were real baselines whose constant-factor
+    # rewrites de-flagged them (r18 cut the cosine per-pair constant
+    # ~9x, artifact alpha 1.207; r19 cut the prefix-filter verify
+    # 182.8 -> ~8 s, its candidate growth is still super-quadratic but
+    # the measured alpha fell under the flag — both recorded in
+    # ANALYTIC_SUPERLINEAR).  The dedicated control has no production
+    # purpose to optimize for: a fixed-bucket-space equi-join over
+    # embeddings (n(n-1)/2 matches from an innocent plan — the gate's
+    # blind-spot class) with a fixture-pinned 8-round md5 chain per
+    # pair.  Calibrated alpha ~1.55 (min-of-5, r19); the assertion
+    # threshold is 1.35 (= ALPHA_FLAG: the allowance test already
+    # requires class "superlinear", this pins the margin story), which
+    # separates the control cleanly from the largest material
+    # NON-baseline alpha on record (1.21) — a control that "failed"
+    # toward that band would mean the instrument stopped seeing
     # quadratics, which is what this asserts against.
-    assert art["dedup_jaccard_prefix_filter"]["alpha"] > 1.2  # quadratic by design
+    assert art["gate_control_quadratic_join"]["alpha"] > 1.35  # quadratic by design
 
 
 def test_artifact_meta_pins_mixed_constants():
