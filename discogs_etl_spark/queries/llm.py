@@ -76,6 +76,41 @@ def _with_shingles(df: DataFrame, *keep: str) -> DataFrame:
     )
 
 
+def _posting_pair_counts(sh: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, n_common) pair counts from an exploded
+    ``(doc_id, sh)`` posting stream — the shared core of the exact
+    set-similarity family (Jaccard, containment, threshold sweep and
+    their compositions).
+
+    r19 shape (guide §2.4): ONE collect_list per shingle key plus
+    in-list pair emission, replacing the exploded self-join
+    (``a JOIN b ON a.sh = b.sh AND a.doc_id < b.doc_id``).  The old
+    join exchanged/sorted or hash-built the SAME exploded subtree
+    twice and re-ran the shingle computation per side; this builds it
+    once and emits pairs map-side off the grouped lists.  Equivalence:
+    each posting list holds a doc at most once (shingles are
+    array_distinct'ed), ``sort_array`` orders by doc_id, and (i, j>i)
+    in-list emission yields exactly one (doc_a < doc_b) row per shared
+    shingle — the identical multiset the join's groupBy counted.
+    Measured 3.05 -> 1.93 s at sf0.1 for the bare pipeline.  Scale:
+    a hot shingle's posting list is the same hot key the self-join
+    had; the prefix-filter/MinHash variants remain the 100 TB paths."""
+    posts = (
+        sh.groupBy("sh")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .where(F.size("ds") >= 2)
+    )
+    return (
+        posts.select(F.posexplode("ds").alias("i", "doc_a"), "ds")
+        .select(
+            "doc_a",
+            F.explode(F.expr("slice(ds, i + 2, size(ds) - i - 1)")).alias("doc_b"),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+
+
 _SQL_WORDS = "string_split(text, ' ')"
 _SQL_TRIGRAMS = (
     "list_distinct(list_transform("
@@ -201,10 +236,18 @@ _NGRAM_ORACLE = f"""
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by exact word-3-gram Jaccard ≥ 0.3.
 
-    Candidate pairs come from an inverted-index self-join on shingles (only
-    docs sharing a shingle are compared — never a cross join).  Scale: the
-    shingle join explodes on very common shingles; the MinHash variant
-    below is the 100 TB path, this one is the exact verifier."""
+    Candidate pairs come from an inverted index on shingles (only docs
+    sharing a shingle are compared — never a cross join).  r19: the
+    index is consumed as POSTING LISTS (one collect_list per shingle +
+    in-list position-ordered pair emission) instead of an exploded
+    self-join — the shingle subtree builds ONCE instead of twice, and
+    the build-a-hash-relation/probe machinery of the self-join is gone;
+    per-pair emission and the (doc_a, doc_b) count are unchanged, so
+    n_common is the identical multiset (oracle-exact at all three
+    fixture sfs; guide §2.4, OPTIMIZATION_r19.md).  Scale: posting
+    lists blow up on very common shingles exactly where the old join's
+    hot keys did; the prefix-filter variant and the MinHash variant
+    below are the 100 TB paths, this one is the exact verifier."""
     docs = _with_shingles(load(spark, sf_dir, "documents"), "doc_id")
     sh = docs.select("doc_id", F.explode("shingles").alias("sh"))
     # |shingle set| is the ARRAY SIZE — shingles is array_distinct'ed, so
@@ -214,15 +257,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # full shingle re-explode + aggregation exchange per query (r18,
     # guide §2.4); the doc-sized m side broadcasts as before.
     m = docs.select("doc_id", F.size("shingles").cast("bigint").alias("m"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    inter = _posting_pair_counts(sh)
     ma = m.select(F.col("doc_id").alias("doc_a"), F.col("m").alias("m_a"))
     mb = m.select(F.col("doc_id").alias("doc_b"), F.col("m").alias("m_b"))
     jacc = F.col("n_common").cast("double") / (
@@ -4513,8 +4548,9 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     so this is the operator that catches quote/excerpt/subset duplication
     that dedup_ngram_jaccard structurally cannot.
 
-    Scale: identical shape to the Jaccard join — inverted-index shingle
-    self-join (docs must share a shingle; never a cross join) feeding one
+    Scale: identical shape to the Jaccard pipeline — inverted-index
+    posting lists (docs must share a shingle; never a cross join,
+    r19 posting-pair form — see _posting_pair_counts) feeding one
     (doc_a, doc_b) count, sizes joined back per side.  The same prefix-
     filter and MinHash escalations apply when posting lists explode."""
     docs = _with_shingles(load(spark, sf_dir, "documents"), "doc_id")
@@ -4526,15 +4562,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # full shingle re-explode + aggregation exchange per query (r18,
     # guide §2.4); the doc-sized m side broadcasts as before.
     m = docs.select("doc_id", F.size("shingles").cast("bigint").alias("m"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    inter = _posting_pair_counts(sh)
     ma = m.select(F.col("doc_id").alias("doc_a"), F.col("m").alias("m_a"))
     mb = m.select(F.col("doc_id").alias("doc_b"), F.col("m").alias("m_b"))
     cont = F.col("n_common").cast("double") / F.least("m_a", "m_b")
@@ -7465,8 +7493,9 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     Computing each threshold separately would re-run the self-join four
     times; scoring once and bucketing is the whole trick.
 
-    Scale: the pair scoring is the standard shingle self-join; the
-    4-mark fan-out multiplies only the tiny scored-pair set."""
+    Scale: the pair scoring is the standard shingle posting-pair
+    pipeline (r19 form — see _posting_pair_counts); the 4-mark fan-out
+    multiplies only the tiny scored-pair set."""
     docs = _with_shingles(load(spark, sf_dir, "documents"), "doc_id")
     sh = docs.select("doc_id", F.explode("shingles").alias("sh"))
     # |shingle set| is the ARRAY SIZE — shingles is array_distinct'ed, so
@@ -7476,12 +7505,7 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # full shingle re-explode + aggregation exchange per query (r18,
     # guide §2.4); the doc-sized m side broadcasts as before.
     m = docs.select("doc_id", F.size("shingles").cast("bigint").alias("m"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    inter = _posting_pair_counts(sh)
     jp = (
         inter.join(m.select(F.col("doc_id").alias("doc_a"), F.col("m").alias("ma")), "doc_a")
         .join(m.select(F.col("doc_id").alias("doc_b"), F.col("m").alias("mb")), "doc_b")

@@ -432,37 +432,49 @@ ADJUDICATED: dict[int, dict[tuple[str, str], str]] = {
         },
     },
     19: {
-        # The r18 end-of-round snapshot (78e1ae9) replaced the
-        # exact-jaccard denominator's explode+count with size(shingles)
-        # in dedup_ngram_jaccard/dedup_containment/dedup_threshold_sweep
-        # AFTER the last r18 sweep regen — the stale-artifact red tree
-        # the r18 verdict flagged as item 1.  PLANSWEEP_r19 captures the
-        # rewrite; these entries adjudicate it with fresh evidence:
+        # TWO adjudicated rewrites share these (name, kind) slots this
+        # round, both in the exact set-similarity family
+        # (dedup_ngram_jaccard / dedup_containment /
+        # dedup_threshold_sweep and their compositions), both
         # oracle-exact at sf0.001/0.01/0.1 re-verified THIS round
-        # (scripts/oracle_check.py, OPTIMIZATION_r19.md "Inherited
-        # state").  The m-side is semantically identical — shingles is
-        # array_distinct'ed so size(shingles) equals the old per-doc
-        # explode+count, and m only ever inner-joins pair docs (>= 1
-        # shingle by construction).
+        # (scripts/oracle_check.py, OPTIMIZATION_r19.md):
+        # (1) the INHERITED r18 end-of-round size(shingles) rewrite
+        #     (78e1ae9, landed after the last r18 sweep regen — the
+        #     stale-artifact red tree the r18 verdict flagged as item
+        #     1): the m-side per-doc explode+count became
+        #     size(shingles), identical because shingles is
+        #     array_distinct'ed and m only ever inner-joins pair docs.
+        # (2) the r19 posting-pair rewrite (_posting_pair_counts): the
+        #     exploded shingle SELF-JOIN (a.sh = b.sh AND doc_id <
+        #     doc_id) became one collect_list per shingle + in-list
+        #     position-ordered pair emission — the shingle subtree
+        #     builds once, the join machinery leaves the plan, and the
+        #     (doc_a, doc_b) count consumes map-side-emitted pairs.
+        #     n_common is the identical multiset (sorted lists, i<j
+        #     emission).
         ("dedup_threshold_sweep", "cross_composition"): (
-            "size(shingles) rewrite: the scalar-marks cross's build "
-            "subtree lost the m-side explode+aggregation (Generate 4->2, "
-            "HashAggregate 6->2, ShuffleExchange 3->1); same sources, "
-            "same 4-row broadcast marks attach.  Oracle-exact at all "
-            "three fixture sfs (r19 re-verification)."
+            "size(shingles) + posting-pair rewrites: the scalar-marks "
+            "cross's build subtree lost the m-side explode+aggregation "
+            "and the shingle self-join (one documents-scan subtree and "
+            "an ObjectHashAggregate posting-list pass instead of two "
+            "scans feeding a hash join); same sources, same 4-row "
+            "broadcast marks attach.  Oracle-exact at all three "
+            "fixture sfs (r19 re-verification); 7.17 -> 3.64 s at "
+            "sf0.1."
         ),
         **{
             ("dedup_minhash_eval", kind): (
-                "size(shingles) rewrite propagating through the composed "
-                "exact-jaccard pipeline: the per-doc count aggregates "
-                "(agg:[doc_id]:[count(1)] x4) and their explode inputs "
-                "left the plan; the new captures are the direct "
-                "size(shingles) projections and the not-null filter now "
-                "wrapping the shingle expression instead of the "
-                "aggregated count.  Oracle-exact at all three fixture "
-                "sfs (r19 re-verification)."
+                "size(shingles) + posting-pair rewrites propagating "
+                "through the composed exact-jaccard pipeline: the "
+                "per-doc count aggregates (agg:[doc_id]:[count(1)] x4) "
+                "and the self-join's duplicated explode inputs left "
+                "the plan; the new captures are the direct "
+                "size(shingles) projections, the posting-list "
+                "collect_list aggregate and its posexplode/slice pair "
+                "emission.  Oracle-exact at all three fixture sfs "
+                "(r19 re-verification); 4.88 -> 4.41 s at sf0.1."
             )
-            for kind in ("pinned_cond", "pinned_agg", "pinned_proj")
+            for kind in ("pinned_cond", "pinned_agg", "pinned_proj", "pinned_window")
         },
     },
 }
