@@ -272,7 +272,11 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_returnflag", "l_partkey")
         .distinct()
     )
-    exact = F.count(F.lit(1))
+    # count(l_partkey), not count(*): a (flag, NULL) pair would survive
+    # the distinct but was excluded by the pre-r18 countDistinct — the
+    # null-skipping count keeps the old semantics for free instead of
+    # leaning on the fixtures never carrying a NULL partkey (r18 ADVICE).
+    exact = F.count("l_partkey")
     approx = F.approx_count_distinct("l_partkey", rsd=0.01)
     return dist.groupBy("l_returnflag").agg(
         exact.alias("exact_parts"),

@@ -119,10 +119,48 @@ _SQL_TRIGRAMS = (
 )
 
 
-# Fixture embedding width (TESTDATA.md: fixed 64-wide vectors; the
-# power-iteration start vector and the Matryoshka slices already assume
-# it).  Passing it to _dot/_cosine unrolls the fold — see _dot.
+# Fixture embedding width (all three fixture sets carry uniformly
+# 64-wide vectors; the power-iteration start vector and the Matryoshka
+# slices already assume it).  Passing it to _dot/_cosine unrolls the
+# fold — see _dot.  Unrolled-dot call sites must take the width from
+# _checked_emb_dim, never this constant directly: a[i] past the true
+# array length is NULL, which propagates through the cosine and
+# SILENTLY DROPS pairs from the join — a narrower regenerated fixture
+# must fail loudly instead (r18 ADVICE).
 _EMB_DIM = 64
+
+_EMB_DIM_CHECKED: dict[tuple[str, str], int] = {}
+
+
+def _checked_emb_dim(spark: SparkSession, sf_dir: str) -> int:
+    """``_EMB_DIM``, runtime-asserted against the actual embeddings
+    table once per (session, sf_dir) — one min/max(size) aggregate over
+    the id-and-width projection (footer-cheap), memoized like
+    session_memo's caches.  Raises if ANY vector's width differs, so
+    the unrolled fold can never silently NULL out pairs."""
+    app = spark.sparkContext.applicationId
+    for k in [k for k in _EMB_DIM_CHECKED if k[0] != app]:
+        del _EMB_DIM_CHECKED[k]
+    key = (app, sf_dir)
+    if key not in _EMB_DIM_CHECKED:
+        row = (
+            load(spark, sf_dir, "embeddings")
+            .agg(
+                F.min(F.size("embedding")).alias("lo"),
+                F.max(F.size("embedding")).alias("hi"),
+            )
+            .first()
+        )
+        if row.lo != _EMB_DIM or row.hi != _EMB_DIM:
+            raise ValueError(
+                f"embeddings at {sf_dir} carry widths "
+                f"[{row.lo}, {row.hi}] but the unrolled dot product is "
+                f"compiled for fixed width {_EMB_DIM}; regenerate the "
+                "fixture at that width or update _EMB_DIM — out-of-"
+                "bounds indexing would silently drop pairs, not error"
+            )
+        _EMB_DIM_CHECKED[key] = _EMB_DIM
+    return _EMB_DIM
 
 
 def _dot(a: Column, b: Column, w: int | None = None) -> Column:
@@ -959,13 +997,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # - unrolled dot (see _dot) + the hugeMethodLimit fallback keep the
     #   pair predicate JIT-compiled.  75 -> ~10 s at sf0.1.
     emb = load(spark, sf_dir, "embeddings")
+    w = _checked_emb_dim(spark, sf_dir)
     a = emb.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").cast("array<double>").alias("ea")
-    ).withColumn("na", F.sqrt(_dot(F.col("ea"), F.col("ea"), _EMB_DIM)))
+    ).withColumn("na", F.sqrt(_dot(F.col("ea"), F.col("ea"), w)))
     b = emb.select(
         F.col("vec_id").alias("vec_b"), F.col("embedding").cast("array<double>").alias("eb")
-    ).withColumn("nb", F.sqrt(_dot(F.col("eb"), F.col("eb"), _EMB_DIM)))
-    cos = _dot(F.col("ea"), F.col("eb"), _EMB_DIM) / (F.col("na") * F.col("nb"))
+    ).withColumn("nb", F.sqrt(_dot(F.col("eb"), F.col("eb"), w)))
+    cos = _dot(F.col("ea"), F.col("eb"), w) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, (F.col("vec_a") < F.col("vec_b")) & (cos >= 0.42))
         .select("vec_a", "vec_b", F.round(cos, 6).alias("cos"))
@@ -5064,9 +5103,10 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both pair sides), the cheap conjuncts lead, the dot is unrolled —
     # bit-identical cosine doubles, ~3x less per-pair arithmetic in the
     # O(Σ cluster²) stage that dominates this query.
+    w = _checked_emb_dim(spark, sf_dir)
     v = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    ).withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"), _EMB_DIM)))
+    ).withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"), w)))
     x = asn.join(v, "vec_id").select(
         F.col("vec_id").alias("vec_a"), "cluster", F.col("v").alias("va"),
         F.col("nrm").alias("nra"),
@@ -5075,7 +5115,7 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("vec_b"), F.col("cluster").alias("cl_b"),
         F.col("v").alias("vb"), F.col("nrm").alias("nrb"),
     )
-    cos = _dot(F.col("va"), F.col("vb"), _EMB_DIM) / (F.col("nra") * F.col("nrb"))
+    cos = _dot(F.col("va"), F.col("vb"), w) / (F.col("nra") * F.col("nrb"))
     return (
         x.join(
             y,

@@ -1961,6 +1961,13 @@ def stats_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Bound on the calendar span the single-task sort-rank median accepts
+# (see the guard inside stats_theil_sen_trend): 10k distinct days ≈ 27
+# years ≈ 50M pairwise slopes ≈ 400 MB through one window task — the
+# last size where "one global sort task" is still a sane plan.
+_THEIL_SEN_MAX_DAYS = 10_000
+
+
 @register(
     "stats_theil_sen_trend",
     oracle="""
@@ -2012,6 +2019,27 @@ def stats_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     n_days = daily.count()
+    # GUARD on the single-task sort (r19, verdict task #7): the r18
+    # sort-rank median funnels all n_days²/2 slopes through ONE global
+    # window task.  That is the right trade at the calendar scales this
+    # query documents (2.4k days ≈ 3M slopes ≈ 24 MB, ~1 s), but a
+    # deployment pointing it at a much longer series would silently
+    # single-thread an O(n_days²) sort.  n_days is already on the
+    # driver for the output column, so the bound costs nothing: past
+    # _THEIL_SEN_MAX_DAYS (50M slopes, ~400 MB through one task) the
+    # query refuses loudly and names the remedies rather than
+    # degrading quietly.
+    if n_days > _THEIL_SEN_MAX_DAYS:
+        raise ValueError(
+            f"stats_theil_sen_trend: {n_days} distinct days would push "
+            f"~{n_days * (n_days - 1) // 2:,} pairwise slopes through the "
+            "single-task global median sort (bound: "
+            f"{_THEIL_SEN_MAX_DAYS} days / "
+            f"{_THEIL_SEN_MAX_DAYS * (_THEIL_SEN_MAX_DAYS - 1) // 2:,} "
+            "slopes).  For longer series use an O(n log n) Theil-Sen "
+            "refinement or a deterministic pair sample, or raise the "
+            "bound deliberately after sizing the window task's memory."
+        )
     a, b = daily.alias("a"), daily.alias("b")
     slopes = a.join(b, F.col("b.d") > F.col("a.d")).select(
         ((F.col("b.rev") - F.col("a.rev")) / (F.col("b.d") - F.col("a.d"))).alias(

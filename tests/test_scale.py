@@ -106,3 +106,26 @@ def test_incremental_dedup_ingest(spark, tmp_path):
     n3 = incremental_dedup_ingest(spark, b2, idx)
     assert n3.count() == 0  # idempotent re-run
     assert spark.read.parquet(idx).count() == 4  # alpha beta gamma delta
+
+
+def test_theil_sen_day_bound_guard(spark, monkeypatch):
+    """stats_theil_sen_trend's sort-rank median funnels n_days^2/2
+    slopes through ONE global window task; the r19 guard refuses past
+    _THEIL_SEN_MAX_DAYS with an actionable message instead of silently
+    single-threading an O(n^2) sort (r18 verdict task #7).  The real
+    bound (10k days) comfortably clears every fixture (max ~2.4k days
+    at sf0.1), pinned here so tightening it below fixture scale — or
+    deleting the guard — reddens."""
+    import pytest
+
+    from discogs_etl_spark.queries import stats
+    from tests.conftest import SF_SMOKE
+
+    # fixture day counts sit far inside the real bound
+    assert stats._THEIL_SEN_MAX_DAYS == 10_000
+    df = stats.stats_theil_sen_trend(spark, SF_SMOKE)  # builds fine
+    assert df.columns == ["n_days", "n_pairs", "sen_slope"]
+
+    monkeypatch.setattr(stats, "_THEIL_SEN_MAX_DAYS", 1)
+    with pytest.raises(ValueError, match="pairwise slopes through the"):
+        stats.stats_theil_sen_trend(spark, SF_SMOKE)
