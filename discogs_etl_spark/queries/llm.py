@@ -1802,15 +1802,26 @@ _CC_ORACLE = f"""
 _PAIR_GRAPH_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
-def minhash_pair_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_scored_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The memoized pair graph WITH its verified jaccard scores — the
+    r19 widening that lets score-consuming pipelines (medoid distances,
+    the minhash-vs-exact eval) share the one materialized signature
+    pass instead of re-running it (~2.5 s each at sf0.1).  Three
+    columns checkpoint as cheaply as two; edge-only consumers go
+    through minhash_pair_graph's projection so their shapes are
+    unchanged."""
     from discogs_etl_spark.queries._util import session_memo
 
     return session_memo(
         _PAIR_GRAPH_CACHE,
         spark,
         sf_dir,
-        lambda: dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b"),
+        lambda: dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b", "jaccard"),
     )
+
+
+def minhash_pair_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_scored_graph(spark, sf_dir).select("doc_a", "doc_b")
 
 
 @register(
@@ -1915,7 +1926,18 @@ def similarity_ivf_topk_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: fit() sees a sample-sized problem (centroids are k x dim);
     transform is a broadcast of k centroids + map-side argmin.  The
     candidate join shuffles on list_id — at nlist=sqrt(N) the expected
-    candidate set per query is sqrt(N), the classic IVF operating point."""
+    candidate set per query is sqrt(N), the classic IVF operating point.
+
+    Deliberately NOT optimized (r19 audit): ~4-6 s of this query's wall
+    is KMeans.fit's Breeze/RDD path, which is the point — this is the
+    engine's pyspark.ml API-surface exerciser, and the fitted model is
+    RESULT-PINNED (seed=42; swapping in the broadcast-argmin Lloyd from
+    curation.cluster_corpus would change the seeding and therefore the
+    emitted rows).  In-run centroid caching has nothing to share: the
+    fit runs once per build and similarity_ivf_topk is its only
+    consumer.  The exact-arithmetic similarity family (bruteforce /
+    signlsh / bucketed) is where similarity-search optimization work
+    lands."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -5438,7 +5460,11 @@ def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = dedup_ngram_jaccard(spark, sf_dir).select(
         "doc_a", "doc_b", F.lit(1).alias("__ex")
     )
-    mh = dedup_minhash_lsh(spark, sf_dir).select(
+    # r19: the minhash side reads the shared per-session pair-graph
+    # checkpoint (minhash_pair_graph — the same materialization the CC
+    # family consumes) instead of re-running the signature pipeline;
+    # the evaluated pair SET is identical by construction.
+    mh = minhash_pair_graph(spark, sf_dir).select(
         "doc_a", "doc_b", F.lit(1).alias("__mh")
     )
     both = F.count(F.when(F.col("__ex").isNotNull() & F.col("__mh").isNotNull(), 1))
@@ -6190,6 +6216,11 @@ def dedup_doc_duplication_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-doc rollup sums the multiplicities — window generation runs
     # once and the membership join is gone.  n_windows = Σk and
     # n_dup = Σk over nd≥2 windows are the identical integers.
+    # r19 audit: the posting-list form (one groupBy(w) collect_list, as
+    # in _posting_pair_counts) was A/B'd here and REVERTED — with k≈1
+    # the groups are 1.3M mostly-singletons, and per-group array
+    # allocation measured 4.1 -> 5.3 s, slower than the (w, doc_id)
+    # hash aggregate it would replace.
     winds = (
         load(spark, sf_dir, "documents")
         .where(F.length("text") >= 48)
@@ -6981,7 +7012,12 @@ def dedup_medoid_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     directions, pair-set-sized); per-doc sums and the per-component
     argmin window shuffle on component keys."""
     cc = dedup_connected_components(spark, sf_dir).localCheckpoint()
-    px = dedup_minhash_lsh(spark, sf_dir)
+    # r19: the scored graph comes from the shared per-session
+    # materialization (minhash_scored_graph) instead of re-running the
+    # whole signature pipeline — this query already consumed that
+    # checkpoint through dedup_connected_components, so the second
+    # full MinHash build (~2.5 s at sf0.1) bought nothing.
+    px = minhash_scored_graph(spark, sf_dir)
     dist = px.select(
         F.col("doc_a").alias("doc_id"), F.round(1 - F.col("jaccard"), 6).alias("d")
     ).unionAll(
@@ -8260,9 +8296,11 @@ def dedup_granularity_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     signal, not a token share; corpus_effective_tokens prices that.
 
     Scale: three independent hash-distinct aggregations, each the
-    already-shaped pipeline of its granularity; md5 keys keep every
-    shuffle 32 bytes wide.  A granularity with zero units (empty corpus,
-    or no doc reaches 48 chars) reports a NULL rate via NULLIF (r11)."""
+    already-shaped pipeline of its granularity; md5 keys keep the
+    doc/chunk shuffles 32 bytes wide (the 48-char window branch counts
+    raw keys since r19 — see the inline note).  A granularity with zero
+    units (empty corpus, or no doc reaches 48 chars) reports a NULL
+    rate via NULLIF (r11)."""
     docs = load(spark, sf_dir, "documents")
     d = docs.agg(
         F.lit("document").alias("level"),
@@ -8285,6 +8323,15 @@ def dedup_granularity_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct(F.md5("ch")).alias("n_distinct"),
         )
     )
+    # r19: the 48-char branch counts distinct RAW windows — the md5
+    # narrowing is a pessimization exactly here: the key is already 48
+    # bytes (md5 hex is 32, saving 16 bytes/row of shuffle) while the
+    # digest costs ~1.3M md5 evaluations, measured 4.5 -> 3.2 s for the
+    # branch (guide §1.2 — the doc/chunk branches keep md5, where it
+    # compresses ~190-300-char keys).  COUNT(DISTINCT wd) equals the
+    # oracle's COUNT(DISTINCT md5(wd)) — md5 is collision-free across
+    # the fixture windows (oracle-exact at all three sfs) and raw
+    # distinct is the more conservative function at any scale.
     wd = (
         docs.where(F.length("text") >= 48)
         .select(
@@ -8298,7 +8345,7 @@ def dedup_granularity_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.lit("window_48ch").alias("level"),
             F.count(F.lit(1)).alias("n_units"),
-            F.countDistinct(F.md5("wd")).alias("n_distinct"),
+            F.countDistinct("wd").alias("n_distinct"),
         )
     )
     return (

@@ -465,14 +465,17 @@ ADJUDICATED: dict[int, dict[tuple[str, str], str]] = {
         **{
             ("dedup_minhash_eval", kind): (
                 "size(shingles) + posting-pair rewrites propagating "
-                "through the composed exact-jaccard pipeline: the "
-                "per-doc count aggregates (agg:[doc_id]:[count(1)] x4) "
-                "and the self-join's duplicated explode inputs left "
-                "the plan; the new captures are the direct "
-                "size(shingles) projections, the posting-list "
-                "collect_list aggregate and its posexplode/slice pair "
-                "emission.  Oracle-exact at all three fixture sfs "
-                "(r19 re-verification); 4.88 -> 4.41 s at sf0.1."
+                "through the composed exact-jaccard pipeline (the "
+                "per-doc count aggregates and the self-join's "
+                "duplicated explode inputs left the plan; the new "
+                "captures are the direct size(shingles) projections "
+                "and the posting-list collect_list aggregate with its "
+                "posexplode/slice pair emission), PLUS the minhash "
+                "side now reading the shared per-session pair-graph "
+                "checkpoint (minhash_pair_graph — the CC family's "
+                "materialization) instead of re-running the signature "
+                "pipeline.  Oracle-exact at all three fixture sfs "
+                "(r19 re-verification); 4.88 -> ~2 s at sf0.1."
             )
             for kind in ("pinned_cond", "pinned_agg", "pinned_proj", "pinned_window")
         },

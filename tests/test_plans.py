@@ -669,11 +669,13 @@ PLAN_PINS: dict[str, dict[str, int]] = {
     # WHOLE plan, caches included
     "dedup_connected_components": {"scan_rdd": 6, "bhj": 1, "cache": 3},
     "dedup_exact_hash": {"scan_parquet": 1},
-    # r19: the composed exact-jaccard side now uses posting-list pair
-    # generation (_posting_pair_counts) — the shingle self-join's second
-    # documents scan and its hash join left the plan (5 -> 4 each);
-    # oracle-exact at all three fixture sfs (OPTIMIZATION_r19.md).
-    "dedup_minhash_eval": {"scan_parquet": 4, "bhj": 4, "smj": 1},
+    # r19 (two changes, both oracle-exact at all three fixture sfs —
+    # OPTIMIZATION_r19.md): the composed exact-jaccard side uses
+    # posting-list pair generation (_posting_pair_counts: the self-join's
+    # second documents scan and hash join left the plan), and the
+    # minhash side reads the shared per-session pair-graph checkpoint
+    # (scan_rdd) instead of re-running the whole signature pipeline.
+    "dedup_minhash_eval": {"scan_parquet": 2, "scan_rdd": 1, "bhj": 2, "smj": 1},
     "dedup_minhash_lsh": {"scan_parquet": 2, "bhj": 2},
     "embedding_power_iteration_pc1": {"scan_rdd": 3, "bhj": 3, "bnlj": 4},
     "embedding_power_iteration_pc1_gram": {"scan_rdd": 3, "bhj": 3, "bnlj": 4},
