@@ -3360,7 +3360,16 @@ def bm25_contribution_micros(
     shared definitions inline (expects tf, df, dl, n_docs, sum_dl)."""
     idf = bm25_idf() if idf is None else idf
     dnorm = bm25_dnorm() if dnorm is None else dnorm
-    return F.round(idf * _bm25_tfnorm(dnorm) * 1_000_000).cast("long")
+    # r19 (guide §1.2 per-task work): half-up via floor(x + 0.5) instead
+    # of F.round — Spark's Round on a DOUBLE allocates a BigDecimal per
+    # row (BigDecimal.valueOf(x).setScale(0, HALF_UP)), measured ~2.2 ->
+    # ~1.6 s on the 3.6M-row scoring projection.  floor(x + 0.5) IS
+    # HALF_UP for the strictly-positive contribution (idf > 0 because
+    # the log argument exceeds 1 — df <= n_docs makes the ratio
+    # positive; tfnorm > 0 for tf >= 1 and dnorm > 0), and was
+    # A/B-verified equal to F.round on EVERY contribution row at all
+    # three fixture sfs (0 divergences in 3.66M rows).
+    return F.floor(idf * _bm25_tfnorm(dnorm) * 1_000_000 + F.lit(0.5)).cast("long")
 
 
 def bm25_micros_to_score(sc: Column) -> Column:
@@ -4730,15 +4739,27 @@ def lm_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("s"),
     )
+    # r19: the per-row contribution rides as int64 micros (the
+    # _util.fixed idiom, via half_up_long — no per-row BigDecimal from
+    # either the 6-dp round or the decimal cast) and the grouped sum is
+    # a primitive long.  Σ half_up_long(k·s·1e6) was A/B-verified equal
+    # to Σ round(k·s, 6)·1e6 on EVERY (doc, bigram) row at all three
+    # fixture sfs (0 divergences in 308k rows), and the long→double→
+    # ÷1e6 finalizer is the same exact integer the decimal sum cast —
+    # so mean_surprisal is bit-identical to the oracle's
+    # DECIMAL(28,6)-sum form.
+    from discogs_etl_spark.queries._util import half_up_long
+
     return (
         per.join(lm, "bigram")
         .groupBy("doc_id")
         .agg(
             F.sum("k").cast("bigint").alias("n_bigrams"),
             F.round(
-                F.sum(F.round(F.col("k") * F.col("s"), 6).cast("decimal(28,6)")).cast(
+                F.sum(half_up_long(F.col("k") * F.col("s") * 1_000_000)).cast(
                     "double"
                 )
+                / 1_000_000
                 / F.sum("k"),
                 6,
             ).alias("mean_surprisal"),
@@ -8028,14 +8049,19 @@ def text_search_query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
     # int64 micros so the grouped sum is a primitive long, not a
     # DECIMAL(28,6) buffer — the same rewrite (and the same A/B
     # bit-equality verification at all three sfs) as the BM25 family;
-    # see text_search_bm25_topk's r18 note.
-    contrib = F.round(
+    # see text_search_bm25_topk's r18 note.  r19: the HALF_UP rounding
+    # goes through _util.half_up_long (sign-aware — these log-prob
+    # contributions are negative) instead of F.round's per-row
+    # BigDecimal; equality proof and measurements in its docstring.
+    from discogs_etl_spark.queries._util import half_up_long
+
+    contrib = half_up_long(
         F.log(
             (F.col("tf") + 100.0 * F.col("cf") / F.col("c_len"))
             / (F.col("dl") + 100.0)
         )
         * 1_000_000
-    ).cast("long")
+    )
     scored = (
         joined.select("q_id", "doc_id", contrib.alias("c"))
         .groupBy("q_id", "doc_id")

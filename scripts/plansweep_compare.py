@@ -479,6 +479,47 @@ ADJUDICATED: dict[int, dict[tuple[str, str], str]] = {
             )
             for kind in ("pinned_cond", "pinned_agg", "pinned_proj", "pinned_window")
         },
+        # r19 half_up_long swap (OPTIMIZATION_r19.md §4): every
+        # fixed-point HALF_UP rounding (the _util.fixed money idiom and
+        # the BM25/LM scoring micros) now computes
+        # sign(x)*floor(|x|+0.5) instead of F.round's per-row
+        # BigDecimal — identical HALF_UP integers for |x| < 2^51
+        # (proof in half_up_long's docstring), A/B-verified 0
+        # divergences over every fixture money column and every
+        # scoring contribution at all three sfs, full oracle suite
+        # green (761 passed).  The pinned aggregate/projection TEXTS
+        # change (round(...) -> CASE WHEN ... FLOOR(...)); node
+        # structure is untouched.  Measured: Q1-shaped money
+        # aggregation 1.54 -> 0.68 s, BM25 scoring projection 2.2 ->
+        # 1.6 s at sf0.1.
+        **{
+            (n, "pinned_agg"): (
+                "half_up_long swap — fixed-point HALF_UP via "
+                "sign-aware floor, not Round's per-row BigDecimal; "
+                "captured aggregate text only, values A/B-proven "
+                "identical (see the r19 block comment above)."
+            )
+            for n in (
+                "events_hourly_agg",
+                "join_broadcast_part_agg",
+                "join_skew_salted",
+                "lm_bigram_surprisal",
+                "q1_pricing_summary",
+                "q3_shipping_priority",
+                "q5_regional_revenue",
+            )
+        },
+        **{
+            (n, "pinned_proj"): (
+                "half_up_long swap — same rewrite, captured projection "
+                "text only (see the r19 block comment above)."
+            )
+            for n in (
+                "curation_search_corpus",
+                "text_search_bm25_pruned_topk",
+                "text_search_bm25_topk",
+            )
+        },
     },
 }
 
