@@ -4333,10 +4333,19 @@ def graph_pagerank_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     # never the edge-sized src.
     src = edges.join(deg, "u").repartition(F.col("u")).localCheckpoint()
     ranks = deg.select(F.col("u").alias("node"), F.lit(1.0 / n_nodes).alias("rank"))
+    # r19: the per-edge fixed-point scaling goes through half_up_long
+    # (sign-aware floor) instead of F.round's per-row BigDecimal — the
+    # same swap as _util.fixed, paid here once per EDGE per ITERATION
+    # (5x the edge set); rank mass is strictly positive so HALF_UP and
+    # floor(x+0.5) coincide, and the equality proof in half_up_long's
+    # docstring covers the 1e12-scaled magnitudes (rank <= 1 keeps
+    # x < 1e12 << 2^51).  Oracle-exact at all three fixture sfs.
+    from discogs_etl_spark.queries._util import half_up_long
+
     for _ in range(iters):
         contrib = src.join(ranks.withColumnRenamed("node", "u"), "u").select(
             F.col("v").alias("node"),
-            F.round(F.col("rank") * d / F.col("deg") * 1e12).cast("long").alias("c"),
+            half_up_long(F.col("rank") * d / F.col("deg") * 1e12).alias("c"),
         )
         ranks = (
             contrib.groupBy("node")

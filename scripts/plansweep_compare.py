@@ -516,6 +516,7 @@ ADJUDICATED: dict[int, dict[tuple[str, str], str]] = {
             )
             for n in (
                 "curation_search_corpus",
+                "graph_pagerank_coorder",
                 "text_search_bm25_pruned_topk",
                 "text_search_bm25_topk",
             )
