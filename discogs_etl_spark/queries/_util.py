@@ -73,23 +73,33 @@ def half_up_long(x: Column) -> Column:
     BigDecimal (r19, guide §1.2): Spark's Round on DoubleType allocates
     ``BigDecimal.valueOf(x).setScale(0, HALF_UP)`` per row — measured
     ~2x on money-aggregation shapes (TPC-H Q1-like sum-of-fixed at
-    sf0.1: 1.5 -> 0.7 s).  ``sign(x) * floor(|x| + 0.5)`` computes the
-    identical HALF_UP integer for every |x| < 2^51: half-integers up
-    there are exactly representable, no double lies strictly inside
-    (n+0.5 - ulp/2, n+0.5), and the shortest-decimal repr BigDecimal
-    rounds is within half an ulp of the binary value, so no tie can
-    flip — A/B-verified 0 divergences over every fixture money column
-    (600k rows x 4 cols, both signs) and every BM25 contribution
-    (3.66M rows).  NULL propagates; NaN/±Inf raise under ANSI exactly
-    as the Round+cast path did.  2^51 sits above the fixed-point
-    exactness envelope (2^52 is the ROUND-TRIP bound; sums beyond 2^51
-    per VALUE were never exact), so callers inside that envelope lose
-    nothing."""
-    return (
-        F.when(x >= 0, F.floor(x + F.lit(0.5)))
-        .otherwise(-F.floor(-x + F.lit(0.5)))
-        .cast("long")
-    )
+    sf0.1: 1.5 -> 0.7 s).
+
+    Exact-equality construction, for every |x| <= 2^51: start from
+    r = floor(|x| + 0.5).  For |x| >= 1 the operand and the sum share a
+    binade-scale, half-integers are representable, and no double lies
+    strictly inside (n+0.5 - ulp/2, n+0.5), so r is already the HALF_UP
+    integer.  The ONE overshoot family is sub-half |x| whose sum rounds
+    up at the RESULT's coarser scale (|x| = 0.49999999999999994, the
+    largest double below 0.5: +0.5 ties to 1.0 under round-to-even —
+    caught by this module's adversarial-grid test) — corrected by the
+    exact comparison |x| < r - 0.5 (r and r - 0.5 are both exactly
+    representable up to 2^51, spacing 0.5 there), which subtracts the
+    overshoot back.  Undershoot cannot occur: an exact sum >= n+1
+    implies |x| >= n+0.5, and nearest-rounding of the sum never drops
+    below n+1 from there.  Sign is applied last (HALF_UP is symmetric).
+    A/B evidence: 0 divergences vs F.round over every fixture money
+    column (600k rows x 4 cols, both signs), every BM25 contribution
+    (3.66M rows), every lm-bigram contribution (308k), and the
+    boundary grid in tests/test_fixed_point_guard.py.  NULL
+    propagates; NaN/±Inf raise under ANSI exactly as the Round+cast
+    path did.  2^51 sits above the fixed-point exactness envelope
+    (2^52 is the ROUND-TRIP bound; sums beyond 2^51 per VALUE were
+    never exact), so callers inside that envelope lose nothing."""
+    ax = F.abs(x)
+    r = F.floor(ax + F.lit(0.5)).cast("double")
+    r = F.when(ax < r - F.lit(0.5), r - F.lit(1.0)).otherwise(r)
+    return F.when(x >= 0, r).otherwise(-r).cast("long")
 
 
 def fixed(col: Column | str, scale: int = 2) -> Column:

@@ -44,3 +44,47 @@ def test_guard_off_by_default_no_assert_in_plan(spark):
     df.agg(F.sum(fixed("x", 2)).alias("s")).collect()
     plan = df.select(fixed("x", 2).alias("f"))._jdf.queryExecution().toString()
     assert "assert_true" not in plan
+
+
+def test_half_up_long_matches_round_on_boundary_grid(spark):
+    """The r19 floor-based HALF_UP (no per-row BigDecimal) must agree
+    with F.round on a deterministic grid of adversarial doubles: exact
+    halves (both signs), nearest-doubles around halves, money-scaled
+    values, and magnitudes up to the documented 2^51 equality bound."""
+    from pyspark.sql import functions as F
+
+    from discogs_etl_spark.queries._util import half_up_long
+
+    vals = []
+    for n in (0, 1, 2, 7, 99, 10**6, 10**12, 2**40, 2**50):
+        for base in (n + 0.5, -(n + 0.5)):
+            vals.extend(
+                [
+                    base,
+                    # nearest representable neighbours of the half
+                    float.fromhex(base.hex())
+                    and __import__("math").nextafter(base, 0.0),
+                    __import__("math").nextafter(base, base * 4 + 8),
+                ]
+            )
+    vals.extend([0.005 * k for k in range(-400, 400, 7)])
+    vals.extend([123.455, -123.455, 123.465, -123.465, 0.0, -0.0])
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    mism = (
+        df.select(
+            (F.round(F.col("x")).cast("long") != half_up_long(F.col("x"))).alias("d")
+        )
+        .where("d")
+        .count()
+    )
+    assert mism == 0
+
+
+def test_half_up_long_null_propagates(spark):
+    from pyspark.sql import functions as F
+
+    from discogs_etl_spark.queries._util import half_up_long
+
+    df = spark.createDataFrame([(None,), (1.25,)], "x double")
+    rows = {r[0]: r[1] for r in df.select("x", half_up_long(F.col("x"))).collect()}
+    assert rows[1.25] == 1 and rows[None] is None

@@ -129,3 +129,26 @@ def test_theil_sen_day_bound_guard(spark, monkeypatch):
     monkeypatch.setattr(stats, "_THEIL_SEN_MAX_DAYS", 1)
     with pytest.raises(ValueError, match="pairwise slopes through the"):
         stats.stats_theil_sen_trend(spark, SF_SMOKE)
+
+
+def test_checked_emb_dim_guard(spark, monkeypatch):
+    """The unrolled dot product indexes past a shorter embedding as NULL
+    and silently drops pairs; _checked_emb_dim must fail loudly on any
+    width drift instead (r18 ADVICE, fixed r19)."""
+    import pytest
+
+    from discogs_etl_spark.queries import llm
+    from tests.conftest import SF_SMOKE
+
+    llm._EMB_DIM_CHECKED.clear()
+    assert llm._checked_emb_dim(spark, SF_SMOKE) == llm._EMB_DIM
+    # memoized: second call hits the cache (no further jobs — the dict
+    # carries the key)
+    key = (spark.sparkContext.applicationId, SF_SMOKE)
+    assert key in llm._EMB_DIM_CHECKED
+
+    llm._EMB_DIM_CHECKED.clear()
+    monkeypatch.setattr(llm, "_EMB_DIM", 63)
+    with pytest.raises(ValueError, match="unrolled dot product is"):
+        llm._checked_emb_dim(spark, SF_SMOKE)
+    llm._EMB_DIM_CHECKED.clear()
