@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from discogs_etl_spark.queries._util import half_up_long
 from discogs_etl_spark.registry import register
 from discogs_etl_spark.tables import load
 
@@ -6020,14 +6021,24 @@ def embedding_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("carr")
         )
     )
+    # r19: the corpus-sized (i, j) partial products ride as int64 nanos
+    # (half_up_long — no per-row BigDecimal from the 9-dp round or the
+    # decimal cast) and the grouped sum is a primitive long: 8.2M rows
+    # at sf0.1 through the one corpus-sized aggregation of this query.
+    # A/B: 0 divergences vs the decimal form over every centered
+    # product at all three sfs (12.3M rows); the long→double→÷1e9
+    # finalizer is the same exact integer the decimal sum cast (Σ per
+    # group ≤ 2k·|vi·vj|·1e9 ≪ 2^52, so the cast is exact).
     cov = (
         carr.select("carr", F.posexplode("carr").alias("i", "vi"))
         .select("i", "vi", F.posexplode("carr").alias("j", "vj"))
         .groupBy("i", "j")
         .agg(
-            F.sum(F.round(F.col("vi") * F.col("vj"), 9).cast("decimal(38,9)"))
-            .cast("double")
-            .alias("s")
+            (
+                F.sum(half_up_long((F.col("vi") * F.col("vj")) * 1_000_000_000))
+                .cast("double")
+                / 1_000_000_000
+            ).alias("s")
         )
         .crossJoin(F.broadcast(nv))
         .select("i", "j", F.round(F.col("s") / F.col("n_corpus"), 9).alias("c"))
@@ -6098,9 +6109,16 @@ def embedding_power_iteration_pc1_gram(spark: SparkSession, sf_dir: str) -> Data
     cov = (
         pairs.groupBy("i", "j")
         .agg(
-            F.sum(F.round(F.col("vi") * F.col("vj"), 9).cast("decimal(38,9)"))
-            .cast("double")
-            .alias("sxx"),
+            # r19: the corpus-sized product sum rides as int64 nanos
+            # (same swap, A/B and envelope as the pc1 cov above); the
+            # sxi/sxj RAW-value decimal sums stay — they carry no
+            # per-row round, and their scale-12 long twin's Σ envelope
+            # is not provably inside the exact double cast.
+            (
+                F.sum(half_up_long((F.col("vi") * F.col("vj")) * 1_000_000_000))
+                .cast("double")
+                / 1_000_000_000
+            ).alias("sxx"),
             F.sum(F.col("vi").cast("decimal(28,12)")).cast("double").alias("sxi"),
             F.sum(F.col("vj").cast("decimal(28,12)")).cast("double").alias("sxj"),
             F.count(F.lit(1)).alias("n"),
@@ -6181,8 +6199,15 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.first("t").cast("bigint").alias("n_transitions"),
+            # r19: the per-(doc, bigram) entropy contribution rides as
+            # int64 nanos via half_up_long (no per-row BigDecimal; A/B
+            # 0 divergences over all 556k contribution rows at the
+            # three sfs — p·ln p is irrational off the p=1 endpoint,
+            # so the decimal-tie family that blocks this swap elsewhere
+            # cannot occur) and the grouped sum is a primitive long.
             F.round(
-                F.sum(F.round(-p * F.log(p), 9).cast("decimal(28,9)")).cast("double"),
+                F.sum(half_up_long(-p * F.log(p) * 1_000_000_000)).cast("double")
+                / 1_000_000_000,
                 6,
             ).alias("char_entropy"),
         )
